@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The relational capability surface of the reference (SURVEY.md §2.5):
+  * everything its tests/examples run through Spark SQL on top of the scan —
+  * aggregation, filter+project, equi-join, sort, distinct, limit/top-k,
+  * IN / NOT-IN, string predicates, temp-view SQL.
+  *
+  * Determinism rules (so the DuckDB oracle hash-matches):
+  *  - every money/quantity aggregate is summed in DECIMAL (exact, order-
+  *    independent across 32 shuffle partitions) and cast to DOUBLE at the end;
+  *  - every output is totally ordered by a unique key;
+  *  - column names are aliased identically in Spark and oracle SQL.
+  *
+  * Scale notes (100 TB design intent, tested at sf0.1):
+  *  - aggregations are partial/final hash aggregates (map-side combine) —
+  *    the groupBy keys here are low-cardinality so the shuffle is tiny;
+  *  - the join in q3 keeps lineitem⋈orders on the shuffled orderkey
+  *    (both sides scale) and broadcasts customer only via Catalyst/AQE
+  *    thresholds — no hand-forced broadcast of a scaling table;
+  *  - top-k sorts compile to TakeOrderedAndProject (no full global sort).
+  */
+object Relational {
+
+  /** Exact decimal view of a double column: deterministic parallel sums. */
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** q1: TPC-H Q1-style pricing summary — partial+final hash aggregate. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  def q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: filter + project with a complex boolean tree (reference
+    * DefaultSourceSuite.scala:212-324 shape). Predicates push to parquet. */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter((col("l_quantity") > 30 && col("l_discount") < 0.03) ||
+              (col("l_returnflag") === "R" && col("l_tax") >= 0.07))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_discount"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  def q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+      |FROM lineitem
+      |WHERE (l_quantity > 30 AND l_discount < 0.03)
+      |   OR (l_returnflag = 'R' AND l_tax >= 0.07)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q3: three-way equi-join (reference JoinTablesFrom2Clusters shape) —
+    * revenue per market segment. lineitem⋈orders shuffles on orderkey
+    * (both scale with SF); customer is left to AQE broadcast. */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def q3Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q4: top-k sort — compiles to TakeOrderedAndProject, not a global sort. */
+  def q4Sort(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  def q4Sql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** q5: distinct (reference DefaultSourceSuite.scala:388). */
+  def q5Distinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  def q5Sql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q6: IN ∧ NOT-IN — the one logical rewrite the reference does itself
+    * (HBaseFilter.scala:252-266 set-difference; DefaultSourceSuite:156-172). */
+  def q6InNotIn(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM") &&
+              !col("o_orderpriority").isin("3-MEDIUM", "5-LOW"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def q6Sql: String =
+    """SELECT o_orderkey, o_orderpriority
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+      |  AND o_orderpriority NOT IN ('3-MEDIUM','5-LOW')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q7: string predicates — StartsWith / Contains / EndsWith
+    * (reference HBaseFilter.scala:320-368). */
+  def q7StringFilters(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir)
+      .filter(col("p_name").startsWith("a") ||
+              col("p_name").contains("ow") ||
+              col("p_type").endsWith("D"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  def q7Sql: String =
+    """SELECT p_partkey, p_name, p_type
+      |FROM part
+      |WHERE p_name LIKE 'a%' OR p_name LIKE '%ow%' OR p_type LIKE '%D'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q8: windowed top-3 per supplier — partitioned window, no global sort. */
+  def q8WindowTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  def q8Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+      |  FROM lineitem) t
+      |WHERE rn <= 3
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** q9: count(*) / count(col) (reference DefaultSourceSuite.scala:149-154). */
+  def q9Count(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("l_quantity")).as("n_qty"),
+           countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  def q9Sql: String =
+    """SELECT count(*) AS n_rows, count(l_quantity) AS n_qty,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem""".stripMargin
+
+  /** q10: temp view + SQL text (reference DefaultSourceSuite.scala:256-262:
+    * "select count(col1) from table1 where col0 < 'row050'"). */
+  def q10SqlView(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderstatus, count(o_orderkey) AS n
+        |FROM graft_orders
+        |WHERE o_orderkey < 1000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  def q10Sql: String =
+    """SELECT o_orderstatus, count(o_orderkey) AS n
+      |FROM orders
+      |WHERE o_orderkey < 1000
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** All entries + oracles, consumed by SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join"           -> (q3Join _),
+    "q4_sort"           -> (q4Sort _),
+    "q5_distinct"       -> (q5Distinct _),
+    "q6_in_notin"       -> (q6InNotIn _),
+    "q7_string_filters" -> (q7StringFilters _),
+    "q8_window_topk"    -> (q8WindowTopk _),
+    "q9_count"          -> (q9Count _),
+    "q10_sql_view"      -> (q10SqlView _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"            -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join"           -> q3Sql,
+    "q4_sort"           -> q4Sql,
+    "q5_distinct"       -> q5Sql,
+    "q6_in_notin"       -> q6Sql,
+    "q7_string_filters" -> q7Sql,
+    "q8_window_topk"    -> q8Sql,
+    "q9_count"          -> q9Sql,
+    "q10_sql_view"      -> q10Sql,
+  )
+}
