@@ -1,0 +1,180 @@
+package graft.catalog
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.types._
+
+import graft.types.FieldCoder
+
+/** One column mapping: Spark column ↔ (column family, qualifier) + coder.
+  * Reference: core/.../HBaseTableCatalog.scala:72-130 (`Field`).
+  */
+final case class Field(
+    name: String,
+    cf: String,
+    qual: String,
+    typeName: Option[String],
+    coderName: String,
+    avroSchemaJson: Option[String],
+    length: Int) extends Serializable {
+
+  val isRowKey: Boolean = cf == GraftCatalog.RowKeyFamily
+
+  /** Dynamic column: empty qualifier + map type collects all qualifiers of
+    * the family (reference HBaseTableScan.scala:97-110). */
+  def isDynamic: Boolean = qual.isEmpty && dataType.isInstanceOf[MapType]
+
+  @transient lazy val coder: FieldCoder = avroSchemaJson match {
+    case Some(s) => new graft.types.AvroCoder(s)
+    case None    => FieldCoder.byName(coderName)
+  }
+
+  @transient lazy val dataType: DataType = avroSchemaJson match {
+    case Some(s) => graft.types.AvroCoder.sqlTypeFor(s)
+    case None    => CatalystSqlParser.parseDataType(typeName.get)
+  }
+
+  /** Encoded width: explicit catalog `length`, else the coder's width. */
+  def byteWidth: Int = if (length > 0) length else coder.byteWidth(dataType)
+}
+
+/** One part of a (possibly composite) row key, with its byte offset. */
+final case class RowKeyPart(field: Field, offset: Int, width: Int) extends Serializable
+
+/** Parsed catalog: table identity + ordered column map + row key layout.
+  * Reference: core/.../HBaseTableCatalog.scala:152-305.
+  */
+final case class GraftCatalog(
+    namespace: String,
+    table: String,
+    tableCoderName: String,
+    fields: Seq[Field],
+    rowKeyParts: Seq[RowKeyPart],
+    numVersions: Int) extends Serializable {
+
+  def qualifiedName: String = s"$namespace:$table"
+
+  def rowKeyFields: Seq[Field] = rowKeyParts.map(_.field)
+
+  def valueFields: Seq[Field] = fields.filterNot(_.isRowKey)
+
+  def field(name: String): Field = fields.find(_.name == name)
+    .getOrElse(throw new IllegalArgumentException(s"no column $name in catalog for $table"))
+
+  /** Catalog column order is the DataFrame column order
+    * (reference HBaseTableCatalog.scala:152-160). */
+  def schema: StructType =
+    StructType(fields.map(f => StructField(f.name, f.dataType, nullable = !f.isRowKey)))
+
+  /** Total fixed row-key length, or -1 if the last part is variable. */
+  def rowKeyLength: Int = {
+    val last = rowKeyParts.last
+    if (last.width < 0) -1 else last.offset + last.width
+  }
+
+  def families: Seq[String] = valueFields.map(_.cf).distinct
+
+  def hasDynamicFields: Boolean = valueFields.exists(_.isDynamic)
+
+  private[catalog] def validate(): Unit = {
+    rowKeyParts.zipWithIndex.foreach { case (p, i) =>
+      val f = p.field
+      require(f.coder.preservesOrdering(f.dataType) || f.avroSchemaJson.isDefined,
+        s"row-key field ${f.name}: coder ${f.coderName} does not preserve sort order")
+      // Only the last key dimension may be variable-length
+      // (reference HBaseTableCatalog.scala:184-204).
+      if (i < rowKeyParts.size - 1)
+        require(p.width > 0,
+          s"row-key field ${f.name} is variable-length but not the last key part; " +
+            "give it an explicit \"length\"")
+    }
+  }
+}
+
+object GraftCatalog {
+
+  val RowKeyFamily = "rowkey"
+
+  // option keys (reference HBaseTableCatalog.scala:230-255, HBaseRelation.scala:346-363)
+  val CatalogOption = "catalog"
+  val NewTable = "newtable"
+  val MinSplit = "minTableSplitPoint"
+  val MaxSplit = "maxTableSplitPoint"
+  val MaxVersions = "maxVersions"
+  val Timestamp = "timestamp"
+  val MinStamp = "minStamp"
+  val MaxStamp = "maxStamp"
+  val MergeToLatest = "mergeToLatest"
+  val Restrictive = "restrictive"
+
+  /** Parse the JSON catalog string. Format (reference
+    * HBaseTableCatalog.scala:256-305):
+    * {{{
+    * {"table":{"namespace":"default","name":"t","tableCoder":"PrimitiveType","version":"2.0"},
+    *  "rowkey":"key1:key2",
+    *  "columns":{"col0":{"cf":"rowkey","col":"key1","type":"string","length":"6"}, ...}}
+    * }}}
+    */
+  def parse(json: String, options: Map[String, String] = Map.empty): GraftCatalog = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(json)
+    val tbl = root.get("table")
+    require(tbl != null, "catalog is missing \"table\"")
+    val namespace = opt(tbl, "namespace").getOrElse("default")
+    val name = opt(tbl, "name").getOrElse(sys.error("catalog table has no name"))
+    val version = opt(tbl, "version").getOrElse("1.0")
+    val tableCoder = opt(tbl, "tableCoder") match {
+      case Some(c) => c
+      case None =>
+        // version >= 2.0 requires an explicit coder (reference :271-286)
+        require(version == "1.0", s"catalog version $version requires explicit tableCoder")
+        FieldCoder.Primitive
+    }
+
+    val rowKeySpec = Option(root.get("rowkey")).map(_.asText())
+      .getOrElse(sys.error("catalog is missing \"rowkey\""))
+    val keyNames = rowKeySpec.split(":").toSeq
+
+    val colsNode = root.get("columns")
+    require(colsNode != null, "catalog is missing \"columns\"")
+    val fields = ArrayBuffer[Field]()
+    val it = colsNode.fields() // Jackson preserves JSON insertion order
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      fields += Field(
+        name = e.getKey,
+        cf = c.get("cf").asText(),
+        qual = opt(c, "col").getOrElse(""),
+        typeName = opt(c, "type"),
+        coderName = opt(c, "coder").getOrElse(tableCoder),
+        avroSchemaJson = opt(c, "avro").flatMap(options.get),
+        length = opt(c, "length").map(_.toInt).getOrElse(-1))
+    }
+
+    // row-key byte offsets (reference initRowKey, HBaseTableCatalog.scala:184-204)
+    val keyFields = keyNames.map { kn =>
+      fields.find(f => f.isRowKey && f.qual == kn)
+        .getOrElse(sys.error(s"rowkey part $kn has no column mapping"))
+    }
+    var off = 0
+    val parts = keyFields.map { f =>
+      val w = f.byteWidth
+      val p = RowKeyPart(f, off, w)
+      off = if (w < 0) Int.MinValue else off + w
+      p
+    }
+
+    val cat = GraftCatalog(
+      namespace, name, tableCoder,
+      fields.toSeq, parts,
+      numVersions = options.get(MaxVersions).map(_.toInt).getOrElse(1))
+    cat.validate()
+    cat
+  }
+
+  private def opt(n: JsonNode, key: String): Option[String] =
+    Option(n.get(key)).map(_.asText()).filter(_.nonEmpty)
+}

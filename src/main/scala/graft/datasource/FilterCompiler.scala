@@ -1,0 +1,252 @@
+package graft.datasource
+
+import org.apache.spark.sql.sources._
+
+import graft.catalog.{Field, GraftCatalog, RowKeyPart}
+import graft.ranges.{Bound, BytesUtil, ScanRange}
+import graft.store.KvPredicate
+import graft.store.KvPredicate.{Op, Eq, Lt, Le, Gt, Ge, StrMode}
+
+/** Compiles Spark source `Filter` trees into (row-key byte ranges, store-side
+  * predicate, handled flag) — the successor of the reference's HBaseFilter
+  * (core/.../HBaseFilter.scala:126-407).
+  *
+  * Design change vs the reference: every compilable leaf yields a predicate
+  * that is EXACT for that leaf (typed decode-then-compare, including key
+  * parts), while ranges are a sound superset used only for pruning. Under
+  * that invariant AND/OR compose exactly:
+  *   rows(node) = scan(ranges) ∧ pred,  with handled ⇒ equality,
+  * which fixes the superset-on-OR subtlety the reference threads through its
+  * `handled` flag, and lets composite-key suffix predicates (dropped at
+  * HBaseFilter.scala:149-159) push down as key predicates instead.
+  *
+  * `handled=false` filters are returned to Spark for residual re-filtering —
+  * the over-approximation contract of SURVEY.md §4.
+  */
+object FilterCompiler {
+
+  /** Compilation result ("HRF" in the reference). */
+  final case class Hrf(
+      ranges: Seq[ScanRange[Array[Byte]]],
+      pred: Option[KvPredicate],
+      handled: Boolean)
+
+  private implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+
+  private val AllRanges = Seq(ScanRange.all[Array[Byte]])
+
+  def unhandled: Hrf = Hrf(AllRanges, None, handled = false)
+
+  /** Compile all pushed filters (implicitly AND-ed, reference
+    * HBaseFilter.scala:126-138) after applying the In∧¬In set-difference
+    * rewrite (reference :252-266). */
+  def compileAll(catalog: GraftCatalog, filters: Seq[Filter]): Hrf =
+    rewriteInNotIn(filters)
+      .map(compile(catalog, _))
+      .foldLeft(Hrf(AllRanges, None, handled = true))(andHrf)
+
+  /** Which of the pushed filters are fully handled (exact) — the rest are
+    * Spark's residual (reference unhandledFilters, HBaseRelation.scala:316). */
+  def partition(catalog: GraftCatalog, filters: Array[Filter]): (Array[Filter], Array[Filter]) =
+    filters.partition(f => compile(catalog, f).handled)
+
+  /** And(In(a,X), Not(In(a,Y))) → In(a, X∖Y), both argument orders. */
+  private[datasource] def rewriteInNotIn(filters: Seq[Filter]): Seq[Filter] = filters.map {
+    case And(In(a, xs), Not(In(b, ys))) if a == b =>
+      In(a, xs.filterNot(x => ys.exists(y => nullSafeEq(x, y))))
+    case And(Not(In(b, ys)), In(a, xs)) if a == b =>
+      In(a, xs.filterNot(x => ys.exists(y => nullSafeEq(x, y))))
+    case f => f
+  }
+
+  private def nullSafeEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case _ => a == b
+  }
+
+  def compile(catalog: GraftCatalog, filter: Filter): Hrf = filter match {
+    case And(l, r) => andHrf(compile(catalog, l), compile(catalog, r))
+    case Or(l, r)  => orHrf(compile(catalog, l), compile(catalog, r))
+
+    case EqualTo(attr, v) if v != null => leafCmp(catalog, attr, Eq, v)
+    case EqualNullSafe(attr, null)     => leafIsNull(catalog, attr)
+    case EqualNullSafe(attr, v)        => leafCmp(catalog, attr, Eq, v)
+    case LessThan(attr, v) if v != null           => leafCmp(catalog, attr, Lt, v)
+    case LessThanOrEqual(attr, v) if v != null    => leafCmp(catalog, attr, Le, v)
+    case GreaterThan(attr, v) if v != null        => leafCmp(catalog, attr, Gt, v)
+    case GreaterThanOrEqual(attr, v) if v != null => leafCmp(catalog, attr, Ge, v)
+
+    case In(attr, values) =>
+      val nonNull = values.filter(_ != null)
+      if (nonNull.isEmpty) Hrf(Seq.empty, Some(KvPredicate.Or(Seq.empty)), handled = true) // empty set: matches nothing
+      else nonNull.map(v => leafCmp(catalog, attr, Eq, v)).reduce(orHrf)
+
+    case IsNull(attr)    => leafIsNull(catalog, attr)
+    case IsNotNull(attr) => leafIsNotNull(catalog, attr)
+
+    case StringStartsWith(attr, p) => leafStartsWith(catalog, attr, p)
+    case StringEndsWith(attr, p)   => leafStrMatch(catalog, attr, p, StrMode.Suffix)
+    case StringContains(attr, p)   => leafStrMatch(catalog, attr, p, StrMode.Contains)
+
+    case Not(child) =>
+      val c = compile(catalog, child)
+      c.pred match {
+        // Negation is exact only with a null guard on every referenced
+        // column (SQL: NOT(NULL cmp) is not true) — key-only predicates
+        // need no guard, column predicates get IsNotNull guards.
+        case Some(p) if c.handled =>
+          nullGuards(catalog, child) match {
+            case Some(guards) =>
+              Hrf(AllRanges, Some(KvPredicate.And(guards :+ KvPredicate.Not(p))), handled = true)
+            case None => unhandled
+          }
+        case _ => unhandled
+      }
+
+    case AlwaysTrue()  => Hrf(AllRanges, None, handled = true)
+    case AlwaysFalse() => Hrf(Seq.empty, None, handled = true)
+    case _ => unhandled
+  }
+
+  /** IsNotNull guards for every column (non-key) referenced by a filter;
+    * None if any referenced attribute is unknown. */
+  private def nullGuards(catalog: GraftCatalog, f: Filter): Option[Seq[KvPredicate]] = {
+    val attrs = f.references.toSeq
+    val fields = attrs.map(a => catalog.fields.find(_.name == a))
+    if (fields.exists(_.isEmpty)) return None
+    Some(fields.flatten.filterNot(_.isRowKey).map(fld => KvPredicate.IsNotNull(fld.cf, fld.qual)))
+  }
+
+  // ---- leaves ---------------------------------------------------------------
+
+  private def keyPart(catalog: GraftCatalog, attr: String): Option[RowKeyPart] =
+    catalog.rowKeyParts.find(_.field.name == attr)
+
+  private def valueField(catalog: GraftCatalog, attr: String): Option[Field] =
+    catalog.fields.find(f => f.name == attr && !f.isRowKey)
+
+  private def leafCmp(catalog: GraftCatalog, attr: String, op: Op, v: Any): Hrf =
+    keyPart(catalog, attr) match {
+      case Some(part) =>
+        val f = part.field
+        val pred = KvPredicate.KeyCmp(part.offset, part.width, op, v, f.dataType, f.coder)
+        val ranges =
+          if (part.offset != 0) AllRanges // suffix parts: predicate only, no pruning
+          else {
+            val exactKey = catalog.rowKeyParts.size == 1 && part.width < 0
+            val fieldRanges: Seq[ScanRange[Array[Byte]]] = op match {
+              case Eq => Seq(ScanRange.point(f.coder.encode(f.dataType, v)))
+              case Lt => f.coder.lessRanges(f.dataType, v, inclusive = false)
+              case Le => f.coder.lessRanges(f.dataType, v, inclusive = true)
+              case Gt => f.coder.greaterRanges(f.dataType, v, inclusive = false)
+              case Ge => f.coder.greaterRanges(f.dataType, v, inclusive = true)
+            }
+            if (exactKey || catalog.rowKeyParts.size == 1) fieldRanges.map(identity)
+            else fieldRanges.map(prefixExpand) // fixed-width first part of composite key
+          }
+        Hrf(ScanRange.normalize(ranges), Some(pred), handled = true)
+      case None =>
+        valueField(catalog, attr) match {
+          case Some(f) if !f.isDynamic =>
+            Hrf(AllRanges, Some(KvPredicate.ValueCmp(f.cf, f.qual, op, v, f.dataType, f.coder)), handled = true)
+          case _ => unhandled
+        }
+    }
+
+  private def leafIsNull(catalog: GraftCatalog, attr: String): Hrf =
+    keyPart(catalog, attr) match {
+      case Some(_) => Hrf(Seq.empty, None, handled = true) // key parts are never null
+      case None => valueField(catalog, attr) match {
+        case Some(f) if !f.isDynamic =>
+          Hrf(AllRanges, Some(KvPredicate.IsNull(f.cf, f.qual)), handled = true)
+        case _ => unhandled
+      }
+    }
+
+  private def leafIsNotNull(catalog: GraftCatalog, attr: String): Hrf =
+    keyPart(catalog, attr) match {
+      case Some(_) => Hrf(AllRanges, None, handled = true)
+      case None => valueField(catalog, attr) match {
+        case Some(f) if !f.isDynamic =>
+          Hrf(AllRanges, Some(KvPredicate.IsNotNull(f.cf, f.qual)), handled = true)
+        case _ => unhandled
+      }
+    }
+
+  private def leafStartsWith(catalog: GraftCatalog, attr: String, p: String): Hrf =
+    keyPart(catalog, attr) match {
+      case Some(part) if part.field.dataType == org.apache.spark.sql.types.StringType =>
+        val prefix = p.getBytes("UTF-8")
+        val pred = KvPredicate.KeyPartPrefix(part.offset, prefix)
+        val ranges =
+          if (part.offset != 0) AllRanges
+          else Seq(ScanRange(Bound(Some(prefix), inclusive = true),
+            BytesUtil.prefixUpperBound(prefix) match {
+              case Some(up) => Bound(Some(up), inclusive = false)
+              case None     => Bound.posInf[Array[Byte]]
+            }))
+        Hrf(ranges, Some(pred), handled = true)
+      case Some(_) => unhandled
+      case None => leafStrMatch(catalog, attr, p, StrMode.Prefix)
+    }
+
+  private def leafStrMatch(catalog: GraftCatalog, attr: String, p: String, mode: StrMode): Hrf =
+    valueField(catalog, attr) match {
+      case Some(f) if !f.isDynamic && f.dataType == org.apache.spark.sql.types.StringType =>
+        Hrf(AllRanges, Some(KvPredicate.StrMatch(f.cf, f.qual, p, mode, f.dataType, f.coder)), handled = true)
+      case _ =>
+        keyPart(catalog, attr) match {
+          case Some(part) if part.field.dataType == org.apache.spark.sql.types.StringType =>
+            // suffix/contains on a key part: exact via typed key predicate
+            Hrf(AllRanges, Some(KvPredicate.KeyStrMatch(part.offset, part.width, p, mode)),
+              handled = true)
+          case _ => unhandled
+        }
+    }
+
+  // ---- composition ----------------------------------------------------------
+
+  private def andHrf(l: Hrf, r: Hrf): Hrf = Hrf(
+    ScanRange.and(l.ranges, r.ranges),
+    (l.pred, r.pred) match {
+      case (Some(a), Some(b)) => Some(KvPredicate.And(Seq(a, b)))
+      case (a, b) => a.orElse(b)
+    },
+    l.handled && r.handled)
+
+  private def orHrf(l: Hrf, r: Hrf): Hrf = {
+    // rows(l ∨ r) ⊆ ranges(l) ∪ ranges(r); pred must stay exact per side —
+    // a side with no pred matches its whole range, which is only exact if
+    // that side is the full range (then the union is everything).
+    val pred = (l.pred, r.pred) match {
+      case (Some(a), Some(b)) => Some(KvPredicate.Or(Seq(a, b)))
+      case _ => None
+    }
+    val exact = l.handled && r.handled && (pred.isDefined ||
+      (l.pred.isEmpty && l.ranges == AllRanges) || (r.pred.isEmpty && r.ranges == AllRanges))
+    Hrf(ScanRange.or(l.ranges, r.ranges), if (exact) pred else None, handled = exact)
+  }
+
+  /** Turn a closed field-value range into the matching key-prefix range:
+    * start stays (enc(v) is the smallest key with that prefix); an inclusive
+    * end extends to just past the prefix. */
+  private def prefixExpand(r: ScanRange[Array[Byte]]): ScanRange[Array[Byte]] = {
+    val start = r.start match {
+      case Bound(Some(b), false) => BytesUtil.prefixUpperBound(b) match {
+        case Some(up) => Bound(Some(up), true)
+        case None     => Bound(Some(b), false)
+      }
+      case other => other
+    }
+    val end = r.end match {
+      case Bound(Some(b), true) => BytesUtil.prefixUpperBound(b) match {
+        case Some(up) => Bound(Some(up), false)
+        case None     => Bound.posInf[Array[Byte]]
+      }
+      case other => other
+    }
+    ScanRange(start, end)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.datasource
+
+import graft.catalog.GraftCatalog
+import graft.store.{ColumnSet, TimeRange}
+
+/** Per-relation options (reference HBaseRelation.scala:77-110,346-363 +
+  * HBaseTableCatalog.scala:230-255). */
+final case class GraftOptions(
+    catalogJson: String,
+    newTable: Int,
+    minSplit: String,
+    maxSplit: String,
+    timestamp: Option[Long],
+    minStamp: Option[Long],
+    maxStamp: Option[Long],
+    maxVersions: Int,
+    mergeToLatest: Boolean,
+    restrictive: String) extends Serializable {
+
+  /** HBase time semantics (reference handleTimeSemantics,
+    * HBaseTableScan.scala:496-516): exact version XOR time range. */
+  def timeRange: Option[TimeRange] = (timestamp, minStamp, maxStamp) match {
+    case (Some(ts), None, None) => Some(TimeRange(ts, ts + 1))
+    case (None, None, None)     => None
+    case (None, lo, hi)         => Some(TimeRange(lo.getOrElse(0L), hi.getOrElse(Long.MaxValue)))
+    case _ => throw new IllegalArgumentException(
+      "timestamp cannot be combined with minStamp/maxStamp")
+  }
+}
+
+object GraftOptions {
+
+  def apply(opts: java.util.Map[String, String]): GraftOptions = {
+    def get(k: String): Option[String] = Option(opts.get(k)).filter(_.nonEmpty)
+    GraftOptions(
+      catalogJson = get(GraftCatalog.CatalogOption).getOrElse(
+        throw new IllegalArgumentException("missing required option \"catalog\"")),
+      newTable = get(GraftCatalog.NewTable).map(_.toInt).getOrElse(0),
+      minSplit = get(GraftCatalog.MinSplit).getOrElse("aaaaaa"),
+      maxSplit = get(GraftCatalog.MaxSplit).getOrElse("zzzzzz"),
+      timestamp = get(GraftCatalog.Timestamp).map(_.toLong),
+      minStamp = get(GraftCatalog.MinStamp).map(_.toLong),
+      maxStamp = get(GraftCatalog.MaxStamp).map(_.toLong),
+      maxVersions = get(GraftCatalog.MaxVersions).map(_.toInt).getOrElse(1),
+      mergeToLatest = get(GraftCatalog.MergeToLatest).forall(_.toBoolean),
+      restrictive = get(GraftCatalog.Restrictive).getOrElse("auto").toLowerCase)
+  }
+}

@@ -1,0 +1,201 @@
+package graft.datasource
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.GraftCatalog
+import graft.ranges.{Bound, BytesUtil, ScanRange}
+import graft.store._
+
+/** DataSource V2 entry point: `spark.read.format("graft-kv")` /
+  * `df.write.format("graft-kv")` — the Spark-4 successor of the reference's
+  * DSv1 `BaseRelation with PrunedFilteredScan with InsertableRelation`
+  * (HBaseRelation.scala:46-75). */
+class GraftSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-kv"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftCatalog.parse(GraftOptions(options).catalogJson, options.asScala.toMap).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = GraftOptions(properties)
+    val catalog = GraftCatalog.parse(opts.catalogJson, properties.asScala.toMap)
+    new GraftTable(catalog, opts)
+  }
+}
+
+class GraftTable(catalog: GraftCatalog, opts: GraftOptions)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = catalog.qualifiedName
+
+  override def schema(): StructType = catalog.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(catalog, GraftOptions(options))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(catalog, opts, info)
+}
+
+/** Pushdown surface (reference buildScan/unhandledFilters contract,
+  * HBaseRelation.scala:316-322). */
+class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = catalog.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    // residual = filters we can't evaluate exactly; Spark re-applies them
+    val (_, residual) = FilterCompiler.partition(catalog, filters)
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = requiredSchema = required
+
+  override def build(): Scan = new GraftScan(catalog, opts, requiredSchema, pushed)
+}
+
+class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
+    requiredSchema: StructType, filters: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftScan(${catalog.qualifiedName}, cols=${requiredSchema.fieldNames.mkString(",")})"
+
+  /** Region × pushed-range intersection with partition pruning (reference
+    * getPartitions, HBaseTableScan.scala:63-89). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
+    val table = KvStore.table(catalog.qualifiedName)
+    table.regionInfos.flatMap { r =>
+      val regionRange = ScanRange[Array[Byte]](
+        Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
+      val clipped = ScanRange.and(hrf.ranges, Seq(regionRange))
+      if (clipped.isEmpty) None
+      else Some(GraftInputPartition(catalog, opts, r.index, r.host,
+        clipped.map(SerializableRange.from), hrf.pred,
+        requiredSchema.fieldNames.toSeq): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+}
+
+/** Bound/range with Option[Array[Byte]] endpoints, Java-serializable. */
+final case class SerializableRange(
+    start: Option[Array[Byte]], startInc: Boolean,
+    end: Option[Array[Byte]], endInc: Boolean) extends Serializable {
+  def toRange: ScanRange[Array[Byte]] =
+    ScanRange(Bound(start, startInc), Bound(end, endInc))
+  def isPoint: Boolean = (start, end) match {
+    case (Some(a), Some(b)) => startInc && endInc && java.util.Arrays.equals(a, b)
+    case _ => false
+  }
+}
+object SerializableRange {
+  def from(r: ScanRange[Array[Byte]]): SerializableRange =
+    SerializableRange(r.start.value, r.start.inclusive, r.end.value, r.end.inclusive)
+}
+
+final case class GraftInputPartition(
+    catalog: GraftCatalog,
+    opts: GraftOptions,
+    regionIndex: Int,
+    host: String,
+    ranges: Seq[SerializableRange],
+    pred: Option[KvPredicate],
+    projectedNames: Seq[String]) extends InputPartition {
+  /** Data locality: the region's host (reference getPreferredLocations,
+    * HBaseTableScan.scala:384-388). */
+  override def preferredLocations(): Array[String] = Array(host)
+}
+
+class GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
+}
+
+/** Executor-side reader: splits ranges into point gets vs scans (reference
+  * compute/buildGets, HBaseTableScan.scala:424-494) and materializes rows. */
+class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[InternalRow] {
+
+  private val catalog = p.catalog
+  private val table = KvStore.table(catalog.qualifiedName)
+  private val projection = p.projectedNames.map(catalog.field)
+
+  private val timeRange = p.opts.timeRange
+  private val needsVersions =
+    !p.opts.mergeToLatest || projection.exists(_.dataType match {
+      case org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.LongType, _, _) => true
+      case org.apache.spark.sql.types.MapType(_,
+        org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.LongType, _, _), _) => true
+      case _ => false
+    })
+  private val versions = if (needsVersions) math.max(p.opts.maxVersions, 1) else 1
+
+  /** Column restriction (reference restrictive modes,
+    * HBaseTableScan.scala:406-416): COLUMN when the projection is static,
+    * FAMILY/ALL when dynamic columns need the whole family. */
+  private val columnSet: ColumnSet = {
+    val valueFields = projection.filterNot(_.isRowKey)
+    p.opts.restrictive match {
+      case "none" => ColumnSet.All
+      case "family" => ColumnSet.Families(
+        (if (valueFields.nonEmpty) valueFields else catalog.valueFields).map(_.cf).toSet)
+      case "column" => ColumnSet.Columns(valueFields.map(f => (f.cf, f.qual)).toSet)
+      case _ => // auto
+        if (valueFields.isEmpty) ColumnSet.All // row-existence only (count/key-only)
+        else if (valueFields.exists(_.isDynamic))
+          ColumnSet.Families(valueFields.map(_.cf).toSet)
+        else ColumnSet.Columns(valueFields.map(f => (f.cf, f.qual)).toSet)
+    }
+  }
+
+  private val materializer = new RowMaterializer(catalog, projection, p.opts.mergeToLatest)
+
+  // Point ranges become single-key lookups and range ranges become ordered
+  // scans over the region's skip list — the scan-vs-get split of the
+  // reference (HBaseTableScan.scala:454-494) collapses to one call here
+  // because a point `subMap` IS the get on the embedded store.
+  private val rows: Iterator[InternalRow] =
+    p.ranges.iterator
+      .flatMap(r => table.scan(p.regionIndex, r.toRange, columnSet, timeRange, versions, p.pred))
+      .flatMap(materializer.materialize)
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+}

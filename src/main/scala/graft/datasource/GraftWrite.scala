@@ -1,0 +1,151 @@
+package graft.datasource
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.catalog.{Field, GraftCatalog}
+import graft.ranges.BytesUtil
+import graft.store.{KvCell, KvStore}
+
+/** Write path: DataFrame → store puts, with create-table-and-presplit DDL
+  * (reference createTableIfNotExist + insert + convertToPut,
+  * HBaseRelation.scala:124-267). */
+class GraftWriteBuilder(catalog: GraftCatalog, opts: GraftOptions, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var dropAndRecreate = false
+
+  override def truncate(): WriteBuilder = { dropAndRecreate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(catalog, opts, info.schema(), dropAndRecreate)
+  }
+}
+
+class GraftBatchWrite(catalog: GraftCatalog, opts: GraftOptions,
+    writeSchema: StructType, truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // DDL runs once, driver-side, before tasks launch (reference
+    // createTableIfNotExist, HBaseRelation.scala:124-175).
+    GraftDdl.ensureTable(catalog, opts, dropExisting = truncate)
+    new GraftWriterFactory(catalog, opts, writeSchema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+object GraftDdl {
+
+  /** Create with presplit regions: split keys interpolate min→max split
+    * points; `numReg ≥ 4` enforced like the reference (HBaseRelation.scala:
+    * 150-164). Table absent + no `newtable` ⇒ default 5 regions. */
+  def ensureTable(catalog: GraftCatalog, opts: GraftOptions, dropExisting: Boolean): Unit = {
+    val name = catalog.qualifiedName
+    if (!dropExisting && KvStore.exists(name)) return
+    val numReg = if (opts.newTable > 0) opts.newTable else 5
+    require(numReg > 3, s"newtable=$numReg: region count must be at least 4")
+    val splits = splitKeys(
+      opts.minSplit.getBytes("UTF-8"), opts.maxSplit.getBytes("UTF-8"), numReg - 1)
+    KvStore.createTable(name, splits, math.max(opts.maxVersions, 1), dropExisting)
+  }
+
+  /** n split points linearly interpolated across [min, max] inclusive,
+    * n ≥ 2 (first = min, last = max) — the Bytes.split(min, max, numReg-3)
+    * shape: n = numReg-1 boundaries ⇒ numReg regions. */
+  def splitKeys(min: Array[Byte], max: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val width = math.max(min.length, max.length)
+    def toBig(a: Array[Byte]): BigInt =
+      BigInt(1, java.util.Arrays.copyOf(a, width)) // right-padded with 0x00
+    val lo = toBig(min)
+    val hi = toBig(max)
+    (0 until n).map { i =>
+      val v = lo + (hi - lo) * i / (n - 1)
+      val raw = v.toByteArray.dropWhile(_ == 0)
+      val out = new Array[Byte](width)
+      System.arraycopy(raw, 0, out, width - raw.length, raw.length)
+      out
+    }
+  }
+}
+
+class GraftWriterFactory(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(catalog, opts, writeSchema)
+}
+
+/** Row → (rowkey bytes, cells) encoder (reference convertToPut,
+  * HBaseRelation.scala:202-267): composite keys concatenated with fixed
+  * widths, nulls skipped, map columns fanned out, optional fixed timestamp. */
+class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType)
+    extends DataWriter[InternalRow] {
+
+  private val table = KvStore.table(catalog.qualifiedName)
+
+  // resolve write-schema positions to catalog fields by NAME
+  private val slots: Array[(Field, Int, DataType)] =
+    writeSchema.fields.zipWithIndex.map { case (sf, i) =>
+      (catalog.field(sf.name), i, sf.dataType)
+    }
+  private val keySlots = catalog.rowKeyParts.map { p =>
+    val slot = slots.find(_._1.name == p.field.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"write is missing row-key column ${p.field.name}"))
+    (p, slot._2, slot._3)
+  }
+  private val valueSlots = slots.filterNot { case (f, _, _) => f.isRowKey }
+
+  override def write(row: InternalRow): Unit = {
+    val ts = opts.timestamp.getOrElse(System.currentTimeMillis())
+
+    val keyBytes = keySlots.map { case (p, i, dt) =>
+      require(!row.isNullAt(i), s"row-key column ${p.field.name} is null")
+      val v = CatalystConv.fromCatalyst(dt, row.get(i, dt))
+      val enc = p.field.coder.encode(p.field.dataType, v)
+      if (p.width > 0 && enc.length != p.width) {
+        require(enc.length <= p.width,
+          s"${p.field.name}: encoded ${enc.length} bytes > declared length ${p.width}")
+        java.util.Arrays.copyOf(enc, p.width) // zero-pad fixed-width parts
+      } else enc
+    }
+    val key = BytesUtil.concat(keyBytes: _*)
+
+    val cells = Seq.newBuilder[KvCell]
+    valueSlots.foreach { case (f, i, dt) =>
+      if (!row.isNullAt(i)) {
+        val v = CatalystConv.fromCatalyst(dt, row.get(i, dt))
+        (f.dataType, v) match {
+          // dynamic map fan-out (reference HBaseRelation.scala:244-261)
+          case (MapType(StringType, MapType(LongType, vt, _), _), m: collection.Map[_, _]) =>
+            m.foreach { case (q, versions) =>
+              versions.asInstanceOf[collection.Map[Long, Any]].foreach { case (vts, x) =>
+                cells += KvCell(f.cf, q.toString, vts, f.coder.encode(vt, x))
+              }
+            }
+          case (MapType(StringType, vt, _), m: collection.Map[_, _]) =>
+            m.foreach { case (q, x) => cells += KvCell(f.cf, q.toString, ts, f.coder.encode(vt, x)) }
+          case (MapType(LongType, vt, _), m: collection.Map[_, _]) =>
+            m.foreach { case (vts, x) =>
+              cells += KvCell(f.cf, f.qual, vts.asInstanceOf[Long], f.coder.encode(vt, x))
+            }
+          case (dt2, _) =>
+            cells += KvCell(f.cf, f.qual, ts, f.coder.encode(dt2, v))
+        }
+      }
+    }
+    table.put(key, cells.result())
+  }
+
+  override def commit(): WriterCommitMessage = GraftCommit
+
+  override def abort(): Unit = ()
+
+  override def close(): Unit = ()
+}
+
+case object GraftCommit extends WriterCommitMessage

@@ -1,0 +1,113 @@
+package graft.datasource
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+import graft.catalog.{Field, GraftCatalog}
+import graft.store.{KvCell, KvRow}
+
+/** Store cells → Catalyst rows (reference buildRow/buildRows +
+  * toFlattenRowIterator, HBaseTableScan.scala:114-252,337-382): latest-version
+  * merge, dynamic map columns (string-, long-, and nested-keyed), and the
+  * `mergeToLatest=false` per-timestamp row explosion. */
+final class RowMaterializer(
+    catalog: GraftCatalog,
+    projection: Seq[Field],
+    mergeToLatest: Boolean) extends Serializable {
+
+  private val keyParts = catalog.rowKeyParts
+
+  /** Decode the projected fields of one KvRow into 1..n InternalRows. */
+  def materialize(row: KvRow): Iterator[InternalRow] = {
+    // decode projected key parts once per row
+    val keyValues: Map[String, Any] = {
+      val m = Map.newBuilder[String, Any]
+      keyParts.foreach { p =>
+        if (projection.exists(_.name == p.field.name)) {
+          val len = if (p.width < 0) row.key.length - p.offset else p.width
+          m += p.field.name -> p.field.coder.decode(p.field.dataType, row.key, p.offset, len)
+        }
+      }
+      m.result()
+    }
+
+    if (mergeToLatest) Iterator.single(buildMerged(row, keyValues))
+    else buildExploded(row, keyValues)
+  }
+
+  /** One row, latest surviving version per column. */
+  private def buildMerged(row: KvRow, keyValues: Map[String, Any]): InternalRow = {
+    val out = new Array[Any](projection.size)
+    var i = 0
+    projection.foreach { f =>
+      val v: Any =
+        if (f.isRowKey) keyValues(f.name)
+        else if (f.isDynamic) dynamicValue(f, row.cells)
+        else f.dataType match {
+          case MapType(LongType, vt, _) =>
+            // named versioned column: {timestamp → value}
+            val versions = row.cells.filter(c => c.cf == f.cf && c.qual == f.qual)
+            if (versions.isEmpty) null
+            else versions.map(c => c.ts -> f.coder.decode(vt, c.value)).toMap
+          case dt =>
+            row.cells.find(c => c.cf == f.cf && c.qual == f.qual) match {
+              case Some(c) => f.coder.decode(dt, c.value)
+              case None    => null
+            }
+        }
+      out(i) = CatalystConv.toCatalyst(f.dataType, v)
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** `mergeToLatest=false`: one output row per distinct cell timestamp,
+    * null where a column has no cell at that version. */
+  private def buildExploded(row: KvRow, keyValues: Map[String, Any]): Iterator[InternalRow] = {
+    val stamps = row.cells.map(_.ts).distinct.sorted(Ordering[Long].reverse)
+    stamps.iterator.map { ts =>
+      val out = new Array[Any](projection.size)
+      var i = 0
+      projection.foreach { f =>
+        val v: Any =
+          if (f.isRowKey) keyValues(f.name)
+          else if (f.isDynamic) dynamicValue(f, row.cells.filter(_.ts == ts))
+          else row.cells.find(c => c.cf == f.cf && c.qual == f.qual && c.ts == ts) match {
+            case Some(c) => f.coder.decode(valueType(f), c.value)
+            case None    => null
+          }
+        out(i) = CatalystConv.toCatalyst(f.dataType, v)
+        i += 1
+      }
+      new GenericInternalRow(out)
+    }
+  }
+
+  private def valueType(f: Field): DataType = f.dataType match {
+    case MapType(LongType, vt, _) => vt
+    case dt => dt
+  }
+
+  /** Dynamic column (empty qualifier): collect the field's family.
+    * map<string,T> → latest per qualifier; map<string,map<long,T>> → nested
+    * versions (reference HBaseTableScan.scala:139-164). */
+  private def dynamicValue(f: Field, cells: Seq[KvCell]): Any = {
+    val fam = cells.filter(_.cf == f.cf)
+    if (fam.isEmpty) return null
+    f.dataType match {
+      case MapType(StringType, MapType(LongType, vt, _), _) =>
+        fam.groupBy(_.qual).map { case (q, cs) =>
+          q -> cs.map(c => c.ts -> f.coder.decode(vt, c.value)).toMap
+        }
+      case MapType(StringType, vt, _) =>
+        fam.groupBy(_.qual).map { case (q, cs) =>
+          q -> f.coder.decode(vt, cs.maxBy(_.ts).value)
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"dynamic column ${f.name} with type $other")
+    }
+  }
+}

@@ -1,0 +1,187 @@
+package graft.store
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentSkipListMap}
+
+import org.apache.spark.sql.types.DataType
+
+import graft.ranges.BytesUtil
+import graft.types.FieldCoder
+
+/** Server-side row predicate, evaluated inside the store before rows are
+  * materialized — the stand-in for HBase's SingleColumnValueFilter /
+  * PrefixFilter / comparator stack (reference HBaseFilter.scala:35-114).
+  *
+  * Value comparisons are TYPED (decode-then-compare with the field's coder)
+  * rather than byte-wise, so they are exact for every type including
+  * sign-split numerics; the filter compiler can therefore mark them handled.
+  * Missing column ⇒ comparison is false (SQL three-valued logic: a NULL
+  * comparison is never true).
+  */
+sealed trait KvPredicate extends Serializable {
+  type RowCells = ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]
+
+  /** Evaluate against a raw row. `time` narrows which cell versions the
+    * predicate may see — filters run AFTER time-range selection, like HBase
+    * filters on a time-ranged Scan. */
+  def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean
+
+  /** Newest version of (cf,qual) inside the scan's time range. */
+  protected final def latest(row: RowCells, cf: String, qual: String,
+      time: Option[TimeRange]): Option[Array[Byte]] = {
+    val versions = row.get((cf, qual))
+    if (versions == null || versions.isEmpty) return None
+    time match {
+      case None => Option(versions.firstEntry()).map(_.getValue)
+      case Some(t) =>
+        val it = versions.entrySet().iterator() // newest-first
+        while (it.hasNext) {
+          val e = it.next()
+          val ts = e.getKey.longValue()
+          if (ts >= t.minStamp && ts < t.maxStamp) return Some(e.getValue)
+        }
+        None
+    }
+  }
+}
+
+object KvPredicate {
+
+  sealed trait Op extends Serializable
+  case object Eq extends Op
+  case object Lt extends Op
+  case object Le extends Op
+  case object Gt extends Op
+  case object Ge extends Op
+
+  /** Typed comparison on a column's latest version. */
+  final case class ValueCmp(cf: String, qual: String, op: Op, value: Any,
+      dt: DataType, coder: FieldCoder) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean =
+      latest(row, cf, qual, time).exists { bytes =>
+        val x = coder.decode(dt, bytes)
+        val c = compareTyped(x, value)
+        op match {
+          case Eq => c == 0
+          case Lt => c < 0
+          case Le => c <= 0
+          case Gt => c > 0
+          case Ge => c >= 0
+        }
+      }
+  }
+
+  final case class IsNull(cf: String, qual: String) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = latest(row, cf, qual, time).isEmpty
+  }
+
+  final case class IsNotNull(cf: String, qual: String) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = latest(row, cf, qual, time).nonEmpty
+  }
+
+  /** String prefix/suffix/substring on a column's latest version
+    * (reference HBaseFilter.scala:320-368). */
+  final case class StrMatch(cf: String, qual: String, pattern: String, mode: StrMode,
+      dt: DataType, coder: FieldCoder) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean =
+      latest(row, cf, qual, time).exists { bytes =>
+        val s = String.valueOf(coder.decode(dt, bytes))
+        mode match {
+          case StrMode.Prefix   => s.startsWith(pattern)
+          case StrMode.Suffix   => s.endsWith(pattern)
+          case StrMode.Contains => s.contains(pattern)
+        }
+      }
+  }
+
+  sealed trait StrMode extends Serializable
+  object StrMode {
+    case object Prefix extends StrMode
+    case object Suffix extends StrMode
+    case object Contains extends StrMode
+  }
+
+  /** Row-key prefix (reference PrefixFilter use, HBaseFilter.scala:320-337). */
+  final case class RowPrefix(prefix: Array[Byte]) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean =
+      BytesUtil.startsWith(key, prefix)
+  }
+
+  /** Typed comparison on one part of a (possibly composite) row key — lets
+    * suffix-key predicates push server-side where the reference dropped them
+    * (HBaseFilter.scala:149-159). `width < 0` means "rest of the key"
+    * (variable-length last part). */
+  final case class KeyCmp(offset: Int, width: Int, op: Op, value: Any,
+      dt: DataType, coder: FieldCoder) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = {
+      val len = if (width < 0) key.length - offset else width
+      if (offset + len > key.length) return false
+      val x = coder.decode(dt, key, offset, len)
+      val c = compareTyped(x, value)
+      op match {
+        case Eq => c == 0
+        case Lt => c < 0
+        case Le => c <= 0
+        case Gt => c > 0
+        case Ge => c >= 0
+      }
+    }
+  }
+
+  /** endsWith/contains over a string key part. */
+  final case class KeyStrMatch(offset: Int, width: Int, pattern: String, mode: StrMode)
+      extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = {
+      val len = if (width < 0) key.length - offset else width
+      if (offset + len > key.length) return false
+      val s = new String(key, offset, len, "UTF-8")
+      mode match {
+        case StrMode.Prefix   => s.startsWith(pattern)
+        case StrMode.Suffix   => s.endsWith(pattern)
+        case StrMode.Contains => s.contains(pattern)
+      }
+    }
+  }
+
+  /** Byte prefix of one key part (fixed-width composite StringStartsWith). */
+  final case class KeyPartPrefix(offset: Int, prefix: Array[Byte]) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = {
+      if (offset + prefix.length > key.length) return false
+      var i = 0
+      while (i < prefix.length) {
+        if (key(offset + i) != prefix(i)) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  final case class And(children: Seq[KvPredicate]) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = children.forall(_.eval(key, row, time))
+  }
+
+  final case class Or(children: Seq[KvPredicate]) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = children.exists(_.eval(key, row, time))
+  }
+
+  final case class Not(child: KvPredicate) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = !child.eval(key, row, time)
+  }
+
+  /** Compare two JVM values of the same runtime type. */
+  def compareTyped(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case (x: java.lang.Byte, y: java.lang.Byte)       => x.compareTo(y)
+    case (x: java.lang.Short, y: java.lang.Short)     => x.compareTo(y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+    case (x: java.lang.Long, y: java.lang.Long)       => x.compareTo(y)
+    case (x: java.lang.Float, y: java.lang.Float)     => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double)   => x.compareTo(y)
+    // UTF-8 byte order, matching Spark's UTF8String binary collation
+    case (x: String, y: String) =>
+      BytesUtil.compareBytes(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+    case (x: Array[Byte], y: Array[Byte])             => BytesUtil.compareBytes(x, y)
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case _ => throw new IllegalArgumentException(
+      s"cannot compare ${a.getClass.getName} with ${b.getClass.getName}")
+  }
+}

@@ -1,0 +1,165 @@
+package graft.store
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentSkipListMap}
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import graft.ranges.{Bound, BytesUtil, ScanRange}
+
+/** Embedded ordered-KV storage engine standing in for the HBase cluster
+  * (SURVEY.md §7.1 step 4). Data semantics mirror HBase's model: a table is a
+  * sorted map `rowkey → (family → qualifier → (timestamp → value))`, sharded
+  * into contiguous key-range regions; each region tracks a (synthetic)
+  * locality host.
+  *
+  * In local[N] every task shares this JVM, so the singleton registry plays
+  * the role of the remote region servers; the connector above it is written
+  * as if the store were remote (partitions carry only table name + ranges,
+  * readers re-resolve the handle — reference HBaseConnectionCache semantics).
+  */
+object KvStore {
+
+  private val tables = TrieMap[String, KvTable]()
+
+  def createTable(name: String, splits: Seq[Array[Byte]], maxVersions: Int = 1,
+      dropExisting: Boolean = false): KvTable = synchronized {
+    if (dropExisting) tables.remove(name)
+    tables.getOrElseUpdate(name, new KvTable(name, splits.toIndexedSeq, maxVersions))
+  }
+
+  def table(name: String): KvTable =
+    tables.getOrElse(name, throw new NoSuchElementException(s"KV table $name does not exist"))
+
+  def exists(name: String): Boolean = tables.contains(name)
+
+  def drop(name: String): Unit = tables.remove(name)
+
+  def dropAll(): Unit = tables.clear()
+}
+
+/** Column restriction for a scan (reference `restrictive` modes,
+  * HBaseTableScan.scala:406-416). */
+sealed trait ColumnSet extends Serializable
+object ColumnSet {
+  /** return every cell (needed for dynamic/schema-on-read columns) */
+  case object All extends ColumnSet
+  final case class Families(cfs: Set[String]) extends ColumnSet
+  final case class Columns(cols: Set[(String, String)]) extends ColumnSet
+}
+
+final case class TimeRange(minStamp: Long, maxStamp: Long) extends Serializable
+
+/** One materialized cell version. */
+final case class KvCell(cf: String, qual: String, ts: Long, value: Array[Byte])
+
+/** One scanned row: key bytes + cells surviving the scan's restrictions,
+  * versions newest-first per column capped at the scan's maxVersions. */
+final case class KvRow(key: Array[Byte], cells: Seq[KvCell])
+
+final case class RegionInfo(index: Int, start: Option[Array[Byte]], end: Option[Array[Byte]], host: String)
+
+final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]], val maxVersions: Int) {
+
+  import BytesUtil.byteArrayOrdering
+
+  /** region i covers [bounds(i), bounds(i+1)); first/last unbounded. */
+  private val sortedSplits: IndexedSeq[Array[Byte]] =
+    splits.filter(_.nonEmpty).sortWith(BytesUtil.compareBytes(_, _) < 0)
+
+  final class Region(val index: Int) {
+    val start: Option[Array[Byte]] = if (index == 0) None else Some(sortedSplits(index - 1))
+    val end: Option[Array[Byte]] = if (index == sortedSplits.size) None else Some(sortedSplits(index))
+    val host: String = s"graft-node-${index % 8}"
+    /** rowkey → (cf,qual) → ts(desc) → value */
+    val rows = new ConcurrentSkipListMap[Array[Byte], ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]](
+      BytesUtil.byteArrayOrdering)
+  }
+
+  val regions: IndexedSeq[Region] = (0 to sortedSplits.size).map(new Region(_)).toIndexedSeq
+
+  def regionInfos: Seq[RegionInfo] = regions.map(r => RegionInfo(r.index, r.start, r.end, r.host))
+
+  private def regionFor(key: Array[Byte]): Region = {
+    // binary search over split points
+    var lo = 0; var hi = sortedSplits.size
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (BytesUtil.compareBytes(key, sortedSplits(mid)) < 0) hi = mid else lo = mid + 1
+    }
+    regions(lo)
+  }
+
+  def put(key: Array[Byte], cells: Seq[KvCell]): Unit = {
+    val region = regionFor(key)
+    val row = region.rows.computeIfAbsent(key, _ => new ConcurrentHashMap())
+    cells.foreach { c =>
+      val versions = row.computeIfAbsent((c.cf, c.qual),
+        _ => new ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
+          java.util.Comparator.reverseOrder[java.lang.Long]()))
+      versions.put(c.ts, c.value)
+      // cap stored versions at the table's maxVersions (HBase cf semantics)
+      while (versions.size() > maxVersions) versions.pollLastEntry()
+    }
+  }
+
+  def get(key: Array[Byte], cols: ColumnSet, time: Option[TimeRange], versions: Int): Option[KvRow] = {
+    val row = regionFor(key).rows.get(key)
+    if (row == null) None else materialize(key, row, cols, time, versions)
+  }
+
+  /** Range scan over one region; [start,end) semantics come from the caller
+    * having split inclusive upper bounds into point gets (reference
+    * ScanRange.split, applied HBaseTableScan.scala:459). Bounds here may
+    * still carry inclusivity — honored exactly. */
+  def scan(regionIndex: Int, range: ScanRange[Array[Byte]], cols: ColumnSet,
+      time: Option[TimeRange], versions: Int,
+      predicate: Option[KvPredicate]): Iterator[KvRow] = {
+    val region = regions(regionIndex)
+    (range.start.value, range.end.value) match {
+      case (Some(s), Some(e)) if BytesUtil.compareBytes(s, e) > 0 => return Iterator.empty
+      case _ =>
+    }
+    val m: java.util.NavigableMap[Array[Byte], ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]] =
+      (range.start.value, range.end.value) match {
+        case (Some(s), Some(e)) => region.rows.subMap(s, range.start.inclusive, e, range.end.inclusive)
+        case (Some(s), None)    => region.rows.tailMap(s, range.start.inclusive)
+        case (None, Some(e))    => region.rows.headMap(e, range.end.inclusive)
+        case (None, None)       => region.rows
+      }
+    m.entrySet().iterator().asScala.flatMap { e =>
+      if (predicate.forall(_.eval(e.getKey, e.getValue, time)))
+        materialize(e.getKey, e.getValue, cols, time, versions)
+      else None
+    }
+  }
+
+  private def materialize(
+      key: Array[Byte],
+      row: ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]],
+      cols: ColumnSet, time: Option[TimeRange], versions: Int): Option[KvRow] = {
+    val out = Seq.newBuilder[KvCell]
+    var any = false
+    row.forEach { (ck, vmap) =>
+      val keep = cols match {
+        case ColumnSet.All => true
+        case ColumnSet.Families(cfs) => cfs.contains(ck._1)
+        case ColumnSet.Columns(cs) => cs.contains(ck)
+      }
+      if (keep) {
+        var n = 0
+        val it = vmap.entrySet().iterator() // newest-first
+        while (it.hasNext && n < versions) {
+          val v = it.next()
+          val ts = v.getKey.longValue()
+          if (time.forall(t => ts >= t.minStamp && ts < t.maxStamp)) {
+            out += KvCell(ck._1, ck._2, ts, v.getValue)
+            n += 1
+            any = true
+          }
+        }
+      }
+    }
+    if (any) Some(KvRow(key, out.result())) else None
+  }
+}
