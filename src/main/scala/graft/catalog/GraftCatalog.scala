@@ -150,7 +150,11 @@ object GraftCatalog {
         qual = opt(c, "col").getOrElse(""),
         typeName = opt(c, "type"),
         coderName = opt(c, "coder").getOrElse(tableCoder),
-        avroSchemaJson = opt(c, "avro").flatMap(options.get),
+        // option keys may be lowercased by Spark's CaseInsensitiveStringMap
+        avroSchemaJson = opt(c, "avro").flatMap(k =>
+          options.get(k).orElse(options.collectFirst {
+            case (ok, ov) if ok.equalsIgnoreCase(k) => ov
+          })),
         length = opt(c, "length").map(_.toInt).getOrElse(-1))
     }
 

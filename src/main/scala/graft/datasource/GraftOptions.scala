@@ -10,6 +10,8 @@ final case class GraftOptions(
     newTable: Int,
     minSplit: String,
     maxSplit: String,
+    minSplitNum: Option[Long],
+    maxSplitNum: Option[Long],
     timestamp: Option[Long],
     minStamp: Option[Long],
     maxStamp: Option[Long],
@@ -30,7 +32,13 @@ final case class GraftOptions(
 
 object GraftOptions {
 
-  def apply(opts: java.util.Map[String, String]): GraftOptions = {
+  def apply(raw: java.util.Map[String, String]): GraftOptions = {
+    // normalize to case-insensitive lookup: getTable properties may arrive
+    // original-cased while read options come pre-lowercased
+    val opts = raw match {
+      case m: org.apache.spark.sql.util.CaseInsensitiveStringMap => m
+      case m => new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+    }
     def get(k: String): Option[String] = Option(opts.get(k)).filter(_.nonEmpty)
     GraftOptions(
       catalogJson = get(GraftCatalog.CatalogOption).getOrElse(
@@ -38,6 +46,8 @@ object GraftOptions {
       newTable = get(GraftCatalog.NewTable).map(_.toInt).getOrElse(0),
       minSplit = get(GraftCatalog.MinSplit).getOrElse("aaaaaa"),
       maxSplit = get(GraftCatalog.MaxSplit).getOrElse("zzzzzz"),
+      minSplitNum = get("minSplitNum").map(_.toLong),
+      maxSplitNum = get("maxSplitNum").map(_.toLong),
       timestamp = get(GraftCatalog.Timestamp).map(_.toLong),
       minStamp = get(GraftCatalog.MinStamp).map(_.toLong),
       maxStamp = get(GraftCatalog.MaxStamp).map(_.toLong),

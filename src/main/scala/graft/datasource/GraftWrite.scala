@@ -49,8 +49,24 @@ object GraftDdl {
     if (!dropExisting && KvStore.exists(name)) return
     val numReg = if (opts.newTable > 0) opts.newTable else 5
     require(numReg > 3, s"newtable=$numReg: region count must be at least 4")
-    val splits = splitKeys(
-      opts.minSplit.getBytes("UTF-8"), opts.maxSplit.getBytes("UTF-8"), numReg - 1)
+    val first = catalog.rowKeyParts.head.field
+    val splits = (opts.minSplitNum, opts.maxSplitNum) match {
+      // numeric first key part: interpolate in VALUE space and encode with
+      // the key's coder, so regions stay balanced for numeric keys (string
+      // split points like "aaaaaa" would dump every numeric key in region 0)
+      case (Some(lo), Some(hi)) =>
+        val n = numReg - 1
+        (0 until n).map { i =>
+          val v = lo + (hi - lo) * i / math.max(n - 1, 1)
+          first.dataType match {
+            case org.apache.spark.sql.types.LongType    => first.coder.encode(first.dataType, v)
+            case org.apache.spark.sql.types.IntegerType => first.coder.encode(first.dataType, v.toInt)
+            case dt => throw new IllegalArgumentException(s"numeric splits on $dt key")
+          }
+        }
+      case _ =>
+        splitKeys(opts.minSplit.getBytes("UTF-8"), opts.maxSplit.getBytes("UTF-8"), numReg - 1)
+    }
     KvStore.createTable(name, splits, math.max(opts.maxVersions, 1), dropExisting)
   }
 

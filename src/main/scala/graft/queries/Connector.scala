@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing queries exercising the graft-kv connector operators from
+  * SURVEY.md §2.1-2.4: each loads a parquet table, round-trips it through the
+  * embedded store via the DSv2 write+read paths, and queries it back with
+  * pushdown — so the DuckDB oracle over the original parquet checks the whole
+  * connector (catalog, coders, DDL+presplit, write encoder, scan, filter
+  * compiler, partition pruning, materializer) end to end.
+  */
+object Connector {
+
+  // customer subset without timestamp columns (catalog types: SURVEY §1.3)
+  private val customerCatalog =
+    """{"table":{"namespace":"default", "name":"kv_customer"},
+      |"rowkey":"key",
+      |"columns":{
+      |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"c_name":{"cf":"f", "col":"name", "type":"string"},
+      |"c_nationkey":{"cf":"f", "col":"nationkey", "type":"int"},
+      |"c_acctbal":{"cf":"f", "col":"acctbal", "type":"double"},
+      |"c_mktsegment":{"cf":"f", "col":"mktsegment", "type":"string"}}}""".stripMargin
+
+  /** Idempotent: write once per (JVM, table); rows are keyed so re-writes
+    * are no-ops. Numeric presplits keep the 8 regions balanced over the key
+    * range — the partition-planning story that must survive 1000 executors. */
+  private def ensureCustomer(s: SparkSession, dir: String): Unit = {
+    if (!graft.store.KvStore.exists("default:kv_customer")) {
+      Tables.customer(s, dir)
+        .write.format("graft-kv")
+        .options(Map("catalog" -> customerCatalog, "newtable" -> "8",
+          "minSplitNum" -> "0", "maxSplitNum" -> "2000000000"))
+        .mode("append").save()
+    }
+  }
+
+  private def readCustomer(s: SparkSession): DataFrame =
+    s.read.format("graft-kv").option("catalog", customerCatalog).load()
+
+  /** kv1: relation provider + scan + projection pruning (§2.1, §2.2). */
+  def kv1ScanProject(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomer(s, dir)
+    readCustomer(s)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val kv1Sql: String =
+    "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey"
+
+  /** kv2: row-key range pushdown + column predicate (§2.2 Less/Greater). */
+  def kv2RangePushdown(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomer(s, dir)
+    readCustomer(s)
+      .filter(col("c_custkey") >= 50 && col("c_custkey") < 120 && col("c_acctbal") > 0.0)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val kv2Sql: String =
+    """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      |WHERE c_custkey >= 50 AND c_custkey < 120 AND c_acctbal > 0.0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** kv3: IN → point-range union; NOT IN → set-difference rewrite (§2.2). */
+  def kv3InNotIn(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomer(s, dir)
+    readCustomer(s)
+      .filter(col("c_custkey").isin(1L, 5L, 9L, 42L, 77L) &&
+        !col("c_custkey").isin(9L, 200L))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val kv3Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (1, 5, 9, 42, 77) AND c_custkey NOT IN (9, 200)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** kv4: string predicate pushdown — StartsWith/Contains (§2.2). */
+  def kv4StringPushdown(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomer(s, dir)
+    readCustomer(s)
+      .filter(col("c_mktsegment").startsWith("A") || col("c_name").contains("21"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val kv4Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_mktsegment LIKE 'A%' OR c_name LIKE '%21%'
+      |ORDER BY c_custkey""".stripMargin
+
+  // composite key: status (1 char, fixed) : orderkey (8 bytes)
+  private val ordersCatalog =
+    """{"table":{"namespace":"default", "name":"kv_orders"},
+      |"rowkey":"key1:key2",
+      |"columns":{
+      |"o_orderstatus":{"cf":"rowkey", "col":"key1", "type":"string", "length":"1"},
+      |"o_orderkey":{"cf":"rowkey", "col":"key2", "type":"bigint"},
+      |"o_custkey":{"cf":"f", "col":"custkey", "type":"bigint"},
+      |"o_totalprice":{"cf":"f", "col":"totalprice", "type":"double"},
+      |"o_orderpriority":{"cf":"f", "col":"priority", "type":"string"}}}""".stripMargin
+
+  private def ensureOrders(s: SparkSession, dir: String): Unit = {
+    if (!graft.store.KvStore.exists("default:kv_orders")) {
+      Tables.orders(s, dir)
+        .select("o_orderstatus", "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.format("graft-kv")
+        .options(Map("catalog" -> ordersCatalog, "newtable" -> "6"))
+        .mode("append").save()
+    }
+  }
+
+  /** kv5: composite row key — first-part prefix pruning + suffix-part
+    * predicate pushed as a key predicate (§2.3, §7.4(3)). */
+  def kv5CompositeKey(s: SparkSession, dir: String): DataFrame = {
+    ensureOrders(s, dir)
+    s.read.format("graft-kv").option("catalog", ordersCatalog).load()
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") < 500L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val kv5Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'F' AND o_orderkey < 500
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** kv6: cross-table equi-join through the connector (the reference's
+    * cross-cluster join, JoinTablesFrom2Clusters.scala:101-133). */
+  def kv6JoinTables(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomer(s, dir)
+    ensureOrders(s, dir)
+    val c = readCustomer(s)
+    val o = s.read.format("graft-kv").option("catalog", ordersCatalog).load()
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val kv6Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // versioned table: two timestamped writes of customer balances
+  private val versionCatalog =
+    """{"table":{"namespace":"default", "name":"kv_versions"},
+      |"rowkey":"key",
+      |"columns":{
+      |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"c_acctbal":{"cf":"f", "col":"acctbal", "type":"double"}}}""".stripMargin
+
+  /** kv7: MVCC cell versions — two stamped writes, `mergeToLatest=false`
+    * row explosion (§1.5; reference MaxVersionsSuite semantics). */
+  def kv7Versions(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_versions")) {
+      val base = Tables.customer(s, dir).select("c_custkey", "c_acctbal")
+      base.write.format("graft-kv")
+        .options(Map("catalog" -> versionCatalog, "newtable" -> "4",
+          "timestamp" -> "1000", "maxVersions" -> "2",
+          "minSplitNum" -> "0", "maxSplitNum" -> "2000000000"))
+        .mode("append").save()
+      base.withColumn("c_acctbal", col("c_acctbal") + 1.0)
+        .write.format("graft-kv")
+        .options(Map("catalog" -> versionCatalog, "timestamp" -> "2000", "maxVersions" -> "2"))
+        .mode("append").save()
+    }
+    s.read.format("graft-kv")
+      .options(Map("catalog" -> versionCatalog,
+        "mergeToLatest" -> "false", "maxVersions" -> "2"))
+      .load()
+      .orderBy(col("c_custkey"), col("c_acctbal"))
+  }
+
+  val kv7Sql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal + 1.0 AS c_acctbal FROM customer
+      |ORDER BY c_custkey, c_acctbal""".stripMargin
+
+  // dynamic column: one map cell per (segment -> nationkey)
+  private val dynCatalog =
+    """{"table":{"namespace":"default", "name":"kv_dynamic"},
+      |"rowkey":"key",
+      |"columns":{
+      |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"props":{"cf":"f", "col":"", "type":"map<string,int>"}}}""".stripMargin
+
+  /** kv8: dynamic (schema-on-read) map columns (§1.4). */
+  def kv8DynamicColumns(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_dynamic")) {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          map(col("c_mktsegment"), col("c_nationkey")).as("props"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> dynCatalog, "newtable" -> "4",
+          "minSplitNum" -> "0", "maxSplitNum" -> "2000000000"))
+        .mode("append").save()
+    }
+    s.read.format("graft-kv").option("catalog", dynCatalog).load()
+      .select(col("c_custkey"), explode(col("props")).as(Seq("c_mktsegment", "c_nationkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  val kv8Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer ORDER BY c_custkey""".stripMargin
+
+  // Avro-encoded record column
+  private val avroSchema =
+    """{"type":"record","name":"Cust","fields":[
+      |{"name":"name","type":"string"},
+      |{"name":"acctbal","type":"double"}]}""".stripMargin
+
+  private val avroCatalog =
+    """{"table":{"namespace":"default", "name":"kv_avro"},
+      |"rowkey":"key",
+      |"columns":{
+      |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"rec":{"cf":"f", "col":"rec", "avro":"avroSchema"}}}""".stripMargin
+
+  /** kv9: Avro value column with nested-field projection (§1.3;
+    * reference AvroSourceSuite). */
+  def kv9AvroRecord(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_avro")) {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("acctbal")).as("rec"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> avroCatalog, "avroSchema" -> avroSchema,
+          "newtable" -> "4", "minSplitNum" -> "0", "maxSplitNum" -> "2000000000"))
+        .mode("append").save()
+    }
+    s.read.format("graft-kv")
+      .options(Map("catalog" -> avroCatalog, "avroSchema" -> avroSchema)).load()
+      .select(col("c_custkey"), col("rec.name").as("c_name"), col("rec.acctbal").as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val kv9Sql: String =
+    "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey"
+
+  // Phoenix coder table
+  private val phoenixCatalog =
+    """{"table":{"namespace":"default", "name":"kv_phoenix", "tableCoder":"Phoenix", "version":"2.0"},
+      |"rowkey":"key",
+      |"columns":{
+      |"s_suppkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"s_name":{"cf":"f", "col":"name", "type":"string"},
+      |"s_acctbal":{"cf":"f", "col":"acctbal", "type":"double"}}}""".stripMargin
+
+  /** kv10: Phoenix order-preserving coder (§1.3; reference PhoenixSuite). */
+  def kv10Phoenix(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_phoenix")) {
+      Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_acctbal")
+        .write.format("graft-kv")
+        .options(Map("catalog" -> phoenixCatalog, "newtable" -> "4"))
+        .mode("append").save()
+    }
+    s.read.format("graft-kv").option("catalog", phoenixCatalog).load()
+      .filter(col("s_suppkey") >= 2L && col("s_acctbal") > -1000.0)
+      .orderBy(col("s_suppkey"))
+  }
+
+  val kv10Sql: String =
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey >= 2 AND s_acctbal > -1000.0
+      |ORDER BY s_suppkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv1_scan_project"    -> (kv1ScanProject _),
+    "kv2_range_pushdown"  -> (kv2RangePushdown _),
+    "kv3_in_notin"        -> (kv3InNotIn _),
+    "kv4_string_pushdown" -> (kv4StringPushdown _),
+    "kv5_composite_key"   -> (kv5CompositeKey _),
+    "kv6_join_tables"     -> (kv6JoinTables _),
+    "kv7_versions"        -> (kv7Versions _),
+    "kv8_dynamic_columns" -> (kv8DynamicColumns _),
+    "kv9_avro_record"     -> (kv9AvroRecord _),
+    "kv10_phoenix"        -> (kv10Phoenix _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "kv1_scan_project"    -> kv1Sql,
+    "kv2_range_pushdown"  -> kv2Sql,
+    "kv3_in_notin"        -> kv3Sql,
+    "kv4_string_pushdown" -> kv4Sql,
+    "kv5_composite_key"   -> kv5Sql,
+    "kv6_join_tables"     -> kv6Sql,
+    "kv7_versions"        -> kv7Sql,
+    "kv8_dynamic_columns" -> kv8Sql,
+    "kv9_avro_record"     -> kv9Sql,
+    "kv10_phoenix"        -> kv10Sql,
+  )
+}
