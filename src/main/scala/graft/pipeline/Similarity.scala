@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  *  - [[cosine]] is a pure fold expression (zip_with + aggregate in DOUBLE):
+  *    codegen'd, deterministic, bit-identical to a sequential dot product.
+  *  - [[bruteForceTopK]] broadcasts the (small) query set and scans the
+  *    corpus once — the exact baseline; per-query top-k via a window over
+  *    the query key, so the shuffle carries only candidate rows.
+  *  - [[lshTopK]] is the scale path: random-hyperplane bucketing (seeded,
+  *    deterministic) cuts the scanned corpus per query to one bucket before
+  *    the exact rerank — the 100 TB shape where brute force is impossible.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(c: Column): Column = aggregate(c, lit(0.0d), (acc, v) => acc + v)
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    val dot = fold(zip_with(ad, bd, (x, y) => x * y))
+    val na = fold(transform(ad, x => x * x))
+    val nb = fold(transform(bd, x => x * x))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * enough to broadcast (it is hint-broadcast); the corpus is scanned once. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Deterministic ±1 hyperplanes from a fixed seed. */
+  private def hyperplanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Random-hyperplane LSH bucket id (sign bits of dim·r_i). */
+  def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(bits, dim, seed)
+    val vd = transform(vec, _.cast("double"))
+    planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (plane, i)) =>
+      val dot = aggregate(
+        zip_with(vd, lit(plane.toArray), (x, y) => x * y), lit(0.0d), (a, v) => a + v)
+      acc + when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+  }
+
+  /** ANN top-k: candidates share the query's LSH bucket; exact cosine rerank
+    * within the bucket. Trades recall for a corpus-partition-local join
+    * keyed on bucket id — the shape that survives a corpus too large to
+    * broadcast or cross-join. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), bits, dim).as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), bits, dim).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact variant is a
+    * blocked self-join (LSH bucket as the block) to avoid the full cross
+    * product; set `exact=true` to force the all-pairs baseline. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, exact: Boolean = false, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val pairs =
+      if (exact) {
+        // all-pairs baseline: broadcast nested-loop keeps the scan parallel
+        // (a single synthetic join key would collapse to one partition)
+        val b = broadcast(base.select(col("id").as("id_b"), col("v").as("v_b")))
+        base.select(col("id").as("id_a"), col("v").as("v_a")).crossJoin(b)
+      } else {
+        val withBucket = base.withColumn("bucket", lshBucket(col("v"), bits, dim))
+        withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+          .join(withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b")),
+            Seq("bucket"))
+      }
+    pairs
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("v_a"), col("v_b")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+}

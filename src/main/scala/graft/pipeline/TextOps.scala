@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * codegen'd expressions inside WholeStageCodegen, no UDFs, no shuffles
+  * beyond what the caller adds — so a 100 TB corpus scan stays a single
+  * embarrassingly-parallel map over parquet splits.
+  */
+object TextOps {
+
+  /** Whitespace tokens (empty text yields one empty token, like SQL split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segments: letter runs, digit runs, single symbols. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|\\S"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Punctuation chars per char — one regexp_replace, no explode. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def meanTokenLength(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(EnStopwords: _*)))
+      .cast("double") / greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: length-normalized, penalizes extreme
+    * punctuation and rewards a natural stopword rate. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctPenalty + stopScore) / 3.0, 6)
+  }
+
+  /** Per-language mini-lexicons for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie-break: lexicon order below. */
+  val LangLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "a", "in", "to", "is"),
+    "es" -> Seq("el", "la", "de", "los", "en", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "un", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo"))
+
+  private def lexScore(text: Column, lex: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(lex: _*)))
+
+  /** Stopword-count language ID: argmax lexicon hit count, first-wins ties.
+    * (An n-gram heuristic over a fixed lexicon — same class of detector as
+    * fastText-style baselines, expressible as one codegen'd expression.) */
+  def langId(text: Column): Column = {
+    val scores = LangLexicons.map { case (lang, lex) => (lang, lexScore(text, lex)) }
+    // argmax with first-wins tie-break: lang_i wins if score_i > score_j for
+    // all j < i and score_i >= score_j for all j > i
+    scores.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, s), i)) =>
+      val beatsEarlier = scores.take(i).map { case (_, s2) => s > s2 }
+        .foldLeft(lit(true))(_ && _)
+      val holdsLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
+        .foldLeft(lit(true))(_ && _)
+      when(beatsEarlier && holdsLater && s > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Winnowing-style document fingerprint: lexicographic min of the MD5 of
+    * every k-gram — one codegen'd expression, no explode, deterministic.
+    * (expr-built because Scala's `substring` helper takes only literal
+    * positions, while the SQL form accepts the lambda variable.) */
+  def fingerprintExpr(textCol: String, k: Int = 16): Column =
+    expr(s"array_min(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"i -> md5(substring($textCol, i, $k))))")
+}

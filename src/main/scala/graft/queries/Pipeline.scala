@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators over the documents/embeddings tables —
+  * the beyond-reference surface (builder prompt): dedup family, similarity
+  * search, text analysis, multimodal plumbing. Oracles mirror the exact
+  * arithmetic in DuckDB where SQL can express it; probabilistic candidates
+  * (LSH, SimHash) get rows-only checks.
+  */
+object Pipeline {
+
+  /** px1: token/char/punctuation statistics — single codegen'd projection. */
+  def px1TextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+      TextOps.charCount(col("text")).as("n_chars2"),
+      TextOps.punctRatio(col("text")).as("punct_ratio"),
+      TextOps.meanTokenLength(col("text")).as("mean_tok_len"),
+      TextOps.stopwordRatio(col("text")).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px1Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\S')) AS INTEGER) AS n_bpeish,
+      |  CAST(length(text) AS INTEGER) AS n_chars2,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |    / greatest(length(text), 1) AS punct_ratio,
+      |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+      |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_tok_len,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        t -> t IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE)
+      |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stopword_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** px2: stopword-lexicon language ID vs. the labeled lang column. */
+  def px2LangId(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px2Sql: String = {
+    def score(lex: Seq[String]) =
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${lex.map("'" + _ + "'").mkString(",")})))"
+    val Seq(en, es, de, fr, zh) = TextOps.LangLexicons.map(l => score(l._2))
+    s"""SELECT doc_id, lang,
+       |  CASE
+       |    WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh AND $en > 0 THEN 'en'
+       |    WHEN $es > $en AND $es >= $de AND $es >= $fr AND $es >= $zh AND $es > 0 THEN 'es'
+       |    WHEN $de > $en AND $de > $es AND $de >= $fr AND $de >= $zh AND $de > 0 THEN 'de'
+       |    WHEN $fr > $en AND $fr > $es AND $fr > $de AND $fr >= $zh AND $fr > 0 THEN 'fr'
+       |    WHEN $zh > $en AND $zh > $es AND $zh > $de AND $zh > $fr AND $zh > 0 THEN 'zh'
+       |    ELSE 'und' END AS predicted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** px3: composite quality score. */
+  def px3Quality(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px3Sql: String =
+    """SELECT doc_id, round((
+      |  least(length(text) / 500.0, 1.0)
+      |  + (1.0 - least(5.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1), 1.0))
+      |  + least(4.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      t -> t IN ('the','a','an','of','and','to','in','is','it','for'))) / greatest(len(string_split_regex(trim(text), '\s+')), 1), 1.0)
+      |) / 3.0, 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** px4: winnowing-style min-MD5 16-gram fingerprint. */
+  def px4Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.fingerprintExpr("text", 16).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px4Sql: String =
+    """SELECT doc_id, list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+      |  i -> md5(substring(text, CAST(i AS INTEGER), 16)))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** px5: exact dedup by content hash (hash-groupBy, map-side combined). */
+  def px5DedupExact(s: SparkSession, dir: String): DataFrame = {
+    Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy(col("content_hash"))
+  }
+
+  val px5Sql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  /** px6: blocked token-set Jaccard near-dup pairs (exact within block). */
+  def px6NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("blk", concat_ws("|", col("lang"), col("source")))
+    Dedup.ngramJaccardPairs(d, "text", "doc_id", "blk", 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val px6Sql: String =
+    """WITH t AS (SELECT doc_id, lang || '|' || source AS blk,
+      |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** px7: MinHash+LSH candidate generation + exact-Jaccard rerank.
+    * Probabilistic recall ⇒ rows-only check (no oracle). */
+  def px7MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
+      numHashes = 32, bands = 8, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** px8: SimHash near-dup pairs (Hamming ≤ 3 via 4-chunk pigeonhole).
+    * xxhash64-based ⇒ rows-only check. */
+  def px8Simhash(s: SparkSession, dir: String): DataFrame = {
+    Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** px9: exact brute-force cosine top-5 for query vectors (vec_id < 10).
+    * The fold arithmetic is bit-identical to DuckDB list_cosine_similarity. */
+  def px9AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val px9Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
+      |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** px10: LSH-bucketed ANN (the 100 TB scale path) — rows-only check. */
+  def px10AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+      k = 5, bits = 4, dim = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** px11: exact embedding near-duplicate pairs, cosine ≥ 0.45. */
+  def px11EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.45, exact = true)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val px11Sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** px12: multimodal plumbing — binary payloads through the batched
+    * decode/feature stub (STUB kernels, real Spark contract). Rows-only. */
+  def px12Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.extractFeatures(media)
+      .select(col("media_id"), col("width"), col("height"),
+        element_at(col("features"), 1).as("f0"), size(col("features")).as("n_features"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "px1_text_stats"       -> (px1TextStats _),
+    "px2_langid"           -> (px2LangId _),
+    "px3_quality"          -> (px3Quality _),
+    "px4_fingerprint"      -> (px4Fingerprint _),
+    "px5_dedup_exact"      -> (px5DedupExact _),
+    "px6_ngram_jaccard"    -> (px6NgramJaccard _),
+    "px7_minhash_lsh"      -> (px7MinhashLsh _),
+    "px8_simhash"          -> (px8Simhash _),
+    "px9_ann_brute"        -> (px9AnnBrute _),
+    "px10_ann_lsh"         -> (px10AnnLsh _),
+    "px11_embedding_neardup" -> (px11EmbeddingNearDup _),
+    "px12_multimodal"      -> (px12Multimodal _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "px1_text_stats"       -> px1Sql,
+    "px2_langid"           -> px2Sql,
+    "px3_quality"          -> px3Sql,
+    "px4_fingerprint"      -> px4Sql,
+    "px5_dedup_exact"      -> px5Sql,
+    "px6_ngram_jaccard"    -> px6Sql,
+    "px9_ann_brute"        -> px9Sql,
+    "px11_embedding_neardup" -> px11Sql,
+    // px7/px8/px10/px12: probabilistic or stub — rows-only checks
+  )
+}
