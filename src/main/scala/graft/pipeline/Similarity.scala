@@ -17,16 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def fold(c: Column): Column = aggregate(c, lit(0.0d), (acc, v) => acc + v)
-    val ad = transform(a, _.cast("double"))
-    val bd = transform(b, _.cast("double"))
-    val dot = fold(zip_with(ad, bd, (x, y) => x * y))
-    val na = fold(transform(ad, x => x * x))
-    val nb = fold(transform(bd, x => x * x))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity of two float-array columns, computed in double via
+    * the native [[graft.functions.CosineSim]] expression (codegen'd primitive
+    * loops; the HOF fold formulation is CodegenFallback and ~20× slower). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * enough to broadcast (it is hint-broadcast); the corpus is scanned once. */

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Doc(doc_id: Long, text: String, lang: String)
+case class Vec(vec_id: Long, embedding: Seq[Float])
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    Doc(1, "the quick brown fox jumps over the lazy dog", "en"),
+    Doc(2, "the quick brown fox jumps over the lazy cat", "en"),   // near-dup of 1
+    Doc(3, "el rapido zorro de la granja y los perros", "es"),
+    Doc(4, "completely different words entirely here now", "en"),
+    Doc(5, "the quick brown fox jumps over the lazy dog", "en")    // exact dup of 1
+  ).toDF()
+
+  test("TextOps: counts and ratios") {
+    val r = docs.filter($"doc_id" === 1).select(
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.charCount($"text").as("c"),
+      TextOps.stopwordRatio($"text").as("sw"),
+      TextOps.meanTokenLength($"text").as("mtl")).collect()(0)
+    assert(r.getAs[Int]("n") == 9)
+    assert(r.getAs[Int]("c") == 43)
+    assert(r.getAs[Double]("sw") == 2.0 / 9.0) // "the" twice
+    assert(r.getAs[Double]("mtl") == 35.0 / 9.0)
+  }
+
+  test("TextOps: language id picks lexicon winner") {
+    val preds = docs.select($"doc_id", TextOps.langId($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1) == "en")
+    assert(preds(3) == "es")
+    assert(preds(4) == "und") // no lexicon hits
+  }
+
+  test("TextOps: fingerprint is deterministic and shift-sensitive") {
+    val fps = docs.select($"doc_id", TextOps.fingerprintExpr("text", 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1) == fps(5)) // identical text, identical fingerprint
+    assert(fps(1) != fps(4))
+    assert(fps(1).length == 32)
+  }
+
+  test("Dedup.exact groups identical content") {
+    val r = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(r.length == 4) // 5 docs, one pair identical
+    val dup = r.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1)
+  }
+
+  test("Dedup.ngramJaccardPairs finds the near-dup within block") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // 8 of 10 distinct tokens shared
+    assert(pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("Dedup.minhashLshPairs finds exact and near duplicates") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L))) // identical signatures always collide
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("Dedup.simhashPairs: identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 5L)) == 0)
+  }
+
+  lazy val vecs = Seq(
+    Vec(0, Seq(1f, 0f, 0f, 0f)),
+    Vec(1, Seq(0f, 1f, 0f, 0f)),   // orthogonal to 0
+    Vec(2, Seq(2f, 0f, 0f, 0f)),   // parallel to 0
+    Vec(3, Seq(1f, 1f, 0f, 0f))
+  ).toDF()
+
+  test("Similarity.cosine: native expression exactness") {
+    val r = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(r((0L, 2L)) == 1.0)
+    assert(r((0L, 1L)) == 0.0)
+    assert(math.abs(r((0L, 3L)) - 1.0 / math.sqrt(2)) < 1e-15)
+  }
+
+  test("Similarity.bruteForceTopK: exact ranks") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(3), r.getLong(1))).toMap
+    assert(top(1) == 2L) // parallel vector first
+    assert(top(2) == 3L) // then the 45-degree one
+  }
+
+  test("Similarity.lshTopK: same-bucket identicals found") {
+    val top = Similarity.lshTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 2, bits = 2, dim = 4)
+      .collect()
+    // vec 2 is parallel to the query => identical buckets, rank 1
+    assert(top.exists(r => r.getLong(1) == 2L && r.getInt(3) == 1))
+  }
+
+  test("Multimodal: stub features deterministic; null payload tolerated") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(feats(1L) == feats(5L)) // same payload, same features
+    assert(feats(1L) != feats(4L))
+    assert(feats(1L).size == 8)
+
+    val withNull = media.withColumn("payload",
+      when($"media_id" === 1L, lit(null).cast("binary")).otherwise($"payload"))
+    val f2 = Multimodal.extractFeatures(withNull).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(f2(1L).isEmpty)
+    assert(f2(2L).nonEmpty)
+  }
+}
