@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series queries over the `events` table: tumbling-window aggregation
+  * and gap-based sessionization — the batch shapes whose streaming twins
+  * live in graft.streaming. */
+object Events {
+
+  /** ev1: 5-minute tumbling-window aggregate per event type. Epoch-aligned
+    * buckets match DuckDB's time_bucket. Partial aggregation runs map-side;
+    * the shuffle key (window × type) is low-cardinality. */
+  def ev1WindowAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
+  val ev1Sql: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  /** ev2: gap-based sessionization — a new session starts when a user is
+    * idle > 30 minutes. One shuffle on user_id; lag + running sum are
+    * computed inside the per-user window. */
+  def ev2Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val ev2Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev1_window_agg" -> (ev1WindowAgg _),
+    "ev2_sessionize" -> (ev2Sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev1_window_agg" -> ev1Sql,
+    "ev2_sessionize" -> ev2Sql,
+  )
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.KvStore
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); KvStore.dropAll() }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Stream the events parquet (copied into a dir source); ts arrives as
+    * nanos-long and is normalized exactly like the batch loader. */
+  private def eventStream() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Files.createTempDirectory("graft-stream-src")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      src.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.queries.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(src.toString))
+  }
+
+  test("streaming windowed aggregation matches the batch twin") {
+    val agg = GraftStreaming.windowedEventAgg(eventStream())
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.sql("SELECT * FROM stream_out")
+    val batch = graft.queries.Events.ev1WindowAgg(spark, sfDir)
+    // append mode emits only watermark-closed windows; every emitted row
+    // must match the batch result exactly, and most windows should close
+    val b = batch.collect().map(_.toSeq).toSet
+    val s = streamed.collect().map(_.toSeq).toSet
+    assert(s.nonEmpty)
+    assert(s.subsetOf(b), s"streamed rows not in batch result: ${s.diff(b).take(3)}")
+    assert(s.size >= b.size - 5) // only trailing windows may stay open
+  }
+
+  test("graft-kv streaming sink lands micro-batches in the store") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"stream_events"},
+        |"rowkey":"key",
+        |"columns":{
+        |"event_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"user_id":{"cf":"f", "col":"user", "type":"bigint"},
+        |"event_type":{"cf":"f", "col":"type", "type":"string"},
+        |"value":{"cf":"f", "col":"value", "type":"double"}}}""".stripMargin
+
+    val stream = eventStream().select("event_id", "user_id", "event_type", "value")
+    val writer = GraftStreaming.kvSink(stream,
+      Map("catalog" -> catalog, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "2000000000"))
+    GraftStreaming.runOnce(writer)
+
+    val back = spark.read.format("graft-kv").option("catalog", catalog).load()
+    val expected = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(back.count() == expected)
+    // spot-check a filter through the connector on streamed data
+    val direct = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "click").count()
+    assert(back.filter(col("event_type") === "click").count() == direct)
+  }
+}
