@@ -24,14 +24,17 @@ object Connector {
       |"c_mktsegment":{"cf":"f", "col":"mktsegment", "type":"string"}}}""".stripMargin
 
   /** Idempotent: write once per (JVM, table); rows are keyed so re-writes
-    * are no-ops. Numeric presplits keep the 8 regions balanced over the key
-    * range — the partition-planning story that must survive 1000 executors. */
+    * are no-ops. Numeric presplits derive from actual key stats (one cheap
+    * max() over the key column) so the 8 regions stay balanced over the real
+    * key range — the partition-planning story that must survive 1000
+    * executors; a fixed guess would dump every row in one region. */
   private def ensureCustomer(s: SparkSession, dir: String): Unit = {
     if (!graft.store.KvStore.exists("default:kv_customer")) {
-      Tables.customer(s, dir)
-        .write.format("graft-kv")
+      val df = Tables.customer(s, dir)
+      val maxKey = df.agg(org.apache.spark.sql.functions.max("c_custkey")).head().getLong(0)
+      df.write.format("graft-kv")
         .options(Map("catalog" -> customerCatalog, "newtable" -> "8",
-          "minSplitNum" -> "0", "maxSplitNum" -> "2000000000"))
+          "minSplitNum" -> "0", "maxSplitNum" -> maxKey.toString))
         .mode("append").save()
     }
   }
@@ -162,10 +165,11 @@ object Connector {
   def kv7Versions(s: SparkSession, dir: String): DataFrame = {
     if (!graft.store.KvStore.exists("default:kv_versions")) {
       val base = Tables.customer(s, dir).select("c_custkey", "c_acctbal")
+      val maxKey = base.agg(org.apache.spark.sql.functions.max("c_custkey")).head().getLong(0)
       base.write.format("graft-kv")
         .options(Map("catalog" -> versionCatalog, "newtable" -> "4",
           "timestamp" -> "1000", "maxVersions" -> "2",
-          "minSplitNum" -> "0", "maxSplitNum" -> "2000000000"))
+          "minSplitNum" -> "0", "maxSplitNum" -> maxKey.toString))
         .mode("append").save()
       base.withColumn("c_acctbal", col("c_acctbal") + 1.0)
         .write.format("graft-kv")
@@ -201,7 +205,7 @@ object Connector {
           map(col("c_mktsegment"), col("c_nationkey")).as("props"))
         .write.format("graft-kv")
         .options(Map("catalog" -> dynCatalog, "newtable" -> "4",
-          "minSplitNum" -> "0", "maxSplitNum" -> "2000000000"))
+          "minSplitNum" -> "0", "maxSplitNum" -> "200000"))
         .mode("append").save()
     }
     s.read.format("graft-kv").option("catalog", dynCatalog).load()
@@ -234,7 +238,7 @@ object Connector {
           struct(col("c_name").as("name"), col("c_acctbal").as("acctbal")).as("rec"))
         .write.format("graft-kv")
         .options(Map("catalog" -> avroCatalog, "avroSchema" -> avroSchema,
-          "newtable" -> "4", "minSplitNum" -> "0", "maxSplitNum" -> "2000000000"))
+          "newtable" -> "4", "minSplitNum" -> "0", "maxSplitNum" -> "200000"))
         .mode("append").save()
     }
     s.read.format("graft-kv")

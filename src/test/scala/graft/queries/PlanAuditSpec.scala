@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.KvStore
+
+/** Physical-plan quality gates — the 100 TB design assertions:
+  * filters reach the parquet scan, small dimensions broadcast, top-k never
+  * globally sorts, connector scans prune partitions by row-key range.
+  * A regression here is a scale bug even when results stay correct. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); KvStore.dropAll() }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes
+    val plan = df.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    finalPlan.toString()
+  }
+
+  test("q2: predicates push into the parquet scan") {
+    val plan = executedPlan(Relational.q2FilterProject(spark, dir))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_quantity"), "pushed filter should mention l_quantity")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = executedPlan(Relational.q1Agg(spark, dir))
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      s"expected partial aggregation:\n${plan.take(3000)}")
+  }
+
+  test("q3: dimension joins broadcast (no shuffle of the small side)") {
+    val plan = executedPlan(Relational.q3Join(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q4: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(Relational.q4Sort(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("kv2: row-key range prunes graft-kv partitions") {
+    // build the table, then plan a key-range scan: only regions overlapping
+    // [50, 120) may produce input partitions
+    Connector.kv2RangePushdown(spark, dir).collect()
+    val df = spark.read.format("graft-kv")
+      .option("catalog",
+        """{"table":{"namespace":"default", "name":"kv_customer"},
+          |"rowkey":"key",
+          |"columns":{
+          |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+          |"c_name":{"cf":"f", "col":"name", "type":"string"}}}""".stripMargin)
+      .load()
+      .filter(org.apache.spark.sql.functions.col("c_custkey") >= 50L &&
+        org.apache.spark.sql.functions.col("c_custkey") < 120L)
+    val totalRegions = KvStore.table("default:kv_customer").regions.size
+    val scanned = df.rdd.getNumPartitions
+    assert(totalRegions == 8)
+    // [50,120) of keys 1..150 over 8 regions spans a contiguous subset
+    assert(scanned < totalRegions && scanned <= 4,
+      s"key range [50,120) should prune to a few of $totalRegions regions, got $scanned")
+    // a point lookup must hit exactly one region
+    val point = df.filter(org.apache.spark.sql.functions.col("c_custkey") === 60L)
+    assert(point.rdd.getNumPartitions == 1)
+  }
+
+  test("kv1: full scan plans one partition per region (parallelism preserved)") {
+    Connector.kv1ScanProject(spark, dir).collect()
+    val df = spark.read.format("graft-kv")
+      .option("catalog",
+        """{"table":{"namespace":"default", "name":"kv_customer"},
+          |"rowkey":"key",
+          |"columns":{
+          |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+          |"c_name":{"cf":"f", "col":"name", "type":"string"}}}""".stripMargin)
+      .load()
+    assert(df.rdd.getNumPartitions == KvStore.table("default:kv_customer").regions.size)
+  }
+
+  test("px9: query side is broadcast (corpus never shuffles for the join)") {
+    val plan = executedPlan(Pipeline.px9AnnBrute(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+  }
+
+  test("native CosineSim participates in whole-stage codegen") {
+    val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
+    assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
+    // `*(n)` prefixes mark WholeStageCodegen stages in the executed plan
+    assert(plan.contains("*("), "expected codegen stages")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("cosinesim")),
+      "cosinesim should sit inside a codegen stage")
+  }
+}
