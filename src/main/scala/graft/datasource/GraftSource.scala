@@ -101,7 +101,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       if (clipped.isEmpty) None
       else Some(GraftInputPartition(catalog, opts, r.index, r.host,
         clipped.map(SerializableRange.from), hrf.pred,
-        requiredSchema.fieldNames.toSeq): InputPartition)
+        requiredSchema): InputPartition)
     }.toArray
   }
 
@@ -131,7 +131,7 @@ final case class GraftInputPartition(
     host: String,
     ranges: Seq[SerializableRange],
     pred: Option[KvPredicate],
-    projectedNames: Seq[String]) extends InputPartition {
+    requiredSchema: org.apache.spark.sql.types.StructType) extends InputPartition {
   /** Data locality: the region's host (reference getPreferredLocations,
     * HBaseTableScan.scala:384-388). */
   override def preferredLocations(): Array[String] = Array(host)
@@ -148,11 +148,13 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
 
   private val catalog = p.catalog
   private val table = KvStore.table(catalog.qualifiedName)
-  private val projection = p.projectedNames.map(catalog.field)
+  // pair each required (possibly nested-pruned) column with its catalog field
+  private val projection = p.requiredSchema.fields.toSeq.map(sf =>
+    (catalog.field(sf.name), sf.dataType))
 
   private val timeRange = p.opts.timeRange
   private val needsVersions =
-    !p.opts.mergeToLatest || projection.exists(_.dataType match {
+    !p.opts.mergeToLatest || projection.exists(_._1.dataType match {
       case org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.LongType, _, _) => true
       case org.apache.spark.sql.types.MapType(_,
         org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.LongType, _, _), _) => true
@@ -164,7 +166,7 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
     * HBaseTableScan.scala:406-416): COLUMN when the projection is static,
     * FAMILY/ALL when dynamic columns need the whole family. */
   private val columnSet: ColumnSet = {
-    val valueFields = projection.filterNot(_.isRowKey)
+    val valueFields = projection.map(_._1).filterNot(_.isRowKey)
     p.opts.restrictive match {
       case "none" => ColumnSet.All
       case "family" => ColumnSet.Families(

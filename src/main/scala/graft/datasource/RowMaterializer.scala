@@ -1,7 +1,6 @@
 package graft.datasource
 
-import scala.collection.mutable
-
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -11,22 +10,27 @@ import graft.store.{KvCell, KvRow}
 
 /** Store cells → Catalyst rows (reference buildRow/buildRows +
   * toFlattenRowIterator, HBaseTableScan.scala:114-252,337-382): latest-version
-  * merge, dynamic map columns (string-, long-, and nested-keyed), and the
-  * `mergeToLatest=false` per-timestamp row explosion. */
+  * merge, dynamic map columns (string-, long-, and nested-keyed), the
+  * `mergeToLatest=false` per-timestamp row explosion, and nested-schema
+  * pruning (a struct column may arrive pruned to a subfield subset — output
+  * is shaped to the REQUIRED type, not the catalog type).
+  *
+  * `projection` pairs each required column's catalog field with the required
+  * (possibly nested-pruned) data type, in output order.
+  */
 final class RowMaterializer(
     catalog: GraftCatalog,
-    projection: Seq[Field],
+    projection: Seq[(Field, DataType)],
     mergeToLatest: Boolean) extends Serializable {
 
   private val keyParts = catalog.rowKeyParts
 
   /** Decode the projected fields of one KvRow into 1..n InternalRows. */
   def materialize(row: KvRow): Iterator[InternalRow] = {
-    // decode projected key parts once per row
     val keyValues: Map[String, Any] = {
       val m = Map.newBuilder[String, Any]
       keyParts.foreach { p =>
-        if (projection.exists(_.name == p.field.name)) {
+        if (projection.exists(_._1.name == p.field.name)) {
           val len = if (p.width < 0) row.key.length - p.offset else p.width
           m += p.field.name -> p.field.coder.decode(p.field.dataType, row.key, p.offset, len)
         }
@@ -38,11 +42,36 @@ final class RowMaterializer(
     else buildExploded(row, keyValues)
   }
 
+  /** Project a decoded JVM value from its full catalog type onto the
+    * required (nested-pruned) type: structs select/reorder subfields by
+    * name, recursing through arrays and maps. */
+  private def shape(fullDt: DataType, reqDt: DataType, v: Any): Any = {
+    if (v == null || fullDt == reqDt) return v
+    (fullDt, reqDt) match {
+      case (fs: StructType, rs: StructType) =>
+        val row = v.asInstanceOf[Row]
+        Row.fromSeq(rs.fields.toSeq.map { rf =>
+          val i = fs.fieldIndex(rf.name)
+          shape(fs.fields(i).dataType, rf.dataType, row.get(i))
+        })
+      case (ArrayType(fe, _), ArrayType(re, _)) =>
+        v.asInstanceOf[Seq[Any]].map(shape(fe, re, _))
+      case (MapType(_, fv, _), MapType(_, rv, _)) =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].map { case (k, x) =>
+          k -> shape(fv, rv, x)
+        }
+      case _ => v
+    }
+  }
+
+  private def toRequired(f: Field, reqDt: DataType, v: Any): Any =
+    CatalystConv.toCatalyst(reqDt, shape(f.dataType, reqDt, v))
+
   /** One row, latest surviving version per column. */
   private def buildMerged(row: KvRow, keyValues: Map[String, Any]): InternalRow = {
     val out = new Array[Any](projection.size)
     var i = 0
-    projection.foreach { f =>
+    projection.foreach { case (f, reqDt) =>
       val v: Any =
         if (f.isRowKey) keyValues(f.name)
         else if (f.isDynamic) dynamicValue(f, row.cells)
@@ -58,7 +87,7 @@ final class RowMaterializer(
               case None    => null
             }
         }
-      out(i) = CatalystConv.toCatalyst(f.dataType, v)
+      out(i) = toRequired(f, reqDt, v)
       i += 1
     }
     new GenericInternalRow(out)
@@ -71,7 +100,7 @@ final class RowMaterializer(
     stamps.iterator.map { ts =>
       val out = new Array[Any](projection.size)
       var i = 0
-      projection.foreach { f =>
+      projection.foreach { case (f, reqDt) =>
         val v: Any =
           if (f.isRowKey) keyValues(f.name)
           else if (f.isDynamic) dynamicValue(f, row.cells.filter(_.ts == ts))
@@ -79,7 +108,7 @@ final class RowMaterializer(
             case Some(c) => f.coder.decode(valueType(f), c.value)
             case None    => null
           }
-        out(i) = CatalystConv.toCatalyst(f.dataType, v)
+        out(i) = toRequired(f, reqDt, v)
         i += 1
       }
       new GenericInternalRow(out)

@@ -211,6 +211,58 @@ object Relational {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** q11: EXISTS → left-semi join (never materializes the right side). */
+  def q11SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def q11Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q12: NOT EXISTS → left-anti join (customers with no finished orders —
+    * filtered right side keeps the result non-empty at every SF). */
+  def q12AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def q12Sql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q13: correlated scalar-subquery shape — customers whose balance beats
+    * their nation's average (decorrelated by Catalyst into a join). */
+  def q13CorrelatedAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    // exact decimal sum cast to double BEFORE the divide, mirroring the
+    // oracle's double division exactly
+    val nationAvg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    c.join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def q13Sql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   /** All entries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -223,6 +275,9 @@ object Relational {
     "q8_window_topk"    -> (q8WindowTopk _),
     "q9_count"          -> (q9Count _),
     "q10_sql_view"      -> (q10SqlView _),
+    "q11_semi_join"     -> (q11SemiJoin _),
+    "q12_anti_join"     -> (q12AntiJoin _),
+    "q13_correlated_agg" -> (q13CorrelatedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -236,5 +291,8 @@ object Relational {
     "q8_window_topk"    -> q8Sql,
     "q9_count"          -> q9Sql,
     "q10_sql_view"      -> q10Sql,
+    "q11_semi_join"     -> q11Sql,
+    "q12_anti_join"     -> q12Sql,
+    "q13_correlated_agg" -> q13Sql,
   )
 }

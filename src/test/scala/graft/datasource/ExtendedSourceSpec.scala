@@ -1,0 +1,118 @@
+package graft.datasource
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ranges.ScanRange
+import graft.store.KvStore
+import graft.types.FieldCoder
+
+/** A user-pluggable coder (reference SHCDataType.scala:72-77: any class
+  * reflectively instantiated by name). Encodes ints as fixed-width decimal
+  * strings — silly but order-preserving for non-negatives. */
+class DecimalStringCoder extends FieldCoder {
+  override def name: String = getClass.getName
+  override def preservesOrdering(dt: DataType): Boolean = true
+  override def supportsComposite: Boolean = true
+  override def byteWidth(dt: DataType): Int = dt match {
+    case IntegerType => 10
+    case _ => -1
+  }
+  override def encode(dt: DataType, v: Any): Array[Byte] = dt match {
+    case IntegerType => f"${v.asInstanceOf[Int]}%010d".getBytes("UTF-8")
+    case StringType  => v.toString.getBytes("UTF-8")
+    case _ => throw new UnsupportedOperationException(dt.toString)
+  }
+  override def decode(dt: DataType, b: Array[Byte], off: Int, len: Int): Any = dt match {
+    case IntegerType => new String(b, off, len, "UTF-8").toInt
+    case StringType  => new String(b, off, len, "UTF-8")
+    case _ => throw new UnsupportedOperationException(dt.toString)
+  }
+  override def lessRanges(dt: DataType, v: Any, incl: Boolean): Seq[ScanRange[Array[Byte]]] =
+    Seq(ScanRange(graft.ranges.Bound.negInf, graft.ranges.Bound(Some(encode(dt, v)), incl)))
+  override def greaterRanges(dt: DataType, v: Any, incl: Boolean): Seq[ScanRange[Array[Byte]]] =
+    Seq(ScanRange(graft.ranges.Bound(Some(encode(dt, v)), incl), graft.ranges.Bound.posInf))
+}
+
+case class ARec(id: Long, rec: Row)
+
+/** Remaining reference-suite coverage: explicit restrictive modes
+  * (DynamicColumnSuite's three modes), Avro-encoded row keys
+  * (AvroSourceKeySuite.scala:57-74), and the pluggable-coder SPI. */
+class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); KvStore.dropAll() }
+
+  import spark.implicits._
+
+  test("restrictive modes: none / family / column all return correct rows") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"rtable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"string"},
+        |"a":{"cf":"cf1", "col":"a", "type":"int"},
+        |"b":{"cf":"cf2", "col":"b", "type":"string"}}}""".stripMargin
+    Seq(("k1", 1, "x"), ("k2", 2, "y")).toDF("key", "a", "b")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4"))
+      .mode("append").save()
+    for (mode <- Seq("none", "family", "column", "auto")) {
+      val df = spark.read.format("graft-kv")
+        .options(Map("catalog" -> catalog, "restrictive" -> mode)).load()
+      assert(df.orderBy("key").collect().map(_.getInt(1)).toSeq == Seq(1, 2), s"mode=$mode")
+    }
+  }
+
+  test("Avro-encoded row key: round trip with range pruning disabled") {
+    val keySchema =
+      """{"type":"record","name":"K","fields":[
+        |{"name":"part","type":"string"},{"name":"seq","type":"int"}]}""".stripMargin
+    val catalog =
+      """{"table":{"namespace":"default", "name":"aktable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "avro":"keySchema"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    val schema = StructType(Seq(
+      StructField("k", graft.types.AvroCoder.sqlTypeFor(keySchema)),
+      StructField("v", StringType)))
+    val rows = (0 until 8).map(i => Row(Row(s"p${i % 2}", i), s"val$i"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "keySchema" -> keySchema, "newtable" -> "4"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalog, "keySchema" -> keySchema)).load()
+    assert(df.count() == 8)
+    // nested-field projection + filter on the struct key (residual, exact)
+    assert(df.filter(col("k.part") === "p1").count() == 4)
+    assert(df.select(col("k.seq")).collect().map(_.getInt(0)).sorted.toSeq == (0 until 8))
+  }
+
+  test("user-pluggable coder resolved by class name") {
+    val catalog =
+      s"""{"table":{"namespace":"default", "name":"uctable", "tableCoder":"${classOf[DecimalStringCoder].getName}", "version":"2.0"},
+         |"rowkey":"key",
+         |"columns":{
+         |"id":{"cf":"rowkey", "col":"key", "type":"int"},
+         |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    (0 until 50).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv").option("catalog", catalog).load()
+    assert(df.count() == 50)
+    assert(df.filter(col("id") < 10).count() == 10)
+    assert(df.filter(col("id") === 42).count() == 1)
+  }
+}
