@@ -26,10 +26,11 @@ object Dedup {
   /** Word-level distinct tokens. */
   private def tokenSet(c: Column): Column = array_distinct(TextOps.tokens(c))
 
-  /** Exact token-set Jaccard similarity of two token arrays. */
+  /** Exact token-set Jaccard similarity of two token arrays. The
+    * intersection is computed once and reused in the union term. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
   /** All pairs within each `blockCol` group with token-set Jaccard ≥
@@ -56,17 +57,16 @@ object Dedup {
       i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
   }
 
-  /** MinHash signature: for hash function i, min over shingles of
-    * xxhash64(shingle, i). One explode + one groupBy with numHashes map-side
-    * combined min aggregates — a single shuffle keyed by document. */
+  /** MinHash signature over word-bigram shingles, computed by the native
+    * one-pass `MinHashSig` expression directly from the token array — NO
+    * explode, NO groupBy, NO shuffle. At 100 TB this is embarrassingly
+    * parallel; an explode+groupBy alternative shuffles the whole shingle
+    * set. Output: (id, sig array<long>). Empty documents are dropped. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol))).as("shingle"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
+      numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), graft.functions.HashExprs.minhashSig(col("toks"), numHashes).as("sig"))
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band index, band hash), then exact-Jaccard rerank of candidates.
@@ -74,14 +74,12 @@ object Dedup {
     * scaling; candidate rerank touches candidate pairs only. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes)
-    val bandCols = (0 until bands).map { b =>
-      val cs = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      struct(lit(b).as("band"), xxhash64(cs: _*).as("bh"))
-    }
-    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"),
+        posexplode(graft.functions.HashExprs.minhashBands(col("toks"), numHashes, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -95,21 +93,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over word tokens: bit b of xxhash64(token) votes ±1;
-    * fingerprint bit = sign of the vote sum. One explode + one groupBy. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("th").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
-    }
-    val summed = exploded.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
-    }
-    summed.select(col("id"), fp.as("simhash"))
-  }
+  /** 64-bit SimHash over word tokens via the native one-pass `SimHash64`
+    * expression: bit b of xxhash64(token) votes ±1; fingerprint bit = sign
+    * of the vote sum. A pure projection — no explode, no groupBy, no
+    * shuffle. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), graft.functions.HashExprs.simhash64(col("toks")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by the
     * 4-chunk pigeonhole: any pair within distance 3 shares at least one
