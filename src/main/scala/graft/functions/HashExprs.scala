@@ -219,6 +219,58 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Exact Jaccard similarity of two SORTED, de-duplicated string arrays via
+  * a single O(n+m) merge — no per-pair hash set (array_intersect allocates
+  * an OpenHashSet per call), no boxing. Callers must pre-sort with
+  * `sort_array(array_distinct(...))` once per row BEFORE the pair join, so
+  * the per-pair cost is the merge alone. Result is bit-identical to
+  * size(array_intersect)/size(union) on the same arrays. */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard needs two array<string> inputs, got $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = (double) $inter / (double) ($na + $nb - $inter);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level entry points. Inputs are token arrays (e.g. from the
   * codegen'd `split`); the expressions do the (bigram) shingling internally. */
 object HashExprs {
@@ -228,4 +280,6 @@ object HashExprs {
     GraftShim.column(MinHashBands(GraftShim.expression(tokens), numHashes, bands))
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftShim.column(SortedJaccard(GraftShim.expression(a), GraftShim.expression(b)))
 }

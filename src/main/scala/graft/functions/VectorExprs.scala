@@ -91,8 +91,84 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH bucket id: bit i of the bucket = sign of the dot
+  * product of the vector with seeded ±1 hyperplane i. One pass of primitive
+  * loops per row (the zip_with/aggregate HOF formulation is CodegenFallback
+  * and re-allocates a zipped array per bit per row). Plane generation is
+  * deterministic in (bits, dim, seed) and identical to the previous HOF
+  * formulation, so bucket ids are unchanged. */
+case class SignLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_bucket needs array<float|double> input, got $other")
+    }
+
+  /** ±1 planes, row-major bits×dim, seeded like Similarity.hyperplanes. */
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val f = isFloat
+    var acc = 0
+    var i = 0
+    while (i < bits) {
+      val p = planes(i)
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        dot += (if (f) a.getFloat(d).toDouble else a.getDouble(d)) * p(d)
+        d += 1
+      }
+      if (dot >= 0) acc |= 1 << i
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) (v: String, i: String) => s"(double) $v.getFloat($i)"
+              else (v: String, i: String) => s"$v.getDouble($i)"
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val p = ctx.freshName("p")
+      s"""
+         |int $acc = 0;
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |for (int $i = 0; $i < $bits; $i++) {
+         |  double[] $p = $planesRef[$i];
+         |  double $dot = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $dot += ${get(a, d)} * $p[$d];
+         |  }
+         |  if ($dot >= 0) $acc |= 1 << $i;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+  def signLshBucket(vec: Column, bits: Int, dim: Int, seed: Long): Column =
+    GraftShim.column(SignLshBucket(GraftShim.expression(vec), bits, dim, seed))
 }

@@ -23,15 +23,16 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word-level distinct tokens. */
-  private def tokenSet(c: Column): Column = array_distinct(TextOps.tokens(c))
+  /** Sorted distinct word tokens — sorted ONCE per document so pairwise
+    * Jaccard is a single O(n+m) merge instead of a per-pair hash set. */
+  private def tokenSet(c: Column): Column =
+    sort_array(array_distinct(TextOps.tokens(c)))
 
-  /** Exact token-set Jaccard similarity of two token arrays. The
-    * intersection is computed once and reused in the union term. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
-  }
+  /** Exact token-set Jaccard of two SORTED distinct token arrays, via the
+    * native merge expression (bit-identical to array_intersect/union
+    * arithmetic on the same sets). */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.HashExprs.sortedJaccard(a, b)
 
   /** All pairs within each `blockCol` group with token-set Jaccard ≥
     * threshold. Blocking bounds the pair count: the shuffle is on the block

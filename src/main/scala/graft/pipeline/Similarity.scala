@@ -39,22 +39,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
-  /** Deterministic ±1 hyperplanes from a fixed seed. */
-  private def hyperplanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
-
-  /** Random-hyperplane LSH bucket id (sign bits of dim·r_i). */
-  def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
-    val planes = hyperplanes(bits, dim, seed)
-    val vd = transform(vec, _.cast("double"))
-    planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (plane, i)) =>
-      val dot = aggregate(
-        zip_with(vd, lit(plane.toArray), (x, y) => x * y), lit(0.0d), (a, v) => a + v)
-      acc + when(dot >= 0, lit(1 << i)).otherwise(lit(0))
-    }
-  }
+  /** Random-hyperplane LSH bucket id (sign bits of dim·r_i), via the native
+    * one-pass [[graft.functions.SignLshBucket]] expression. */
+  def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
+    graft.functions.VectorExprs.signLshBucket(vec, bits, dim, seed)
 
   /** ANN top-k: candidates share the query's LSH bucket; exact cosine rerank
     * within the bucket. Trades recall for a corpus-partition-local join
