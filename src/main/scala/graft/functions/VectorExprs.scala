@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.graftshim.GraftShim
@@ -165,10 +165,72 @@ case class SignLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** IVF probe-list assignment: returns the indices of the `nprobe` centroids
+  * most cosine-similar to the vector, similarity-descending (ties broken by
+  * lower index). One pass of primitive loops; centroids ride along as a
+  * reference object, so the (tiny) coarse quantizer is evaluated without
+  * boxing per row. `nprobe = 1` is the corpus-side cell assignment;
+  * `nprobe > 1` is the query-side multi-probe. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroids needs array<float|double> input, got $other")
+    }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Cosine similarities of v against every centroid (shared by eval). */
+  def sims(a: ArrayData): Array[Double] = {
+    val f = isFloat
+    val out = new Array[Double](centroids.length)
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      val n = math.min(a.numElements(), c.length)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (f) a.getFloat(d).toDouble else a.getDouble(d)
+        dot += x * c(d); nv += x * x; nc += c(d) * c(d)
+        d += 1
+      }
+      out(ci) = dot / (math.sqrt(nv) * math.sqrt(nc))
+      ci += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = sims(v.asInstanceOf[ArrayData])
+    val idx = (0 until s.length).sortBy(i => (-s(i), i)).take(nprobe).toArray
+    new GenericArrayData(idx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // per-row work is bounded by nlist×dim (tiny); delegate to eval and keep
+    // the surrounding plan in whole-stage codegen via a reference call
+    val self = ctx.addReferenceObj("nearestCentroids", this,
+      classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
   def signLshBucket(vec: Column, bits: Int, dim: Int, seed: Long): Column =
     GraftShim.column(SignLshBucket(GraftShim.expression(vec), bits, dim, seed))
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    GraftShim.column(NearestCentroids(GraftShim.expression(vec), centroids, nprobe))
 }

@@ -64,6 +64,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Train an IVF coarse quantizer: seed centroids = the `nlist` lowest-id
+    * corpus vectors (deterministic), refined by ONE distributed Lloyd
+    * iteration (assign all vectors to their nearest seed, average per cell).
+    * Only the nlist×dim centroid matrix ever reaches the driver. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Double]] = {
+    val seeds: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // one Lloyd step: cell assignment is a native one-pass expression; the
+    // per-dimension mean is a single shuffle keyed by (cell, dim)
+    val assigned = corpus.select(
+      element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), seeds, 1), 1)
+        .as("cell"),
+      posexplode(col(vecCol)))
+    val means = assigned.groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .collect()
+    val dim = seeds.head.length
+    val out = seeds.map(_.clone())
+    means.foreach { r =>
+      val cell = r.getInt(0); val pos = r.getInt(1)
+      if (cell < out.length && pos < dim) out(cell)(pos) = r.getDouble(2)
+    }
+    out
+  }
+
+  /** IVF ANN top-k: corpus vectors are bucketed by nearest centroid (one
+    * cell each); each query probes its `nprobe` nearest cells and reranks
+    * exactly within them. The join is keyed on the cell id, so at 100 TB
+    * each query touches ~nprobe/nlist of the corpus instead of all of it —
+    * the inverted-file counterpart to [[lshTopK]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, 1), 1)
+        .as("cell"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, nprobe))
+          .as("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact variant is a
     * blocked self-join (LSH bucket as the block) to avoid the full cross
     * product; set `exact=true` to force the all-pairs baseline. */

@@ -186,6 +186,15 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
+  /** px13: IVF ANN — nearest-centroid inverted lists (nlist=16) with 4-probe
+    * queries and exact rerank. Recall depends on the quantizer ⇒ rows-only. */
+  def px13AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -199,6 +208,7 @@ object Pipeline {
     "px10_ann_lsh"         -> (px10AnnLsh _),
     "px11_embedding_neardup" -> (px11EmbeddingNearDup _),
     "px12_multimodal"      -> (px12Multimodal _),
+    "px13_ann_ivf"         -> (px13AnnIvf _),
   )
 
   val oracles: Map[String, String] = Map(

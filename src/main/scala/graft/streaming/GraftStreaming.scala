@@ -33,6 +33,42 @@ object GraftStreaming {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Per-user running session state for [[sessionizeStream]]. */
+  case class SessionState(lastTsSec: Long, nSessions: Long, nEvents: Long)
+
+  /** Per-user output row emitted on every update. */
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful streaming sessionization — the streaming twin of
+    * queries.Events.ev2Sessionize, built on
+    * `KeyValueGroupedDataset.flatMapGroupsWithState`: a new session starts
+    * when a user is idle > `gapSec`. State per key is three longs, bounded
+    * by the user cardinality; with event-time processing each micro-batch
+    * folds its events in timestamp order. Emits the running
+    * (user_id, n_sessions, n_events) after every batch (update mode). */
+  def sessionizeStream(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts").cast("long").as("ts_sec"),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, ts, _) =>
+            val newSession = s.lastTsSec == Long.MinValue || ts - s.lastTsSec > gapSec
+            s = SessionState(ts, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          }
+          state.update(s)
+          Iterator.single(UserSessions(user, s.nSessions, s.nEvents))
+      }
+      .toDF()
+  }
+
   /** Run a streaming query until all currently-available source data is
     * processed, then stop (test-harness helper). */
   def runOnce(writer: DataStreamWriter[Row]): StreamingQuery = {

@@ -118,6 +118,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.exists(r => r.getLong(1) == 2L && r.getInt(3) == 1))
   }
 
+  test("Similarity.ivfTopK: parallel vector recalled at rank 1") {
+    val top = Similarity.ivfTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 2, nlist = 2, nprobe = 2)
+      .collect()
+    // nprobe == nlist probes every cell => exact: vec 2 (parallel) is rank 1
+    assert(top.exists(r => r.getLong(1) == 2L && r.getInt(3) == 1))
+  }
+
   test("Multimodal: stub features deterministic; null payload tolerated") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()

@@ -52,6 +52,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.size >= b.size - 5) // only trailing windows may stay open
   }
 
+  test("stateful sessionization matches the batch twin") {
+    val sess = GraftStreaming.sessionizeStream(eventStream())
+    val q = sess.writeStream.outputMode("update")
+      .format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // update mode re-emits users per batch; the LAST row per user is final.
+    // AvailableNow over one file = one batch, so the table holds one row
+    // per user; compare directly to the batch sessionizer.
+    val streamed = spark.sql(
+      "SELECT user_id, max(n_sessions) AS n_sessions, max(n_events) AS n_events " +
+        "FROM sess_out GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.queries.Events.ev2Sessionize(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
+
   test("graft-kv streaming sink lands micro-batches in the store") {
     val catalog =
       """{"table":{"namespace":"default", "name":"stream_events"},
