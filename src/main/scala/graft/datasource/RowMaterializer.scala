@@ -25,8 +25,42 @@ final class RowMaterializer(
 
   private val keyParts = catalog.rowKeyParts
 
+  // ---- per-partition slot plan (computed ONCE, not per row) --------------
+  // The reference carried a known perf debt: a hashmap lookup per column per
+  // row during materialization (HBaseTableScan.scala:113,177,218 TODOs). We
+  // precompute each output slot's decode plan and, for the common case
+  // (mergeToLatest, only key parts + simple static columns), fill rows with
+  // a single pass over the cell list — first cell per column wins, matching
+  // the latest-first store order.
+  private val nSlots = projection.size
+  private val fieldsArr = projection.map(_._1).toArray
+  private val reqTypes = projection.map(_._2).toArray
+  private val KindKey = 0; private val KindSimple = 1
+  private val KindVersioned = 2; private val KindDynamic = 3
+  private val slotKind = new Array[Int](nSlots)
+  private val keyPartOf = new Array[graft.catalog.RowKeyPart](nSlots)
+  private val slotByColumn = new java.util.HashMap[String, Integer]()
+  /** Length-prefixed column key — unambiguous for any cf/qual contents. */
+  private def colKey(cf: String, qual: String): String =
+    cf.length.toString + ":" + cf + qual
+  private var fastPathOk = true
+  projection.zipWithIndex.foreach { case ((f, _), i) =>
+    if (f.isRowKey) {
+      slotKind(i) = KindKey
+      keyPartOf(i) = keyParts.find(_.field.name == f.name).get
+    } else if (f.isDynamic) { slotKind(i) = KindDynamic; fastPathOk = false }
+    else f.dataType match {
+      case MapType(LongType, _, _) => slotKind(i) = KindVersioned; fastPathOk = false
+      case _ =>
+        slotKind(i) = KindSimple
+        if (slotByColumn.put(colKey(f.cf, f.qual), i) != null) fastPathOk = false
+    }
+  }
+
   /** Decode the projected fields of one KvRow into 1..n InternalRows. */
   def materialize(row: KvRow): Iterator[InternalRow] = {
+    if (mergeToLatest && fastPathOk) return Iterator.single(buildMergedFast(row))
+
     val keyValues: Map[String, Any] = {
       val m = Map.newBuilder[String, Any]
       keyParts.foreach { p =>
@@ -40,6 +74,33 @@ final class RowMaterializer(
 
     if (mergeToLatest) Iterator.single(buildMerged(row, keyValues))
     else buildExploded(row, keyValues)
+  }
+
+  /** Fast path: key parts decoded straight into their slots, then ONE pass
+    * over the cells (first match per column wins = latest version). */
+  private def buildMergedFast(row: KvRow): InternalRow = {
+    val out = new Array[Any](nSlots)
+    val filled = new Array[Boolean](nSlots)
+    var i = 0
+    while (i < nSlots) {
+      if (slotKind(i) == KindKey) {
+        val p = keyPartOf(i)
+        val len = if (p.width < 0) row.key.length - p.offset else p.width
+        out(i) = toRequired(fieldsArr(i), reqTypes(i),
+          p.field.coder.decode(p.field.dataType, row.key, p.offset, len))
+        filled(i) = true
+      }
+      i += 1
+    }
+    row.cells.foreach { c =>
+      val s = slotByColumn.get(colKey(c.cf, c.qual))
+      if (s != null && !filled(s)) {
+        val f = fieldsArr(s)
+        out(s) = toRequired(f, reqTypes(s), f.coder.decode(f.dataType, c.value))
+        filled(s) = true
+      }
+    }
+    new GenericInternalRow(out)
   }
 
   /** Project a decoded JVM value from its full catalog type onto the
