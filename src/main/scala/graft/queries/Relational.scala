@@ -263,6 +263,24 @@ object Relational {
       |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q14: hot-key-safe salted equi-join — results identical to the plain
+    * join (the salt is a pure distribution key), which IS the oracle. */
+  def q14SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    graft.pipeline.Skew.saltedJoin(l, o, "l_orderkey", salts = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_orderstatus"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  def q14Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** All entries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -278,6 +296,7 @@ object Relational {
     "q11_semi_join"     -> (q11SemiJoin _),
     "q12_anti_join"     -> (q12AntiJoin _),
     "q13_correlated_agg" -> (q13CorrelatedAgg _),
+    "q14_salted_join"   -> (q14SaltedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,5 +313,6 @@ object Relational {
     "q11_semi_join"     -> q11Sql,
     "q12_anti_join"     -> q12Sql,
     "q13_correlated_agg" -> q13Sql,
+    "q14_salted_join"   -> q14Sql,
   )
 }

@@ -126,6 +126,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.exists(r => r.getLong(1) == 2L && r.getInt(3) == 1))
   }
 
+  test("Skew.saltedJoin and saltedCountSum match their unsalted twins") {
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"value")
+    val users = events.groupBy($"user_id").agg(max($"value").as("max_v"))
+
+    val plain = events.join(users, Seq("user_id"))
+    val salted = Skew.saltedJoin(events, users, "user_id", salts = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum($"value")).head.getDouble(0) ==
+      plain.agg(sum($"value")).head.getDouble(0))
+
+    val direct = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val twoPhase = Skew.saltedCountSum(events, "user_id", "value", salts = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(twoPhase.keySet == direct.keySet)
+    // counts exact; double sums may differ only by fp association order
+    twoPhase.foreach { case (k, (n, s)) =>
+      assert(n == direct(k)._1)
+      assert(math.abs(s - direct(k)._2) < 1e-9)
+    }
+  }
+
   test("Multimodal: stub features deterministic; null payload tolerated") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()

