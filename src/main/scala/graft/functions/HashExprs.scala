@@ -271,6 +271,69 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Winnowing-style min-MD5 k-gram document fingerprint in one pass: the
+  * lexicographic minimum of md5(substring(text, i, k)) over every character
+  * position i. Replaces the `array_min(transform(sequence(...), md5(...)))`
+  * HOF chain (CodegenFallback, one boxed UTF8String + hex string per
+  * position) with a single loop that reuses one MessageDigest per row and
+  * compares raw digests unsigned (same order as the hex strings, which are
+  * only rendered once at the end). Substring positions are CHARACTER-based
+  * (UTF8String.substringSQL) so results are bit-identical to the SQL form. */
+case class MinKgramMd5(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"min_kgram_md5 needs string input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = text.numChars()
+    val n = math.max(len - k + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: Array[Byte] = null
+    var i = 1
+    while (i <= n) {
+      md.reset()
+      md.update(text.substringSQL(i, k).getBytes)
+      val d = md.digest()
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(toHex(best))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def toHex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(d.length * 2)
+    d.foreach { b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      .append(Character.forDigit(b & 0xf, 16)) }
+    sb.toString
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // per-row cost is the md5 loop itself; delegate to eval via a reference
+    // object so the surrounding projection stays in whole-stage codegen
+    val self = ctx.addReferenceObj("minKgramMd5", this, classOf[MinKgramMd5].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points. Inputs are token arrays (e.g. from the
   * codegen'd `split`); the expressions do the (bigram) shingling internally. */
 object HashExprs {
@@ -282,4 +345,6 @@ object HashExprs {
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
   def sortedJaccard(a: Column, b: Column): Column =
     GraftShim.column(SortedJaccard(GraftShim.expression(a), GraftShim.expression(b)))
+  def minKgramMd5(text: Column, k: Int): Column =
+    GraftShim.column(MinKgramMd5(GraftShim.expression(text), k))
 }

@@ -78,10 +78,10 @@ object TextOps {
   }
 
   /** Winnowing-style document fingerprint: lexicographic min of the MD5 of
-    * every k-gram — one codegen'd expression, no explode, deterministic.
-    * (expr-built because Scala's `substring` helper takes only literal
-    * positions, while the SQL form accepts the lambda variable.) */
+    * every k-gram, via the native one-pass [[graft.functions.MinKgramMd5]]
+    * expression (bit-identical to the
+    * `array_min(transform(sequence(...), md5(substring(...))))` SQL form,
+    * which is CodegenFallback and allocates per position). */
   def fingerprintExpr(textCol: String, k: Int = 16): Column =
-    expr(s"array_min(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
-      s"i -> md5(substring($textCol, i, $k))))")
+    graft.functions.HashExprs.minKgramMd5(col(textCol), k)
 }

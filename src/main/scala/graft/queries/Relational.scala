@@ -281,6 +281,45 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q15: bucketed co-located join — both sides written bucketBy(8) on the
+    * join key (with in-bucket sort), so the join reads bucket-aligned files
+    * and shuffles NEITHER side (Exchange-free SortMergeJoin; pinned by plan
+    * audit). The populate-then-query round trip mirrors the kv* queries; at
+    * 100 TB this is the "pay the shuffle once at layout time" design. */
+  /** Drop a managed bucketed table AND its warehouse path — a fresh JVM's
+    * in-memory catalog forgets the table but the path survives, which would
+    * fail the next saveAsTable. */
+  private def resetBucketedTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def q15BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    resetBucketedTable(s, "li_bucketed")
+    resetBucketedTable(s, "ord_bucketed")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+    s.table("li_bucketed")
+      .join(s.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("o_custkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  def q15Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, o_custkey
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** All entries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -297,6 +336,7 @@ object Relational {
     "q12_anti_join"     -> (q12AntiJoin _),
     "q13_correlated_agg" -> (q13CorrelatedAgg _),
     "q14_salted_join"   -> (q14SaltedJoin _),
+    "q15_bucketed_join" -> (q15BucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -314,5 +354,6 @@ object Relational {
     "q12_anti_join"     -> q12Sql,
     "q13_correlated_agg" -> q13Sql,
     "q14_salted_join"   -> q14Sql,
+    "q15_bucketed_join" -> q15Sql,
   )
 }

@@ -120,6 +120,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(3000))
   }
 
+  test("q15: bucketed join shuffles neither side") {
+    Relational.q15BucketedJoin(spark, dir).collect() // writes bucketed tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val join = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = executedPlan(join)
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
