@@ -62,13 +62,51 @@ object Events {
       |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ev3: as-of join — for each purchase, the user's latest click at or
+    * before the purchase time. Spark has no native as-of join; composing it
+    * as a tagged union + ONE per-user window keeps it a single shuffle on
+    * user_id (the join-then-filter formulation shuffles both sides and
+    * explodes on active users). Clicks sort before purchases at equal ts so
+    * `click_ts <= purchase_ts` matches DuckDB ASOF semantics. */
+  def ev3AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_click"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_click"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last(
+        when(col("is_click") === 1,
+          struct(col("ts").as("cts"), col("event_id").as("cid"))),
+        ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("last_click.cts").as("click_ts"),
+        col("last_click.cid").as("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val ev3Sql: String =
+    """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       c.ts AS click_ts, c.event_id AS click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
+    "ev3_asof_join"  -> (ev3AsofJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "ev1_window_agg" -> ev1Sql,
     "ev2_sessionize" -> ev2Sql,
+    "ev3_asof_join"  -> ev3Sql,
   )
 }
