@@ -98,15 +98,62 @@ object Events {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** ev4: range (interval-overlap) join — count events per derived time
+    * window. A pure inequality join compiles to a broadcast nested loop
+    * (O(events × windows)); instead both sides are bucketed into fixed
+    * granules (granule = min window width): windows explode to the granules
+    * they overlap, events carry their single granule, the join is an
+    * EQUI-join on the granule id, and the exact bound check is a residual
+    * filter. At 100 TB the granule key shuffles/co-locates like any
+    * equi-join — pinned by a plan audit (no BroadcastNestedLoopJoin). */
+  def ev4RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val e = Tables.events(s, dir).select(col("ts").cast("long").as("tss"))
+    val Row(t0: Long, t1: Long) =
+      e.agg(min(col("tss")), max(col("tss"))).head
+    val span = t1 - t0
+    val g = math.max(span / 40, 1L) // granule = min window width
+    // 20 derived windows [ws, we) — integer-second arithmetic, exact in SQL
+    val windows = (0L until 20L).flatMap { k =>
+      val ws = t0 + k * span / 20
+      val we = ws + span / 40
+      if (we > ws) ((ws - t0) / g to (we - 1 - t0) / g).map(gr => (k, ws, we, gr))
+      else Seq.empty
+    }
+    import s.implicits._
+    val w = windows.toDF("window_id", "ws", "we", "granule")
+    e.withColumn("granule", (col("tss") - t0) / g cast "long")
+      .join(w, Seq("granule"))
+      .filter(col("tss") >= col("ws") && col("tss") < col("we"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("window_id"))
+  }
+
+  val ev4Sql: String =
+    """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+      |                  CAST(floor(epoch(max(ts))) AS BIGINT) AS t1 FROM events),
+      |     w AS (SELECT r.range AS window_id,
+      |                  t0 + (r.range * (t1 - t0)) // 20 AS ws,
+      |                  t0 + (r.range * (t1 - t0)) // 20 + (t1 - t0) // 40 AS we
+      |           FROM b, range(20) r)
+      |SELECT w.window_id, count(*) AS n
+      |FROM w JOIN events e
+      |  ON CAST(floor(epoch(e.ts)) AS BIGINT) >= w.ws
+      | AND CAST(floor(epoch(e.ts)) AS BIGINT) < w.we
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
     "ev3_asof_join"  -> (ev3AsofJoin _),
+    "ev4_range_join" -> (ev4RangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "ev1_window_agg" -> ev1Sql,
     "ev2_sessionize" -> ev2Sql,
     "ev3_asof_join"  -> ev3Sql,
+    "ev4_range_join" -> ev4Sql,
   )
 }

@@ -136,6 +136,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ev4: range join runs as a granule equi-join, not a nested loop") {
+    val plan = executedPlan(Events.ev4RangeJoin(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must not fall back to a nested loop:\n${plan.take(3000)}")
+    assert(plan.contains("granule"), plan.take(3000))
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
