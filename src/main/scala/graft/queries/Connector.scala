@@ -277,6 +277,35 @@ object Connector {
       |WHERE s_suppkey >= 2 AND s_acctbal > -1000.0
       |ORDER BY s_suppkey""".stripMargin
 
+  /** kv11: SQL over a kv table MIXED with a parquet table — the reference's
+    * LRJobForDataSources shape (hive × hbase in one SQL statement). The kv
+    * supplier table (written by kv10) and the parquet nation table register
+    * as temp views and join in SQL; pushdown still reaches the kv scan. */
+  def kv11MixedSql(s: SparkSession, dir: String): DataFrame = {
+    kv10Phoenix(s, dir).count() // ensure the kv table exists
+    s.read.format("graft-kv").option("catalog", phoenixCatalog).load()
+      .createOrReplaceTempView("kv_supplier_v")
+    Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .createOrReplaceTempView("supplier_keys_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT n.n_name, count(*) AS n_suppliers,
+        |       CAST(sum(CAST(k.s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM kv_supplier_v k
+        |JOIN supplier_keys_v sk ON k.s_suppkey = sk.s_suppkey
+        |JOIN nation_v n ON sk.s_nationkey = n.n_nationkey
+        |WHERE k.s_acctbal > 0.0
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin)
+  }
+
+  val kv11Sql: String =
+    """SELECT n.n_name, count(*) AS n_suppliers,
+      |       CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_acctbal > 0.0
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -288,6 +317,7 @@ object Connector {
     "kv8_dynamic_columns" -> (kv8DynamicColumns _),
     "kv9_avro_record"     -> (kv9AvroRecord _),
     "kv10_phoenix"        -> (kv10Phoenix _),
+    "kv11_mixed_sql"      -> (kv11MixedSql _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,5 +331,6 @@ object Connector {
     "kv8_dynamic_columns" -> kv8Sql,
     "kv9_avro_record"     -> kv9Sql,
     "kv10_phoenix"        -> kv10Sql,
+    "kv11_mixed_sql"      -> kv11Sql,
   )
 }
