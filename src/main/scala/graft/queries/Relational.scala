@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Determinism rules (so the DuckDB oracle hash-matches):
   *  - every money/quantity aggregate is summed in DECIMAL (exact, order-
-  *    independent across 32 shuffle partitions) and cast to DOUBLE at the end;
+  *    independent across 32 shuffle partitions) and EMITTED as
+  *    DECIMAL(38,6): a final cast to double is rounded independently by the
+  *    two engines and can differ by one ulp (seen at sf0.001), so the
+  *    output type stays exact;
   *  - every output is totally ordered by a unique key;
   *  - column names are aliased identically in Spark and oracle SQL.
   *
@@ -33,19 +36,19 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_quantity"))).cast("decimal(38,6)").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(38,6)").as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+          .cast("decimal(38,6)").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   def q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -82,14 +85,14 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
+          .cast("decimal(38,6)").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("c_mktsegment"))
   }
 
   def q3Sql: String =
     """SELECT c_mktsegment,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
