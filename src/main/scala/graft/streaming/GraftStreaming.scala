@@ -69,6 +69,14 @@ object GraftStreaming {
       .toDF()
   }
 
+  /** Streaming exact deduplication — the streaming twin of Dedup.exact:
+    * watermarked `dropDuplicates` keeps the first row per key and holds one
+    * state entry per distinct key inside the watermark horizon, so state is
+    * bounded by key cardinality × horizon, not by stream length. */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+
   /** Run a streaming query until all currently-available source data is
     * processed, then stop (test-harness helper). */
   def runOnce(writer: DataStreamWriter[Row]): StreamingQuery = {

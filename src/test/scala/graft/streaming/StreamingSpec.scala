@@ -71,6 +71,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming dedup emits one row per distinct key") {
+    val deduped = GraftStreaming.dedupStream(
+      eventStream(), Seq("user_id", "event_type"), "ts")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT count(*) FROM dedup_out").head.getLong(0)
+    val batch = graft.queries.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed == batch)
+  }
+
   test("graft-kv streaming sink lands micro-batches in the store") {
     val catalog =
       """{"table":{"namespace":"default", "name":"stream_events"},
