@@ -37,13 +37,16 @@ object HashSketch {
     val shingleCount = if (n == 1) 1 else n - 1
     var j = 0
     while (j < shingleCount) {
-      var base = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
-      if (n > 1) base = XXH64.hashUTF8String(arr.getUTF8String(j + 1), base)
-      var i = 0
-      while (i < numHashes) {
-        val h = XXH64.hashInt(i, base)
-        if (h < mins(i)) mins(i) = h
-        i += 1
+      // null tokens (containsNull arrays) are skipped, like SimHash64
+      if (!arr.isNullAt(j) && (n == 1 || !arr.isNullAt(j + 1))) {
+        var base = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        if (n > 1) base = XXH64.hashUTF8String(arr.getUTF8String(j + 1), base)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashInt(i, base)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
       }
       j += 1
     }
@@ -63,6 +66,7 @@ object HashSketch {
        |int $nEl = $a.numElements();
        |int $nSh = $nEl == 1 ? 1 : $nEl - 1;
        |for (int $j = 0; $j < $nSh; $j++) {
+       |  if ($a.isNullAt($j) || ($nEl > 1 && $a.isNullAt($j + 1))) continue;
        |  long $base = $xxh.hashUTF8String($a.getUTF8String($j), 42L);
        |  if ($nEl > 1) $base = $xxh.hashUTF8String($a.getUTF8String($j + 1), $base);
        |  for (int $i = 0; $i < $numHashes; $i++) {
@@ -110,15 +114,17 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression {
 
-  private val rows = numHashes / bands
+  private lazy val rows = numHashes / bands
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes % bands == 0 =>
-      TypeCheckResult.TypeCheckSuccess
+    case _ if bands <= 0 || numHashes % bands != 0 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands needs 0 < bands dividing numHashes, got bands=$bands numHashes=$numHashes")
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_bands needs array<string> input and bands | numHashes, got $other")
+      s"minhash_bands needs array<string> input, got $other")
   }
 
   override def nullSafeEval(v: Any): Any = {
@@ -223,8 +229,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * a single O(n+m) merge — no per-pair hash set (array_intersect allocates
   * an OpenHashSet per call), no boxing. Callers must pre-sort with
   * `sort_array(array_distinct(...))` once per row BEFORE the pair join, so
-  * the per-pair cost is the merge alone. Result is bit-identical to
-  * size(array_intersect)/size(union) on the same arrays. */
+  * the per-pair cost is the merge alone; unsorted input silently
+  * undercounts. Result matches size(array_intersect)/size(union) on the
+  * same sets, with NULL (not NaN) when both sets are empty. */
 case class SortedJaccard(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -237,17 +244,26 @@ case class SortedJaccard(left: Expression, right: Expression)
       s"sorted_jaccard needs two array<string> inputs, got $other")
   }
 
+  override def nullable: Boolean = true
+
+  // null elements (sort_array places them first) are skipped; two empty
+  // token sets yield NULL (matching Divide-by-zero semantics of the
+  // size(array_intersect)/union formulation), never NaN — NaN sorts above
+  // every double in Spark and would pass `>= threshold` filters.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val na = a.numElements(); val nb = b.numElements()
-    var i = 0; var j = 0; var inter = 0
+    var i = 0; var j = 0; var inter = 0; var nulls = 0
+    while (i < na && a.isNullAt(i)) { i += 1; nulls += 1 }
+    while (j < nb && b.isNullAt(j)) { j += 1; nulls += 1 }
     while (i < na && j < nb) {
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
     }
-    inter.toDouble / (na + nb - inter).toDouble
+    val denom = na + nb - nulls - inter
+    if (denom == 0) null else inter.toDouble / denom.toDouble
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -255,15 +271,20 @@ case class SortedJaccard(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val nulls = ctx.freshName("nulls"); val denom = ctx.freshName("denom")
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
-         |int $i = 0; int $j = 0; int $inter = 0;
+         |int $i = 0; int $j = 0; int $inter = 0; int $nulls = 0;
+         |while ($i < $na && $a.isNullAt($i)) { $i++; $nulls++; }
+         |while ($j < $nb && $b.isNullAt($j)) { $j++; $nulls++; }
          |while ($i < $na && $j < $nb) {
          |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c == 0) { $inter++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}
-         |${ev.value} = (double) $inter / (double) ($na + $nb - $inter);
+         |int $denom = $na + $nb - $nulls - $inter;
+         |if ($denom == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (double) $inter / (double) $denom; }
        """.stripMargin
     })
 

@@ -95,8 +95,9 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   * product of the vector with seeded ±1 hyperplane i. One pass of primitive
   * loops per row (the zip_with/aggregate HOF formulation is CodegenFallback
   * and re-allocates a zipped array per bit per row). Plane generation is
-  * deterministic in (bits, dim, seed) and identical to the previous HOF
-  * formulation, so bucket ids are unchanged. */
+  * deterministic in (bits, dim, seed). Vectors shorter/longer than `dim`
+  * use the first min(len, dim) components (an empty vector gets the
+  * all-ones bucket since every dot product is 0 ≥ 0). */
 case class SignLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

@@ -28,9 +28,10 @@ object Dedup {
   private def tokenSet(c: Column): Column =
     sort_array(array_distinct(TextOps.tokens(c)))
 
-  /** Exact token-set Jaccard of two SORTED distinct token arrays, via the
-    * native merge expression (bit-identical to array_intersect/union
-    * arithmetic on the same sets). */
+  /** Exact token-set Jaccard via the native O(n+m) merge expression.
+    * PRECONDITION: both inputs must be sorted, de-duplicated arrays (use
+    * [[tokenSet]]); unsorted input silently undercounts the intersection.
+    * Two empty sets yield NULL, so `>= threshold` filters drop the pair. */
   def jaccard(a: Column, b: Column): Column =
     graft.functions.HashExprs.sortedJaccard(a, b)
 

@@ -73,7 +73,11 @@ object Similarity {
     val seeds: Array[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
     // one Lloyd step: cell assignment is a native one-pass expression; the
     // per-dimension mean is a single shuffle keyed by (cell, dim)
     val assigned = corpus.select(

@@ -74,8 +74,10 @@ object Events {
       .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_click"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_click"))
+    // total order: event_id breaks (ts, kind) ties so the matched click is
+    // deterministic even if a user ever has two clicks at one timestamp
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("is_click").desc)
+      .orderBy(col("ts").asc, col("is_click").desc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("last_click", last(

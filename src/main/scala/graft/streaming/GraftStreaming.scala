@@ -43,9 +43,14 @@ object GraftStreaming {
     * queries.Events.ev2Sessionize, built on
     * `KeyValueGroupedDataset.flatMapGroupsWithState`: a new session starts
     * when a user is idle > `gapSec`. State per key is three longs, bounded
-    * by the user cardinality; with event-time processing each micro-batch
-    * folds its events in timestamp order. Emits the running
-    * (user_id, n_sessions, n_events) after every batch (update mode). */
+    * by the user cardinality; each micro-batch folds its events in
+    * timestamp order. CONTRACT: per-key delivery must be in event-time
+    * order ACROSS batches (true for a time-ordered source like an
+    * append-only event log; within a batch any order is fine). Late events
+    * that arrive behind the key's clock are counted into n_events but never
+    * rewind the clock or open a session — the counts stay monotone instead
+    * of silently corrupting. Emits the running (user_id, n_sessions,
+    * n_events) after every batch (update mode). */
   def sessionizeStream(events: DataFrame, gapSec: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -60,8 +65,11 @@ object GraftStreaming {
           val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
           var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           sorted.foreach { case (_, ts, _) =>
-            val newSession = s.lastTsSec == Long.MinValue || ts - s.lastTsSec > gapSec
-            s = SessionState(ts, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+            val late = s.lastTsSec != Long.MinValue && ts < s.lastTsSec
+            val newSession = !late &&
+              (s.lastTsSec == Long.MinValue || ts - s.lastTsSec > gapSec)
+            s = SessionState(math.max(ts, s.lastTsSec),
+              s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
           }
           state.update(s)
           Iterator.single(UserSessions(user, s.nSessions, s.nEvents))
