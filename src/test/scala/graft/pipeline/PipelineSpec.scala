@@ -150,6 +150,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sketch expressions tolerate null tokens; empty-set jaccard is NULL") {
+    val df = Seq(
+      (1L, Seq[String]("a", null, "b")),
+      (2L, Seq[String]("a", "b")),
+      (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    import graft.functions.HashExprs
+    // null tokens skipped, not NPE; empty arrays still produce a signature
+    val sigs = df.select($"id", HashExprs.minhashSig($"toks", 8).as("sig"),
+        HashExprs.minhashBands($"toks", 8, 2).as("bands"),
+        HashExprs.simhash64($"toks").as("fp"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(sigs(1).getSeq[Long](1).size == 8)
+    assert(sigs(2).getSeq[Long](2).size == 2)
+    assert(sigs(3).getLong(3) == 0L) // no tokens => zero fingerprint
+
+    val jac = df.as("x").crossJoin(df.as("y"))
+      .select($"x.id".as("i"), $"y.id".as("j"),
+        HashExprs.sortedJaccard(sort_array(array_distinct($"x.toks")),
+          sort_array(array_distinct($"y.toks"))).as("jc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(jac((3L, 3L)).isEmpty)         // empty ∩ empty => NULL, not NaN
+    assert(jac((1L, 2L)).contains(1.0))   // nulls dropped: {a,b} vs {a,b}
+  }
+
   test("Multimodal: stub features deterministic; null payload tolerated") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()
