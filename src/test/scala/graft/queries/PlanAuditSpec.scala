@@ -143,6 +143,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("granule"), plan.take(3000))
   }
 
+  test("ev3: as-of join is one data shuffle (union + window), not a join") {
+    val df = Events.ev3AsofJoin(spark, dir)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Join"), s"as-of must not compile to a join:\n${plan.take(2000)}")
+    // shuffles: one hashpartitioning(user_id) for the window + the final
+    // range partitioning for the orderBy — never one per input branch
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
