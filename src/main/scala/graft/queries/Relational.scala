@@ -303,12 +303,16 @@ object Relational {
   def q15BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     resetBucketedTable(s, "li_bucketed")
     resetBucketedTable(s, "ord_bucketed")
+    // repartition by the bucket key first: one file per bucket instead of
+    // (input partitions × buckets) files — the layout that scans well later
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("ord_bucketed")
     s.table("li_bucketed")
