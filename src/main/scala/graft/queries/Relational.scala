@@ -327,6 +327,46 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q16: set operations — UNION / INTERSECT / EXCEPT compose customer
+    * key sets from two predicates; all three are distinct-set semantics. */
+  def q16SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val a = c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+    val b = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val union = a.union(b).distinct().withColumn("op", lit("union"))
+    val inter = a.intersect(b).withColumn("op", lit("intersect"))
+    val except = a.except(b).withColumn("op", lit("except"))
+    union.unionByName(inter).unionByName(except)
+      .orderBy(col("op"), col("c_custkey"))
+  }
+
+  def q16Sql: String =
+    """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0),
+      |     b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT c_custkey, 'union' AS op FROM (SELECT * FROM a UNION SELECT * FROM b)
+      |UNION ALL
+      |SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT c_custkey, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |ORDER BY op, c_custkey""".stripMargin
+
+  /** q17: rollup — subtotals per (status, priority), per status, and grand
+    * total in one pass; grouping-null markers make rows distinguishable. */
+  def q17Rollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("decimal(38,6)").as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  def q17Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** All entries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -344,6 +384,8 @@ object Relational {
     "q13_correlated_agg" -> (q13CorrelatedAgg _),
     "q14_salted_join"   -> (q14SaltedJoin _),
     "q15_bucketed_join" -> (q15BucketedJoin _),
+    "q16_set_ops"       -> (q16SetOps _),
+    "q17_rollup"        -> (q17Rollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,5 +404,7 @@ object Relational {
     "q13_correlated_agg" -> q13Sql,
     "q14_salted_join"   -> q14Sql,
     "q15_bucketed_join" -> q15Sql,
+    "q16_set_ops"       -> q16Sql,
+    "q17_rollup"        -> q17Sql,
   )
 }
