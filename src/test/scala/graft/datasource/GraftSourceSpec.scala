@@ -19,6 +19,7 @@ case class CRec(col00: String, col01: Int, col1: Boolean, col7: String)
 case class VRec(key: String, v: String)
 case class DRec(key: String, dyn: Map[String, Int])
 case class PRec(col0: Int, col7: String)
+case class PCRec(col00: String, col01: Int, col7: String)
 
 /** End-to-end connector tests over the embedded store, mirroring the
   * reference's minicluster suites:
@@ -272,5 +273,28 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter($"col0" < 0).count() == 16)
     assert(df.filter($"col0" <= -10).count() == 11)
     assert(df.filter($"col0" === -11).count() == 1)
+  }
+
+  test("Phoenix coder: composite key (string(6) + int) with negative parts") {
+    // reference PhoenixCompositeKeySuite shape: fixed-width string prefix,
+    // int suffix with mixed signs; prefix predicates prune ranges, suffix
+    // predicates are exact key predicates
+    val pcCatalog =
+      """{"table":{"namespace":"default", "name":"pctable", "tableCoder":"Phoenix", "version":"2.0"},
+        |"rowkey":"key1:key2",
+        |"columns":{
+        |"col00":{"cf":"rowkey", "col":"key1", "type":"string", "length":"6"},
+        |"col01":{"cf":"rowkey", "col":"key2", "type":"int"},
+        |"col7":{"cf":"cf7", "col":"col7", "type":"string"}}}""".stripMargin
+    (0 to 63).map(i => PCRec(f"row$i%03d", if (i % 2 == 0) i else -i, s"s$i")).toDF()
+      .write.format("graft-kv")
+      .options(Map("catalog" -> pcCatalog, "newtable" -> "4"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv").option("catalog", pcCatalog).load()
+    assert(df.count() == 64)
+    assert(df.filter($"col00" === "row005" && $"col01" === -5).count() == 1)
+    assert(df.filter($"col00" <= "row009").count() == 10)
+    assert(df.filter($"col01" < 0).count() == 32) // suffix predicate, exact
+    assert(df.filter($"col00" >= "row060" && $"col01" >= 0).count() == 2)
   }
 }
