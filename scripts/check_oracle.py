@@ -49,12 +49,29 @@ for name in sorted(oracle):
         return sorted(out, key=repr)
 
     a, b = norm(spark_tbl), norm(duck_rows)
+
+    # Mimic the driver's hash canonicalization: it reads both sides through
+    # pandas (duckdb .df() downcasts DECIMAL/HUGEINT to float64; spark parquet
+    # keeps decimal128/int64 as object/int64). A dtype-kind mismatch means the
+    # driver's hash_match would fail even when the Python values above agree.
+    import pandas as pd
+    spark_df = pq.read_table(files[0]).to_pandas()
+    duck_df = con.execute(sql).df()
+    dtype_mismatch = []
+    for c in sorted(set(spark_df.columns) & set(duck_df.columns)):
+        ks, kd = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+        if ks != kd:
+            dtype_mismatch.append((c, str(spark_df[c].dtype), str(duck_df[c].dtype)))
+
     if len(a) != len(b):
         print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
         fail += 1
     elif a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
         print(f"FAIL {name}: {len([1 for x,y in zip(a,b) if x!=y])} mismatched rows; first: {diffs}")
+        fail += 1
+    elif dtype_mismatch:
+        print(f"FAIL {name}: values equal but dtype kinds differ (driver hash would fail): {dtype_mismatch}")
         fail += 1
     else:
         print(f"OK   {name}: {len(a)} rows")

@@ -50,12 +50,16 @@ object FilterCompiler {
   def partition(catalog: GraftCatalog, filters: Array[Filter]): (Array[Filter], Array[Filter]) =
     filters.partition(f => compile(catalog, f).handled)
 
-  /** And(In(a,X), Not(In(a,Y))) → In(a, X∖Y), both argument orders. */
+  /** And(In(a,X), Not(In(a,Y))) → In(a, X∖Y), both argument orders.
+    * A null in Y makes `a NOT IN Y` never true (NOT(NULL) is not true), so
+    * the whole conjunction matches nothing → empty In. */
   private[datasource] def rewriteInNotIn(filters: Seq[Filter]): Seq[Filter] = filters.map {
     case And(In(a, xs), Not(In(b, ys))) if a == b =>
-      In(a, xs.filterNot(x => ys.exists(y => nullSafeEq(x, y))))
+      if (ys.contains(null)) In(a, Array.empty)
+      else In(a, xs.filterNot(x => ys.exists(y => nullSafeEq(x, y))))
     case And(Not(In(b, ys)), In(a, xs)) if a == b =>
-      In(a, xs.filterNot(x => ys.exists(y => nullSafeEq(x, y))))
+      if (ys.contains(null)) In(a, Array.empty)
+      else In(a, xs.filterNot(x => ys.exists(y => nullSafeEq(x, y))))
     case f => f
   }
 
@@ -81,7 +85,16 @@ object FilterCompiler {
     case In(attr, values) =>
       val nonNull = values.filter(_ != null)
       if (nonNull.isEmpty) Hrf(Seq.empty, Some(KvPredicate.Or(Seq.empty)), handled = true) // empty set: matches nothing
-      else nonNull.map(v => leafCmp(catalog, attr, Eq, v)).reduce(orHrf)
+      else {
+        // Build every point leaf first and normalize the range union ONCE:
+        // a reduce(orHrf) re-normalizes the accumulated list per element —
+        // O(n²) for the reference's 2000-element IN regression
+        // (DefaultSourceSuite.scala:156-194); this stays O(n log n).
+        val leaves = nonNull.map(v => leafCmp(catalog, attr, Eq, v))
+        if (leaves.exists(l => !l.handled || l.pred.isEmpty)) unhandled
+        else Hrf(ScanRange.normalize(leaves.toSeq.flatMap(_.ranges)),
+          Some(KvPredicate.Or(leaves.toSeq.flatMap(_.pred))), handled = true)
+      }
 
     case IsNull(attr)    => leafIsNull(catalog, attr)
     case IsNotNull(attr) => leafIsNotNull(catalog, attr)
@@ -89,6 +102,20 @@ object FilterCompiler {
     case StringStartsWith(attr, p) => leafStartsWith(catalog, attr, p)
     case StringEndsWith(attr, p)   => leafStrMatch(catalog, attr, p, StrMode.Suffix)
     case StringContains(attr, p)   => leafStrMatch(catalog, attr, p, StrMode.Contains)
+
+    // SQL: `a NOT IN (v…, NULL)` is never true — for matching rows NOT(true)
+    // is false, for all others NOT(NULL) is not true. Our In compile drops
+    // the null (exact as a POSITIVE filter), so the generic negation below
+    // would wrongly return every non-matching row; compile the whole leaf to
+    // the exact empty result instead.
+    case Not(In(_, values)) if values.contains(null) =>
+      Hrf(Seq.empty, None, handled = true)
+
+    case Not(child) if containsNullIn(child) =>
+      // A null-bearing In anywhere deeper under Not (e.g. Not(Or(In(..null..),
+      // …))) has the same three-valued hazard without a clean closed form —
+      // hand it back to Spark for residual evaluation.
+      unhandled
 
     case Not(child) =>
       val c = compile(catalog, child)
@@ -108,6 +135,17 @@ object FilterCompiler {
     case AlwaysTrue()  => Hrf(AllRanges, None, handled = true)
     case AlwaysFalse() => Hrf(Seq.empty, None, handled = true)
     case _ => unhandled
+  }
+
+  /** Does this filter tree contain an In whose value list has a null? Such
+    * an In is exact as a positive filter (null matches nothing) but NOT
+    * under negation — see the Not cases above. */
+  private def containsNullIn(f: Filter): Boolean = f match {
+    case In(_, values) => values.contains(null)
+    case And(l, r)     => containsNullIn(l) || containsNullIn(r)
+    case Or(l, r)      => containsNullIn(l) || containsNullIn(r)
+    case Not(c)        => containsNullIn(c)
+    case _             => false
   }
 
   /** IsNotNull guards for every column (non-key) referenced by a filter;

@@ -123,11 +123,14 @@ class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: St
       require(!row.isNullAt(i), s"row-key column ${p.field.name} is null")
       val v = CatalystConv.fromCatalyst(dt, row.get(i, dt))
       val enc = p.field.coder.encode(p.field.dataType, v)
-      if (p.width > 0 && enc.length != p.width) {
-        require(enc.length <= p.width,
-          s"${p.field.name}: encoded ${enc.length} bytes > declared length ${p.width}")
-        java.util.Arrays.copyOf(enc, p.width) // zero-pad fixed-width parts
-      } else enc
+      // Fixed-width parts must encode to EXACTLY the declared width (like
+      // the reference): zero-padding an under-length value would silently
+      // mutate it on round trip ('ab' → 'ab\0\0\0\0') and equality filters
+      // on the original value would never match.
+      require(p.width <= 0 || enc.length == p.width,
+        s"${p.field.name}: encoded ${enc.length} bytes but declared length ${p.width}; " +
+          "fixed-width key parts require exact-length values")
+      enc
     }
     val key = BytesUtil.concat(keyBytes: _*)
 

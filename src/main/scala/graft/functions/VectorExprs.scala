@@ -23,6 +23,12 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override def dataType: DataType = DoubleType
 
+  /** Zero-norm vectors have no defined cosine: 0/0 would yield NaN, and
+    * Spark orders NaN ABOVE every double, so `score >= threshold` filters
+    * would pass every zero-vector pair (the hazard SortedJaccard documents).
+    * Null instead — threshold filters drop it. */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -54,7 +60,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     while (i < a.numElements()) { val x = elem(a, i, af); na += x * x; i += 1 }
     i = 0
     while (i < b.numElements()) { val y = elem(b, i, bf); nb += y * y; i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -82,7 +89,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |for (int $i = 0; $i < $b.numElements(); $i++) {
          |  double $y = ${bGet(b, i)}; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
   }

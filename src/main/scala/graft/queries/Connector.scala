@@ -142,13 +142,13 @@ object Connector {
     o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(38,6)").as("total"))
+        Relational.microUnits(sum(col("o_totalprice").cast("decimal(18,6)"))).as("total"))
       .orderBy(col("c_mktsegment"))
   }
 
   val kv6Sql: String =
     """SELECT c_mktsegment, count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
@@ -290,7 +290,7 @@ object Connector {
     Tables.nation(s, dir).createOrReplaceTempView("nation_v")
     s.sql(
       """SELECT n.n_name, count(*) AS n_suppliers,
-        |       CAST(sum(CAST(k.s_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_bal
+        |       CAST(CAST(sum(CAST(k.s_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total_bal
         |FROM kv_supplier_v k
         |JOIN supplier_keys_v sk ON k.s_suppkey = sk.s_suppkey
         |JOIN nation_v n ON sk.s_nationkey = n.n_nationkey
@@ -301,7 +301,7 @@ object Connector {
 
   val kv11Sql: String =
     """SELECT n.n_name, count(*) AS n_suppliers,
-      |       CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_bal
+      |       CAST(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total_bal
       |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
       |WHERE s.s_acctbal > 0.0
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin

@@ -16,7 +16,7 @@ object Events {
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("ws"), col("event_type"))
   }
@@ -24,7 +24,7 @@ object Events {
   val ev1Sql: String =
     """SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
       |  count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 
@@ -59,7 +59,7 @@ object Events {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM marked
       |)
-      |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+      |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** ev3: as-of join — for each purchase, the user's latest click at or

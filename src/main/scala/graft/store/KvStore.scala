@@ -160,6 +160,25 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]], val maxVe
         }
       }
     }
-    if (any) Some(KvRow(key, out.result())) else None
+    if (any) Some(KvRow(key, out.result()))
+    else {
+      // SQL semantics: a row whose projected value columns are all absent
+      // still EXISTS — `SELECT key, a FROM t` must yield (key, null), not
+      // drop the row (HBase's restrictive=column scan would; that divergence
+      // was flagged in round 1). Emit a key-only row iff ANY cell — column
+      // restriction aside — falls inside the scan's time range; a row with
+      // nothing in the time window genuinely doesn't exist there. The second
+      // pass only runs when the first found no surviving cell (rare).
+      var exists = false
+      val it = row.values().iterator()
+      while (!exists && it.hasNext) {
+        val vit = it.next().entrySet().iterator()
+        while (!exists && vit.hasNext) {
+          val ts = vit.next().getKey.longValue()
+          if (time.forall(t => ts >= t.minStamp && ts < t.maxStamp)) exists = true
+        }
+      }
+      if (exists) Some(KvRow(key, Seq.empty)) else None
+    }
   }
 }

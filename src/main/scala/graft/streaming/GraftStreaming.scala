@@ -30,7 +30,8 @@ object GraftStreaming {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        graft.queries.Relational.microUnits(sum(col("value").cast("decimal(18,6)")))
+          .as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
   /** Per-user running session state for [[sessionizeStream]]. */

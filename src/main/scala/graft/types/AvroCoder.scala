@@ -102,7 +102,20 @@ object AvroCoder {
     if (v == null) return null
     s.getType match {
       case Schema.Type.UNION =>
-        val branch = s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        // Encode via the WIDEST branch of mixed-numeric unions, matching the
+        // promotion unionToSql does on the decode path: a [int,long] union is
+        // surfaced as LongType, so its values arrive as Long — encoding via
+        // the first branch would silently truncate through intValue()
+        // (likewise [float,double] through floatValue()). The datum writer
+        // resolves the union tag from the runtime type, so handing it the
+        // wide value selects the wide branch.
+        val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        val branch =
+          branches.find(_.getType == Schema.Type.LONG)
+            .filter(_ => branches.exists(_.getType == Schema.Type.INT))
+            .orElse(branches.find(_.getType == Schema.Type.DOUBLE)
+              .filter(_ => branches.exists(_.getType == Schema.Type.FLOAT)))
+            .getOrElse(branches.head)
         toAvro(v, branch)
       case Schema.Type.RECORD =>
         val rec = new GenericData.Record(s)
