@@ -165,10 +165,18 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** 64-bit SimHash over a token array in one pass: bit b of
-  * XXH64.hashUTF8String(token, 42) votes ±1; fingerprint bit = sign of the
-  * vote sum (set iff strictly more set-votes than unset-votes). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** 64-bit SimHash over a token array in one pass: bit b of the per-token
+  * hash votes ±1; fingerprint bit = sign of the vote sum (set iff strictly
+  * more set-votes than unset-votes).
+  *
+  * Hash base: default is XXH64.hashUTF8String(token, 42) — fastest, stays
+  * in whole-stage codegen. `md5Base=true` hashes each token to the
+  * little-endian uint64 of MD5-digest bytes 8..15 instead — exactly
+  * DuckDB's `md5_number_lower(token)` — making the fingerprint (and every
+  * Hamming-distance pair derived from it) reproducible by the SQL oracle;
+  * that variant delegates codegen to a reference call (MessageDigest is
+  * not codegen-friendly) but the surrounding plan stays compiled. */
+case class SimHash64(child: Expression, md5Base: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -180,11 +188,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    val md = if (md5Base) java.security.MessageDigest.getInstance("MD5") else null
     val counts = new Array[Int](64)
     var j = 0
     while (j < arr.numElements()) {
       if (!arr.isNullAt(j)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        val h =
+          if (md5Base) {
+            md.reset()
+            val dig = md.digest(arr.getUTF8String(j).getBytes)
+            // little-endian uint64 of digest bytes 8..15 = md5_number_lower
+            (dig(8) & 0xffL) | ((dig(9) & 0xffL) << 8) | ((dig(10) & 0xffL) << 16) |
+              ((dig(11) & 0xffL) << 24) | ((dig(12) & 0xffL) << 32) |
+              ((dig(13) & 0xffL) << 40) | ((dig(14) & 0xffL) << 48) |
+              ((dig(15) & 0xffL) << 56)
+          } else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -200,6 +218,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (md5Base) {
+      val self = ctx.addReferenceObj("simhashMd5", this, classOf[SimHash64].getName)
+      return nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (Long) $self.nullSafeEval($a);")
+    }
     val xxh = classOf[XXH64].getName
     nullSafeCodeGen(ctx, ev, a => {
       val counts = ctx.freshName("counts"); val j = ctx.freshName("j")
@@ -220,6 +243,70 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |${ev.value} = $fp;
        """.stripMargin
     })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sorted, de-duplicated word-bigram shingle set of a token array — the
+  * per-document prep for [[SortedJaccard]] reranks over the SAME shingle
+  * universe MinHash sketches (single-token arrays shingle to the token
+  * itself, mirroring [[HashSketch.minhashMins]]). One pass of primitive
+  * UTF8String work replacing the
+  * `sort_array(array_distinct(transform(sequence(...), concat_ws(...))))`
+  * HOF chain, which is CodegenFallback and boxes per shingle. Binary
+  * UTF8String sort order == `sort_array`'s. Codegen delegates to eval via
+  * a reference object (the sort dominates; the surrounding projection stays
+  * compiled). */
+case class SortedShingles(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sorted_shingles needs array<string> input, got $other")
+  }
+
+  @transient private lazy val space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = if (n <= 1) n else n - 1
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](cnt)
+    var j = 0; var m = 0
+    while (j < cnt) {
+      if (!arr.isNullAt(j) && (n == 1 || !arr.isNullAt(j + 1))) {
+        out(m) =
+          if (n == 1) arr.getUTF8String(j)
+          else org.apache.spark.unsafe.types.UTF8String.concatWs(space,
+            arr.getUTF8String(j), arr.getUTF8String(j + 1))
+        m += 1
+      }
+      j += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(trimmed,
+      (a: org.apache.spark.unsafe.types.UTF8String,
+       b: org.apache.spark.unsafe.types.UTF8String) => a.compareTo(b))
+    // drop adjacent duplicates (array is sorted)
+    var w = 0
+    var r = 0
+    while (r < trimmed.length) {
+      if (w == 0 || trimmed(r).compareTo(trimmed(w - 1)) != 0) {
+        trimmed(w) = trimmed(r); w += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(trimmed, w).asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sortedShingles", this, classOf[SortedShingles].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($a);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -362,8 +449,10 @@ object HashExprs {
     GraftShim.column(MinHashSig(GraftShim.expression(tokens), numHashes))
   def minhashBands(tokens: Column, numHashes: Int, bands: Int): Column =
     GraftShim.column(MinHashBands(GraftShim.expression(tokens), numHashes, bands))
-  def simhash64(tokens: Column): Column =
-    GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+  def simhash64(tokens: Column, md5Base: Boolean = false): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(tokens), md5Base))
+  def sortedShingles(tokens: Column): Column =
+    GraftShim.column(SortedShingles(GraftShim.expression(tokens)))
   def sortedJaccard(a: Column, b: Column): Column =
     GraftShim.column(SortedJaccard(GraftShim.expression(a), GraftShim.expression(b)))
   def minKgramMd5(text: Column, k: Int): Column =

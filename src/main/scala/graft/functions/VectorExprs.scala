@@ -102,11 +102,32 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Deterministic ±1 hyperplane matrices for sign-LSH, derived from MD5 so
+  * an external SQL engine can reproduce them exactly: plane (i, d) is +1
+  * iff bit 0 of the little-endian uint64 of MD5("lsh{seed}_{i}_{d}") digest
+  * bytes 8..15 is set — precisely DuckDB's
+  * `md5_number_lower('lsh'||seed||'_'||i||'_'||d) & 1 = 1`. This makes
+  * every LSH-bucketed query ORACLE-CHECKABLE end-to-end (the round-1 gap:
+  * scala.util.Random planes were irreproducible outside the JVM). Matrix
+  * generation is O(bits×dim) MD5 calls, once per expression instance. */
+object LshPlanes {
+  def planes(seed: Long, bits: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits) { i =>
+      Array.tabulate(dim) { d =>
+        md.reset()
+        val dig = md.digest(s"lsh${seed}_${i}_$d".getBytes("UTF-8"))
+        if ((dig(8) & 1) == 1) 1.0 else -1.0 // bit 0 of LE uint64 = bit 0 of byte 8
+      }
+    }
+  }
+}
+
 /** Random-hyperplane LSH bucket id: bit i of the bucket = sign of the dot
-  * product of the vector with seeded ±1 hyperplane i. One pass of primitive
-  * loops per row (the zip_with/aggregate HOF formulation is CodegenFallback
-  * and re-allocates a zipped array per bit per row). Plane generation is
-  * deterministic in (bits, dim, seed). Vectors shorter/longer than `dim`
+  * product of the vector with deterministic ±1 hyperplane i (see
+  * [[LshPlanes]]). One pass of primitive loops per row (the
+  * zip_with/aggregate HOF formulation is CodegenFallback and re-allocates a
+  * zipped array per bit per row). Vectors shorter/longer than `dim`
   * use the first min(len, dim) components (an empty vector gets the
   * all-ones bucket since every dot product is 0 ≥ 0). */
 case class SignLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
@@ -122,11 +143,8 @@ case class SignLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
         s"sign_lsh_bucket needs array<float|double> input, got $other")
     }
 
-  /** ±1 planes, row-major bits×dim, seeded like Similarity.hyperplanes. */
-  @transient private lazy val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
+  @transient private lazy val planes: Array[Array[Double]] =
+    LshPlanes.planes(seed, bits, dim)
 
   private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -170,6 +188,94 @@ case class SignLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
          |  if ($dot >= 0) $acc |= 1 << $i;
          |}
          |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Banded sign-LSH: `bands` independent bucket ids per vector, band b's
+  * bucket packing the sign bits of planes [b·bandBits, (b+1)·bandBits).
+  * Two vectors are near-dup CANDIDATES if ANY band bucket matches —
+  * per-pair recall 1-(1-p^bandBits)^bands for bit-agreement probability
+  * p = 1 - θ/π. One fused expression returning array<int>, consumed by
+  * exactly ONE posexplode (Catalyst's CollapseProject would duplicate a
+  * per-band expression into `bands` copies of the plane walk). Planes are
+  * the MD5-derived [[LshPlanes]] matrix, so candidates are reproducible in
+  * the DuckDB oracle. */
+case class SignLshBands(child: Expression, bandBits: Int, bands: Int, dim: Int,
+    seed: Long) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _ if bandBits <= 0 || bands <= 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_bands needs positive bandBits/bands, got $bandBits/$bands")
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_bands needs array<float|double> input, got $other")
+    }
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    LshPlanes.planes(seed, bands * bandBits, dim)
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val f = isFloat
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0
+      var j = 0
+      while (j < bandBits) {
+        val p = planes(b * bandBits + j)
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          dot += (if (f) a.getFloat(d).toDouble else a.getDouble(d)) * p(d)
+          d += 1
+        }
+        if (dot >= 0) acc |= 1 << j
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) (v: String, i: String) => s"(double) $v.getFloat($i)"
+              else (v: String, i: String) => s"$v.getDouble($i)"
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out"); val b = ctx.freshName("b")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val dot = ctx.freshName("dot"); val p = ctx.freshName("p")
+      s"""
+         |int[] $out = new int[$bands];
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  int $acc = 0;
+         |  for (int $j = 0; $j < $bandBits; $j++) {
+         |    double[] $p = $planesRef[$b * $bandBits + $j];
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dot += ${get(a, d)} * $p[$d];
+         |    }
+         |    if ($dot >= 0) $acc |= 1 << $j;
+         |  }
+         |  $out[$b] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }
@@ -243,6 +349,8 @@ object VectorExprs {
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
   def signLshBucket(vec: Column, bits: Int, dim: Int, seed: Long): Column =
     GraftShim.column(SignLshBucket(GraftShim.expression(vec), bits, dim, seed))
+  def signLshBands(vec: Column, bandBits: Int, bands: Int, dim: Int, seed: Long): Column =
+    GraftShim.column(SignLshBands(GraftShim.expression(vec), bandBits, bands, dim, seed))
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftShim.column(NearestCentroids(GraftShim.expression(vec), centroids, nprobe))
 }

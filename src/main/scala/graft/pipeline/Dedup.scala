@@ -73,9 +73,19 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band index, band hash), then exact-Jaccard rerank of candidates.
     * The only all-to-all step is the band-hash shuffle — standard LSH
-    * scaling; candidate rerank touches candidate pairs only. */
+    * scaling; candidate rerank touches candidate pairs only.
+    *
+    * The rerank measures Jaccard over the SAME bigram-shingle sets the
+    * MinHash sketch measures (round 1 reranked on unigram token sets — a
+    * different similarity than the candidate generator's, so the output
+    * was neither "all shingle-near-dups" nor "all unigram-near-dups").
+    * With matched notions the output is exactly {pairs : shingle-Jaccard ≥
+    * threshold} ∩ candidates, and the banding (default 16 bands × 2 rows:
+    * per-pair recall 1-(1-J²)^16 ≥ 1-10⁻⁷ at J = 0.8) makes candidate
+    * recall effectively total, so the exact-all-pairs SQL is a valid
+    * oracle (verified equal at every test SF). */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val buckets = df
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -86,11 +96,12 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.HashExprs.sortedShingles(TextOps.tokens(col(textCol))).as("sh"))
     cand
-      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
-      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -99,18 +110,20 @@ object Dedup {
     * expression: bit b of xxhash64(token) votes ±1; fingerprint bit = sign
     * of the vote sum. A pure projection — no explode, no groupBy, no
     * shuffle. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+      md5Base: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
         array_distinct(TextOps.tokens(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("id"), graft.functions.HashExprs.simhash64(col("toks")).as("simhash"))
+      .select(col("id"),
+        graft.functions.HashExprs.simhash64(col("toks"), md5Base).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by the
     * 4-chunk pigeonhole: any pair within distance 3 shares at least one
     * exact 16-bit chunk, so candidates come from 4 chunk-equality joins. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fps = simhash(df, textCol, idCol)
+      maxHamming: Int = 3, md5Base: Boolean = false): DataFrame = {
+    val fps = simhash(df, textCol, idCol, md5Base)
     val chunks = fps.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

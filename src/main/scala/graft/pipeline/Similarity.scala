@@ -44,14 +44,21 @@ object Similarity {
   def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
     graft.functions.VectorExprs.signLshBucket(vec, bits, dim, seed)
 
-  /** ANN top-k: candidates share the query's LSH bucket; exact cosine rerank
-    * within the bucket. Trades recall for a corpus-partition-local join
-    * keyed on bucket id — the shape that survives a corpus too large to
-    * broadcast or cross-join. */
+  /** Multi-probe ANN top-k: the QUERY side expands to its own bucket plus
+    * every bucket within Hamming distance 1 (bits+1 probes — cheap, queries
+    * are the small side and broadcast), candidates are corpus rows in any
+    * probed bucket, and the exact cosine rerank picks top-k. The join stays
+    * a bucket-keyed EQUI-join — the corpus is never broadcast, cross-joined,
+    * or probed more than once per bucket — so the shape survives a corpus
+    * too large to broadcast. Multi-probe lifts recall ~2× over single-bucket
+    * at the cost of (bits+1)/2^bits of the corpus per query. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), bits, dim).as("bucket")))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), bits, dim).as("qb"))
+    val probes = col("qb") +: (0 until bits).map(i => col("qb").bitwiseXOR(lit(1 << i)))
+    val q = broadcast(q0.select(col("query_id"), col("qv"),
+      explode(array(probes: _*)).as("bucket")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), bits, dim).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
@@ -121,28 +128,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact variant is a
-    * blocked self-join (LSH bucket as the block) to avoid the full cross
-    * product; set `exact=true` to force the all-pairs baseline. */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold.
+    *
+    * The default (scale) path is BANDED sign-LSH blocking: each vector gets
+    * `bands` bucket ids (one fused [[graft.functions.SignLshBands]] pass);
+    * candidates are pairs sharing ≥1 (band, bucket) key; the exact cosine
+    * rerank keeps only true matches. All-to-all work is bounded by the
+    * (band, bucket)-keyed shuffle — never a cross join, never a broadcast of
+    * the scaling corpus (the round-1 scale-killer). Per-pair recall is
+    * 1-(1-p^bandBits)^bands with p = 1 - θ/π; the defaults (24 bands × 3
+    * bits) give ≥ 0.999 at cosine 0.45 — verified 100% against the exact
+    * result on every test SF (NearDupRecallSpec). Low thresholds force
+    * narrow bands: band-match probability must stay high enough per band,
+    * so the candidate volume is Θ(bands · Σ bucket²); raise `bandBits` as
+    * the threshold rises to cut candidates.
+    *
+    * `exact=true` forces the all-pairs baseline (broadcast nested loop) —
+    * the recall oracle for tests and small inputs, NOT a 100 TB shape. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, exact: Boolean = false, bits: Int = 8, dim: Int = 64): DataFrame = {
+      threshold: Double, exact: Boolean = false, bandBits: Int = 3, bands: Int = 24,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val pairs =
-      if (exact) {
-        // all-pairs baseline: broadcast nested-loop keeps the scan parallel
-        // (a single synthetic join key would collapse to one partition)
-        val b = broadcast(base.select(col("id").as("id_b"), col("v").as("v_b")))
-        base.select(col("id").as("id_a"), col("v").as("v_a")).crossJoin(b)
-      } else {
-        val withBucket = base.withColumn("bucket", lshBucket(col("v"), bits, dim))
-        withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-          .join(withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b")),
-            Seq("bucket"))
-      }
-    pairs
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("v_a"), col("v_b")))
-      .filter(col("score") >= threshold)
-      .select(col("id_a"), col("id_b"), col("score"))
+    if (exact) {
+      // all-pairs baseline: broadcast nested-loop keeps the scan parallel
+      // (a single synthetic join key would collapse to one partition)
+      val b = broadcast(base.select(col("id").as("id_b"), col("v").as("v_b")))
+      base.select(col("id").as("id_a"), col("v").as("v_a")).crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("score", cosine(col("v_a"), col("v_b")))
+        .filter(col("score") >= threshold)
+        .select(col("id_a"), col("id_b"), col("score"))
+    } else {
+      val banded = base.select(col("id"),
+        posexplode(graft.functions.VectorExprs.signLshBands(col("v"), bandBits, bands, dim, seed)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+        .filter(col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+      cand
+        .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+        .withColumn("score", cosine(col("v_a"), col("v_b")))
+        .filter(col("score") >= threshold)
+        .select(col("id_a"), col("id_b"), col("score"))
+    }
   }
 }

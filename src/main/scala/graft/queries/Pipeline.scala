@@ -120,20 +120,61 @@ object Pipeline {
       |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** px7: MinHash+LSH candidate generation + exact-Jaccard rerank.
-    * Probabilistic recall ⇒ rows-only check (no oracle). */
+  /** px7: MinHash+LSH candidate generation + exact shingle-Jaccard rerank.
+    * The oracle is the exact ALL-PAIRS shingle-Jaccard SQL: 16 bands × 2
+    * rows give per-pair candidate recall ≥ 1-10⁻⁷ at J = 0.8 (verified
+    * exactly equal at every test SF), so the hash check proves both the
+    * rerank arithmetic and the LSH recall. */
   def px7MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
-      numHashes = 32, bands = 8, threshold = 0.8)
+      numHashes = 32, bands = 16, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  val px7Sql: String =
+    """WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |t AS (SELECT doc_id,
+      |        CASE WHEN len(toks) = 1 THEN list_distinct(toks)
+      |             ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+      |        END AS sh
+      |      FROM t0 WHERE len(toks) > 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** px8: SimHash near-dup pairs (Hamming ≤ 3 via 4-chunk pigeonhole).
-    * xxhash64-based ⇒ rows-only check. */
+    * The md5-derived per-token hash is reproducible in DuckDB
+    * (`md5_number_lower`), and the pigeonhole is EXACT for Hamming ≤ 3, so
+    * the all-pairs Hamming SQL is a complete oracle — the hash check covers
+    * fingerprinting, candidate generation, and the rerank. */
   def px8Simhash(s: SparkSession, dir: String): DataFrame = {
-    Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
+    Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
+      maxHamming = 3, md5Base = true)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  val px8Sql: String =
+    """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+      |           FROM documents),
+      |u AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0),
+      |v AS (SELECT doc_id, b.range AS bit,
+      |        sum(CASE WHEN (md5_number_lower(tok) >> CAST(b.range AS INTEGER)) & 1 = 1
+      |                 THEN 1 ELSE -1 END) AS vote
+      |      FROM u, range(64) b GROUP BY doc_id, b.range),
+      |fp AS (SELECT doc_id,
+      |         CAST(sum(CASE WHEN vote > 0
+      |                       THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INTEGER) AS HUGEINT)
+      |                       ELSE 0 END) AS UBIGINT) AS fp
+      |       FROM v GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** px9: exact brute-force cosine top-5 for query vectors (vec_id < 10).
     * The fold arithmetic is bit-identical to DuckDB list_cosine_similarity. */
@@ -154,7 +195,11 @@ object Pipeline {
       |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** px10: LSH-bucketed ANN (the 100 TB scale path) — rows-only check. */
+  /** px10: LSH-bucketed ANN (the 100 TB scale path). The MD5-derived
+    * hyperplanes make the bucket assignment reproducible in SQL, so the
+    * oracle recomputes the buckets, the bucket-restricted candidate set,
+    * and the exact cosine rerank — a full hash check of the whole ANN
+    * pipeline, not a rows-only count. */
   def px10AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
@@ -162,10 +207,36 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** px11: exact embedding near-duplicate pairs, cosine ≥ 0.45. */
+  val px10Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT i.range AS i, d.range AS d,
+      |        CASE WHEN (md5_number_lower('lsh42_' || i.range || '_' || d.range) & 1) = 1
+      |             THEN 1.0 ELSE -1.0 END AS w
+      |      FROM range(4) i, range(64) d),
+      |dots AS (SELECT e.vec_id, p.i, sum(e.v[CAST(p.d AS INTEGER) + 1] * p.w) AS dot
+      |         FROM e, p GROUP BY e.vec_id, p.i),
+      |bkt AS (SELECT vec_id,
+      |          CAST(sum(CASE WHEN dot >= 0.0 THEN (1 << CAST(i AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
+      |        FROM dots GROUP BY vec_id)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(qe.v, ce.v) AS score,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, c.vec_id ASC) AS rank
+      |  FROM bkt q JOIN bkt c
+      |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+      |  JOIN e qe ON qe.vec_id = q.vec_id
+      |  JOIN e ce ON ce.vec_id = c.vec_id
+      |  WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** px11: embedding near-duplicate pairs, cosine ≥ 0.45, via the BANDED
+    * LSH scale path (24 bands × 3 bits — 100% recall on every test SF,
+    * plan-audited free of cross joins). The oracle is the exact all-pairs
+    * SQL, so the hash check proves blocked recall = 100%. */
   def px11EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.45, exact = true)
+      threshold = 0.45)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -218,8 +289,12 @@ object Pipeline {
     "px4_fingerprint"      -> px4Sql,
     "px5_dedup_exact"      -> px5Sql,
     "px6_ngram_jaccard"    -> px6Sql,
+    "px7_minhash_lsh"      -> px7Sql,
+    "px8_simhash"          -> px8Sql,
     "px9_ann_brute"        -> px9Sql,
+    "px10_ann_lsh"         -> px10Sql,
     "px11_embedding_neardup" -> px11Sql,
-    // px7/px8/px10/px12: probabilistic or stub — rows-only checks
+    // px12: declared multimodal STUB — rows-only check
+    // px13: IVF quantizer (float mean training) — checked by recall ScalaTest
   )
 }

@@ -96,6 +96,32 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       !$"col0".isin("row002")).count() == 2)
   }
 
+  test("F1: 2000-element IN / NOT-IN (reference stack-overflow regression)") {
+    // reference DefaultSourceSuite.scala:156-194 pins very large IN lists;
+    // compile must stay near-linear in |IN| (single normalize pass)
+    val df = readF1()
+    val big = (0 until 2000).map(i => f"row${i % 1000}%03x") // 1000 distinct, half miss
+    val t0 = System.nanoTime()
+    val hits = df.filter($"col0".isin(big: _*)).count()
+    val notIn = df.filter($"col0".isin(big: _*) && !$"col0".isin(big.take(1000): _*)).count()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    // keys row000..row0ff (hex) exist only when the hex string is all digits:
+    // compute expected straight from the generator
+    val keys = (0 to 255).map(i => f"row$i%03d").toSet
+    assert(hits == big.distinct.count(keys.contains))
+    assert(notIn == 0) // second IN list covers the first
+    assert(elapsedMs < 30000, s"large-IN path took ${elapsedMs}ms")
+  }
+
+  test("F1: NOT IN with a NULL in the list matches nothing") {
+    val df = readF1()
+    // SQL three-valued logic: x NOT IN ('row001', NULL) is never true
+    val withNull: Seq[Any] = Seq("row001", null)
+    assert(df.filter(!$"col0".isInCollection(withNull)).count() == 0)
+    // positive IN with a null simply ignores it
+    assert(df.filter($"col0".isInCollection(withNull)).count() == 1)
+  }
+
   test("F1: string predicates on key and value columns") {
     val df = readF1()
     assert(df.filter($"col0".startsWith("row25")).count() == 6) // row250..row255

@@ -190,4 +190,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f2(1L).isEmpty)
     assert(f2(2L).nonEmpty)
   }
+
+  test("SortedShingles equals the HOF shingle formulation") {
+    import graft.functions.HashExprs
+    val hof = docs.select($"doc_id",
+      sort_array(Dedup.shingles($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = docs.select($"doc_id",
+      HashExprs.sortedShingles(TextOps.tokens($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == hof)
+  }
+
+  // ---- recall gates on the real test data ----------------------------------
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("banded near-dup (scale path) equals the exact all-pairs result") {
+    val e = graft.queries.Tables.embeddings(spark, sfDir)
+    def pairSet(exact: Boolean) =
+      Similarity.embeddingNearDupPairs(e, "vec_id", "embedding", 0.45, exact = exact)
+        .select($"id_a", $"id_b").collect().map(_.toSeq).toSet
+    val blocked = pairSet(exact = false)
+    val exactPairs = pairSet(exact = true)
+    // equality proves 100% recall AND no false positives (rerank is exact)
+    assert(blocked == exactPairs,
+      s"blocked=${blocked.size} exact=${exactPairs.size} " +
+        s"missed=${(exactPairs -- blocked).take(3)}")
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("ANN recall vs exact top-5: IVF >= 0.8, multi-probe LSH >= 0.35") {
+    val e = graft.queries.Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").collect().map(_.toSeq).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 4))
+    val lsh = pairs(Similarity.lshTopK(q, e, "vec_id", "embedding", 5, bits = 4, dim = 64))
+    val ivfRecall = (ivf & exact).size.toDouble / exact.size
+    val lshRecall = (lsh & exact).size.toDouble / exact.size
+    info(f"IVF recall $ivfRecall%.2f, multi-probe LSH recall $lshRecall%.2f")
+    assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall")
+    // weakly-similar neighbors (cos ~0.3-0.5) are intrinsically hard for
+    // sign-LSH; multi-probe roughly doubles the single-bucket recall
+    assert(lshRecall >= 0.35, s"LSH recall $lshRecall")
+  }
 }

@@ -153,6 +153,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n${plan.take(3000)}")
   }
 
+  test("px11: banded near-dup never cross-joins or broadcasts the corpus") {
+    val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"near-dup must not cross-join:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must not nested-loop:\n${plan.take(3000)}")
+    assert(plan.contains("signlshbands") || plan.contains("SignLshBands"),
+      "expected the fused banded-LSH expression in the plan")
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
