@@ -7,6 +7,7 @@ import graft.store.{ColumnSet, TimeRange}
   * HBaseTableCatalog.scala:230-255). */
 final case class GraftOptions(
     catalogJson: String,
+    cluster: String,
     newTable: Int,
     minSplit: String,
     maxSplit: String,
@@ -18,6 +19,17 @@ final case class GraftOptions(
     maxVersions: Int,
     mergeToLatest: Boolean,
     restrictive: String) extends Serializable {
+
+  /** Store-registry key for this relation. The `cluster` option namespaces
+    * the table, so two relations carrying different cluster ids resolve to
+    * INDEPENDENT stores even under the same table name — the multi-cluster
+    * capability of the reference, where each DataFrame can carry its own
+    * `hbaseConfigFile`/`hbaseConfiguration`
+    * (HBaseRelation.scala:93-110,360-362;
+    * examples JoinTablesFrom2Clusters.scala:101-133). An absent cluster id
+    * targets the default cluster. */
+  def storeName(catalog: GraftCatalog): String =
+    if (cluster.isEmpty) catalog.qualifiedName else s"$cluster#${catalog.qualifiedName}"
 
   /** HBase time semantics (reference handleTimeSemantics,
     * HBaseTableScan.scala:496-516): exact version XOR time range. */
@@ -43,6 +55,7 @@ object GraftOptions {
     GraftOptions(
       catalogJson = get(GraftCatalog.CatalogOption).getOrElse(
         throw new IllegalArgumentException("missing required option \"catalog\"")),
+      cluster = get("cluster").getOrElse(""),
       newTable = get(GraftCatalog.NewTable).map(_.toInt).getOrElse(0),
       minSplit = get(GraftCatalog.MinSplit).getOrElse("aaaaaa"),
       maxSplit = get(GraftCatalog.MaxSplit).getOrElse("zzzzzz"),

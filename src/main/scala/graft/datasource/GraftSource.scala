@@ -34,23 +34,31 @@ class GraftSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = GraftOptions(properties)
     val catalog = GraftCatalog.parse(opts.catalogJson, properties.asScala.toMap)
-    new GraftTable(catalog, opts)
+    // Honor a user-specified schema (reference HBaseRelation.scala:313:
+    // userSpecifiedschema.getOrElse(catalog.toDataType)): a read may prune
+    // or reorder the catalog's columns up front. Every named column must
+    // exist in the catalog — catalog.field throws otherwise.
+    val userSchema = Option(schema).filter(s =>
+      s.nonEmpty && s.fieldNames.toSeq != catalog.schema.fieldNames.toSeq)
+    userSchema.foreach(_.fieldNames.foreach(catalog.field))
+    new GraftTable(catalog, opts, userSchema)
   }
 }
 
-class GraftTable(catalog: GraftCatalog, opts: GraftOptions)
+class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
+    userSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = catalog.qualifiedName
 
-  override def schema(): StructType = catalog.schema
+  override def schema(): StructType = userSchema.getOrElse(catalog.schema)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(catalog, GraftOptions(options))
+    new GraftScanBuilder(catalog, GraftOptions(options), schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(catalog, opts, info)
@@ -58,11 +66,12 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions)
 
 /** Pushdown surface (reference buildScan/unhandledFilters contract,
   * HBaseRelation.scala:316-322). */
-class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions)
+class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
+    initialSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
-  private var requiredSchema: StructType = catalog.schema
+  private var requiredSchema: StructType = initialSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -93,7 +102,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
   override def planInputPartitions(): Array[InputPartition] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
-    val table = KvStore.table(catalog.qualifiedName)
+    val table = KvStore.table(opts.storeName(catalog))
     table.regionInfos.flatMap { r =>
       val regionRange = ScanRange[Array[Byte]](
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
@@ -147,7 +156,7 @@ class GraftReaderFactory extends PartitionReaderFactory {
 class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[InternalRow] {
 
   private val catalog = p.catalog
-  private val table = KvStore.table(catalog.qualifiedName)
+  private val table = KvStore.table(p.opts.storeName(catalog))
   // pair each required (possibly nested-pruned) column with its catalog field
   private val projection = p.requiredSchema.fields.toSeq.map(sf =>
     (catalog.field(sf.name), sf.dataType))

@@ -45,7 +45,7 @@ object GraftDdl {
     * points; `numReg ≥ 4` enforced like the reference (HBaseRelation.scala:
     * 150-164). Table absent + no `newtable` ⇒ default 5 regions. */
   def ensureTable(catalog: GraftCatalog, opts: GraftOptions, dropExisting: Boolean): Unit = {
-    val name = catalog.qualifiedName
+    val name = opts.storeName(catalog)
     if (!dropExisting && KvStore.exists(name)) return
     val numReg = if (opts.newTable > 0) opts.newTable else 5
     require(numReg > 3, s"newtable=$numReg: region count must be at least 4")
@@ -101,7 +101,7 @@ class GraftWriterFactory(catalog: GraftCatalog, opts: GraftOptions, writeSchema:
 class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType)
     extends DataWriter[InternalRow] {
 
-  private val table = KvStore.table(catalog.qualifiedName)
+  private val table = KvStore.table(opts.storeName(catalog))
 
   // resolve write-schema positions to catalog fields by NAME
   private val slots: Array[(Field, Int, DataType)] =

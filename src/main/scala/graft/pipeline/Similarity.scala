@@ -74,7 +74,13 @@ object Similarity {
   /** Train an IVF coarse quantizer: seed centroids = the `nlist` lowest-id
     * corpus vectors (deterministic), refined by ONE distributed Lloyd
     * iteration (assign all vectors to their nearest seed, average per cell).
-    * Only the nlist×dim centroid matrix ever reaches the driver. */
+    *
+    * The per-cell mean runs through a typed vector-sum [[Aggregator]]:
+    * partial aggregation accumulates (Σvec, count) buffers map-side, so the
+    * shuffle carries at most nlist×(dim+1) doubles PER PARTITION — round 1
+    * exploded every vector to corpus×dim (cell, pos, value) rows and
+    * shuffled all of them. Only the nlist×dim centroid matrix ever reaches
+    * the driver. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): Array[Array[Double]] = {
     val seeds: Array[Array[Double]] = corpus
@@ -85,20 +91,44 @@ object Similarity {
         case d: Double => d
         case n: Number => n.doubleValue()
       }.toArray)
-    // one Lloyd step: cell assignment is a native one-pass expression; the
-    // per-dimension mean is a single shuffle keyed by (cell, dim)
+    val dim = seeds.head.length
+    val sp = corpus.sparkSession
+    import sp.implicits._
     val assigned = corpus.select(
       element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), seeds, 1), 1)
         .as("cell"),
-      posexplode(col(vecCol)))
-    val means = assigned.groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("m"))
-      .collect()
-    val dim = seeds.head.length
+      col(vecCol).cast("array<double>").as("v"))
+      .as[(Int, Seq[Double])]
+    val vecSum = new org.apache.spark.sql.expressions.Aggregator[
+        (Int, Seq[Double]), (Array[Double], Long), Array[Double]] {
+      override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+      override def reduce(b: (Array[Double], Long), a: (Int, Seq[Double])): (Array[Double], Long) = {
+        val arr = b._1; val v = a._2
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { arr(i) += v(i); i += 1 }
+        (arr, b._2 + 1)
+      }
+      override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+        var i = 0
+        while (i < dim) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+      override def finish(b: (Array[Double], Long)): Array[Double] =
+        b._1.map(_ / b._2) // every group has >= 1 member by construction
+      override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+        implicitly[org.apache.spark.sql.Encoder[(Array[Double], Long)]]
+      override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+        implicitly[org.apache.spark.sql.Encoder[Array[Double]]]
+    }
+    val means: Array[(Int, Array[Double])] =
+      assigned.groupByKey(_._1).agg(vecSum.toColumn).collect()
     val out = seeds.map(_.clone())
-    means.foreach { r =>
-      val cell = r.getInt(0); val pos = r.getInt(1)
-      if (cell < out.length && pos < dim) out(cell)(pos) = r.getDouble(2)
+    means.foreach { case (cell, m) =>
+      if (cell < out.length) {
+        var i = 0
+        while (i < math.min(dim, m.length)) { out(cell)(i) = m(i); i += 1 }
+      }
     }
     out
   }

@@ -17,8 +17,13 @@ object Skew {
   /** Salted equi-join: the big side gets a uniform salt in [0, salts); the
     * small side is replicated once per salt value; the join key becomes
     * (key, salt). One hot key's rows land on `salts` reducers instead of
-    * one. Use when the small side is too big to broadcast but cheap to
-    * replicate `salts` times. */
+    * one.
+    *
+    * Use ONLY when the replicated side is a fixed-size dimension (so the
+    * ×salts replication is free) and the key is so low-cardinality or
+    * skewed that reducer parallelism is the bottleneck. When BOTH sides
+    * scale with the data, salting multiplies shuffle volume — prefer AQE's
+    * runtime skew-join splitting (enabled by default) there. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val bigS = big.withColumn("_salt",

@@ -306,6 +306,101 @@ object Connector {
       |WHERE s.s_acctbal > 0.0
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 
+  // Multi-cluster: supplier lives on cluster "east" (4 regions), nation on
+  // cluster "west" (5 regions) — independent stores with different split
+  // layouts, per-relation `cluster` option (the reference's per-DataFrame
+  // hbaseConfigFile, JoinTablesFrom2Clusters.scala:101-133).
+  private val msSupplierCatalog =
+    """{"table":{"namespace":"default", "name":"kv_ms_supplier"},
+      |"rowkey":"key",
+      |"columns":{
+      |"s_suppkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"s_name":{"cf":"f", "col":"name", "type":"string"},
+      |"s_nationkey":{"cf":"f", "col":"nationkey", "type":"int"},
+      |"s_acctbal":{"cf":"f", "col":"acctbal", "type":"double"}}}""".stripMargin
+
+  private val msNationCatalog =
+    """{"table":{"namespace":"default", "name":"kv_ms_nation"},
+      |"rowkey":"key",
+      |"columns":{
+      |"n_nationkey":{"cf":"rowkey", "col":"key", "type":"int"},
+      |"n_name":{"cf":"f", "col":"name", "type":"string"}}}""".stripMargin
+
+  /** kv12: cross-CLUSTER join — two relations carrying different `cluster`
+    * options resolve to independent stores (different split layouts), join
+    * in one query, and pushdown still reaches both scans. */
+  def kv12MultiCluster(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("east#default:kv_ms_supplier")) {
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val maxKey = sup.agg(max("s_suppkey")).head().getLong(0)
+      sup.write.format("graft-kv")
+        .options(Map("catalog" -> msSupplierCatalog, "cluster" -> "east",
+          "newtable" -> "4", "minSplitNum" -> "0", "maxSplitNum" -> maxKey.toString))
+        .mode("append").save()
+    }
+    if (!graft.store.KvStore.exists("west#default:kv_ms_nation")) {
+      Tables.nation(s, dir).select("n_nationkey", "n_name")
+        .write.format("graft-kv")
+        .options(Map("catalog" -> msNationCatalog, "cluster" -> "west",
+          "newtable" -> "5", "minSplitNum" -> "0", "maxSplitNum" -> "24"))
+        .mode("append").save()
+    }
+    val sup = s.read.format("graft-kv")
+      .options(Map("catalog" -> msSupplierCatalog, "cluster" -> "east")).load()
+      .filter(col("s_acctbal") > 0.0)
+    val nat = s.read.format("graft-kv")
+      .options(Map("catalog" -> msNationCatalog, "cluster" -> "west")).load()
+    sup.join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val kv12Sql: String =
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_acctbal > 0.0
+      |ORDER BY s_suppkey""".stripMargin
+
+  // Avro-encoded ROW KEY (reference AvroSourceKeySuite.scala:57-74): the key
+  // bytes are an Avro record, which does not sort lexicographically, so the
+  // coder declares preservesOrdering=false and every scan falls back to
+  // full-range + exact residual predicates (no range pruning).
+  private val avroKeySchema =
+    """{"type":"record","name":"CK","fields":[
+      |{"name":"ck","type":"long"},
+      |{"name":"nk","type":"int"}]}""".stripMargin
+
+  private val avroKeyCatalog =
+    """{"table":{"namespace":"default", "name":"kv_avrokey"},
+      |"rowkey":"key",
+      |"columns":{
+      |"k":{"cf":"rowkey", "col":"key", "avro":"keySchema"},
+      |"c_acctbal":{"cf":"f", "col":"acctbal", "type":"double"}}}""".stripMargin
+
+  /** kv13: table keyed BY an Avro record — write, read back, filter on a
+    * nested key field (residual, exact), project nested key fields. */
+  def kv13AvroKey(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_avrokey")) {
+      Tables.customer(s, dir)
+        .select(struct(col("c_custkey").as("ck"), col("c_nationkey").as("nk")).as("k"),
+          col("c_acctbal"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> avroKeyCatalog, "keySchema" -> avroKeySchema,
+          "newtable" -> "4"))
+        .mode("append").save()
+    }
+    s.read.format("graft-kv")
+      .options(Map("catalog" -> avroKeyCatalog, "keySchema" -> avroKeySchema)).load()
+      .filter(col("k.nk") < 10)
+      .select(col("k.ck").as("c_custkey"), col("k.nk").as("c_nationkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val kv13Sql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      |WHERE c_nationkey < 10
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -318,6 +413,8 @@ object Connector {
     "kv9_avro_record"     -> (kv9AvroRecord _),
     "kv10_phoenix"        -> (kv10Phoenix _),
     "kv11_mixed_sql"      -> (kv11MixedSql _),
+    "kv12_multi_cluster"  -> (kv12MultiCluster _),
+    "kv13_avro_key"       -> (kv13AvroKey _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +429,7 @@ object Connector {
     "kv9_avro_record"     -> kv9Sql,
     "kv10_phoenix"        -> kv10Sql,
     "kv11_mixed_sql"      -> kv11Sql,
+    "kv12_multi_cluster"  -> kv12Sql,
+    "kv13_avro_key"       -> kv13Sql,
   )
 }

@@ -283,22 +283,31 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   /** q14: hot-key-safe salted equi-join — results identical to the plain
-    * join (the salt is a pure distribution key), which IS the oracle. */
+    * join (the salt is a pure distribution key), which IS the oracle.
+    *
+    * The replicated side is `nation`: genuinely FIXED-SIZE (25 rows at
+    * every SF), so ×salts replication costs nothing while the join key has
+    * only 25 distinct values — the textbook case where an unsalted shuffle
+    * join caps parallelism at 25 reducers and every key is hot. (Round 1
+    * salted lineitem⋈orders, replicating a table that scales with SF — 8×
+    * the shuffle volume at 100 TB for no benefit; for skew between two
+    * SCALING sides, AQE skew-join is the right default, left enabled in
+    * every session here.) The merge hint keeps Spark from broadcasting the
+    * tiny dimension so the plan actually demonstrates the salted shuffle. */
   def q14SaltedJoin(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-    val o = Tables.orders(s, dir)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-    graft.pipeline.Skew.saltedJoin(l, o, "l_orderkey", salts = 8)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("o_orderstatus"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name")).hint("merge")
+    graft.pipeline.Skew.saltedJoin(c, n, "c_nationkey", salts = 8)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("c_custkey"))
   }
 
   def q14Sql: String =
-    """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    """SELECT c_custkey, c_nationkey, c_acctbal, n_name
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
 
   /** q15: bucketed co-located join — both sides written bucketBy(8) on the
     * join key (with in-bucket sort), so the join reads bucket-aligned files

@@ -99,6 +99,63 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select(col("k.seq")).collect().map(_.getInt(0)).sorted.toSeq == (0 until 8))
   }
 
+  test("user-specified schema: pruned + reordered read (reference HBaseRelation:313)") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"ustable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"string"},
+        |"a":{"cf":"cf1", "col":"a", "type":"int"},
+        |"b":{"cf":"cf1", "col":"b", "type":"string"}}}""".stripMargin
+    Seq(("k1", 1, "x"), ("k2", 2, "y")).toDF("key", "a", "b")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4"))
+      .mode("append").save()
+    val user = StructType(Seq(StructField("b", StringType), StructField("key", StringType)))
+    val df = spark.read.format("graft-kv").option("catalog", catalog)
+      .schema(user).load()
+    assert(df.schema.fieldNames.toSeq == Seq("b", "key"))
+    assert(df.orderBy("key").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "k1"), ("y", "k2")))
+    // a column the catalog doesn't know must be rejected up front
+    val bogus = StructType(Seq(StructField("nope", StringType)))
+    intercept[Exception] {
+      spark.read.format("graft-kv").option("catalog", catalog).schema(bogus).load().collect()
+    }
+  }
+
+  test("cluster option isolates same-named tables on independent stores") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"ctable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"string"},
+        |"v":{"cf":"cf1", "col":"v", "type":"int"}}}""".stripMargin
+    Seq(("k1", 1), ("k2", 2)).toDF("key", "v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "cluster" -> "east", "newtable" -> "4"))
+      .mode("append").save()
+    Seq(("k1", 10), ("k3", 30)).toDF("key", "v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "cluster" -> "west", "newtable" -> "6"))
+      .mode("append").save()
+    // independent stores with their own split layouts
+    assert(KvStore.table("east#default:ctable").regions.size == 4)
+    assert(KvStore.table("west#default:ctable").regions.size == 6)
+    assert(!KvStore.exists("default:ctable"))
+    def readC(cl: String) = spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalog, "cluster" -> cl)).load()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(readC("east") == Map("k1" -> 1, "k2" -> 2))
+    assert(readC("west") == Map("k1" -> 10, "k3" -> 30))
+    // a cross-cluster join in one query sees both
+    def df(cl: String) = spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalog, "cluster" -> cl)).load()
+    val joined = df("east").as("e").join(df("west").as("w"), Seq("key"))
+      .select(col("key"), col("e.v").as("ve"), col("w.v").as("vw")).collect()
+    assert(joined.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq == Seq(("k1", 1, 10)))
+  }
+
   test("user-pluggable coder resolved by class name") {
     val catalog =
       s"""{"table":{"namespace":"default", "name":"uctable", "tableCoder":"${classOf[DecimalStringCoder].getName}", "version":"2.0"},
