@@ -17,11 +17,13 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Connector.queries ++
-      graft.queries.Pipeline.queries ++ graft.queries.Events.queries
+      graft.queries.Pipeline.queries ++ graft.queries.Events.queries ++
+      graft.queries.StreamBatch.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Connector.oracles ++
-      graft.queries.Pipeline.oracles ++ graft.queries.Events.oracles
+      graft.queries.Pipeline.oracles ++ graft.queries.Events.oracles ++
+      graft.queries.StreamBatch.oracles
 }
