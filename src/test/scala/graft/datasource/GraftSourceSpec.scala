@@ -152,6 +152,24 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getLong(1)).sum == (0 to 255).map(_.toLong).sum)
   }
 
+  test("F1: input partitions carry region-host locality hints") {
+    // reference getPreferredLocations (HBaseTableScan.scala:384-388): each
+    // partition schedules onto its region's host
+    writeF1()
+    val catalog = graft.catalog.GraftCatalog.parse(f1Catalog, Map.empty)
+    val opts = GraftOptions(new java.util.HashMap[String, String](
+      java.util.Map.of("catalog", f1Catalog)))
+    val parts = new GraftScan(catalog, opts, catalog.schema, Array.empty)
+      .planInputPartitions()
+    assert(parts.length == KvStore.table("default:f1table").regions.size)
+    val hostsByRegion = KvStore.table("default:f1table").regionInfos
+      .map(r => r.index -> r.host).toMap
+    parts.foreach { p =>
+      val gp = p.asInstanceOf[GraftInputPartition]
+      assert(gp.preferredLocations().toSeq == Seq(hostsByRegion(gp.regionIndex)))
+    }
+  }
+
   // ---- F2: int row key with negatives -------------------------------------
 
   val f2Catalog: String =
