@@ -106,6 +106,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph → canonical keeper per
+    * component: the step that turns pairwise near-dup detection into an
+    * actionable dedup decision (keep min-id, drop the rest).
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round takes the min over its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup clusters are tiny — pairs and
+    * small cliques — so 2-3 rounds in practice). Each round is ONE
+    * edge⋈label equi-join + groupBy — the standard large-graph CC shape
+    * that scales to 100 TB edge sets (no driver-side graph). The lineage is
+    * cut with localCheckpoint per round so the plan doesn't grow with the
+    * iteration count. Output: (id, keep_id = component minimum), one row
+    * per node that appears in ≥1 pair. */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("a"))
+        .select(labels("id").as("id"), col("label"),
+          least(col("label"), col("nmin")).as("next"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+    }
+    labels.select(col("id"), col("label").as("keep_id"))
+  }
+
   /** 64-bit SimHash over word tokens via the native one-pass `SimHash64`
     * expression: bit b of xxhash64(token) votes ±1; fingerprint bit = sign
     * of the vote sum. A pure projection — no explode, no groupBy, no

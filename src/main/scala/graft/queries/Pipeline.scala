@@ -266,6 +266,39 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** px14: near-dup CLUSTER canonicalization — connected components over
+    * the px7 pair graph, keeper = component min. The oracle recomputes the
+    * exact pair set (px7's CTE) and the components with a recursive CTE, so
+    * the hash check covers candidate generation, rerank, AND the
+    * distributed label propagation. */
+  def px14DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.8)
+    Dedup.components(pairs)
+      .select(col("id").as("doc_id"), col("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px14Sql: String =
+    """WITH RECURSIVE t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |t AS (SELECT doc_id,
+      |        CASE WHEN len(toks) = 1 THEN list_distinct(toks)
+      |             ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+      |        END AS sh
+      |      FROM t0 WHERE len(toks) > 0),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+      |)
+      |SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -280,6 +313,7 @@ object Pipeline {
     "px11_embedding_neardup" -> (px11EmbeddingNearDup _),
     "px12_multimodal"      -> (px12Multimodal _),
     "px13_ann_ivf"         -> (px13AnnIvf _),
+    "px14_dedup_clusters"  -> (px14DedupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,6 +328,7 @@ object Pipeline {
     "px9_ann_brute"        -> px9Sql,
     "px10_ann_lsh"         -> px10Sql,
     "px11_embedding_neardup" -> px11Sql,
+    "px14_dedup_clusters"  -> px14Sql,
     // px12: declared multimodal STUB — rows-only check
     // px13: IVF quantizer (float mean training) — checked by recall ScalaTest
   )

@@ -191,6 +191,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f2(2L).nonEmpty)
   }
 
+  test("Dedup.components: min-label propagation over chains and pairs") {
+    // chain 5-3, 3-9 merges into one component {3,5,9}; {20,21} separate
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("SortedShingles equals the HOF shingle formulation") {
     import graft.functions.HashExprs
     val hof = docs.select($"doc_id",
