@@ -392,6 +392,72 @@ object Relational {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** q18: cube — all grouping-set combinations in one pass, with the
+    * grouping_id bit vector distinguishing aggregation levels. */
+  def q18Cube(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        microUnits(sum(dec(col("o_totalprice")))).as("total"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  def q18Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q19: analytic window functions — lag/lead/ntile/percent_rank/cume_dist
+    * over a per-nation ranking; one shuffle on the partition key. */
+  def q19WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        lag(col("c_custkey"), 1).over(w).as("prev_id"),
+        lead(col("c_custkey"), 1).over(w).as("next_id"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def q19Sql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  lag(c_custkey, 1) OVER w AS prev_id,
+      |  lead(c_custkey, 1) OVER w AS next_id,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q20: pivot — order counts per priority pivoted by status (explicit
+    * value list so the output schema is static, the scale-safe form). */
+  def q20Pivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def q20Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** All entries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -411,6 +477,9 @@ object Relational {
     "q15_bucketed_join" -> (q15BucketedJoin _),
     "q16_set_ops"       -> (q16SetOps _),
     "q17_rollup"        -> (q17Rollup _),
+    "q18_cube"          -> (q18Cube _),
+    "q19_window_analytics" -> (q19WindowAnalytics _),
+    "q20_pivot"         -> (q20Pivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,5 +500,8 @@ object Relational {
     "q15_bucketed_join" -> q15Sql,
     "q16_set_ops"       -> q16Sql,
     "q17_rollup"        -> q17Sql,
+    "q18_cube"          -> q18Sql,
+    "q19_window_analytics" -> q19Sql,
+    "q20_pivot"         -> q20Sql,
   )
 }
