@@ -77,6 +77,31 @@ object TextOps {
     }
   }
 
+  /** Top-k characteristic terms per document by tf·idf, with a LOG-FREE
+    * rational idf so the score is bit-identical across engines:
+    * score = (tf × N) / df — tf·N is exact integer arithmetic and the
+    * single double division is correctly rounded everywhere, unlike ln()
+    * whose last ulp differs between libm implementations. Shape: one
+    * (doc, term) shuffle for tf, one term shuffle for df (vocabulary-sized,
+    * broadcast back), a per-doc top-k window — all partial-aggregated, no
+    * collect; scales like any word-count. */
+  def topTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+  }
+
   /** Winnowing-style document fingerprint: lexicographic min of the MD5 of
     * every k-gram, via the native one-pass [[graft.functions.MinKgramMd5]]
     * expression (bit-identical to the

@@ -299,6 +299,27 @@ object Pipeline {
       |SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src
       |ORDER BY doc_id""".stripMargin
 
+  /** px15: tf·idf keyword extraction — top-3 characteristic terms per doc,
+    * rational idf (tf·N/df) so the score hashes identically in DuckDB. */
+  def px15Keywords(s: SparkSession, dir: String): DataFrame = {
+    TextOps.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val px15Sql: String =
+    """WITH u AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |           FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term ASC) AS rank
+      |  FROM tf JOIN df USING (term), n) t
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -314,6 +335,7 @@ object Pipeline {
     "px12_multimodal"      -> (px12Multimodal _),
     "px13_ann_ivf"         -> (px13AnnIvf _),
     "px14_dedup_clusters"  -> (px14DedupClusters _),
+    "px15_keywords"        -> (px15Keywords _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,6 +351,7 @@ object Pipeline {
     "px10_ann_lsh"         -> px10Sql,
     "px11_embedding_neardup" -> px11Sql,
     "px14_dedup_clusters"  -> px14Sql,
+    "px15_keywords"        -> px15Sql,
     // px12: declared multimodal STUB — rows-only check
     // px13: IVF quantizer (float mean training) — checked by recall ScalaTest
   )
