@@ -1,7 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, each designed to
   * survive a 1000-executor / 100 TB corpus:
@@ -13,9 +15,36 @@ import org.apache.spark.sql.functions._
   *    on band hash), exact-Jaccard rerank of candidates only;
   *  - SimHash: 64-bit fingerprints + banded chunk join, Hamming rerank.
   *
+  * The LSH family (MinHash, SimHash, and [[Similarity.embeddingNearDupPairs]])
+  * shares two defenses against the adversarial case a training corpus is
+  * guaranteed to contain — boilerplate (identical headers, mirrored pages)
+  * that lands millions of documents in ONE bucket and turns the candidate
+  * join quadratic:
+  *
+  *  1. '''exact pre-dedup''': documents are grouped by exact content first
+  *     (one hash-window pass); only one REPRESENTATIVE per distinct content
+  *     enters sketching and bucketing, so identical documents cost one
+  *     sketch instead of m, and their m·(m-1)/2 output pairs are generated
+  *     by a cheap expansion join at the end (identical content ⇒ identical
+  *     similarity, so the expansion is exact, not approximate);
+  *  2. '''per-bucket caps''' ([[capBuckets]]): a (band, bucket) cell keeps at
+  *     most `maxBucket` representatives (smallest ids — deterministic); the
+  *     overflow is counted and LOGGED, never silently dropped. With distinct
+  *     content already collapsed, a cap-sized bucket means `maxBucket`
+  *     *different* documents agreeing on a sketch band — overwhelmingly a
+  *     boilerplate pathology, not signal.
+  *
   * All hashes are seed-fixed (xxhash64/md5) — runs are deterministic.
   */
 object Dedup {
+
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default per-(band,bucket) representative cap for LSH candidate
+    * generation. Candidate volume per cell is Θ(cell²); 10⁵ caps a single
+    * cell's pairs at ~5·10⁹ — large, but bounded and spillable — where an
+    * uncapped boilerplate bucket of 10⁷ docs would be 5·10¹³. */
+  val DefaultMaxBucket: Int = 100000
 
   /** Exact dedup by content hash. Output: one row per distinct content with
     * the keeper id (min) and the copy count. */
@@ -70,40 +99,110 @@ object Dedup {
       .filter(size(col("toks")) > 0)
       .select(col("id"), graft.functions.HashExprs.minhashSig(col("toks"), numHashes).as("sig"))
 
+  // ---- shared machinery for the capped, pre-deduped LSH family -------------
+
+  /** Annotate each row with `rep` = the min id among rows sharing the same
+    * `contentKey` (exact-duplicate group). ONE shuffle on the content key;
+    * the result is the single corpus pass every downstream consumer reads
+    * from (persisted MEMORY_AND_DISK — columnar, spills instead of OOM). */
+  private[pipeline] def withExactGroups(rows: DataFrame, contentKey: Column): DataFrame =
+    rows.withColumn("rep", min(col("id")).over(Window.partitionBy(contentKey)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Cap every bucket (grouping of `keys`) at `maxBucket` entries, keeping
+    * the smallest ids (deterministic). The overflow is counted with ONE
+    * map-side-combined aggregate and logged — no silent truncation. The
+    * row_number window shuffles on the same keys the candidate join uses,
+    * so the join reuses the exchange instead of adding one. */
+  private[pipeline] def capBuckets(entries: DataFrame, keys: Seq[String],
+      maxBucket: Int, tag: String): DataFrame = {
+    require(maxBucket > 0, s"$tag: maxBucket must be positive, got $maxBucket")
+    if (maxBucket == Int.MaxValue) return entries
+    val over = entries.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .agg(count(lit(1)).as("hot"), coalesce(sum(col("n") - maxBucket), lit(0L)).as("dropped"))
+      .first()
+    if (over.getLong(0) > 0)
+      log.warn(s"$tag: capped ${over.getLong(0)} hot buckets at $maxBucket entries each " +
+        s"(${over.getLong(1)} entries dropped — likely boilerplate collisions; " +
+        "raise maxBucket to trade candidate volume for recall)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
+    entries.withColumn("__bn", row_number().over(w))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+  }
+
+  /** Expand similarity pairs over exact-duplicate REPRESENTATIVES back to
+    * pairs over all members. `repPairs` carries (ra, rb, payload...) with
+    * ra < rb for distinct groups, or ra == rb for an intra-group entry
+    * (members of one exact-dup group, pairwise similarity = the group's
+    * self-similarity). Identical content ⇒ identical sketch/score, so the
+    * expansion is exact. Output ids are order-normalized (id_a < id_b). */
+  private[pipeline] def expandGroupPairs(repPairs: DataFrame, members: DataFrame): DataFrame = {
+    val payload = repPairs.columns.filterNot(c => c == "ra" || c == "rb").map(col)
+    repPairs
+      .join(members.select(col("id").as("ida"), col("rep").as("ra")), Seq("ra"))
+      .join(members.select(col("id").as("idb"), col("rep").as("rb")), Seq("rb"))
+      .filter(col("ra") =!= col("rb") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a") +:
+        greatest(col("ida"), col("idb")).as("id_b") +: payload.toSeq: _*)
+  }
+
+  /** Exact-dup groups of size > 1, as (rep, group size). */
+  private[pipeline] def dupGroups(members: DataFrame): DataFrame =
+    members.groupBy(col("rep")).agg(count(lit(1)).as("gs")).filter(col("gs") > 1)
+
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band index, band hash), then exact-Jaccard rerank of candidates.
     * The only all-to-all step is the band-hash shuffle — standard LSH
     * scaling; candidate rerank touches candidate pairs only.
     *
+    * Scale shape (see the object Scaladoc): exact-duplicate groups are
+    * collapsed first — minhash bands AND rerank shingles are computed once
+    * per distinct content in a single persisted pass (one corpus scan
+    * total), hot (band, bucket) cells are capped with a logged drop count,
+    * and exact-dup pairs re-enter through the expansion join.
+    *
     * The rerank measures Jaccard over the SAME bigram-shingle sets the
-    * MinHash sketch measures (round 1 reranked on unigram token sets — a
-    * different similarity than the candidate generator's, so the output
-    * was neither "all shingle-near-dups" nor "all unigram-near-dups").
-    * With matched notions the output is exactly {pairs : shingle-Jaccard ≥
-    * threshold} ∩ candidates, and the banding (default 16 bands × 2 rows:
-    * per-pair recall 1-(1-J²)^16 ≥ 1-10⁻⁷ at J = 0.8) makes candidate
-    * recall effectively total, so the exact-all-pairs SQL is a valid
-    * oracle (verified equal at every test SF). */
+    * MinHash sketch measures. With matched notions the output is exactly
+    * {pairs : shingle-Jaccard ≥ threshold} ∩ candidates, and the banding
+    * (default 16 bands × 2 rows: per-pair recall 1-(1-J²)^16 ≥ 1-10⁻⁷ at
+    * J = 0.8) makes candidate recall effectively total, so the exact
+    * all-pairs SQL is a valid oracle (verified equal at every test SF). */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val buckets = df
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val grouped = withExactGroups(
+      df.select(col(idCol).as("id"), col(textCol).as("txt")), md5(col("txt")))
+    val members = grouped.select(col("id"), col("rep"))
+    // sketches for group representatives only — one pass, both columns
+    val prep = grouped.filter(col("id") === col("rep"))
+      .select(col("id"), TextOps.tokens(col("txt")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("id"),
-        posexplode(graft.functions.HashExprs.minhashBands(col("toks"), numHashes, bands)))
+        graft.functions.HashExprs.minhashBands(col("toks"), numHashes, bands).as("bnds"),
+        graft.functions.HashExprs.sortedShingles(col("toks")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = prep.select(col("id"), posexplode(col("bnds")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+    val capped = capBuckets(buckets, Seq("band", "bh"), maxBucket, "minhashLshPairs")
+    val cand = capped.as("x").join(capped.as("y"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("ra"), col("y.id").as("rb"))
       .distinct()
-    val sh = df.select(col(idCol).as("id"),
-      graft.functions.HashExprs.sortedShingles(TextOps.tokens(col(textCol))).as("sh"))
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val sh = prep.select(col("id"), col("sh"))
+    val repPairs = cand
+      .join(sh.select(col("id").as("ra"), col("sh").as("sh_a")), Seq("ra"))
+      .join(sh.select(col("id").as("rb"), col("sh").as("sh_b")), Seq("rb"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("ra"), col("rb"), col("jaccard"))
+    // intra-group pairs: self-Jaccard of the representative's shingle set
+    // (1.0 for any non-empty set; NULL — filtered — for degenerate empties)
+    val selfPairs = sh.join(dupGroups(members), sh("id") === col("rep"))
+      .select(col("id").as("ra"), col("id").as("rb"),
+        jaccard(col("sh"), col("sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    expandGroupPairs(repPairs.union(selfPairs), members)
   }
 
   /** Connected components over a near-dup pair graph → canonical keeper per
@@ -116,27 +215,42 @@ object Dedup {
     * small cliques — so 2-3 rounds in practice). Each round is ONE
     * edge⋈label equi-join + groupBy — the standard large-graph CC shape
     * that scales to 100 TB edge sets (no driver-side graph). The lineage is
-    * cut with localCheckpoint per round so the plan doesn't grow with the
-    * iteration count. Output: (id, keep_id = component minimum), one row
-    * per node that appears in ≥1 pair. */
-  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    * cut each round so the plan doesn't grow with the iteration count.
+    *
+    * Durability: `reliableCheckpoints=false` (default) uses
+    * `localCheckpoint` — executor-block storage, fine for local mode but
+    * lost (unrecoverably: lineage is truncated) if an executor dies
+    * mid-iteration. On a cluster pass `reliableCheckpoints=true` AND set
+    * `spark.sparkContext.setCheckpointDir` to reliable storage (HDFS/S3);
+    * each round then survives executor loss. `maxIters` guards against a
+    * pathological long-path graph (label propagation needs O(diameter)
+    * rounds); exceeding it throws rather than looping unbounded.
+    * Output: (id, keep_id = component minimum), one row per node that
+    * appears in ≥1 pair. */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 100, reliableCheckpoints: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = cp(pairs.select(col(idA).as("a"), col(idB).as("b"))
       .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = cp(edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
+    var iters = 0
     while (changed > 0) {
+      if (iters >= maxIters) throw new IllegalStateException(
+        s"Dedup.components: no convergence after $maxIters rounds — the pair " +
+          "graph has a component of diameter > maxIters (min-label propagation " +
+          "needs O(diameter) rounds); raise maxIters or pre-cluster the input")
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("a"))
+      val updated = cp(labels.join(neighborMin, labels("id") === neighborMin("a"))
         .select(labels("id").as("id"), col("label"),
-          least(col("label"), col("nmin")).as("next"))
-        .localCheckpoint(true)
+          least(col("label"), col("nmin")).as("next")))
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("id"), col("next").as("label"))
+      iters += 1
     }
     labels.select(col("id"), col("label").as("keep_id"))
   }
@@ -155,23 +269,43 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by the
     * 4-chunk pigeonhole: any pair within distance 3 shares at least one
-    * exact 16-bit chunk, so candidates come from 4 chunk-equality joins. */
+    * exact 16-bit chunk, so candidates come from 4 chunk-equality joins.
+    * Same scale defenses as [[minhashLshPairs]]: exact-dup groups collapse
+    * to one representative before fingerprinting (identical content ⇒
+    * identical fingerprint ⇒ Hamming 0), hot (chunk, value) cells are
+    * capped with a logged drop count, exact-dup pairs re-enter via the
+    * expansion join. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, md5Base: Boolean = false): DataFrame = {
-    val fps = simhash(df, textCol, idCol, md5Base)
+      maxHamming: Int = 3, md5Base: Boolean = false,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val grouped = withExactGroups(
+      df.select(col(idCol).as("id"), col(textCol).as("txt")), md5(col("txt")))
+    val members = grouped.select(col("id"), col("rep"))
+    val fps = grouped.filter(col("id") === col("rep"))
+      .select(col("id"), array_distinct(TextOps.tokens(col("txt"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"),
+        graft.functions.HashExprs.simhash64(col("toks"), md5Base).as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = fps.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ch"))
       }: _*)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ch").as("ch"))
-    chunks.as("x").join(chunks.as("y"), Seq("chunk", "ch"))
+    val capped = capBuckets(chunks, Seq("chunk", "ch"), maxBucket, "simhashPairs")
+    val repPairs = capped.as("x").join(capped.as("y"), Seq("chunk", "ch"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+      .select(col("x.id").as("ra"), col("y.id").as("rb"),
         col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("ra"), col("rb"), col("hamming"))
+    // identical content ⇒ identical fingerprint ⇒ Hamming distance 0
+    val selfPairs = fps.join(dupGroups(members), fps("id") === col("rep"))
+      .select(col("id").as("ra"), col("id").as("rb"),
+        bit_count(col("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+    expandGroupPairs(repPairs.union(selfPairs), members)
   }
 }

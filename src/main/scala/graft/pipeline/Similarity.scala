@@ -173,11 +173,19 @@ object Similarity {
     * so the candidate volume is Θ(bands · Σ bucket²); raise `bandBits` as
     * the threshold rises to cut candidates.
     *
+    * Boilerplate defense (shared with [[Dedup.minhashLshPairs]], see the
+    * [[Dedup]] Scaladoc): byte-identical vectors collapse to one
+    * representative before bucketing (identical vector ⇒ identical bands ⇒
+    * identical cosine, so the final expansion is exact), and hot
+    * (band, bucket) cells are capped at `maxBucket` representatives with a
+    * logged drop count.
+    *
     * `exact=true` forces the all-pairs baseline (broadcast nested loop) —
     * the recall oracle for tests and small inputs, NOT a 100 TB shape. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, exact: Boolean = false, bandBits: Int = 3, bands: Int = 24,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      dim: Int = 64, seed: Long = 42L,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     if (exact) {
       // all-pairs baseline: broadcast nested-loop keeps the scan parallel
@@ -189,19 +197,31 @@ object Similarity {
         .filter(col("score") >= threshold)
         .select(col("id_a"), col("id_b"), col("score"))
     } else {
-      val banded = base.select(col("id"),
+      val grouped = Dedup.withExactGroups(base, col("v"))
+      val members = grouped.select(col("id"), col("rep"))
+      val reps = grouped.filter(col("id") === col("rep")).select(col("id"), col("v"))
+      val banded = reps.select(col("id"),
         posexplode(graft.functions.VectorExprs.signLshBands(col("v"), bandBits, bands, dim, seed)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      val capped = Dedup.capBuckets(banded, Seq("band", "bucket"), maxBucket,
+        "embeddingNearDupPairs")
+      val cand = capped.as("x").join(capped.as("y"), Seq("band", "bucket"))
         .filter(col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .select(col("x.id").as("ra"), col("y.id").as("rb"))
         .distinct()
-      cand
-        .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-        .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      val repPairs = cand
+        .join(reps.select(col("id").as("ra"), col("v").as("v_a")), Seq("ra"))
+        .join(reps.select(col("id").as("rb"), col("v").as("v_b")), Seq("rb"))
         .withColumn("score", cosine(col("v_a"), col("v_b")))
         .filter(col("score") >= threshold)
-        .select(col("id_a"), col("id_b"), col("score"))
+        .select(col("ra"), col("rb"), col("score"))
+      // identical vectors: self-cosine (exactly the arithmetic the rerank
+      // would produce for the pair; NULL for zero-norm vectors — filtered)
+      val selfPairs = reps.join(Dedup.dupGroups(members), reps("id") === col("rep"))
+        .select(col("id").as("ra"), col("id").as("rb"),
+          cosine(col("v"), col("v")).as("score"))
+        .filter(col("score") >= threshold)
+      Dedup.expandGroupPairs(repPairs.union(selfPairs), members)
     }
   }
 }

@@ -82,21 +82,31 @@ object TextOps {
     * score = (tf × N) / df — tf·N is exact integer arithmetic and the
     * single double division is correctly rounded everywhere, unlike ln()
     * whose last ulp differs between libm implementations. Shape: one
-    * (doc, term) shuffle for tf, one term shuffle for df (vocabulary-sized,
-    * broadcast back), a per-doc top-k window — all partial-aggregated, no
-    * collect; scales like any word-count. */
+    * (doc, term) shuffle for tf, one term shuffle for df, a term-keyed
+    * tf⋈df join, a per-doc top-k window — all partial-aggregated, no
+    * collect, no driver-side count; scales like any word-count.
+    *
+    * The df side is deliberately NOT hint-broadcast: its cardinality is the
+    * vocabulary, which grows with the corpus (hundreds of millions of terms
+    * at 100 TB — far past any broadcast limit). The plan stays a term-keyed
+    * shuffle join; AQE is free to downgrade it to a broadcast at runtime
+    * when the vocabulary actually is small, which is the correct adaptive
+    * behavior — a hint would force the impossible at scale. The corpus size
+    * N joins in as a 1-row aggregate (broadcast by construction) instead of
+    * a driver-side `count()` action. */
   def topTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(df), Seq("term"))
-      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("score"), col("rank"))

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -208,6 +210,68 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       HashExprs.sortedShingles(TextOps.tokens($"text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(native == hof)
+  }
+
+  test("LSH family survives a degenerate corpus of identical documents") {
+    // the boilerplate pathology: thousands of byte-identical docs; exact
+    // pre-dedup must collapse them to ONE representative so candidate
+    // generation stays bounded, while the pair OUTPUT (inherently quadratic
+    // for this input — every pair IS a near-dup) comes from the expansion.
+    val n = 2000
+    val degenerate = spark.range(n)
+      .selectExpr("id AS doc_id", "'exactly the same boilerplate text here' AS text")
+    val minhash = Dedup.minhashLshPairs(degenerate, "text", "doc_id", threshold = 0.5)
+    assert(minhash.count() == n.toLong * (n - 1) / 2)
+    // every expanded pair carries the group self-similarity (identical sets)
+    val j = minhash.filter($"id_a" === 0L && $"id_b" === 1999L).collect()
+    assert(j.length == 1 && j(0).getAs[Double]("jaccard") == 1.0)
+
+    val simhash = Dedup.simhashPairs(degenerate, "text", "doc_id")
+    assert(simhash.count() == n.toLong * (n - 1) / 2)
+    assert(simhash.filter($"hamming" =!= 0).isEmpty)
+
+    // mixed: duplicates plus one near-dup pair and one unrelated doc
+    val mixed = docs.union(Seq(
+      Doc(6, "the quick brown fox jumps over the lazy dog", "en"),
+      Doc(7, "the quick brown fox jumps over the lazy dog", "en")).toDF())
+    val pairs = Dedup.minhashLshPairs(mixed, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // group {1,5,6,7} yields all 6 intra pairs; near-dup 2 pairs with each
+    val dupGroup = Set(1L, 5L, 6L, 7L)
+    for (a <- dupGroup; b <- dupGroup if a < b) assert(pairs.contains((a, b)), s"($a,$b)")
+    for (m <- dupGroup) assert(pairs.contains(if (m < 2L) (m, 2L) else (2L, m)), s"2~$m")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("capBuckets truncates hot buckets deterministically (smallest ids)") {
+    val entries = (0 until 50).map(i => (i.toLong, 0, 7L)).toDF("id", "band", "bh")
+      .union(Seq((99L, 1, 8L)).toDF("id", "band", "bh"))
+    val capped = Dedup.capBuckets(entries, Seq("band", "bh"), 10, "test")
+    val kept = capped.filter($"band" === 0).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0 until 10).map(_.toLong).toSet) // smallest ids survive
+    assert(capped.filter($"band" === 1).count() == 1) // small bucket untouched
+    // cap high enough => identity
+    assert(Dedup.capBuckets(entries, Seq("band", "bh"), 1000, "test").count() == 51)
+  }
+
+  test("Dedup.components: maxIters guards against long-path graphs") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.components(chain, maxIters = 1).count()
+    }
+    assert(ex.getMessage.contains("maxIters"))
+    // enough rounds: converges to the chain minimum
+    val comps = Dedup.components(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet == Set(1L))
+  }
+
+  test("Dedup.components: reliable checkpoints produce identical labels") {
+    val dir = Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val reliable = Dedup.components(pairs, reliableCheckpoints = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
   // ---- recall gates on the real test data ----------------------------------

@@ -163,6 +163,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected the fused banded-LSH expression in the plan")
   }
 
+  test("px15: the vocabulary-sized df table is never hint-broadcast") {
+    // the tf⋈df join must be free to shuffle on term: df's cardinality is
+    // the vocabulary, which grows with the corpus. The STATIC plan (before
+    // AQE's runtime downgrade, which is allowed) must carry no broadcast
+    // hint on the df aggregate — only the 1-row corpus-count side may
+    // broadcast.
+    // (the planner may still pick a broadcast from SIZE STATISTICS at test
+    // scale — that is the adaptive behavior we want; a HINT would force it
+    // at any scale)
+    val df = Pipeline.px15Keywords(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    // hints survive into the optimized plan as Join ... Hint=(strategy=...);
+    // the term-keyed join (the line carrying the term equality condition)
+    // must not have one — only the 1-row corpus-count cross join may
+    val termJoinHinted = optimized.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("term#") && l.contains("broadcast"))
+    assert(!termJoinHinted,
+      s"tf⋈df term join must carry no broadcast hint:\n$optimized")
+    assert(optimized.linesIterator.exists(l =>
+      l.contains("Join Cross") && l.contains("broadcast")),
+      s"the 1-row corpus count should stay hint-broadcast:\n$optimized")
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
