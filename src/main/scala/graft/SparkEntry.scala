@@ -26,4 +26,10 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.Connector.oracles ++
       graft.queries.Pipeline.oracles ++ graft.queries.Events.oracles ++
       graft.queries.StreamBatch.oracles
+
+  /** Oracles that embed run-time artifacts (px13: the trained IVF centroid
+    * matrix as double literals) — rendered against the same session + data
+    * dir the queries ran on, and merged over [[oracleSql]] by Verify. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    graft.queries.Pipeline.dynamicOracles(spark, sfDir)
 }

@@ -37,24 +37,41 @@ object Multimodal {
       (length(col(textCol)) % 480 + 16).cast("int").as("height"))
 
   /** STUB decode kernel: a real implementation would JPEG-decode `payload`;
-    * this derives a deterministic content hash standing in for pixel data. */
-  private def stubDecode(payload: Array[Byte]): Long = {
-    // FNV-1a over the payload — cheap, deterministic, no deps
-    var h = 0xcbf29ce484222325L
+    * this derives a deterministic content digest standing in for pixel data.
+    * MD5 (lowercase hex) so an external SQL engine can recompute it:
+    * DuckDB's `md5(text)` over the same UTF-8 bytes yields the same hex. */
+  private def stubDecode(payload: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(payload)
+    val sb = new StringBuilder(32)
     var i = 0
-    while (i < payload.length) { h ^= payload(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    while (i < dig.length) { sb.append(f"${dig(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  /** Little-endian uint64 of MD5-digest bytes 8..15 of a string — exactly
+    * DuckDB's `md5_number_lower(s)` (the convention every md5-derived sketch
+    * in [[graft.functions.HashExprs]] uses). */
+  private def md5NumberLower(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (dig(i) & 0xffL); i -= 1 }
     h
   }
 
-  /** STUB feature kernel: 8 floats derived from the decoded hash — stands in
-    * for an embedding model over decoded pixels. */
-  private def stubFeatures(decoded: Long): Array[Float] = {
+  /** STUB feature kernel: 8 floats derived from the decoded digest — stands
+    * in for an embedding model over decoded pixels. Feature i is
+    * `(md5_number_lower(digest || '_' || i) & 65535) / 65536.0` — exactly
+    * representable in float32 (k·2⁻¹⁶, k < 2¹⁶), so the values survive a
+    * float→double round trip bit-identically and the whole pipeline is
+    * reproducible in DuckDB SQL. */
+  private def stubFeatures(decoded: String): Array[Float] = {
     val out = new Array[Float](8)
-    var h = decoded
     var i = 0
     while (i < 8) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(i) = ((h >>> 40).toInt & 0xffff) / 65536.0f
+      out(i) = (md5NumberLower(decoded + "_" + i) & 0xffffL).toFloat / 65536.0f
       i += 1
     }
     out

@@ -139,8 +139,17 @@ object Similarity {
     * each query touches ~nprobe/nlist of the corpus instead of all of it —
     * the inverted-file counterpart to [[lshTopK]]. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWithCentroids(ivfCentroids(corpus, idCol, vecCol, nlist),
+      queries, corpus, idCol, vecCol, k, nprobe)
+
+  /** [[ivfTopK]] with a PRE-TRAINED coarse quantizer. Callers that also
+    * need the centroid matrix elsewhere (e.g. to embed it in an external
+    * oracle query) should train once and pass it here, so the query and the
+    * oracle are guaranteed to share bit-identical centroids. */
+  def ivfTopKWithCentroids(cents: Array[Array[Double]], queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, 1), 1)
         .as("cell"))

@@ -248,23 +248,93 @@ object Pipeline {
       |ORDER BY id_a, id_b""".stripMargin
 
   /** px12: multimodal plumbing — binary payloads through the batched
-    * decode/feature stub (STUB kernels, real Spark contract). Rows-only. */
+    * decode/feature stub (STUB kernels, real Spark contract: schema,
+    * mapPartitions batch shape, null tolerance). The kernels are md5-derived
+    * (`md5` digest + `md5_number_lower` features), so the whole pipeline —
+    * payload encode, decode digest, feature derivation — is recomputable in
+    * DuckDB and gets a full hash check, not a rows-only count. f0 is emitted
+    * as double: the feature values are k·2⁻¹⁶ (k < 2¹⁶), exactly
+    * representable in float32, so the float→double cast is lossless and
+    * bit-identical to DuckDB's double arithmetic. */
   def px12Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.extractFeatures(media)
       .select(col("media_id"), col("width"), col("height"),
-        element_at(col("features"), 1).as("f0"), size(col("features")).as("n_features"))
+        element_at(col("features"), 1).cast("double").as("f0"),
+        size(col("features")).as("n_features"))
       .orderBy(col("media_id"))
   }
 
+  val px12Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(length(text) % 640 + 16 AS INTEGER) AS width,
+      |  CAST(length(text) % 480 + 16 AS INTEGER) AS height,
+      |  CAST(md5_number_lower(md5(text) || '_0') & 65535 AS DOUBLE) / 65536.0 AS f0,
+      |  CAST(8 AS INTEGER) AS n_features
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Trained IVF centroids per dataset dir, memoized so the px13 query and
+    * its dynamically-emitted oracle SQL share ONE training run. Lloyd means
+    * are value-deterministic, but the distributed partial-sum merge order
+    * can flip low-order float bits between runs — sharing the matrix inside
+    * the process removes that hazard entirely. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  def ivfCentroidsFor(s: SparkSession, dir: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(dir, d =>
+      Similarity.ivfCentroids(Tables.embeddings(s, d), "vec_id", "embedding", 16))
+
   /** px13: IVF ANN — nearest-centroid inverted lists (nlist=16) with 4-probe
-    * queries and exact rerank. Recall depends on the quantizer ⇒ rows-only. */
+    * queries and exact rerank. Oracle-checked end to end: the trained 16×64
+    * centroid matrix is embedded into the oracle SQL as double literals
+    * ([[px13Sql]]), and DuckDB recomputes cell assignment, probe lists, and
+    * the exact cosine rerank — cross-engine exact because cell assignment
+    * and scoring both reduce to `list_cosine_similarity` arithmetic
+    * (bit-identical to the native expressions, as px9/px10 establish) and
+    * the literals round-trip through shortest-repr double formatting. */
   def px13AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4)
+    Similarity.ivfTopKWithCentroids(ivfCentroidsFor(s, dir),
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5, nprobe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** DYNAMIC oracle for px13: depends on the trained centroids, so it is
+    * generated at Verify time (after training) rather than declared
+    * statically. `java.lang.Double.toString` emits the shortest decimal
+    * that round-trips to the same binary double; DuckDB parses literals
+    * correctly rounded, so both engines score against identical centroids. */
+  def px13Sql(s: SparkSession, dir: String): String = {
+    val cents = ivfCentroidsFor(s, dir)
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n")
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |$values) AS t(cell, cv)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sims AS (SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.cv) AS sim
+       |         FROM e CROSS JOIN cents c),
+       |ranked AS (SELECT vec_id, cell,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+       |           FROM sims),
+       |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 10)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(qe.v, ce.v) AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, a.vec_id ASC) AS rank
+       |  FROM probes q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id
+       |  JOIN e qe ON qe.vec_id = q.vec_id
+       |  JOIN e ce ON ce.vec_id = a.vec_id) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracles that can only be rendered once a query has run (px13: trained
+    * centroids become SQL literals). Merged into the static map by Verify. */
+  def dynamicOracles(s: SparkSession, dir: String): Map[String, String] =
+    Map("px13_ann_ivf" -> px13Sql(s, dir))
 
   /** px14: near-dup CLUSTER canonicalization — connected components over
     * the px7 pair graph, keeper = component min. The oracle recomputes the
@@ -350,9 +420,10 @@ object Pipeline {
     "px9_ann_brute"        -> px9Sql,
     "px10_ann_lsh"         -> px10Sql,
     "px11_embedding_neardup" -> px11Sql,
+    "px12_multimodal"      -> px12Sql,
     "px14_dedup_clusters"  -> px14Sql,
     "px15_keywords"        -> px15Sql,
-    // px12: declared multimodal STUB — rows-only check
-    // px13: IVF quantizer (float mean training) — checked by recall ScalaTest
+    // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
+    // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )
 }
