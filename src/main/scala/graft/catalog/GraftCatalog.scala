@@ -103,6 +103,7 @@ object GraftCatalog {
   val MinSplit = "minTableSplitPoint"
   val MaxSplit = "maxTableSplitPoint"
   val MaxVersions = "maxVersions"
+  val FamilyMaxVersions = "familyMaxVersions"
   val Timestamp = "timestamp"
   val MinStamp = "minStamp"
   val MaxStamp = "maxStamp"

@@ -21,6 +21,11 @@ object CatalystConv {
       case BinaryType => v
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType => v
+      case d: DecimalType =>
+        Decimal(v.asInstanceOf[java.math.BigDecimal], d.precision, d.scale)
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(v.asInstanceOf[java.sql.Timestamp])
       case MapType(kt, vt, _) =>
         val m = v.asInstanceOf[scala.collection.Map[_, _]]
         val keys = new GenericArrayData(m.keysIterator.map(toCatalyst(kt, _)).toArray[Any])
@@ -47,6 +52,10 @@ object CatalystConv {
       case BinaryType => v
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType => v
+      case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(v.asInstanceOf[Long])
       case MapType(kt, vt, _) =>
         val m = v.asInstanceOf[MapData]
         val keys = m.keyArray().toObjectArray(kt).map(fromCatalyst(kt, _))

@@ -17,6 +17,7 @@ final case class GraftOptions(
     minStamp: Option[Long],
     maxStamp: Option[Long],
     maxVersions: Int,
+    familyMaxVersions: Map[String, Int],
     mergeToLatest: Boolean,
     restrictive: String) extends Serializable {
 
@@ -65,6 +66,14 @@ object GraftOptions {
       minStamp = get(GraftCatalog.MinStamp).map(_.toLong),
       maxStamp = get(GraftCatalog.MaxStamp).map(_.toLong),
       maxVersions = get(GraftCatalog.MaxVersions).map(_.toInt).getOrElse(1),
+      // per-family retention overrides, "cf1=2,cf2=1" (HBase keeps the cap
+      // on each HColumnDescriptor; the table-level maxVersions is the
+      // default for families not listed)
+      familyMaxVersions = get(GraftCatalog.FamilyMaxVersions)
+        .map(_.split(",").iterator.map { kv =>
+          val Array(cf, n) = kv.split("=", 2)
+          cf.trim -> n.trim.toInt
+        }.toMap).getOrElse(Map.empty),
       mergeToLatest = get(GraftCatalog.MergeToLatest).forall(_.toBoolean),
       restrictive = get(GraftCatalog.Restrictive).getOrElse("auto").toLowerCase)
   }

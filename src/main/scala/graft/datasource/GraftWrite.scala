@@ -67,7 +67,8 @@ object GraftDdl {
       case _ =>
         splitKeys(opts.minSplit.getBytes("UTF-8"), opts.maxSplit.getBytes("UTF-8"), numReg - 1)
     }
-    KvStore.createTable(name, splits, math.max(opts.maxVersions, 1), dropExisting)
+    KvStore.createTable(name, splits, math.max(opts.maxVersions, 1), dropExisting,
+      opts.familyMaxVersions)
   }
 
   /** n split points linearly interpolated across [min, max] inclusive,

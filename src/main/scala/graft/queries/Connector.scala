@@ -401,6 +401,49 @@ object Connector {
       |WHERE c_nationkey < 10
       |ORDER BY c_custkey""".stripMargin
 
+  // mixed-retention table: family "f" keeps 2 versions, family "g" only 1
+  private val mixedRetentionCatalog =
+    """{"table":{"namespace":"default", "name":"kv_retention"},
+      |"rowkey":"key",
+      |"columns":{
+      |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"c_acctbal":{"cf":"f", "col":"acctbal", "type":"double"},
+      |"c_mktsegment":{"cf":"g", "col":"mktsegment", "type":"string"}}}""".stripMargin
+
+  /** kv14: PER-FAMILY maxVersions (HBase keeps the retention cap on each
+    * column-family descriptor — reference HBaseRelation.scala:155-160): two
+    * stamped writes into a table where family `f` retains 2 versions but
+    * family `g` retains only 1. The exploded (`mergeToLatest=false`) read
+    * shows both `f` versions, while `g`'s evicted older cell surfaces as
+    * NULL on the older row. */
+  def kv14FamilyRetention(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_retention")) {
+      val base = Tables.customer(s, dir).select("c_custkey", "c_acctbal", "c_mktsegment")
+      val maxKey = base.agg(max("c_custkey")).head().getLong(0)
+      val writeOpts = Map("catalog" -> mixedRetentionCatalog,
+        "maxVersions" -> "2", "familyMaxVersions" -> "g=1")
+      base.write.format("graft-kv")
+        .options(writeOpts ++ Map("newtable" -> "4", "timestamp" -> "1000",
+          "minSplitNum" -> "0", "maxSplitNum" -> maxKey.toString))
+        .mode("append").save()
+      base.withColumn("c_acctbal", col("c_acctbal") + 1.0)
+        .write.format("graft-kv")
+        .options(writeOpts ++ Map("timestamp" -> "2000"))
+        .mode("append").save()
+    }
+    s.read.format("graft-kv")
+      .options(Map("catalog" -> mixedRetentionCatalog,
+        "mergeToLatest" -> "false", "maxVersions" -> "2"))
+      .load()
+      .orderBy(col("c_custkey"), col("c_acctbal"))
+  }
+
+  val kv14Sql: String =
+    """SELECT c_custkey, c_acctbal + 1.0 AS c_acctbal, c_mktsegment FROM customer
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment FROM customer
+      |ORDER BY c_custkey, c_acctbal""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -415,6 +458,7 @@ object Connector {
     "kv11_mixed_sql"      -> (kv11MixedSql _),
     "kv12_multi_cluster"  -> (kv12MultiCluster _),
     "kv13_avro_key"       -> (kv13AvroKey _),
+    "kv14_family_retention" -> (kv14FamilyRetention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,5 +475,6 @@ object Connector {
     "kv11_mixed_sql"      -> kv11Sql,
     "kv12_multi_cluster"  -> kv12Sql,
     "kv13_avro_key"       -> kv13Sql,
+    "kv14_family_retention" -> kv14Sql,
   )
 }

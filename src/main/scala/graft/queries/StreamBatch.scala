@@ -72,13 +72,51 @@ object StreamBatch {
   /** Same semantics as the batch sessionizer ev2 — same oracle. */
   val sv2Sql: String = Events.ev2Sql
 
+  private val kvSinkCatalog =
+    """{"table":{"namespace":"default", "name":"kv_stream_events"},
+      |"rowkey":"key",
+      |"columns":{
+      |"event_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"user_id":{"cf":"f", "col":"user", "type":"bigint"},
+      |"event_type":{"cf":"f", "col":"etype", "type":"string"},
+      |"value":{"cf":"f", "col":"value", "type":"double"}}}""".stripMargin
+
+  /** sv3: streaming graft-kv SINK end to end — the stream flows through
+    * `GraftStreaming.kvSink` (foreachBatch → the same DSv2 write path batch
+    * writes use, including first-batch DDL+presplit), then the table reads
+    * back through the connector. Puts are idempotent upserts by (key, cf,
+    * qual, ts) with a fixed stamp, so at-least-once micro-batch delivery
+    * collapses to exactly-once table contents = batch SELECT of the source. */
+  def sv3StreamKvSink(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_stream_events")) {
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id").cast("long"))).head().getLong(0)
+      val stream = eventStream(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+      GraftStreaming.runOnce(GraftStreaming.kvSink(stream, Map(
+        "catalog" -> kvSinkCatalog, "newtable" -> "4", "timestamp" -> "1000",
+        "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString)))
+    }
+    s.read.format("graft-kv").option("catalog", kvSinkCatalog).load()
+      .orderBy(col("event_id"))
+  }
+
+  val sv3Sql: String =
+    """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+      |       event_type, CAST(value AS DOUBLE) AS value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
+    "sv3_stream_kv_sink"    -> (sv3StreamKvSink _),
   )
 
   val oracles: Map[String, String] = Map(
     "sv1_stream_dedup"      -> sv1Sql,
     "sv2_stream_sessionize" -> sv2Sql,
+    "sv3_stream_kv_sink"    -> sv3Sql,
   )
 }

@@ -23,9 +23,11 @@ object KvStore {
   private val tables = TrieMap[String, KvTable]()
 
   def createTable(name: String, splits: Seq[Array[Byte]], maxVersions: Int = 1,
-      dropExisting: Boolean = false): KvTable = synchronized {
+      dropExisting: Boolean = false,
+      maxVersionsByCf: Map[String, Int] = Map.empty): KvTable = synchronized {
     if (dropExisting) tables.remove(name)
-    tables.getOrElseUpdate(name, new KvTable(name, splits.toIndexedSeq, maxVersions))
+    tables.getOrElseUpdate(name,
+      new KvTable(name, splits.toIndexedSeq, maxVersions, maxVersionsByCf))
   }
 
   def table(name: String): KvTable =
@@ -59,7 +61,16 @@ final case class KvRow(key: Array[Byte], cells: Seq[KvCell])
 
 final case class RegionInfo(index: Int, start: Option[Array[Byte]], end: Option[Array[Byte]], host: String)
 
-final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]], val maxVersions: Int) {
+/** @param maxVersions default retained-version cap for every column family
+  * @param maxVersionsByCf per-family overrides — HBase's model keeps the
+  *   version cap on each HColumnDescriptor (reference
+  *   HBaseRelation.scala:155-160 sets it per descriptor at table create),
+  *   so families of one table may retain different version counts */
+final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
+    val maxVersions: Int, val maxVersionsByCf: Map[String, Int] = Map.empty) {
+
+  /** retention cap for a family: its descriptor override, else the default */
+  def versionCap(cf: String): Int = maxVersionsByCf.getOrElse(cf, maxVersions)
 
   import BytesUtil.byteArrayOrdering
 
@@ -98,8 +109,9 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]], val maxVe
         _ => new ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
           java.util.Comparator.reverseOrder[java.lang.Long]()))
       versions.put(c.ts, c.value)
-      // cap stored versions at the table's maxVersions (HBase cf semantics)
-      while (versions.size() > maxVersions) versions.pollLastEntry()
+      // cap stored versions at the FAMILY's retention (HBase cf semantics)
+      val cap = versionCap(c.cf)
+      while (versions.size() > cap) versions.pollLastEntry()
     }
   }
 

@@ -136,11 +136,21 @@ object AvroCoder {
       case Schema.Type.BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case Schema.Type.FIXED => new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
       case Schema.Type.ENUM  => new GenericData.EnumSymbol(s, v.toString)
+      // STRING also absorbs DecimalType values: the reference serializes
+      // Spark decimals as their decimal string (Avro.scala:152,256) since
+      // Avro <1.8 had no decimal logical type. BigDecimal/Decimal.toString
+      // is the same plain representation.
       case Schema.Type.STRING => v.toString
       case Schema.Type.INT =>
         v match { case n: Number => n.intValue(); case x => x }
       case Schema.Type.LONG =>
-        v match { case n: Number => n.longValue(); case x => x }
+        v match {
+          // TimestampType maps to long epoch-millis on the write path
+          // (reference Avro.scala:194,257-258: Timestamp.getTime)
+          case t: java.sql.Timestamp => t.getTime
+          case n: Number => n.longValue()
+          case x => x
+        }
       case Schema.Type.FLOAT =>
         v match { case n: Number => n.floatValue(); case x => x }
       case Schema.Type.DOUBLE =>

@@ -110,4 +110,32 @@ class CoderSpec extends AnyFunSuite {
     assert(back.getInt(1) == 42)
     assert(back.getSeq[String](2) == Seq("a", "b"))
   }
+
+  test("avro write mapping: Decimal -> string, Timestamp -> epoch millis") {
+    // the reference serializes DecimalType as its decimal string and
+    // TimestampType as long epoch-millis (Avro.scala:152,194,256-258);
+    // round-trip surfaces them as string/long, matching toSqlType
+    val schema =
+      """{"type":"record","name":"Fin","fields":[
+        |{"name":"amount","type":"string"},
+        |{"name":"at","type":"long"}]}""".stripMargin
+    val coder = new AvroCoder(schema)
+    val dt = AvroCoder.sqlTypeFor(schema)
+    val ts = java.sql.Timestamp.valueOf("2026-01-15 10:30:00.123")
+    val row = org.apache.spark.sql.Row(new java.math.BigDecimal("12345.670000"), ts)
+    val back = coder.decode(dt, coder.encode(dt, row)).asInstanceOf[org.apache.spark.sql.Row]
+    assert(back.getString(0) == "12345.670000")
+    assert(back.getLong(1) == ts.getTime)
+
+    // the same values survive the Catalyst-internal conversion the write
+    // path performs before encoding
+    import graft.datasource.CatalystConv
+    val dec = CatalystConv.fromCatalyst(DecimalType(18, 6),
+      CatalystConv.toCatalyst(DecimalType(18, 6), new java.math.BigDecimal("12345.670000")))
+    assert(dec.asInstanceOf[java.math.BigDecimal].compareTo(
+      new java.math.BigDecimal("12345.670000")) == 0)
+    val ts2 = CatalystConv.fromCatalyst(TimestampType,
+      CatalystConv.toCatalyst(TimestampType, ts))
+    assert(ts2 == ts)
+  }
 }
