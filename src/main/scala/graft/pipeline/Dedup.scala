@@ -101,19 +101,49 @@ object Dedup {
 
   // ---- shared machinery for the capped, pre-deduped LSH family -------------
 
-  /** Annotate each row with `rep` = the min id among rows sharing the same
-    * `contentKey` (exact-duplicate group). ONE shuffle on the content key;
-    * the result is the single corpus pass every downstream consumer reads
-    * from (persisted MEMORY_AND_DISK — columnar, spills instead of OOM). */
-  private[pipeline] def withExactGroups(rows: DataFrame, contentKey: Column): DataFrame =
-    rows.withColumn("rep", min(col("id")).over(Window.partitionBy(contentKey)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** Collapse exact-duplicate content to one representative row per group.
+    * Returns `(repRows, membersOpt)`:
+    *
+    *  - the duplicate check is ONE map-side-combined aggregate over
+    *    `(contentKey, id)` — no shuffle of the payload, no window sort;
+    *  - when the corpus has NO exact duplicates (the common case once
+    *    upstream exact dedup ran), `membersOpt` is None and `repRows` is the
+    *    input unchanged — callers skip the expansion machinery entirely and
+    *    the plan equals the direct formulation plus this one cheap check;
+    *  - with duplicates, `repRows` keeps only group minimum-id rows (inner
+    *    join against the rep-id set) and `membersOpt` carries the persisted
+    *    (id, rep) mapping for the final pair expansion. `repRows` is
+    *    persisted: several sketch branches consume it, and without the cache
+    *    each would recompute the scan→group→join subtree; its size is
+    *    proportional to DISTINCT content (what survived dedup), not the
+    *    corpus, and primitive columns cache columnar.
+    *
+    * The check is an eager driver-side branch: plan specialization from a
+    * cheap statistic, the same trick AQE applies at runtime. */
+  private[pipeline] def exactGroupReps(rows: DataFrame,
+      contentKey: Column): (DataFrame, Option[DataFrame]) = {
+    val keyed = rows.withColumn("__ck", contentKey)
+    val groups = keyed.select(col("__ck"), col("id"))
+      .groupBy(col("__ck")).agg(min(col("id")).as("rep"), count(lit(1)).as("gs"))
+    if (groups.filter(col("gs") > 1).isEmpty) (rows, None)
+    else {
+      val members = keyed.select(col("__ck"), col("id"))
+        .join(groups.select(col("__ck"), col("rep")), Seq("__ck"))
+        .select(col("id"), col("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val repRows = rows.join(groups.select(col("rep").as("id")), Seq("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (repRows, Some(members))
+    }
+  }
 
   /** Cap every bucket (grouping of `keys`) at `maxBucket` entries, keeping
-    * the smallest ids (deterministic). The overflow is counted with ONE
-    * map-side-combined aggregate and logged — no silent truncation. The
-    * row_number window shuffles on the same keys the candidate join uses,
-    * so the join reuses the exchange instead of adding one. */
+    * the smallest ids (deterministic). Bucket sizes come from ONE
+    * map-side-combined aggregate (which doubles as the cache-warmer for the
+    * persisted sketch input); overflow is logged — no silent truncation.
+    * When no bucket exceeds the cap, the rank window is skipped entirely;
+    * when one does, the row_number window shuffles on the same keys the
+    * candidate join uses, so the join reuses the exchange. */
   private[pipeline] def capBuckets(entries: DataFrame, keys: Seq[String],
       maxBucket: Int, tag: String): DataFrame = {
     require(maxBucket > 0, s"$tag: maxBucket must be positive, got $maxBucket")
@@ -122,10 +152,10 @@ object Dedup {
       .filter(col("n") > maxBucket)
       .agg(count(lit(1)).as("hot"), coalesce(sum(col("n") - maxBucket), lit(0L)).as("dropped"))
       .first()
-    if (over.getLong(0) > 0)
-      log.warn(s"$tag: capped ${over.getLong(0)} hot buckets at $maxBucket entries each " +
-        s"(${over.getLong(1)} entries dropped — likely boilerplate collisions; " +
-        "raise maxBucket to trade candidate volume for recall)")
+    if (over.getLong(0) == 0) return entries
+    log.warn(s"$tag: capped ${over.getLong(0)} hot buckets at $maxBucket entries each " +
+      s"(${over.getLong(1)} entries dropped — likely boilerplate collisions; " +
+      "raise maxBucket to trade candidate volume for recall)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
     entries.withColumn("__bn", row_number().over(w))
       .filter(col("__bn") <= maxBucket).drop("__bn")
@@ -157,10 +187,9 @@ object Dedup {
     * scaling; candidate rerank touches candidate pairs only.
     *
     * Scale shape (see the object Scaladoc): exact-duplicate groups are
-    * collapsed first — minhash bands AND rerank shingles are computed once
-    * per distinct content in a single persisted pass (one corpus scan
-    * total), hot (band, bucket) cells are capped with a logged drop count,
-    * and exact-dup pairs re-enter through the expansion join.
+    * collapsed first so sketches are computed once per distinct content,
+    * hot (band, bucket) cells are capped with a logged drop count, and
+    * exact-dup pairs re-enter through the expansion join.
     *
     * The rerank measures Jaccard over the SAME bigram-shingle sets the
     * MinHash sketch measures. With matched notions the output is exactly
@@ -171,38 +200,50 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val grouped = withExactGroups(
+    val (repRows, membersOpt) = exactGroupReps(
       df.select(col(idCol).as("id"), col(textCol).as("txt")), md5(col("txt")))
-    val members = grouped.select(col("id"), col("rep"))
-    // sketches for group representatives only — one pass, both columns
-    val prep = grouped.filter(col("id") === col("rep"))
+    // Sketches are RECOMPUTED per consumer rather than persisted: the
+    // shingle sets are corpus-sized nested arrays, which Spark's in-memory
+    // cache stores row-serialized — measured SLOWER to cache+read than to
+    // recompute through the codegen'd native expressions, and at 100 TB
+    // caching corpus-sized shingles is storage-prohibitive anyway. The
+    // sketch compute is an embarrassingly-parallel map over parquet splits;
+    // identical branches below share one scan via Spark's exchange reuse.
+    val toks = repRows
       .select(col("id"), TextOps.tokens(col("txt")).as("toks"))
       .filter(size(col("toks")) > 0)
+    val buckets = toks
       .select(col("id"),
-        graft.functions.HashExprs.minhashBands(col("toks"), numHashes, bands).as("bnds"),
-        graft.functions.HashExprs.sortedShingles(col("toks")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = prep.select(col("id"), posexplode(col("bnds")))
+        posexplode(graft.functions.HashExprs.minhashBands(col("toks"), numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
     val capped = capBuckets(buckets, Seq("band", "bh"), maxBucket, "minhashLshPairs")
     val cand = capped.as("x").join(capped.as("y"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("ra"), col("y.id").as("rb"))
       .distinct()
-    val sh = prep.select(col("id"), col("sh"))
+    // the shingle sets are consumed by both rerank join branches (and the
+    // intra-group path): persist so the sort-heavy shingle construction
+    // runs once per representative, not once per consumer
+    val sh = toks.select(col("id"),
+      graft.functions.HashExprs.sortedShingles(col("toks")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val repPairs = cand
       .join(sh.select(col("id").as("ra"), col("sh").as("sh_a")), Seq("ra"))
       .join(sh.select(col("id").as("rb"), col("sh").as("sh_b")), Seq("rb"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("ra"), col("rb"), col("jaccard"))
-    // intra-group pairs: self-Jaccard of the representative's shingle set
-    // (1.0 for any non-empty set; NULL — filtered — for degenerate empties)
-    val selfPairs = sh.join(dupGroups(members), sh("id") === col("rep"))
-      .select(col("id").as("ra"), col("id").as("rb"),
-        jaccard(col("sh"), col("sh")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    expandGroupPairs(repPairs.union(selfPairs), members)
+    membersOpt match {
+      case None => repPairs.withColumnsRenamed(Map("ra" -> "id_a", "rb" -> "id_b"))
+      case Some(members) =>
+        // intra-group pairs: self-Jaccard of the representative's shingle
+        // set (1.0 for any non-empty set; NULL — filtered — when empty)
+        val selfPairs = sh.join(dupGroups(members), sh("id") === col("rep"))
+          .select(col("id").as("ra"), col("id").as("rb"),
+            jaccard(col("sh"), col("sh")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+        expandGroupPairs(repPairs.union(selfPairs), members)
+    }
   }
 
   /** Connected components over a near-dup pair graph → canonical keeper per
@@ -231,8 +272,11 @@ object Dedup {
       maxIters: Int = 100, reliableCheckpoints: Boolean = false): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
-    val edges = cp(pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+    // materialize the pair pipeline ONCE before mirroring: the union below
+    // references it twice, and without the cut the (possibly expensive)
+    // upstream pair computation would execute once per direction
+    val p = cp(pairs.select(col(idA).as("a"), col(idB).as("b")))
+    val edges = cp(p.union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct())
     var labels = cp(edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")))
@@ -278,10 +322,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, md5Base: Boolean = false,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val grouped = withExactGroups(
+    val (repRows, membersOpt) = exactGroupReps(
       df.select(col(idCol).as("id"), col(textCol).as("txt")), md5(col("txt")))
-    val members = grouped.select(col("id"), col("rep"))
-    val fps = grouped.filter(col("id") === col("rep"))
+    val fps = repRows
       .select(col("id"), array_distinct(TextOps.tokens(col("txt"))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("id"),
@@ -302,10 +345,14 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("ra"), col("rb"), col("hamming"))
-    // identical content ⇒ identical fingerprint ⇒ Hamming distance 0
-    val selfPairs = fps.join(dupGroups(members), fps("id") === col("rep"))
-      .select(col("id").as("ra"), col("id").as("rb"),
-        bit_count(col("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
-    expandGroupPairs(repPairs.union(selfPairs), members)
+    membersOpt match {
+      case None => repPairs.withColumnsRenamed(Map("ra" -> "id_a", "rb" -> "id_b"))
+      case Some(members) =>
+        // identical content ⇒ identical fingerprint ⇒ Hamming distance 0
+        val selfPairs = fps.join(dupGroups(members), fps("id") === col("rep"))
+          .select(col("id").as("ra"), col("id").as("rb"),
+            bit_count(col("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+        expandGroupPairs(repPairs.union(selfPairs), members)
+    }
   }
 }

@@ -206,9 +206,7 @@ object Similarity {
         .filter(col("score") >= threshold)
         .select(col("id_a"), col("id_b"), col("score"))
     } else {
-      val grouped = Dedup.withExactGroups(base, col("v"))
-      val members = grouped.select(col("id"), col("rep"))
-      val reps = grouped.filter(col("id") === col("rep")).select(col("id"), col("v"))
+      val (reps, membersOpt) = Dedup.exactGroupReps(base, col("v"))
       val banded = reps.select(col("id"),
         posexplode(graft.functions.VectorExprs.signLshBands(col("v"), bandBits, bands, dim, seed)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
@@ -224,13 +222,17 @@ object Similarity {
         .withColumn("score", cosine(col("v_a"), col("v_b")))
         .filter(col("score") >= threshold)
         .select(col("ra"), col("rb"), col("score"))
-      // identical vectors: self-cosine (exactly the arithmetic the rerank
-      // would produce for the pair; NULL for zero-norm vectors — filtered)
-      val selfPairs = reps.join(Dedup.dupGroups(members), reps("id") === col("rep"))
-        .select(col("id").as("ra"), col("id").as("rb"),
-          cosine(col("v"), col("v")).as("score"))
-        .filter(col("score") >= threshold)
-      Dedup.expandGroupPairs(repPairs.union(selfPairs), members)
+      membersOpt match {
+        case None => repPairs.withColumnsRenamed(Map("ra" -> "id_a", "rb" -> "id_b"))
+        case Some(members) =>
+          // identical vectors: self-cosine (exactly the arithmetic the
+          // rerank would produce; NULL for zero-norm vectors — filtered)
+          val selfPairs = reps.join(Dedup.dupGroups(members), reps("id") === col("rep"))
+            .select(col("id").as("ra"), col("id").as("rb"),
+              cosine(col("v"), col("v")).as("score"))
+            .filter(col("score") >= threshold)
+          Dedup.expandGroupPairs(repPairs.union(selfPairs), members)
+      }
     }
   }
 }

@@ -325,7 +325,14 @@ object Relational {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  def q15BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+  /** Last dir the bucketed layout was written for — the layout write is
+    * idempotent per (JVM, dir) so callers (and Bench's populate phase) pay
+    * it once, and repeat q15 calls time the JOIN, not the layout. */
+  private val bucketedDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Write the bucketed layout for `dir` unless this JVM already has it. */
+  def ensureBucketedLayout(s: SparkSession, dir: String): Unit = synchronized {
+    if (bucketedDir.get == dir) return
     resetBucketedTable(s, "li_bucketed")
     resetBucketedTable(s, "ord_bucketed")
     // repartition by the bucket key first: one file per bucket instead of
@@ -340,6 +347,11 @@ object Relational {
       .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("ord_bucketed")
+    bucketedDir.set(dir)
+  }
+
+  def q15BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureBucketedLayout(s, dir)
     s.table("li_bucketed")
       .join(s.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
