@@ -442,6 +442,42 @@ case class MinKgramMd5(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Little-endian uint64 of MD5-digest bytes 8..15 of a string — exactly
+  * DuckDB's `md5_number_lower(s)`, the cross-engine hash convention every
+  * md5-derived sketch in this repo shares (see [[SimHash64]] md5Base). A
+  * scalar entry point for operators that need ONE reproducible uniform
+  * 64-bit value per row (deterministic sampling, bucket assignment) rather
+  * than a per-token vote. Codegen delegates the digest to a reference call
+  * (MessageDigest is not codegen-friendly); the surrounding plan stays
+  * compiled. */
+case class Md5NumberLower(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_number_lower needs string input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    (dig(8) & 0xffL) | ((dig(9) & 0xffL) << 8) | ((dig(10) & 0xffL) << 16) |
+      ((dig(11) & 0xffL) << 24) | ((dig(12) & 0xffL) << 32) |
+      ((dig(13) & 0xffL) << 40) | ((dig(14) & 0xffL) << 48) |
+      ((dig(15) & 0xffL) << 56)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5NumLower", this, classOf[Md5NumberLower].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (Long) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points. Inputs are token arrays (e.g. from the
   * codegen'd `split`); the expressions do the (bigram) shingling internally. */
 object HashExprs {
@@ -457,4 +493,6 @@ object HashExprs {
     GraftShim.column(SortedJaccard(GraftShim.expression(a), GraftShim.expression(b)))
   def minKgramMd5(text: Column, k: Int): Column =
     GraftShim.column(MinKgramMd5(GraftShim.expression(text), k))
+  def md5NumberLower(s: Column): Column =
+    GraftShim.column(Md5NumberLower(GraftShim.expression(s)))
 }

@@ -119,13 +119,40 @@ object Dedup {
     *    corpus, and primitive columns cache columnar.
     *
     * The check is an eager driver-side branch: plan specialization from a
-    * cheap statistic, the same trick AQE applies at runtime. */
-  private[pipeline] def exactGroupReps(rows: DataFrame,
-      contentKey: Column): (DataFrame, Option[DataFrame]) = {
+    * cheap statistic, the same trick AQE applies at runtime.
+    *
+    *  - The statistic (LARGEST exact-dup group size) is MEMOIZED per
+    *    canonicalized input plan, so a process that runs several LSH
+    *    operators over the same corpus (px7 then px14, Verify, Bench) pays
+    *    the check job once, not once per operator. The cache can only go
+    *    stale if the files behind an identical plan are rewritten in-process
+    *    — which would flip a performance branch, never an answer.
+    *  - The collapse only engages when some group EXCEEDS
+    *    `collapseThreshold`: a handful of small duplicate groups is exactly
+    *    what the sketch join handles natively (identical content ⇒ identical
+    *    sketch ⇒ same bucket ⇒ pair found, at m²/2 candidate cost for a
+    *    group of m — trivial below the threshold), and engaging the
+    *    member-mapping/expansion machinery for them costs more than it
+    *    saves. The threshold must stay ≤ the bucket cap so that any group
+    *    big enough to be TRUNCATED by [[capBuckets]] has been collapsed
+    *    first — exact-dup pairs are therefore never silently dropped. */
+  private val dupStatCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
+
+  /** Largest exact-dup group size above which the collapse machinery
+    * engages: 1024²/2 candidate pairs per uncollapsed group is the most the
+    * direct path is allowed to enumerate. */
+  val DefaultCollapseThreshold: Int = 1024
+
+  private[pipeline] def exactGroupReps(rows: DataFrame, contentKey: Column,
+      collapseThreshold: Int = DefaultCollapseThreshold): (DataFrame, Option[DataFrame]) = {
     val keyed = rows.withColumn("__ck", contentKey)
     val groups = keyed.select(col("__ck"), col("id"))
       .groupBy(col("__ck")).agg(min(col("id")).as("rep"), count(lit(1)).as("gs"))
-    if (groups.filter(col("gs") > 1).isEmpty) (rows, None)
+    val maxGroup = dupStatCache.computeIfAbsent(
+      keyed.queryExecution.analyzed.canonicalized,
+      _ => groups.agg(coalesce(max(col("gs")), lit(0L))).first().getLong(0))
+    if (maxGroup <= collapseThreshold) (rows, None)
     else {
       val members = keyed.select(col("__ck"), col("id"))
         .join(groups.select(col("__ck"), col("rep")), Seq("__ck"))
@@ -138,27 +165,31 @@ object Dedup {
   }
 
   /** Cap every bucket (grouping of `keys`) at `maxBucket` entries, keeping
-    * the smallest ids (deterministic). Bucket sizes come from ONE
-    * map-side-combined aggregate (which doubles as the cache-warmer for the
-    * persisted sketch input); overflow is logged — no silent truncation.
-    * When no bucket exceeds the cap, the rank window is skipped entirely;
-    * when one does, the row_number window shuffles on the same keys the
-    * candidate join uses, so the join reuses the exchange. */
+    * the smallest ids (deterministic). The cap is ONE window applied inline:
+    * it shuffles on exactly the keys the downstream candidate self-join
+    * uses, so the join rides the same exchange and the cap adds NO separate
+    * Spark job (an eager pre-count here was measured to cost a full extra
+    * sketch pass per operator). Overflow is still never silent: the bucket
+    * size rides along as a second frame of the SAME window, and an
+    * `observe` metric (computed inline by CollectMetrics, zero extra jobs)
+    * reports hot-bucket and dropped-entry counts to the
+    * [[GraftMetrics]] listener when the consuming action completes. */
   private[pipeline] def capBuckets(entries: DataFrame, keys: Seq[String],
       maxBucket: Int, tag: String): DataFrame = {
     require(maxBucket > 0, s"$tag: maxBucket must be positive, got $maxBucket")
     if (maxBucket == Int.MaxValue) return entries
-    val over = entries.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
-      .agg(count(lit(1)).as("hot"), coalesce(sum(col("n") - maxBucket), lit(0L)).as("dropped"))
-      .first()
-    if (over.getLong(0) == 0) return entries
-    log.warn(s"$tag: capped ${over.getLong(0)} hot buckets at $maxBucket entries each " +
-      s"(${over.getLong(1)} entries dropped — likely boilerplate collisions; " +
-      "raise maxBucket to trade candidate volume for recall)")
+    GraftMetrics.ensureListener(entries.sparkSession)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
-    entries.withColumn("__bn", row_number().over(w))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val hot = col("__bn") === 1 && col("__bsz") > maxBucket
+    entries
+      .withColumn("__bn", row_number().over(w))
+      .withColumn("__bsz", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .observe(s"graft.capBuckets.$tag",
+        coalesce(sum(when(hot, lit(1L)).otherwise(lit(0L))), lit(0L)).as("hot_buckets"),
+        coalesce(sum(when(hot, col("__bsz") - maxBucket).otherwise(lit(0L))), lit(0L))
+          .as("dropped_entries"))
+      .filter(col("__bn") <= maxBucket).drop("__bn", "__bsz")
   }
 
   /** Expand similarity pairs over exact-duplicate REPRESENTATIVES back to
@@ -201,7 +232,8 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val (repRows, membersOpt) = exactGroupReps(
-      df.select(col(idCol).as("id"), col(textCol).as("txt")), md5(col("txt")))
+      df.select(col(idCol).as("id"), col(textCol).as("txt")), md5(col("txt")),
+      math.min(DefaultCollapseThreshold, maxBucket))
     // Sketches are RECOMPUTED per consumer rather than persisted: the
     // shingle sets are corpus-sized nested arrays, which Spark's in-memory
     // cache stores row-serialized — measured SLOWER to cache+read than to
@@ -221,12 +253,14 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("ra"), col("y.id").as("rb"))
       .distinct()
-    // the shingle sets are consumed by both rerank join branches (and the
-    // intra-group path): persist so the sort-heavy shingle construction
-    // runs once per representative, not once per consumer
+    // the shingle sets feed both rerank join branches, but are deliberately
+    // NOT persisted: the nested array<string> column caches row-serialized,
+    // and re-reading it was MEASURED slower than recomputing through the
+    // codegen'd native expression (cache round-trip 1.0 s + 3.3 s vs 2.4 s
+    // recomputed at sf0.1) — and at 100 TB caching corpus-sized shingle
+    // sets is storage-prohibitive anyway
     val sh = toks.select(col("id"),
       graft.functions.HashExprs.sortedShingles(col("toks")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val repPairs = cand
       .join(sh.select(col("id").as("ra"), col("sh").as("sh_a")), Seq("ra"))
       .join(sh.select(col("id").as("rb"), col("sh").as("sh_b")), Seq("rb"))
@@ -299,6 +333,40 @@ object Dedup {
     labels.select(col("id"), col("label").as("keep_id"))
   }
 
+  /** Distinct word n-grams of a text column, as space-joined strings. */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Benchmark decontamination: for every training document, the eval-set
+    * documents it shares ≥ `minShared` distinct word `n`-grams with — the
+    * standard n-gram-overlap contamination check run before training (GPT-3
+    * appendix C / PaLM-style, token-level). Output:
+    * (train_id, eval_id, n_shared).
+    *
+    * Shape: both sides explode to DISTINCT n-grams (array_distinct before
+    * the explode keeps within-doc repeats from inflating counts), join on
+    * the n-gram string, aggregate per pair — one n-gram-keyed shuffle join,
+    * partial-aggregated on both sides. The eval side is typically tiny
+    * (benchmarks), so AQE downgrades the join to a broadcast at runtime; the
+    * plan does NOT hint it, because "eval set" can also be a full held-out
+    * split that scales with the corpus. At 100 TB the join key could be
+    * xxhash64(ngram) to shrink shuffle bytes — kept as the exact string here
+    * so the oracle is exact (a hash would be too, but collisions would need
+    * a rerank caveat). */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minShared: Int = 1): DataFrame = {
+    def grams(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), explode(tokenNgrams(col(textCol), n)).as("ngram"))
+    grams(train, "train_id").join(grams(eval, "eval_id"), Seq("ngram"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash over word tokens via the native one-pass `SimHash64`
     * expression: bit b of xxhash64(token) votes ±1; fingerprint bit = sign
     * of the vote sum. A pure projection — no explode, no groupBy, no
@@ -323,13 +391,17 @@ object Dedup {
       maxHamming: Int = 3, md5Base: Boolean = false,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val (repRows, membersOpt) = exactGroupReps(
-      df.select(col(idCol).as("id"), col(textCol).as("txt")), md5(col("txt")))
+      df.select(col(idCol).as("id"), col(textCol).as("txt")), md5(col("txt")),
+      math.min(DefaultCollapseThreshold, maxBucket))
+    // not persisted: the main path consumes the fingerprints exactly once
+    // (the 4-way chunk explode), and the one-pass SimHash64 projection is
+    // cheaper to recompute on the rare dup-expansion branch than every
+    // corpus would be to cache
     val fps = repRows
       .select(col("id"), array_distinct(TextOps.tokens(col("txt"))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("id"),
         graft.functions.HashExprs.simhash64(col("toks"), md5Base).as("simhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = fps.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Logging bridge for in-plan observability: operators attach named metric
+  * aggregates with `Dataset.observe` (computed inline by the CollectMetrics
+  * operator — ZERO extra Spark jobs, unlike a driver-side pre-count), and
+  * this listener logs any non-zero `graft.*` metrics when the consuming
+  * action finishes. This is how the LSH bucket caps stay "never silent"
+  * without paying a separate statistics job per operator invocation. */
+object GraftMetrics {
+
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register the metrics-logging listener on a session. */
+  def ensureListener(s: SparkSession): Unit = if (registered.add(s)) {
+    s.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = {
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.capBuckets.")) {
+            val hot = row.getAs[Long]("hot_buckets")
+            val dropped = row.getAs[Long]("dropped_entries")
+            if (hot > 0) log.warn(
+              s"$name: capped $hot hot buckets (${dropped} entries dropped — " +
+                "likely boilerplate collisions; raise maxBucket to trade " +
+                "candidate volume for recall)")
+          }
+        }
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    })
+  }
+}

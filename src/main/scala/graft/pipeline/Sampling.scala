@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines: deterministic
+  * stratified sampling (data mixing) and sequence packing (token-budget
+  * batching). Both are designed so a 100 TB corpus pays at most one shuffle:
+  * sampling is a pure map-side filter (NO shuffle at all), packing is one
+  * shard-keyed window.
+  */
+object Sampling {
+
+  /** Deterministic hash-threshold stratified sampling — the data-mixing
+    * primitive (downsample over-represented strata, keep the rest): a row
+    * survives iff `md5_number_lower(seed|stratum|id) & 0xffff <
+    * rate·65536`. Properties a 100 TB pipeline needs:
+    *
+    *  - '''map-only''': the keep decision is a per-row hash compare — no
+    *    shuffle, no sort, no count pass; the corpus scan is the whole cost
+    *    (contrast `df.stat.sampleBy`, which is also map-only but seeds a
+    *    per-partition RNG: its output changes with the partitioning, while
+    *    the hash of (seed, stratum, id) is invariant under repartitioning,
+    *    re-runs, and engine choice);
+    *  - '''deterministic & cross-engine''': the md5-derived hash is DuckDB's
+    *    `md5_number_lower`, so the exact sample is SQL-reproducible;
+    *  - '''unbiased re-weighting''': each kept row carries
+    *    `weight = 1/rate`, so downstream token counts / loss sums stay
+    *    unbiased estimates of the full-corpus values.
+    *
+    * Rates are quantized to k/65536 (exact 16-bit thresholds) so the
+    * comparison is integer, not float. Strata missing from `rates` keep
+    * everything (rate 1.0). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], seed: String = "strat42"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1], got $rates")
+    val thresholds = rates.map { case (k, r) => k -> math.round(r * 65536).toInt }
+    val thr = thresholds.foldLeft(lit(65536)) { case (acc, (stratum, t)) =>
+      when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
+    }
+    val bucket = graft.functions.HashExprs.md5NumberLower(
+      concat_ws("|", lit(seed), col(stratumCol), col(idCol).cast("string")))
+      .bitwiseAND(lit(0xffffL))
+    df.withColumn("__thr", thr)
+      .filter(bucket < col("__thr"))
+      .withColumn("sample_weight", lit(65536.0) / col("__thr").cast("double"))
+      .drop("__thr")
+  }
+
+  /** Concat-and-chunk sequence packing: assign every document a (pack_id,
+    * begin_offset) as if the corpus were concatenated in a deterministic
+    * order and cut into fixed `budget`-token packs — the standard LLM
+    * pretraining batching layout (documents flow across pack boundaries;
+    * the trainer masks attention at document breaks).
+    *
+    * Scale shape: packing is inherently order-sensitive, so it cannot be a
+    * pure map — but it does NOT need a global sort either. The corpus is
+    * split into `shards` independent streams by a deterministic hash of the
+    * id; each shard is packed separately with ONE window (cumulative token
+    * sum over the shard's id order). That is a single hash-partition
+    * shuffle; each shard's window sorts locally. At 100 TB, `shards` is
+    * sized to the cluster (thousands), keeping every shard's sort in one
+    * task's memory; pack ids are globally unique via shard * 2⁴⁰ + index.
+    *
+    * Output: (id, n_tokens, shard, pack_id, begin_offset) — enough for a
+    * writer to materialize packs by grouping on pack_id. Documents longer
+    * than `budget` simply span multiple packs (concat-and-chunk semantics).
+    * All arithmetic is integer → hash-exact across engines. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int = 512, shards: Int = 8): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    // power-of-two shard count makes the assignment a bit-mask of the hash —
+    // identical on signed (Spark long) and unsigned (SQL UBIGINT) views of
+    // the same 64-bit value, so the layout is cross-engine exact
+    require(shards > 0 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two, got $shards")
+    val nTok = TextOps.tokenCount(col(textCol)).cast("long")
+    val shard = graft.functions.HashExprs.md5NumberLower(
+      concat(lit("pack42|"), col(idCol).cast("string")))
+      .bitwiseAND(lit((shards - 1).toLong)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("id"), nTok.as("n_tokens"), shard.as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // `div`, not `/`: Column./ is Divide, which is DOUBLE division in
+      // Spark — exactness here must not ride on float rounding
+      .withColumn("pack_id", expr(
+        s"cast(shard as bigint) * ${1L << 40}L + (cum - n_tokens) div $budget"))
+      .withColumn("begin_offset", ((col("cum") - col("n_tokens")) % budget).cast("int"))
+      .drop("cum")
+  }
+}

@@ -206,7 +206,8 @@ object Similarity {
         .filter(col("score") >= threshold)
         .select(col("id_a"), col("id_b"), col("score"))
     } else {
-      val (reps, membersOpt) = Dedup.exactGroupReps(base, col("v"))
+      val (reps, membersOpt) = Dedup.exactGroupReps(base, col("v"),
+        math.min(Dedup.DefaultCollapseThreshold, maxBucket))
       val banded = reps.select(col("id"),
         posexplode(graft.functions.VectorExprs.signLshBands(col("v"), bandBits, bands, dim, seed)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))

@@ -112,6 +112,55 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("score"), col("rank"))
   }
 
+  /** Word bigrams WITH multiplicity ("w1 w2") — repetition counting needs
+    * the duplicates that [[Dedup.shingles]] deliberately drops. Single-token
+    * documents have no bigram: empty array. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) <= 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+  }
+
+  /** Longest run of equal ADJACENT elements in a string array (0 for an
+    * empty array). On a SORTED array this is the maximum multiplicity of any
+    * element — the trick the repetition signals below use to stay a pure
+    * per-row projection: `maxRun(array_sort(xs))` replaces an
+    * explode → groupBy → max pipeline, so a 100 TB corpus scan stays
+    * embarrassingly parallel with NO shuffle. The fold is a higher-order
+    * `aggregate` (CodegenFallback, like all HOFs) but runs O(n) per row with
+    * no allocation beyond the 3-field struct. */
+  def maxRun(arr: Column): Column =
+    aggregate(arr,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t <=> acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to
+    * token level for single-line documents):
+    *
+    *  - `dupTokenFrac`: fraction of token occurrences that are repeats of an
+    *    earlier token — 1 − distinct/total;
+    *  - `topBigramCount`: multiplicity of the most frequent word bigram
+    *    (max run of the sorted bigram array);
+    *  - `topBigramFrac`: fraction of tokens covered by that bigram
+    *    (count × 2 / n_tokens, the Gopher "top n-gram coverage" signal).
+    *
+    * All three are per-row projections — a quality-filter pass over 100 TB
+    * is one parquet scan, no shuffle. */
+  def dupTokenFrac(text: Column): Column =
+    lit(1.0) - size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  def topBigramCount(text: Column): Column = maxRun(array_sort(bigrams(text)))
+
+  def topBigramFrac(text: Column): Column =
+    least(topBigramCount(text).cast("double") * 2.0 /
+      greatest(size(tokens(text)), lit(1)).cast("double"), lit(1.0))
+
   /** Winnowing-style document fingerprint: lexicographic min of the MD5 of
     * every k-gram, via the native one-pass [[graft.functions.MinKgramMd5]]
     * expression (bit-identical to the

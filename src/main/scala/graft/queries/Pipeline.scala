@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Training-data pipeline operators over the documents/embeddings tables —
   * the beyond-reference surface (builder prompt): dedup family, similarity
@@ -390,6 +390,118 @@ object Pipeline {
       |  FROM tf JOIN df USING (term), n) t
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** px16: Gopher-style repetition signals (token-level) — duplicate-token
+    * fraction, longest adjacent-token run, top-bigram multiplicity and
+    * coverage. A pure per-row projection: the quality-filter pass over
+    * 100 TB is one parquet scan with NO shuffle (the oracle's
+    * explode/groupBy formulation is for SQL expressibility only). */
+  def px16Repetition(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.dupTokenFrac(col("text")).as("dup_token_frac"),
+      TextOps.maxRun(TextOps.tokens(col("text"))).as("max_token_run"),
+      TextOps.topBigramCount(col("text")).as("top_bigram_count"),
+      TextOps.topBigramFrac(col("text")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px16Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |pos AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+      |          SELECT doc_id, unnest(list_transform(toks, (x, y) -> {'tok': x, 'i': y})) AS u
+      |          FROM t)),
+      |runs AS (SELECT doc_id, max(c) AS max_run FROM (
+      |           SELECT doc_id, tok, grp, count(*) AS c FROM (
+      |             SELECT doc_id, tok,
+      |               i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+      |             FROM pos) GROUP BY doc_id, tok, grp) GROUP BY doc_id),
+      |bg AS (SELECT doc_id, CASE WHEN len(toks) <= 1 THEN CAST([] AS VARCHAR[])
+      |              ELSE list_transform(range(1, len(toks)), j -> toks[j] || ' ' || toks[j+1])
+      |            END AS bgs FROM t),
+      |bgc AS (SELECT doc_id, max(c) AS top_bg FROM (
+      |          SELECT doc_id, bgr, count(*) AS c FROM (
+      |            SELECT doc_id, unnest(bgs) AS bgr FROM bg) GROUP BY doc_id, bgr)
+      |        GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dup_token_frac,
+      |  CAST(coalesce(runs.max_run, 0) AS INTEGER) AS max_token_run,
+      |  CAST(coalesce(bgc.top_bg, 0) AS INTEGER) AS top_bigram_count,
+      |  least(CAST(coalesce(bgc.top_bg, 0) AS DOUBLE) * 2.0 / greatest(len(toks), 1), 1.0)
+      |    AS top_bigram_frac
+      |FROM t LEFT JOIN runs USING (doc_id) LEFT JOIN bgc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** px17: benchmark decontamination — training documents sharing ≥ 1
+    * distinct word 5-gram with an eval-set document (eval = doc_id % 10 = 0
+    * here; in production, the benchmark suite). One n-gram-keyed shuffle
+    * join, partial-aggregated; AQE broadcasts the eval side when it is
+    * actually small. */
+  def px17Decontam(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Dedup.contamination(
+      d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 5, minShared = 1)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val px17Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+      |        ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |               toks[i+3] || ' ' || toks[i+4])) END AS gs
+      |      FROM t),
+      |u AS (SELECT doc_id, unnest(gs) AS ngram FROM g)
+      |SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS n_shared
+      |FROM u a JOIN u b ON a.ngram = b.ngram
+      |WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      |GROUP BY 1, 2 HAVING count(*) >= 1
+      |ORDER BY train_id, eval_id""".stripMargin
+
+  /** px18: deterministic hash-threshold stratified sampling (data mixing):
+    * downsample en to 25%, de/es/fr to 50%, keep zh — map-only, no shuffle,
+    * repartition-invariant, with unbiased 1/rate re-weighting. */
+  def px18Sample(s: SparkSession, dir: String): DataFrame = {
+    Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
+      Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 1.0))
+      .select(col("doc_id"), col("lang"), col("sample_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px18Sql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CASE lang WHEN 'en' THEN 16384 WHEN 'de' THEN 32768 WHEN 'es' THEN 32768
+      |            WHEN 'fr' THEN 32768 WHEN 'zh' THEN 65536 ELSE 65536 END AS thr,
+      |  md5_number_lower('strat42|' || lang || '|' || doc_id) & 65535 AS bkt
+      |  FROM documents)
+      |SELECT doc_id, lang, 65536.0 / thr AS sample_weight
+      |FROM t WHERE bkt < thr ORDER BY doc_id""".stripMargin
+
+  /** px19: concat-and-chunk sequence packing into 256-token packs over 8
+    * hash shards — the LLM pretraining batching layout. One shard-keyed
+    * window; integer arithmetic throughout, so the pack assignment is
+    * hash-exact across engines. */
+  def px19Pack(s: SparkSession, dir: String): DataFrame = {
+    Sampling.packSequences(Tables.documents(s, dir), "doc_id", "text",
+      budget = 256, shards = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val px19Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(md5_number_lower('pack42|' || doc_id) & 7 AS INTEGER) AS shard
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens, shard,
+      |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, n_tokens, shard,
+      |  CAST(CAST(shard AS BIGINT) * 1099511627776 +
+      |       CAST(cum - n_tokens AS BIGINT) // 256 AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tokens) % 256 AS INTEGER) AS begin_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -406,6 +518,10 @@ object Pipeline {
     "px13_ann_ivf"         -> (px13AnnIvf _),
     "px14_dedup_clusters"  -> (px14DedupClusters _),
     "px15_keywords"        -> (px15Keywords _),
+    "px16_repetition"      -> (px16Repetition _),
+    "px17_decontam"        -> (px17Decontam _),
+    "px18_stratified_sample" -> (px18Sample _),
+    "px19_pack_sequences"  -> (px19Pack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -423,6 +539,10 @@ object Pipeline {
     "px12_multimodal"      -> px12Sql,
     "px14_dedup_clusters"  -> px14Sql,
     "px15_keywords"        -> px15Sql,
+    "px16_repetition"      -> px16Sql,
+    "px17_decontam"        -> px17Sql,
+    "px18_stratified_sample" -> px18Sql,
+    "px19_pack_sequences"  -> px19Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -308,4 +308,94 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sign-LSH; multi-probe roughly doubles the single-bucket recall
     assert(lshRecall >= 0.35, s"LSH recall $lshRecall")
   }
+
+  test("TextOps repetition signals: runs, top bigram, duplicate fraction") {
+    val d = Seq(
+      (1L, "a a a b"),          // run of 3 'a'; bigrams: "a a","a a","a b" -> top 2
+      (2L, "x y x y x"),        // no adjacent run; "x y" twice
+      (3L, "only"),             // single token: no bigram
+      (4L, "w v")               // two tokens, one bigram
+    ).toDF("doc_id", "text")
+    val r = d.select($"doc_id",
+      TextOps.maxRun(TextOps.tokens($"text")).as("run"),
+      TextOps.topBigramCount($"text").as("tb"),
+      TextOps.dupTokenFrac($"text").as("dup"),
+      TextOps.topBigramFrac($"text").as("tbf"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(r(1) == ((3, 2, 0.5, 1.0)))                  // 2 distinct of 4; 2*2/4 -> capped 1.0
+    assert(r(2) == ((1, 2, 1.0 - 2.0 / 5.0, 4.0 / 5.0)))
+    assert(r(3) == ((1, 0, 0.0, 0.0)))
+    assert(r(4) == ((1, 1, 0.0, 1.0)))
+    assert(d.select(TextOps.maxRun(array().cast("array<string>"))).first().getInt(0) == 0)
+  }
+
+  test("Dedup.contamination: shared distinct n-grams, threshold honored") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares 5-grams with eval 10
+      (2L, "alpha beta gamma delta epsilon"),        // exactly one 5-gram, same as eval 10's prefix
+      (3L, "totally unrelated words in here now"),
+      (4L, "short text")                             // < 5 tokens: no grams
+    ).toDF("doc_id", "text")
+    val eval = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hits((1L, 10L)) == 2)  // two shared 5-grams
+    assert(hits((2L, 10L)) == 1)
+    assert(!hits.contains((3L, 10L)) && !hits.contains((4L, 10L)))
+    val strict = Dedup.contamination(train, eval, "doc_id", "text", n = 5, minShared = 2)
+    assert(strict.collect().map(r => r.getLong(0)).toSet == Set(1L))
+  }
+
+  test("Sampling.stratifiedSample: deterministic, repartition-invariant, weighted") {
+    val d = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.25, "zh" -> 1.0)
+    val s1 = Sampling.stratifiedSample(d, "lang", "doc_id", rates)
+    val ids1 = s1.select($"doc_id").collect().map(_.getLong(0)).toSet
+    // invariant under physical layout (the property per-partition RNG lacks)
+    val ids2 = Sampling.stratifiedSample(d.repartition(7), "lang", "doc_id", rates)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // zh stratum keeps everything; en lands near the 25% target
+    val byLang = s1.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") == 1000)
+    assert(byLang("en") > 150 && byLang("en") < 350, s"en kept ${byLang("en")}")
+    val weights = s1.select($"lang", $"sample_weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(weights("en") == 4.0 && weights("zh") == 1.0)
+  }
+
+  test("Sampling.packSequences: contiguous token layout per shard") {
+    val d = (0 until 100).map(i => (i.toLong, ("tok " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "text")
+    val packed = Sampling.packSequences(d, "doc_id", "text", budget = 10, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    // recompute the layout per shard: documents in id order, concatenated,
+    // chunked at budget boundaries
+    packed.groupBy(_._3).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, n, _, packId, off) =>
+        assert(packId == shard.toLong * (1L << 40) + cum / 10)
+        assert(off == cum % 10)
+        cum += n
+      }
+    }
+    // every doc appears exactly once; shards are a partition of the corpus
+    assert(packed.map(_._1).toSet.size == 100)
+    intercept[IllegalArgumentException](
+      Sampling.packSequences(d, "doc_id", "text", budget = 10, shards = 3))
+  }
+
+  test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
+    val got = Seq("alpha", "", "Ω unicode").toDF("s")
+      .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))
+    val want = Seq("alpha", "", "Ω unicode").map { s =>
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (8 to 15).foldLeft(0L)((acc, i) => acc | ((dig(i) & 0xffL) << ((i - 8) * 8)))
+    }
+    assert(got.toSeq == want)
+  }
 }
