@@ -470,6 +470,88 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q21: GROUPING SETS — user-chosen aggregation levels in one pass (the
+    * general form rollup/cube specialize); grouping_id tags each level. */
+  def q21GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q21")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  grouping_id(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders_q21
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  def q21Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q22: semi-structured access — per-row JSON field extraction from the
+    * events.props payload, then a relational aggregate over the extracted
+    * value. get_json_object is a codegen'd per-row projection: the JSON
+    * parse never leaves the scan stage, so 100 TB of payloads decode as an
+    * embarrassingly-parallel map. */
+  def q22JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+  }
+
+  def q22Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+      |  CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS k_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q23: lateral explode — one row per (document, token position), the
+    * table-generating-function surface (LATERAL VIEW posexplode). Bounded
+    * to a key range so the oracle result stays reviewable. */
+  def q23LateralExplode(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        posexplode(graft.pipeline.TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  def q23Sql: String =
+    """SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, u.tok AS token FROM (
+      |  SELECT doc_id, unnest(list_transform(string_split_regex(trim(text), '\s+'),
+      |    (x, y) -> {'tok': x, 'i': y})) AS u
+      |  FROM documents WHERE doc_id < 30)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** q24: exact percentiles — quartiles + p90 of l_quantity per return
+    * flag. Spark's `percentile` and DuckDB's `quantile_cont` both compute
+    * the linear-interpolation order statistic at rank p·(n−1); l_quantity
+    * is integral, so the interpolation arithmetic is exact in double on
+    * both engines. (The approximate sibling, approx_percentile/t-digest, is
+    * the 100 TB form — same API shape, no exact oracle possible.) */
+  def q24Percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def q24Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_quantity, 0.9) AS p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** All entries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -492,6 +574,10 @@ object Relational {
     "q18_cube"          -> (q18Cube _),
     "q19_window_analytics" -> (q19WindowAnalytics _),
     "q20_pivot"         -> (q20Pivot _),
+    "q21_grouping_sets" -> (q21GroupingSets _),
+    "q22_json_extract"  -> (q22JsonExtract _),
+    "q23_lateral_explode" -> (q23LateralExplode _),
+    "q24_percentiles"   -> (q24Percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -515,5 +601,9 @@ object Relational {
     "q18_cube"          -> q18Sql,
     "q19_window_analytics" -> q19Sql,
     "q20_pivot"         -> q20Sql,
+    "q21_grouping_sets" -> q21Sql,
+    "q22_json_extract"  -> q22Sql,
+    "q23_lateral_explode" -> q23Sql,
+    "q24_percentiles"   -> q24Sql,
   )
 }

@@ -108,15 +108,42 @@ object StreamBatch {
       |       event_type, CAST(value AS DOUBLE) AS value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** sv4: stream-stream interval self-join — every purchase matched to the
+    * same user's clicks within the preceding 10 minutes. Watermarks on both
+    * sides + the time-range join condition bound the join state; the inner
+    * join's match set is deterministic and equals the batch interval join. */
+  def sv4StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = GraftStreaming.intervalJoinStream(eventStream(s, dir))
+      .select(col("l_id").cast("long").as("purchase_id"),
+        col("r_id").cast("long").as("click_id"),
+        col("l_user").cast("long").as("user_id"),
+        (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+    runToMemory(joined, "sv4_out", "append")
+    s.table("sv4_out").orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val sv4Sql: String =
+    """SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+      |       CAST(c.event_id AS BIGINT) AS click_id,
+      |       CAST(p.user_id AS BIGINT) AS user_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      | AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
     "sv3_stream_kv_sink"    -> (sv3StreamKvSink _),
+    "sv4_stream_interval_join" -> (sv4StreamIntervalJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "sv1_stream_dedup"      -> sv1Sql,
     "sv2_stream_sessionize" -> sv2Sql,
     "sv3_stream_kv_sink"    -> sv3Sql,
+    "sv4_stream_interval_join" -> sv4Sql,
   )
 }

@@ -34,6 +34,31 @@ object GraftStreaming {
           .as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream INTERVAL self-join: each left-type event (default
+    * purchase) joins the same user's right-type events (default click) from
+    * the preceding `withinSec` window. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can evict join
+    * state once the watermark passes — state stays proportional to the
+    * window, not the stream (the unbounded-state hazard of an
+    * unconstrained stream-stream join). Inner-join matches emit in the
+    * micro-batch where both sides are present; the watermark governs only
+    * eviction, so a finite AvailableNow run emits every match. */
+  def intervalJoinStream(events: DataFrame, leftType: String = "purchase",
+      rightType: String = "click", withinSec: Long = 600,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("l_user") === col("r_user") &&
+      col("r_ts") >= col("l_ts") - expr(s"INTERVAL $withinSec SECONDS") &&
+      col("r_ts") <= col("l_ts"))
+  }
+
   /** Per-user running session state for [[sessionizeStream]]. */
   case class SessionState(lastTsSec: Long, nSessions: Long, nEvents: Long)
 

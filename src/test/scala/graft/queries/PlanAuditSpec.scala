@@ -186,6 +186,47 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the 1-row corpus count should stay hint-broadcast:\n$optimized")
   }
 
+  test("px16: repetition signals are one shuffle-free projection") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.pipeline.TextOps.dupTokenFrac(col("text")).as("dup"),
+      graft.pipeline.TextOps.maxRun(graft.pipeline.TextOps.tokens(col("text"))).as("run"),
+      graft.pipeline.TextOps.topBigramFrac(col("text")).as("tbf"))
+    val plan = executedPlan(d)
+    assert(!plan.contains("Exchange"),
+      s"quality signals must scan without shuffling:\n${plan.take(3000)}")
+  }
+
+  test("px18: stratified sampling is map-only (no exchange, pruned scan)") {
+    import org.apache.spark.sql.functions.col
+    val s = graft.pipeline.Sampling.stratifiedSample(
+      Tables.documents(spark, dir), "lang", "doc_id", Map("en" -> 0.5))
+      .select(col("doc_id"), col("lang"), col("sample_weight"))
+    val plan = executedPlan(s)
+    assert(!plan.contains("Exchange"),
+      s"hash-threshold sampling must not shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema") && !plan.contains("text"),
+      "the scan should prune the text column — sampling reads only lang/id")
+  }
+
+  test("px19: sequence packing pays exactly one shuffle (the shard window)") {
+    val p = graft.pipeline.Sampling.packSequences(
+      Tables.documents(spark, dir), "doc_id", "text", budget = 256, shards = 8)
+    val plan = executedPlan(p)
+    // match the operator wherever AQE nests it ("+- Exchange hashpartitioning…")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"packing must shuffle once (by shard), found $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("px17: decontamination partial-aggregates and never cross-joins") {
+    val plan = executedPlan(Pipeline.px17Decontam(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"n-gram overlap must stay an equi-join:\n${plan.take(3000)}")
+    assert(plan.contains("partial"),
+      s"expected map-side partial aggregation of pair counts:\n${plan.take(3000)}")
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))

@@ -84,6 +84,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val joined = GraftStreaming.intervalJoinStream(eventStream())
+      .select(col("l_id"), col("r_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sv4_test_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sv4_test_out").collect().map(_.toSeq).toSet
+    val e = graft.queries.Tables.events(spark, sfDir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("l_id"), col("user_id").as("u"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_id"), col("user_id").as("u2"), col("ts").as("cts"))
+    val batch = p.join(c, col("u") === col("u2") &&
+        col("cts") >= col("pts") - expr("INTERVAL 600 SECONDS") &&
+        col("cts") <= col("pts"))
+      .select(col("l_id"), col("r_id")).collect().map(_.toSeq).toSet
+    // inner-join matches emit when both sides are present — the finite run
+    // must produce the exact batch match set
+    assert(streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size} diff=${(batch -- streamed).take(3)}")
+  }
+
   test("graft-kv streaming sink lands micro-batches in the store") {
     val catalog =
       """{"table":{"namespace":"default", "name":"stream_events"},
