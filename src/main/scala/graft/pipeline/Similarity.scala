@@ -167,6 +167,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× compression step before storing or ANN-indexing a vector
+    * corpus: q_i = clamp(⌊v_i·scale + 0.5⌋, −127, 127). A pure per-row
+    * projection (no shuffle at any corpus size). `floor(x + 0.5)`, not
+    * `round`: both engines floor identically, while SQL round() half-way
+    * conventions differ (HALF_UP vs away-from-zero) — this keeps the
+    * quantized corpus bit-identical cross-engine. */
+  def quantizeInt8(vec: Column, scale: Double = 127.0): Column =
+    transform(vec.cast("array<double>"),
+      v => greatest(lit(-127), least(lit(127), floor(v * scale + 0.5).cast("int"))))
+
+  /** L2 norm via a SEQUENTIAL left-to-right fold (matches SQL list_reduce
+    * order, so the double accumulation is cross-engine exact). */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(vec.cast("array<double>"), lit(0.0), (acc, x) => acc + x * x))
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold.
     *
     * The default (scale) path is BANDED sign-LSH blocking: each vector gets

@@ -502,6 +502,34 @@ object Pipeline {
       |  CAST((cum - n_tokens) % 256 AS INTEGER) AS begin_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** px20: int8 embedding quantization + L2 norm — the compression pass a
+    * vector corpus takes before storage/ANN indexing. Map-only; the
+    * quantization error bound (|deq − v| ≤ 1/(2·127) per coordinate) is
+    * checked by ScalaTest, the exact quantized values by the oracle. */
+  def px20Quantize(s: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(col("embedding"))
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      Similarity.l2Norm(col("embedding")).as("norm"),
+      element_at(q, 1).as("q1"),
+      element_at(q, 2).as("q2"),
+      aggregate(q, lit(0), (a, x) => a + x).as("q_sum"),
+      aggregate(q, lit(0), (a, x) => a + abs(x)).as("q_l1"))
+      .orderBy(col("vec_id"))
+  }
+
+  val px20Sql: String =
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id, v,
+      |        list_transform(v, x -> CAST(greatest(-127, least(127, floor(x * 127.0 + 0.5))) AS INTEGER)) AS qv
+      |      FROM t)
+      |SELECT vec_id,
+      |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm,
+      |  qv[1] AS q1, qv[2] AS q2,
+      |  CAST(list_reduce(qv, (a, b) -> a + b) AS INTEGER) AS q_sum,
+      |  CAST(list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b) AS INTEGER) AS q_l1
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -522,6 +550,7 @@ object Pipeline {
     "px17_decontam"        -> (px17Decontam _),
     "px18_stratified_sample" -> (px18Sample _),
     "px19_pack_sequences"  -> (px19Pack _),
+    "px20_quantize"        -> (px20Quantize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -543,6 +572,7 @@ object Pipeline {
     "px17_decontam"        -> px17Sql,
     "px18_stratified_sample" -> px18Sql,
     "px19_pack_sequences"  -> px19Sql,
+    "px20_quantize"        -> px20Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -388,6 +388,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Sampling.packSequences(d, "doc_id", "text", budget = 10, shards = 3))
   }
 
+  test("Similarity.quantizeInt8: dequantization error bounded, clamp honored") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -0.5f, 0.0037f, -1.0f, 1.0f)),
+      (2L, Seq(2.5f, -3.0f, 0.9999f, -0.0001f, 0.004f))  // out-of-range clamps
+    ).toDF("vec_id", "embedding")
+    val q = vecs.select($"vec_id", $"embedding",
+      Similarity.quantizeInt8($"embedding").as("q")).collect()
+    q.foreach { r =>
+      val v = r.getSeq[Float](1); val qv = r.getSeq[Int](2)
+      qv.foreach(x => assert(x >= -127 && x <= 127))
+      v.zip(qv).foreach { case (orig, quant) =>
+        if (math.abs(orig) <= 1.0f)
+          assert(math.abs(quant / 127.0 - orig) <= 1.0 / 254 + 1e-9,
+            s"quantization error too large for $orig -> $quant")
+      }
+    }
+    val clamped = q.find(_.getLong(0) == 2L).get.getSeq[Int](2)
+    assert(clamped(0) == 127 && clamped(1) == -127)
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))
