@@ -133,11 +133,23 @@ object Dedup {
     *    sketch ⇒ same bucket ⇒ pair found, at m²/2 candidate cost for a
     *    group of m — trivial below the threshold), and engaging the
     *    member-mapping/expansion machinery for them costs more than it
-    *    saves. The threshold must stay ≤ the bucket cap so that any group
-    *    big enough to be TRUNCATED by [[capBuckets]] has been collapsed
-    *    first — exact-dup pairs are therefore never silently dropped. */
+    *    saves. Keeping the threshold ≤ the bucket cap guarantees a bucket
+    *    whose size is driven by ONE dup group was collapsed before
+    *    [[capBuckets]] could truncate it. A bucket can still exceed the cap
+    *    from >maxBucket DISTINCT contents agreeing on a sketch band; the
+    *    cap then drops candidates (possibly including small-dup-group
+    *    pairs) — that loss is the cap's documented recall trade and is
+    *    always LOGGED via the observe metric, never silent. A stale cached
+    *    statistic (files rewritten in-process behind an identical plan) can
+    *    likewise only defer the collapse into the logged-cap regime. */
   private val dupStatCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
+
+  /** The stat cache keys are full canonicalized plans (exact, collision-
+    * free); bound the entry count so long-lived drivers that touch many
+    * distinct corpora don't accumulate plan trees (LocalRelation keys pin
+    * their row data). Eviction just re-runs the one-job statistic. */
+  private val DupStatCacheMax = 64
 
   /** Largest exact-dup group size above which the collapse machinery
     * engages: 1024²/2 candidate pairs per uncollapsed group is the most the
@@ -149,6 +161,7 @@ object Dedup {
     val keyed = rows.withColumn("__ck", contentKey)
     val groups = keyed.select(col("__ck"), col("id"))
       .groupBy(col("__ck")).agg(min(col("id")).as("rep"), count(lit(1)).as("gs"))
+    if (dupStatCache.size() > DupStatCacheMax) dupStatCache.clear()
     val maxGroup = dupStatCache.computeIfAbsent(
       keyed.queryExecution.analyzed.canonicalized,
       _ => groups.agg(coalesce(max(col("gs")), lit(0L))).first().getLong(0))
@@ -333,7 +346,12 @@ object Dedup {
     labels.select(col("id"), col("label").as("keep_id"))
   }
 
-  /** Distinct word n-grams of a text column, as space-joined strings. */
+  /** Distinct word n-grams of a text column, as space-joined strings.
+    * Related but DELIBERATELY distinct helpers: [[shingles]] (n=2, distinct,
+    * maps a single-token doc to the token itself — MinHash sketch
+    * semantics) and [[TextOps.bigramsOf]] (n=2, WITH multiplicity, empty for
+    * single-token docs — repetition counting). Here a doc shorter than n
+    * has no n-gram at all: contamination must not match sub-n fragments. */
   def tokenNgrams(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
     when(size(toks) < n, array().cast("array<string>"))

@@ -40,8 +40,12 @@ object Sampling {
     val thr = thresholds.foldLeft(lit(65536)) { case (acc, (stratum, t)) =>
       when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
     }
+    // concat, NOT concat_ws: concat propagates NULL exactly like SQL `||`,
+    // so a NULL stratum or id drops the row on BOTH engines (a rate lookup
+    // for a NULL stratum is undefined anyway); concat_ws would silently
+    // skip the NULL and diverge from the SQL oracle
     val bucket = graft.functions.HashExprs.md5NumberLower(
-      concat_ws("|", lit(seed), col(stratumCol), col(idCol).cast("string")))
+      concat(lit(seed), lit("|"), col(stratumCol), lit("|"), col(idCol).cast("string")))
       .bitwiseAND(lit(0xffffL))
     df.withColumn("__thr", thr)
       .filter(bucket < col("__thr"))

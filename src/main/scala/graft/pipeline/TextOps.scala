@@ -113,14 +113,18 @@ object TextOps {
   }
 
   /** Word bigrams WITH multiplicity ("w1 w2") — repetition counting needs
-    * the duplicates that [[Dedup.shingles]] deliberately drops. Single-token
-    * documents have no bigram: empty array. */
-  def bigrams(text: Column): Column = {
-    val toks = tokens(text)
+    * the duplicates that [[Dedup.shingles]] deliberately drops (and unlike
+    * shingles, a single-token document has NO bigram here: shingles maps it
+    * to the token itself to match MinHash sketch semantics, repetition
+    * statistics must not). See also [[Dedup.tokenNgrams]], the distinct
+    * general-n form — the three are intentionally distinct semantics, not
+    * redundant copies. */
+  def bigramsOf(toks: Column): Column =
     when(size(toks) <= 1, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-  }
+
+  def bigrams(text: Column): Column = bigramsOf(tokens(text))
 
   /** Longest run of equal ADJACENT elements in a string array (0 for an
     * empty array). On a SORTED array this is the maximum multiplicity of any

@@ -396,12 +396,25 @@ object Pipeline {
     * 100 TB is one parquet scan with NO shuffle (the oracle's
     * explode/groupBy formulation is for SQL expressibility only). */
   def px16Repetition(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextOps.dupTokenFrac(col("text")).as("dup_token_frac"),
-      TextOps.maxRun(TextOps.tokens(col("text"))).as("max_token_run"),
-      TextOps.topBigramCount(col("text")).as("top_bigram_count"),
-      TextOps.topBigramFrac(col("text")).as("top_bigram_frac"))
+    // tokenize once, build/sort the bigram array once, fold once — the
+    // column-function sugar (dupTokenFrac(text) etc.) would re-split the
+    // text and re-fold the sorted bigrams per output column, because the
+    // HOF expressions are CodegenFallback and subexpression elimination
+    // does not merge them
+    Tables.documents(s, dir)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__n", greatest(size(col("__toks")), lit(1)))
+      .select(
+        col("doc_id"), col("__n"),
+        (lit(1.0) - size(array_distinct(col("__toks"))).cast("double") /
+          col("__n").cast("double")).as("dup_token_frac"),
+        TextOps.maxRun(col("__toks")).as("max_token_run"),
+        TextOps.maxRun(array_sort(TextOps.bigramsOf(col("__toks"))))
+          .as("top_bigram_count"))
+      .withColumn("top_bigram_frac",
+        least(col("top_bigram_count").cast("double") * 2.0 /
+          col("__n").cast("double"), lit(1.0)))
+      .drop("__n")
       .orderBy(col("doc_id"))
   }
 
