@@ -543,6 +543,87 @@ object Pipeline {
       |  CAST(list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b) AS INTEGER) AS q_l1
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** px21: the CAPSTONE corpus manifest — the full training-data pipeline
+    * composed end to end from the operators above, emitting the layout a
+    * trainer would consume:
+    *
+    *   1. quality gate (px3's score ≥ 0.5 — shuffle-free projection),
+    *   2. near-dup canonicalization (px7 MinHash+LSH pairs → px14
+    *      connected components; non-keepers dropped via anti-join),
+    *   3. deterministic stratified sampling by language (px18 rates),
+    *   4. concat-and-chunk packing into 256-token packs (px19).
+    *
+    * Every stage is cross-engine exact, so the WHOLE composition carries
+    * one hash oracle — quality arithmetic, LSH recall (banding makes the
+    * exact pair SQL valid), component labels, sampling hash, and pack
+    * layout all verified in a single check. Scale shape: two corpus scans
+    * (quality+sketch, rerank), the LSH band shuffle, one component
+    * iteration loop over the tiny pair graph, a map-only sample, one
+    * shard window. */
+  def px21CorpusManifest(s: SparkSession, dir: String): DataFrame = {
+    val quality = Tables.documents(s, dir)
+      .filter(TextOps.qualityScore(col("text")) >= 0.5)
+    val pairs = Dedup.minhashLshPairs(quality, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.8)
+    val drops = Dedup.components(pairs)
+      .filter(col("id") =!= col("keep_id")).select(col("id"))
+    val kept = quality.join(drops, quality("doc_id") === drops("id"), "left_anti")
+    val sampled = Sampling.stratifiedSample(kept, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 1.0))
+    Sampling.packSequences(sampled, "doc_id", "text", budget = 256, shards = 8)
+      .withColumnRenamed("id", "doc_id")
+      .join(sampled.select(col("doc_id"), col("lang"), col("sample_weight")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("sample_weight"),
+        col("n_tokens"), col("shard"), col("pack_id"), col("begin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px21Sql: String =
+    """WITH RECURSIVE q AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  WHERE round((
+      |    least(length(text) / 500.0, 1.0)
+      |    + (1.0 - least(5.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1), 1.0))
+      |    + least(4.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        t -> t IN ('the','a','an','of','and','to','in','is','it','for'))) / greatest(len(string_split_regex(trim(text), '\s+')), 1), 1.0)
+      |  ) / 3.0, 6) >= 0.5),
+      |t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM q),
+      |t AS (SELECT doc_id,
+      |        CASE WHEN len(toks) = 1 THEN list_distinct(toks)
+      |             ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+      |        END AS sh
+      |      FROM t0 WHERE len(toks) > 0),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+      |),
+      |comp AS (SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src),
+      |kept AS (SELECT q.* FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id
+      |         WHERE comp.doc_id IS NULL OR comp.keep_id = q.doc_id),
+      |sampled AS (SELECT doc_id, lang, text,
+      |    65536.0 / CASE lang WHEN 'zh' THEN 65536 ELSE 32768 END AS sample_weight
+      |  FROM kept
+      |  WHERE (md5_number_lower('strat42|' || lang || '|' || doc_id) & 65535)
+      |      < CASE lang WHEN 'zh' THEN 65536 ELSE 32768 END),
+      |sized AS (SELECT doc_id, lang, sample_weight,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(md5_number_lower('pack42|' || doc_id) & 7 AS INTEGER) AS shard
+      |  FROM sampled),
+      |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum FROM sized)
+      |SELECT doc_id, lang, sample_weight, n_tokens, shard,
+      |  CAST(CAST(shard AS BIGINT) * 1099511627776 +
+      |       CAST(cum - n_tokens AS BIGINT) // 256 AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tokens) % 256 AS INTEGER) AS begin_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -564,6 +645,7 @@ object Pipeline {
     "px18_stratified_sample" -> (px18Sample _),
     "px19_pack_sequences"  -> (px19Pack _),
     "px20_quantize"        -> (px20Quantize _),
+    "px21_corpus_manifest" -> (px21CorpusManifest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -586,6 +668,7 @@ object Pipeline {
     "px18_stratified_sample" -> px18Sql,
     "px19_pack_sequences"  -> px19Sql,
     "px20_quantize"        -> px20Sql,
+    "px21_corpus_manifest" -> px21Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )
