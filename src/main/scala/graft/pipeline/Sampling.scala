@@ -68,12 +68,17 @@ object Sampling {
     * sized to the cluster (thousands), keeping every shard's sort in one
     * task's memory; pack ids are globally unique via shard * 2⁴⁰ + index.
     *
-    * Output: (id, n_tokens, shard, pack_id, begin_offset) — enough for a
-    * writer to materialize packs by grouping on pack_id. Documents longer
-    * than `budget` simply span multiple packs (concat-and-chunk semantics).
-    * All arithmetic is integer → hash-exact across engines. */
+    * Output: (id, n_tokens, shard, pack_id, begin_offset) plus any `carry`
+    * columns — enough for a writer to materialize packs by grouping on
+    * pack_id. Documents longer than `budget` simply span multiple packs
+    * (concat-and-chunk semantics). All arithmetic is integer → hash-exact
+    * across engines. `carry` rides metadata columns (language, sample
+    * weight, …) through the window, so a composed pipeline needs no
+    * join-back against its own upstream — at 100 TB that join-back would
+    * re-scan the corpus. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budget: Int = 512, shards: Int = 8): DataFrame = {
+      budget: Int = 512, shards: Int = 8,
+      carry: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
     // power-of-two shard count makes the assignment a bit-mask of the hash —
     // identical on signed (Spark long) and unsigned (SQL UBIGINT) views of
@@ -86,7 +91,8 @@ object Sampling {
       .bitwiseAND(lit((shards - 1).toLong)).cast("int")
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol).as("id"), nTok.as("n_tokens"), shard.as("shard"))
+    df.select(col(idCol).as("id") +: nTok.as("n_tokens") +: shard.as("shard") +:
+        carry.map(col): _*)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // `div`, not `/`: Column./ is Divide, which is DOUBLE division in
       // Spark — exactness here must not ride on float rounding

@@ -570,10 +570,9 @@ object Pipeline {
     val kept = quality.join(drops, quality("doc_id") === drops("id"), "left_anti")
     val sampled = Sampling.stratifiedSample(kept, "lang", "doc_id",
       Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 1.0))
-    Sampling.packSequences(sampled, "doc_id", "text", budget = 256, shards = 8)
+    Sampling.packSequences(sampled, "doc_id", "text", budget = 256, shards = 8,
+      carry = Seq("lang", "sample_weight"))
       .withColumnRenamed("id", "doc_id")
-      .join(sampled.select(col("doc_id"), col("lang"), col("sample_weight")),
-        Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("sample_weight"),
         col("n_tokens"), col("shard"), col("pack_id"), col("begin_offset"))
       .orderBy(col("doc_id"))
