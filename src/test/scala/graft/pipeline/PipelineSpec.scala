@@ -254,6 +254,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.capBuckets(entries, Seq("band", "bh"), 1000, "test").count() == 51)
   }
 
+  test("capBuckets reports hot-bucket drops through observe metrics (never silent)") {
+    val entries = (0 until 50).map(i => (i.toLong, 0, 7L)).toDF("id", "band", "bh")
+    val capped = Dedup.capBuckets(entries, Seq("band", "bh"), 10, "obs_test")
+    // collect(), not count(): count() builds a separate QueryExecution, so
+    // the observed metrics of THIS dataset's execution would stay empty
+    assert(capped.collect().length == 10)
+    val metrics = capped.queryExecution.observedMetrics
+    val row = metrics("graft.capBuckets.obs_test")
+    assert(row.getAs[Long]("hot_buckets") == 1L)
+    assert(row.getAs[Long]("dropped_entries") == 40L)
+    // a run with no overflow reports zeros, not missing metrics
+    val ok = Dedup.capBuckets(entries, Seq("band", "bh"), 100, "obs_test2")
+    ok.collect()
+    val okRow = ok.queryExecution.observedMetrics("graft.capBuckets.obs_test2")
+    assert(okRow.getAs[Long]("hot_buckets") == 0L &&
+      okRow.getAs[Long]("dropped_entries") == 0L)
+  }
+
   test("Dedup.components: maxIters guards against long-path graphs") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
     val ex = intercept[IllegalStateException] {
