@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Differential testing of the dedup family: random seeded corpora, each
+  * operator's distributed output compared against a brute-force in-memory
+  * twin. Complements the two fixed driver datasets the SQL oracles cover —
+  * here the INPUTS vary (duplicate groups, near-dup chains, empty and
+  * single-token docs injected), so structural edge cases can't hide.
+  *
+  *  - SimHash pigeonhole is EXACT for Hamming ≤ 3 → set equality.
+  *  - MinHash banding at J ≥ 0.8 with 16 bands × 2 rows has per-pair miss
+  *    probability ≤ (1-J²)¹⁶ ≤ 10⁻⁷ → equality holds for every seeded
+  *    corpus (any future miss means a REAL structural bug with overwhelming
+  *    likelihood, not banding luck).
+  *  - Connected components vs an in-memory union-find → exact labels.
+  */
+class DifferentialDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  /** Random corpus: base docs from a small vocabulary, plus injected exact
+    * duplicates, near-duplicates (one token changed), and degenerate docs. */
+  private def corpus(seed: Long): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 60).map(i => (i.toLong, doc(8 + rnd.nextInt(20))))
+    val dups = (0 until 10).map { i =>
+      val (_, t) = base(rnd.nextInt(base.size)); (100L + i, t)
+    }
+    val nearDups = (0 until 10).map { i =>
+      val (_, t) = base(rnd.nextInt(base.size))
+      val toks = t.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size))
+      (200L + i, toks.mkString(" "))
+    }
+    val degenerate = Seq((300L, "solo"), (301L, ""), (302L, "x x x x x x x x x x"))
+    base ++ dups ++ nearDups ++ degenerate
+  }
+
+  /** Brute-force bigram-shingle Jaccard (mirrors the operators' notion). */
+  private def shingleSet(text: String): Set[String] = {
+    val toks = text.trim.split("\\s+").toSeq
+    if (toks.isEmpty || (toks.size == 1 && toks.head.isEmpty)) Set(toks.headOption.getOrElse(""))
+    else if (toks.size == 1) toks.toSet
+    else toks.sliding(2).map(_.mkString(" ")).toSet
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Option[Double] = {
+    val union = (a ++ b).size
+    if (union == 0) None else Some((a & b).size.toDouble / union)
+  }
+
+  test("minhashLshPairs == brute-force shingle-Jaccard pairs on 12 random corpora") {
+    for (seed <- 1 to 12) {
+      val docs = corpus(seed)
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        j <- jaccard(shingleSet(ta), shingleSet(tb)) if j >= 0.8
+      } yield (ia, ib)).toSet
+      val got = Dedup.minhashLshPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+          numHashes = 32, bands = 16, threshold = 0.8)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"seed=$seed missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
+  test("simhashPairs == brute-force Hamming<=3 pairs on 12 random corpora (exact pigeonhole)") {
+    def md5Lower(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (8 to 15).foldLeft(0L)((acc, i) => acc | ((dig(i) & 0xffL) << ((i - 8) * 8)))
+    }
+    def simhash(text: String): Option[Long] = {
+      val toks = text.trim.split("\\s+").toSeq.distinct.filter(_ => true)
+      if (toks.isEmpty || toks == Seq("")) {
+        if (toks == Seq("")) Some {
+          // a single empty token still votes (matches the operator, which
+          // filters only size-0 arrays)
+          val h = md5Lower("")
+          (0 until 64).foldLeft(0L)((fp, b) => if (((h >>> b) & 1L) == 1L) fp | (1L << b) else fp)
+        } else None
+      } else Some {
+        val counts = new Array[Int](64)
+        toks.foreach { t =>
+          val h = md5Lower(t)
+          (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
+        }
+        (0 until 64).foldLeft(0L)((fp, b) => if (counts(b) > 0) fp | (1L << b) else fp)
+      }
+    }
+    for (seed <- 13 to 24) {
+      val docs = corpus(seed)
+      val fps = docs.flatMap { case (id, t) => simhash(t).map(id -> _) }
+      val expected = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+        if java.lang.Long.bitCount(fa ^ fb) <= 3
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+          maxHamming = 3, md5Base = true)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"seed=$seed missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
+  test("components == in-memory union-find on 12 random pair graphs") {
+    for (seed <- 25 to 36) {
+      val rnd = new Random(seed)
+      val n = 40
+      val pairs = (0 until 50).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // union-find twin
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      val expected = inGraph.map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.components(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed diff=${
+        (expected.toSet -- got.toSet).take(3)} / ${(got.toSet -- expected.toSet).take(3)}")
+    }
+  }
+}
