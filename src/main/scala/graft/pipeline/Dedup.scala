@@ -244,6 +244,30 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (repPairs, sh, membersOpt) =
+      minhashRepPairs(df, textCol, idCol, numHashes, bands, threshold, maxBucket)
+    membersOpt match {
+      case None => repPairs.withColumnsRenamed(Map("ra" -> "id_a", "rb" -> "id_b"))
+      case Some(members) =>
+        // intra-group pairs: self-Jaccard of the representative's shingle
+        // set (1.0 for any non-empty set; NULL — filtered — when empty)
+        val selfPairs = sh.join(dupGroups(members), sh("id") === col("rep"))
+          .select(col("id").as("ra"), col("id").as("rb"),
+            jaccard(col("sh"), col("sh")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+        expandGroupPairs(repPairs.union(selfPairs), members)
+    }
+  }
+
+  /** Shared MinHash+LSH machinery over exact-dup REPRESENTATIVES: returns
+    * `(repPairs (ra, rb, jaccard), shingleSets (id, sh), membersOpt)`.
+    * [[minhashLshPairs]] expands rep pairs to member pairs (quadratic
+    * OUTPUT for an m-member dup group — inherent to a pair listing);
+    * [[minhashKeepers]] instead clusters on the rep graph and maps members
+    * to labels, so no quadratic set is ever materialized. */
+  private def minhashRepPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, threshold: Double,
+      maxBucket: Int): (DataFrame, DataFrame, Option[DataFrame]) = {
     val (repRows, membersOpt) = exactGroupReps(
       df.select(col(idCol).as("id"), col(textCol).as("txt")), md5(col("txt")),
       math.min(DefaultCollapseThreshold, maxBucket))
@@ -280,16 +304,44 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("ra"), col("rb"), col("jaccard"))
+    (repPairs, sh, membersOpt)
+  }
+
+  /** Near-dup CANONICALIZATION in one call: MinHash+LSH pair detection +
+    * connected components + keeper assignment, WITHOUT ever materializing
+    * the expanded pair set. `components(minhashLshPairs(...))` is correct
+    * but lists m·(m−1)/2 pairs for an m-member exact-dup group before
+    * clustering collapses them again — 5·10¹¹ pair rows for one
+    * million-copy boilerplate page. Here label propagation runs on the
+    * REPRESENTATIVE graph (bounded by distinct content) and members then
+    * inherit their rep's component label through one join:
+    * keep_id(member) = label(rep) — exact, because every member of an
+    * exact-dup group is similarity-1.0-connected to its rep, and reps are
+    * group minima, so the component minimum over reps IS the minimum over
+    * all members. Output matches `components(minhashLshPairs(...))` row
+    * for row (one (id, keep_id) per doc in ≥1 near-dup pair or size>1
+    * exact-dup group). */
+  def minhashKeepers(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket, maxIters: Int = 100,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    val (repPairs, sh, membersOpt) =
+      minhashRepPairs(df, textCol, idCol, numHashes, bands, threshold, maxBucket)
+    val repLabels = components(repPairs.select(col("ra"), col("rb")), "ra", "rb",
+      maxIters, reliableCheckpoints)
     membersOpt match {
-      case None => repPairs.withColumnsRenamed(Map("ra" -> "id_a", "rb" -> "id_b"))
+      case None => repLabels
       case Some(members) =>
-        // intra-group pairs: self-Jaccard of the representative's shingle
-        // set (1.0 for any non-empty set; NULL — filtered — when empty)
-        val selfPairs = sh.join(dupGroups(members), sh("id") === col("rep"))
-          .select(col("id").as("ra"), col("id").as("rb"),
-            jaccard(col("sh"), col("sh")).as("jaccard"))
-          .filter(col("jaccard") >= threshold)
-        expandGroupPairs(repPairs.union(selfPairs), members)
+        // nodes = members whose rep is in a near-dup pair, plus members of
+        // size>1 exact-dup groups whose rep was sketchable (mirrors the
+        // expanded graph: intra-group pairs need a non-empty shingle set)
+        val pairedReps = repLabels.select(col("id").as("rep"))
+        val dupReps = dupGroups(members).select(col("rep"))
+          .join(sh.select(col("id").as("rep")), Seq("rep"))
+        val nodes = members
+          .join(pairedReps.union(dupReps).distinct(), Seq("rep"))
+        nodes.join(repLabels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+          .select(col("id"), coalesce(col("keep_id"), col("rep")).as("keep_id"))
     }
   }
 

@@ -342,9 +342,8 @@ object Pipeline {
     * the hash check covers candidate generation, rerank, AND the
     * distributed label propagation. */
   def px14DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
+    Dedup.minhashKeepers(Tables.documents(s, dir), "text", "doc_id",
       numHashes = 32, bands = 16, threshold = 0.8)
-    Dedup.components(pairs)
       .select(col("id").as("doc_id"), col("keep_id"))
       .orderBy(col("doc_id"))
   }
@@ -563,9 +562,8 @@ object Pipeline {
   def px21CorpusManifest(s: SparkSession, dir: String): DataFrame = {
     val quality = Tables.documents(s, dir)
       .filter(TextOps.qualityScore(col("text")) >= 0.5)
-    val pairs = Dedup.minhashLshPairs(quality, "text", "doc_id",
-      numHashes = 32, bands = 16, threshold = 0.8)
-    val drops = Dedup.components(pairs)
+    val drops = Dedup.minhashKeepers(quality, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.8)
       .filter(col("id") =!= col("keep_id")).select(col("id"))
     val kept = quality.join(drops, quality("doc_id") === drops("id"), "left_anti")
     val sampled = Sampling.stratifiedSample(kept, "lang", "doc_id",

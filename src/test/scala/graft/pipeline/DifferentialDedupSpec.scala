@@ -118,6 +118,39 @@ class DifferentialDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhashKeepers == components(minhashLshPairs) in both collapse regimes") {
+    for (seed <- 37 to 42) {
+      val docs = corpus(seed)
+      // direct regime (dup groups small, no collapse) and forced-collapse
+      // regime (tiny threshold via maxBucket) must both match the
+      // expanded-pair formulation row for row
+      for (maxBucket <- Seq(Dedup.DefaultMaxBucket, 4)) {
+        val df = docs.toDF("doc_id", "text")
+        val viaPairs = Dedup.components(
+            Dedup.minhashLshPairs(df, "text", "doc_id", 32, 16, 0.8, maxBucket))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val viaKeepers = Dedup.minhashKeepers(df, "text", "doc_id", 32, 16, 0.8, maxBucket)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaKeepers == viaPairs,
+          s"seed=$seed maxBucket=$maxBucket diff=${
+            (viaPairs.toSet -- viaKeepers.toSet).take(3)} / ${
+            (viaKeepers.toSet -- viaPairs.toSet).take(3)}")
+      }
+    }
+  }
+
+  test("minhashKeepers canonicalizes a degenerate corpus without quadratic pairs") {
+    val n = 3000
+    val degenerate = spark.range(n)
+      .selectExpr("id AS doc_id", "'the very same boilerplate page content' AS text")
+    val labels = Dedup.minhashKeepers(degenerate, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // every doc labeled, all to the minimum id — reached WITHOUT listing
+    // the n*(n-1)/2 ≈ 4.5M pairs the expanded formulation would build
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("components == in-memory union-find on 12 random pair graphs") {
     for (seed <- 25 to 36) {
       val rnd = new Random(seed)
