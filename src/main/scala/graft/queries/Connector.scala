@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object Connector {
 
   // customer subset without timestamp columns (catalog types: SURVEY §1.3)
-  private val customerCatalog =
+  private[queries] val customerCatalog =
     """{"table":{"namespace":"default", "name":"kv_customer"},
       |"rowkey":"key",
       |"columns":{
@@ -28,7 +28,7 @@ object Connector {
     * max() over the key column) so the 8 regions stay balanced over the real
     * key range — the partition-planning story that must survive 1000
     * executors; a fixed guess would dump every row in one region. */
-  private def ensureCustomer(s: SparkSession, dir: String): Unit = {
+  private[queries] def ensureCustomer(s: SparkSession, dir: String): Unit = {
     if (!graft.store.KvStore.exists("default:kv_customer")) {
       val df = Tables.customer(s, dir)
       val maxKey = df.agg(org.apache.spark.sql.functions.max("c_custkey")).head().getLong(0)

@@ -133,11 +133,39 @@ object StreamBatch {
       | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** sv5: STREAM-STATIC join — the event stream enriched against the
+    * graft-kv customer dimension (read through the connector, so the static
+    * side exercises the DSv2 scan inside a streaming micro-batch). Inner
+    * stream-static joins need no watermark: the static side is re-planned
+    * per batch and no join state accumulates. The enriched row set is
+    * deterministic = the batch join. */
+  def sv5StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    Connector.ensureCustomer(s, dir)
+    val dim = s.read.format("graft-kv")
+      .option("catalog", Connector.customerCatalog).load()
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val joined = eventStream(s, dir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"))
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("c_acctbal"))
+    runToMemory(joined, "sv5_out", "append")
+    s.table("sv5_out").orderBy(col("event_id"))
+  }
+
+  val sv5Sql: String =
+    """SELECT CAST(e.event_id AS BIGINT) AS event_id,
+      |       CAST(e.user_id AS BIGINT) AS user_id,
+      |       c.c_mktsegment, c.c_acctbal
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
     "sv3_stream_kv_sink"    -> (sv3StreamKvSink _),
     "sv4_stream_interval_join" -> (sv4StreamIntervalJoin _),
+    "sv5_stream_static_join" -> (sv5StreamStaticJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +173,6 @@ object StreamBatch {
     "sv2_stream_sessionize" -> sv2Sql,
     "sv3_stream_kv_sink"    -> sv3Sql,
     "sv4_stream_interval_join" -> sv4Sql,
+    "sv5_stream_static_join" -> sv5Sql,
   )
 }
