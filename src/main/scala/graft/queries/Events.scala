@@ -145,11 +145,45 @@ object Events {
       | AND CAST(floor(epoch(e.ts)) AS BIGINT) < w.we
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ev5: NATIVE session windows — Spark's `session_window` grouping
+    * operator (SessionWindowing + merging session aggregation in one
+    * shuffle), vs ev2's lag/cumsum window-function formulation of the same
+    * concept. Semantics differ at the boundary: session_window extends a
+    * session while gap < 30 min (STRICT); a gap of exactly 30 min starts a
+    * new session — the oracle mirrors that with `>=` in microseconds.
+    * Output: one row per (user, session) with start, end (= last event +
+    * gap) and event count. */
+  def ev5SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
+  val ev5Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
     "ev3_asof_join"  -> (ev3AsofJoin _),
     "ev4_range_join" -> (ev4RangeJoin _),
+    "ev5_session_window" -> (ev5SessionWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,5 +191,6 @@ object Events {
     "ev2_sessionize" -> ev2Sql,
     "ev3_asof_join"  -> ev3Sql,
     "ev4_range_join" -> ev4Sql,
+    "ev5_session_window" -> ev5Sql,
   )
 }
