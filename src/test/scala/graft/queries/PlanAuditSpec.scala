@@ -227,6 +227,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected map-side partial aggregation of pair counts:\n${plan.take(3000)}")
   }
 
+  test("px21: the composed manifest stays equi-join only (no cross product)") {
+    val plan = executedPlan(Pipeline.px21CorpusManifest(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"manifest pipeline must never cross-join:\n${plan.take(3000)}")
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
