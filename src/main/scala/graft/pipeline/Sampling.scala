@@ -85,6 +85,10 @@ object Sampling {
     // the same 64-bit value, so the layout is cross-engine exact
     require(shards > 0 && (shards & (shards - 1)) == 0,
       s"shards must be a power of two, got $shards")
+    val reserved = Set("id", "n_tokens", "shard", "cum", "pack_id", "begin_offset")
+    require(carry.forall(c => !reserved.contains(c)),
+      s"carry columns collide with generated output columns: " +
+        s"${carry.filter(reserved.contains).mkString(", ")} (reserved: ${reserved.mkString(", ")})")
     val nTok = TextOps.tokenCount(col(textCol)).cast("long")
     val shard = graft.functions.HashExprs.md5NumberLower(
       concat(lit("pack42|"), col(idCol).cast("string")))

@@ -148,9 +148,11 @@ object Events {
   /** ev5: NATIVE session windows — Spark's `session_window` grouping
     * operator (SessionWindowing + merging session aggregation in one
     * shuffle), vs ev2's lag/cumsum window-function formulation of the same
-    * concept. Semantics differ at the boundary: session_window extends a
-    * session while gap < 30 min (STRICT); a gap of exactly 30 min starts a
-    * new session — the oracle mirrors that with `>=` in microseconds.
+    * concept. Boundary semantics (verified empirically on this Spark):
+    * session_window MERGES an event exactly gap-length after the previous
+    * one — the per-event window is the closed-open [ts, ts+gap), and
+    * merging triggers on touch, not just overlap — so the oracle breaks
+    * sessions only on a STRICTLY greater gap (`>` in microseconds).
     * Output: one row per (user, session) with start, end (= last event +
     * gap) and event count. */
   def ev5SessionWindow(s: SparkSession, dir: String): DataFrame = {
@@ -166,7 +168,7 @@ object Events {
     """WITH m AS (
       |  SELECT user_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS brk
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
       |), s AS (

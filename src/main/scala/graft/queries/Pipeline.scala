@@ -70,14 +70,45 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  val px3Sql: String =
-    """SELECT doc_id, round((
+  /** SHARED SQL fragments: oracles that re-state another operator's
+    * arithmetic (the composed px21 above all) interpolate these constants
+    * instead of hand-copying the expressions, so a change to an operator's
+    * formula cannot silently drift one oracle out of sync with another. */
+  private val qualityExprSql: String =
+    """round((
       |  least(length(text) / 500.0, 1.0)
       |  + (1.0 - least(5.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1), 1.0))
       |  + least(4.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
       |      t -> t IN ('the','a','an','of','and','to','in','is','it','for'))) / greatest(len(string_split_regex(trim(text), '\s+')), 1), 1.0)
-      |) / 3.0, 6) AS quality
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |) / 3.0, 6)""".stripMargin
+
+  /** Bigram-shingle CTEs (t0, t) over a source relation — px7/px14/px21
+    * share the exact text. */
+  private def shingleCtesSql(src: String): String =
+    s"""t0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $src),
+       |t AS (SELECT doc_id,
+       |        CASE WHEN len(toks) = 1 THEN list_distinct(toks)
+       |             ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+       |        END AS sh
+       |      FROM t0 WHERE len(toks) > 0)""".stripMargin
+
+  /** The 16-bit sampling threshold CASE generated from the SAME rates map
+    * the Spark query passes to [[Sampling.stratifiedSample]] — one source
+    * of truth, including the keep-everything (65536) default for strata
+    * missing from the map. */
+  private def thresholdCaseSql(rates: Map[String, Double]): String =
+    rates.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN '$k' THEN ${math.round(r * 65536).toInt}"
+    }.mkString("CASE lang ", " ", " ELSE 65536 END")
+
+  /** Concat-and-chunk pack id / offset arithmetic (px19/px21; budget 256,
+    * shard factor 2^40). */
+  private val packIdSql: String =
+    "CAST(CAST(shard AS BIGINT) * 1099511627776 + CAST(cum - n_tokens AS BIGINT) // 256 AS BIGINT)"
+
+  val px3Sql: String =
+    s"""SELECT doc_id, $qualityExprSql AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** px4: winnowing-style min-MD5 16-gram fingerprint. */
   def px4Fingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -132,12 +163,7 @@ object Pipeline {
   }
 
   val px7Sql: String =
-    """WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-      |t AS (SELECT doc_id,
-      |        CASE WHEN len(toks) = 1 THEN list_distinct(toks)
-      |             ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
-      |        END AS sh
-      |      FROM t0 WHERE len(toks) > 0)
+    s"""WITH ${shingleCtesSql("documents")}
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
@@ -349,12 +375,7 @@ object Pipeline {
   }
 
   val px14Sql: String =
-    """WITH RECURSIVE t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-      |t AS (SELECT doc_id,
-      |        CASE WHEN len(toks) = 1 THEN list_distinct(toks)
-      |             ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
-      |        END AS sh
-      |      FROM t0 WHERE len(toks) > 0),
+    s"""WITH RECURSIVE ${shingleCtesSql("documents")},
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |      FROM t a JOIN t b ON a.doc_id < b.doc_id
       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -473,17 +494,18 @@ object Pipeline {
   /** px18: deterministic hash-threshold stratified sampling (data mixing):
     * downsample en to 25%, de/es/fr to 50%, keep zh — map-only, no shuffle,
     * repartition-invariant, with unbiased 1/rate re-weighting. */
+  private val px18Rates =
+    Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 1.0)
+
   def px18Sample(s: SparkSession, dir: String): DataFrame = {
-    Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
-      Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 1.0))
+    Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", px18Rates)
       .select(col("doc_id"), col("lang"), col("sample_weight"))
       .orderBy(col("doc_id"))
   }
 
   val px18Sql: String =
-    """WITH t AS (SELECT doc_id, lang,
-      |  CASE lang WHEN 'en' THEN 16384 WHEN 'de' THEN 32768 WHEN 'es' THEN 32768
-      |            WHEN 'fr' THEN 32768 WHEN 'zh' THEN 65536 ELSE 65536 END AS thr,
+    s"""WITH t AS (SELECT doc_id, lang,
+      |  ${thresholdCaseSql(px18Rates)} AS thr,
       |  md5_number_lower('strat42|' || lang || '|' || doc_id) & 65535 AS bkt
       |  FROM documents)
       |SELECT doc_id, lang, 65536.0 / thr AS sample_weight
@@ -501,16 +523,15 @@ object Pipeline {
   }
 
   val px19Sql: String =
-    """WITH t AS (SELECT doc_id,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    s"""WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
       |  CAST(md5_number_lower('pack42|' || doc_id) & 7 AS INTEGER) AS shard
       |  FROM documents),
       |c AS (SELECT doc_id, n_tokens, shard,
       |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM t)
       |SELECT doc_id, n_tokens, shard,
-      |  CAST(CAST(shard AS BIGINT) * 1099511627776 +
-      |       CAST(cum - n_tokens AS BIGINT) // 256 AS BIGINT) AS pack_id,
+      |  $packIdSql AS pack_id,
       |  CAST((cum - n_tokens) % 256 AS INTEGER) AS begin_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
@@ -559,6 +580,9 @@ object Pipeline {
     * (quality+sketch, rerank), the LSH band shuffle, one component
     * iteration loop over the tiny pair graph, a map-only sample, one
     * shard window. */
+  private val px21Rates =
+    Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 1.0)
+
   def px21CorpusManifest(s: SparkSession, dir: String): DataFrame = {
     val quality = Tables.documents(s, dir)
       .filter(TextOps.qualityScore(col("text")) >= 0.5)
@@ -566,8 +590,7 @@ object Pipeline {
         numHashes = 32, bands = 16, threshold = 0.8)
       .filter(col("id") =!= col("keep_id")).select(col("id"))
     val kept = quality.join(drops, quality("doc_id") === drops("id"), "left_anti")
-    val sampled = Sampling.stratifiedSample(kept, "lang", "doc_id",
-      Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 1.0))
+    val sampled = Sampling.stratifiedSample(kept, "lang", "doc_id", px21Rates)
     Sampling.packSequences(sampled, "doc_id", "text", budget = 256, shards = 8,
       carry = Seq("lang", "sample_weight"))
       .withColumnRenamed("id", "doc_id")
@@ -577,20 +600,10 @@ object Pipeline {
   }
 
   val px21Sql: String =
-    """WITH RECURSIVE q AS (
+    s"""WITH RECURSIVE q AS (
       |  SELECT doc_id, lang, text FROM documents
-      |  WHERE round((
-      |    least(length(text) / 500.0, 1.0)
-      |    + (1.0 - least(5.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1), 1.0))
-      |    + least(4.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
-      |        t -> t IN ('the','a','an','of','and','to','in','is','it','for'))) / greatest(len(string_split_regex(trim(text), '\s+')), 1), 1.0)
-      |  ) / 3.0, 6) >= 0.5),
-      |t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM q),
-      |t AS (SELECT doc_id,
-      |        CASE WHEN len(toks) = 1 THEN list_distinct(toks)
-      |             ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
-      |        END AS sh
-      |      FROM t0 WHERE len(toks) > 0),
+      |  WHERE $qualityExprSql >= 0.5),
+      |${shingleCtesSql("q")},
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |      FROM t a JOIN t b ON a.doc_id < b.doc_id
       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -605,19 +618,18 @@ object Pipeline {
       |kept AS (SELECT q.* FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id
       |         WHERE comp.doc_id IS NULL OR comp.keep_id = q.doc_id),
       |sampled AS (SELECT doc_id, lang, text,
-      |    65536.0 / CASE lang WHEN 'zh' THEN 65536 ELSE 32768 END AS sample_weight
+      |    65536.0 / ${thresholdCaseSql(px21Rates)} AS sample_weight
       |  FROM kept
       |  WHERE (md5_number_lower('strat42|' || lang || '|' || doc_id) & 65535)
-      |      < CASE lang WHEN 'zh' THEN 65536 ELSE 32768 END),
+      |      < ${thresholdCaseSql(px21Rates)}),
       |sized AS (SELECT doc_id, lang, sample_weight,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
       |    CAST(md5_number_lower('pack42|' || doc_id) & 7 AS INTEGER) AS shard
       |  FROM sampled),
       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
       |        ROWS UNBOUNDED PRECEDING) AS cum FROM sized)
       |SELECT doc_id, lang, sample_weight, n_tokens, shard,
-      |  CAST(CAST(shard AS BIGINT) * 1099511627776 +
-      |       CAST(cum - n_tokens AS BIGINT) // 256 AS BIGINT) AS pack_id,
+      |  $packIdSql AS pack_id,
       |  CAST((cum - n_tokens) % 256 AS INTEGER) AS begin_offset
       |FROM c ORDER BY doc_id""".stripMargin
 

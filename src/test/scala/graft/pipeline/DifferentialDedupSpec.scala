@@ -86,7 +86,7 @@ class DifferentialDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       (8 to 15).foldLeft(0L)((acc, i) => acc | ((dig(i) & 0xffL) << ((i - 8) * 8)))
     }
     def simhash(text: String): Option[Long] = {
-      val toks = text.trim.split("\\s+").toSeq.distinct.filter(_ => true)
+      val toks = text.trim.split("\\s+").toSeq.distinct
       if (toks.isEmpty || toks == Seq("")) {
         if (toks == Seq("")) Some {
           // a single empty token still votes (matches the operator, which
@@ -120,10 +120,16 @@ class DifferentialDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("minhashKeepers == components(minhashLshPairs) in both collapse regimes") {
     for (seed <- 37 to 42) {
-      val docs = corpus(seed)
-      // direct regime (dup groups small, no collapse) and forced-collapse
-      // regime (tiny threshold via maxBucket) must both match the
-      // expanded-pair formulation row for row
+      // inject a dup group LARGER than the forced threshold (maxBucket=4 ⇒
+      // collapseThreshold=4) so the second leg genuinely engages the
+      // collapse/expansion machinery — the seeded corpus alone tops out at
+      // dup groups of ~4, which take the direct path at both settings
+      val base = corpus(seed)
+      val bigGroup = (0 until 7).map(i => (400L + i, base.head._2))
+      val docs = base ++ bigGroup
+      // direct regime (group of 8 ≤ 1024: no collapse) and forced-collapse
+      // regime (8 > 4: collapse + label inheritance through members) must
+      // both match the expanded-pair formulation row for row
       for (maxBucket <- Seq(Dedup.DefaultMaxBucket, 4)) {
         val df = docs.toDF("doc_id", "text")
         val viaPairs = Dedup.components(
