@@ -84,6 +84,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("sessionization contract under late cross-batch events: counted, never corrupting") {
+    // two source files forced into two micro-batches (maxFilesPerTrigger=1):
+    // batch 1 carries user 7's events at t=0 and t=3600s (two sessions,
+    // 30-min gap); batch 2 delivers a LATE event at t=100s — behind the
+    // key's clock. Contract (GraftStreaming.sessionizeStream): the late
+    // event increments n_events but neither rewinds the session clock nor
+    // opens a session.
+    val src = java.nio.file.Files.createTempDirectory("graft-late-src")
+    import spark.implicits._
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      rows.toDF("event_id", "user_id", "ts_sec")
+        .selectExpr("event_id", "user_id", "timestamp_seconds(ts_sec) AS ts")
+        .coalesce(1).write.parquet(s"$src/$name")
+      // move the part file up so the directory is a flat file-stream source
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+    writeBatch("b1", Seq((1L, 7L, 0L), (2L, 7L, 3600L)))
+    Thread.sleep(1100) // distinct modification times => deterministic file order
+    writeBatch("b2", Seq((3L, 7L, 100L)))
+    val schema = spark.read.parquet(s"$src/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = GraftStreaming.sessionizeStream(stream)
+      .writeStream.outputMode("update").format("memory").queryName("late_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val r = spark.sql(
+      "SELECT max(n_sessions) AS s, max(n_events) AS e FROM late_out WHERE user_id = 7")
+      .head()
+    assert(r.getLong(0) == 2, s"late event must not open/merge sessions: ${r}")
+    assert(r.getLong(1) == 3, s"late event must still be counted: ${r}")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val joined = GraftStreaming.intervalJoinStream(eventStream())
       .select(col("l_id"), col("r_id"))
