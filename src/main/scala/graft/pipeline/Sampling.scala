@@ -53,6 +53,63 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Exact-k deterministic sample per stratum: the k rows with the
+    * SMALLEST `md5_number_lower(seed|stratum|id) & Long.MaxValue` values
+    * (63-bit mask so signed-long and unsigned-SQL orderings agree),
+    * ties broken by id. The eval-set construction primitive: exactly k
+    * rows per language/domain, reproducible across runs, engines, and
+    * repartitioning.
+    *
+    * Scale shape: a per-stratum window sort would funnel each stratum
+    * through ONE task (a giant stratum = straggler). Instead a typed
+    * bounded-top-k [[org.apache.spark.sql.expressions.Aggregator]] runs as
+    * a partial aggregate: every map task keeps at most k candidates per
+    * stratum, the shuffle carries ≤ k rows per (partition, stratum), and
+    * the merge keeps k — the classic distributed TakeOrdered-per-key.
+    * Output: (stratum, id, rank) with rank 1..k by hash order. */
+  def stratifiedExactK(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, seed: String = "exk42"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val hash = graft.functions.HashExprs.md5NumberLower(
+      concat(lit(seed), lit("|"), col(stratumCol), lit("|"), col(idCol).cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val keyed = df.select(col(stratumCol).cast("string").as("stratum"),
+        hash.as("h"), col(idCol).cast("long").as("id"))
+      .as[(String, Long, Long)]
+    val topK = new org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
+      private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      // buffer: ascending (hash, id) pairs, at most k of them
+      override def zero: Array[(Long, Long)] = Array.empty
+      override def reduce(buf: Array[(Long, Long)], row: (String, Long, Long)): Array[(Long, Long)] =
+        merge(buf, Array((row._2, row._3)))
+      override def merge(x: Array[(Long, Long)], y: Array[(Long, Long)]): Array[(Long, Long)] = {
+        val out = new Array[(Long, Long)](math.min(x.length + y.length, k))
+        var i = 0; var j = 0; var w = 0
+        while (w < out.length) {
+          out(w) =
+            if (j >= y.length || (i < x.length && lt(x(i), y(j)))) { i += 1; x(i - 1) }
+            else { j += 1; y(j - 1) }
+          w += 1
+        }
+        out
+      }
+      override def finish(b: Array[(Long, Long)]): Array[(Long, Long)] = b
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
+        implicitly[org.apache.spark.sql.Encoder[Array[(Long, Long)]]]
+      override def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
+        implicitly[org.apache.spark.sql.Encoder[Array[(Long, Long)]]]
+    }
+    keyed.groupByKey(_._1).agg(topK.toColumn.name("top"))
+      .flatMap { case (stratum, top) =>
+        top.iterator.zipWithIndex.map { case ((_, id), i) => (stratum, id, i + 1) }
+      }
+      .toDF("stratum", "id", "rank")
+  }
+
   /** Concat-and-chunk sequence packing: assign every document a (pack_id,
     * begin_offset) as if the corpus were concatenated in a deterministic
     * order and cut into fixed `budget`-token packs — the standard LLM

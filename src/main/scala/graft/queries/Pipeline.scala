@@ -633,6 +633,28 @@ object Pipeline {
       |  CAST((cum - n_tokens) % 256 AS INTEGER) AS begin_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** px22: exact-k deterministic sample per language — eval-set
+    * construction (exactly 5 docs per lang by seeded hash order) through
+    * the bounded top-k Aggregator, whose shuffle carries ≤ k rows per
+    * (partition, stratum) instead of sorting whole strata in one task. The
+    * oracle recomputes the same selection with a plain window — identical
+    * output, which is exactly the point: the Aggregator is the scale
+    * shape, the window is the spec. */
+  def px22ExactKSample(s: SparkSession, dir: String): DataFrame = {
+    Sampling.stratifiedExactK(Tables.documents(s, dir), "lang", "doc_id", k = 5)
+      .withColumnsRenamed(Map("stratum" -> "lang", "id" -> "doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val px22Sql: String =
+    """SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      md5_number_lower('exk42|' || lang || '|' || doc_id) & 9223372036854775807,
+      |      doc_id) AS rank
+      |  FROM documents) t
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -655,6 +677,7 @@ object Pipeline {
     "px19_pack_sequences"  -> (px19Pack _),
     "px20_quantize"        -> (px20Quantize _),
     "px21_corpus_manifest" -> (px21CorpusManifest _),
+    "px22_exactk_sample"   -> (px22ExactKSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -678,6 +701,7 @@ object Pipeline {
     "px19_pack_sequences"  -> px19Sql,
     "px20_quantize"        -> px20Sql,
     "px21_corpus_manifest" -> px21Sql,
+    "px22_exactk_sample"   -> px22Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

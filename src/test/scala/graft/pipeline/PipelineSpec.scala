@@ -426,6 +426,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clamped(0) == 127 && clamped(1) == -127)
   }
 
+  test("Sampling.stratifiedExactK: exactly k per stratum, window-equivalent, partition-invariant") {
+    val d = (0 until 500).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.stratifiedExactK(d, "lang", "doc_id", k = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // window twin (the spec): smallest masked hashes per stratum
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.HashExprs.md5NumberLower(
+      concat(lit("exk42"), lit("|"), $"lang", lit("|"), $"doc_id".cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val w = Window.partitionBy($"lang").orderBy(h, $"doc_id")
+    val want = d.withColumn("rank", row_number().over(w)).filter($"rank" <= 7)
+      .select($"lang", $"doc_id", $"rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "a") == 7 && got.count(_._1 == "b") == 7)
+    // physical layout must not matter
+    val again = Sampling.stratifiedExactK(d.repartition(13), "lang", "doc_id", k = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == got)
+    // stratum smaller than k: returns all of it, ranked
+    val tiny = Sampling.stratifiedExactK(d.filter($"doc_id" < 4), "lang", "doc_id", k = 7)
+    assert(tiny.count() == 4)
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))
