@@ -8,8 +8,11 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * (SURVEY.md §2.5: verified absent), so this is a beyond-reference
   * extension: a graft-kv streaming sink (idempotent per-batch writes keyed
   * by row key — at-least-once delivery collapses to effective exactly-once
-  * because puts are idempotent upserts by (key, cf, qual, ts)), plus the
-  * streaming twin of the batch windowed aggregation.
+  * because puts are idempotent upserts by (key, cf, qual, ts)), the
+  * streaming twin of the batch windowed aggregation, watermarked dedup,
+  * stateful sessionization (flatMapGroupsWithState), a watermark-bounded
+  * stream-stream interval self-join, and stream-static enrichment against
+  * a graft-kv dimension (sv1..sv5 run these through the batch gate).
   */
 object GraftStreaming {
 
