@@ -655,6 +655,39 @@ object Pipeline {
       |  FROM documents) t
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  /** px23: BPE-style merge discovery — 3 rounds of most-frequent-adjacent-
+    * pair merging over the corpus, the tokenizer-training loop as a
+    * distributed pipeline (one pair-count pass + one map-only rewrite per
+    * round). The oracle unrolls the same 3 rounds as chained CTEs, picking
+    * each round's pair with a scalar subquery — exact integer counts and
+    * deterministic tie-breaks make the whole training trace hash-equal. */
+  def px23BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Tokenizer.bpeMerges(Tables.documents(s, dir), "text", rounds = 3)
+      .orderBy(col("round"))
+  }
+
+  private def bpeRoundSql(i: Int): String =
+    s"""b$i AS (SELECT u.bg AS pair, count(*) AS n FROM (
+       |    SELECT unnest(CASE WHEN len(toks) <= 1 THEN CAST([] AS VARCHAR[])
+       |      ELSE list_transform(range(1, len(toks)), j -> toks[j] || ' ' || toks[j+1]) END) AS bg
+       |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM d${i - 1})) u
+       |  GROUP BY 1),
+       |t$i AS (SELECT pair, n FROM b$i ORDER BY n DESC, pair ASC LIMIT 1),
+       |d$i AS (SELECT replace(text, (SELECT pair FROM t$i),
+       |          replace((SELECT pair FROM t$i), ' ', '_')) AS text FROM d${i - 1})""".stripMargin
+
+  val px23Sql: String =
+    s"""WITH d0 AS (SELECT text FROM documents),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}
+       |SELECT CAST(1 AS INTEGER) AS round, pair, replace(pair, ' ', '_') AS merged, n FROM t1
+       |UNION ALL
+       |SELECT CAST(2 AS INTEGER), pair, replace(pair, ' ', '_'), n FROM t2
+       |UNION ALL
+       |SELECT CAST(3 AS INTEGER), pair, replace(pair, ' ', '_'), n FROM t3
+       |ORDER BY round""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -678,6 +711,7 @@ object Pipeline {
     "px20_quantize"        -> (px20Quantize _),
     "px21_corpus_manifest" -> (px21CorpusManifest _),
     "px22_exactk_sample"   -> (px22ExactKSample _),
+    "px23_bpe_merges"      -> (px23BpeMerges _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -702,6 +736,7 @@ object Pipeline {
     "px20_quantize"        -> px20Sql,
     "px21_corpus_manifest" -> px21Sql,
     "px22_exactk_sample"   -> px22Sql,
+    "px23_bpe_merges"      -> px23Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

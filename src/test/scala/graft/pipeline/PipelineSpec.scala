@@ -451,6 +451,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiny.count() == 4)
   }
 
+  test("Tokenizer.bpeMerges: frequency order, tie-break, and chained rewrites") {
+    val d = Seq(
+      (1L, "a b a b c d"),   // "a b" twice (overlap-free), "c d" once
+      (2L, "a b c d"),
+      (3L, "c d c d")
+    ).toDF("doc_id", "text")
+    val m = graft.pipeline.Tokenizer.bpeMerges(d, "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: adjacent-pair counts are "c d" 4 (docs 1+2 once each, doc 3
+    // twice) vs "a b" 3 — "c d" wins
+    assert(m(0) == ((1, "c d", "c_d", 4L)))
+    // round 2 counts pairs of the REWRITTEN text ("... c_d", "c_d c_d"):
+    // "a b" still appears 3 times and now wins
+    assert(m(1) == ((2, "a b", "a_b", 3L)))
+    // marker collision is rejected up front
+    intercept[IllegalArgumentException](
+      graft.pipeline.Tokenizer.bpeMerges(
+        Seq((1L, "has_underscore token")).toDF("doc_id", "text"), "text"))
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))
