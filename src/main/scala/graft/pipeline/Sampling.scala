@@ -75,8 +75,12 @@ object Sampling {
     val hash = graft.functions.HashExprs.md5NumberLower(
       concat(lit(seed), lit("|"), col(stratumCol), lit("|"), col(idCol).cast("string")))
       .bitwiseAND(lit(Long.MaxValue))
+    // NULL stratum/id rows are dropped — same contract as
+    // [[stratifiedSample]]'s NULL-propagating hash (and without the filter
+    // the typed encoder would fail on NULL in a non-nullable Long field)
     val keyed = df.select(col(stratumCol).cast("string").as("stratum"),
         hash.as("h"), col(idCol).cast("long").as("id"))
+      .filter(col("stratum").isNotNull && col("id").isNotNull)
       .as[(String, Long, Long)]
     val topK = new org.apache.spark.sql.expressions.Aggregator[
         (String, Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
@@ -84,8 +88,12 @@ object Sampling {
         a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
       // buffer: ascending (hash, id) pairs, at most k of them
       override def zero: Array[(Long, Long)] = Array.empty
-      override def reduce(buf: Array[(Long, Long)], row: (String, Long, Long)): Array[(Long, Long)] =
-        merge(buf, Array((row._2, row._3)))
+      override def reduce(buf: Array[(Long, Long)], row: (String, Long, Long)): Array[(Long, Long)] = {
+        // hot path: once the buffer is full, almost every row fails the
+        // top-k cut — reject with one comparison, no allocation
+        if (buf.length == k && !lt((row._2, row._3), buf(k - 1))) buf
+        else merge(buf, Array((row._2, row._3)))
+      }
       override def merge(x: Array[(Long, Long)], y: Array[(Long, Long)]): Array[(Long, Long)] = {
         val out = new Array[(Long, Long)](math.min(x.length + y.length, k))
         var i = 0; var j = 0; var w = 0

@@ -17,15 +17,25 @@ object Tokenizer {
 
   /** Discover `rounds` BPE-style merges over whitespace tokens: per round,
     * the most frequent adjacent pair (ties → lexicographically smallest
-    * pair) merges into one token (`"a b"` → `"a_b"`). Precondition: the
-    * corpus must not contain the merge marker `_` (checked up front —
-    * a marker collision would make later rounds ambiguous).
+    * pair) merges into one token (`"a b"` → `"a_b"`).
     *
-    * Merge application is `replace(text, "a b", "a_b")` — left-to-right,
-    * non-overlapping, identical semantics in Spark and SQL engines; for
-    * immediately repeated pairs ("a b a b") only alternating occurrences
-    * merge in one round, which IS standard BPE behavior for overlapping
-    * pair instances.
+    * The working text is whitespace-NORMALIZED once up front
+    * (`\s+` → single space), so every counted pair is separated by exactly
+    * one space and the merge rewrite matches every counted occurrence —
+    * without this, pairs straddling newlines/tabs would be counted but
+    * never merged. Merge application is `replace(text, "a b", "a_b")` —
+    * left-to-right, non-overlapping, identical semantics in Spark and SQL
+    * engines; for immediately repeated pairs ("a b a b") only alternating
+    * occurrences merge in one round, which IS standard BPE behavior for
+    * overlapping pair instances. The pair is passed as a bound literal
+    * (never spliced into SQL text, where backslashes would be re-parsed
+    * as escapes).
+    *
+    * Marker safety: a corpus token already containing `_` could conflate
+    * with merged tokens in later rounds. The check rides round 1's pair
+    * aggregate (a pair string contains every token that is ever adjacent
+    * to another; single-token documents produce no pairs and cannot
+    * interact with merges), so it costs no extra corpus scan.
     *
     * The per-round argmax is a driver-side single-row action (the merge
     * CHOICE feeds the next round's plan — the same driver-breakpoint shape
@@ -36,23 +46,31 @@ object Tokenizer {
     * Output: (round, pair, merged, n) — the merge table a tokenizer ships. */
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
-    require(docs.filter(col(textCol).contains("_")).isEmpty,
-      "corpus contains the merge marker '_'; pick a marker absent from the data")
     val sp = docs.sparkSession
-    var cur = docs.select(col(textCol).as("text"))
+    var cur = docs.select(
+      regexp_replace(trim(col(textCol)), "\\s+", " ").as("text"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
-      val top: Option[Row] = cur
+      // ONE job: deterministic argmax (max n, then lexicographically
+      // smallest pair — min_by over the (-n, pair) struct) + the round-1
+      // marker-collision check, both partial-aggregated
+      val row: Row = cur
         .select(explode(TextOps.bigramsOf(TextOps.tokens(col("text")))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair").asc)
-        .limit(1).collect().headOption
-      top.foreach { row =>
-        val pair = row.getString(0)
+        .agg(
+          min_by(struct(col("pair"), col("n")),
+            struct((-col("n")).as("nn"), col("pair"))).as("top"),
+          max(col("pair").contains("_")).as("marker"))
+        .first()
+      if (r == 1 && !row.isNullAt(1) && row.getBoolean(1)) throw new IllegalArgumentException(
+        "corpus contains the merge marker '_'; pick a marker absent from the data")
+      if (!row.isNullAt(0)) {
+        val top = row.getStruct(0)
+        val pair = top.getString(0)
         val merged = pair.replace(' ', '_')
-        merges += ((r, pair, merged, row.getLong(1)))
+        merges += ((r, pair, merged, top.getLong(1)))
         cur = cur.withColumn("text",
-          expr(s"replace(text, '${pair.replace("'", "''")}', '${merged.replace("'", "''")}')"))
+          call_function("replace", col("text"), lit(pair), lit(merged)))
       }
     }
     import sp.implicits._

@@ -652,7 +652,7 @@ object Pipeline {
       |    row_number() OVER (PARTITION BY lang ORDER BY
       |      md5_number_lower('exk42|' || lang || '|' || doc_id) & 9223372036854775807,
       |      doc_id) AS rank
-      |  FROM documents) t
+      |  FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL) t
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
   /** px23: BPE-style merge discovery — 3 rounds of most-frequent-adjacent-
@@ -677,7 +677,7 @@ object Pipeline {
        |          replace((SELECT pair FROM t$i), ' ', '_')) AS text FROM d${i - 1})""".stripMargin
 
   val px23Sql: String =
-    s"""WITH d0 AS (SELECT text FROM documents),
+    s"""WITH d0 AS (SELECT regexp_replace(trim(text), '\\s+', ' ', 'g') AS text FROM documents),
        |${bpeRoundSql(1)},
        |${bpeRoundSql(2)},
        |${bpeRoundSql(3)}
