@@ -157,6 +157,30 @@ class DifferentialDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.forall(_._2 == 0L))
   }
 
+  test("ngramJaccardPairs == brute-force blocked token-set Jaccard on 12 random corpora") {
+    for (seed <- 43 to 54) {
+      val rnd = new Random(seed)
+      val docs = corpus(seed).map { case (id, t) =>
+        (id, t, s"blk${rnd.nextInt(3)}")
+      }
+      val expected = (for {
+        (ia, ta, ba) <- docs; (ib, tb, bb) <- docs
+        if ia < ib && ba == bb
+        ja = {
+          val (sa, sb) = (ta.trim.split("\\s+").toSet, tb.trim.split("\\s+").toSet)
+          val u = (sa ++ sb).size
+          if (u == 0) -1.0 else (sa & sb).size.toDouble / u
+        }
+        if ja >= 0.8
+      } yield (ia, ib)).toSet
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text", "blk"),
+          "text", "doc_id", "blk", 0.8)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"seed=$seed missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("components == in-memory union-find on 12 random pair graphs") {
     for (seed <- 25 to 36) {
       val rnd = new Random(seed)
