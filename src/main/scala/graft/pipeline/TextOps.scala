@@ -172,4 +172,87 @@ object TextOps {
     * which is CodegenFallback and allocates per position). */
   def fingerprintExpr(textCol: String, k: Int = 16): Column =
     graft.functions.HashExprs.minKgramMd5(col(textCol), k)
+
+  // --- PII scrubbing -------------------------------------------------------
+  // Patterns stay inside the RE2 ∩ java.util.regex common subset (no
+  // backreferences, no lookaround, ASCII \d), so the SAME pattern string is
+  // exact in both Spark codegen and the DuckDB oracle.
+
+  /** RFC-ish email addresses ("user.name+tag@host.co"). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone numbers ("555-867-5309"). */
+  val PhoneRe: String = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Dotted-quad IPv4 literals (syntactic — no octet-range check, matching
+    * the recall-first convention of corpus scrubbers). */
+  val Ipv4Re: String = "(?:\\d{1,3}\\.){3}\\d{1,3}"
+
+  /** Non-overlapping match count of one PII pattern — a codegen'd projection. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails, then phones, then IPv4s with typed placeholder tokens.
+    * Order matters only for nested matches (digits inside an email local
+    * part are gone before the phone/IP passes); the fixed order makes the
+    * output deterministic and cross-engine identical. A pure per-row
+    * projection: the scrub pass over 100 TB is one parquet scan, no
+    * shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+
+  /** Cross-document boilerplate coverage: the fraction of each document's
+    * token positions covered by some word `n`-gram that appears in ≥ `minDf`
+    * DISTINCT documents — the corpus-level complement of the within-doc
+    * repetition signals above (C4/CCNet-style frequent-span removal, at the
+    * token-window level because this corpus has no line structure).
+    * Output: (doc_id, n_tokens, boilerplate_tokens, boilerplate_frac).
+    *
+    * Shape: positioned n-grams explode once; document frequency is one
+    * gram-keyed shuffle (partial-aggregated two-phase distinct); frequent
+    * grams join back on the gram key (AQE broadcasts when the hot set is
+    * small — not hinted, because a boilerplate-heavy corpus can make it
+    * large); covered-position count is an interval-merge FOLD over the
+    * sorted start offsets (`aggregate` over ≤ doc-length ints), not a
+    * per-position explode — per-doc state stays bounded by document length,
+    * the unit the pipeline already holds in memory. */
+  def boilerplateCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minDf: Int = 2): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
+    val posGrams = base
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => struct(i.as("i"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(n))).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+    val hotGrams = posGrams
+      .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"))
+    // starts are sorted ascending and every gram spans n positions, so the
+    // running exclusive end never exceeds s + n: each start contributes
+    // (s + n) − max(s, prevEnd) ∈ (0, n] new covered positions
+    val covered = posGrams.join(hotGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+      .select(col("doc_id"),
+        aggregate(col("starts"),
+          struct(lit(0).as("total"), lit(0).as("prevEnd")),
+          (a, s) => struct(
+            (a.getField("total") + (s + n - greatest(s, a.getField("prevEnd"))))
+              .as("total"),
+            (s + n).as("prevEnd")),
+          a => a.getField("total")).as("covered"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0)).as("boilerplate_tokens"),
+        (coalesce(col("covered"), lit(0)).cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double")).as("boilerplate_frac"))
+  }
 }

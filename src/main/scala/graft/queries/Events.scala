@@ -180,12 +180,67 @@ object Events {
       |       count(*) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
 
+  /** ev6: time-grid resample + forward fill — align each event type to a
+    * dense 5-minute grid from its first to its last observed bucket, then
+    * gap-fill the metric with the last observed value (the
+    * downsample-then-ffill pass a monitoring/feature pipeline runs before
+    * joining time series). The metric forward-fills as exact BIGINT
+    * micro-units, so the fill is hash-identical cross-engine (an avg-based
+    * variant would ffill a double — engine-dependent in the last ulp).
+    *
+    * Shape: one low-cardinality (type × bucket) shuffle for the aggregate;
+    * the grid generates from a per-type min/max aggregate (no driver
+    * collect) and explodes ~span/5min rows per type; the fill is ONE
+    * per-type ordered window. Grid size is O(types × span/step) —
+    * independent of event volume, so 100 TB of events still resamples to
+    * the same small grid; a deployment with very many types would also
+    * range-partition the window key by (type, coarse time) to bound any
+    * one partition. */
+  def ev6Resample(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("sum_value"))
+      .select(col("event_type"), col("w.start").as("ws"), col("n"), col("sum_value"))
+    val grid = agg.groupBy(col("event_type"))
+      .agg(min(col("ws")).as("ws0"), max(col("ws")).as("ws1"))
+      .select(col("event_type"),
+        explode(sequence(col("ws0"), col("ws1"), expr("interval 5 minutes"))).as("ws"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "ws"), "left")
+      .select(col("event_type"), col("ws"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNotNull.cast("int").as("observed"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("sum_value_ffill"))
+      .orderBy(col("event_type"), col("ws"))
+  }
+
+  val ev6Sql: String =
+    """WITH agg AS (
+      |  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS ws,
+      |    count(*) AS n,
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, min(ws) AS ws0, max(ws) AS ws1 FROM agg GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(generate_series(ws0, ws1, INTERVAL 5 MINUTE)) AS ws
+      |         FROM bounds)
+      |SELECT grid.event_type AS event_type, grid.ws AS ws,
+      |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
+      |  CAST(agg.n IS NOT NULL AS INTEGER) AS observed,
+      |  last_value(agg.sum_value IGNORE NULLS) OVER (
+      |    PARTITION BY grid.event_type ORDER BY grid.ws
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_ffill
+      |FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.ws = agg.ws
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
     "ev3_asof_join"  -> (ev3AsofJoin _),
     "ev4_range_join" -> (ev4RangeJoin _),
     "ev5_session_window" -> (ev5SessionWindow _),
+    "ev6_resample"   -> (ev6Resample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,5 +249,6 @@ object Events {
     "ev3_asof_join"  -> ev3Sql,
     "ev4_range_join" -> ev4Sql,
     "ev5_session_window" -> ev5Sql,
+    "ev6_resample"   -> ev6Sql,
   )
 }

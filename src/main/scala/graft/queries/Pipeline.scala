@@ -688,6 +688,83 @@ object Pipeline {
        |SELECT CAST(3 AS INTEGER), pair, replace(pair, ' ', '_'), n FROM t3
        |ORDER BY round""".stripMargin
 
+  /** px24: PII detection + redaction. The corpus tables carry no contact
+    * data, so the query synthesizes a deterministic per-customer contact
+    * string (the SAME construction in the oracle — both engines scrub
+    * identical inputs) and runs the REAL operators over it:
+    * [[TextOps.piiCount]] per pattern class and [[TextOps.redactPii]],
+    * emitting the redacted text's md5. Every row exercises all three
+    * detectors (email, NANP phone, IPv4), so the hash check is
+    * non-vacuous; varied free-form inputs are covered in PipelineSpec.
+    * A pure per-row projection — the scrub pass over 100 TB is one
+    * parquet scan, no shuffle. */
+  def px24PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val key = col("c_custkey")
+    val profile = concat(
+      lit("reach "), col("c_name"), lit(" at user"), key.cast("string"),
+      lit("@example.com or +1 "),
+      lpad((key % 900 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad((key % 743 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad((key % 9000 + 1000).cast("string"), 4, "0"),
+      lit(" from 10."), (key % 256).cast("string"), lit("."),
+      (key % 13).cast("string"), lit("."), (key % 251).cast("string"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), profile.as("profile"))
+      .select(col("c_custkey"),
+        TextOps.piiCount(col("profile"), TextOps.EmailRe).as("n_emails"),
+        TextOps.piiCount(col("profile"), TextOps.PhoneRe).as("n_phones"),
+        TextOps.piiCount(col("profile"), TextOps.Ipv4Re).as("n_ips"),
+        md5(TextOps.redactPii(col("profile"))).as("redacted_hash"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val px24Sql: String =
+    """WITH t AS (SELECT c_custkey,
+      |  'reach ' || c_name || ' at user' || c_custkey || '@example.com or +1 ' ||
+      |  lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+      |  lpad(CAST(c_custkey % 743 + 100 AS VARCHAR), 3, '0') || '-' ||
+      |  lpad(CAST(c_custkey % 9000 + 1000 AS VARCHAR), 4, '0') ||
+      |  ' from 10.' || c_custkey % 256 || '.' || c_custkey % 13 || '.' || c_custkey % 251
+      |  AS profile FROM customer)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(profile, '\d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_phones,
+      |  CAST(len(regexp_extract_all(profile, '(?:\d{1,3}\.){3}\d{1,3}')) AS INTEGER) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(profile,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |    '(?:\d{1,3}\.){3}\d{1,3}', '<IP>', 'g')) AS redacted_hash
+      |FROM t ORDER BY c_custkey""".stripMargin
+
+  /** px25: cross-document boilerplate coverage — token positions covered by
+    * an 8-gram shared by ≥ 2 distinct documents ([[TextOps
+    * .boilerplateCoverage]]; the C4-style frequent-span signal at the
+    * token-window level). The oracle recomputes coverage as a distinct
+    * covered-position count, which equals the interval-merge fold exactly. */
+  def px25Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    TextOps.boilerplateCoverage(Tables.documents(s, dir), "doc_id", "text",
+      n = 8, minDf = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  val px25Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |ug AS (SELECT doc_id, u.i AS i,
+      |         toks[u.i]||' '||toks[u.i+1]||' '||toks[u.i+2]||' '||toks[u.i+3]||' '||
+      |         toks[u.i+4]||' '||toks[u.i+5]||' '||toks[u.i+6]||' '||toks[u.i+7] AS gram
+      |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      |               i -> CAST(i AS INTEGER))) AS i, toks FROM t) u(doc_id, i, toks)),
+      |df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM ug GROUP BY gram),
+      |hot AS (SELECT ug.doc_id, ug.i FROM ug JOIN df USING (gram) WHERE df.df >= 2),
+      |cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM
+      |          (SELECT doc_id, unnest(range(i, i + 8)) AS p FROM hot)
+      |        GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens,
+      |  CAST(coalesce(cov.covered, 0) AS INTEGER) AS boilerplate_tokens,
+      |  CAST(coalesce(cov.covered, 0) AS DOUBLE) / greatest(len(t.toks), 1) AS boilerplate_frac
+      |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -712,6 +789,8 @@ object Pipeline {
     "px21_corpus_manifest" -> (px21CorpusManifest _),
     "px22_exactk_sample"   -> (px22ExactKSample _),
     "px23_bpe_merges"      -> (px23BpeMerges _),
+    "px24_pii_redact"      -> (px24PiiRedact _),
+    "px25_boilerplate"     -> (px25Boilerplate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -737,6 +816,8 @@ object Pipeline {
     "px21_corpus_manifest" -> px21Sql,
     "px22_exactk_sample"   -> px22Sql,
     "px23_bpe_merges"      -> px23Sql,
+    "px24_pii_redact"      -> px24Sql,
+    "px25_boilerplate"     -> px25Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -471,6 +471,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq((1L, "has_underscore token")).toDF("doc_id", "text"), "text"))
   }
 
+  test("TextOps PII: per-class counts and typed redaction") {
+    val rows = Seq(
+      (1L, "contact john.doe+x@mail.example.org or 555-867-5309 now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255, backup 8.8.8.8"),
+      (3L, "no pii here, just words and 123 numbers"),
+      (4L, "a@b.co next to 999-111-2222 at 1.2.3.4")
+    ).toDF("id", "t")
+    val r = rows.select($"id",
+      TextOps.piiCount($"t", TextOps.EmailRe).as("e"),
+      TextOps.piiCount($"t", TextOps.PhoneRe).as("p"),
+      TextOps.piiCount($"t", TextOps.Ipv4Re).as("i"),
+      TextOps.redactPii($"t").as("r"))
+      .collect().map(row => row.getLong(0) -> row).toMap
+    assert(r(1).getAs[Int]("e") == 1 && r(1).getAs[Int]("p") == 1 && r(1).getAs[Int]("i") == 0)
+    assert(r(1).getAs[String]("r") == "contact <EMAIL> or <PHONE> now")
+    assert(r(2).getAs[Int]("i") == 3)
+    assert(r(2).getAs[String]("r") == "server at <IP> and <IP>, backup <IP>")
+    assert(r(3).getAs[String]("r") == "no pii here, just words and 123 numbers")
+    assert(r(4).getAs[String]("r") == "<EMAIL> next to <PHONE> at <IP>")
+  }
+
+  test("TextOps.boilerplateCoverage: overlapping spans merge, short docs zero") {
+    // A and B share the 10-token span a..j (3 overlapping shared 8-grams →
+    // merged coverage 10, not 24); E and F share two DISJOINT 8-token spans
+    // (coverage 16); C is shorter than the gram width; D is unique.
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j uniqA1 uniqA2"),
+      (2L, "x y a b c d e f g h i j"),
+      (3L, "one two three"),
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"),
+      (5L, "p q r s t u v w m1 m2 m3 m4 m5 aa bb cc dd ee ff gg hh"),
+      (6L, "aa bb cc dd ee ff gg hh z1 z2 z3 z4 z5 p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplateCoverage(corpus, "doc_id", "text", n = 8, minDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("boilerplate_tokens"),
+          r.getAs[Double]("boilerplate_frac"))).toMap
+    assert(got(1L) == ((12, 10, 10.0 / 12.0)))
+    assert(got(2L) == ((12, 10, 10.0 / 12.0)))
+    assert(got(3L) == ((3, 0, 0.0)))
+    assert(got(4L) == ((12, 0, 0.0)))
+    assert(got(5L) == ((21, 16, 16.0 / 21.0)))
+    assert(got(6L) == ((21, 16, 16.0 / 21.0)))
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))
