@@ -404,12 +404,18 @@ object Dedup {
     * semantics) and [[TextOps.bigramsOf]] (n=2, WITH multiplicity, empty for
     * single-token docs — repetition counting). Here a doc shorter than n
     * has no n-gram at all: contamination must not match sub-n fragments. */
-  def tokenNgrams(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
+  def tokenNgrams(text: Column, n: Int): Column =
+    tokenNgramsOf(TextOps.tokens(text), n)
+
+  /** [[tokenNgrams]] over an ALREADY-MATERIALIZED token array. Hot paths
+    * must tokenize into a column first and pass the attribute: the `toks`
+    * expression is spliced into the HOF lambda body, where interpreted
+    * evaluation re-runs it for every element — a split expression there
+    * costs O(tokens²) per document (the px16/px23 trap). */
+  def tokenNgramsOf(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
 
   /** Benchmark decontamination: for every training document, the eval-set
     * documents it shares ≥ `minShared` distinct word `n`-grams with — the
@@ -430,7 +436,8 @@ object Dedup {
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5, minShared: Int = 1): DataFrame = {
     def grams(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as), explode(tokenNgrams(col(textCol), n)).as("ngram"))
+      .select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(as), explode(tokenNgramsOf(col("toks"), n)).as("ngram"))
     grams(train, "train_id").join(grams(eval, "eval_id"), Seq("ngram"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))

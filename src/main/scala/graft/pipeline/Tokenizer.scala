@@ -49,19 +49,46 @@ object Tokenizer {
     val sp = docs.sparkSession
     var cur = docs.select(
       regexp_replace(trim(col(textCol)), "\\s+", " ").as("text"))
+    // each round's rewrite chains on the previous round's TEXT: without a
+    // materialization barrier, round r's lazy lineage re-runs all r-1
+    // earlier rewrites plus the tokenize/explode on every pass — total
+    // work quadratic in rounds. Persisting the working text makes round r
+    // read round r-1's cached rewrite once (MEMORY_AND_DISK: the working
+    // set is the corpus itself, so spill beats recompute at scale; a
+    // 100 TB deployment would checkpoint every few rounds instead). The
+    // previous round's cache is dropped only AFTER the round's action has
+    // populated the new one — unpersisting earlier would force the new
+    // cache to recompute the whole rewrite chain it was meant to cut.
+    var live: List[DataFrame] = Nil // persisted working texts, newest first
+    def materialize(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      live = p :: live
+      p
+    }
+    def dropSuperseded(): Unit = {
+      live.drop(1).foreach(_.unpersist(blocking = false))
+      live = live.take(1)
+    }
+    cur = materialize(cur)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
       // ONE job: deterministic argmax (max n, then lexicographically
       // smallest pair — min_by over the (-n, pair) struct) + the round-1
       // marker-collision check, both partial-aggregated
+      // tokenize into a materialized column FIRST: passing tokens(text)
+      // straight into the bigram HOF splices the split expression into the
+      // lambda body, where interpreted evaluation re-runs the split for
+      // EVERY element_at — O(tokens²) per document (the px16 trap)
       val row: Row = cur
-        .select(explode(TextOps.bigramsOf(TextOps.tokens(col("text")))).as("pair"))
+        .select(TextOps.tokens(col("text")).as("toks"))
+        .select(explode(TextOps.bigramsOf(col("toks"))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .agg(
           min_by(struct(col("pair"), col("n")),
             struct((-col("n")).as("nn"), col("pair"))).as("top"),
           max(col("pair").contains("_")).as("marker"))
         .first()
+      dropSuperseded() // this round's action populated the newest cache
       if (r == 1 && !row.isNullAt(1) && row.getBoolean(1)) throw new IllegalArgumentException(
         "corpus contains the merge marker '_'; pick a marker absent from the data")
       if (!row.isNullAt(0)) {
@@ -69,10 +96,11 @@ object Tokenizer {
         val pair = top.getString(0)
         val merged = pair.replace(' ', '_')
         merges += ((r, pair, merged, top.getLong(1)))
-        cur = cur.withColumn("text",
-          call_function("replace", col("text"), lit(pair), lit(merged)))
+        if (r < rounds) cur = materialize(cur.withColumn("text",
+          call_function("replace", col("text"), lit(pair), lit(merged))))
       }
     }
+    live.foreach(_.unpersist(blocking = false))
     import sp.implicits._
     merges.result().toDF("round", "pair", "merged", "n")
   }
