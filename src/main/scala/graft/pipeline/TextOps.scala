@@ -205,6 +205,72 @@ object TextOps {
         lit(PhoneRe), lit("<PHONE>")),
       lit(Ipv4Re), lit("<IP>"))
 
+  /** Inverted index over distinct word tokens: one row per term with its
+    * document frequency and a posting list CAPPED at the `k` smallest doc
+    * ids (rendered as a comma-joined string so the row is cross-engine
+    * hashable). The cap is the scale contract: a stopword's posting list is
+    * the whole corpus, and an uncapped `collect_list` would buffer millions
+    * of ids in ONE aggregation state — here a per-term `row_number` bounds
+    * every aggregation buffer at `k` BEFORE the collect, and `truncated`
+    * marks capped terms so the loss is visible, never silent. `minDf` drops
+    * hapax terms (df < minDf), the bulk of any vocabulary.
+    *
+    * Shape: tokens explode once; ONE term-keyed shuffle feeds the window
+    * (rank + frequency as two frames of the same window spec) and the
+    * groupBy rides the same partitioning — no second exchange. */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 20, minDf: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"invertedIndex: k must be positive, got $k")
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("df", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("df") >= minDf && col("rn") <= k)
+      .groupBy(col("term"))
+      .agg(max(col("df")).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"),
+        (max(col("df")) > k).cast("int").as("truncated"))
+  }
+
+  /** Context-window chunking: split each document's token sequence into
+    * fixed-size chunks of `chunkSize` tokens starting every `stride` tokens
+    * (overlap = chunkSize − stride), the pass that turns raw documents into
+    * training-context rows. Chunk starts are every multiple of `stride`
+    * below the token count, so the tail chunk may be short but every token
+    * is covered and no start is generated past the end. Output: (doc_id,
+    * chunk_id, start_tok, n_chunk_tokens, chunk_md5) — the md5 of the
+    * space-rejoined chunk stands in for the chunk text so the row stays
+    * small and cross-engine hashable.
+    *
+    * A pure per-row explode (≤ n/stride + 1 rows per doc) — a 100 TB
+    * chunking pass is one parquet scan, no shuffle. Blank documents are
+    * dropped (whitespace split would yield one empty token). */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int = 64, stride: Int = 48): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"chunk: need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1) / lit(stride)).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("start_tok"),
+        least(col("n") - col("chunk_id") * stride, lit(chunkSize)).cast("long")
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+  }
+
   /** Cross-document boilerplate coverage: the fraction of each document's
     * token positions covered by some word `n`-gram that appears in ≥ `minDf`
     * DISTINCT documents — the corpus-level complement of the within-doc

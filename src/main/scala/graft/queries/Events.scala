@@ -234,6 +234,67 @@ object Events {
       |FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.ws = agg.ws
       |ORDER BY 1, 2""".stripMargin
 
+  /** ev7: rolling z-score anomaly detection — per user, each event's value
+    * is scored against the mean/variance of its previous ≤ 20 events, and
+    * flagged when |z| > 3; output is the per-user event/scored/anomaly
+    * counts. The entire test runs in EXACT integer arithmetic so the flag
+    * is bit-identical cross-engine: values become micro-unit integers
+    * (the `microUnits` convention), and |z| > 3 with the population
+    * variance of the n preceding values σ² = (n·Σv² − (Σv)²)/n² rewrites to
+    *
+    *   (v·n − Σv)² > 9·(n·Σv² − (Σv)²)
+    *
+    * — integer-only, no division, no sqrt, no float. Intermediates reach
+    * ~10²³ so both engines compute in 128-bit (Spark decimal(38,0), DuckDB
+    * HUGEINT), exact far beyond this range. Events with fewer than 10
+    * predecessors in the window are not scored (n_scored counts the rest).
+    *
+    * Shape: ONE shuffle on user_id — the three rolling stats are frames of
+    * the same window spec (single Window operator), and the final per-user
+    * groupBy rides the window's partitioning with no second exchange. At
+    * 100 TB this is the standard time-series scan: state per task is the
+    * 20-row frame, nothing corpus-sized. */
+  def ev7Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = byUser.rowsBetween(-20, -1)
+    val dec = "decimal(38,0)"
+    val e = Tables.events(s, dir)
+      .withColumn("v", (col("value").cast("decimal(18,6)") * lit(1000000L)).cast(dec))
+      .withColumn("n", count(col("v")).over(frame))
+      .withColumn("sm", sum(col("v")).over(frame))
+      .withColumn("q", sum((col("v") * col("v")).cast(dec)).over(frame))
+    val dev = (col("v") * col("n") - col("sm")).cast(dec)
+    val anomaly = col("n") >= 10 &&
+      (dev * dev).cast(dec) >
+        (lit(9) * (col("n") * col("q") - (col("sm") * col("sm")).cast(dec))).cast(dec)
+    e.withColumn("scored", when(col("n") >= 10, 1L).otherwise(0L))
+      .withColumn("anom", when(anomaly, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("scored")).as("n_scored"),
+        sum(col("anom")).as("n_anomalies"))
+      .orderBy(col("user_id"))
+  }
+
+  val ev7Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, v,
+      |    count(v) OVER fr AS n,
+      |    sum(v) OVER fr AS sm,
+      |    sum(v*v) OVER fr AS q
+      |  FROM e
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+      |  CAST(sum(CASE WHEN n >= 10
+      |         AND (v*n - sm)*(v*n - sm) > 9*(n*q - sm*sm) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_anomalies
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
@@ -241,6 +302,7 @@ object Events {
     "ev4_range_join" -> (ev4RangeJoin _),
     "ev5_session_window" -> (ev5SessionWindow _),
     "ev6_resample"   -> (ev6Resample _),
+    "ev7_anomaly"    -> (ev7Anomaly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +312,6 @@ object Events {
     "ev4_range_join" -> ev4Sql,
     "ev5_session_window" -> ev5Sql,
     "ev6_resample"   -> ev6Sql,
+    "ev7_anomaly"    -> ev7Sql,
   )
 }

@@ -765,6 +765,52 @@ object Pipeline {
       |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** px26: inverted index with capped posting lists ([[TextOps
+    * .invertedIndex]]) — term → (document frequency, the k smallest doc ids,
+    * truncation flag). k = 20 keeps every aggregation buffer bounded; the
+    * oracle recomputes the same rank-then-collect in SQL. */
+  def px26InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    TextOps.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+      k = 20, minDf = 2)
+      .orderBy(col("term"))
+  }
+
+  val px26Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |         unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+      |       FROM documents),
+      |w AS (SELECT term, doc_id,
+      |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY term) AS df
+      |      FROM t WHERE length(term) > 0)
+      |SELECT term, CAST(max(df) AS BIGINT) AS df,
+      |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
+      |  CAST(max(df) > 20 AS INTEGER) AS truncated
+      |FROM w WHERE df >= 2 AND rn <= 20
+      |GROUP BY term ORDER BY term""".stripMargin
+
+  /** px27: context-window chunking ([[TextOps.chunk]]) — 64-token chunks
+    * every 48 tokens (16-token overlap), the document→training-context
+    * explode. The chunk md5 stands in for the chunk text, keeping the row
+    * hashable; the oracle re-slices the token list in SQL. */
+  def px27Chunk(s: SparkSession, dir: String): DataFrame = {
+    TextOps.chunk(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val px27Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents WHERE length(trim(text)) > 0),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |c AS (SELECT doc_id, toks, n,
+      |        unnest(range((n - 1) // 48 + 1)) AS i FROM n)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |  CAST(i * 48 AS BIGINT) AS start_tok,
+      |  CAST(least(n - i * 48, 64) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string(toks[i*48+1 : least(i*48+64, n)], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -791,6 +837,8 @@ object Pipeline {
     "px23_bpe_merges"      -> (px23BpeMerges _),
     "px24_pii_redact"      -> (px24PiiRedact _),
     "px25_boilerplate"     -> (px25Boilerplate _),
+    "px26_inverted_index"  -> (px26InvertedIndex _),
+    "px27_chunking"        -> (px27Chunk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -818,6 +866,8 @@ object Pipeline {
     "px23_bpe_merges"      -> px23Sql,
     "px24_pii_redact"      -> px24Sql,
     "px25_boilerplate"     -> px25Sql,
+    "px26_inverted_index"  -> px26Sql,
+    "px27_chunking"        -> px27Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

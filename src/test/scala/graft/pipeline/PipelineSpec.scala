@@ -516,6 +516,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(6L) == ((21, 16, 16.0 / 21.0)))
   }
 
+  test("TextOps.invertedIndex: df, sorted postings, cap + truncation flag") {
+    // "the"/"quick" etc. appear in docs 1, 2, 5 (3 and 5 have no overlap
+    // with them); singletons are dropped by minDf = 2
+    val full = TextOps.invertedIndex(docs, "doc_id", "text", k = 20, minDf = 2)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"), r.getAs[Int]("truncated")))
+      .toMap
+    assert(full("the") == ((3L, "1,2,5", 0)))
+    assert(full("quick") == ((3L, "1,2,5", 0)))
+    assert(!full.contains("cat")) // df = 1 < minDf
+    // k = 2 caps the posting list at the two smallest ids and flags it
+    val capped = TextOps.invertedIndex(docs, "doc_id", "text", k = 2, minDf = 2)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"), r.getAs[Int]("truncated")))
+      .toMap
+    assert(capped("the") == ((3L, "1,2", 1)))
+  }
+
+  test("TextOps.chunk: stride coverage, tail chunk, md5 of the token slice") {
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val one = Seq((7L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (8L, "   "))
+      .toDF("doc_id", "text")
+    val rows = TextOps.chunk(one, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    // blank doc 8 is dropped; doc 7 (10 tokens) chunks at starts 0,3,6,9
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(7L))
+    assert(rows.map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("start_tok"),
+      r.getAs[Long]("n_chunk_tokens"))).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    assert(rows(1).getAs[String]("chunk_md5") == hex("t4 t5 t6 t7"))
+    assert(rows(3).getAs[String]("chunk_md5") == hex("t10"))
+    // stride == chunkSize → disjoint cover: ceil(10/4) = 3 chunks
+    val disjoint = TextOps.chunk(one, "doc_id", "text", chunkSize = 4, stride = 4)
+      .collect()
+    assert(disjoint.length == 3)
+    assert(disjoint.map(_.getAs[Long]("n_chunk_tokens")).sum == 10L)
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))

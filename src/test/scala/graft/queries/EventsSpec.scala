@@ -1,0 +1,58 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  test("ev7: spike flags against a calm history; post-spike variance absorbs") {
+    // user 1: 25 calm events (value 10), a spike (1000), 4 more calm ones.
+    // Events gain a score once they have >= 10 predecessors in the 20-row
+    // window: events 11..30 are scored (20 of them). The spike's preceding
+    // window is all-10 (variance 0, value != mean -> anomalous); the calm
+    // events AFTER the spike see a window containing it, whose stddev
+    // (~216) dwarfs their own deviation (~50) -> not anomalous.
+    // user 2: only 5 events -> nothing scored.
+    val events = ((1 to 30).map { i =>
+      val v = if (i == 26) 1000.0 else 10.0
+      (i.toLong, new Timestamp(1700000000000L + i * 60000L), 1L, "click", v)
+    } ++ (1 to 5).map { i =>
+      (100L + i, new Timestamp(1700000000000L + i * 60000L), 2L, "click", 10.0)
+    }).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("ev7").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = Events.ev7Anomaly(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_scored"),
+          r.getAs[Long]("n_anomalies"))).toMap
+    assert(got(1L) == ((30L, 20L, 1L)))
+    assert(got(2L) == ((5L, 0L, 0L)))
+  }
+
+  test("ev7: zero-variance history with an equal value is NOT anomalous") {
+    val events = (1 to 15).map { i =>
+      (i.toLong, new Timestamp(1700000000000L + i * 60000L), 1L, "click", 42.5)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("ev7z").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.ev7Anomaly(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_anomalies") == 0L)
+    assert(got(0).getAs[Long]("n_scored") == 5L) // events 11..15
+  }
+}

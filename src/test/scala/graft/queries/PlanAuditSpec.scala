@@ -233,6 +233,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"manifest pipeline must never cross-join:\n${plan.take(3000)}")
   }
 
+  test("ev7: rolling stats + per-user rollup pay exactly one shuffle") {
+    // the three rolling stats are frames of one user_id window and the
+    // groupBy rides the window's hash partitioning — a second Exchange
+    // would re-shuffle 100 TB of events for nothing (the ORDER BY of the
+    // driver-facing query is presentation, not the operator)
+    val plan = executedPlan(Events.ev7Anomaly(spark, dir))
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(dataExchanges == 1, s"expected 1 hash exchange:\n${plan.take(4000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("px26: inverted index pays one term shuffle (window + groupBy share it)") {
+    val plan = executedPlan(graft.pipeline.TextOps.invertedIndex(
+      Tables.documents(spark, dir), "doc_id", "text", k = 20, minDf = 2))
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(dataExchanges == 1, s"expected 1 hash exchange:\n${plan.take(4000)}")
+  }
+
+  test("px27: chunking is a shuffle-free explode over the scan") {
+    val plan = executedPlan(graft.pipeline.TextOps.chunk(
+      Tables.documents(spark, dir), "doc_id", "text", 64, 48))
+    assert(!plan.contains("Exchange"), s"expected no exchange:\n${plan.take(4000)}")
+    assert(plan.contains("Generate explode") || plan.contains("Generate"),
+      plan.take(2000))
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
