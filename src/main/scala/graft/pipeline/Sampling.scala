@@ -32,6 +32,33 @@ object Sampling {
     * Rates are quantized to k/65536 (exact 16-bit thresholds) so the
     * comparison is integer, not float. Strata missing from `rates` keep
     * everything (rate 1.0). */
+  /** Source-mixture statistics + temperature re-weighting — the pass that
+    * decides how hard to up/down-sample each source (domain) before
+    * training. Per source: exact doc/token counts, the natural token share
+    * `p`, and the α = 1/2 temperature boost `1/√p` (∝ the factor that turns
+    * the natural mixture p into the flattened target p^α; emitted
+    * UN-normalized because the normalizer Σ p^α is a cross-row float sum
+    * whose value depends on addition order — the caller normalizes once
+    * over the handful of source rows, where order is theirs to fix).
+    *
+    * Every emitted number is deterministic bit-for-bit across engines:
+    * counts are exact integer sums; `p` is ONE correctly-rounded division
+    * of two exactly-converted BIGINTs; the boost is ONE correctly-rounded
+    * `sqrt` (IEEE 754 requires sqrt and ÷ to round correctly, unlike `pow`
+    * or `ln`). Shape: one low-cardinality groupBy (sources), a 1-row total
+    * joined back by broadcast — no driver-side count, no second scan. */
+  def mixtureWeights(docs: DataFrame, stratumCol: String,
+      tokenCount: Column): DataFrame = {
+    val s = docs.groupBy(col(stratumCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("n_tokens"))
+    val t = s.agg(sum(col("n_tokens")).as("total"))
+    s.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total").cast("double")).as("p"),
+        sqrt(col("total").cast("double") / col("n_tokens").cast("double"))
+          .as("boost"))
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
       rates: Map[String, Double], seed: String = "strat42"): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0),

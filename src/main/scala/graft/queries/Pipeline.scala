@@ -811,6 +811,27 @@ object Pipeline {
       |  md5(array_to_string(toks[i*48+1 : least(i*48+64, n)], ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** px28: source-mixture statistics + α = 1/2 temperature re-weighting
+    * ([[Sampling.mixtureWeights]]) — per source, exact doc/token counts,
+    * natural token share, and the unnormalized 1/√p boost. All five
+    * sources' numbers are IEEE-deterministic (integer sums, one division,
+    * one sqrt), so the oracle is a full hash match. */
+  def px28MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    Sampling.mixtureWeights(Tables.documents(s, dir), "source",
+      TextOps.tokenCount(col("text")))
+      .orderBy(col("source"))
+  }
+
+  val px28Sql: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |           FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+      |  sqrt(CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS boost
+      |FROM s, t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -839,6 +860,7 @@ object Pipeline {
     "px25_boilerplate"     -> (px25Boilerplate _),
     "px26_inverted_index"  -> (px26InvertedIndex _),
     "px27_chunking"        -> (px27Chunk _),
+    "px28_mixture_weights" -> (px28MixtureWeights _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -868,6 +890,7 @@ object Pipeline {
     "px25_boilerplate"     -> px25Sql,
     "px26_inverted_index"  -> px26Sql,
     "px27_chunking"        -> px27Sql,
+    "px28_mixture_weights" -> px28Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

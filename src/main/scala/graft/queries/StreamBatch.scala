@@ -160,12 +160,40 @@ object StreamBatch {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY event_id""".stripMargin
 
+  /** sv6: watermarked streaming windowed aggregation in APPEND mode — the
+    * streaming twin of ev1, emitted through the gate with an exact oracle.
+    * Append mode finalizes a window only once the watermark (max event time
+    * − 10 min) passes its end, so the emitted set is the batch aggregate
+    * RESTRICTED to closed windows — a deterministic condition the oracle
+    * reproduces with `ws + 5 min <= max(ts) − 10 min`. Trailing windows
+    * stay open by design (in production the next day's data closes them);
+    * restricting the oracle rather than switching to complete mode keeps
+    * the driver row exercising the real production path: bounded state,
+    * watermark eviction, append-only sink. */
+  def sv6StreamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    runToMemory(GraftStreaming.windowedEventAgg(eventStream(s, dir)),
+      "sv6_out", "append")
+    s.table("sv6_out").orderBy(col("ws"), col("event_type"))
+  }
+
+  val sv6Sql: String =
+    """WITH agg AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+      |    count(*) AS n,
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |wmk AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+      |SELECT agg.ws, agg.event_type, agg.n, agg.sum_value
+      |FROM agg, wmk WHERE agg.ws + INTERVAL 5 MINUTE <= wmk.wm
+      |ORDER BY agg.ws, agg.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
     "sv3_stream_kv_sink"    -> (sv3StreamKvSink _),
     "sv4_stream_interval_join" -> (sv4StreamIntervalJoin _),
     "sv5_stream_static_join" -> (sv5StreamStaticJoin _),
+    "sv6_stream_window_agg" -> (sv6StreamWindowAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,5 +202,6 @@ object StreamBatch {
     "sv3_stream_kv_sink"    -> sv3Sql,
     "sv4_stream_interval_join" -> sv4Sql,
     "sv5_stream_static_join" -> sv5Sql,
+    "sv6_stream_window_agg" -> sv6Sql,
   )
 }

@@ -556,6 +556,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(disjoint.map(_.getAs[Long]("n_chunk_tokens")).sum == 10L)
   }
 
+  test("Sampling.mixtureWeights: exact counts, IEEE-deterministic share and boost") {
+    val r = Sampling.mixtureWeights(docs, "lang", TextOps.tokenCount($"text"))
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"),
+          x.getAs[Double]("p"), x.getAs[Double]("boost"))).toMap
+    // en: docs 1,2,4,5 = 9+9+6+9 = 33 tokens; es: doc 3 = 9 tokens
+    assert(r("en") == ((4L, 33L, 33.0 / 42.0, math.sqrt(42.0 / 33.0))))
+    assert(r("es") == ((1L, 9L, 9.0 / 42.0, math.sqrt(42.0 / 9.0))))
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))
