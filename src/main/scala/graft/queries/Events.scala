@@ -295,6 +295,63 @@ object Events {
       |    AS n_anomalies
       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ev8: ordered funnel analysis (view → click → purchase) — per user, the
+    * deepest STRICTLY-ORDERED stage reached: a click counts only after the
+    * first view, a purchase only after the first qualifying click (the
+    * windowFunnel semantics analytics engines ship natively). Output:
+    * (user_id, funnel_stage 0-3, the three stage timestamps).
+    *
+    * Shape: ONE events scan and ONE user_id shuffle — the three stage
+    * timestamps are sequential whole-partition window aggregates over the
+    * SAME partitioning (stage k's condition references stage k−1's column,
+    * so they chain as three Window operators with no re-exchange), and the
+    * per-user rollup rides the same partitioning too. The three-scan
+    * join-per-stage formulation would read 100 TB of events three times;
+    * this reads it once. Timestamps compare as exact integers (micros) —
+    * no float anywhere. */
+  def ev8Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("ts_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("ts_click",
+        min(when(col("event_type") === "click" && col("ts") > col("ts_view"),
+          col("ts"))).over(w))
+      .withColumn("ts_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("ts_click"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts_view")).as("ts_view"), max(col("ts_click")).as("ts_click"),
+        max(col("ts_purchase")).as("ts_purchase"))
+      .select(col("user_id"),
+        when(col("ts_purchase").isNotNull, 3)
+          .when(col("ts_click").isNotNull, 2)
+          .when(col("ts_view").isNotNull, 1)
+          .otherwise(0).as("funnel_stage"),
+        col("ts_view"), col("ts_click"), col("ts_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val ev8Sql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id, min(ts) AS ts_view FROM events
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS ts_click
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.ts_view GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS ts_purchase
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.ts_click GROUP BY 1)
+      |SELECT u.user_id,
+      |  CASE WHEN p.user_id IS NOT NULL THEN 3
+      |       WHEN c.user_id IS NOT NULL THEN 2
+      |       WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+      |  v.ts_view, c.ts_click, p.ts_purchase
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |       LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
@@ -303,6 +360,7 @@ object Events {
     "ev5_session_window" -> (ev5SessionWindow _),
     "ev6_resample"   -> (ev6Resample _),
     "ev7_anomaly"    -> (ev7Anomaly _),
+    "ev8_funnel"     -> (ev8Funnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -313,5 +371,6 @@ object Events {
     "ev5_session_window" -> ev5Sql,
     "ev6_resample"   -> ev6Sql,
     "ev7_anomaly"    -> ev7Sql,
+    "ev8_funnel"     -> ev8Sql,
   )
 }

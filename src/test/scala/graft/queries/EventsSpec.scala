@@ -44,6 +44,29 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == ((5L, 0L, 0L)))
   }
 
+  test("ev8: funnel stages require strict temporal order") {
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // user 1: view -> click -> purchase in order          => stage 3
+    // user 2: click BEFORE its only view                  => stage 1
+    // user 3: view -> click, no purchase                  => stage 2
+    // user 4: only errors                                 => stage 0
+    // user 5: view -> purchase -> click (purchase too early) => stage 2
+    val events = Seq(
+      (1L, ts(1), 1L, "view", 1.0), (2L, ts(2), 1L, "click", 1.0),
+      (3L, ts(3), 1L, "purchase", 1.0),
+      (4L, ts(2), 2L, "view", 1.0), (5L, ts(1), 2L, "click", 1.0),
+      (6L, ts(1), 3L, "view", 1.0), (7L, ts(2), 3L, "click", 1.0),
+      (8L, ts(1), 4L, "error", 1.0),
+      (9L, ts(1), 5L, "view", 1.0), (10L, ts(2), 5L, "purchase", 1.0),
+      (11L, ts(3), 5L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("ev8").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.ev8Funnel(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_stage")).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0, 5L -> 2))
+  }
+
   test("ev7: zero-variance history with an equal value is NOT anomalous") {
     val events = (1 to 15).map { i =>
       (i.toLong, new Timestamp(1700000000000L + i * 60000L), 1L, "click", 42.5)

@@ -244,6 +244,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("ev8: funnel reads events once and pays one user shuffle") {
+    // the three stage windows chain over one user_id partitioning and the
+    // rollup rides it; a join-per-stage formulation would scan events 3x
+    val plan = executedPlan(Events.ev8Funnel(spark, dir))
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(dataExchanges == 1, s"expected 1 hash exchange:\n${plan.take(4000)}")
+    assert(!plan.contains("Join"), s"funnel must not join:\n${plan.take(3000)}")
+  }
+
   test("px26: inverted index pays one term shuffle (window + groupBy share it)") {
     val plan = executedPlan(graft.pipeline.TextOps.invertedIndex(
       Tables.documents(spark, dir), "doc_id", "text", k = 20, minDf = 2))
