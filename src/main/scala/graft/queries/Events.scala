@@ -352,6 +352,31 @@ object Events {
       |       LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** ev9: rolling 1-hour activity count — for every event, how many events
+    * the same user produced in the trailing hour (inclusive), via a
+    * VALUE-based RANGE window frame rather than a row-count frame: the
+    * frame is defined by the ordering value (exact integer MICROSECONDS on
+    * both engines, so the boundary is bit-identical — an epoch-seconds cast
+    * would floor Spark's bound while DuckDB's INTERVAL arithmetic stays at
+    * micros), and tied timestamps are frame peers, making the count
+    * independent of tie order. One shuffle on user_id; per-task state is
+    * the sliding frame. */
+  def ev9RollingCount(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_last_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  val ev9Sql: String =
+    """SELECT event_id, user_id, ts,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
@@ -361,6 +386,7 @@ object Events {
     "ev6_resample"   -> (ev6Resample _),
     "ev7_anomaly"    -> (ev7Anomaly _),
     "ev8_funnel"     -> (ev8Funnel _),
+    "ev9_rolling_count" -> (ev9RollingCount _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,5 +398,6 @@ object Events {
     "ev6_resample"   -> ev6Sql,
     "ev7_anomaly"    -> ev7Sql,
     "ev8_funnel"     -> ev8Sql,
+    "ev9_rolling_count" -> ev9Sql,
   )
 }

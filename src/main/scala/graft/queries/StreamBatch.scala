@@ -187,6 +187,23 @@ object StreamBatch {
       |FROM agg, wmk WHERE agg.ws + INTERVAL 5 MINUTE <= wmk.wm
       |ORDER BY agg.ws, agg.event_type""".stripMargin
 
+  /** sv7: stateful streaming anomaly detection — ev7's streaming twin
+    * (flatMapGroupsWithState holding each user's last 20 micro-unit values,
+    * scoring with the SAME 128-bit integer test). Counters are monotone, so
+    * the max per user is the final state; it equals the batch ev7 output
+    * bit for bit, hence the shared oracle. */
+  def sv7StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    runToMemory(GraftStreaming.anomalyStream(eventStream(s, dir)),
+      "sv7_out", "update")
+    s.sql(
+      """SELECT user_id, max(n_events) AS n_events, max(n_scored) AS n_scored,
+        |       max(n_anomalies) AS n_anomalies
+        |FROM sv7_out GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  /** Same semantics and arithmetic as batch ev7 — same oracle. */
+  val sv7Sql: String = Events.ev7Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -194,6 +211,7 @@ object StreamBatch {
     "sv4_stream_interval_join" -> (sv4StreamIntervalJoin _),
     "sv5_stream_static_join" -> (sv5StreamStaticJoin _),
     "sv6_stream_window_agg" -> (sv6StreamWindowAgg _),
+    "sv7_stream_anomaly"    -> (sv7StreamAnomaly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,5 +221,6 @@ object StreamBatch {
     "sv4_stream_interval_join" -> sv4Sql,
     "sv5_stream_static_join" -> sv5Sql,
     "sv6_stream_window_agg" -> sv6Sql,
+    "sv7_stream_anomaly"    -> sv7Sql,
   )
 }

@@ -106,6 +106,63 @@ object GraftStreaming {
       .toDF()
   }
 
+  /** Per-user rolling-anomaly state for [[anomalyStream]]: the last ≤ 20
+    * micro-unit values (event-time order) plus monotone counters. */
+  case class AnomState(window: List[Long], nEvents: Long, nScored: Long,
+      nAnomalies: Long)
+
+  /** Per-user output row emitted on every update. */
+  case class UserAnomalies(user_id: Long, n_events: Long, n_scored: Long,
+      n_anomalies: Long)
+
+  /** Stateful streaming rolling z-score anomaly detection — the streaming
+    * twin of queries.Events.ev7Anomaly, on `flatMapGroupsWithState`. Each
+    * user's state is the last ≤ 20 micro-unit values; an incoming value
+    * with n ≥ 10 predecessors is scored with the SAME 128-bit integer test
+    * the batch query uses — (v·n − Σv)² > 9·(n·Σv² − (Σv)²), BigInt here,
+    * decimal(38,0)/HUGEINT there — so streamed counts equal the batch
+    * counts bit for bit. Micro-units come from the same HALF_UP scale-6
+    * rounding Spark's double→decimal(18,6) cast applies. State per key is
+    * 20 longs + 3 counters, bounded by user cardinality; the same
+    * cross-batch event-time-order contract as [[sessionizeStream]]
+    * applies (within a batch, events fold in (ts, event_id) order). */
+  def anomalyStream(events: DataFrame, lookback: Int = 20, minN: Int = 10): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, UserAnomalies](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[AnomState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var s = state.getOption.getOrElse(AnomState(Nil, 0L, 0L, 0L))
+          sorted.foreach { case (_, _, _, value) =>
+            val v = java.math.BigDecimal.valueOf(value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            val n = s.window.length
+            val (scored, anom) =
+              if (n < minN) (false, false)
+              else {
+                val sm = s.window.foldLeft(BigInt(0))(_ + _)
+                val q = s.window.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+                val dev = BigInt(v) * n - sm
+                (true, dev * dev > 9 * (BigInt(n) * q - sm * sm))
+              }
+            s = AnomState((s.window :+ v).takeRight(lookback),
+              s.nEvents + 1, s.nScored + (if (scored) 1 else 0),
+              s.nAnomalies + (if (anom) 1 else 0))
+          }
+          state.update(s)
+          Iterator.single(UserAnomalies(user, s.nEvents, s.nScored, s.nAnomalies))
+      }
+      .toDF()
+  }
+
   /** Streaming exact deduplication — the streaming twin of Dedup.exact:
     * watermarked `dropDuplicates` keeps the first row per key and holds one
     * state entry per distinct key inside the watermark horizon, so state is

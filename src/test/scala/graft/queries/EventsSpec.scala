@@ -67,6 +67,25 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0, 5L -> 2))
   }
 
+  test("ev9: RANGE frame counts by value, ties are peers") {
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    // user 1: events at 0s, 10s, 3600s, 3601s, 7300s, plus a tied pair
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 1.0),
+      (3L, ts(3600), 1L, "click", 1.0), (4L, ts(3601), 1L, "click", 1.0),
+      (5L, ts(7300), 1L, "click", 1.0),
+      (6L, ts(100), 2L, "click", 1.0), (7L, ts(100), 2L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("ev9").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.ev9RollingCount(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_last_hour")).toMap
+    // e3 at 3600s: frame [0, 3600] includes e1 (exactly 1h back), e2, e3
+    // e4 at 3601s: e1 falls out; e5 at 7300s: only itself
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 1L,
+      6L -> 2L, 7L -> 2L)) // tied timestamps are peers: both count both
+  }
+
   test("ev7: zero-variance history with an equal value is NOT anomalous") {
     val events = (1 to 15).map { i =>
       (i.toLong, new Timestamp(1700000000000L + i * 60000L), 1L, "click", 42.5)

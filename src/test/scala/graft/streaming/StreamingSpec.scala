@@ -71,6 +71,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("stateful anomaly detection matches the batch twin bit for bit") {
+    val anom = GraftStreaming.anomalyStream(eventStream())
+    val q = anom.writeStream.outputMode("update")
+      .format("memory").queryName("anom_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+      "SELECT user_id, max(n_events) AS e, max(n_scored) AS s, max(n_anomalies) AS a " +
+        "FROM anom_out GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val batch = graft.queries.Events.ev7Anomaly(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup emits one row per distinct key") {
     val deduped = GraftStreaming.dedupStream(
       eventStream(), Seq("user_id", "event_type"), "ts")
