@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Differential testing of the text-shaping operators over random seeded
+  * corpora, each distributed output compared against a brute-force
+  * in-memory twin (same philosophy as [[DifferentialDedupSpec]]: the SQL
+  * oracles cover two fixed datasets; here the INPUTS vary so structural
+  * edge cases — single-token docs, blank docs, hapax terms, tiny tails —
+  * can't hide).
+  */
+class DifferentialTextSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  private def corpus(seed: Long): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = (0 until 25).map(i => s"w$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (0 until 40).map(i => (i.toLong, doc(1 + rnd.nextInt(40)))) ++
+      Seq((100L, ""), (101L, "  "), (102L, "solo"))
+  }
+
+  private def toks(t: String): Seq[String] =
+    if (t.trim.isEmpty) Seq.empty else t.trim.split("\\s+").toSeq
+
+  test("chunk: differential vs in-memory slicing across seeds and strides") {
+    for (seed <- Seq(1L, 2L, 3L); (c, st) <- Seq((8, 8), (8, 5), (4, 1))) {
+      val docs = corpus(seed)
+      val got = TextOps.chunk(docs.toDF("doc_id", "text"), "doc_id", "text",
+        chunkSize = c, stride = st)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+          (r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunk_tokens"),
+            r.getAs[String]("chunk_md5"))).toMap
+      val want = docs.flatMap { case (id, t) =>
+        val ts = toks(t)
+        if (ts.isEmpty) Seq.empty
+        else (0 until ts.size by st).zipWithIndex.map { case (start, i) =>
+          val slice = ts.slice(start, start + c)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(slice.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, i.toLong) -> (start.toLong, slice.size.toLong, md5)
+        }
+      }.toMap
+      assert(got == want, s"seed=$seed chunk=$c stride=$st")
+      // coverage: every token position of every non-blank doc is inside
+      // at least one chunk (stride <= chunkSize guarantees tiling)
+      docs.foreach { case (id, t) =>
+        val n = toks(t).size
+        val covered = got.collect { case ((d, _), (s0, len, _)) if d == id =>
+          (s0 until s0 + len) }.flatten.toSet
+        assert(covered == (0L until n.toLong).toSet, s"doc $id not tiled")
+      }
+    }
+  }
+
+  test("invertedIndex: differential vs in-memory postings across seeds") {
+    for (seed <- Seq(7L, 8L); (k, minDf) <- Seq((1000, 1), (3, 2))) {
+      val docs = corpus(seed)
+      val got = TextOps.invertedIndex(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = k, minDf = minDf)
+        .collect()
+        .map(r => r.getAs[String]("term") ->
+          (r.getAs[Long]("df"), r.getAs[String]("postings"),
+            r.getAs[Int]("truncated"))).toMap
+      val want = docs
+        .flatMap { case (id, t) => toks(t).distinct.map(_ -> id) }
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted)
+        .filter(_._2.size >= minDf)
+        .map { case (term, ids) =>
+          term -> (ids.size.toLong, ids.take(k).mkString(","),
+            if (ids.size > k) 1 else 0)
+        }.toMap
+      assert(got == want, s"seed=$seed k=$k minDf=$minDf")
+    }
+  }
+}
