@@ -271,6 +271,56 @@ object TextOps {
           .as("chunk_md5"))
   }
 
+  /** KMV (k-minimum-values) distinct-cardinality sketch per stratum — the
+    * cardinality-estimation primitive a 100 TB pipeline runs instead of an
+    * exact COUNT(DISTINCT) when the distinct set itself is too large to
+    * shuffle: hash every value to a uniform 64-bit point, keep only the k
+    * smallest hashes per stratum, and estimate |distinct| ≈ (k−1)·2⁶⁴/h₍k₎
+    * from the k-th smallest. Unlike HLL (whose register layout is
+    * engine-specific), KMV over the md5-derived hash is EXACTLY
+    * reproducible in SQL, so the estimate gets a full hash oracle:
+    * the estimate is computed in 128-bit INTEGER arithmetic
+    * ((k−1)·2⁶⁴ div h — Spark decimal(38,0) `div`, DuckDB HUGEINT `//`),
+    * no float anywhere. A stratum with fewer than k distinct values
+    * reports its exact count (the sketch saw everything).
+    *
+    * Output: (source, n_distinct_exact, est_kmv) — the exact count rides
+    * along as the same window's full-frame count, making the estimator's
+    * error visible in the result itself.
+    *
+    * Shape note: this formulation shuffles the distinct (stratum, value)
+    * pairs to rank them (fine at documents-table vocabulary scale, and it
+    * is what makes the exact count available for free); the true 100 TB
+    * deployment keeps per-partition k-minimum heaps and merges them — the
+    * same two-phase refinement [[Sampling.stratifiedExactK]] implements
+    * for bounded top-k, at the cost of losing the exact count. */
+  def kmvDistinct(docs: org.apache.spark.sql.DataFrame, stratumCol: String,
+      textCol: String, k: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    // XOR of the sign bit turns signed long order into unsigned hash order
+    // (DuckDB's UBIGINT order); term breaks full-64-bit hash ties
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)), col("term"))
+    docs
+      .select(col(stratumCol).as("source"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .withColumn("h", graft.functions.HashExprs.md5NumberLower(col("term")))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rk") === least(lit(k), col("nd")))
+      .withColumn("u", when(col("h") < 0,
+        col("h").cast("decimal(38,0)") + two64).otherwise(col("h").cast("decimal(38,0)")))
+      .select(col("source"), col("nd").as("n_distinct_exact"),
+        when(col("nd") < k, col("nd")).otherwise(
+          expr(s"CAST($k - 1 AS DECIMAL(38,0)) * CAST('18446744073709551616' AS DECIMAL(38,0)) div u"))
+          .as("est_kmv"))
+  }
+
   /** Cross-document boilerplate coverage: the fraction of each document's
     * token positions covered by some word `n`-gram that appears in ≥ `minDf`
     * DISTINCT documents — the corpus-level complement of the within-doc

@@ -832,6 +832,33 @@ object Pipeline {
       |  sqrt(CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS boost
       |FROM s, t ORDER BY source""".stripMargin
 
+  /** px29: KMV distinct-cardinality sketch per source ([[TextOps
+    * .kmvDistinct]], k = 64) — the approximate COUNT(DISTINCT) primitive
+    * with an EXACT oracle: both engines rank the same md5-derived hashes
+    * and compute (k−1)·2⁶⁴ div h₍k₎ in 128-bit integers, so even the
+    * "approximate" estimate hash-matches. */
+  def px29KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    TextOps.kmvDistinct(Tables.documents(s, dir), "source", "text", k = 64)
+      .orderBy(col("source"))
+  }
+
+  val px29Sql: String =
+    """WITH t AS (SELECT DISTINCT source, term FROM (
+      |        SELECT source,
+      |          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+      |        FROM documents) WHERE length(term) > 0),
+      |w AS (SELECT source, term, md5_number_lower(term) AS h,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY md5_number_lower(term), term) AS rk,
+      |        count(*) OVER (PARTITION BY source) AS nd
+      |      FROM t)
+      |SELECT source, CAST(nd AS BIGINT) AS n_distinct_exact,
+      |  CAST(CASE WHEN nd < 64 THEN nd
+      |       ELSE (63 * CAST('18446744073709551616' AS HUGEINT)) // CAST(h AS HUGEINT)
+      |       END AS BIGINT) AS est_kmv
+      |FROM w WHERE rk = least(64, nd)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -861,6 +888,7 @@ object Pipeline {
     "px26_inverted_index"  -> (px26InvertedIndex _),
     "px27_chunking"        -> (px27Chunk _),
     "px28_mixture_weights" -> (px28MixtureWeights _),
+    "px29_kmv_distinct"    -> (px29KmvDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -891,6 +919,7 @@ object Pipeline {
     "px26_inverted_index"  -> px26Sql,
     "px27_chunking"        -> px27Sql,
     "px28_mixture_weights" -> px28Sql,
+    "px29_kmv_distinct"    -> px29Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

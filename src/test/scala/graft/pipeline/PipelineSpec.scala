@@ -566,6 +566,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r("es") == ((1L, 9L, 9.0 / 42.0, math.sqrt(42.0 / 9.0))))
   }
 
+  test("TextOps.kmvDistinct: exact below k, sane estimate above k") {
+    import scala.util.Random
+    val rnd = new Random(11)
+    // stratum "big": 200 docs over a 500-term vocabulary (nd >> k);
+    // stratum "tiny": 3 distinct terms (nd < k -> exact count reported)
+    val vocab = (0 until 500).map(i => s"t$i")
+    val big = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "big")
+    }
+    val tiny = Seq((900L, "alpha beta gamma alpha", "tiny"))
+    val df = (big ++ tiny).toDF("doc_id", "text", "source")
+    val r = TextOps.kmvDistinct(df, "source", "text", k = 64)
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_distinct_exact"), x.getAs[Long]("est_kmv"))).toMap
+    assert(r("tiny") == ((3L, 3L)))
+    val (nd, est) = r("big")
+    assert(nd > 64)
+    // KMV with k=64 has relative sigma ~ 1/sqrt(k-2) ~ 13%; allow 4 sigma
+    assert(math.abs(est - nd).toDouble / nd < 0.5, s"est=$est exact=$nd")
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))
