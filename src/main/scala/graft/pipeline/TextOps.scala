@@ -321,6 +321,42 @@ object TextOps {
           .as("est_kmv"))
   }
 
+  /** Bigram language-model counts — the n-gram-LM training pass (KenLM-style
+    * count collection) a corpus pipeline runs to score fluency or build a
+    * cheap contamination/quality prior. For every adjacent token pair the
+    * corpus-wide pair count c12, the prefix count c1 = Σ_w c(w1,w), and the
+    * conditional probability P(w2|w1) as exact integer micro-units
+    * (c12·10⁶ div c1 — both engines truncate the same integer division, so
+    * even the "probability" column hash-matches). Pairs below `minCount`
+    * are dropped AFTER the prefix totals are taken, so c1 remains the true
+    * LM denominator.
+    *
+    * Shape: bigrams come from zipping each token array with its own tail —
+    * a pure map-side explode, no per-document window, no positional
+    * self-join (at 100 TB a posexplode+lead formulation would add a
+    * corpus-sized (doc, pos) shuffle before the count even starts). Then
+    * one (w1,w2) count shuffle with map-side partial aggregation, and the
+    * prefix-total window re-keys on w1 alone. */
+  def bigramLm(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 3L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    docs
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        expr("CAST(c12 AS DECIMAL(38,0)) * 1000000 div c1").as("p_micro"))
+  }
+
   /** Cross-document boilerplate coverage: the fraction of each document's
     * token positions covered by some word `n`-gram that appears in ≥ `minDf`
     * DISTINCT documents — the corpus-level complement of the within-doc

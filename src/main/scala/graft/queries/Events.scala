@@ -377,6 +377,46 @@ object Events {
       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** ev10: cohort retention — users are grouped into daily cohorts by their
+    * first-ever activity day, and each later active day counts toward the
+    * cohort's retention at that day offset; output is the classic
+    * (cohort, day_offset, n_users) retention triangle.
+    *
+    * Shape: the cohort day is a whole-partition window min over ONE user_id
+    * shuffle (no join back to a first-day table — at 100 TB that
+    * formulation reads events twice and shuffles both join sides); the
+    * (user, cohort, offset) de-dup and the triangle rollup then share the
+    * second shuffle's key prefix. All arithmetic is calendar-day integer
+    * math — no floats, no timezones (dates derive from UTC timestamps on
+    * both engines). */
+  def ev10Retention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(w))
+      .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+      .select(col("cohort"), col("day_offset"), col("user_id"))
+      .distinct()
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      // DATE surfaces as a python object while DuckDB's DATE canonicalizes
+      // to datetime64 — emit midnight timestamps so the dtype kinds agree
+      .select(col("cohort").cast("timestamp").as("cohort"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val ev10Sql: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      |           FROM events GROUP BY 1),
+      |d AS (SELECT DISTINCT f.cohort,
+      |        CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS BIGINT)
+      |          AS day_offset,
+      |        e.user_id
+      |      FROM events e JOIN f USING (user_id))
+      |SELECT CAST(cohort AS TIMESTAMP) AS cohort, day_offset, count(*) AS n_users
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
@@ -387,6 +427,7 @@ object Events {
     "ev7_anomaly"    -> (ev7Anomaly _),
     "ev8_funnel"     -> (ev8Funnel _),
     "ev9_rolling_count" -> (ev9RollingCount _),
+    "ev10_retention" -> (ev10Retention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -399,5 +440,6 @@ object Events {
     "ev7_anomaly"    -> ev7Sql,
     "ev8_funnel"     -> ev8Sql,
     "ev9_rolling_count" -> ev9Sql,
+    "ev10_retention" -> ev10Sql,
   )
 }

@@ -859,6 +859,28 @@ object Pipeline {
       |FROM w WHERE rk = least(64, nd)
       |ORDER BY source""".stripMargin
 
+  /** px30: bigram language-model counts ([[TextOps.bigramLm]], minCount=3)
+    * — pair counts, prefix totals, and P(w2|w1) in exact integer
+    * micro-units, ordered by (w1, w2). */
+  def px30BigramLm(s: SparkSession, dir: String): DataFrame = {
+    TextOps.bigramLm(Tables.documents(s, dir), "text", minCount = 3L)
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val px30Sql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+      |                     t -> length(t) > 0) AS l
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+      |  FROM toks WHERE len(l) >= 2),
+      |c AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      |t AS (SELECT w1, w2, c12,
+      |        CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c)
+      |SELECT w1, w2, c12, c1, (c12 * 1000000) // c1 AS p_micro
+      |FROM t WHERE c12 >= 3 ORDER BY w1, w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -889,6 +911,7 @@ object Pipeline {
     "px27_chunking"        -> (px27Chunk _),
     "px28_mixture_weights" -> (px28MixtureWeights _),
     "px29_kmv_distinct"    -> (px29KmvDistinct _),
+    "px30_bigram_lm"       -> (px30BigramLm _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -920,6 +943,7 @@ object Pipeline {
     "px27_chunking"        -> px27Sql,
     "px28_mixture_weights" -> px28Sql,
     "px29_kmv_distinct"    -> px29Sql,
+    "px30_bigram_lm"       -> px30Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

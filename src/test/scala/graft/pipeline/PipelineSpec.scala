@@ -587,6 +587,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - nd).toDouble / nd < 0.5, s"est=$est exact=$nd")
   }
 
+  test("TextOps.bigramLm: hand-computed pair counts, prefix totals, truncating division") {
+    val df = Seq(
+      (1L, "a b a b c"),   // pairs: (a,b) (b,a) (a,b) (b,c)
+      (2L, "a b  x"),      // pairs: (a,b) (b,x) — double space collapses
+      (3L, "solo")         // < 2 tokens -> contributes nothing
+    ).toDF("doc_id", "text")
+    val r = TextOps.bigramLm(df, "text", minCount = 3L).collect()
+    // only (a,b) reaches minCount=3; prefix total c1(a) = 3 (all a-pairs are (a,b))
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[String]("w1") == "a" && row.getAs[String]("w2") == "b")
+    assert(row.getAs[Long]("c12") == 3L && row.getAs[Long]("c1") == 3L)
+    assert(row.getAs[Long]("p_micro") == 1000000L)
+    // denominator counts sub-threshold pairs too: c1(b) = 3 even though no
+    // single b-pair survives
+    val all = TextOps.bigramLm(df, "text", minCount = 1L).collect()
+      .map(x => (x.getAs[String]("w1"), x.getAs[String]("w2")) ->
+        (x.getAs[Long]("c12"), x.getAs[Long]("c1"), x.getAs[Long]("p_micro"))).toMap
+    assert(all(("b", "a")) == ((1L, 3L, 333333L))) // 10^6 div 3 truncates
+    assert(all(("b", "c")) == ((1L, 3L, 333333L)))
+    assert(all(("b", "x")) == ((1L, 3L, 333333L)))
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))

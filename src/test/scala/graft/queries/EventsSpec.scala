@@ -86,6 +86,32 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
       6L -> 2L, 7L -> 2L)) // tied timestamps are peers: both count both
   }
 
+  test("ev10: cohort assignment is first-ever day; offsets dedup within a day") {
+    spark.conf.set("spark.sql.session.timeZone", "UTC") // the Verify contract
+    def ts(day: Int, hour: Int) =
+      new Timestamp(1704067200000L + day * 86400000L + hour * 3600000L) // 2024-01-01 UTC
+    // user 1: first seen day 0, active day 0 (twice) and day 2
+    // user 2: first seen day 0, active day 0 only
+    // user 3: first seen day 1, active days 1 and 2
+    val events = Seq(
+      (1L, ts(0, 1), 1L, "click", 1.0), (2L, ts(0, 5), 1L, "view", 1.0),
+      (3L, ts(2, 3), 1L, "click", 1.0),
+      (4L, ts(0, 2), 2L, "click", 1.0),
+      (5L, ts(1, 4), 3L, "click", 1.0), (6L, ts(2, 6), 3L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("ev10").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.ev10Retention(spark, dir).collect()
+      .map(r => (r.getAs[Timestamp]("cohort").toString.take(10),
+        r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, // users 1, 2 (user 1's two same-day events dedup)
+      ("2024-01-01", 2L) -> 1L, // user 1 back on day 2
+      ("2024-01-02", 0L) -> 1L, // user 3's cohort
+      ("2024-01-02", 1L) -> 1L  // user 3 back next day
+    ))
+  }
+
   test("ev7: zero-variance history with an equal value is NOT anomalous") {
     val events = (1 to 15).map { i =>
       (i.toLong, new Timestamp(1700000000000L + i * 60000L), 1L, "click", 42.5)
