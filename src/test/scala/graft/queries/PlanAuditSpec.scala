@@ -268,6 +268,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(2000))
   }
 
+  test("ev10: retention reads events once and never joins back") {
+    // the cohort day is a window min over the user shuffle — the
+    // first-day-table formulation would scan events twice and join; pin
+    // one scan, zero joins, and the bounded exchange chain (user window,
+    // per-user-day dedup, triangle rollup)
+    val plan = executedPlan(Events.ev10Retention(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one events scan, got $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"retention must not join:\n${plan.take(3000)}")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(dataExchanges <= 3, s"expected <= 3 hash exchanges:\n${plan.take(4000)}")
+  }
+
+  test("px30: bigram counting partial-aggregates; no per-document window") {
+    // bigrams come from zipping the token array with its own tail — pure
+    // map-side Generate; the first exchange must carry PARTIALLY-combined
+    // (w1,w2) counts, never raw corpus-sized pair rows keyed by (doc, pos)
+    val plan = executedPlan(graft.pipeline.TextOps.bigramLm(
+      Tables.documents(spark, dir), "text", minCount = 3L))
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"expected map-side combine before the shuffle:\n${plan.take(4000)}")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(dataExchanges == 2,
+      s"expected 2 hash exchanges (pair count, prefix window):\n${plan.take(4000)}")
+    assert(plan.contains("Generate"), plan.take(2000))
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
