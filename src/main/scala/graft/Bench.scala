@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // the spark.sql.extensions path
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/parquet-footer costs land here, not on the first

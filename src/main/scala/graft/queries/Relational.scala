@@ -552,6 +552,50 @@ object Relational {
       |  quantile_cont(l_quantity, 0.9) AS p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q25: the SQL surface of the native expression library — the sketch
+    * kernels called as REGISTERED SQL FUNCTIONS ([[graft.GraftExtensions]]:
+    * `injectFunction` / `spark.sql.extensions=graft.GraftExtensions`), not
+    * through the Column API. The builders return the Catalyst expressions
+    * directly, so the SQL call sites codegen identically to their Column
+    * twins — this query is the proof that a pure-SQL user (notebook, JDBC
+    * gateway) gets the same exactly-reproducible fingerprints: content
+    * hash (md5 low 64), min-16-gram md5, and md5-based simhash64, all with
+    * full DuckDB oracles reusing the px4/px8 fragments. */
+  def q25NativeSqlFn(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s) // idempotent; Verify/Bench also inject
+    Tables.documents(s, dir).createOrReplaceTempView("graft_docs_q25")
+    s.sql("""SELECT doc_id,
+      graft_md5_number_lower(text) AS content_h,
+      graft_min_kgram_md5(text, 16) AS fp16,
+      graft_simhash64(array_distinct(split(trim(text), '\\s+')), true) AS simhash
+    FROM graft_docs_q25 ORDER BY doc_id""")
+  }
+
+  def q25Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |        list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+      |      FROM documents),
+      |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |v AS (SELECT doc_id, b.range AS bit,
+      |        sum(CASE WHEN (md5_number_lower(tok) >> CAST(b.range AS INTEGER)) & 1 = 1
+      |                 THEN 1 ELSE -1 END) AS vote
+      |      FROM u, range(64) b GROUP BY doc_id, b.range),
+      |fp AS (SELECT doc_id,
+      |         sum(CASE WHEN vote > 0
+      |             THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INTEGER) AS HUGEINT)
+      |             ELSE 0 END) AS fpu
+      |       FROM v GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(CASE WHEN md5_number_lower(d.text) >= CAST('9223372036854775808' AS HUGEINT)
+      |       THEN CAST(md5_number_lower(d.text) AS HUGEINT) - CAST('18446744073709551616' AS HUGEINT)
+      |       ELSE CAST(md5_number_lower(d.text) AS HUGEINT) END AS BIGINT) AS content_h,
+      |  list_min(list_transform(range(1, greatest(length(d.text) - 15, 1) + 1),
+      |    i -> md5(substring(d.text, CAST(i AS INTEGER), 16)))) AS fp16,
+      |  CAST(CASE WHEN f.fpu >= CAST('9223372036854775808' AS HUGEINT)
+      |       THEN f.fpu - CAST('18446744073709551616' AS HUGEINT)
+      |       ELSE f.fpu END AS BIGINT) AS simhash
+      |FROM documents d JOIN fp f USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** All entries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -578,6 +622,7 @@ object Relational {
     "q22_json_extract"  -> (q22JsonExtract _),
     "q23_lateral_explode" -> (q23LateralExplode _),
     "q24_percentiles"   -> (q24Percentiles _),
+    "q25_native_sql_fn" -> (q25NativeSqlFn _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -605,5 +650,6 @@ object Relational {
     "q22_json_extract"  -> q22Sql,
     "q23_lateral_explode" -> q23Sql,
     "q24_percentiles"   -> q24Sql,
+    "q25_native_sql_fn" -> q25Sql,
   )
 }
