@@ -68,6 +68,59 @@ class DifferentialTextSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigramLm: differential vs in-memory pair/prefix counts across seeds") {
+    for (seed <- Seq(11L, 12L, 13L); minCount <- Seq(1L, 2L)) {
+      val docs = corpus(seed)
+      val got = TextOps.bigramLm(docs.toDF("doc_id", "text"), "text", minCount)
+        .collect()
+        .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+          (r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("p_micro"))).toMap
+      val pairs = docs.flatMap { case (_, t) =>
+        val ts = toks(t); ts.zip(ts.drop(1))
+      }
+      val c12 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val want = c12.collect { case ((a, b), n) if n >= minCount =>
+        (a, b) -> (n, c1(a), n * 1000000L / c1(a))
+      }.toMap
+      assert(got == want, s"seed=$seed minCount=$minCount")
+    }
+  }
+
+  test("kmvDistinct: differential vs in-memory k-minimum-values across seeds") {
+    // the reference recomputes the same md5-hash ranking and the same
+    // 128-bit integer estimate, so the comparison is exact equality
+    def md5Lower(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d, 8, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }
+    for (seed <- Seq(21L, 22L); k <- Seq(4, 64)) {
+      val docs = corpus(seed).map { case (id, t) =>
+        (id, t, if (id % 3 == 0) "a" else "b") // two strata of uneven size
+      }
+      val got = TextOps.kmvDistinct(docs.toDF("doc_id", "text", "source"),
+        "source", "text", k = k)
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_distinct_exact"), r.getAs[Long]("est_kmv"))).toMap
+      val want = docs.groupBy(_._3).view.mapValues { ds =>
+        val terms = ds.flatMap(d => toks(d._2)).distinct
+        val nd = terms.size.toLong
+        if (nd < k) (nd, nd)
+        else {
+          // unsigned order over the signed md5 longs; term breaks ties
+          val hk = terms.map(t => (md5Lower(t), t))
+            .sortBy { case (h, t) => (h ^ Long.MinValue, t) }
+            .apply(k - 1)._1
+          val u = BigInt(hk) + (if (hk < 0) BigInt(2).pow(64) else BigInt(0))
+          (nd, ((BigInt(k - 1) * BigInt(2).pow(64)) / u).toLong)
+        }
+      }.toMap
+      assert(got == want, s"seed=$seed k=$k got=$got want=$want")
+    }
+  }
+
   test("invertedIndex: differential vs in-memory postings across seeds") {
     for (seed <- Seq(7L, 8L); (k, minDf) <- Seq((1000, 1), (3, 2))) {
       val docs = corpus(seed)
