@@ -417,6 +417,50 @@ object Events {
       |SELECT CAST(cohort AS TIMESTAMP) AS cohort, day_offset, count(*) AS n_users
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ev11: event-type transition matrix — for each ordered pair of event
+    * types, how often a user's event of type A is IMMEDIATELY followed by
+    * one of type B, and the conditional transition probability P(B|A) (the
+    * first-order Markov chain product analytics tools fit over
+    * clickstreams). Probabilities are exact integer micro-units
+    * (n·10⁶ div n_from), so the matrix hash-matches cross-engine.
+    *
+    * Shape: successor types come from ONE lead() over the per-user
+    * time-ordered window (one user_id shuffle — the self-join-on-next-event
+    * formulation shuffles the events table twice and needs an
+    * every-event-pair inequality condition); the (from,to) count then
+    * partial-aggregates map-side into a type²-cardinality shuffle, and the
+    * row-normalizing window re-keys on from_type alone. Ties at equal
+    * timestamps order by event_id — a total order, so the matrix is
+    * deterministic. */
+  def ev11Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("n * 1000000 div n_from").as("p_micro"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val ev11Sql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT from_type, to_type, n,
+      |        CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+      |      FROM c)
+      |SELECT from_type, to_type, n, n_from, (n * 1000000) // n_from AS p_micro
+      |FROM s ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
@@ -428,6 +472,7 @@ object Events {
     "ev8_funnel"     -> (ev8Funnel _),
     "ev9_rolling_count" -> (ev9RollingCount _),
     "ev10_retention" -> (ev10Retention _),
+    "ev11_transitions" -> (ev11Transitions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -441,5 +486,6 @@ object Events {
     "ev8_funnel"     -> ev8Sql,
     "ev9_rolling_count" -> ev9Sql,
     "ev10_retention" -> ev10Sql,
+    "ev11_transitions" -> ev11Sql,
   )
 }

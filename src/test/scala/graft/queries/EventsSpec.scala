@@ -112,6 +112,29 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ))
   }
 
+  test("ev11: transitions follow per-user time order; probabilities row-normalize") {
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // user 1: view -> click -> view -> purchase; user 2: view -> view
+    // transitions: view->click 1, click->view 1, view->purchase 1, view->view 1
+    // from view: 3 total -> p(click|view)=333333, p(purchase|view)=333333, p(view|view)=333333
+    val events = Seq(
+      (1L, ts(1), 1L, "view", 1.0), (2L, ts(2), 1L, "click", 1.0),
+      (3L, ts(3), 1L, "view", 1.0), (4L, ts(4), 1L, "purchase", 1.0),
+      (5L, ts(1), 2L, "view", 1.0), (6L, ts(2), 2L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("ev11").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.ev11Transitions(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_from"), r.getAs[Long]("p_micro"))).toMap
+    assert(got == Map(
+      ("view", "click") -> ((1L, 3L, 333333L)),
+      ("view", "purchase") -> ((1L, 3L, 333333L)),
+      ("view", "view") -> ((1L, 3L, 333333L)),
+      ("click", "view") -> ((1L, 1L, 1000000L))
+    ))
+  }
+
   test("ev7: zero-variance history with an equal value is NOT anomalous") {
     val events = (1 to 15).map { i =>
       (i.toLong, new Timestamp(1700000000000L + i * 60000L), 1L, "click", 42.5)
