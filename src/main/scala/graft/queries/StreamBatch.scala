@@ -204,6 +204,28 @@ object StreamBatch {
   /** Same semantics and arithmetic as batch ev7 — same oracle. */
   val sv7Sql: String = Events.ev7Sql
 
+  /** sv8: stateful streaming transition counting — ev11's streaming twin
+    * (flatMapGroupsWithState holding each user's chain clock + per-pair
+    * counts). Per-user counts are monotone, so max per (user, from, to) is
+    * the final state; summing across users and row-normalizing with the
+    * SAME integer micro-unit division reproduces the batch transition
+    * matrix exactly, hence the shared oracle. */
+  def sv8StreamTransitions(s: SparkSession, dir: String): DataFrame = {
+    runToMemory(GraftStreaming.transitionStream(eventStream(s, dir)),
+      "sv8_out", "update")
+    s.sql(
+      """WITH per AS (SELECT user_id, from_type, to_type, max(n) AS n
+        |             FROM sv8_out GROUP BY 1, 2, 3),
+        |c AS (SELECT from_type, to_type, sum(n) AS n FROM per GROUP BY 1, 2),
+        |t AS (SELECT from_type, to_type, n,
+        |        sum(n) OVER (PARTITION BY from_type) AS n_from FROM c)
+        |SELECT from_type, to_type, n, n_from, n * 1000000 div n_from AS p_micro
+        |FROM t ORDER BY from_type, to_type""".stripMargin)
+  }
+
+  /** Same semantics and arithmetic as batch ev11 — same oracle. */
+  val sv8Sql: String = Events.ev11Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -212,6 +234,7 @@ object StreamBatch {
     "sv5_stream_static_join" -> (sv5StreamStaticJoin _),
     "sv6_stream_window_agg" -> (sv6StreamWindowAgg _),
     "sv7_stream_anomaly"    -> (sv7StreamAnomaly _),
+    "sv8_stream_transitions" -> (sv8StreamTransitions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,5 +245,6 @@ object StreamBatch {
     "sv5_stream_static_join" -> sv5Sql,
     "sv6_stream_window_agg" -> sv6Sql,
     "sv7_stream_anomaly"    -> sv7Sql,
+    "sv8_stream_transitions" -> sv8Sql,
   )
 }

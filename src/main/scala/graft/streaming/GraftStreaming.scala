@@ -163,6 +163,63 @@ object GraftStreaming {
       .toDF()
   }
 
+  /** Per-user transition state for [[transitionStream]]: the chain clock
+    * (last ts/id/type) plus the monotone per-pair counts, keyed
+    * "from\tto" (event types never contain tabs). State is bounded by
+    * |event types|² per user. */
+  case class TransState(lastTs: Long, lastId: Long, lastType: String,
+      counts: Map[String, Long])
+
+  /** Per-user per-pair output row emitted on every update. */
+  case class UserTransitions(user_id: Long, from_type: String,
+      to_type: String, n: Long)
+
+  /** Stateful streaming event-type transition counting — the streaming twin
+    * of queries.Events.ev11Transitions, on `flatMapGroupsWithState`. Each
+    * user's state is the last event in chain order plus the per-(from,to)
+    * counts; each batch folds its events in (ts, event_id) order and emits
+    * the user's full count map (update mode; counts are monotone, so
+    * max-per-key downstream is the final state). The same cross-batch
+    * event-time-order contract as [[sessionizeStream]] applies; an event
+    * arriving BEHIND the key's chain clock never rewinds the chain — it is
+    * excluded from transition counting rather than fabricating an
+    * out-of-order pair. */
+  def transitionStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, UserTransitions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var s = state.getOption.getOrElse(TransState(Long.MinValue, 0L, null, Map.empty))
+          sorted.foreach { case (_, ts, id, et) =>
+            val late = s.lastType != null &&
+              (ts < s.lastTs || (ts == s.lastTs && id < s.lastId))
+            if (!late) {
+              val counts =
+                if (s.lastType == null) s.counts
+                else {
+                  val k = s.lastType + "\t" + et
+                  s.counts.updated(k, s.counts.getOrElse(k, 0L) + 1L)
+                }
+              s = TransState(ts, id, et, counts)
+            }
+          }
+          state.update(s)
+          s.counts.iterator.map { case (k, n) =>
+            val sep = k.indexOf('\t')
+            UserTransitions(user, k.substring(0, sep), k.substring(sep + 1), n)
+          }
+      }
+      .toDF()
+  }
+
   /** Streaming exact deduplication — the streaming twin of Dedup.exact:
     * watermarked `dropDuplicates` keeps the first row per key and holds one
     * state entry per distinct key inside the watermark horizon, so state is

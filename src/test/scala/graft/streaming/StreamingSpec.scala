@@ -86,6 +86,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("stateful transition counting matches the batch twin") {
+    val trans = GraftStreaming.transitionStream(eventStream())
+    val q = trans.writeStream.outputMode("update")
+      .format("memory").queryName("trans_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+      """WITH per AS (SELECT user_id, from_type, to_type, max(n) AS n
+        |             FROM trans_out GROUP BY 1, 2, 3)
+        |SELECT from_type, to_type, sum(n) AS n FROM per GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.queries.Events.ev11Transitions(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup emits one row per distinct key") {
     val deduped = GraftStreaming.dedupStream(
       eventStream(), Seq("user_id", "event_type"), "ts")
