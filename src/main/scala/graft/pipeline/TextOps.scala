@@ -357,6 +357,56 @@ object TextOps {
         expr("CAST(c12 AS DECIMAL(38,0)) * 1000000 div c1").as("p_micro"))
   }
 
+  /** BM25 keyword retrieval with EXACT integer scoring — the lexical-search
+    * complement of the vector-ANN family: for the `nQueryTerms` highest-df
+    * terms (a deterministic stand-in for a user query), the top `k`
+    * documents by BM25. The standard formula
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1=6/5, b=3/4 and the
+    * log-free rational idf (2N−2df+1)/(2df+1) (same monotone-idf trick as
+    * the tf·idf keywords op) clears denominators to pure integers:
+    *
+    *   score ∝ (2N−2df+1)·22·T·tf  /  (2df+1)·(10·T·tf + 3·T + 9·dl·N)
+    *
+    * where N = corpus docs, T = total tokens, dl = document length — one
+    * 128-bit integer division to micro-units, no float anywhere, so the
+    * ranking AND the scores hash-match cross-engine.
+    *
+    * Shape: one (term, doc) count shuffle with map-side combine; df rides
+    * a term-keyed window on the SAME rows; the two corpus scalars (N, T)
+    * broadcast as a one-row aggregate (never a driver collect); query
+    * terms are a TakeOrderedAndProject top-`nQueryTerms` broadcast back as
+    * a semi-join, so the candidate set shrinks to matching postings before
+    * any scoring work. Per-term ranking partitions by term — fine, query
+    * terms are few by construction. */
+  def bm25Search(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nQueryTerms: Int = 3, k: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = filter(tokens(col(textCol)), t => length(t) > 0)
+    val toked = docs.select(col(idCol).as("doc_id"), toksCol.as("toks"))
+    val totals = toked.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("t_tokens"))
+    val tf = toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val queryTerms = tf.select(col("term"), col("df")).distinct()
+      .orderBy(col("df").desc, col("term").asc).limit(nQueryTerms)
+    val byTerm = Window.partitionBy(col("term"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    tf.join(broadcast(queryTerms.select(col("term"))), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_micro", expr(
+        """CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 22 * t_tokens * tf * 1000000
+          | div (CAST(2*df + 1 AS DECIMAL(38,0)) *
+          |      (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs))""".stripMargin))
+      .withColumn("rank", row_number().over(byTerm))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("score_micro"), col("rank"))
+  }
+
   /** Cross-document boilerplate coverage: the fraction of each document's
     * token positions covered by some word `n`-gram that appears in ≥ `minDf`
     * DISTINCT documents — the corpus-level complement of the within-doc

@@ -881,6 +881,41 @@ object Pipeline {
       |SELECT w1, w2, c12, c1, (c12 * 1000000) // c1 AS p_micro
       |FROM t WHERE c12 >= 3 ORDER BY w1, w2""".stripMargin
 
+  /** px31: exact-integer BM25 keyword retrieval ([[TextOps.bm25Search]],
+    * top-3-df query terms, top-10 docs each) — scores in rational-integer
+    * micro-units, so ranking and scores both hash-match. */
+  def px31Bm25(s: SparkSession, dir: String): DataFrame = {
+    TextOps.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+      nQueryTerms = 3, k = 10)
+      .orderBy(col("term"), col("rank"))
+  }
+
+  val px31Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+      |                             t -> length(t) > 0) AS l
+      |  FROM documents),
+      |base AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM toks),
+      |tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM base GROUP BY 1, 2, 3),
+      |wdf AS (SELECT term, doc_id, dl, tf,
+      |          count(*) OVER (PARTITION BY term) AS df FROM tf),
+      |tot AS (SELECT count(*) AS n_docs, CAST(sum(len(l)) AS BIGINT) AS t_tokens
+      |        FROM toks),
+      |q AS (SELECT term FROM (SELECT DISTINCT term, df FROM wdf)
+      |      ORDER BY df DESC, term LIMIT 3),
+      |s AS (SELECT w.term, w.doc_id, w.tf, CAST(w.dl AS BIGINT) AS dl,
+      |        CAST(w.df AS BIGINT) AS df,
+      |        CAST((CAST(2*t.n_docs - 2*w.df + 1 AS HUGEINT) * 22 * t.t_tokens
+      |              * w.tf * 1000000)
+      |          // (CAST(2*w.df + 1 AS HUGEINT) *
+      |              (10*t.t_tokens*w.tf + 3*t.t_tokens + 9*w.dl*t.n_docs))
+      |          AS BIGINT) AS score_micro
+      |      FROM wdf w JOIN q USING (term), tot t),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY term
+      |        ORDER BY score_micro DESC, doc_id) AS rank FROM s)
+      |SELECT term, doc_id, tf, dl, df, score_micro, CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -912,6 +947,7 @@ object Pipeline {
     "px28_mixture_weights" -> (px28MixtureWeights _),
     "px29_kmv_distinct"    -> (px29KmvDistinct _),
     "px30_bigram_lm"       -> (px30BigramLm _),
+    "px31_bm25"            -> (px31Bm25 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -944,6 +980,7 @@ object Pipeline {
     "px28_mixture_weights" -> px28Sql,
     "px29_kmv_distinct"    -> px29Sql,
     "px30_bigram_lm"       -> px30Sql,
+    "px31_bm25"            -> px31Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -610,6 +610,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all(("b", "x")) == ((1L, 3L, 333333L)))
   }
 
+  test("TextOps.bm25Search: hand-computed integer scores and ranking") {
+    // N=3 docs, T=9 tokens; df: a=2, b=1, c=2
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c c")).toDF("doc_id", "text")
+    val r = TextOps.bm25Search(df, "doc_id", "text", nQueryTerms = 3, k = 10)
+      .collect()
+      .map(x => (x.getAs[String]("term"), x.getAs[Long]("doc_id")) ->
+        (x.getAs[Long]("score_micro"), x.getAs[Int]("rank"))).toMap
+    // score = (2N-2df+1)*22*T*tf*1e6 div (2df+1)*(10*T*tf + 3*T + 9*dl*N)
+    assert(r(("a", 1L)) == ((825000L, 1)))   // 3*396e6 div 5*288
+    assert(r(("a", 2L)) == ((694736L, 2)))   // 3*198e6 div 5*171
+    assert(r(("b", 1L)) == ((1666666L, 1)))  // 5*198e6 div 3*198
+    assert(r(("c", 3L)) == ((960000L, 1)))   // 3*792e6 div 5*495
+    assert(r(("c", 2L)) == ((694736L, 2)))
+    assert(r.size == 5)
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))
