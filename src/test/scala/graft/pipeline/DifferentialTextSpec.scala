@@ -121,6 +121,38 @@ class DifferentialTextSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bm25Search: differential vs in-memory scoring across seeds") {
+    for (seed <- Seq(31L, 32L); (nq, k) <- Seq((3, 10), (5, 4))) {
+      val docs = corpus(seed)
+      val got = TextOps.bm25Search(docs.toDF("doc_id", "text"), "doc_id", "text",
+        nQueryTerms = nq, k = k)
+        .collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+          (r.getAs[Long]("tf"), r.getAs[Long]("dl"), r.getAs[Long]("df"),
+            r.getAs[Long]("score_micro"), r.getAs[Int]("rank"))).toMap
+      val toksByDoc = docs.map { case (id, t) => id -> toks(t) }
+      val n = BigInt(docs.size)
+      val tTok = BigInt(toksByDoc.map(_._2.size).sum)
+      val tf = toksByDoc.flatMap { case (id, ts) =>
+        ts.groupBy(identity).map { case (term, g) =>
+          (term, id, ts.size.toLong, g.size.toLong) }
+      }
+      val dfm = tf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val qTerms = dfm.toSeq.sortBy { case (t, d) => (-d, t) }.take(nq).map(_._1).toSet
+      val want = tf.filter(p => qTerms(p._1)).map { case (term, id, dl, c) =>
+        val d = BigInt(dfm(term))
+        val score = ((2 * n - 2 * d + 1) * 22 * tTok * c * 1000000) /
+          ((2 * d + 1) * (10 * tTok * c + 3 * tTok + 9 * dl * n))
+        (term, id) -> (c, dl, dfm(term), score.toLong)
+      }.groupBy(_._1._1).view.mapValues { rows =>
+        rows.sortBy { case ((_, id), (_, _, _, s)) => (-s, id) }
+          .zipWithIndex.take(k)
+          .map { case (((t, id), (c, dl, d, s)), i) => (t, id) -> (c, dl, d, s, i + 1) }
+      }.toMap.values.flatten.toMap
+      assert(got == want, s"seed=$seed nq=$nq k=$k")
+    }
+  }
+
   test("invertedIndex: differential vs in-memory postings across seeds") {
     for (seed <- Seq(7L, 8L); (k, minDf) <- Seq((1000, 1), (3, 2))) {
       val docs = corpus(seed)

@@ -295,6 +295,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Generate"), plan.take(2000))
   }
 
+  test("px31: BM25 broadcasts only the query terms and the one-row totals") {
+    // the posting-list side (corpus-sized) must shuffle-join nothing bigger
+    // than itself: query terms arrive via TakeOrderedAndProject + broadcast,
+    // totals as a broadcast one-row aggregate; the corpus never broadcasts
+    val plan = executedPlan(graft.pipeline.TextOps.bm25Search(
+      Tables.documents(spark, dir), "doc_id", "text", nQueryTerms = 3, k = 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the only nested-loop is the cross join with the ONE-ROW totals
+    // aggregate (broadcast by construction); a second one would mean the
+    // corpus side got cross-joined
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"expected at most the one-row totals cross join:\n${plan.take(4000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"tf counting must map-side combine:\n${plan.take(3000)}")
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
