@@ -64,14 +64,29 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
     new GraftWriteBuilder(catalog, opts, info)
 }
 
+/** A pushed-down aggregate the partition readers evaluate store-side —
+  * the DSv2 analogue of an HBase aggregation coprocessor: each partition
+  * emits ONE partial row instead of its full row set, and Spark's final
+  * aggregate merges the per-region partials. Min/Max/Count only (Sum's
+  * partial result types are engine-version-coupled; deliberately out). */
+sealed trait PushedAggOp extends Serializable
+case object CountStarOp extends PushedAggOp
+final case class CountColOp(field: String) extends PushedAggOp
+final case class MinOp(field: String) extends PushedAggOp
+final case class MaxOp(field: String) extends PushedAggOp
+
 /** Pushdown surface (reference buildScan/unhandledFilters contract,
-  * HBaseRelation.scala:316-322). */
+  * HBaseRelation.scala:316-322) — plus DSv2 aggregate pushdown, which the
+  * DSv1 reference has no hook for. */
 class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     initialSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = initialSchema
+  private var aggOps: Option[Seq[PushedAggOp]] = None
+  private var aggSchema: Option[StructType] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -84,18 +99,74 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
-  override def build(): Scan = new GraftScan(catalog, opts, requiredSchema, pushed)
+  /** Partial pushdown only (`supportCompletePushDown` stays false): every
+    * region partition answers with its own min/max/count partial, which is
+    * correct under any region split — complete pushdown would require a
+    * single global scan and serialize the whole read. Grouped aggregates
+    * and residual-filtered scans are not pushed: a residual means rows the
+    * store can't exclude, so a store-side count would overcount. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty) return false
+    if (FilterCompiler.partition(catalog, pushed)._2.nonEmpty) return false
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+        scala.util.Try(catalog.field(nr.fieldNames.head)).isSuccess =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    // min/max push only for types whose decoded ordering is total and
+    // engine-identical (parquet's util also bans STRING — a stats-
+    // truncation legacy that doesn't apply to a store that decodes full
+    // values, so strings are allowed here)
+    def orderable(name: String): Boolean = catalog.field(name).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+    val ops: Seq[Option[PushedAggOp]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountStarOp)
+      case c: Count if !c.isDistinct => ref(c.column).map(CountColOp)
+      case m: Min => ref(m.column).filter(orderable).map(MinOp)
+      case m: Max => ref(m.column).filter(orderable).map(MaxOp)
+      case _ => None
+    }
+    if (!ops.forall(_.isDefined)) return false
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    aggOps = Some(ops.flatten)
+    aggSchema = Some(StructType(ops.flatten.map {
+      case CountStarOp => StructField("count(*)", LongType, nullable = false)
+      case CountColOp(f) => StructField(s"count($f)", LongType, nullable = false)
+      case MinOp(f) => StructField(s"min($f)", catalog.field(f).dataType)
+      case MaxOp(f) => StructField(s"max($f)", catalog.field(f).dataType)
+    }))
+    true
+  }
+
+  override def build(): Scan =
+    new GraftScan(catalog, opts, requiredSchema, pushed, aggOps, aggSchema)
 }
 
 class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
-    requiredSchema: StructType, filters: Array[Filter]) extends Scan with Batch {
+    requiredSchema: StructType, filters: Array[Filter],
+    aggOps: Option[Seq[PushedAggOp]] = None,
+    aggSchema: Option[StructType] = None) extends Scan with Batch {
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType = aggSchema.getOrElse(requiredSchema)
 
   override def toBatch: Batch = this
 
-  override def description(): String =
-    s"GraftScan(${catalog.qualifiedName}, cols=${requiredSchema.fieldNames.mkString(",")})"
+  override def description(): String = aggOps match {
+    case Some(ops) =>
+      s"GraftScan(${catalog.qualifiedName}, pushedAggregates=[${ops.mkString(", ")}])"
+    case None =>
+      s"GraftScan(${catalog.qualifiedName}, cols=${requiredSchema.fieldNames.mkString(",")})"
+  }
 
   /** Region × pushed-range intersection with partition pruning (reference
     * getPartitions, HBaseTableScan.scala:63-89). */
@@ -103,6 +174,18 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
     val table = KvStore.table(opts.storeName(catalog))
+    // an aggregated partition reads only the fields the agg ops reference
+    val partSchema = aggOps match {
+      case Some(ops) =>
+        val fields = ops.collect {
+          case CountColOp(f) => f
+          case MinOp(f) => f
+          case MaxOp(f) => f
+        }.distinct
+        StructType(fields.map(f => org.apache.spark.sql.types.StructField(
+          f, catalog.field(f).dataType)))
+      case None => requiredSchema
+    }
     table.regionInfos.flatMap { r =>
       val regionRange = ScanRange[Array[Byte]](
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
@@ -110,7 +193,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       if (clipped.isEmpty) None
       else Some(GraftInputPartition(catalog, opts, r.index, r.host,
         clipped.map(SerializableRange.from), hrf.pred,
-        requiredSchema): InputPartition)
+        partSchema, aggOps): InputPartition)
     }.toArray
   }
 
@@ -140,15 +223,88 @@ final case class GraftInputPartition(
     host: String,
     ranges: Seq[SerializableRange],
     pred: Option[KvPredicate],
-    requiredSchema: org.apache.spark.sql.types.StructType) extends InputPartition {
+    requiredSchema: org.apache.spark.sql.types.StructType,
+    aggOps: Option[Seq[PushedAggOp]] = None) extends InputPartition {
   /** Data locality: the region's host (reference getPreferredLocations,
     * HBaseTableScan.scala:384-388). */
   override def preferredLocations(): Array[String] = Array(host)
 }
 
 class GraftReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    p.aggOps match {
+      case Some(ops) => new GraftAggPartitionReader(p, ops)
+      case None => new GraftPartitionReader(p)
+    }
+  }
+}
+
+/** Store-side partial aggregation: folds the region's decoded rows into ONE
+  * output row (count/min/max partials) — the per-region movement drops from
+  * O(rows) to O(1), which is the entire point at 1000 executors. Reuses the
+  * row reader underneath so merge-to-latest / time-range / version
+  * semantics are identical to a row scan. */
+class GraftAggPartitionReader(p: GraftInputPartition, ops: Seq[PushedAggOp])
+    extends PartitionReader[InternalRow] {
+
+  private val inner = new GraftPartitionReader(p)
+  private val idx = p.requiredSchema.fieldNames.zipWithIndex.toMap
+  private val dts = p.requiredSchema.fields.map(_.dataType)
+  private val orderings = p.requiredSchema.fields.map(f =>
+    org.apache.spark.sql.catalyst.types.PhysicalDataType.ordering(f.dataType)
+      .asInstanceOf[Ordering[Any]])
+
+  private var emitted = false
+
+  private def copyOf(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+    case b: Array[Byte] => b.clone()
+    case other => other
+  }
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val counts = Array.fill(ops.length)(0L)
+    val extremes = Array.fill[Any](ops.length)(null)
+    while (inner.next()) {
+      val row = inner.get()
+      var i = 0
+      while (i < ops.length) {
+        ops(i) match {
+          case CountStarOp => counts(i) += 1
+          case CountColOp(f) => if (!row.isNullAt(idx(f))) counts(i) += 1
+          case MinOp(f) =>
+            val j = idx(f)
+            if (!row.isNullAt(j)) {
+              val v = row.get(j, dts(j))
+              if (extremes(i) == null || orderings(j).lt(v, extremes(i)))
+                extremes(i) = copyOf(v)
+            }
+          case MaxOp(f) =>
+            val j = idx(f)
+            if (!row.isNullAt(j)) {
+              val v = row.get(j, dts(j))
+              if (extremes(i) == null || orderings(j).gt(v, extremes(i)))
+                extremes(i) = copyOf(v)
+            }
+        }
+        i += 1
+      }
+    }
+    val out = ops.zipWithIndex.map {
+      case (CountStarOp, i) => counts(i)
+      case (CountColOp(_), i) => counts(i)
+      case (_, i) => extremes(i)
+    }
+    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out.toArray)
+    emitted = true
+    true
+  }
+
+  private var current: InternalRow = _
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
 }
 
 /** Executor-side reader: splits ranges into point gets vs scans (reference

@@ -444,6 +444,32 @@ object Connector {
       |SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment FROM customer
       |ORDER BY c_custkey, c_acctbal""".stripMargin
 
+  /** kv15: DSv2 AGGREGATE pushdown — count/min/max computed store-side
+    * per region partition ([[graft.datasource.GraftAggPartitionReader]]),
+    * each region answering with ONE partial row that Spark's final
+    * aggregate merges (the DSv2 analogue of an HBase aggregation
+    * coprocessor; the DSv1 reference has no hook for this). A key-range
+    * predicate rides along: the store prunes regions AND rows first, then
+    * aggregates only what survives — pinned by a plan audit
+    * (`pushedAggregates` in the scan, partition count == region count). */
+  def kv15AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomer(s, dir)
+    readCustomer(s)
+      .filter(col("c_custkey") >= 100L)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("c_mktsegment")).as("n_seg"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        min(col("c_name")).as("min_name"),
+        max(col("c_custkey")).as("max_key"))
+  }
+
+  val kv15Sql: String =
+    """SELECT count(*) AS n_rows, count(c_mktsegment) AS n_seg,
+      |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+      |  min(c_name) AS min_name, max(c_custkey) AS max_key
+      |FROM customer WHERE c_custkey >= 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -459,6 +485,7 @@ object Connector {
     "kv12_multi_cluster"  -> (kv12MultiCluster _),
     "kv13_avro_key"       -> (kv13AvroKey _),
     "kv14_family_retention" -> (kv14FamilyRetention _),
+    "kv15_agg_pushdown"   -> (kv15AggPushdown _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -476,5 +503,6 @@ object Connector {
     "kv12_multi_cluster"  -> kv12Sql,
     "kv13_avro_key"       -> kv13Sql,
     "kv14_family_retention" -> kv14Sql,
+    "kv15_agg_pushdown"   -> kv15Sql,
   )
 }

@@ -73,6 +73,39 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("aggregate pushdown: flat aggregates push; grouped aggregates fall back correctly") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"aggtable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"grp":{"cf":"f", "col":"grp", "type":"string"},
+        |"v":{"cf":"f", "col":"v", "type":"double"},
+        |"s":{"cf":"f", "col":"s", "type":"string"}}}""".stripMargin
+    val data = (1L to 40L).map(i => (i, s"g${i % 3}", i * 1.5, s"s$i"))
+    data.toDF("key", "grp", "v", "s").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "40"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv").option("catalog", catalog).load()
+    // flat: pushed, one partial per region, merged by Spark's final agg
+    val flat = df.agg(count(lit(1)), count(col("s")), min(col("v")), max(col("v")),
+      min(col("s")), max(col("key"))).head()
+    assert(flat.getLong(0) == 40L && flat.getLong(1) == 40L)
+    assert(flat.getDouble(2) == 1.5 && flat.getDouble(3) == 60.0)
+    assert(flat.getString(4) == "s1") // lexicographic min
+    assert(flat.getLong(5) == 40L)
+    assert(df.agg(count(lit(1))).queryExecution.executedPlan.toString
+      .contains("pushedAggregates"))
+    // grouped: NOT pushed (store answers no grouped partials) — full fallback
+    val grouped = df.groupBy(col("grp")).agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("pushedAggregates"))
+    val g = grouped.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = data.groupBy(_._2).view.mapValues(rs =>
+      (rs.size.toLong, rs.map(_._3).max)).toMap
+    assert(g == want)
+  }
+
   test("Avro-encoded row key: round trip with range pruning disabled") {
     val keySchema =
       """{"type":"record","name":"K","fields":[

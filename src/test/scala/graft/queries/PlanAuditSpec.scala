@@ -312,6 +312,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"tf counting must map-side combine:\n${plan.take(3000)}")
   }
 
+  test("kv15: aggregates push into the store scan (one partial row per region)") {
+    Connector.ensureCustomer(spark, dir)
+    val df = Connector.kv15AggPushdown(spark, dir)
+    val plan = executedPlan(df)
+    assert(plan.contains("pushedAggregates"),
+      s"expected the scan to carry pushed aggregates:\n${plan.take(3000)}")
+    // each surviving region contributes exactly ONE partial row; the scan's
+    // partition count is bounded by the region count, not the table size
+    // (AQE wraps stages as leaves, so descend into QueryStageExec plans)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val parts = scan.inputRDD.getNumPartitions
+    val regions = graft.store.KvStore.table("default:kv_customer").regions.size
+    assert(parts <= regions, s"expected <= $regions partitions, got $parts")
+    // and the key-range predicate still prunes regions before aggregation
+    assert(parts < regions,
+      s"expected the c_custkey >= 100 range to prune at least one region")
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
