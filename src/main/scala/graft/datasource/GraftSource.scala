@@ -81,12 +81,42 @@ final case class MaxOp(field: String) extends PushedAggOp
 class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     initialSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = initialSchema
   private var aggOps: Option[Seq[PushedAggOp]] = None
   private var aggSchema: Option[StructType] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** Any scan can stop early — each partition emits at most `l` rows and
+    * Spark's GlobalLimit picks among them (partial pushdown, so the limit
+    * node stays for the final cut). */
+  override def pushLimit(l: Int): Boolean = { pushedLimit = Some(l); true }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Top-N pushes when the requested ordering is an ASCENDING prefix of the
+    * row key and every prefix coder preserves byte order: the store scans
+    * each region in key order, so the first `l` rows of a partition ARE its
+    * top `l` — no per-partition sort, no full-region read. An Avro row key
+    * (preservesOrdering = false) or any non-key ordering declines. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val keyFields = catalog.rowKeyFields
+    val ok = orders.nonEmpty && orders.length <= keyFields.length &&
+      orders.zip(keyFields).forall { case (o, kf) =>
+        (o.expression match {
+          case nr: NamedReference =>
+            nr.fieldNames.length == 1 && nr.fieldNames.head == kf.name
+          case _ => false
+        }) && o.direction == SortDirection.ASCENDING &&
+          kf.coder.preservesOrdering(kf.dataType)
+      }
+    if (ok) pushedLimit = Some(l)
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -149,13 +179,14 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   }
 
   override def build(): Scan =
-    new GraftScan(catalog, opts, requiredSchema, pushed, aggOps, aggSchema)
+    new GraftScan(catalog, opts, requiredSchema, pushed, aggOps, aggSchema, pushedLimit)
 }
 
 class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     requiredSchema: StructType, filters: Array[Filter],
     aggOps: Option[Seq[PushedAggOp]] = None,
-    aggSchema: Option[StructType] = None) extends Scan with Batch {
+    aggSchema: Option[StructType] = None,
+    limit: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema.getOrElse(requiredSchema)
 
@@ -165,7 +196,8 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     case Some(ops) =>
       s"GraftScan(${catalog.qualifiedName}, pushedAggregates=[${ops.mkString(", ")}])"
     case None =>
-      s"GraftScan(${catalog.qualifiedName}, cols=${requiredSchema.fieldNames.mkString(",")})"
+      val lim = limit.map(l => s", pushedLimit=$l").getOrElse("")
+      s"GraftScan(${catalog.qualifiedName}, cols=${requiredSchema.fieldNames.mkString(",")}$lim)"
   }
 
   /** Region × pushed-range intersection with partition pruning (reference
@@ -193,7 +225,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       if (clipped.isEmpty) None
       else Some(GraftInputPartition(catalog, opts, r.index, r.host,
         clipped.map(SerializableRange.from), hrf.pred,
-        partSchema, aggOps): InputPartition)
+        partSchema, aggOps, if (aggOps.isEmpty) limit else None): InputPartition)
     }.toArray
   }
 
@@ -224,7 +256,8 @@ final case class GraftInputPartition(
     ranges: Seq[SerializableRange],
     pred: Option[KvPredicate],
     requiredSchema: org.apache.spark.sql.types.StructType,
-    aggOps: Option[Seq[PushedAggOp]] = None) extends InputPartition {
+    aggOps: Option[Seq[PushedAggOp]] = None,
+    limit: Option[Int] = None) extends InputPartition {
   /** Data locality: the region's host (reference getPreferredLocations,
     * HBaseTableScan.scala:384-388). */
   override def preferredLocations(): Array[String] = Array(host)
@@ -351,10 +384,15 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
   // scans over the region's skip list — the scan-vs-get split of the
   // reference (HBaseTableScan.scala:454-494) collapses to one call here
   // because a point `subMap` IS the get on the embedded store.
-  private val rows: Iterator[InternalRow] =
-    p.ranges.iterator
+  private val rows: Iterator[InternalRow] = {
+    val base = p.ranges.iterator
       .flatMap(r => table.scan(p.regionIndex, r.toRange, columnSet, timeRange, versions, p.pred))
       .flatMap(materializer.materialize)
+    // pushed limit/top-N: ranges are normalized-disjoint and each region
+    // scan is key-ordered, so the first `l` materialized rows are the
+    // partition's top `l` — the iterator stops, the region read ends early
+    p.limit.fold(base)(l => base.take(l))
+  }
 
   private var current: InternalRow = _
 

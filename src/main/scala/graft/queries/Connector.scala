@@ -470,6 +470,26 @@ object Connector {
       |  min(c_name) AS min_name, max(c_custkey) AS max_key
       |FROM customer WHERE c_custkey >= 100""".stripMargin
 
+  /** kv16: DSv2 TOP-N pushdown — ORDER BY row key + LIMIT stops each
+    * region scan after its first `n` rows: the store scans regions in key
+    * order, so a partition's first `n` rows ARE its top `n` and no region
+    * reads past them ([[graft.datasource.GraftScanBuilder.pushTopN]];
+    * ascending-key-prefix orderings only, order-preserving coders only —
+    * an Avro row key declines). The range predicate composes: regions
+    * prune first, surviving regions stop early. */
+  def kv16TopnPushdown(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomer(s, dir)
+    readCustomer(s)
+      .filter(col("c_custkey") > 25L)
+      .orderBy(col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  val kv16Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey > 25 ORDER BY c_custkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -486,6 +506,7 @@ object Connector {
     "kv13_avro_key"       -> (kv13AvroKey _),
     "kv14_family_retention" -> (kv14FamilyRetention _),
     "kv15_agg_pushdown"   -> (kv15AggPushdown _),
+    "kv16_topn_pushdown"  -> (kv16TopnPushdown _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -504,5 +525,6 @@ object Connector {
     "kv13_avro_key"       -> kv13Sql,
     "kv14_family_retention" -> kv14Sql,
     "kv15_agg_pushdown"   -> kv15Sql,
+    "kv16_topn_pushdown"  -> kv16Sql,
   )
 }

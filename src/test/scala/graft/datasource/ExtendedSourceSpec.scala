@@ -106,6 +106,35 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g == want)
   }
 
+  test("limit/top-N pushdown: early stop per region; non-key orderings decline") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"limtable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"double"}}}""".stripMargin
+    (1L to 40L).map(i => (i, (41 - i) * 1.0)).toDF("key", "v").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "40"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv").option("catalog", catalog).load()
+    // plain limit: pushed partially, exactly n rows survive the global cut
+    val lim = df.limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains("pushedLimit=5"))
+    assert(lim.count() == 5L)
+    // top-N by the row key: pushed; result equals the full sort
+    val top = df.orderBy(col("key")).limit(7)
+    assert(top.queryExecution.executedPlan.toString.contains("pushedLimit=7"))
+    assert(top.collect().map(_.getLong(0)).toSeq == (1L to 7L))
+    // descending key, or ordering by a value column: decline (full sort)
+    for (bad <- Seq(df.orderBy(col("key").desc).limit(3),
+        df.orderBy(col("v")).limit(3))) {
+      assert(!bad.queryExecution.executedPlan.toString.contains("pushedLimit"))
+    }
+    assert(df.orderBy(col("v")).limit(3).collect().map(_.getLong(0)).toSeq ==
+      Seq(40L, 39L, 38L)) // still correct through the fallback
+  }
+
   test("Avro-encoded row key: round trip with range pruning disabled") {
     val keySchema =
       """{"type":"record","name":"K","fields":[
