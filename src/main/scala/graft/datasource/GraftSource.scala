@@ -186,9 +186,37 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     requiredSchema: StructType, filters: Array[Filter],
     aggOps: Option[Seq[PushedAggOp]] = None,
     aggSchema: Option[StructType] = None,
-    limit: Option[Int] = None) extends Scan with Batch {
+    limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = aggSchema.getOrElse(requiredSchema)
+
+  /** Size/row estimates from the store's own region maps, scoped to the
+    * regions the pushed key ranges leave alive — so a small kv dimension
+    * auto-broadcasts in joins without hints (DSv2's default is "unknown
+    * = infinite", which forces sort-merge). Width is the pruned read
+    * schema's Catalyst default size. A networked deployment would serve
+    * the same numbers from region metadata instead of map sizes. */
+  override def estimateStatistics(): Statistics = {
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
+    val table = KvStore.table(opts.storeName(catalog))
+    val rowCount = table.regionInfos.map { r =>
+      val regionRange = ScanRange[Array[Byte]](
+        Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
+      if (ScanRange.and(hrf.ranges, Seq(regionRange)).isEmpty) 0L
+      else table.regions(r.index).rows.size.toLong
+    }.sum
+    val rows = limit.fold(rowCount)(l =>
+      math.min(rowCount, l.toLong * table.regions.size))
+    val width = math.max(readSchema().defaultSize, 1).toLong
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(rows * width, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def toBatch: Batch = this
 

@@ -135,6 +135,32 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(40L, 39L, 38L)) // still correct through the fallback
   }
 
+  test("reported statistics: small kv dimension auto-broadcasts, no hint") {
+    // limtable (40 rows) exists from the limit test; join it to a larger
+    // in-memory side WITHOUT a broadcast hint — the scan's reported size
+    // must let Catalyst pick BroadcastHashJoin (DSv2's default "unknown"
+    // size would force sort-merge)
+    val catalog =
+      """{"table":{"namespace":"default", "name":"limtable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"double"}}}""".stripMargin
+    if (!KvStore.exists("default:limtable")) {
+      (1L to 40L).map(i => (i, (41 - i) * 1.0)).toDF("key", "v").write.format("graft-kv")
+        .options(Map("catalog" -> catalog, "newtable" -> "4",
+          "minSplitNum" -> "0", "maxSplitNum" -> "40"))
+        .mode("append").save()
+    }
+    val dim = spark.read.format("graft-kv").option("catalog", catalog).load()
+    val facts = spark.range(0, 10000).selectExpr("id % 40 + 1 AS key", "id AS x")
+    val joined = facts.join(dim, "key")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the 40-row kv side to broadcast:\n${plan.take(3000)}")
+    assert(joined.count() == 10000L)
+  }
+
   test("Avro-encoded row key: round trip with range pruning disabled") {
     val keySchema =
       """{"type":"record","name":"K","fields":[
