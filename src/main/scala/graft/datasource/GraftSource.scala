@@ -187,9 +187,28 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     aggOps: Option[Seq[PushedAggOp]] = None,
     aggSchema: Option[StructType] = None,
     limit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = aggSchema.getOrElse(requiredSchema)
+
+  /** Runtime (DPP-style) filters on the row key: when this scan probes a
+    * broadcast join, Spark hands over the build side's key set at runtime
+    * and the planner re-runs with those values folded in — regions prune
+    * and point keys become store gets BEFORE the probe scan starts. Safe
+    * to over-approximate by contract (the join re-filters), but the
+    * compiler's predicates are exact anyway. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only advertise key fields that survived column pruning — Spark
+    // RESOLVES these against the scan's output and throws on a miss
+    // (a projected-away key can't be a join key anyway)
+    val visible = readSchema().fieldNames.toSet
+    catalog.rowKeyFields.filter(f => visible.contains(f.name)).map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name)).toArray
+  }
+
+  override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
   /** Size/row estimates from the store's own region maps, scoped to the
     * regions the pushed key ranges leave alive — so a small kv dimension
@@ -232,7 +251,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     * getPartitions, HBaseTableScan.scala:63-89). */
   override def planInputPartitions(): Array[InputPartition] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
-    val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
+    val hrf = FilterCompiler.compileAll(catalog, (filters ++ runtimeFilters).toSeq)
     val table = KvStore.table(opts.storeName(catalog))
     // an aggregated partition reads only the fields the agg ops reference
     val partSchema = aggOps match {

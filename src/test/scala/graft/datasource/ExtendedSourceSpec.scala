@@ -161,6 +161,46 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == 10000L)
   }
 
+  test("runtime filtering: the build side's key set prunes regions at runtime") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"rtftable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"double"}}}""".stripMargin
+    spark.range(1, 40001).selectExpr("id AS key", "CAST(id * 1.5 AS DOUBLE) AS v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "8",
+        "minSplitNum" -> "0", "maxSplitNum" -> "40000"))
+      .mode("overwrite").save()
+    val fact = spark.read.format("graft-kv").option("catalog", catalog).load()
+    // the build side must not constant-fold to a LocalRelation, or DPP sees
+    // no selective filter — derive it from a Range
+    val dim = spark.range(1, 100).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS tag")
+      .filter(col("tag") === "3")
+    val joined = fact.join(broadcast(dim), fact("key") === dim("k"))
+    val rows = joined.collect()
+    assert(rows.length == 14) // keys 3, 10, ..., 94
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"expected a runtime filter on the kv scan:\n${plan.take(3000)}")
+    // the 14 keys (< 100) live in the FIRST of 8 regions: the runtime key
+    // set must prune the other regions before the probe scan starts
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val scan = allNodes(joined.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputRDD.getNumPartitions == 1,
+      s"expected the runtime key set to prune to 1 region, got ${scan.inputRDD.getNumPartitions}")
+  }
+
   test("Avro-encoded row key: round trip with range pruning disabled") {
     val keySchema =
       """{"type":"record","name":"K","fields":[
