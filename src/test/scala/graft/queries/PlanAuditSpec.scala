@@ -339,6 +339,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the c_custkey >= 100 range to prune at least one region")
   }
 
+  test("kv16: ORDER BY row key + LIMIT pushes top-N into the scan") {
+    Connector.ensureCustomer(spark, dir)
+    val df = Connector.kv16TopnPushdown(spark, dir)
+    val plan = executedPlan(df)
+    assert(plan.contains("pushedLimit=20"),
+      s"expected the scan to stop each region after 20 rows:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "partial pushdown keeps the global top-N cut")
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
