@@ -407,6 +407,27 @@ object TextOps {
         col("score_micro"), col("rank"))
   }
 
+  /** Per-source token-length histogram in power-of-two buckets — the
+    * dataset-card statistics pass (length distributions per source) every
+    * corpus release ships. Bucketing is EXACT integer arithmetic on both
+    * engines: bucket = number of binary digits of the token count
+    * (`length(bin(n))` = ⌊log2 n⌋+1 — no float log anywhere), the bucket's
+    * lower bound is an integer shift. Map-only projection + one
+    * (source, bucket) count shuffle with map-side combine; output
+    * cardinality is sources × ~60 buckets, independent of corpus size. */
+  def lengthHistogram(docs: org.apache.spark.sql.DataFrame, srcCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val nTok = size(filter(tokens(col(textCol)), t => length(t) > 0))
+    docs.select(col(srcCol).as("source"), nTok.cast("long").as("n_tokens"))
+      .withColumn("bucket", when(col("n_tokens") <= 0, lit(0))
+        .otherwise(length(bin(col("n_tokens")))).cast("int"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("lo", when(col("bucket") === 0, lit(0L))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")))
+      .select(col("source"), col("bucket"), col("lo"), col("n_docs"), col("sum_tokens"))
+  }
+
   /** Cross-document boilerplate coverage: the fraction of each document's
     * token positions covered by some word `n`-gram that appears in ≥ `minDf`
     * DISTINCT documents — the corpus-level complement of the within-doc

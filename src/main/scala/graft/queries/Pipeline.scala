@@ -916,6 +916,29 @@ object Pipeline {
       |SELECT term, doc_id, tf, dl, df, score_micro, CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin
 
+  /** px32: per-source token-length histogram ([[TextOps.lengthHistogram]])
+    * — power-of-two buckets via exact integer digit counting, so the
+    * histogram hash-matches cross-engine. */
+  def px32LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    TextOps.lengthHistogram(Tables.documents(s, dir), "source", "text")
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val px32Sql: String =
+    """WITH t AS (SELECT source,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                         x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT source, n_tokens,
+      |    CASE WHEN n_tokens <= 0 THEN 0
+      |         ELSE CAST(length(bin(n_tokens)) AS INTEGER) END AS bucket
+      |  FROM t)
+      |SELECT source, bucket,
+      |  CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(1 AS BIGINT) << (bucket - 1) END AS lo,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -948,6 +971,7 @@ object Pipeline {
     "px29_kmv_distinct"    -> (px29KmvDistinct _),
     "px30_bigram_lm"       -> (px30BigramLm _),
     "px31_bm25"            -> (px31Bm25 _),
+    "px32_length_histogram" -> (px32LengthHistogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -981,6 +1005,7 @@ object Pipeline {
     "px29_kmv_distinct"    -> px29Sql,
     "px30_bigram_lm"       -> px30Sql,
     "px31_bm25"            -> px31Sql,
+    "px32_length_histogram" -> px32Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -626,6 +626,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.size == 5)
   }
 
+  test("TextOps.lengthHistogram: exact power-of-two buckets incl. edges") {
+    // n=1 -> bucket 1 [1,1]; n=2,3 -> bucket 2 [2,3]; n=4..7 -> bucket 3;
+    // empty doc -> bucket 0
+    val df = Seq(
+      (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"),
+      (4L, "a b c d", "s"), (5L, "", "s"), (6L, "a b c d e f g h", "t")
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.lengthHistogram(df, "source", "text").collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Int]("bucket")) ->
+        (x.getAs[Long]("lo"), x.getAs[Long]("n_docs"), x.getAs[Long]("sum_tokens"))).toMap
+    assert(r == Map(
+      ("s", 0) -> ((0L, 1L, 0L)),   // the empty doc
+      ("s", 1) -> ((1L, 1L, 1L)),   // n=1
+      ("s", 2) -> ((2L, 2L, 5L)),   // n=2 and n=3
+      ("s", 3) -> ((4L, 1L, 4L)),   // n=4
+      ("t", 4) -> ((8L, 1L, 8L))    // n=8 sits in [8,15]
+    ))
+  }
+
   test("Md5NumberLower matches the JVM digest convention (= DuckDB md5_number_lower)") {
     val got = Seq("alpha", "", "Ω unicode").toDF("s")
       .select(graft.functions.HashExprs.md5NumberLower($"s")).collect().map(_.getLong(0))
