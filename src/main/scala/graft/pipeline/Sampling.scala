@@ -32,6 +32,27 @@ object Sampling {
     * Rates are quantized to k/65536 (exact 16-bit thresholds) so the
     * comparison is integer, not float. Strata missing from `rates` keep
     * everything (rate 1.0). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], seed: String = "strat42"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1], got $rates")
+    val thresholds = rates.map { case (k, r) => k -> math.round(r * 65536).toInt }
+    val thr = thresholds.foldLeft(lit(65536)) { case (acc, (stratum, t)) =>
+      when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
+    }
+    // concat, NOT concat_ws: concat propagates NULL exactly like SQL `||`,
+    // so a NULL stratum or id drops the row on BOTH engines (a rate lookup
+    // for a NULL stratum is undefined anyway); concat_ws would silently
+    // skip the NULL and diverge from the SQL oracle
+    val bucket = graft.functions.HashExprs.md5NumberLower(
+      concat(lit(seed), lit("|"), col(stratumCol), lit("|"), col(idCol).cast("string")))
+      .bitwiseAND(lit(0xffffL))
+    df.withColumn("__thr", thr)
+      .filter(bucket < col("__thr"))
+      .withColumn("sample_weight", lit(65536.0) / col("__thr").cast("double"))
+      .drop("__thr")
+  }
+
   /** Source-mixture statistics + temperature re-weighting — the pass that
     * decides how hard to up/down-sample each source (domain) before
     * training. Per source: exact doc/token counts, the natural token share
@@ -57,27 +78,6 @@ object Sampling {
         (col("n_tokens").cast("double") / col("total").cast("double")).as("p"),
         sqrt(col("total").cast("double") / col("n_tokens").cast("double"))
           .as("boost"))
-  }
-
-  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
-      rates: Map[String, Double], seed: String = "strat42"): DataFrame = {
-    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
-      s"rates must be in [0,1], got $rates")
-    val thresholds = rates.map { case (k, r) => k -> math.round(r * 65536).toInt }
-    val thr = thresholds.foldLeft(lit(65536)) { case (acc, (stratum, t)) =>
-      when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
-    }
-    // concat, NOT concat_ws: concat propagates NULL exactly like SQL `||`,
-    // so a NULL stratum or id drops the row on BOTH engines (a rate lookup
-    // for a NULL stratum is undefined anyway); concat_ws would silently
-    // skip the NULL and diverge from the SQL oracle
-    val bucket = graft.functions.HashExprs.md5NumberLower(
-      concat(lit(seed), lit("|"), col(stratumCol), lit("|"), col(idCol).cast("string")))
-      .bitwiseAND(lit(0xffffL))
-    df.withColumn("__thr", thr)
-      .filter(bucket < col("__thr"))
-      .withColumn("sample_weight", lit(65536.0) / col("__thr").cast("double"))
-      .drop("__thr")
   }
 
   /** Exact-k deterministic sample per stratum: the k rows with the

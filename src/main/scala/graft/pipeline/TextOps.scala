@@ -398,9 +398,15 @@ object TextOps {
     tf.join(broadcast(queryTerms.select(col("term"))), Seq("term"))
       .crossJoin(broadcast(totals))
       .withColumn("score_micro", expr(
+        // Every denominator product starts from a DECIMAL(38,0) factor so the
+        // whole score stays in 128-bit integers: 10*t_tokens*tf in BIGINT
+        // silently wraps past ~9.2e18 (non-ANSI), and the DuckDB oracle's
+        // HUGEINT math would diverge exactly there.
         """CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 22 * t_tokens * tf * 1000000
           | div (CAST(2*df + 1 AS DECIMAL(38,0)) *
-          |      (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs))""".stripMargin))
+          |      (CAST(10 AS DECIMAL(38,0)) * t_tokens * tf +
+          |       CAST(3 AS DECIMAL(38,0)) * t_tokens +
+          |       CAST(9 AS DECIMAL(38,0)) * dl * n_docs))""".stripMargin))
       .withColumn("rank", row_number().over(byTerm))
       .filter(col("rank") <= k)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),

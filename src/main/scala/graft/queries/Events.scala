@@ -249,6 +249,13 @@ object Events {
     * HUGEINT), exact far beyond this range. Events with fewer than 10
     * predecessors in the window are not scored (n_scored counts the rest).
     *
+    * Supported value range: |value| ≤ 10¹¹ (|v| ≤ 10¹⁷ micro-units). With
+    * n ≤ 20, dev² ≤ (40·max|v|)² and 9·(n·q − sm²) ≤ 3600·max|v|², both
+    * < 10³⁸ under the bound — the decimal(38,0) never overflows. Non-ANSI
+    * Spark would turn an overflow into NULL (silently un-flagging an
+    * extreme spike) while DuckDB's HUGEINT raises, so the guard below
+    * `raise_error`s on out-of-range input instead of diverging.
+    *
     * Shape: ONE shuffle on user_id — the three rolling stats are frames of
     * the same window spec (single Window operator), and the final per-user
     * groupBy rides the window's partitioning with no second exchange. At
@@ -258,8 +265,11 @@ object Events {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val frame = byUser.rowsBetween(-20, -1)
     val dec = "decimal(38,0)"
+    val vMicro = (col("value").cast("decimal(18,6)") * lit(1000000L)).cast(dec)
     val e = Tables.events(s, dir)
-      .withColumn("v", (col("value").cast("decimal(18,6)") * lit(1000000L)).cast(dec))
+      .withColumn("v", when(abs(vMicro) > lit(100000000000000000L),
+        expr("raise_error('ev7: |value| exceeds 1e11 — z-score intermediates " +
+          "would overflow decimal(38,0)')").cast(dec)).otherwise(vMicro))
       .withColumn("n", count(col("v")).over(frame))
       .withColumn("sm", sum(col("v")).over(frame))
       .withColumn("q", sum((col("v") * col("v")).cast(dec)).over(frame))

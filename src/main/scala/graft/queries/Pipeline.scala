@@ -908,7 +908,9 @@ object Pipeline {
       |        CAST((CAST(2*t.n_docs - 2*w.df + 1 AS HUGEINT) * 22 * t.t_tokens
       |              * w.tf * 1000000)
       |          // (CAST(2*w.df + 1 AS HUGEINT) *
-      |              (10*t.t_tokens*w.tf + 3*t.t_tokens + 9*w.dl*t.n_docs))
+      |              (CAST(10 AS HUGEINT)*t.t_tokens*w.tf +
+      |               CAST(3 AS HUGEINT)*t.t_tokens +
+      |               CAST(9 AS HUGEINT)*w.dl*t.n_docs))
       |          AS BIGINT) AS score_micro
       |      FROM wdf w JOIN q USING (term), tot t),
       |r AS (SELECT *, row_number() OVER (PARTITION BY term
