@@ -318,6 +318,29 @@ class GraftReaderFactory extends PartitionReaderFactory {
       case None => new GraftPartitionReader(p)
     }
   }
+
+  /** Columnar fast path: latest-merge scans whose every slot is a key part
+    * or a unique static column of a vector-writable atomic type decode
+    * straight into `ColumnarBatch` vectors (the reference's row-at-a-time
+    * materializer was its own known perf debt — HBaseTableScan.scala:113,
+    * 177,218 TODOs). Aggregated, versioned, dynamic, and nested reads keep
+    * the row reader. The decision depends only on schema/options, never on
+    * a partition's ranges, so one scan's partitions always agree (Spark
+    * requires all-or-none). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    p.aggOps.isEmpty &&
+      p.requiredSchema.fields.forall(f => VectorSlotSink.supports(f.dataType)) && {
+        val projection = p.requiredSchema.fields.toSeq.map(sf =>
+          (p.catalog.field(sf.name), sf.dataType))
+        new RowMaterializer(p.catalog, projection, p.opts.mergeToLatest)
+          .fastPathColumnar
+      }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarPartitionReader(partition.asInstanceOf[GraftInputPartition])
 }
 
 /** Store-side partial aggregation: folds the region's decoded rows into ONE
@@ -387,15 +410,15 @@ class GraftAggPartitionReader(p: GraftInputPartition, ops: Seq[PushedAggOp])
   override def close(): Unit = inner.close()
 }
 
-/** Executor-side reader: splits ranges into point gets vs scans (reference
-  * compute/buildGets, HBaseTableScan.scala:424-494) and materializes rows. */
-class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[InternalRow] {
+/** Shared executor-side scan setup for the row and columnar readers:
+  * column restriction, version depth, and the ordered KvRow stream. */
+private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
 
   private val catalog = p.catalog
   private val table = KvStore.table(p.opts.storeName(catalog))
   // pair each required (possibly nested-pruned) column with its catalog field
-  private val projection = p.requiredSchema.fields.toSeq.map(sf =>
-    (catalog.field(sf.name), sf.dataType))
+  val projection: Seq[(graft.catalog.Field, org.apache.spark.sql.types.DataType)] =
+    p.requiredSchema.fields.toSeq.map(sf => (catalog.field(sf.name), sf.dataType))
 
   private val timeRange = p.opts.timeRange
   private val needsVersions =
@@ -425,16 +448,24 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
     }
   }
 
-  private val materializer = new RowMaterializer(catalog, projection, p.opts.mergeToLatest)
+  val materializer = new RowMaterializer(catalog, projection, p.opts.mergeToLatest)
 
   // Point ranges become single-key lookups and range ranges become ordered
   // scans over the region's skip list — the scan-vs-get split of the
   // reference (HBaseTableScan.scala:454-494) collapses to one call here
   // because a point `subMap` IS the get on the embedded store.
+  def kvRows: Iterator[graft.store.KvRow] = p.ranges.iterator
+    .flatMap(r => table.scan(p.regionIndex, r.toRange, columnSet, timeRange, versions, p.pred))
+}
+
+/** Executor-side reader: splits ranges into point gets vs scans (reference
+  * compute/buildGets, HBaseTableScan.scala:424-494) and materializes rows. */
+class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[InternalRow] {
+
+  private val setup = new GraftScanSetup(p)
+
   private val rows: Iterator[InternalRow] = {
-    val base = p.ranges.iterator
-      .flatMap(r => table.scan(p.regionIndex, r.toRange, columnSet, timeRange, versions, p.pred))
-      .flatMap(materializer.materialize)
+    val base = setup.kvRows.flatMap(setup.materializer.materialize)
     // pushed limit/top-N: ranges are normalized-disjoint and each region
     // scan is key-ordered, so the first `l` materialized rows are the
     // partition's top `l` — the iterator stops, the region read ends early
@@ -450,4 +481,99 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
   override def get(): InternalRow = current
 
   override def close(): Unit = ()
+}
+
+/** [[SlotSink]] over on-heap column vectors — the typed setter per slot is
+  * resolved once at construction, so the per-cell write is one virtual call
+  * plus a primitive/bytes append. */
+private[datasource] final class VectorSlotSink(
+    vectors: Array[org.apache.spark.sql.execution.vectorized.OnHeapColumnVector],
+    schema: StructType) extends SlotSink {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.types._
+
+  var rowId: Int = 0
+
+  private val setters: Array[(OnHeapColumnVector, Int, Any) => Unit] =
+    schema.fields.map(f => VectorSlotSink.setterFor(f.dataType))
+
+  override def putNull(slot: Int): Unit = vectors(slot).putNull(rowId)
+  override def put(slot: Int, v: Any): Unit = setters(slot)(vectors(slot), rowId, v)
+}
+
+private[datasource] object VectorSlotSink {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.types._
+
+  /** Atomic types the columnar path writes; anything else reads as rows. */
+  def supports(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | FloatType | DoubleType |
+         StringType | BinaryType => true
+    case _ => false
+  }
+
+  def setterFor(dt: DataType): (OnHeapColumnVector, Int, Any) => Unit = dt match {
+    case BooleanType => (v, r, x) => v.putBoolean(r, x.asInstanceOf[Boolean])
+    case ByteType => (v, r, x) => v.putByte(r, x.asInstanceOf[Byte])
+    case ShortType => (v, r, x) => v.putShort(r, x.asInstanceOf[Short])
+    case IntegerType | DateType => (v, r, x) => v.putInt(r, x.asInstanceOf[Int])
+    case LongType | TimestampType => (v, r, x) => v.putLong(r, x.asInstanceOf[Long])
+    case FloatType => (v, r, x) => v.putFloat(r, x.asInstanceOf[Float])
+    case DoubleType => (v, r, x) => v.putDouble(r, x.asInstanceOf[Double])
+    case StringType => (v, r, x) => {
+      val b = x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      v.putByteArray(r, b, 0, b.length)
+    }
+    case BinaryType => (v, r, x) => {
+      val b = x.asInstanceOf[Array[Byte]]
+      v.putByteArray(r, b, 0, b.length)
+    }
+    case other => throw new UnsupportedOperationException(s"columnar write of $other")
+  }
+}
+
+/** Columnar executor-side reader: decodes each KvRow's slots straight into
+  * `OnHeapColumnVector`s (no per-row `InternalRow`), emitting 4096-row
+  * `ColumnarBatch`es that downstream whole-stage codegen consumes
+  * vector-at-a-time. Only constructed when
+  * [[GraftReaderFactory.supportColumnarReads]] held. */
+class GraftColumnarPartitionReader(p: GraftInputPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val setup = new GraftScanSetup(p)
+  require(setup.materializer.fastPathColumnar,
+    "columnar reader constructed for a non-fast-path scan")
+
+  // fast path ⇒ exactly one output row per KvRow, so a pushed limit/top-N
+  // truncates the KvRow stream directly
+  private val kvRows = p.limit.fold(setup.kvRows)(l => setup.kvRows.take(l))
+
+  private val capacity = 4096
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, p.requiredSchema)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  private val sink = new VectorSlotSink(vectors, p.requiredSchema)
+
+  override def next(): Boolean = {
+    if (!kvRows.hasNext) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity && kvRows.hasNext) {
+      sink.rowId = n
+      setup.materializer.materializeInto(kvRows.next(), sink)
+      n += 1
+    }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = batch.close()
 }

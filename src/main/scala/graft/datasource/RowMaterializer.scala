@@ -8,6 +8,15 @@ import org.apache.spark.sql.types._
 import graft.catalog.{Field, GraftCatalog}
 import graft.store.{KvCell, KvRow}
 
+/** Receives decoded slot values during a fast-path materialization — the
+  * columnar reader implements this with `ColumnVector` writes so cell bytes
+  * decode STRAIGHT into batch vectors, no intermediate `InternalRow`. */
+private[datasource] trait SlotSink {
+  def putNull(slot: Int): Unit
+  /** `v` is non-null and already in Catalyst representation. */
+  def put(slot: Int, v: Any): Unit
+}
+
 /** Store cells → Catalyst rows (reference buildRow/buildRows +
   * toFlattenRowIterator, HBaseTableScan.scala:114-252,337-382): latest-version
   * merge, dynamic map columns (string-, long-, and nested-keyed), the
@@ -54,6 +63,47 @@ final class RowMaterializer(
       case _ =>
         slotKind(i) = KindSimple
         if (slotByColumn.put(colKey(f.cf, f.qual), i) != null) fastPathOk = false
+    }
+  }
+
+  /** True when every slot decodes in one cell pass with exactly one output
+    * row per KvRow — the precondition for [[materializeInto]] (and thus for
+    * the columnar read path). */
+  def fastPathColumnar: Boolean = mergeToLatest && fastPathOk
+
+  private val filledBuf = new Array[Boolean](nSlots)
+
+  /** Fast-path decode of one KvRow directly into `sink` (exactly one output
+    * row). Same slot walk as [[buildMergedFast]], minus the `Array[Any]` and
+    * `GenericInternalRow` allocations. Caller must hold [[fastPathColumnar]];
+    * single-threaded (reuses a filled-slot buffer). */
+  def materializeInto(row: KvRow, sink: SlotSink): Unit = {
+    java.util.Arrays.fill(filledBuf, false)
+    var i = 0
+    while (i < nSlots) {
+      if (slotKind(i) == KindKey) {
+        val p = keyPartOf(i)
+        val len = if (p.width < 0) row.key.length - p.offset else p.width
+        val v = toRequired(fieldsArr(i), reqTypes(i),
+          p.field.coder.decode(p.field.dataType, row.key, p.offset, len))
+        if (v == null) sink.putNull(i) else sink.put(i, v)
+        filledBuf(i) = true
+      }
+      i += 1
+    }
+    row.cells.foreach { c =>
+      val s = slotByColumn.get(colKey(c.cf, c.qual))
+      if (s != null && !filledBuf(s)) {
+        val f = fieldsArr(s)
+        val v = toRequired(f, reqTypes(s), f.coder.decode(f.dataType, c.value))
+        if (v == null) sink.putNull(s) else sink.put(s, v)
+        filledBuf(s) = true
+      }
+    }
+    var j = 0
+    while (j < nSlots) {
+      if (!filledBuf(j)) sink.putNull(j)
+      j += 1
     }
   }
 

@@ -94,6 +94,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.rdd.getNumPartitions == KvStore.table("default:kv_customer").regions.size)
   }
 
+  test("kv1: all-primitive scan reads columnar; versioned read falls back to rows") {
+    Connector.kv1ScanProject(spark, dir).collect()
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"kv_customer"},
+        |"rowkey":"key",
+        |"columns":{
+        |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"c_name":{"cf":"f", "col":"name", "type":"string"}}}""".stripMargin
+    val df = spark.read.format("graft-kv").option("catalog", catalogJson).load()
+    val plan = executedPlan(df)
+    assert(plan.contains("ColumnarToRow"),
+      s"all-primitive kv scan should be columnar:\n${plan.take(3000)}")
+    // per-timestamp explosion can emit many rows per KvRow — must stay row-based
+    val exploded = spark.read.format("graft-kv").option("catalog", catalogJson)
+      .option("mergeToLatest", "false").option("maxVersions", "3").load()
+    val explodedPlan = executedPlan(exploded)
+    assert(!explodedPlan.contains("ColumnarToRow"),
+      s"exploded-version scan must fall back to the row reader:\n${explodedPlan.take(3000)}")
+  }
+
   test("px9: query side is broadcast (corpus never shuffles for the join)") {
     val plan = executedPlan(Pipeline.px9AnnBrute(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
