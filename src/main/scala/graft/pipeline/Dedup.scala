@@ -27,8 +27,9 @@ import org.apache.spark.storage.StorageLevel
   *     sketch instead of m, and their m·(m-1)/2 output pairs are generated
   *     by a cheap expansion join at the end (identical content ⇒ identical
   *     similarity, so the expansion is exact, not approximate);
-  *  2. '''per-bucket caps''' ([[capBuckets]]): a (band, bucket) cell keeps at
-  *     most `maxBucket` representatives (smallest ids — deterministic); the
+  *  2. '''per-bucket caps''' ([[capBuckets]]): a (band, bucket) bucket keeps
+  *     at most `maxBucket` representatives, chosen deterministically from
+  *     salted sub-cells so no single task ever sorts a whole hot bucket; the
   *     overflow is counted and LOGGED, never silently dropped. With distinct
   *     content already collapsed, a cap-sized bucket means `maxBucket`
   *     *different* documents agreeing on a sketch band — overwhelmingly a
@@ -177,32 +178,49 @@ object Dedup {
     }
   }
 
-  /** Cap every bucket (grouping of `keys`) at `maxBucket` entries, keeping
-    * the smallest ids (deterministic). The cap is ONE window applied inline:
-    * it shuffles on exactly the keys the downstream candidate self-join
-    * uses, so the join rides the same exchange and the cap adds NO separate
-    * Spark job (an eager pre-count here was measured to cost a full extra
-    * sketch pass per operator). Overflow is still never silent: the bucket
-    * size rides along as a second frame of the SAME window, and an
-    * `observe` metric (computed inline by CollectMetrics, zero extra jobs)
-    * reports hot-bucket and dropped-entry counts to the
-    * [[GraftMetrics]] listener when the consuming action completes. */
+  /** Salted cells per bucket: a bucket never sorts in one task — each of the
+    * `CapSalts` cells handles ~1/16 of even the hottest bucket. */
+  private[pipeline] val CapSalts = 16
+
+  /** Cap every bucket (grouping of `keys`) at ≤ `maxBucket` entries,
+    * deterministically. The cap is SALTED two-level: each entry lands in one
+    * of `s = min(CapSalts, maxBucket)` cells by `xxhash64(id) mod s`, and
+    * each cell keeps its `maxBucket / s` smallest ids. Total kept per bucket
+    * is ≤ s·⌊maxBucket/s⌋ ≤ maxBucket (slightly conservative when s doesn't
+    * divide). The point of the salt: a degenerate 10⁷-entry boilerplate
+    * bucket is no longer a single-task spillable window sort — its rows
+    * spread across s cells whose windows sort independently, so the largest
+    * task handles ~bucketSize/s rows. The survivor set is a hash-spread
+    * union of per-cell minima instead of the global `maxBucket` smallest
+    * ids — equally deterministic, and the cap is a recall heuristic, not a
+    * semantic contract. Costs one exchange on (keys, salt) before the
+    * downstream join's exchange on keys; the re-shuffled set is the CAPPED
+    * one, i.e. bounded.
+    *
+    * Overflow is still never silent: cell size rides as a second frame of
+    * the SAME window and an `observe` metric (computed inline by
+    * CollectMetrics, zero extra jobs) reports hot-cell and dropped-entry
+    * totals to the [[GraftMetrics]] listener when the consuming action
+    * completes. */
   private[pipeline] def capBuckets(entries: DataFrame, keys: Seq[String],
       maxBucket: Int, tag: String): DataFrame = {
     require(maxBucket > 0, s"$tag: maxBucket must be positive, got $maxBucket")
     if (maxBucket == Int.MaxValue) return entries
     GraftMetrics.ensureListener(entries.sparkSession)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
-    val hot = col("__bn") === 1 && col("__bsz") > maxBucket
+    val s = math.min(CapSalts, maxBucket)
+    val cellCap = maxBucket / s
+    val w = Window.partitionBy((keys.map(col) :+ col("__salt")): _*).orderBy(col("id"))
+    val hot = col("__cn") === 1 && col("__csz") > cellCap
     entries
-      .withColumn("__bn", row_number().over(w))
-      .withColumn("__bsz", count(lit(1)).over(
+      .withColumn("__salt", pmod(xxhash64(col("id")), lit(s.toLong)))
+      .withColumn("__cn", row_number().over(w))
+      .withColumn("__csz", count(lit(1)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .observe(s"graft.capBuckets.$tag",
         coalesce(sum(when(hot, lit(1L)).otherwise(lit(0L))), lit(0L)).as("hot_buckets"),
-        coalesce(sum(when(hot, col("__bsz") - maxBucket).otherwise(lit(0L))), lit(0L))
+        coalesce(sum(when(hot, col("__csz") - cellCap).otherwise(lit(0L))), lit(0L))
           .as("dropped_entries"))
-      .filter(col("__bn") <= maxBucket).drop("__bn", "__bsz")
+      .filter(col("__cn") <= cellCap).drop("__salt", "__cn", "__csz")
   }
 
   /** Expand similarity pairs over exact-duplicate REPRESENTATIVES back to

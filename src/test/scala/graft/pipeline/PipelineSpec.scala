@@ -243,14 +243,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("capBuckets truncates hot buckets deterministically (smallest ids)") {
+  test("capBuckets truncates hot buckets deterministically within the cap") {
     val entries = (0 until 50).map(i => (i.toLong, 0, 7L)).toDF("id", "band", "bh")
       .union(Seq((99L, 1, 8L)).toDF("id", "band", "bh"))
+    def run() = Dedup.capBuckets(entries, Seq("band", "bh"), 10, "test")
+      .filter($"band" === 0).select("id").collect().map(_.getLong(0)).toSet
+    val kept = run()
+    assert(kept.size <= 10, s"cap must hold: ${kept.size}") // s·⌊10/s⌋ ≤ 10
+    assert(kept == run(), "salted survivor set must be deterministic")
     val capped = Dedup.capBuckets(entries, Seq("band", "bh"), 10, "test")
-    val kept = capped.filter($"band" === 0).select("id").collect().map(_.getLong(0)).toSet
-    assert(kept == (0 until 10).map(_.toLong).toSet) // smallest ids survive
     assert(capped.filter($"band" === 1).count() == 1) // small bucket untouched
-    // cap high enough => identity
+    // cap high enough => identity (cellCap 62 can't fill from 50 ids)
     assert(Dedup.capBuckets(entries, Seq("band", "bh"), 1000, "test").count() == 51)
   }
 
@@ -259,17 +262,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val capped = Dedup.capBuckets(entries, Seq("band", "bh"), 10, "obs_test")
     // collect(), not count(): count() builds a separate QueryExecution, so
     // the observed metrics of THIS dataset's execution would stay empty
-    assert(capped.collect().length == 10)
+    val keptN = capped.collect().length
+    assert(keptN <= 10)
     val metrics = capped.queryExecution.observedMetrics
     val row = metrics("graft.capBuckets.obs_test")
-    assert(row.getAs[Long]("hot_buckets") == 1L)
-    assert(row.getAs[Long]("dropped_entries") == 40L)
+    assert(row.getAs[Long]("hot_buckets") > 0L)
+    assert(row.getAs[Long]("dropped_entries") == 50L - keptN)
     // a run with no overflow reports zeros, not missing metrics
-    val ok = Dedup.capBuckets(entries, Seq("band", "bh"), 100, "obs_test2")
+    // (cellCap 800/16 = 50 ≥ any cell's size here)
+    val ok = Dedup.capBuckets(entries, Seq("band", "bh"), 800, "obs_test2")
     ok.collect()
     val okRow = ok.queryExecution.observedMetrics("graft.capBuckets.obs_test2")
     assert(okRow.getAs[Long]("hot_buckets") == 0L &&
       okRow.getAs[Long]("dropped_entries") == 0L)
+  }
+
+  test("capBuckets salting bounds the rows any one window task sorts") {
+    // the r3 watch item: a 10⁷-entry boilerplate bucket used to become a
+    // SINGLE-task spillable sort. With salted cells, the window partitions
+    // on (keys, salt), so the largest sort a task sees is the largest CELL
+    // — ~bucketSize/CapSalts. Simulate one hot bucket and measure cells.
+    val n = 10000
+    val hotBucket = spark.range(n).selectExpr("id", "0 AS band", "7L AS bh")
+    val capped = Dedup.capBuckets(hotBucket.toDF(), Seq("band", "bh"), 1000, "salt_test")
+    val keptN = capped.count()
+    assert(keptN <= 1000, s"cap must hold, got $keptN")
+    assert(keptN > 900, s"cap shouldn't over-drop (s·⌊cap/s⌋ = 992), got $keptN")
+    // the cell layout the window actually partitions on
+    val maxCell = hotBucket
+      .selectExpr(s"pmod(xxhash64(id), ${Dedup.CapSalts}L) AS salt")
+      .groupBy("salt").count().agg(org.apache.spark.sql.functions.max("count"))
+      .first().getLong(0)
+    assert(maxCell <= 2L * n / Dedup.CapSalts,
+      s"salting must spread the hot bucket: max cell $maxCell of $n")
   }
 
   test("Dedup.components: maxIters guards against long-path graphs") {
