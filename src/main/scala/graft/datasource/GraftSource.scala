@@ -86,6 +86,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = initialSchema
   private var aggOps: Option[Seq[PushedAggOp]] = None
+  private var aggGroupCols: Seq[String] = Nil
   private var aggSchema: Option[StructType] = None
   private var pushedLimit: Option[Int] = None
 
@@ -130,16 +131,37 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
   /** Partial pushdown only (`supportCompletePushDown` stays false): every
-    * region partition answers with its own min/max/count partial, which is
+    * region partition answers with its own min/max/count partials, which is
     * correct under any region split — complete pushdown would require a
-    * single global scan and serialize the whole read. Grouped aggregates
-    * and residual-filtered scans are not pushed: a residual means rows the
-    * store can't exclude, so a store-side count would overcount. */
+    * single global scan and serialize the whole read. Residual-filtered
+    * scans are not pushed: a residual means rows the store can't exclude,
+    * so a store-side count would overcount.
+    *
+    * GROUP BY pushes when the grouping is a PREFIX of the row key (in key
+    * order, order-preserving coders only): the region scan is key-ordered
+    * and order preservation makes equal group values byte-contiguous, so
+    * each region streams per-group partials with O(1) state (emit on prefix
+    * change) — no store-side hash map, per-region output = its distinct
+    * prefix count. A non-prefix grouping would need unbounded state and is
+    * declined; Spark's final aggregate re-merges groups that span region
+    * boundaries either way. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (agg.groupByExpressions.nonEmpty) return false
     if (FilterCompiler.partition(catalog, pushed)._2.nonEmpty) return false
+    val groupCols: Seq[String] = if (agg.groupByExpressions.isEmpty) Nil else {
+      val keyFields = catalog.rowKeyFields
+      val names = agg.groupByExpressions.toSeq.map {
+        case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames.head
+        case _ => return false
+      }
+      val prefixOk = names.length <= keyFields.length &&
+        names.zip(keyFields).forall { case (n, kf) =>
+          n == kf.name && kf.coder.preservesOrdering(kf.dataType)
+        }
+      if (!prefixOk) return false
+      names
+    }
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 &&
         scala.util.Try(catalog.field(nr.fieldNames.head)).isSuccess =>
@@ -169,24 +191,31 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     if (!ops.forall(_.isDefined)) return false
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     aggOps = Some(ops.flatten)
-    aggSchema = Some(StructType(ops.flatten.map {
-      case CountStarOp => StructField("count(*)", LongType, nullable = false)
-      case CountColOp(f) => StructField(s"count($f)", LongType, nullable = false)
-      case MinOp(f) => StructField(s"min($f)", catalog.field(f).dataType)
-      case MaxOp(f) => StructField(s"max($f)", catalog.field(f).dataType)
-    }))
+    aggGroupCols = groupCols
+    // scan output = group columns first, then agg partials (the order
+    // Spark's partial-pushdown rewrite expects)
+    aggSchema = Some(StructType(
+      groupCols.map(g => StructField(g, catalog.field(g).dataType)) ++
+      ops.flatten.map {
+        case CountStarOp => StructField("count(*)", LongType, nullable = false)
+        case CountColOp(f) => StructField(s"count($f)", LongType, nullable = false)
+        case MinOp(f) => StructField(s"min($f)", catalog.field(f).dataType)
+        case MaxOp(f) => StructField(s"max($f)", catalog.field(f).dataType)
+      }))
     true
   }
 
   override def build(): Scan =
-    new GraftScan(catalog, opts, requiredSchema, pushed, aggOps, aggSchema, pushedLimit)
+    new GraftScan(catalog, opts, requiredSchema, pushed, aggOps, aggSchema,
+      pushedLimit, aggGroupCols)
 }
 
 class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     requiredSchema: StructType, filters: Array[Filter],
     aggOps: Option[Seq[PushedAggOp]] = None,
     aggSchema: Option[StructType] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    aggGroupCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = aggSchema.getOrElse(requiredSchema)
@@ -241,7 +270,9 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
 
   override def description(): String = aggOps match {
     case Some(ops) =>
-      s"GraftScan(${catalog.qualifiedName}, pushedAggregates=[${ops.mkString(", ")}])"
+      val grp = if (aggGroupCols.isEmpty) ""
+        else s", pushedGroupBy=[${aggGroupCols.mkString(", ")}]"
+      s"GraftScan(${catalog.qualifiedName}, pushedAggregates=[${ops.mkString(", ")}]$grp)"
     case None =>
       val lim = limit.map(l => s", pushedLimit=$l").getOrElse("")
       s"GraftScan(${catalog.qualifiedName}, cols=${requiredSchema.fieldNames.mkString(",")}$lim)"
@@ -253,14 +284,15 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     val hrf = FilterCompiler.compileAll(catalog, (filters ++ runtimeFilters).toSeq)
     val table = KvStore.table(opts.storeName(catalog))
-    // an aggregated partition reads only the fields the agg ops reference
+    // an aggregated partition reads only the group fields + the fields the
+    // agg ops reference
     val partSchema = aggOps match {
       case Some(ops) =>
-        val fields = ops.collect {
+        val fields = (aggGroupCols ++ ops.collect {
           case CountColOp(f) => f
           case MinOp(f) => f
           case MaxOp(f) => f
-        }.distinct
+        }).distinct
         StructType(fields.map(f => org.apache.spark.sql.types.StructField(
           f, catalog.field(f).dataType)))
       case None => requiredSchema
@@ -272,7 +304,8 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       if (clipped.isEmpty) None
       else Some(GraftInputPartition(catalog, opts, r.index, r.host,
         clipped.map(SerializableRange.from), hrf.pred,
-        partSchema, aggOps, if (aggOps.isEmpty) limit else None): InputPartition)
+        partSchema, aggOps, if (aggOps.isEmpty) limit else None,
+        aggGroupCols): InputPartition)
     }.toArray
   }
 
@@ -304,7 +337,8 @@ final case class GraftInputPartition(
     pred: Option[KvPredicate],
     requiredSchema: org.apache.spark.sql.types.StructType,
     aggOps: Option[Seq[PushedAggOp]] = None,
-    limit: Option[Int] = None) extends InputPartition {
+    limit: Option[Int] = None,
+    groupCols: Seq[String] = Nil) extends InputPartition {
   /** Data locality: the region's host (reference getPreferredLocations,
     * HBaseTableScan.scala:384-388). */
   override def preferredLocations(): Array[String] = Array(host)
@@ -314,6 +348,7 @@ class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     p.aggOps match {
+      case Some(ops) if p.groupCols.nonEmpty => new GraftGroupAggPartitionReader(p, ops)
       case Some(ops) => new GraftAggPartitionReader(p, ops)
       case None => new GraftPartitionReader(p)
     }
@@ -343,6 +378,62 @@ class GraftReaderFactory extends PartitionReaderFactory {
     new GraftColumnarPartitionReader(partition.asInstanceOf[GraftInputPartition])
 }
 
+/** Shared count/min/max partial state over the partition's read schema. */
+private[datasource] final class AggAccumulator(
+    ops: Seq[PushedAggOp], schema: StructType) {
+
+  private val idx = schema.fieldNames.zipWithIndex.toMap
+  private[datasource] val dts = schema.fields.map(_.dataType)
+  private[datasource] val orderings = schema.fields.map(f =>
+    org.apache.spark.sql.catalyst.types.PhysicalDataType.ordering(f.dataType)
+      .asInstanceOf[Ordering[Any]])
+
+  private val counts = new Array[Long](ops.length)
+  private val extremes = new Array[Any](ops.length)
+
+  private[datasource] def copyOf(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+    case b: Array[Byte] => b.clone()
+    case other => other
+  }
+
+  def reset(): Unit = {
+    java.util.Arrays.fill(counts, 0L)
+    java.util.Arrays.fill(extremes.asInstanceOf[Array[AnyRef]], null)
+  }
+
+  def update(row: InternalRow): Unit = {
+    var i = 0
+    while (i < ops.length) {
+      ops(i) match {
+        case CountStarOp => counts(i) += 1
+        case CountColOp(f) => if (!row.isNullAt(idx(f))) counts(i) += 1
+        case MinOp(f) =>
+          val j = idx(f)
+          if (!row.isNullAt(j)) {
+            val v = row.get(j, dts(j))
+            if (extremes(i) == null || orderings(j).lt(v, extremes(i)))
+              extremes(i) = copyOf(v)
+          }
+        case MaxOp(f) =>
+          val j = idx(f)
+          if (!row.isNullAt(j)) {
+            val v = row.get(j, dts(j))
+            if (extremes(i) == null || orderings(j).gt(v, extremes(i)))
+              extremes(i) = copyOf(v)
+          }
+      }
+      i += 1
+    }
+  }
+
+  def result(): Array[Any] = ops.zipWithIndex.map {
+    case (CountStarOp, i) => counts(i): Any
+    case (CountColOp(_), i) => counts(i): Any
+    case (_, i) => extremes(i)
+  }.toArray
+}
+
 /** Store-side partial aggregation: folds the region's decoded rows into ONE
   * output row (count/min/max partials) — the per-region movement drops from
   * O(rows) to O(1), which is the entire point at 1000 executors. Reuses the
@@ -352,60 +443,91 @@ class GraftAggPartitionReader(p: GraftInputPartition, ops: Seq[PushedAggOp])
     extends PartitionReader[InternalRow] {
 
   private val inner = new GraftPartitionReader(p)
-  private val idx = p.requiredSchema.fieldNames.zipWithIndex.toMap
-  private val dts = p.requiredSchema.fields.map(_.dataType)
-  private val orderings = p.requiredSchema.fields.map(f =>
-    org.apache.spark.sql.catalyst.types.PhysicalDataType.ordering(f.dataType)
-      .asInstanceOf[Ordering[Any]])
+  private val acc = new AggAccumulator(ops, p.requiredSchema)
 
   private var emitted = false
 
-  private def copyOf(v: Any): Any = v match {
-    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-    case b: Array[Byte] => b.clone()
-    case other => other
-  }
-
   override def next(): Boolean = {
     if (emitted) return false
-    val counts = Array.fill(ops.length)(0L)
-    val extremes = Array.fill[Any](ops.length)(null)
-    while (inner.next()) {
-      val row = inner.get()
-      var i = 0
-      while (i < ops.length) {
-        ops(i) match {
-          case CountStarOp => counts(i) += 1
-          case CountColOp(f) => if (!row.isNullAt(idx(f))) counts(i) += 1
-          case MinOp(f) =>
-            val j = idx(f)
-            if (!row.isNullAt(j)) {
-              val v = row.get(j, dts(j))
-              if (extremes(i) == null || orderings(j).lt(v, extremes(i)))
-                extremes(i) = copyOf(v)
-            }
-          case MaxOp(f) =>
-            val j = idx(f)
-            if (!row.isNullAt(j)) {
-              val v = row.get(j, dts(j))
-              if (extremes(i) == null || orderings(j).gt(v, extremes(i)))
-                extremes(i) = copyOf(v)
-            }
-        }
-        i += 1
-      }
-    }
-    val out = ops.zipWithIndex.map {
-      case (CountStarOp, i) => counts(i)
-      case (CountColOp(_), i) => counts(i)
-      case (_, i) => extremes(i)
-    }
-    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out.toArray)
+    acc.reset()
+    while (inner.next()) acc.update(inner.get())
+    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(acc.result())
     emitted = true
     true
   }
 
   private var current: InternalRow = _
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
+
+/** Store-side GROUPED partial aggregation for a row-key-prefix grouping:
+  * the region scan is key-ordered and order-preserving coders make equal
+  * group values byte-contiguous, so this streams with O(1) state — emit a
+  * (group values, partials) row each time the prefix changes. No hash map,
+  * no sort; per-region output is its distinct-prefix count, and Spark's
+  * final aggregate merges groups that span region boundaries. */
+class GraftGroupAggPartitionReader(p: GraftInputPartition, ops: Seq[PushedAggOp])
+    extends PartitionReader[InternalRow] {
+
+  private val inner = new GraftPartitionReader(p)
+  private val acc = new AggAccumulator(ops, p.requiredSchema)
+  private val idx = p.requiredSchema.fieldNames.zipWithIndex.toMap
+  private val gIdx = p.groupCols.map(idx(_)).toArray
+
+  private var pending: InternalRow = _
+  private var exhausted = false
+  private var current: InternalRow = _
+
+  private def groupKey(row: InternalRow): Array[Any] = {
+    val k = new Array[Any](gIdx.length)
+    var i = 0
+    while (i < gIdx.length) {
+      val j = gIdx(i)
+      k(i) = if (row.isNullAt(j)) null else acc.copyOf(row.get(j, acc.dts(j)))
+      i += 1
+    }
+    k
+  }
+
+  private def sameKey(key: Array[Any], row: InternalRow): Boolean = {
+    var i = 0
+    while (i < gIdx.length) {
+      val j = gIdx(i)
+      val b = if (row.isNullAt(j)) null else row.get(j, acc.dts(j))
+      val same =
+        if (key(i) == null || b == null) key(i) == null && b == null
+        else acc.orderings(j).equiv(key(i), b)
+      if (!same) return false
+      i += 1
+    }
+    true
+  }
+
+  override def next(): Boolean = {
+    if (exhausted && pending == null) return false
+    if (pending == null) {
+      if (!inner.next()) { exhausted = true; return false }
+      pending = inner.get()
+    }
+    val key = groupKey(pending)
+    acc.reset()
+    acc.update(pending)
+    pending = null
+    var scanning = true
+    while (scanning) {
+      if (!inner.next()) { exhausted = true; scanning = false }
+      else {
+        val row = inner.get()
+        if (sameKey(key, row)) acc.update(row)
+        else { pending = row; scanning = false }
+      }
+    }
+    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      key ++ acc.result())
+    true
+  }
+
   override def get(): InternalRow = current
   override def close(): Unit = inner.close()
 }

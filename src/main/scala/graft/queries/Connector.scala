@@ -97,7 +97,7 @@ object Connector {
       |ORDER BY c_custkey""".stripMargin
 
   // composite key: status (1 char, fixed) : orderkey (8 bytes)
-  private val ordersCatalog =
+  private[queries] val ordersCatalog =
     """{"table":{"namespace":"default", "name":"kv_orders"},
       |"rowkey":"key1:key2",
       |"columns":{
@@ -490,6 +490,36 @@ object Connector {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE c_custkey > 25 ORDER BY c_custkey LIMIT 20""".stripMargin
 
+  /** kv17: GROUP BY a row-key PREFIX pushes per-group partials into the
+    * region scan ([[graft.datasource.GraftGroupAggPartitionReader]]):
+    * regions partition the key space disjointly and scan in key order, so
+    * each region streams (group, count/min/max partials) with O(1) state —
+    * emit on prefix change, no store-side hash map — and Spark's final
+    * aggregate merges the few groups that span region boundaries. Per-region
+    * movement drops from O(rows) to O(distinct prefixes). A suffix-key range
+    * predicate rides along as an exact key predicate (no residual, which
+    * would decline the push). */
+  def kv17GroupbyPushdown(s: SparkSession, dir: String): DataFrame = {
+    ensureOrders(s, dir)
+    s.read.format("graft-kv").option("catalog", ordersCatalog).load()
+      .filter(col("o_orderkey") < 3000L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_orderpriority")).as("n_pri"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val kv17Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  count(o_orderpriority) AS n_pri,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderkey < 3000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -507,6 +537,7 @@ object Connector {
     "kv14_family_retention" -> (kv14FamilyRetention _),
     "kv15_agg_pushdown"   -> (kv15AggPushdown _),
     "kv16_topn_pushdown"  -> (kv16TopnPushdown _),
+    "kv17_groupby_pushdown" -> (kv17GroupbyPushdown _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -526,5 +557,6 @@ object Connector {
     "kv14_family_retention" -> kv14Sql,
     "kv15_agg_pushdown"   -> kv15Sql,
     "kv16_topn_pushdown"  -> kv16Sql,
+    "kv17_groupby_pushdown" -> kv17Sql,
   )
 }

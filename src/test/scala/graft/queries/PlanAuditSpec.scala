@@ -359,6 +359,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the c_custkey >= 100 range to prune at least one region")
   }
 
+  test("kv17: GROUP BY a row-key prefix pushes grouped partials into the scan") {
+    val df = Connector.kv17GroupbyPushdown(spark, dir)
+    val plan = executedPlan(df)
+    assert(plan.contains("pushedGroupBy=[o_orderstatus]"),
+      s"expected grouped aggregate pushdown:\n${plan.take(3000)}")
+    assert(plan.contains("pushedAggregates="), plan.take(3000))
+    // a non-prefix grouping must NOT push (falls back to a plain scan)
+    val noPush = executedPlan(
+      spark.read.format("graft-kv")
+        .option("catalog", Connector.ordersCatalog).load()
+        .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")))
+    assert(!noPush.contains("pushedGroupBy"),
+      s"value-column grouping must decline the push:\n${noPush.take(3000)}")
+  }
+
   test("kv16: ORDER BY row key + LIMIT pushes top-N into the scan") {
     Connector.ensureCustomer(spark, dir)
     val df = Connector.kv16TopnPushdown(spark, dir)
