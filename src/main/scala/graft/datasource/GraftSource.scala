@@ -231,7 +231,14 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     // only advertise key fields that survived column pruning — Spark
     // RESOLVES these against the scan's output and throws on a miss
-    // (a projected-away key can't be a join key anyway)
+    // (a projected-away key can't be a join key anyway). With a pushed
+    // GROUP BY, the group key fields are IN the agg read schema, so a join
+    // on the grouped output gets runtime region pruning like a row scan;
+    // this is sound for the aggregation because a runtime filter references
+    // group-key fields only, so it keeps or drops whole groups — surviving
+    // groups' partials are computed over exactly their rows. A GLOBAL
+    // pushed agg has no key in its output, so no runtime filter can target
+    // it (and advertising a non-output column crashes Spark's resolver).
     val visible = readSchema().fieldNames.toSet
     catalog.rowKeyFields.filter(f => visible.contains(f.name)).map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name)).toArray

@@ -52,6 +52,15 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = { spark.stop(); KvStore.dropAll() }
 
+  private def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allPlanNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allPlanNodes(q.plan)
+    case _ => p +: p.children.flatMap(allPlanNodes)
+  }
+
   import spark.implicits._
 
   test("restrictive modes: none / family / column all return correct rows") {
@@ -199,6 +208,52 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.get
     assert(scan.inputRDD.getNumPartitions == 1,
       s"expected the runtime key set to prune to 1 region, got ${scan.inputRDD.getNumPartitions}")
+  }
+
+  test("runtime filtering prunes regions of a grouped-aggregate pushdown scan") {
+    // the r3 gap: an aggregated scan hid its key fields from
+    // filterAttributes (readSchema was the agg schema), so a DPP-prunable
+    // aggregated probe read all regions. With GROUP BY pushdown the group
+    // key fields live in the agg read schema and the runtime key set must
+    // prune regions exactly like a row scan.
+    val catalog =
+      """{"table":{"namespace":"default", "name":"rtfaggtable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"double"}}}""".stripMargin
+    spark.range(1, 40001).selectExpr("id AS key", "CAST(id * 1.5 AS DOUBLE) AS v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "8",
+        "minSplitNum" -> "0", "maxSplitNum" -> "40000"))
+      .mode("overwrite").save()
+    val fact = spark.read.format("graft-kv").option("catalog", catalog).load()
+    val agged = fact.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+    // the dim must come off storage: a Range-derived tag would let the
+    // optimizer infer `cast(key % 7 ...) = 3` onto the probe key, which
+    // lands as a RESIDUAL on the scan and (correctly) declines the agg
+    // push — the parquet round trip severs that lineage
+    val dimPath = "/tmp/graft_rtfagg_dim"
+    spark.range(1, 100).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "3")
+    val joined = agged.join(broadcast(dim), agged("key") === dim("k"))
+    val rows = joined.collect()
+    assert(rows.length == 14) // keys 3, 10, ..., 94
+    assert(rows.forall(r => r.getAs[Long]("n") == 1L &&
+      r.getAs[Double]("mx") == r.getAs[Long]("key") * 1.5))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedGroupBy=[key]"),
+      s"the grouped aggregate must stay pushed under DPP:\n${plan.take(3000)}")
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"expected a runtime filter on the aggregated kv scan:\n${plan.take(3000)}")
+    val scan = allPlanNodes(joined.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputRDD.getNumPartitions == 1,
+      s"runtime key set must prune the aggregated scan to 1 region, " +
+        s"got ${scan.inputRDD.getNumPartitions}")
   }
 
   test("Avro-encoded row key: round trip with range pruning disabled") {
