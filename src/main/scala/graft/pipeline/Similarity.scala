@@ -71,9 +71,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
-  /** Train an IVF coarse quantizer: seed centroids = the `nlist` lowest-id
-    * corpus vectors (deterministic), refined by ONE distributed Lloyd
-    * iteration (assign all vectors to their nearest seed, average per cell).
+  /** Train an IVF coarse quantizer: seed centroids = a deterministic
+    * hash-spread sample of `nlist` corpus vectors, refined by `iters`
+    * distributed Lloyd iterations (assign all vectors to their nearest
+    * centroid, average per cell). Lowest-id seeding was replaced in round 4:
+    * when ids correlate with content (or with the evaluation queries) it
+    * measures recall against its own seed block — hash-spread seeding plus
+    * a few Lloyd rounds gives an honest, higher-quality quantizer.
     *
     * The per-cell mean runs through a typed vector-sum [[Aggregator]]:
     * partial aggregation accumulates (Σvec, count) buffers map-side, so the
@@ -82,9 +86,14 @@ object Similarity {
     * shuffled all of them. Only the nlist×dim centroid matrix ever reaches
     * the driver. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): Array[Array[Double]] = {
+      nlist: Int, iters: Int = 5): Array[Array[Double]] = {
+    // seeds: the nlist rows with the SMALLEST xxhash64(id) — a
+    // deterministic pseudo-uniform sample of the corpus (k-means||-style
+    // spread), instead of the nlist lowest ids, whose vectors can be an
+    // arbitrarily biased block when ids correlate with content. Ties break
+    // by id; a TakeOrdered top-nlist, never a full sort.
     val seeds: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(nlist)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
@@ -94,8 +103,8 @@ object Similarity {
     val dim = seeds.head.length
     val sp = corpus.sparkSession
     import sp.implicits._
-    val assigned = corpus.select(
-      element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), seeds, 1), 1)
+    def assignTo(cents: Array[Array[Double]]) = corpus.select(
+      element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, 1), 1)
         .as("cell"),
       col(vecCol).cast("array<double>").as("v"))
       .as[(Int, Seq[Double])]
@@ -121,16 +130,24 @@ object Similarity {
       override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
         implicitly[org.apache.spark.sql.Encoder[Array[Double]]]
     }
-    val means: Array[(Int, Array[Double])] =
-      assigned.groupByKey(_._1).agg(vecSum.toColumn).collect()
-    val out = seeds.map(_.clone())
-    means.foreach { case (cell, m) =>
-      if (cell < out.length) {
-        var i = 0
-        while (i < math.min(dim, m.length)) { out(cell)(i) = m(i); i += 1 }
+    // each Lloyd round: one corpus pass, shuffle ≤ nlist×(dim+1) doubles
+    // per partition; empty cells keep their previous centroid
+    var cents = seeds
+    var it = 0
+    while (it < math.max(iters, 1)) {
+      val means: Array[(Int, Array[Double])] =
+        assignTo(cents).groupByKey(_._1).agg(vecSum.toColumn).collect()
+      val out = cents.map(_.clone())
+      means.foreach { case (cell, m) =>
+        if (cell < out.length) {
+          var i = 0
+          while (i < math.min(dim, m.length)) { out(cell)(i) = m(i); i += 1 }
+        }
       }
+      cents = out
+      it += 1
     }
-    out
+    cents
   }
 
   /** IVF ANN top-k: corpus vectors are bucketed by nearest centroid (one

@@ -335,18 +335,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exactPairs.nonEmpty)
   }
 
-  test("ANN recall vs exact top-5: IVF >= 0.8, multi-probe LSH >= 0.35") {
+  test("ANN recall vs exact top-5: IVF >= 0.6 at nprobe=4, >= 0.9 at nprobe=8") {
+    // Honest-recall note: before round 4, seeds were the nlist LOWEST-id
+    // vectors and the gate's queries are vec_id < 10 — every query sat at
+    // its own cell center, so the measured 0.94 was seed-query correlation,
+    // not quantizer quality. With hash-spread seeding + 5 Lloyd rounds the
+    // honest curve on this near-uniform synthetic data is ~0.66 / 0.90 /
+    // 0.96 at nprobe 4 / 8 / 10 of nlist=16 — the >= 0.9 gate runs at
+    // nprobe=8, and px13's nprobe=4 config gates at its honest >= 0.6.
     val e = graft.queries.Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select($"query_id", $"neighbor_id").collect().map(_.toSeq).toSet
     val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
-    val ivf = pairs(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 4))
+    val ivf4 = pairs(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 4))
+    val ivf8 = pairs(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 8))
     val lsh = pairs(Similarity.lshTopK(q, e, "vec_id", "embedding", 5, bits = 4, dim = 64))
-    val ivfRecall = (ivf & exact).size.toDouble / exact.size
+    val r4 = (ivf4 & exact).size.toDouble / exact.size
+    val r8 = (ivf8 & exact).size.toDouble / exact.size
     val lshRecall = (lsh & exact).size.toDouble / exact.size
-    info(f"IVF recall $ivfRecall%.2f, multi-probe LSH recall $lshRecall%.2f")
-    assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall")
+    info(f"IVF recall nprobe=4: $r4%.2f, nprobe=8: $r8%.2f, LSH: $lshRecall%.2f")
+    assert(r4 >= 0.6, s"IVF recall at px13's nprobe=4 config: $r4")
+    assert(r8 >= 0.9, s"IVF recall at nprobe=8: $r8")
     // weakly-similar neighbors (cos ~0.3-0.5) are intrinsically hard for
     // sign-LSH; multi-probe roughly doubles the single-bucket recall
     assert(lshRecall >= 0.35, s"LSH recall $lshRecall")
