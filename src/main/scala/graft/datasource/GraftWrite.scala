@@ -21,7 +21,40 @@ class GraftWriteBuilder(catalog: GraftCatalog, opts: GraftOptions, info: Logical
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(catalog, opts, info.schema(), dropAndRecreate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(catalog, opts, info.schema(), dropAndRecreate)
   }
+}
+
+/** Native DSv2 streaming sink: `df.writeStream.format("graft-kv")` — each
+  * micro-batch's tasks run the SAME row→put encoder as batch writes. Epoch
+  * commit/abort are no-ops by design: puts are idempotent upserts keyed by
+  * (rowkey, cf, qual, ts), so an at-least-once epoch replay rewrites
+  * identical cells and the table converges to exactly-once contents — the
+  * store itself is the idempotency layer, no write-ahead bookkeeping
+  * needed. DDL (create + presplit) runs once, driver-side, when the query
+  * starts. */
+class GraftStreamingWrite(catalog: GraftCatalog, opts: GraftOptions,
+    writeSchema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    GraftDdl.ensureTable(catalog, opts, dropExisting = truncate)
+    new GraftStreamingWriterFactory(catalog, opts, writeSchema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GraftStreamingWriterFactory(catalog: GraftCatalog, opts: GraftOptions,
+    writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(catalog, opts, writeSchema)
 }
 
 class GraftBatchWrite(catalog: GraftCatalog, opts: GraftOptions,

@@ -82,11 +82,12 @@ object StreamBatch {
       |"value":{"cf":"f", "col":"value", "type":"double"}}}""".stripMargin
 
   /** sv3: streaming graft-kv SINK end to end — the stream flows through
-    * `GraftStreaming.kvSink` (foreachBatch → the same DSv2 write path batch
-    * writes use, including first-batch DDL+presplit), then the table reads
-    * back through the connector. Puts are idempotent upserts by (key, cf,
-    * qual, ts) with a fixed stamp, so at-least-once micro-batch delivery
-    * collapses to exactly-once table contents = batch SELECT of the source. */
+    * the NATIVE DSv2 STREAMING_WRITE sink (`writeStream.format("graft-kv")`,
+    * [[graft.datasource.GraftStreamingWrite]], including start-of-query
+    * DDL+presplit), then the table reads back through the connector. Puts
+    * are idempotent upserts by (key, cf, qual, ts) with a fixed stamp, so
+    * at-least-once micro-batch delivery collapses to exactly-once table
+    * contents = batch SELECT of the source. */
   def sv3StreamKvSink(s: SparkSession, dir: String): DataFrame = {
     if (!graft.store.KvStore.exists("default:kv_stream_events")) {
       val maxId = Tables.events(s, dir)

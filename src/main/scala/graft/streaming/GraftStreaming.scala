@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -16,13 +16,21 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   */
 object GraftStreaming {
 
-  /** Attach a graft-kv sink to a streaming DataFrame via foreachBatch.
-    * Each micro-batch appends through the same DSv2 write path as batch
-    * writes; `options` must carry the catalog. */
-  def kvSink(stream: DataFrame, options: Map[String, String]): DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      batch.write.format("graft-kv").options(options).mode("append").save()
-    }
+  /** Attach the NATIVE graft-kv streaming sink (DSv2 STREAMING_WRITE,
+    * [[graft.datasource.GraftStreamingWrite]]) to a streaming DataFrame.
+    * First-class `writeStream.format("graft-kv")` — no foreachBatch
+    * detour: micro-batch tasks run the same row→put encoder as batch
+    * writes, and idempotent upserts make epoch replays converge to
+    * exactly-once table contents. `options` must carry the catalog.
+    * Unlike foreachBatch, a real sink requires a checkpointLocation; when
+    * the caller doesn't pass one, a throwaway temp dir is used — fine for
+    * ephemeral runs, but durable restart/recovery needs a real path. */
+  def kvSink(stream: DataFrame, options: Map[String, String]): DataStreamWriter[Row] = {
+    val w = stream.writeStream.format("graft-kv").options(options)
+    if (options.contains("checkpointLocation")) w
+    else w.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-kv-sink-ckpt").toString)
+  }
 
   /** Watermarked 5-minute tumbling-window count/sum per event type —
     * the streaming twin of queries.Events.ev1WindowAgg. State is bounded
