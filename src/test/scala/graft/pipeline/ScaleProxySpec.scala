@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-proxy stress: the closest a single-JVM sandbox gets to the 100 TB
+  * adversarial case — a generated 10⁶-doc corpus that is 70% exact
+  * boilerplate copies (50 templates × ~14k copies each), 20% near-dup
+  * template variants, 10% unique. Exercises the px5/px7/px14 shapes at
+  * volume and asserts the scale defenses hold:
+  *
+  *  - exact-dup pre-collapse: sketching runs on ~300k representatives, not
+  *    10⁶ docs, and NO quadratic pair set is ever materialized (keepers are
+  *    labeled through the rep graph);
+  *  - salted bucket caps: a deliberately tiny cap forces overflow, whose
+  *    drops are observe-counted (never silent) while kept totals respect
+  *    the cap;
+  *  - wall-clock ceilings as the regression net for the r4 cap/columnar
+  *    changes — generous (this machine's timings vary 3× under load) but
+  *    low enough that an accidental O(n²) reappearing would blow them.
+  */
+class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val N = 1000000L
+
+  /** 70% exact copies of 50 templates, 20% near-dup variants (one trailing
+    * token differs), 10% unique — the boilerplate-heavy web-crawl profile
+    * that makes naive LSH quadratic. */
+  private def corpus: DataFrame = spark.range(N).selectExpr(
+    "id AS doc_id",
+    """CASE
+      |  WHEN id % 10 < 7 THEN concat('boilerplate terms of service template ',
+      |    CAST((id DIV 10) % 50 AS STRING), ' applies to all users of this site')
+      |  WHEN id % 10 < 9 THEN concat('boilerplate terms of service template ',
+      |    CAST((id DIV 10) % 50 AS STRING), ' applies to all users of site ',
+      |    CAST(id % 9973 AS STRING))
+      |  ELSE concat('unique document ', CAST(id AS STRING), ' content ',
+      |    CAST(xxhash64(CAST(id AS STRING)) AS STRING))
+      |END AS text""".stripMargin)
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("px5 shape: exact dedup of 1M docs collapses the 70% boilerplate") {
+    val (rows, secs) = timed {
+      Dedup.exact(corpus, "text", "doc_id")
+        .agg(count(lit(1)).as("n_distinct"), sum(col("n_copies")).as("n_docs"),
+          max(col("n_copies")).as("biggest"))
+        .head()
+    }
+    info(f"exact dedup of $N%d docs: $secs%.1f s, " +
+      s"${rows.getAs[Long]("n_distinct")} distinct")
+    assert(rows.getAs[Long]("n_docs") == N)
+    // 50 templates × ~14k copies dominate; near-dup variants repeat ~2×
+    assert(rows.getAs[Long]("biggest") >= 10000L)
+    assert(rows.getAs[Long]("n_distinct") < 400000L)
+    assert(secs < 40.0, s"exact dedup took $secs s")
+  }
+
+  test("px7+px14 shape: minhashKeepers labels the 1M corpus without quadratic work") {
+    val df = corpus
+    val (labels, secs) = timed {
+      val l = Dedup.minhashKeepers(df, "text", "doc_id", 32, 16, 0.8,
+        maxBucket = 64).persist()
+      l.count()
+      l
+    }
+    val n = labels.count()
+    info(f"minhashKeepers on $N%d docs: $secs%.1f s, $n%d labeled")
+    // every exact-dup member is labeled (70% of the corpus at minimum);
+    // output is LINEAR — the expanded pair formulation would be ~5e9 rows
+    assert(n >= (N * 7) / 10, s"labeled only $n")
+    assert(n <= N)
+    // all ~14k copies of one template resolve to ONE keeper: collapse +
+    // rep-graph labeling must not fracture an exact group
+    val perTemplate = df.filter(col("doc_id") % 10 < 7)
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .groupBy(col("text"))
+      .agg(countDistinct(col("keep_id")).as("keepers"), count(lit(1)).as("members"))
+      .agg(max(col("keepers")).as("max_keepers"), min(col("members")).as("min_members"),
+        count(lit(1)).as("templates"))
+      .head()
+    assert(perTemplate.getAs[Long]("templates") == 50L)
+    assert(perTemplate.getAs[Long]("max_keepers") == 1L,
+      "an exact-dup group fractured into multiple keepers")
+    assert(perTemplate.getAs[Long]("min_members") >= 10000L,
+      "exact-dup members lost their labels")
+    labels.unpersist()
+    assert(secs < 90.0, s"minhashKeepers took $secs s")
+  }
+
+  test("capBuckets at 1M entries in one bucket: capped, spread, drops observed") {
+    val entries = spark.range(N).selectExpr("id", "0 AS band", "7L AS bh")
+    val (kept, secs) = timed {
+      val capped = Dedup.capBuckets(entries.toDF(), Seq("band", "bh"), 1000, "stress")
+      val k = capped.collect().length.toLong
+      val m = capped.queryExecution.observedMetrics("graft.capBuckets.stress")
+      assert(m.getAs[Long]("hot_buckets") == Dedup.CapSalts.toLong)
+      assert(m.getAs[Long]("dropped_entries") == N - k)
+      k
+    }
+    info(f"capBuckets on $N%d-entry bucket: $secs%.1f s, kept $kept%d")
+    assert(kept <= 1000L && kept > 900L)
+    assert(secs < 30.0, s"capBuckets took $secs s")
+  }
+}
