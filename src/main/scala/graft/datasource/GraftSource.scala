@@ -68,13 +68,19 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
 /** A pushed-down aggregate the partition readers evaluate store-side —
   * the DSv2 analogue of an HBase aggregation coprocessor: each partition
   * emits ONE partial row instead of its full row set, and Spark's final
-  * aggregate merges the per-region partials. Min/Max/Count only (Sum's
-  * partial result types are engine-version-coupled; deliberately out). */
+  * aggregate merges the per-region partials. Min/Max/Count/Sum; Sum pushes
+  * only for integral (partial = LongType, wrap-around addition is
+  * associative so region partials merge to the exact non-ANSI result) and
+  * float/double (partial = DoubleType — Spark's own distributed sum is
+  * already merge-order-nondeterministic, so region partials add no new
+  * variance) columns. Decimal sums stay engine-side: their
+  * precision-widening partial type is version-coupled. */
 sealed trait PushedAggOp extends Serializable
 case object CountStarOp extends PushedAggOp
 final case class CountColOp(field: String) extends PushedAggOp
 final case class MinOp(field: String) extends PushedAggOp
 final case class MaxOp(field: String) extends PushedAggOp
+final case class SumOp(field: String, integral: Boolean) extends PushedAggOp
 
 /** Pushdown surface (reference buildScan/unhandledFilters contract,
   * HBaseRelation.scala:316-322) — plus DSv2 aggregate pushdown, which the
@@ -182,11 +188,21 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
            _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     }
+    def summable(name: String): Option[Boolean] = catalog.field(name).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        Some(true)
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+        Some(false)
+      case _ => None
+    }
     val ops: Seq[Option[PushedAggOp]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(CountStarOp)
       case c: Count if !c.isDistinct => ref(c.column).map(CountColOp)
       case m: Min => ref(m.column).filter(orderable).map(MinOp)
       case m: Max => ref(m.column).filter(orderable).map(MaxOp)
+      case s: Sum if !s.isDistinct =>
+        ref(s.column).flatMap(f => summable(f).map(i => SumOp(f, i)))
       case _ => None
     }
     if (!ops.forall(_.isDefined)) return false
@@ -202,6 +218,8 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
         case CountColOp(f) => StructField(s"count($f)", LongType, nullable = false)
         case MinOp(f) => StructField(s"min($f)", catalog.field(f).dataType)
         case MaxOp(f) => StructField(s"max($f)", catalog.field(f).dataType)
+        case SumOp(f, integral) => StructField(s"sum($f)",
+          if (integral) LongType else org.apache.spark.sql.types.DoubleType)
       }))
     true
   }
@@ -300,6 +318,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
           case CountColOp(f) => f
           case MinOp(f) => f
           case MaxOp(f) => f
+          case SumOp(f, _) => f
         }).distinct
         StructType(fields.map(f => org.apache.spark.sql.types.StructField(
           f, catalog.field(f).dataType)))
@@ -398,6 +417,9 @@ private[datasource] final class AggAccumulator(
 
   private val counts = new Array[Long](ops.length)
   private val extremes = new Array[Any](ops.length)
+  private val sumsL = new Array[Long](ops.length)
+  private val sumsD = new Array[Double](ops.length)
+  private val sumSeen = new Array[Boolean](ops.length)
 
   private[datasource] def copyOf(v: Any): Any = v match {
     case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
@@ -408,6 +430,9 @@ private[datasource] final class AggAccumulator(
   def reset(): Unit = {
     java.util.Arrays.fill(counts, 0L)
     java.util.Arrays.fill(extremes.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(sumsL, 0L)
+    java.util.Arrays.fill(sumsD, 0.0)
+    java.util.Arrays.fill(sumSeen, false)
   }
 
   def update(row: InternalRow): Unit = {
@@ -430,6 +455,21 @@ private[datasource] final class AggAccumulator(
             if (extremes(i) == null || orderings(j).gt(v, extremes(i)))
               extremes(i) = copyOf(v)
           }
+        case SumOp(f, integral) =>
+          val j = idx(f)
+          if (!row.isNullAt(j)) {
+            sumSeen(i) = true
+            if (integral) sumsL(i) += (dts(j) match {
+              case org.apache.spark.sql.types.LongType => row.getLong(j)
+              case org.apache.spark.sql.types.IntegerType => row.getInt(j).toLong
+              case org.apache.spark.sql.types.ShortType => row.getShort(j).toLong
+              case _ => row.getByte(j).toLong
+            })
+            else sumsD(i) += (dts(j) match {
+              case org.apache.spark.sql.types.DoubleType => row.getDouble(j)
+              case _ => row.getFloat(j).toDouble
+            })
+          }
       }
       i += 1
     }
@@ -438,6 +478,8 @@ private[datasource] final class AggAccumulator(
   def result(): Array[Any] = ops.zipWithIndex.map {
     case (CountStarOp, i) => counts(i): Any
     case (CountColOp(_), i) => counts(i): Any
+    case (SumOp(_, integral), i) =>
+      if (!sumSeen(i)) null else if (integral) sumsL(i): Any else sumsD(i): Any
     case (_, i) => extremes(i)
   }.toArray
 }

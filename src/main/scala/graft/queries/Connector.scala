@@ -461,13 +461,15 @@ object Connector {
         min(col("c_acctbal")).as("min_bal"),
         max(col("c_acctbal")).as("max_bal"),
         min(col("c_name")).as("min_name"),
-        max(col("c_custkey")).as("max_key"))
+        max(col("c_custkey")).as("max_key"),
+        sum(col("c_custkey")).as("sum_key"))
   }
 
   val kv15Sql: String =
     """SELECT count(*) AS n_rows, count(c_mktsegment) AS n_seg,
       |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-      |  min(c_name) AS min_name, max(c_custkey) AS max_key
+      |  min(c_name) AS min_name, max(c_custkey) AS max_key,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
       |FROM customer WHERE c_custkey >= 100""".stripMargin
 
   /** kv16: DSv2 TOP-N pushdown — ORDER BY row key + LIMIT stops each
@@ -508,7 +510,8 @@ object Connector {
         count(col("o_orderpriority")).as("n_pri"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
-        max(col("o_orderkey")).as("max_key"))
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_custkey")).as("sum_cust"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -516,7 +519,8 @@ object Connector {
     """SELECT o_orderstatus, count(*) AS n_orders,
       |  count(o_orderpriority) AS n_pri,
       |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-      |  max(o_orderkey) AS max_key
+      |  max(o_orderkey) AS max_key,
+      |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
       |FROM orders WHERE o_orderkey < 3000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

@@ -338,6 +338,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = executedPlan(df)
     assert(plan.contains("pushedAggregates"),
       s"expected the scan to carry pushed aggregates:\n${plan.take(3000)}")
+    assert(plan.contains("SumOp(c_custkey"),
+      s"sum(c_custkey) must push, not fall back:\n${plan.take(3000)}")
     // each surviving region contributes exactly ONE partial row; the scan's
     // partition count is bounded by the region count, not the table size
     // (AQE wraps stages as leaves, so descend into QueryStageExec plans)
