@@ -96,6 +96,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   private var aggGroupCols: Seq[String] = Nil
   private var aggSchema: Option[StructType] = None
   private var pushedLimit: Option[Int] = None
+  private var reverseScan: Boolean = false
 
   /** Any scan can stop early — each partition emits at most `l` rows and
     * Spark's GlobalLimit picks among them (partial pushdown, so the limit
@@ -104,25 +105,31 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
 
   override def isPartiallyPushed(): Boolean = true
 
-  /** Top-N pushes when the requested ordering is an ASCENDING prefix of the
-    * row key and every prefix coder preserves byte order: the store scans
-    * each region in key order, so the first `l` rows of a partition ARE its
-    * top `l` — no per-partition sort, no full-region read. An Avro row key
-    * (preservesOrdering = false) or any non-key ordering declines. */
+  /** Top-N pushes when the requested ordering is a UNIFORM-direction prefix
+    * of the row key and every prefix coder preserves byte order: ascending
+    * rides the store's native key order; descending rides a REVERSED scan
+    * (the skip list is a NavigableMap — O(1) per step, no sort). Either
+    * way the first `l` rows a partition emits ARE its top `l` under the
+    * requested ordering (full-key order is a valid tie-break), so no
+    * per-partition sort and no full-region read. Mixed directions, an Avro
+    * row key (preservesOrdering = false), or any non-key ordering decline. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     val keyFields = catalog.rowKeyFields
-    val ok = orders.nonEmpty && orders.length <= keyFields.length &&
+    val uniform = orders.nonEmpty && orders.forall(_.direction == orders.head.direction)
+    val ok = uniform && orders.length <= keyFields.length &&
       orders.zip(keyFields).forall { case (o, kf) =>
         (o.expression match {
           case nr: NamedReference =>
             nr.fieldNames.length == 1 && nr.fieldNames.head == kf.name
           case _ => false
-        }) && o.direction == SortDirection.ASCENDING &&
-          kf.coder.preservesOrdering(kf.dataType)
+        }) && kf.coder.preservesOrdering(kf.dataType)
       }
-    if (ok) pushedLimit = Some(l)
+    if (ok) {
+      pushedLimit = Some(l)
+      reverseScan = orders.head.direction == SortDirection.DESCENDING
+    }
     ok
   }
 
@@ -226,7 +233,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
 
   override def build(): Scan =
     new GraftScan(catalog, opts, requiredSchema, pushed, aggOps, aggSchema,
-      pushedLimit, aggGroupCols)
+      pushedLimit, aggGroupCols, reverseScan)
 }
 
 class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
@@ -234,7 +241,8 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     aggOps: Option[Seq[PushedAggOp]] = None,
     aggSchema: Option[StructType] = None,
     limit: Option[Int] = None,
-    aggGroupCols: Seq[String] = Nil)
+    aggGroupCols: Seq[String] = Nil,
+    reverse: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = aggSchema.getOrElse(requiredSchema)
@@ -300,7 +308,8 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
         else s", pushedGroupBy=[${aggGroupCols.mkString(", ")}]"
       s"GraftScan(${catalog.qualifiedName}, pushedAggregates=[${ops.mkString(", ")}]$grp)"
     case None =>
-      val lim = limit.map(l => s", pushedLimit=$l").getOrElse("")
+      val lim = limit.map(l =>
+        s", pushedLimit=$l${if (reverse) " (reversed)" else ""}").getOrElse("")
       s"GraftScan(${catalog.qualifiedName}, cols=${requiredSchema.fieldNames.mkString(",")}$lim)"
   }
 
@@ -332,7 +341,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       else Some(GraftInputPartition(catalog, opts, r.index, r.host,
         clipped.map(SerializableRange.from), hrf.pred,
         partSchema, aggOps, if (aggOps.isEmpty) limit else None,
-        aggGroupCols): InputPartition)
+        aggGroupCols, reverse): InputPartition)
     }.toArray
   }
 
@@ -365,7 +374,8 @@ final case class GraftInputPartition(
     requiredSchema: org.apache.spark.sql.types.StructType,
     aggOps: Option[Seq[PushedAggOp]] = None,
     limit: Option[Int] = None,
-    groupCols: Seq[String] = Nil) extends InputPartition {
+    groupCols: Seq[String] = Nil,
+    reverse: Boolean = false) extends InputPartition {
   /** Data locality: the region's host (reference getPreferredLocations,
     * HBaseTableScan.scala:384-388). */
   override def preferredLocations(): Array[String] = Array(host)
@@ -625,9 +635,14 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
   // Point ranges become single-key lookups and range ranges become ordered
   // scans over the region's skip list — the scan-vs-get split of the
   // reference (HBaseTableScan.scala:454-494) collapses to one call here
-  // because a point `subMap` IS the get on the embedded store.
-  def kvRows: Iterator[graft.store.KvRow] = p.ranges.iterator
-    .flatMap(r => table.scan(p.regionIndex, r.toRange, columnSet, timeRange, versions, p.pred))
+  // because a point `subMap` IS the get on the embedded store. A reversed
+  // scan (top-N DESC) walks the normalized-ascending ranges backwards,
+  // each range iterated descending, so the stream is globally key-DESC.
+  def kvRows: Iterator[graft.store.KvRow] = {
+    val ordered = if (p.reverse) p.ranges.reverseIterator else p.ranges.iterator
+    ordered.flatMap(r => table.scan(p.regionIndex, r.toRange, columnSet,
+      timeRange, versions, p.pred, p.reverse))
+  }
 }
 
 /** Executor-side reader: splits ranges into point gets vs scans (reference

@@ -143,14 +143,23 @@ object Dedup {
     *    always LOGGED via the observe metric, never silent. A stale cached
     *    statistic (files rewritten in-process behind an identical plan) can
     *    likewise only defer the collapse into the logged-cap regime. */
-  private val dupStatCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
-
   /** The stat cache keys are full canonicalized plans (exact, collision-
     * free); bound the entry count so long-lived drivers that touch many
     * distinct corpora don't accumulate plan trees (LocalRelation keys pin
     * their row data). Eviction just re-runs the one-job statistic. */
   private val DupStatCacheMax = 64
+
+  /** access-ordered LRU, evicting one-at-a-time past the cap (a wholesale
+    * clear() would re-run every live corpus's statistic on next touch);
+    * synchronized — the cache is driver-side, contention-free. */
+  private val dupStatCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long](
+        16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]): Boolean =
+        size() > DupStatCacheMax
+    })
 
   /** Largest exact-dup group size above which the collapse machinery
     * engages: 1024²/2 candidate pairs per uncollapsed group is the most the
@@ -162,7 +171,6 @@ object Dedup {
     val keyed = rows.withColumn("__ck", contentKey)
     val groups = keyed.select(col("__ck"), col("id"))
       .groupBy(col("__ck")).agg(min(col("id")).as("rep"), count(lit(1)).as("gs"))
-    if (dupStatCache.size() > DupStatCacheMax) dupStatCache.clear()
     val maxGroup = dupStatCache.computeIfAbsent(
       keyed.queryExecution.analyzed.canonicalized,
       _ => groups.agg(coalesce(max(col("gs")), lit(0L))).first().getLong(0))

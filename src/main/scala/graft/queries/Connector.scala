@@ -524,6 +524,25 @@ object Connector {
       |FROM orders WHERE o_orderkey < 3000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** kv18: REVERSED top-N pushdown — ORDER BY the composite row key
+    * DESCENDING + LIMIT rides a reversed region scan (the store's skip
+    * list is a NavigableMap, so descending iteration is O(1) per step —
+    * the HBase `Scan.setReversed` analogue the reference never exposed):
+    * each region emits its LAST n rows in key-DESC order and stops, no
+    * per-partition sort, no full-region read. Uniform descending direction
+    * over a key prefix only; mixed directions decline. */
+  def kv18ReverseTopn(s: SparkSession, dir: String): DataFrame = {
+    ensureOrders(s, dir)
+    s.read.format("graft-kv").option("catalog", ordersCatalog).load()
+      .orderBy(col("o_orderstatus").desc, col("o_orderkey").desc)
+      .limit(15)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
+  val kv18Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |ORDER BY o_orderstatus DESC, o_orderkey DESC LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -542,6 +561,7 @@ object Connector {
     "kv15_agg_pushdown"   -> (kv15AggPushdown _),
     "kv16_topn_pushdown"  -> (kv16TopnPushdown _),
     "kv17_groupby_pushdown" -> (kv17GroupbyPushdown _),
+    "kv18_reverse_topn"   -> (kv18ReverseTopn _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -562,5 +582,6 @@ object Connector {
     "kv15_agg_pushdown"   -> kv15Sql,
     "kv16_topn_pushdown"  -> kv16Sql,
     "kv17_groupby_pushdown" -> kv17Sql,
+    "kv18_reverse_topn"   -> kv18Sql,
   )
 }

@@ -126,7 +126,7 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
     * still carry inclusivity — honored exactly. */
   def scan(regionIndex: Int, range: ScanRange[Array[Byte]], cols: ColumnSet,
       time: Option[TimeRange], versions: Int,
-      predicate: Option[KvPredicate]): Iterator[KvRow] = {
+      predicate: Option[KvPredicate], reverse: Boolean = false): Iterator[KvRow] = {
     val region = regions(regionIndex)
     (range.start.value, range.end.value) match {
       case (Some(s), Some(e)) if BytesUtil.compareBytes(s, e) > 0 => return Iterator.empty
@@ -139,7 +139,11 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
         case (None, Some(e))    => region.rows.headMap(e, range.end.inclusive)
         case (None, None)       => region.rows
       }
-    m.entrySet().iterator().asScala.flatMap { e =>
+    // reversed scan (HBase Scan.setReversed analogue): the skip list is a
+    // NavigableMap, so descending iteration is O(1) per step — no sort
+    val it = if (reverse) m.descendingMap().entrySet().iterator()
+             else m.entrySet().iterator()
+    it.asScala.flatMap { e =>
       if (predicate.forall(_.eval(e.getKey, e.getValue, time)))
         materialize(e.getKey, e.getValue, cols, time, versions)
       else None

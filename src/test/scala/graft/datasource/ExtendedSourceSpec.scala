@@ -135,12 +135,15 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val top = df.orderBy(col("key")).limit(7)
     assert(top.queryExecution.executedPlan.toString.contains("pushedLimit=7"))
     assert(top.collect().map(_.getLong(0)).toSeq == (1L to 7L))
-    // descending key, or ordering by a value column: decline (full sort)
-    for (bad <- Seq(df.orderBy(col("key").desc).limit(3),
-        df.orderBy(col("v")).limit(3))) {
-      assert(!bad.queryExecution.executedPlan.toString.contains("pushedLimit"))
-    }
-    assert(df.orderBy(col("v")).limit(3).collect().map(_.getLong(0)).toSeq ==
+    // descending key: pushed as a REVERSED scan (skip-list descendingMap)
+    val topDesc = df.orderBy(col("key").desc).limit(3)
+    assert(topDesc.queryExecution.executedPlan.toString.contains("pushedLimit=3 (reversed)"),
+      topDesc.queryExecution.executedPlan.toString.take(2000))
+    assert(topDesc.collect().map(_.getLong(0)).toSeq == Seq(40L, 39L, 38L))
+    // ordering by a value column: decline (full sort)
+    val bad = df.orderBy(col("v")).limit(3)
+    assert(!bad.queryExecution.executedPlan.toString.contains("pushedLimit"))
+    assert(bad.collect().map(_.getLong(0)).toSeq ==
       Seq(40L, 39L, 38L)) // still correct through the fallback
   }
 

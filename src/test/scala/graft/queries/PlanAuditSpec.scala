@@ -378,6 +378,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"value-column grouping must decline the push:\n${noPush.take(3000)}")
   }
 
+  test("kv18: ORDER BY row key DESC + LIMIT pushes a reversed top-N scan") {
+    val df = Connector.kv18ReverseTopn(spark, dir)
+    val plan = executedPlan(df)
+    assert(plan.contains("pushedLimit=15 (reversed)"),
+      s"expected a reversed top-N pushdown:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("kv16: ORDER BY row key + LIMIT pushes top-N into the scan") {
     Connector.ensureCustomer(spark, dir)
     val df = Connector.kv16TopnPushdown(spark, dir)
