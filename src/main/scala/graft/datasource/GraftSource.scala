@@ -623,7 +623,11 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
         (if (valueFields.nonEmpty) valueFields else catalog.valueFields).map(_.cf).toSet)
       case "column" => ColumnSet.Columns(valueFields.map(f => (f.cf, f.qual)).toSet)
       case _ => // auto
-        if (valueFields.isEmpty) ColumnSet.All // row-existence only (count/key-only)
+        // row-existence only (count/key-only): stop at the first in-range
+        // cell — but an exploded-versions read derives a row PER TIMESTAMP
+        // from the cell list, so it still needs the cells
+        if (valueFields.isEmpty && p.opts.mergeToLatest) ColumnSet.KeysOnly
+        else if (valueFields.isEmpty) ColumnSet.All
         else if (valueFields.exists(_.isDynamic))
           ColumnSet.Families(valueFields.map(_.cf).toSet)
         else ColumnSet.Columns(valueFields.map(f => (f.cf, f.qual)).toSet)

@@ -48,6 +48,12 @@ object ColumnSet {
   case object All extends ColumnSet
   final case class Families(cfs: Set[String]) extends ColumnSet
   final case class Columns(cols: Set[(String, String)]) extends ColumnSet
+  /** existence only: emit a cell-less row iff ANY cell falls inside the
+    * scan's time range, stopping at the first hit — the key-only /
+    * count(*) fast path (HBase's FirstKeyOnlyFilter analogue), which
+    * otherwise would materialize every cell of every row just to prove
+    * the row exists. */
+  case object KeysOnly extends ColumnSet
 }
 
 final case class TimeRange(minStamp: Long, maxStamp: Long) extends Serializable
@@ -154,6 +160,19 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
       key: Array[Byte],
       row: ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]],
       cols: ColumnSet, time: Option[TimeRange], versions: Int): Option[KvRow] = {
+    if (cols == ColumnSet.KeysOnly) {
+      // existence-only fast path: first in-range cell wins, no cell list
+      var exists = false
+      val it = row.values().iterator()
+      while (!exists && it.hasNext) {
+        val vit = it.next().entrySet().iterator()
+        while (!exists && vit.hasNext) {
+          val ts = vit.next().getKey.longValue()
+          if (time.forall(t => ts >= t.minStamp && ts < t.maxStamp)) exists = true
+        }
+      }
+      return if (exists) Some(KvRow(key, Seq.empty)) else None
+    }
     val out = Seq.newBuilder[KvCell]
     var any = false
     row.forEach { (ck, vmap) =>
@@ -161,6 +180,7 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
         case ColumnSet.All => true
         case ColumnSet.Families(cfs) => cfs.contains(ck._1)
         case ColumnSet.Columns(cs) => cs.contains(ck)
+        case ColumnSet.KeysOnly => false // unreachable (handled above)
       }
       if (keep) {
         var n = 0
