@@ -289,8 +289,17 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       if (ScanRange.and(hrf.ranges, Seq(regionRange)).isEmpty) 0L
       else table.regions(r.index).rows.size.toLong
     }.sum
-    val rows = limit.fold(rowCount)(l =>
-      math.min(rowCount, l.toLong * table.regions.size))
+    val surviving = table.regionInfos.count { r =>
+      val regionRange = ScanRange[Array[Byte]](
+        Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
+      ScanRange.and(hrf.ranges, Seq(regionRange)).nonEmpty
+    }
+    val rows =
+      // a pushed GLOBAL aggregate emits exactly ONE partial row per
+      // surviving region — report that, not the table row count, so an
+      // aggregated subquery auto-broadcasts in joins
+      if (aggOps.isDefined && aggGroupCols.isEmpty) surviving.toLong
+      else limit.fold(rowCount)(l => math.min(rowCount, l.toLong * surviving))
     val width = math.max(readSchema().defaultSize, 1).toLong
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

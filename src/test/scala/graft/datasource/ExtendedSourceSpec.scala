@@ -145,6 +145,15 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!bad.queryExecution.executedPlan.toString.contains("pushedLimit"))
     assert(bad.collect().map(_.getLong(0)).toSeq ==
       Seq(40L, 39L, 38L)) // still correct through the fallback
+    // LIMIT + OFFSET pagination: whatever limit Spark chooses to push, the
+    // per-partition early stop must keep >= offset+limit candidates so the
+    // global offset cut stays correct — both scan directions
+    val page = df.orderBy(col("key")).offset(5).limit(3)
+    assert(page.collect().map(_.getLong(0)).toSeq == Seq(6L, 7L, 8L),
+      page.queryExecution.executedPlan.toString.take(2000))
+    val pageDesc = df.orderBy(col("key").desc).offset(5).limit(3)
+    assert(pageDesc.collect().map(_.getLong(0)).toSeq == Seq(35L, 34L, 33L),
+      pageDesc.queryExecution.executedPlan.toString.take(2000))
   }
 
   test("reported statistics: small kv dimension auto-broadcasts, no hint") {
