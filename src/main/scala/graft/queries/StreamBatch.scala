@@ -227,6 +227,25 @@ object StreamBatch {
   /** Same semantics and arithmetic as batch ev11 — same oracle. */
   val sv8Sql: String = Events.ev11Sql
 
+  /** sv9: stateful streaming ordered funnel — ev8's streaming twin
+    * (flatMapGroupsWithState holding each user's three set-at-most-once
+    * stage stamps). Stage and stamps are monotone, so the per-user max at
+    * the gate is the final state; `timestamp_micros` turns the exact
+    * integer stamps back into timestamps, hence the shared oracle. */
+  def sv9StreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    runToMemory(GraftStreaming.funnelStream(eventStream(s, dir)),
+      "sv9_out", "update")
+    s.sql(
+      """SELECT user_id, CAST(max(funnel_stage) AS INT) AS funnel_stage,
+        |  timestamp_micros(max(tv_us)) AS ts_view,
+        |  timestamp_micros(max(tc_us)) AS ts_click,
+        |  timestamp_micros(max(tp_us)) AS ts_purchase
+        |FROM sv9_out GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  /** Same semantics as batch ev8 — same oracle. */
+  val sv9Sql: String = Events.ev8Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -236,6 +255,7 @@ object StreamBatch {
     "sv6_stream_window_agg" -> (sv6StreamWindowAgg _),
     "sv7_stream_anomaly"    -> (sv7StreamAnomaly _),
     "sv8_stream_transitions" -> (sv8StreamTransitions _),
+    "sv9_stream_funnel"     -> (sv9StreamFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,5 +267,6 @@ object StreamBatch {
     "sv6_stream_window_agg" -> sv6Sql,
     "sv7_stream_anomaly"    -> sv7Sql,
     "sv8_stream_transitions" -> sv8Sql,
+    "sv9_stream_funnel"     -> sv9Sql,
   )
 }

@@ -171,6 +171,62 @@ object GraftStreaming {
       .toDF()
   }
 
+  /** Per-user funnel state for [[funnelStream]]: the first qualifying
+    * timestamp (epoch micros) of each stage, Long.MinValue = not reached. */
+  case class FunnelState(tsView: Long, tsClick: Long, tsPurchase: Long)
+
+  /** Per-user output row emitted on every update. */
+  case class UserFunnel(user_id: Long, funnel_stage: Int, tv_us: Option[Long],
+      tc_us: Option[Long], tp_us: Option[Long])
+
+  /** Stateful streaming ordered-funnel analysis — the streaming twin of
+    * queries.Events.ev8Funnel, on `flatMapGroupsWithState`. Per user the
+    * state is three epoch-micros stamps, each set AT MOST ONCE: the first
+    * view, the first click strictly after that view, the first purchase
+    * strictly after that click — under the same cross-batch event-time-
+    * order contract as [[sessionizeStream]], the first qualifying event IS
+    * the batch query's `min(ts WHERE ts > prev stage)`, so streamed stages
+    * equal the batch funnel exactly. Timestamps compare as exact integer
+    * micros — no float anywhere. State per key is three longs, bounded by
+    * user cardinality; emits the running (user_id, stage 0-3, stamps)
+    * after every batch (update mode — stage and stamps are monotone, so
+    * the per-user max at the gate is the final state). */
+  def funnelStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val Unset = Long.MinValue
+    val typed = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, UserFunnel](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var s = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          sorted.foreach { case (_, ts, _, etype) =>
+            etype match {
+              case "view" if s.tsView == Unset => s = s.copy(tsView = ts)
+              case "click" if s.tsClick == Unset && s.tsView != Unset &&
+                ts > s.tsView => s = s.copy(tsClick = ts)
+              case "purchase" if s.tsPurchase == Unset && s.tsClick != Unset &&
+                ts > s.tsClick => s = s.copy(tsPurchase = ts)
+              case _ =>
+            }
+          }
+          state.update(s)
+          val stage = if (s.tsPurchase != Unset) 3
+            else if (s.tsClick != Unset) 2
+            else if (s.tsView != Unset) 1 else 0
+          def opt(v: Long): Option[Long] = if (v == Unset) None else Some(v)
+          Iterator.single(UserFunnel(user, stage,
+            opt(s.tsView), opt(s.tsClick), opt(s.tsPurchase)))
+      }
+      .toDF()
+  }
+
   /** Per-user transition state for [[transitionStream]]: the chain clock
     * (last ts/id/type) plus the monotone per-pair counts, keyed
     * "from\tto" (event types never contain tabs). State is bounded by

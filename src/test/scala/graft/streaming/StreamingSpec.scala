@@ -86,6 +86,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("stateful funnel matches the batch twin stage for stage") {
+    val fun = GraftStreaming.funnelStream(eventStream())
+    val q = fun.writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+      """SELECT user_id, CAST(max(funnel_stage) AS INT) AS stage,
+        |  max(tv_us) AS tv, max(tc_us) AS tc, max(tp_us) AS tp
+        |FROM funnel_out GROUP BY user_id""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    val batch = graft.queries.Events.ev8Funnel(spark, sfDir)
+      .selectExpr("user_id", "funnel_stage", "unix_micros(ts_view) AS tv",
+        "unix_micros(ts_click) AS tc", "unix_micros(ts_purchase) AS tp")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(streamed == batch)
+  }
+
   test("stateful transition counting matches the batch twin") {
     val trans = GraftStreaming.transitionStream(eventStream())
     val q = trans.writeStream.outputMode("update")
