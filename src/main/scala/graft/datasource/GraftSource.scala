@@ -46,20 +46,46 @@ class GraftSource extends TableProvider with DataSourceRegister {
 }
 
 class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
-    userSchema: Option[StructType] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    userSchema: Option[StructType] = None,
+    acceptAnySchema: Boolean = true)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = catalog.qualifiedName
 
   override def schema(): StructType = userSchema.getOrElse(catalog.schema)
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+  /** `DELETE FROM t WHERE ...` — only when the filter compiler handles
+    * EVERY filter exactly: a residual would make the compiled ranges an
+    * over-approximation, and an over-approximate delete removes rows the
+    * predicate didn't select. Spark falls back with an error for filters
+    * we refuse (the connector has no row-level rewrite path). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    FilterCompiler.partition(catalog, filters)._2.isEmpty
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(catalog, GraftOptions(options), schema())
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
+    KvStore.table(opts.storeName(catalog)).delete(hrf.ranges, hrf.pred)
+  }
+
+  /** ACCEPT_ANY_SCHEMA only on the options path (writers there resolve
+    * columns BY NAME against the catalog, so partial-column frames work);
+    * the SQL-catalog path omits it so `INSERT INTO ... VALUES` gets Spark's
+    * positional resolution against the table schema. */
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // SQL-catalog reads pass no per-read options (no "catalog" key) — use
+    // the table definition's options; DataFrame reads re-parse theirs so
+    // per-read knobs (maxVersions, timeRange, restrictive) keep working
+    val effective = if (options.containsKey("catalog")) GraftOptions(options) else opts
+    new GraftScanBuilder(catalog, effective, schema())
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(catalog, opts, info)

@@ -1,0 +1,151 @@
+package graft.datasource
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.GraftCatalog
+import graft.store.KvStore
+
+/** SQL-first surface for the kv engine: a DSv2 `TableCatalog` plugin, so the
+  * whole lifecycle runs in plain SQL — no JSON catalog string in user hands:
+  *
+  * {{{
+  * SET spark.sql.catalog.graft = graft.datasource.GraftTableCatalog
+  * CREATE TABLE graft.default.t (k BIGINT, v STRING, w DOUBLE)
+  *   TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4')
+  * INSERT INTO graft.default.t SELECT ...
+  * SELECT * FROM graft.default.t WHERE k > 10   -- full pushdown surface
+  * DELETE FROM graft.default.t WHERE k < 5      -- SupportsDelete, exact only
+  * DROP TABLE graft.default.t
+  * }}}
+  *
+  * The reference has nothing comparable (its DSv1 path is options-only); this
+  * is the idiomatic Spark-4 integration. `CREATE TABLE` synthesizes the same
+  * JSON catalog the options path uses — `rowkey` (colon-joined field list,
+  * default: first column), `family` (default `f`), `length.<field>` for
+  * fixed-width composite string key parts — then creates the presplit store
+  * table. Table definitions live in a JVM-wide registry (the stand-in for a
+  * metastore), like the store itself. */
+class GraftTableCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    GraftTableRegistry.entries.keys.toArray.collect {
+      case k if k.split('.').init.sameElements(namespace) =>
+        Identifier.of(namespace, k.split('.').last)
+    }
+
+  override def loadTable(ident: Identifier): Table =
+    GraftTableRegistry.entries.get(key(ident)) match {
+      case Some((json, props)) =>
+        val opts = GraftOptions(new CaseInsensitiveStringMap(
+          (props + ("catalog" -> json)).asJava))
+        new GraftTable(GraftCatalog.parse(json, props), opts,
+          acceptAnySchema = false)
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (GraftTableRegistry.entries.contains(key(ident)))
+      throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft-kv tables shard by row-key range presplits, not partition transforms; " +
+        "use TBLPROPERTIES ('numRegions' = 'n')")
+    val props = properties.asScala.toMap
+    val json = GraftTableCatalog.synthesizeCatalogJson(ident, schema, props)
+    val storeProps = props ++ Map(
+      "newtable" -> props.getOrElse("numRegions", "4"))
+    val opts = GraftOptions(new CaseInsensitiveStringMap(
+      (storeProps + ("catalog" -> json)).asJava))
+    val catalog = GraftCatalog.parse(json, storeProps)
+    GraftDdl.ensureTable(catalog, opts, dropExisting = false)
+    GraftTableRegistry.entries.put(key(ident), (json, storeProps))
+    new GraftTable(catalog, opts, acceptAnySchema = false)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-kv schema is fixed at CREATE TABLE (schema-on-write row keys)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    GraftTableRegistry.entries.remove(key(ident)) match {
+      case Some((json, props)) =>
+        val opts = GraftOptions(new CaseInsensitiveStringMap(
+          (props + ("catalog" -> json)).asJava))
+        KvStore.drop(opts.storeName(GraftCatalog.parse(json, props)))
+        true
+      case None => false
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported")
+}
+
+/** JVM-wide table-definition registry — the metastore stand-in, mirroring
+  * how [[graft.store.KvStore]] stands in for the region servers. */
+private[datasource] object GraftTableRegistry {
+  val entries = TrieMap[String, (String, Map[String, String])]()
+}
+
+object GraftTableCatalog {
+
+  /** Synthesize the options-path JSON catalog from a SQL CREATE TABLE:
+    * `rowkey` property (colon-joined, default first column) marks key
+    * fields; everything else maps to the `family` property's column family
+    * (default "f") with qualifier = column name. `length.<field>` pins a
+    * fixed byte width (required for non-final string key parts). */
+  def synthesizeCatalogJson(ident: Identifier, schema: StructType,
+      props: Map[String, String]): String = {
+    val ns = if (ident.namespace.isEmpty) "default" else ident.namespace.mkString(".")
+    val rowkey = props.getOrElse("rowkey", schema.fields.head.name)
+    val keyParts = rowkey.split(':').toSeq
+    keyParts.foreach { k =>
+      require(schema.fieldNames.contains(k), s"rowkey field $k not in schema")
+    }
+    val family = props.getOrElse("family", "f")
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val cols = schema.fields.map { f =>
+      val cf = if (keyParts.contains(f.name)) "rowkey" else family
+      val len = props.get(s"length.${f.name}")
+        .map(l => s""", "length":"${esc(l)}"""").getOrElse("")
+      // the catalog parses `type` with CatalystSqlParser — any SQL type
+      // string Spark prints round-trips
+      s""""${esc(f.name)}":{"cf":"${esc(cf)}", "col":"${esc(f.name)}", """ +
+        s""""type":"${esc(f.dataType.sql.toLowerCase)}"$len}"""
+    }.mkString(",\n")
+    // non-final string key parts need a declared width, or the write path
+    // can't delimit the composite key — fail at CREATE, not first INSERT
+    keyParts.init.foreach { k =>
+      val f = schema.fields(schema.fieldIndex(k))
+      require(f.dataType != StringType || props.contains(s"length.$k"),
+        s"composite key part $k is a string before the last position — " +
+          s"declare TBLPROPERTIES ('length.$k' = '<bytes>')")
+    }
+    s"""{"table":{"namespace":"${esc(ns)}", "name":"${esc(ident.name)}"},
+       |"rowkey":"${esc(rowkey)}",
+       |"columns":{
+       |$cols}}""".stripMargin
+  }
+}

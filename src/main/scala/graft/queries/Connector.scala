@@ -543,6 +543,42 @@ object Connector {
     """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
       |ORDER BY o_orderstatus DESC, o_orderkey DESC LIMIT 15""".stripMargin
 
+  /** kv19: the SQL-first lifecycle through the DSv2 TableCatalog plugin
+    * ([[graft.datasource.GraftTableCatalog]]) — CREATE TABLE with
+    * TBLPROPERTIES (no JSON catalog string in user hands), INSERT INTO from
+    * a parquet view, then a grouped read back through `graft.default.*`
+    * identifiers. The read path is the same scan (pushdown included); the
+    * DSv1 reference has no catalog integration at all. */
+  def kv19SqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.datasource.GraftTableCatalog].getName)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.default.sql_customer
+        |  (c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'c_custkey', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '20000')""".stripMargin)
+    if (graft.store.KvStore.table("default:sql_customer").regions
+        .forall(_.rows.isEmpty)) {
+      Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .createOrReplaceTempView("kv19_src")
+      s.sql(
+        """INSERT INTO graft.default.sql_customer
+          |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM kv19_src""".stripMargin)
+    }
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n, min(c_name) AS first_name,
+        |       max(c_acctbal) AS max_bal
+        |FROM graft.default.sql_customer WHERE c_custkey <= 1000
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val kv19Sql: String =
+    """SELECT c_nationkey, count(*) AS n, min(c_name) AS first_name,
+      |       max(c_acctbal) AS max_bal
+      |FROM customer WHERE c_custkey <= 1000
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -562,6 +598,7 @@ object Connector {
     "kv16_topn_pushdown"  -> (kv16TopnPushdown _),
     "kv17_groupby_pushdown" -> (kv17GroupbyPushdown _),
     "kv18_reverse_topn"   -> (kv18ReverseTopn _),
+    "kv19_sql_catalog"    -> (kv19SqlCatalog _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -583,5 +620,6 @@ object Connector {
     "kv16_topn_pushdown"  -> kv16Sql,
     "kv17_groupby_pushdown" -> kv17Sql,
     "kv18_reverse_topn"   -> kv18Sql,
+    "kv19_sql_catalog"    -> kv19Sql,
   )
 }

@@ -130,21 +130,54 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
     * having split inclusive upper bounds into point gets (reference
     * ScanRange.split, applied HBaseTableScan.scala:459). Bounds here may
     * still carry inclusivity — honored exactly. */
+  private type RowMap = java.util.NavigableMap[Array[Byte],
+    ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]]
+
+  /** The sub-view of a region's rows covered by `range`; empty for an
+    * inverted range. */
+  private def selectRows(region: Region, range: ScanRange[Array[Byte]]): RowMap = {
+    (range.start.value, range.end.value) match {
+      case (Some(s), Some(e)) if BytesUtil.compareBytes(s, e) > 0 =>
+        return java.util.Collections.emptyNavigableMap()
+      case _ =>
+    }
+    (range.start.value, range.end.value) match {
+      case (Some(s), Some(e)) => region.rows.subMap(s, range.start.inclusive, e, range.end.inclusive)
+      case (Some(s), None)    => region.rows.tailMap(s, range.start.inclusive)
+      case (None, Some(e))    => region.rows.headMap(e, range.end.inclusive)
+      case (None, None)       => region.rows
+    }
+  }
+
+  /** Delete every row whose key falls in one of `ranges` AND satisfies
+    * `predicate` — the store half of DSv2 `SupportsDelete`. Caller contract:
+    * ranges+predicate must be EXACT (no over-approximation — a residual
+    * would delete rows the filter didn't select); the connector only routes
+    * deletes here when the filter compiler handled every filter. Returns
+    * the removed-row count. */
+  def delete(ranges: Seq[ScanRange[Array[Byte]]],
+      predicate: Option[KvPredicate]): Long = {
+    var removed = 0L
+    regions.foreach { region =>
+      ranges.foreach { range =>
+        val it = selectRows(region, range).entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (predicate.forall(_.eval(e.getKey, e.getValue, None))) {
+            it.remove()
+            removed += 1
+          }
+        }
+      }
+    }
+    removed
+  }
+
   def scan(regionIndex: Int, range: ScanRange[Array[Byte]], cols: ColumnSet,
       time: Option[TimeRange], versions: Int,
       predicate: Option[KvPredicate], reverse: Boolean = false): Iterator[KvRow] = {
     val region = regions(regionIndex)
-    (range.start.value, range.end.value) match {
-      case (Some(s), Some(e)) if BytesUtil.compareBytes(s, e) > 0 => return Iterator.empty
-      case _ =>
-    }
-    val m: java.util.NavigableMap[Array[Byte], ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]] =
-      (range.start.value, range.end.value) match {
-        case (Some(s), Some(e)) => region.rows.subMap(s, range.start.inclusive, e, range.end.inclusive)
-        case (Some(s), None)    => region.rows.tailMap(s, range.start.inclusive)
-        case (None, Some(e))    => region.rows.headMap(e, range.end.inclusive)
-        case (None, None)       => region.rows
-      }
+    val m: RowMap = selectRows(region, range)
     // reversed scan (HBase Scan.setReversed analogue): the skip list is a
     // NavigableMap, so descending iteration is O(1) per step — no sort
     val it = if (reverse) m.descendingMap().entrySet().iterator()

@@ -1,0 +1,92 @@
+package graft.datasource
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.KvStore
+
+/** SQL-first lifecycle through the DSv2 TableCatalog plugin: CREATE TABLE /
+  * INSERT INTO / SELECT (with the full pushdown surface) / DELETE FROM /
+  * DROP TABLE — no JSON catalog string in user hands. */
+class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.catalog.graft", classOf[GraftTableCatalog].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); KvStore.dropAll() }
+
+  test("CREATE / INSERT / SELECT / DELETE / DROP, all in SQL") {
+    spark.sql(
+      """CREATE TABLE graft.default.sqlt (k BIGINT, name STRING, bal DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100')""".stripMargin)
+    assert(KvStore.exists("default:sqlt"))
+
+    spark.range(1, 101)
+      .selectExpr("id AS k", "concat('n', CAST(id AS STRING)) AS name",
+        "CAST(id AS DOUBLE) * 1.5 AS bal")
+      .createOrReplaceTempView("src")
+    spark.sql("INSERT INTO graft.default.sqlt SELECT k, name, bal FROM src")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.sqlt")
+      .head().getLong(0) == 100L)
+
+    // pushdown works through the catalog path: key range prunes regions
+    val ranged = spark.sql(
+      "SELECT k, name FROM graft.default.sqlt WHERE k >= 10 AND k < 20 ORDER BY k")
+    assert(ranged.collect().map(_.getLong(0)).toSeq == (10L until 20L))
+    assert(ranged.rdd.getNumPartitions < KvStore.table("default:sqlt").regions.size)
+
+    // exact delete: key range + value predicate both compile exactly
+    spark.sql("DELETE FROM graft.default.sqlt WHERE k >= 50 AND name LIKE 'n5%'")
+    // n50..n59 fall in [50, 60); n5 is below 50 and survives
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.sqlt")
+      .head().getLong(0) == 90L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.sqlt WHERE k = 55")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.sqlt WHERE k = 5")
+      .head().getLong(0) == 1L)
+
+    assert(spark.sql("SHOW TABLES IN graft.default").collect()
+      .map(_.getString(1)).contains("sqlt"))
+    spark.sql("DROP TABLE graft.default.sqlt")
+    assert(!KvStore.exists("default:sqlt"))
+  }
+
+  test("composite string key parts need declared widths at CREATE time") {
+    val ex = intercept[IllegalArgumentException] {
+      spark.sql(
+        """CREATE TABLE graft.default.badkey (a STRING, b BIGINT, v DOUBLE)
+          |TBLPROPERTIES ('rowkey' = 'a:b')""".stripMargin)
+    }
+    assert(ex.getMessage.contains("length.a"))
+    // with the width declared, the same shape works
+    spark.sql(
+      """CREATE TABLE graft.default.goodkey (a STRING, b BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'a:b', 'length.a' = '2')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.goodkey VALUES ('aa', 1, 1.0), ('bb', 2, 2.0)")
+    assert(spark.sql(
+      "SELECT v FROM graft.default.goodkey WHERE a = 'bb' AND b = 2")
+      .head().getDouble(0) == 2.0)
+    spark.sql("DROP TABLE graft.default.goodkey")
+  }
+
+  test("non-exact DELETE predicates are refused, not over-deleted") {
+    spark.sql(
+      """CREATE TABLE graft.default.delkeep (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'k')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.delkeep VALUES (1, 1.0), (2, 2.0)")
+    // v + 1 > 2 is not a compilable store predicate — DELETE must fail
+    // loudly instead of deleting an over-approximated key range
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft.default.delkeep WHERE v + 1.0 > 2.0")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.delkeep")
+      .head().getLong(0) == 2L)
+    spark.sql("DROP TABLE graft.default.delkeep")
+  }
+}
