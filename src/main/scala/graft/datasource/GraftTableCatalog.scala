@@ -53,8 +53,30 @@ class GraftTableCatalog extends TableCatalog {
     }
 
   override def loadTable(ident: Identifier): Table =
+    loadWith(ident, identity)
+
+  /** Time travel over the store's MVCC cell stamps (epoch millis):
+    * `VERSION AS OF v` reads cells stamped ≤ v (v = a raw store stamp);
+    * `TIMESTAMP AS OF t` reads cells stamped ≤ t (Spark hands micros).
+    * Both compile to the same time-range scan the `maxStamp` read option
+    * uses — latest-version merge as of that instant. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAsOf(ident, version.toLong + 1)
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadAsOf(ident, timestamp / 1000 + 1) // micros → ms, inclusive bound
+
+  private def loadAsOf(ident: Identifier, maxStampExclusive: Long): Table =
+    // a fixed-write-stamp table property would conflict with the read-side
+    // time range — drop it for the as-of read
+    loadWith(ident, props => props - "timestamp" +
+      ("minStamp" -> "0", "maxStamp" -> maxStampExclusive.toString))
+
+  private def loadWith(ident: Identifier,
+      adapt: Map[String, String] => Map[String, String]): Table =
     GraftTableRegistry.entries.get(key(ident)) match {
-      case Some((json, props)) =>
+      case Some((json, rawProps)) =>
+        val props = adapt(rawProps)
         val opts = GraftOptions(new CaseInsensitiveStringMap(
           (props + ("catalog" -> json)).asJava))
         new GraftTable(GraftCatalog.parse(json, props), opts,

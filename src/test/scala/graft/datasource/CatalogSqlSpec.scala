@@ -75,6 +75,41 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.default.goodkey")
   }
 
+  test("time travel: VERSION AS OF / TIMESTAMP AS OF read the store as of a stamp") {
+    import spark.implicits._
+    val json =
+      """{"table":{"namespace":"default", "name":"ttravel"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"bal":{"cf":"f", "col":"bal", "type":"double"}}}""".stripMargin
+    // two stamped generations through the options write path
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal").write.format("graft-kv")
+      .options(Map("catalog" -> json, "newtable" -> "4", "timestamp" -> "1000",
+        "maxVersions" -> "2"))
+      .mode("append").save()
+    Seq((1L, 11.0), (2L, 21.0)).toDF("k", "bal").write.format("graft-kv")
+      .options(Map("catalog" -> json, "timestamp" -> "2000", "maxVersions" -> "2"))
+      .mode("append").save()
+    GraftTableRegistry.entries.put("default.ttravel",
+      (json, Map("maxVersions" -> "2")))
+
+    def bals(sql: String): Map[Long, Double] = spark.sql(sql).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // current read: generation 2
+    assert(bals("SELECT k, bal FROM graft.default.ttravel") ==
+      Map(1L -> 11.0, 2L -> 21.0))
+    // as of store stamp 1000: generation 1
+    assert(bals("SELECT k, bal FROM graft.default.ttravel VERSION AS OF '1000'") ==
+      Map(1L -> 10.0, 2L -> 20.0))
+    // as of event time 2000 ms (timestamp_millis is timezone-free): gen 2
+    assert(bals("SELECT k, bal FROM graft.default.ttravel " +
+      "TIMESTAMP AS OF timestamp_millis(2000)") == Map(1L -> 11.0, 2L -> 21.0))
+    assert(bals("SELECT k, bal FROM graft.default.ttravel " +
+      "TIMESTAMP AS OF timestamp_millis(1500)") == Map(1L -> 10.0, 2L -> 20.0))
+    GraftTableRegistry.entries.remove("default.ttravel")
+  }
+
   test("non-exact DELETE predicates are refused, not over-deleted") {
     spark.sql(
       """CREATE TABLE graft.default.delkeep (k BIGINT, v DOUBLE)
