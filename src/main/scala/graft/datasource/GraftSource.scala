@@ -45,15 +45,33 @@ class GraftSource extends TableProvider with DataSourceRegister {
   }
 }
 
+object GraftTable {
+  /** Hidden metadata column: the newest VISIBLE cell timestamp of the row
+    * (epoch ms) — HBase's cell-timestamp dimension without declaring a
+    * versioned map column. Selected explicitly (`SELECT k, _cell_ts`);
+    * never part of `SELECT *`. */
+  val CellTsColumn = "_cell_ts"
+}
+
 class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
     userSchema: Option[StructType] = None,
     acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = catalog.qualifiedName
 
   override def schema(): StructType = userSchema.getOrElse(catalog.schema)
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.CellTsColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def comment(): String =
+        "newest visible cell timestamp of the row (epoch ms); null for cell-less rows"
+    })
 
   /** `DELETE FROM t WHERE ...` — only when the filter compiler handles
     * EVERY filter exactly: a residual would make the compiled ranges an
@@ -437,6 +455,7 @@ class GraftReaderFactory extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val p = partition.asInstanceOf[GraftInputPartition]
     p.aggOps.isEmpty &&
+      !p.requiredSchema.fieldNames.contains(GraftTable.CellTsColumn) &&
       p.requiredSchema.fields.forall(f => VectorSlotSink.supports(f.dataType)) && {
         val projection = p.requiredSchema.fields.toSeq.map(sf =>
           (p.catalog.field(sf.name), sf.dataType))
@@ -633,9 +652,34 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
 
   private val catalog = p.catalog
   private val table = KvStore.table(p.opts.storeName(catalog))
+
+  // the _cell_ts metadata column is not a catalog field: carve its slots
+  // out, materialize the DATA slots normally, and splice the row's newest
+  // visible cell stamp back in at assembly time
+  private val tsSlots: Array[Int] = p.requiredSchema.fields.zipWithIndex
+    .collect { case (f, i) if f.name == GraftTable.CellTsColumn => i }
+  private val dataFields = p.requiredSchema.fields.zipWithIndex
+    .filterNot { case (_, i) => tsSlots.contains(i) }
+  private val dataSlots: Array[Int] = dataFields.map(_._2)
+  private val dataDts = dataFields.map(_._1.dataType)
+  def hasCellTs: Boolean = tsSlots.nonEmpty
+
   // pair each required (possibly nested-pruned) column with its catalog field
   val projection: Seq[(graft.catalog.Field, org.apache.spark.sql.types.DataType)] =
-    p.requiredSchema.fields.toSeq.map(sf => (catalog.field(sf.name), sf.dataType))
+    dataFields.toSeq.map { case (sf, _) => (catalog.field(sf.name), sf.dataType) }
+
+  /** Splice `cellTs` (boxed Long or null) into the metadata slots around
+    * the materialized data row. */
+  def assembleWithTs(dataRow: InternalRow, cellTs: Any): InternalRow = {
+    val out = new Array[Any](p.requiredSchema.length)
+    var i = 0
+    while (i < dataSlots.length) {
+      out(dataSlots(i)) = if (dataRow.isNullAt(i)) null else dataRow.get(i, dataDts(i))
+      i += 1
+    }
+    tsSlots.foreach(j => out(j) = cellTs)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
 
   private val timeRange = p.opts.timeRange
   private val needsVersions =
@@ -660,8 +704,9 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
       case _ => // auto
         // row-existence only (count/key-only): stop at the first in-range
         // cell — but an exploded-versions read derives a row PER TIMESTAMP
-        // from the cell list, so it still needs the cells
-        if (valueFields.isEmpty && p.opts.mergeToLatest) ColumnSet.KeysOnly
+        // and _cell_ts needs the stamps, so both keep the cells
+        if (valueFields.isEmpty && p.opts.mergeToLatest && !hasCellTs)
+          ColumnSet.KeysOnly
         else if (valueFields.isEmpty) ColumnSet.All
         else if (valueFields.exists(_.isDynamic))
           ColumnSet.Families(valueFields.map(_.cf).toSet)
@@ -691,7 +736,14 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
   private val setup = new GraftScanSetup(p)
 
   private val rows: Iterator[InternalRow] = {
-    val base = setup.kvRows.flatMap(setup.materializer.materialize)
+    val base =
+      if (!setup.hasCellTs) setup.kvRows.flatMap(setup.materializer.materialize)
+      else setup.kvRows.flatMap { kr =>
+        var maxTs = Long.MinValue
+        kr.cells.foreach(c => if (c.ts > maxTs) maxTs = c.ts)
+        val ts: Any = if (maxTs == Long.MinValue) null else Long.box(maxTs)
+        setup.materializer.materialize(kr).map(setup.assembleWithTs(_, ts))
+      }
     // pushed limit/top-N: ranges are normalized-disjoint and each region
     // scan is key-ordered, so the first `l` materialized rows are the
     // partition's top `l` — the iterator stops, the region read ends early

@@ -268,6 +268,38 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"got ${scan.inputRDD.getNumPartitions}")
   }
 
+  test("_cell_ts metadata column surfaces the newest visible cell stamp") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"metats"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"bal":{"cf":"f", "col":"bal", "type":"double"}}}""".stripMargin
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4", "timestamp" -> "1000",
+        "maxVersions" -> "2"))
+      .mode("append").save()
+    // second generation touches only row 2
+    Seq((2L, 21.0)).toDF("k", "bal").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "timestamp" -> "2000", "maxVersions" -> "2"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalog, "maxVersions" -> "2")).load()
+    // hidden from SELECT *
+    assert(df.columns.toSeq == Seq("k", "bal"))
+    val rows = df.select(col("k"), col("bal"), col("_cell_ts"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(rows == Map(1L -> (10.0, 1000L), 2L -> (21.0, 2000L)))
+    // composes with the time-range read: as of stamp 1000, row 2 shows its
+    // first generation and its newest VISIBLE stamp is 1000
+    val asOf = spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalog, "maxVersions" -> "2",
+        "minStamp" -> "0", "maxStamp" -> "1001")).load()
+      .select(col("k"), col("bal"), col("_cell_ts"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(asOf == Map(1L -> (10.0, 1000L), 2L -> (20.0, 1000L)))
+  }
+
   test("Avro-encoded row key: round trip with range pruning disabled") {
     val keySchema =
       """{"type":"record","name":"K","fields":[
