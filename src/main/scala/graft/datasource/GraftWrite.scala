@@ -10,17 +10,36 @@ import graft.store.{KvCell, KvStore}
 
 /** Write path: DataFrame → store puts, with create-table-and-presplit DDL
   * (reference createTableIfNotExist + insert + convertToPut,
-  * HBaseRelation.scala:124-267). */
+  * HBaseRelation.scala:124-267). `INSERT OVERWRITE` / `overwritePartitions`
+  * ride [[org.apache.spark.sql.connector.write.SupportsOverwrite]]: a
+  * whole-table overwrite drops and recreates (fresh presplits); a
+  * conditional overwrite deletes the matching key set first (exact-compile
+  * only — an over-approximate condition would erase rows the condition
+  * didn't select) and then appends. */
 class GraftWriteBuilder(catalog: GraftCatalog, opts: GraftOptions, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var dropAndRecreate = false
+  private var deleteFirst: Option[Array[org.apache.spark.sql.sources.Filter]] = None
 
   override def truncate(): WriteBuilder = { dropAndRecreate = true; this }
 
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      dropAndRecreate = true
+    else {
+      require(FilterCompiler.partition(catalog, filters)._2.isEmpty,
+        s"overwrite condition must compile exactly (got residual in " +
+          s"${filters.mkString(", ")}) — an over-approximate overwrite would " +
+          "delete rows the condition didn't select")
+      deleteFirst = Some(filters)
+    }
+    this
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(catalog, opts, info.schema(), dropAndRecreate)
+      new GraftBatchWrite(catalog, opts, info.schema(), dropAndRecreate, deleteFirst)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(catalog, opts, info.schema(), dropAndRecreate)
   }
@@ -58,12 +77,19 @@ class GraftStreamingWriterFactory(catalog: GraftCatalog, opts: GraftOptions,
 }
 
 class GraftBatchWrite(catalog: GraftCatalog, opts: GraftOptions,
-    writeSchema: StructType, truncate: Boolean) extends BatchWrite {
+    writeSchema: StructType, truncate: Boolean,
+    deleteFirst: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // DDL runs once, driver-side, before tasks launch (reference
     // createTableIfNotExist, HBaseRelation.scala:124-175).
     GraftDdl.ensureTable(catalog, opts, dropExisting = truncate)
+    // conditional overwrite: clear the exact matching key set, then append
+    deleteFirst.foreach { fs =>
+      val hrf = FilterCompiler.compileAll(catalog, fs.toSeq)
+      KvStore.table(opts.storeName(catalog)).delete(hrf.ranges, hrf.pred)
+    }
     new GraftWriterFactory(catalog, opts, writeSchema)
   }
 

@@ -57,6 +57,19 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!KvStore.exists("default:sqlt"))
   }
 
+  test("INSERT OVERWRITE replaces table contents with fresh presplits") {
+    spark.sql(
+      """CREATE TABLE graft.default.ovw (k BIGINT, v STRING)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.ovw VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT OVERWRITE graft.default.ovw VALUES (2, 'B'), (9, 'Z')")
+    val rows = spark.sql("SELECT k, v FROM graft.default.ovw ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "B"), (9L, "Z")))
+    spark.sql("DROP TABLE graft.default.ovw")
+  }
+
   test("composite string key parts need declared widths at CREATE time") {
     val ex = intercept[IllegalArgumentException] {
       spark.sql(
