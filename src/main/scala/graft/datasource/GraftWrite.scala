@@ -17,7 +17,12 @@ import graft.store.{KvCell, KvStore}
   * only — an over-approximate condition would erase rows the condition
   * didn't select) and then appends. */
 class GraftWriteBuilder(catalog: GraftCatalog, opts: GraftOptions, info: LogicalWriteInfo)
-    extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite
+    // update-mode streaming writes ARE kv upserts: a group's re-emission
+    // overwrites its previous cells in place (same rowkey), so treating
+    // update as append is exactly the store's semantics — this marker lets
+    // watermarked streaming aggregations sink straight into the table
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
 
   private var dropAndRecreate = false
   private var deleteFirst: Option[Array[org.apache.spark.sql.sources.Filter]] = None

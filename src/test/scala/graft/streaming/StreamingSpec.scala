@@ -86,6 +86,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("update-mode streaming aggregation sinks into the kv store as upserts") {
+    // SupportsStreamingUpdateAsAppend: a watermarked windowed aggregate in
+    // UPDATE mode writes straight to graft-kv; each group's re-emission
+    // upserts the same rowkey, so the final table equals the batch twin
+    val catalog =
+      """{"table":{"namespace":"default", "name":"kv_stream_agg"},
+        |"rowkey":"k1:k2",
+        |"columns":{
+        |"ws_us":{"cf":"rowkey", "col":"k1", "type":"bigint"},
+        |"event_type":{"cf":"rowkey", "col":"k2", "type":"string"},
+        |"n":{"cf":"f", "col":"n", "type":"bigint"},
+        |"sum_value":{"cf":"f", "col":"sv", "type":"bigint"}}}""".stripMargin
+    val agg = GraftStreaming.windowedEventAgg(eventStream())
+      .selectExpr("unix_micros(ws) AS ws_us", "event_type", "n", "sum_value")
+    val q = GraftStreaming.kvSink(agg, Map("catalog" -> catalog, "newtable" -> "4"))
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.format("graft-kv").option("catalog", catalog).load()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = graft.queries.Events.ev1WindowAgg(spark, sfDir)
+      .selectExpr("unix_micros(ws) AS ws_us", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("stateful funnel matches the batch twin stage for stage") {
     val fun = GraftStreaming.funnelStream(eventStream())
     val q = fun.writeStream.outputMode("update")
