@@ -355,6 +355,16 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
 
   override def toBatch: Batch = this
 
+  @volatile private var plannedRegions = 0L
+  @volatile private var totalRegions = 0L
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftMetricsDefs.all
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftMetricsDefs.task("graftRegionsPlanned", plannedRegions),
+      GraftMetricsDefs.task("graftRegionsTotal", totalRegions))
+
   override def description(): String = aggOps match {
     case Some(ops) =>
       val grp = if (aggGroupCols.isEmpty) ""
@@ -386,7 +396,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
           f, catalog.field(f).dataType)))
       case None => requiredSchema
     }
-    table.regionInfos.flatMap { r =>
+    val partitions = table.regionInfos.flatMap { r =>
       val regionRange = ScanRange[Array[Byte]](
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
       val clipped = ScanRange.and(hrf.ranges, Seq(regionRange))
@@ -396,6 +406,9 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
         partSchema, aggOps, if (aggOps.isEmpty) limit else None,
         aggGroupCols, reverse): InputPartition)
     }.toArray
+    plannedRegions = partitions.length.toLong
+    totalRegions = table.regionInfos.size.toLong
+    partitions
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
@@ -432,6 +445,34 @@ final case class GraftInputPartition(
   /** Data locality: the region's host (reference getPreferredLocations,
     * HBaseTableScan.scala:384-388). */
   override def preferredLocations(): Array[String] = Array(host)
+}
+
+/** DSv2 custom metrics for the SQL UI: scan efficiency is visible per
+  * query — rows materialized by the readers, and how many regions the
+  * planner kept vs the table's total (the pruning story, measured). */
+private[datasource] object GraftMetricsDefs {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+
+  final class RowsScanned extends CustomSumMetric {
+    override def name(): String = "graftRowsScanned"
+    override def description(): String = "kv rows materialized"
+  }
+  final class RegionsPlanned extends CustomSumMetric {
+    override def name(): String = "graftRegionsPlanned"
+    override def description(): String = "kv regions planned (post-pruning)"
+  }
+  final class RegionsTotal extends CustomSumMetric {
+    override def name(): String = "graftRegionsTotal"
+    override def description(): String = "kv regions in table"
+  }
+
+  def all: Array[CustomMetric] =
+    Array(new RowsScanned, new RegionsPlanned, new RegionsTotal)
+
+  def task(metricName: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
 }
 
 class GraftReaderFactory extends PartitionReaderFactory {
@@ -573,6 +614,8 @@ class GraftAggPartitionReader(p: GraftInputPartition, ops: Seq[PushedAggOp])
   private var current: InternalRow = _
   override def get(): InternalRow = current
   override def close(): Unit = inner.close()
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
 }
 
 /** Store-side GROUPED partial aggregation for a row-key-prefix grouping:
@@ -644,6 +687,8 @@ class GraftGroupAggPartitionReader(p: GraftInputPartition, ops: Seq[PushedAggOp]
 
   override def get(): InternalRow = current
   override def close(): Unit = inner.close()
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
 }
 
 /** Shared executor-side scan setup for the row and columnar readers:
@@ -751,14 +796,18 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
   }
 
   private var current: InternalRow = _
+  private[datasource] var rowsScanned = 0L
 
   override def next(): Boolean = {
-    if (rows.hasNext) { current = rows.next(); true } else false
+    if (rows.hasNext) { current = rows.next(); rowsScanned += 1; true } else false
   }
 
   override def get(): InternalRow = current
 
   override def close(): Unit = ()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftMetricsDefs.task("graftRowsScanned", rowsScanned))
 }
 
 /** [[SlotSink]] over on-heap column vectors — the typed setter per slot is
@@ -848,10 +897,16 @@ class GraftColumnarPartitionReader(p: GraftInputPartition)
       n += 1
     }
     batch.setNumRows(n)
+    rowsScanned += n
     true
   }
 
   override def get(): ColumnarBatch = batch
 
   override def close(): Unit = batch.close()
+
+  private var rowsScanned = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftMetricsDefs.task("graftRowsScanned", rowsScanned))
 }

@@ -268,6 +268,33 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"got ${scan.inputRDD.getNumPartitions}")
   }
 
+  test("custom scan metrics report rows scanned and regions planned vs total") {
+    // limtable (40 rows, 4 regions) from the limit test
+    val catalog =
+      """{"table":{"namespace":"default", "name":"limtable"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"double"}}}""".stripMargin
+    if (!KvStore.exists("default:limtable")) {
+      (1L to 40L).map(i => (i, (41 - i) * 1.0)).toDF("key", "v").write.format("graft-kv")
+        .options(Map("catalog" -> catalog, "newtable" -> "4",
+          "minSplitNum" -> "0", "maxSplitNum" -> "40"))
+        .mode("append").save()
+    }
+    val df = spark.read.format("graft-kv").option("catalog", catalog).load()
+      .filter(col("key") >= 1L && col("key") <= 12L)
+    df.collect()
+    val scan = allPlanNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val metrics = scan.metrics
+    assert(metrics("graftRowsScanned").value == 12L)
+    assert(metrics("graftRegionsTotal").value == 4L)
+    assert(metrics("graftRegionsPlanned").value < 4L,
+      s"key range [1,12] must prune regions: planned ${metrics("graftRegionsPlanned").value}")
+  }
+
   test("_cell_ts metadata column surfaces the newest visible cell stamp") {
     val catalog =
       """{"table":{"namespace":"default", "name":"metats"},
