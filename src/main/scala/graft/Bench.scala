@@ -46,7 +46,15 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val populateTotal = populate.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO persist the full JSON to a file: the driver's pane capture
+    // truncates at 2000 chars, so round-over-round per-query comparison
+    // needs a complete on-disk artifact (BENCH_LOCAL_r{N}.json; bump the
+    // default per round or override via SPARK_GRAFT_BENCH_OUT)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r5.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
   }
 }

@@ -92,7 +92,8 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
     * positional resolution against the table schema. */
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -239,14 +240,20 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
            _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     }
-    def summable(name: String): Option[Boolean] = catalog.field(name).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        Some(true)
-      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
-        Some(false)
-      case _ => None
-    }
+    // integral Sum partials use wrap-around Long addition — exact for the
+    // default (non-ANSI) semantics, but under spark.sql.ansi.enabled the
+    // engine's sum RAISES on overflow, so a silently-wrapping pushed partial
+    // would diverge; decline Sum there and let the engine aggregate rows
+    def summable(name: String): Option[Boolean] =
+      if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) None
+      else catalog.field(name).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+          Some(true)
+        case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+          Some(false)
+        case _ => None
+      }
     val ops: Seq[Option[PushedAggOp]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(CountStarOp)
       case c: Count if !c.isDistinct => ref(c.column).map(CountColOp)
@@ -317,12 +324,16 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
-  /** Size/row estimates from the store's own region maps, scoped to the
+  /** Size/row estimates from the regions' O(1) row counters, scoped to the
     * regions the pushed key ranges leave alive — so a small kv dimension
     * auto-broadcasts in joins without hints (DSv2's default is "unknown
     * = infinite", which forces sort-merge). Width is the pruned read
-    * schema's Catalyst default size. A networked deployment would serve
-    * the same numbers from region metadata instead of map sizes. */
+    * schema's Catalyst default size. The counters are maintained by
+    * put/delete ([[graft.store.KvTable.Region.rowCount]]), so plan-time
+    * estimation is O(regions) — never a per-region `size()` walk, which on
+    * a skip list is O(rows) and would be a full-table count on the driver
+    * before every query at scale. A networked deployment would serve the
+    * same numbers from region-server metadata. */
   override def estimateStatistics(): Statistics = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
@@ -331,7 +342,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       val regionRange = ScanRange[Array[Byte]](
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
       if (ScanRange.and(hrf.ranges, Seq(regionRange)).isEmpty) 0L
-      else table.regions(r.index).rows.size.toLong
+      else table.regions(r.index).rowCount.get()
     }.sum
     val surviving = table.regionInfos.count { r =>
       val regionRange = ScanRange[Array[Byte]](
@@ -752,7 +763,13 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
         // and _cell_ts needs the stamps, so both keep the cells
         if (valueFields.isEmpty && p.opts.mergeToLatest && !hasCellTs)
           ColumnSet.KeysOnly
-        else if (valueFields.isEmpty) ColumnSet.All
+        // _cell_ts contract: the newest visible stamp OF THE ROW — a
+        // projection-restricted cell set would make the same row report
+        // different stamps under different SELECT lists, so the scan must
+        // see every column's latest cell whenever _cell_ts is projected
+        // (an explicit restrictive=column/family option still overrides,
+        // with per-restriction stamps as the documented semantics)
+        else if (valueFields.isEmpty || hasCellTs) ColumnSet.All
         else if (valueFields.exists(_.isDynamic))
           ColumnSet.Families(valueFields.map(_.cf).toSet)
         else ColumnSet.Columns(valueFields.map(f => (f.cf, f.qual)).toSet)

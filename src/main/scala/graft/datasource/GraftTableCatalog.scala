@@ -43,13 +43,16 @@ class GraftTableCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def key(ident: Identifier): String =
-    (ident.namespace :+ ident.name).mkString(".")
+  // registry keys are STRUCTURAL (namespace segments, name) — a dot-joined
+  // string would misbucket identifiers whose segments contain dots and make
+  // listTables re-split on the wrong boundaries
+  private def key(ident: Identifier): (Seq[String], String) =
+    (ident.namespace.toSeq, ident.name)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftTableRegistry.entries.keys.toArray.collect {
-      case k if k.split('.').init.sameElements(namespace) =>
-        Identifier.of(namespace, k.split('.').last)
+      case (ns, name) if ns == namespace.toSeq =>
+        Identifier.of(namespace, name)
     }
 
   override def loadTable(ident: Identifier): Table =
@@ -124,7 +127,8 @@ class GraftTableCatalog extends TableCatalog {
 /** JVM-wide table-definition registry — the metastore stand-in, mirroring
   * how [[graft.store.KvStore]] stands in for the region servers. */
 private[datasource] object GraftTableRegistry {
-  val entries = TrieMap[String, (String, Map[String, String])]()
+  /** (namespace segments, table name) → (catalog JSON, table properties) */
+  val entries = TrieMap[(Seq[String], String), (String, Map[String, String])]()
 }
 
 object GraftTableCatalog {

@@ -86,21 +86,48 @@ class GraftBatchWrite(catalog: GraftCatalog, opts: GraftOptions,
     deleteFirst: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
     extends BatchWrite {
 
+  // Conditional overwrite writes into a region-aligned STAGING table and
+  // installs at commit: delete-at-factory-creation would leave rows deleted
+  // with nothing appended if the job fails mid-write, and a self-referential
+  // `INSERT OVERWRITE t SELECT ... FROM t` would scan the already-deleted
+  // table. Staging keeps the main table untouched until the job succeeds;
+  // commit then runs delete-then-install. In a distributed store the install
+  // is a bulkload-style region handoff (metadata op, staging regions share
+  // the main table's split points); in-process it replays the staged cells.
+  private val stagingName: Option[String] = deleteFirst.map(_ =>
+    opts.storeName(catalog) + "#overwrite-staging-" + java.util.UUID.randomUUID())
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // DDL runs once, driver-side, before tasks launch (reference
     // createTableIfNotExist, HBaseRelation.scala:124-175).
     GraftDdl.ensureTable(catalog, opts, dropExisting = truncate)
-    // conditional overwrite: clear the exact matching key set, then append
-    deleteFirst.foreach { fs =>
-      val hrf = FilterCompiler.compileAll(catalog, fs.toSeq)
-      KvStore.table(opts.storeName(catalog)).delete(hrf.ranges, hrf.pred)
+    stagingName.foreach { sn =>
+      val main = KvStore.table(opts.storeName(catalog))
+      KvStore.createTable(sn, main.regionInfos.flatMap(_.start),
+        main.maxVersions, dropExisting = true, main.maxVersionsByCf)
     }
-    new GraftWriterFactory(catalog, opts, writeSchema)
+    new GraftWriterFactory(catalog, opts, writeSchema, stagingName)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    stagingName.foreach { sn =>
+      val fs = deleteFirst.get
+      val main = KvStore.table(opts.storeName(catalog))
+      val hrf = FilterCompiler.compileAll(catalog, fs.toSeq)
+      main.delete(hrf.ranges, hrf.pred)
+      val staging = KvStore.table(sn)
+      staging.regions.foreach(_.rows.forEach { (key, row) =>
+        val cells = Seq.newBuilder[KvCell]
+        row.forEach { (ck, vmap) =>
+          vmap.forEach((ts, value) => cells += KvCell(ck._1, ck._2, ts, value))
+        }
+        main.put(key, cells.result())
+      })
+      KvStore.drop(sn)
+    }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    stagingName.foreach(KvStore.drop)
 }
 
 object GraftDdl {
@@ -154,19 +181,21 @@ object GraftDdl {
   }
 }
 
-class GraftWriterFactory(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType)
+class GraftWriterFactory(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType,
+    targetTable: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(catalog, opts, writeSchema)
+    new GraftDataWriter(catalog, opts, writeSchema, targetTable)
 }
 
 /** Row → (rowkey bytes, cells) encoder (reference convertToPut,
   * HBaseRelation.scala:202-267): composite keys concatenated with fixed
   * widths, nulls skipped, map columns fanned out, optional fixed timestamp. */
-class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType)
+class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType,
+    targetTable: Option[String] = None)
     extends DataWriter[InternalRow] {
 
-  private val table = KvStore.table(opts.storeName(catalog))
+  private val table = KvStore.table(targetTable.getOrElse(opts.storeName(catalog)))
 
   // resolve write-schema positions to catalog fields by NAME
   private val slots: Array[(Field, Int, DataType)] =

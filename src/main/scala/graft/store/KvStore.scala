@@ -91,6 +91,19 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
     /** rowkey → (cf,qual) → ts(desc) → value */
     val rows = new ConcurrentSkipListMap[Array[Byte], ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]](
       BytesUtil.byteArrayOrdering)
+    /** Live row count, maintained by put/delete — region metadata a real
+      * region server keeps anyway. Serving statistics from this counter
+      * keeps plan-time estimation O(regions): `ConcurrentSkipListMap.size()`
+      * is O(n), and calling it per region per query compilation would be a
+      * full-table count on the driver before every query at scale. */
+    val rowCount = new java.util.concurrent.atomic.AtomicLong()
+    /** Newest cell stamp ever written to this region (Long.MinValue when
+      * empty) — the region's mutation high-water mark. The streaming source
+      * uses the vector of these as its micro-batch offsets, so computing
+      * `latestOffset` costs O(regions), never a scan. Monotone by
+      * construction; deletes don't lower it (an offset must never move
+      * backwards). */
+    val maxStamp = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
   }
 
   val regions: IndexedSeq[Region] = (0 to sortedSplits.size).map(new Region(_)).toIndexedSeq
@@ -109,12 +122,22 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
 
   def put(key: Array[Byte], cells: Seq[KvCell]): Unit = {
     val region = regionFor(key)
-    val row = region.rows.computeIfAbsent(key, _ => new ConcurrentHashMap())
+    // explicit get/putIfAbsent (not computeIfAbsent) so the row counter
+    // increments exactly once per NEW key even under concurrent writers:
+    // only the thread whose putIfAbsent won counts the row
+    var row = region.rows.get(key)
+    if (row == null) {
+      val fresh = new ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
+      val prev = region.rows.putIfAbsent(key, fresh)
+      if (prev == null) { region.rowCount.incrementAndGet(); row = fresh }
+      else row = prev
+    }
     cells.foreach { c =>
       val versions = row.computeIfAbsent((c.cf, c.qual),
         _ => new ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
           java.util.Comparator.reverseOrder[java.lang.Long]()))
       versions.put(c.ts, c.value)
+      region.maxStamp.accumulateAndGet(c.ts, (a, b) => math.max(a, b))
       // cap stored versions at the FAMILY's retention (HBase cf semantics)
       val cap = versionCap(c.cf)
       while (versions.size() > cap) versions.pollLastEntry()
@@ -165,6 +188,7 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
           val e = it.next()
           if (predicate.forall(_.eval(e.getKey, e.getValue, None))) {
             it.remove()
+            region.rowCount.decrementAndGet()
             removed += 1
           }
         }

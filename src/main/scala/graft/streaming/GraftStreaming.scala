@@ -27,7 +27,10 @@ object GraftStreaming {
     * ephemeral runs, but durable restart/recovery needs a real path. */
   def kvSink(stream: DataFrame, options: Map[String, String]): DataStreamWriter[Row] = {
     val w = stream.writeStream.format("graft-kv").options(options)
-    if (options.contains("checkpointLocation")) w
+    // DataStreamWriter option keys are case-insensitive — match that, or a
+    // caller passing "checkpointlocation" would have their durable
+    // checkpoint silently shadowed by the throwaway temp dir
+    if (options.keys.exists(_.equalsIgnoreCase("checkpointLocation"))) w
     else w.option("checkpointLocation",
       java.nio.file.Files.createTempDirectory("graft-kv-sink-ckpt").toString)
   }

@@ -70,6 +70,35 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.default.ovw")
   }
 
+  test("conditional overwrite is staged: commit installs, failed jobs leave the table untouched") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE graft.default.covw (k BIGINT, v STRING)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.covw VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    def contents(): Seq[(Long, String)] =
+      spark.sql("SELECT k, v FROM graft.default.covw ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // success path: delete the matching slice, install the staged rows
+    Seq((2L, "B"), (9L, "Z")).toDF("k", "v")
+      .writeTo("graft.default.covw").overwrite(col("k") === 2L)
+    assert(contents() == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")))
+    // failure path: a task throws mid-write (null row key) — because the
+    // delete is deferred to commit and writes go to a staging table, the
+    // main table must come through COMPLETELY untouched (the old
+    // delete-at-factory-creation behavior lost the k=1 row here)
+    intercept[Throwable] {
+      Seq((Some(5L), "x"), (Option.empty[Long], "boom")).toDF("k", "v")
+        .writeTo("graft.default.covw").overwrite(col("k") === 1L)
+    }
+    assert(contents() == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")))
+    // no staging leftovers
+    assert(!KvStore.exists("default:covw#overwrite-staging"))
+    spark.sql("DROP TABLE graft.default.covw")
+  }
+
   test("composite string key parts need declared widths at CREATE time") {
     val ex = intercept[IllegalArgumentException] {
       spark.sql(
@@ -104,7 +133,7 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, 11.0), (2L, 21.0)).toDF("k", "bal").write.format("graft-kv")
       .options(Map("catalog" -> json, "timestamp" -> "2000", "maxVersions" -> "2"))
       .mode("append").save()
-    GraftTableRegistry.entries.put("default.ttravel",
+    GraftTableRegistry.entries.put((Seq("default"), "ttravel"),
       (json, Map("maxVersions" -> "2")))
 
     def bals(sql: String): Map[Long, Double] = spark.sql(sql).collect()
@@ -120,7 +149,7 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "TIMESTAMP AS OF timestamp_millis(2000)") == Map(1L -> 11.0, 2L -> 21.0))
     assert(bals("SELECT k, bal FROM graft.default.ttravel " +
       "TIMESTAMP AS OF timestamp_millis(1500)") == Map(1L -> 10.0, 2L -> 20.0))
-    GraftTableRegistry.entries.remove("default.ttravel")
+    GraftTableRegistry.entries.remove((Seq("default"), "ttravel"))
   }
 
   test("non-exact DELETE predicates are refused, not over-deleted") {

@@ -327,6 +327,32 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asOf == Map(1L -> (10.0, 1000L), 2L -> (20.0, 1000L)))
   }
 
+  test("_cell_ts is projection-independent: row-wide newest stamp under any SELECT list") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"metats2"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v1":{"cf":"f", "col":"a", "type":"string"},
+        |"v2":{"cf":"f", "col":"b", "type":"string"}}}""".stripMargin
+    Seq((1L, "x", "y")).toDF("k", "v1", "v2").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4", "timestamp" -> "1000"))
+      .mode("append").save()
+    // second generation touches ONLY v2 — v1's newest cell stays at 1000
+    Seq((1L, "y2")).toDF("k", "v2").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "timestamp" -> "2000"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv").option("catalog", catalog).load()
+    // the contract is the newest visible stamp OF THE ROW — the same row
+    // must report the same _cell_ts no matter which columns ride along
+    // (before the fix, SELECT k, v1, _cell_ts restricted the scan to v1's
+    // column and reported 1000)
+    assert(df.select(col("k"), col("_cell_ts")).head().getLong(1) == 2000L)
+    assert(df.select(col("k"), col("v1"), col("_cell_ts")).head().getLong(2) == 2000L)
+    assert(df.select(col("k"), col("v2"), col("_cell_ts")).head().getLong(2) == 2000L)
+    assert(df.select(col("k"), col("v1"), col("v2"), col("_cell_ts")).head().getLong(3) == 2000L)
+  }
+
   test("Avro-encoded row key: round trip with range pruning disabled") {
     val keySchema =
       """{"type":"record","name":"K","fields":[

@@ -1,0 +1,59 @@
+package graft.store
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ranges.{Bound, ScanRange}
+
+/** Region bookkeeping truth tests: the O(1) row counters and mutation
+  * high-water marks that plan-time statistics and streaming offsets ride —
+  * both must track the skip lists exactly through mixed put/delete traffic
+  * (a drifting counter would silently skew join-side broadcast decisions;
+  * a stale stamp would make a micro-batch miss writes). */
+class KvStoreSpec extends AnyFunSuite {
+
+  private def key(i: Int): Array[Byte] = f"row$i%04d".getBytes("UTF-8")
+  private def cell(ts: Long, v: String = "v") =
+    KvCell("f", "q", ts, v.getBytes("UTF-8"))
+  private val all = Seq(ScanRange[Array[Byte]](Bound(None, inclusive = false),
+    Bound(None, inclusive = false)))
+
+  test("rowCount tracks scan count through mixed put/delete") {
+    val t = KvStore.createTable("spec:counters", Seq("row0300", "row0600")
+      .map(_.getBytes("UTF-8")), dropExisting = true)
+    (0 until 900).foreach(i => t.put(key(i), Seq(cell(100L))))
+    // re-put of existing keys must NOT double-count
+    (0 until 900 by 3).foreach(i => t.put(key(i), Seq(cell(200L, "v2"))))
+    def counted: Long = t.regions.map(_.rowCount.get()).sum
+    def scanned: Long = t.regions.indices.map(r =>
+      all.iterator.flatMap(t.scan(r, _, ColumnSet.All, None, 1, None)).size.toLong).sum
+    assert(counted == 900L)
+    assert(counted == scanned)
+    // range+predicate delete decrements exactly the removed rows
+    val removed = t.delete(Seq(ScanRange[Array[Byte]](
+      Bound(Some(key(100)), inclusive = true),
+      Bound(Some(key(500)), inclusive = false))), None)
+    assert(removed == 400L)
+    assert(counted == 500L)
+    assert(counted == scanned)
+    // per-region counts agree with per-region scans
+    t.regions.foreach { r =>
+      val n = all.iterator.flatMap(t.scan(r.index, _, ColumnSet.All, None, 1, None)).size.toLong
+      assert(r.rowCount.get() == n, s"region ${r.index}")
+    }
+  }
+
+  test("maxStamp is the monotone newest-written stamp per region") {
+    val t = KvStore.createTable("spec:stamps", Seq("row0500").map(_.getBytes("UTF-8")),
+      dropExisting = true)
+    assert(t.regions.forall(_.maxStamp.get() == Long.MinValue))
+    t.put(key(1), Seq(cell(1000L)))
+    t.put(key(700), Seq(cell(3000L)))
+    assert(t.regions(0).maxStamp.get() == 1000L)
+    assert(t.regions(1).maxStamp.get() == 3000L)
+    // an older stamp never lowers the mark; deletes never move it back
+    t.put(key(2), Seq(cell(500L)))
+    t.delete(all, None)
+    assert(t.regions(0).maxStamp.get() == 1000L)
+    assert(t.regions(1).maxStamp.get() == 3000L)
+  }
+}
