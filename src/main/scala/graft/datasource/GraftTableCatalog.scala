@@ -106,9 +106,41 @@ class GraftTableCatalog extends TableCatalog {
     new GraftTable(catalog, opts, acceptAnySchema = false)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-kv schema is fixed at CREATE TABLE (schema-on-write row keys)")
+  /** `ALTER TABLE ADD COLUMN` for NON-KEY columns — schema-on-read-trivial
+    * for a KV engine: the new column maps to a fresh qualifier in the value
+    * family, rows written before the alter simply have no cell there and
+    * read back as null. Everything else (key changes, drops, renames, type
+    * updates) is rejected: the row-key layout is the table's physical sort
+    * order and qualifier bytes are the stored data's addressing, so those
+    * would need a table rewrite, not a metadata edit. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (json, props) = GraftTableRegistry.entries.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    val catalog = GraftCatalog.parse(json, props)
+    var schema = catalog.schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"ADD COLUMN ${add.fieldNames.mkString(".")}: nested additions are not supported")
+        val colName = add.fieldNames.head
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"column $colName already exists")
+        require(add.isNullable,
+          s"ADD COLUMN $colName: new columns must be nullable — rows written " +
+            "before the alter have no cell for the new qualifier and read as null")
+        require(add.position == null,
+          s"ADD COLUMN $colName: FIRST/AFTER positions are not supported " +
+            "(columns append; key order is fixed by the rowkey property)")
+        schema = schema.add(org.apache.spark.sql.types.StructField(
+          colName, add.dataType, nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"graft-kv supports only ADD COLUMN of non-key columns (got $other): " +
+          "the row key layout and existing qualifier bytes are fixed at CREATE TABLE")
+    }
+    val newJson = GraftTableCatalog.synthesizeCatalogJson(ident, schema, props)
+    GraftTableRegistry.entries.put(key(ident), (newJson, props))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     GraftTableRegistry.entries.remove(key(ident)) match {

@@ -99,6 +99,35 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.default.covw")
   }
 
+  test("ALTER TABLE ADD COLUMN: schema-on-read — pre-alter rows read null") {
+    spark.sql(
+      """CREATE TABLE graft.default.altt (k BIGINT, v STRING)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.altt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.default.altt ADD COLUMN w DOUBLE")
+    // new column resolves, positional INSERT sees the widened schema
+    spark.sql("INSERT INTO graft.default.altt VALUES (3, 'c', 3.5)")
+    val rows = spark.sql("SELECT k, v, w FROM graft.default.altt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a", null), (2L, "b", null), (3L, "c", 3.5)))
+    // the new qualifier participates in the pushdown surface like any column
+    assert(spark.sql("SELECT k FROM graft.default.altt WHERE w > 3.0")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // key mutations and drops are rejected — physical layout is fixed
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.altt DROP COLUMN v")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.altt RENAME COLUMN v TO vv")
+    }
+    // rows survived the rejected alters
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.altt")
+      .head().getLong(0) == 3L)
+    spark.sql("DROP TABLE graft.default.altt")
+  }
+
   test("composite string key parts need declared widths at CREATE time") {
     val ex = intercept[IllegalArgumentException] {
       spark.sql(

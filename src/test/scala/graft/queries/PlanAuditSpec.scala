@@ -396,6 +396,47 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "partial pushdown keeps the global top-N cut")
   }
 
+  test("kv write: rows range-partition + sort by row key (region-aligned tasks)") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"planwrite"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.range(0, 1000)
+        .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        .write.format("graft-kv")
+        .options(Map("catalog" -> catalog, "newtable" -> "4",
+          "minSplitNum" -> "0", "maxSplitNum" -> "1000"))
+        .mode("append").save()
+      val deadline = System.currentTimeMillis() + 15000
+      def writePlan: Option[String] = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.find(p => p.contains("AppendData") || p.contains("planwrite"))
+      }
+      while (writePlan.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val plan = writePlan.getOrElse(fail("write plan never reached the listener"))
+      // RequiresDistributionAndOrdering: one RANGE exchange on the key (each
+      // task owns a contiguous key slice → O(1) regions per task) plus a
+      // task-local sort — never a hash scatter of every task across every
+      // region, and no global sort node
+      assert(plan.contains("rangepartitioning"), plan.take(3000))
+      assert(plan.linesIterator.exists(l => l.contains("Sort ") && l.contains("ASC")),
+        plan.take(3000))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("native CosineSim participates in whole-stage codegen") {
     val plan = executedPlan(Pipeline.px11EmbeddingNearDup(spark, dir))
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
