@@ -114,18 +114,23 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
   * the DSv2 analogue of an HBase aggregation coprocessor: each partition
   * emits ONE partial row instead of its full row set, and Spark's final
   * aggregate merges the per-region partials. Min/Max/Count/Sum; Sum pushes
-  * only for integral (partial = LongType, wrap-around addition is
-  * associative so region partials merge to the exact non-ANSI result) and
-  * float/double (partial = DoubleType — Spark's own distributed sum is
-  * already merge-order-nondeterministic, so region partials add no new
-  * variance) columns. Decimal sums stay engine-side: their
-  * precision-widening partial type is version-coupled. */
+  * only for integral (partial = LongType; addition mirrors the session's
+  * overflow semantics — see [[SumOp]]) and float/double (partial =
+  * DoubleType — Spark's own distributed sum is already
+  * merge-order-nondeterministic, so region partials add no new variance)
+  * columns. Decimal sums stay engine-side: their precision-widening
+  * partial type is version-coupled. */
 sealed trait PushedAggOp extends Serializable
 case object CountStarOp extends PushedAggOp
 final case class CountColOp(field: String) extends PushedAggOp
 final case class MinOp(field: String) extends PushedAggOp
 final case class MaxOp(field: String) extends PushedAggOp
-final case class SumOp(field: String, integral: Boolean) extends PushedAggOp
+/** `ansi` mirrors the session's ANSI mode AT PLAN TIME: ANSI sum raises on
+  * Long overflow, so the pushed partial must add with overflow checks
+  * (Math.addExact) to match engine semantics — a silently-wrapping partial
+  * would return a wrong answer where the engine errors. Non-ANSI keeps the
+  * wrap-around add, which is exact for Spark's legacy sum. */
+final case class SumOp(field: String, integral: Boolean, ansi: Boolean) extends PushedAggOp
 
 /** Pushdown surface (reference buildScan/unhandledFilters contract,
   * HBaseRelation.scala:316-322) — plus DSv2 aggregate pushdown, which the
@@ -240,27 +245,25 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
            _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     }
-    // integral Sum partials use wrap-around Long addition — exact for the
-    // default (non-ANSI) semantics, but under spark.sql.ansi.enabled the
-    // engine's sum RAISES on overflow, so a silently-wrapping pushed partial
-    // would diverge; decline Sum there and let the engine aggregate rows
-    def summable(name: String): Option[Boolean] =
-      if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) None
-      else catalog.field(name).dataType match {
-        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-          Some(true)
-        case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
-          Some(false)
-        case _ => None
-      }
+    def summable(name: String): Option[Boolean] = catalog.field(name).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        Some(true)
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+        Some(false)
+      case _ => None
+    }
+    // ANSI mode (the Spark-4 default) makes Long sums RAISE on overflow —
+    // the pushed partials must do the same (Math.addExact in the reader),
+    // so capture the session's mode into the op at plan time
+    val ansiSum = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
     val ops: Seq[Option[PushedAggOp]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(CountStarOp)
       case c: Count if !c.isDistinct => ref(c.column).map(CountColOp)
       case m: Min => ref(m.column).filter(orderable).map(MinOp)
       case m: Max => ref(m.column).filter(orderable).map(MaxOp)
       case s: Sum if !s.isDistinct =>
-        ref(s.column).flatMap(f => summable(f).map(i => SumOp(f, i)))
+        ref(s.column).flatMap(f => summable(f).map(i => SumOp(f, i, ansiSum)))
       case _ => None
     }
     if (!ops.forall(_.isDefined)) return false
@@ -276,7 +279,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
         case CountColOp(f) => StructField(s"count($f)", LongType, nullable = false)
         case MinOp(f) => StructField(s"min($f)", catalog.field(f).dataType)
         case MaxOp(f) => StructField(s"max($f)", catalog.field(f).dataType)
-        case SumOp(f, integral) => StructField(s"sum($f)",
+        case SumOp(f, integral, _) => StructField(s"sum($f)",
           if (integral) LongType else org.apache.spark.sql.types.DoubleType)
       }))
     true
@@ -401,7 +404,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
           case CountColOp(f) => f
           case MinOp(f) => f
           case MaxOp(f) => f
-          case SumOp(f, _) => f
+          case SumOp(f, _, _) => f
         }).distinct
         StructType(fields.map(f => org.apache.spark.sql.types.StructField(
           f, catalog.field(f).dataType)))
@@ -496,29 +499,61 @@ class GraftReaderFactory extends PartitionReaderFactory {
     }
   }
 
-  /** Columnar fast path: latest-merge scans whose every slot is a key part
-    * or a unique static column of a vector-writable atomic type decode
-    * straight into `ColumnarBatch` vectors (the reference's row-at-a-time
-    * materializer was its own known perf debt — HBaseTableScan.scala:113,
-    * 177,218 TODOs). Aggregated, versioned, dynamic, and nested reads keep
-    * the row reader. The decision depends only on schema/options, never on
-    * a partition's ranges, so one scan's partitions always agree (Spark
-    * requires all-or-none). */
+  /** Columnar fast path: latest-merge scans whose every slot is a key part,
+    * a unique static column of a vector-writable atomic type, or the
+    * `_cell_ts` metadata column (a long vector filled from the row's newest
+    * stamp) decode straight into `ColumnarBatch` vectors (the reference's
+    * row-at-a-time materializer was its own known perf debt —
+    * HBaseTableScan.scala:113,177,218 TODOs). GROUPED pushed aggregates are
+    * also columnar when every output type is vector-writable: a key-prefix
+    * group scan over a wide region emits one row per distinct prefix, and
+    * batching those into vectors keeps the 100×-shape (many groups) on the
+    * vectorized path. Global aggregates (one row per region), versioned,
+    * dynamic, and nested reads keep the row reader. The decision depends
+    * only on schema/options, never on a partition's ranges, so one scan's
+    * partitions always agree (Spark requires all-or-none). */
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    p.aggOps.isEmpty &&
-      !p.requiredSchema.fieldNames.contains(GraftTable.CellTsColumn) &&
-      p.requiredSchema.fields.forall(f => VectorSlotSink.supports(f.dataType)) && {
-        val projection = p.requiredSchema.fields.toSeq.map(sf =>
-          (p.catalog.field(sf.name), sf.dataType))
-        new RowMaterializer(p.catalog, projection, p.opts.mergeToLatest)
-          .fastPathColumnar
-      }
+    p.aggOps match {
+      case Some(ops) if p.groupCols.nonEmpty =>
+        PushedAggSchema.outputTypes(p.catalog, p.groupCols, ops)
+          .forall(VectorSlotSink.supports)
+      case Some(_) => false // one partial row per region — nothing to batch
+      case None =>
+        val dataFields = p.requiredSchema.fields.toSeq
+          .filterNot(_.name == GraftTable.CellTsColumn)
+        dataFields.forall(f => VectorSlotSink.supports(f.dataType)) && {
+          val projection = dataFields.map(sf => (p.catalog.field(sf.name), sf.dataType))
+          new RowMaterializer(p.catalog, projection, p.opts.mergeToLatest)
+            .fastPathColumnar
+        }
+    }
   }
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftColumnarPartitionReader(partition.asInstanceOf[GraftInputPartition])
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    p.aggOps match {
+      case Some(ops) => new GraftGroupAggColumnarReader(p, ops)
+      case None => new GraftColumnarPartitionReader(p)
+    }
+  }
+}
+
+/** Output types of a pushed (possibly grouped) aggregate scan — group
+  * columns first, then one partial per op, mirroring the schema
+  * [[GraftScanBuilder.pushAggregation]] reports to Spark. */
+private[datasource] object PushedAggSchema {
+  def outputTypes(catalog: GraftCatalog, groupCols: Seq[String],
+      ops: Seq[PushedAggOp]): Seq[org.apache.spark.sql.types.DataType] =
+    groupCols.map(g => catalog.field(g).dataType) ++ ops.map {
+      case CountStarOp | CountColOp(_) => org.apache.spark.sql.types.LongType
+      case MinOp(f) => catalog.field(f).dataType
+      case MaxOp(f) => catalog.field(f).dataType
+      case SumOp(_, integral, _) =>
+        if (integral) org.apache.spark.sql.types.LongType
+        else org.apache.spark.sql.types.DoubleType
+    }
 }
 
 /** Shared count/min/max partial state over the partition's read schema. */
@@ -571,16 +606,22 @@ private[datasource] final class AggAccumulator(
             if (extremes(i) == null || orderings(j).gt(v, extremes(i)))
               extremes(i) = copyOf(v)
           }
-        case SumOp(f, integral) =>
+        case SumOp(f, integral, ansi) =>
           val j = idx(f)
           if (!row.isNullAt(j)) {
             sumSeen(i) = true
-            if (integral) sumsL(i) += (dts(j) match {
-              case org.apache.spark.sql.types.LongType => row.getLong(j)
-              case org.apache.spark.sql.types.IntegerType => row.getInt(j).toLong
-              case org.apache.spark.sql.types.ShortType => row.getShort(j).toLong
-              case _ => row.getByte(j).toLong
-            })
+            if (integral) {
+              val v = dts(j) match {
+                case org.apache.spark.sql.types.LongType => row.getLong(j)
+                case org.apache.spark.sql.types.IntegerType => row.getInt(j).toLong
+                case org.apache.spark.sql.types.ShortType => row.getShort(j).toLong
+                case _ => row.getByte(j).toLong
+              }
+              // ANSI sum raises on Long overflow; the partial must match
+              // (wrap-around would silently return a wrong answer where the
+              // engine errors)
+              sumsL(i) = if (ansi) Math.addExact(sumsL(i), v) else sumsL(i) + v
+            }
             else sumsD(i) += (dts(j) match {
               case org.apache.spark.sql.types.DoubleType => row.getDouble(j)
               case _ => row.getFloat(j).toDouble
@@ -594,7 +635,7 @@ private[datasource] final class AggAccumulator(
   def result(): Array[Any] = ops.zipWithIndex.map {
     case (CountStarOp, i) => counts(i): Any
     case (CountColOp(_), i) => counts(i): Any
-    case (SumOp(_, integral), i) =>
+    case (SumOp(_, integral, _), i) =>
       if (!sumSeen(i)) null else if (integral) sumsL(i): Any else sumsD(i): Any
     case (_, i) => extremes(i)
   }.toArray
@@ -712,13 +753,23 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
   // the _cell_ts metadata column is not a catalog field: carve its slots
   // out, materialize the DATA slots normally, and splice the row's newest
   // visible cell stamp back in at assembly time
-  private val tsSlots: Array[Int] = p.requiredSchema.fields.zipWithIndex
+  private[datasource] val tsSlots: Array[Int] = p.requiredSchema.fields.zipWithIndex
     .collect { case (f, i) if f.name == GraftTable.CellTsColumn => i }
   private val dataFields = p.requiredSchema.fields.zipWithIndex
     .filterNot { case (_, i) => tsSlots.contains(i) }
-  private val dataSlots: Array[Int] = dataFields.map(_._2)
+  private[datasource] val dataSlots: Array[Int] = dataFields.map(_._2)
   private val dataDts = dataFields.map(_._1.dataType)
+  private[datasource] def dataSchema: StructType = StructType(dataFields.map(_._1))
   def hasCellTs: Boolean = tsSlots.nonEmpty
+
+  /** Newest cell stamp of a scanned row, `Long.MinValue` when cell-less —
+    * the _cell_ts value (the scan is forced wide when _cell_ts is
+    * projected, so this sees every column's latest cell). */
+  def newestStamp(kr: graft.store.KvRow): Long = {
+    var maxTs = Long.MinValue
+    kr.cells.foreach(c => if (c.ts > maxTs) maxTs = c.ts)
+    maxTs
+  }
 
   // pair each required (possibly nested-pruned) column with its catalog field
   val projection: Seq[(graft.catalog.Field, org.apache.spark.sql.types.DataType)] =
@@ -801,8 +852,7 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
     val base =
       if (!setup.hasCellTs) setup.kvRows.flatMap(setup.materializer.materialize)
       else setup.kvRows.flatMap { kr =>
-        var maxTs = Long.MinValue
-        kr.cells.foreach(c => if (c.ts > maxTs) maxTs = c.ts)
+        val maxTs = setup.newestStamp(kr)
         val ts: Any = if (maxTs == Long.MinValue) null else Long.box(maxTs)
         setup.materializer.materialize(kr).map(setup.assembleWithTs(_, ts))
       }
@@ -881,8 +931,9 @@ private[datasource] object VectorSlotSink {
 /** Columnar executor-side reader: decodes each KvRow's slots straight into
   * `OnHeapColumnVector`s (no per-row `InternalRow`), emitting 4096-row
   * `ColumnarBatch`es that downstream whole-stage codegen consumes
-  * vector-at-a-time. Only constructed when
-  * [[GraftReaderFactory.supportColumnarReads]] held. */
+  * vector-at-a-time. `_cell_ts` slots are long vectors filled from each
+  * row's newest stamp alongside the decoded data slots. Only constructed
+  * when [[GraftReaderFactory.supportColumnarReads]] held. */
 class GraftColumnarPartitionReader(p: GraftInputPartition)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
@@ -901,7 +952,10 @@ class GraftColumnarPartitionReader(p: GraftInputPartition)
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(capacity, p.requiredSchema)
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
-  private val sink = new VectorSlotSink(vectors, p.requiredSchema)
+  // the materializer's slot i is the i-th DATA column; _cell_ts slots are
+  // carved out and written directly below
+  private val sink = new VectorSlotSink(setup.dataSlots.map(vectors), setup.dataSchema)
+  private val tsVectors = setup.tsSlots.map(vectors)
 
   override def next(): Boolean = {
     if (!kvRows.hasNext) return false
@@ -910,7 +964,17 @@ class GraftColumnarPartitionReader(p: GraftInputPartition)
     var n = 0
     while (n < capacity && kvRows.hasNext) {
       sink.rowId = n
-      setup.materializer.materializeInto(kvRows.next(), sink)
+      val kr = kvRows.next()
+      setup.materializer.materializeInto(kr, sink)
+      if (tsVectors.nonEmpty) {
+        val maxTs = setup.newestStamp(kr)
+        var j = 0
+        while (j < tsVectors.length) {
+          if (maxTs == Long.MinValue) tsVectors(j).putNull(n)
+          else tsVectors(j).putLong(n, maxTs)
+          j += 1
+        }
+      }
       n += 1
     }
     batch.setNumRows(n)
@@ -926,4 +990,55 @@ class GraftColumnarPartitionReader(p: GraftInputPartition)
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(GraftMetricsDefs.task("graftRowsScanned", rowsScanned))
+}
+
+/** Columnar reader for a pushed key-prefix GROUPED aggregate: delegates the
+  * scan-and-fold to [[GraftGroupAggPartitionReader]] (that streaming walk —
+  * O(1) state, one emitted row per distinct prefix — IS the expensive part
+  * and is unchanged) and batches the emitted group rows into
+  * `ColumnarBatch`es, so a wide region's many groups flow to the final
+  * aggregate on the vectorized path instead of row-at-a-time. */
+class GraftGroupAggColumnarReader(p: GraftInputPartition, ops: Seq[PushedAggOp])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val inner = new GraftGroupAggPartitionReader(p, ops)
+  private val outTypes = PushedAggSchema.outputTypes(p.catalog, p.groupCols, ops).toArray
+  private val outSchema = StructType(outTypes.zipWithIndex.map { case (dt, i) =>
+    org.apache.spark.sql.types.StructField(s"c$i", dt)
+  })
+
+  private val capacity = 4096
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, outSchema)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  private val setters = outTypes.map(VectorSlotSink.setterFor)
+
+  override def next(): Boolean = {
+    if (!inner.next()) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    var more = true
+    while (n < capacity && more) {
+      val row = inner.get()
+      var j = 0
+      while (j < outTypes.length) {
+        if (row.isNullAt(j)) vectors(j).putNull(n)
+        else setters(j)(vectors(j), n, row.get(j, outTypes(j)))
+        j += 1
+      }
+      n += 1
+      if (n < capacity) more = inner.next()
+    }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); inner.close() }
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
 }

@@ -449,22 +449,45 @@ object Dedup {
     * appendix C / PaLM-style, token-level). Output:
     * (train_id, eval_id, n_shared).
     *
-    * Shape: both sides explode to DISTINCT n-grams (array_distinct before
-    * the explode keeps within-doc repeats from inflating counts), join on
-    * the n-gram string, aggregate per pair — one n-gram-keyed shuffle join,
-    * partial-aggregated on both sides. The eval side is typically tiny
-    * (benchmarks), so AQE downgrades the join to a broadcast at runtime; the
-    * plan does NOT hint it, because "eval set" can also be a full held-out
-    * split that scales with the corpus. At 100 TB the join key could be
-    * xxhash64(ngram) to shrink shuffle bytes — kept as the exact string here
-    * so the oracle is exact (a hash would be too, but collisions would need
-    * a rerank caveat). */
+    * Shape, built for the 100 TB case where the "eval set" is a full
+    * held-out split that scales with the corpus (so nothing broadcasts):
+    *  1. CANDIDATE join on `xxhash64(ngram)` — both sides explode to
+    *     DISTINCT n-grams (array_distinct before the explode keeps
+    *     within-doc repeats from inflating counts) but ship only
+    *     (doc_id, 8-byte hash) into the big shuffle, an order of magnitude
+    *     fewer bytes than the n-gram strings themselves on long grams.
+    *  2. EXACT string rerank restricted to the candidate documents: the
+    *     true string-keyed join re-runs only over docs that hash-matched
+    *     something (the contaminated sliver, not the corpus), so hash
+    *     collisions are invisible in the output — a colliding pair either
+    *     re-verifies on real strings or falls below `minShared` and drops.
+    *     Any truly-overlapping pair hash-matches by definition, so the
+    *     restriction loses nothing and the result is byte-identical to the
+    *     plain string join.
+    *
+    * `candidateHashBits` (< 64) deliberately weakens the candidate hash —
+    * a test hook that makes collisions abundant so the rerank's
+    * correctness is actually exercised (64-bit collisions are otherwise
+    * unobservable in any test-sized corpus). */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 5, minShared: Int = 1): DataFrame = {
+      textCol: String, n: Int = 5, minShared: Int = 1,
+      candidateHashBits: Int = 64): DataFrame = {
     def grams(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("toks"))
       .select(col(as), explode(tokenNgramsOf(col("toks"), n)).as("ngram"))
-    grams(train, "train_id").join(grams(eval, "eval_id"), Seq("ngram"))
+    def h(c: Column): Column =
+      if (candidateHashBits >= 64) xxhash64(c)
+      else pmod(xxhash64(c), lit(1L << candidateHashBits))
+    val trainG = grams(train, "train_id")
+    val evalG = grams(eval, "eval_id")
+    val candTrain = trainG.select(col("train_id"), h(col("ngram")).as("h"))
+      .join(evalG.select(h(col("ngram")).as("h")), Seq("h"), "leftsemi")
+      .select(col("train_id")).distinct()
+    val candEval = evalG.select(col("eval_id"), h(col("ngram")).as("h"))
+      .join(trainG.select(h(col("ngram")).as("h")), Seq("h"), "leftsemi")
+      .select(col("eval_id")).distinct()
+    trainG.join(candTrain, Seq("train_id"), "leftsemi")
+      .join(evalG.join(candEval, Seq("eval_id"), "leftsemi"), Seq("ngram"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -115,6 +115,33 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g == want)
   }
 
+  test("pushed Sum under ANSI mode raises on Long overflow instead of wrapping") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"ansiovf"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"bigint"}}}""".stripMargin
+    Seq((1L, Long.MaxValue), (2L, Long.MaxValue)).toDF("key", "v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "10"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv").option("catalog", catalog).load()
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "Spark 4 defaults ANSI on — this test pins the pushed partial's match")
+    val agg = df.agg(sum(col("v")))
+    // the aggregate still pushes (one partial per region)...
+    assert(agg.queryExecution.executedPlan.toString.contains("pushedAggregates"))
+    // ...and the overflowing partial ERRORS like the engine's ANSI sum
+    // would, never silently wraps to a negative total
+    val e = intercept[Exception](agg.collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an overflow error, got: $e")
+  }
+
   test("limit/top-N pushdown: early stop per region; non-key orderings decline") {
     val catalog =
       """{"table":{"namespace":"default", "name":"limtable"},

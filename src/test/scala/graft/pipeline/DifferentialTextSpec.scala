@@ -68,6 +68,34 @@ class DifferentialTextSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("contamination: differential vs brute force; collision-heavy candidate hashes rerank exactly") {
+    for (seed <- Seq(11L, 12L, 13L); n <- Seq(2, 3)) {
+      val train = corpus(seed)
+      val eval = corpus(seed + 1000).take(12)
+      // brute force: distinct word n-grams, pairwise intersection sizes
+      def gramsOf(t: String): Set[String] = {
+        val ts = toks(t)
+        if (ts.size < n) Set.empty
+        else ts.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (tid, tt) <- train; (eid, et) <- eval
+        shared = (gramsOf(tt) intersect gramsOf(et)).size
+        if shared >= 1
+      } yield (tid, eid) -> shared.toLong).toMap
+      def run(bits: Int): Map[(Long, Long), Long] =
+        Dedup.contamination(train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, candidateHashBits = bits)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(run(64) == want, s"seed=$seed n=$n (full-width hash)")
+      // 2-bit candidate hash = 4 buckets: nearly every gram pair collides,
+      // so the candidate phase admits almost everything — the exact string
+      // rerank must still produce byte-identical results (this is the
+      // collision path a 64-bit hash never exercises in test-sized data)
+      assert(run(2) == want, s"seed=$seed n=$n (collision-heavy hash)")
+    }
+  }
+
   test("bigramLm: differential vs in-memory pair/prefix counts across seeds") {
     for (seed <- Seq(11L, 12L, 13L); minCount <- Seq(1L, 2L)) {
       val docs = corpus(seed)

@@ -112,6 +112,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val explodedPlan = executedPlan(exploded)
     assert(!explodedPlan.contains("ColumnarToRow"),
       s"exploded-version scan must fall back to the row reader:\n${explodedPlan.take(3000)}")
+    // _cell_ts rides the columnar path too: a long vector filled from the
+    // row's newest stamp alongside the decoded data slots
+    val withTs = df.select(org.apache.spark.sql.functions.col("c_custkey"),
+      org.apache.spark.sql.functions.col("_cell_ts"))
+    val tsPlan = executedPlan(withTs)
+    assert(tsPlan.contains("ColumnarToRow"),
+      s"_cell_ts projection should stay columnar:\n${tsPlan.take(3000)}")
   }
 
   test("px9: query side is broadcast (corpus never shuffles for the join)") {
@@ -367,6 +374,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("pushedGroupBy=[o_orderstatus]"),
       s"expected grouped aggregate pushdown:\n${plan.take(3000)}")
     assert(plan.contains("pushedAggregates="), plan.take(3000))
+    // grouped partials batch into vectors (one row per distinct prefix —
+    // the many-groups 100× shape rides the columnar path)
+    assert(plan.contains("ColumnarToRow"),
+      s"grouped-agg scan should emit columnar batches:\n${plan.take(3000)}")
     // a non-prefix grouping must NOT push (falls back to a plain scan)
     val noPush = executedPlan(
       spark.read.format("graft-kv")
