@@ -91,9 +91,9 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
     * the SQL-catalog path omits it so `INSERT INTO ... VALUES` gets Spark's
     * positional resolution against the table schema. */
   override def capabilities(): util.Set[TableCapability] = {
-    val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -368,6 +368,13 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
   }
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.format("graft-kv")` — the pruned schema and pushed
+    * filters carry over; each micro-batch is planned as a per-region
+    * stamp-window scan (see [[GraftMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(catalog, opts, requiredSchema, filters)
 
   @volatile private var plannedRegions = 0L
   @volatile private var totalRegions = 0L

@@ -1,0 +1,142 @@
+package graft.datasource
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.GraftCatalog
+import graft.ranges.{Bound, BytesUtil, ScanRange}
+import graft.store.KvStore
+
+/** Micro-batch offsets for the kv streaming source: one MVCC stamp per
+  * region — each region's mutation high-water mark at the batch boundary.
+  * A batch reads, per region, exactly the cells with
+  * `lastOffset < ts ≤ newOffset`. Per-region (not one global stamp) because
+  * each region server advances independently in a distributed deployment;
+  * the vector is what a per-server WAL position would serialize to. */
+final case class GraftStreamOffset(stamps: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    stamps.toSeq.sortBy(_._1).map { case (r, s) => s""""$r":$s""" }
+      .mkString("{", ",", "}")
+}
+
+object GraftStreamOffset {
+  def parse(json: String): GraftStreamOffset =
+    GraftStreamOffset("\"(\\d+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+
+  /** Accepts both live [[GraftStreamOffset]]s and the engine's serialized
+    * checkpoint form (anything else round-trips through its json). */
+  def of(o: Offset): GraftStreamOffset = o match {
+    case g: GraftStreamOffset => g
+    case other => parse(other.json())
+  }
+}
+
+/** Native streaming SOURCE: `spark.readStream.format("graft-kv")` — the CDC
+  * counterpart of [[GraftStreamingWrite]]. Offsets ride the store's MVCC
+  * cell stamps: each micro-batch plans a time-range scan per region over
+  * the stamp window `(last, latest]`, so a batch's rows are exactly the
+  * rows something was written to in the window, merged to their
+  * latest-in-window cell values — upsert CDC, the shape an incremental
+  * dedup/index refresh consumes. Both offset capture (`latestOffset`) and
+  * batch planning are O(regions): the high-water marks are maintained by
+  * `put` ([[graft.store.KvTable.Region.maxStamp]]), never scanned for.
+  *
+  * Contract and scope:
+  *  - Rows are emitted with the columns whose cells fall in the window; a
+  *    partial-column update streams the touched columns and nulls for the
+  *    rest (HBase WAL replication ships changed cells, same semantics).
+  *  - Writes must advance past the committed offset to be streamed: a
+  *    write stamped ≤ a region's committed high-water mark is invisible to
+  *    the stream (standard CDC low-watermark caveat; the default
+  *    current-time stamps satisfy this, explicit `timestamp` writes into
+  *    the past do not).
+  *  - Deletes don't stamp cells and are not streamed (no tombstones).
+  *  - Filter pushdown and column pruning apply per batch exactly as in
+  *    batch scans (key ranges prune regions inside the window).
+  *  - [[SupportsTriggerAvailableNow]]: an AvailableNow run pins the target
+  *    offset vector at start and drains up to it, so write-then-stream
+  *    round trips terminate deterministically. */
+class GraftMicroBatchStream(catalog: GraftCatalog, opts: GraftOptions,
+    requiredSchema: StructType, filters: Array[Filter])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  require(opts.timestamp.isEmpty,
+    "the exact-version `timestamp` read option is batch-only; a streaming " +
+      "read's version windows are its offsets (minStamp/maxStamp clip the " +
+      "stream to a stamp range if needed)")
+
+  private def table = KvStore.table(opts.storeName(catalog))
+
+  @volatile private var availableNowTarget: Option[GraftStreamOffset] = None
+
+  private def liveLatest: GraftStreamOffset =
+    GraftStreamOffset(table.regions.map(r => r.index -> r.maxStamp.get()).toMap)
+
+  /** Before the first write every region sits at Long.MinValue — the same
+    * value an empty region's high-water mark reports, so "nothing yet" and
+    * "start of history" coincide. */
+  override def initialOffset(): Offset =
+    GraftStreamOffset(table.regions.map(r => r.index -> Long.MinValue).toMap)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(liveLatest)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(liveLatest)
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset = liveLatest
+
+  override def deserializeOffset(json: String): Offset = GraftStreamOffset.parse(json)
+
+  /** Offsets are derived from store state that survives independently of
+    * the query (the stamps ARE the data), so nothing to clean up. */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = GraftStreamOffset.of(start).stamps
+    val e = GraftStreamOffset.of(end).stamps
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
+    table.regionInfos.flatMap { r =>
+      val lo = s.getOrElse(r.index, Long.MinValue)
+      val hi = e.getOrElse(r.index, Long.MinValue)
+      if (hi <= lo) None // region unchanged in this window — no partition
+      else {
+        val regionRange = ScanRange[Array[Byte]](
+          Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
+        val clipped = ScanRange.and(hrf.ranges, Seq(regionRange))
+        if (clipped.isEmpty) None
+        else {
+          // stamp window (lo, hi] as a [min, max) TimeRange, intersected
+          // with any user-supplied minStamp/maxStamp clip on the options
+          val winMin = math.max(
+            if (lo == Long.MinValue) Long.MinValue else lo + 1,
+            opts.minStamp.getOrElse(0L))
+          val winMax = math.min(
+            if (hi == Long.MaxValue) Long.MaxValue else hi + 1,
+            opts.maxStamp.getOrElse(Long.MaxValue))
+          val batchOpts = opts.copy(timestamp = None,
+            minStamp = Some(winMin), maxStamp = Some(winMax))
+          Some(GraftInputPartition(catalog, batchOpts, r.index, r.host,
+            clipped.map(SerializableRange.from), hrf.pred,
+            requiredSchema): InputPartition)
+        }
+      }
+    }.toArray
+  }
+
+  /** Same factory as batch reads: the partitions are ordinary time-range
+    * scans, so the row and columnar readers (and their scan metrics) are
+    * shared with the batch path. */
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+}

@@ -246,6 +246,85 @@ object StreamBatch {
   /** Same semantics as batch ev8 — same oracle. */
   val sv9Sql: String = Events.ev8Sql
 
+  private val sv10SourceCatalog =
+    """{"table":{"namespace":"default", "name":"kv_cdc_events"},
+      |"rowkey":"key",
+      |"columns":{
+      |"event_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"user_id":{"cf":"f", "col":"user", "type":"bigint"},
+      |"event_type":{"cf":"f", "col":"etype", "type":"string"},
+      |"value":{"cf":"f", "col":"value", "type":"double"}}}""".stripMargin
+
+  private val sv10SinkCatalog = sv10SourceCatalog
+    .replace("\"kv_cdc_events\"", "\"kv_cdc_mirror\"")
+
+  /** sv10: native streaming SOURCE end to end — the CDC round trip. Three
+    * stamped write generations land in a kv table; after each, a
+    * `readStream.format("graft-kv")` query ([[graft.datasource
+    * .GraftMicroBatchStream]], offsets = per-region MVCC high-water marks)
+    * resumes from ONE shared checkpoint and drains into the native kv SINK,
+    * stamping that phase's rows with a fixed sink timestamp. Each resumed
+    * run therefore mirrors exactly the rows written since the previous run
+    * — the incremental-refresh shape — and the mirror's exploded-version
+    * read (mergeToLatest=false) exposes all three generations at once:
+    * full snapshot + the %7 update wave + the %13 update wave, which is
+    * precisely the UNION ALL the oracle states. */
+  def sv10StreamKvSource(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type"),
+      col("value").cast("double").as("value"))
+    val maxId = base.agg(max(col("event_id"))).head().getLong(0)
+    def writeGen(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv10SourceCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val ckpt = Files.createTempDirectory("graft-sv10-ckpt").toString
+    def mirror(phaseStamp: Long): Unit = {
+      val stream = s.readStream.format("graft-kv")
+        .option("catalog", sv10SourceCatalog).load()
+      GraftStreaming.runOnce(GraftStreaming.kvSink(stream, Map(
+        "catalog" -> sv10SinkCatalog, "newtable" -> "4",
+        "timestamp" -> phaseStamp.toString, "maxVersions" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString,
+        "checkpointLocation" -> ckpt)))
+    }
+    // fresh run every invocation: gen1 recreates the source, the mirror
+    // drops, and the checkpoint dir above is new
+    graft.store.KvStore.drop("default:kv_cdc_mirror")
+    writeGen(base, ts = 1000, overwrite = true)
+    mirror(phaseStamp = 10)
+    writeGen(base.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") + 1000000.0d), ts = 2000, overwrite = false)
+    mirror(phaseStamp = 20)
+    writeGen(base.filter(col("event_id") % 13 === 0)
+      .withColumn("value", col("value") + 2000000.0d), ts = 3000, overwrite = false)
+    mirror(phaseStamp = 30)
+    s.read.format("graft-kv")
+      .options(Map("catalog" -> sv10SinkCatalog, "maxVersions" -> "4",
+        "mergeToLatest" -> "false")).load()
+      .orderBy(col("event_id"), col("value"))
+  }
+
+  val sv10Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(event_id AS BIGINT) AS event_id,
+      |         CAST(user_id AS BIGINT) AS user_id,
+      |         event_type, CAST(value AS DOUBLE) AS value
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT event_id, user_id, event_type, value FROM base
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type, value + 1000000 FROM base
+      |  WHERE event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type, value + 2000000 FROM base
+      |  WHERE event_id % 13 = 0
+      |) ORDER BY event_id, value""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -256,6 +335,7 @@ object StreamBatch {
     "sv7_stream_anomaly"    -> (sv7StreamAnomaly _),
     "sv8_stream_transitions" -> (sv8StreamTransitions _),
     "sv9_stream_funnel"     -> (sv9StreamFunnel _),
+    "sv10_stream_kv_source" -> (sv10StreamKvSource _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,5 +348,6 @@ object StreamBatch {
     "sv7_stream_anomaly"    -> sv7Sql,
     "sv8_stream_transitions" -> sv8Sql,
     "sv9_stream_funnel"     -> sv9Sql,
+    "sv10_stream_kv_source" -> sv10Sql,
   )
 }

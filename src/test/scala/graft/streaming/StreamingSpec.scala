@@ -224,6 +224,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream=${streamed.size} batch=${batch.size} diff=${(batch -- streamed).take(3)}")
   }
 
+  test("graft-kv streaming SOURCE: per-batch CDC across three resumed runs, late updates included") {
+    import org.apache.spark.sql.streaming.Trigger
+    val catalog =
+      """{"table":{"namespace":"default", "name":"cdc_src"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"string"},
+        |"w":{"cf":"f", "col":"w", "type":"bigint"}}}""".stripMargin
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, Long)], ts: Long, mode: String = "append"): Unit =
+      rows.toDF("k", "v", "w").write.format("graft-kv")
+        .options(Map("catalog" -> catalog, "newtable" -> "4", "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> "1000"))
+        .mode(mode).save()
+
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[(Long, String, Long)])]()
+    // foreachBatch is a recoverable sink, so one checkpoint threads the
+    // offset log through all three runs — each run resumes at the committed
+    // per-region stamp vector and must see ONLY the rows written since
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-kv").option("catalog", catalog).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.add(id -> df.collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // run 1: initial snapshot (keys spread across all four regions)
+    write(Seq((1L, "a", 10L), (300L, "b", 20L), (600L, "c", 30L), (900L, "d", 40L)),
+      ts = 1000, mode = "overwrite")
+    drain()
+    // run 2: an update to an existing key + a brand-new key
+    write(Seq((300L, "b2", 21L), (450L, "e", 50L)), ts = 2000)
+    drain()
+    // run 3: another generation touching a key updated in run 2 (the "late
+    // update" path: same key keeps re-appearing with advancing stamps)
+    write(Seq((300L, "b3", 22L), (1L, "a2", 11L)), ts = 3000)
+    drain()
+
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    assert(got.size == 3, s"expected 3 non-empty micro-batches, got $batches")
+    assert(got(0) == Set((1L, "a", 10L), (300L, "b", 20L), (600L, "c", 30L), (900L, "d", 40L)))
+    assert(got(1) == Set((300L, "b2", 21L), (450L, "e", 50L)),
+      "resumed run must emit ONLY the second-generation writes")
+    assert(got(2) == Set((300L, "b3", 22L), (1L, "a2", 11L)),
+      "third run must emit only the third-generation writes")
+
+    // a write stamped BEHIND its REGION's committed offset is invisible
+    // (CDC low-watermark contract, per region exactly like a region
+    // server's WAL position): key 450's region committed at 3000 above, so
+    // a ts=1500 write there never streams — while a fresh stamp in another
+    // region (900's, committed at 1000) still does
+    write(Seq((450L, "stale", 51L)), ts = 1500)
+    write(Seq((900L, "d2", 41L)), ts = 4000)
+    drain()
+    val after = batches.asScala.toSeq.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    assert(after.last == Set((900L, "d2", 41L)),
+      s"stale-stamped write must not re-stream: ${after.last}")
+  }
+
   test("graft-kv streaming sink lands micro-batches in the store") {
     val catalog =
       """{"table":{"namespace":"default", "name":"stream_events"},
