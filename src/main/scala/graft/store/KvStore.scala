@@ -22,12 +22,51 @@ object KvStore {
 
   private val tables = TrieMap[String, KvTable]()
 
+  /** Opt-in durability (OFF by default — see [[Wal]]): set with
+    * `-Dgraft.kv.wal=/dir` or [[enableWal]]. `None` costs one volatile read
+    * per mutation. Suspended (forced `None`) while [[replayWal]] re-applies
+    * records so replay never re-logs itself. */
+  @volatile private var walRef: Option[Wal] = None
+  @volatile private var replaying = false
+  sys.props.get("graft.kv.wal").foreach(d => enableWal(java.nio.file.Paths.get(d)))
+
+  private[store] def wal: Option[Wal] = if (replaying) None else walRef
+
+  def enableWal(dir: java.nio.file.Path): Unit = synchronized {
+    walRef.foreach(_.close())
+    walRef = Some(new Wal(dir))
+  }
+
+  def disableWal(): Unit = synchronized {
+    walRef.foreach(_.close())
+    walRef = None
+  }
+
+  /** Rebuild store state from `dir`'s log (crash/restart recovery). Clears
+    * in-memory tables first so the result is exactly the logged history —
+    * including per-region `maxStamp` marks, so streaming-source checkpoints
+    * stay valid across the restart. */
+  def replayWal(dir: java.nio.file.Path): Unit = synchronized {
+    tables.clear()
+    replaying = true
+    try Wal.replay(dir,
+      applyCreate = (name, splits, mv, byCf) =>
+        createTable(name, splits, mv, dropExisting = true, byCf),
+      applyPut = (name, key, cells) => tables.get(name).foreach(_.put(key, cells)),
+      applyDeleteKey = (name, key) => tables.get(name).foreach(_.deleteKey(key)),
+      applyDrop = name => { tables.remove(name); () },
+      applyClear = () => tables.clear())
+    finally replaying = false
+  }
+
   def createTable(name: String, splits: Seq[Array[Byte]], maxVersions: Int = 1,
       dropExisting: Boolean = false,
       maxVersionsByCf: Map[String, Int] = Map.empty): KvTable = synchronized {
-    if (dropExisting) tables.remove(name)
-    tables.getOrElseUpdate(name,
-      new KvTable(name, splits.toIndexedSeq, maxVersions, maxVersionsByCf))
+    if (dropExisting && tables.remove(name).isDefined) wal.foreach(_.logDrop(name))
+    tables.getOrElseUpdate(name, {
+      wal.foreach(_.logCreate(name, splits, maxVersions, maxVersionsByCf))
+      new KvTable(name, splits.toIndexedSeq, maxVersions, maxVersionsByCf)
+    })
   }
 
   def table(name: String): KvTable =
@@ -35,9 +74,13 @@ object KvStore {
 
   def exists(name: String): Boolean = tables.contains(name)
 
-  def drop(name: String): Unit = tables.remove(name)
+  def drop(name: String): Unit =
+    if (tables.remove(name).isDefined) wal.foreach(_.logDrop(name))
 
-  def dropAll(): Unit = tables.clear()
+  def dropAll(): Unit = {
+    tables.clear()
+    wal.foreach(_.logClear())
+  }
 }
 
 /** Column restriction for a scan (reference `restrictive` modes,
@@ -121,6 +164,9 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
   }
 
   def put(key: Array[Byte], cells: Seq[KvCell]): Unit = {
+    // WAL before table state (redo rule): a mutation is ack'd only after it
+    // is on the log, so replay can never miss an acknowledged write
+    KvStore.wal.foreach(_.logPut(name, key, cells))
     val region = regionFor(key)
     // explicit get/putIfAbsent (not computeIfAbsent) so the row counter
     // increments exactly once per NEW key even under concurrent writers:
@@ -187,6 +233,9 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
         while (it.hasNext) {
           val e = it.next()
           if (predicate.forall(_.eval(e.getKey, e.getValue, None))) {
+            // physical logging: the key actually removed, post-resolution —
+            // replay re-deletes exact keys, no predicate re-evaluation
+            KvStore.wal.foreach(_.logDeleteKey(name, e.getKey))
             it.remove()
             region.rowCount.decrementAndGet()
             removed += 1
@@ -195,6 +244,14 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
       }
     }
     removed
+  }
+
+  /** Remove one exact key (WAL replay's delete primitive — [[delete]] logs
+    * the keys it removed, replay re-applies them here). Not WAL-logged
+    * itself: only reached with logging suspended. */
+  private[store] def deleteKey(key: Array[Byte]): Unit = {
+    val region = regionFor(key)
+    if (region.rows.remove(key) != null) region.rowCount.decrementAndGet()
   }
 
   def scan(regionIndex: Int, range: ScanRange[Array[Byte]], cols: ColumnSet,
