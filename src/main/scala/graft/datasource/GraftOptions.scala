@@ -19,7 +19,11 @@ final case class GraftOptions(
     maxVersions: Int,
     familyMaxVersions: Map[String, Int],
     mergeToLatest: Boolean,
-    restrictive: String) extends Serializable {
+    restrictive: String,
+    /** streaming-read CDC option: also emit delete tombstones, with a
+      * `_deleted` boolean column appended to the schema (see
+      * [[GraftMicroBatchStream]]). */
+    tombstones: Boolean = false) extends Serializable {
 
   /** Store-registry key for this relation. The `cluster` option namespaces
     * the table, so two relations carrying different cluster ids resolve to
@@ -75,6 +79,7 @@ object GraftOptions {
           cf.trim -> n.trim.toInt
         }.toMap).getOrElse(Map.empty),
       mergeToLatest = get(GraftCatalog.MergeToLatest).forall(_.toBoolean),
-      restrictive = get(GraftCatalog.Restrictive).getOrElse("auto").toLowerCase)
+      restrictive = get(GraftCatalog.Restrictive).getOrElse("auto").toLowerCase,
+      tombstones = get("tombstones").exists(_.toBoolean))
   }
 }

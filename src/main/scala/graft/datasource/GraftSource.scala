@@ -27,8 +27,11 @@ class GraftSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftCatalog.parse(GraftOptions(options).catalogJson, options.asScala.toMap).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = GraftOptions(options)
+    GraftTable.tableSchema(
+      GraftCatalog.parse(opts.catalogJson, options.asScala.toMap), opts)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -39,8 +42,11 @@ class GraftSource extends TableProvider with DataSourceRegister {
     // or reorder the catalog's columns up front. Every named column must
     // exist in the catalog — catalog.field throws otherwise.
     val userSchema = Option(schema).filter(s =>
-      s.nonEmpty && s.fieldNames.toSeq != catalog.schema.fieldNames.toSeq)
-    userSchema.foreach(_.fieldNames.foreach(catalog.field))
+      s.nonEmpty &&
+        s.fieldNames.toSeq != GraftTable.tableSchema(catalog, opts).fieldNames.toSeq)
+    userSchema.foreach(_.fieldNames
+      .filterNot(n => n == GraftTable.DeletedColumn || n == GraftTable.CellTsColumn)
+      .foreach(catalog.field))
     new GraftTable(catalog, opts, userSchema)
   }
 }
@@ -51,6 +57,29 @@ object GraftTable {
     * versioned map column. Selected explicitly (`SELECT k, _cell_ts`);
     * never part of `SELECT *`. */
   val CellTsColumn = "_cell_ts"
+
+  /** CDC change-type column, appended to the schema ONLY under the
+    * `tombstones=true` read option (a streaming-read concern — see
+    * [[GraftMicroBatchStream]]): `false` for upsert rows; `true` for delete
+    * tombstones, whose value columns are null and whose `_cell_ts` is the
+    * delete stamp. Batch scans under the option emit constant `false` —
+    * a batch read sees current state, where deleted rows are simply gone. */
+  val DeletedColumn = "_deleted"
+
+  /** The relation's full schema for `opts`: the catalog's columns, plus
+    * `_cell_ts` and `_deleted` appended as REAL columns when the CDC option
+    * asks for tombstones. Real, not metadata, because the micro-batch path
+    * never calls `pruneColumns` — a metadata column would resolve at
+    * analysis but the scan would never hear about it (schema/row length
+    * mismatch at runtime); and a CDC consumer needs the change stamp to
+    * order events anyway. */
+  def tableSchema(catalog: GraftCatalog, opts: GraftOptions): StructType =
+    if (!opts.tombstones) catalog.schema
+    else StructType(catalog.schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        CellTsColumn, org.apache.spark.sql.types.LongType) :+
+      org.apache.spark.sql.types.StructField(
+        DeletedColumn, org.apache.spark.sql.types.BooleanType, nullable = false))
 }
 
 class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
@@ -62,10 +91,14 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
 
   override def name(): String = catalog.qualifiedName
 
-  override def schema(): StructType = userSchema.getOrElse(catalog.schema)
+  override def schema(): StructType =
+    userSchema.getOrElse(GraftTable.tableSchema(catalog, opts))
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+    // under the CDC option _cell_ts is a REAL schema column (see
+    // tableSchema) — declaring it as metadata too would shadow-conflict
+    if (opts.tombstones) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = GraftTable.CellTsColumn
       override def dataType(): org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.LongType
@@ -462,7 +495,11 @@ final case class GraftInputPartition(
     aggOps: Option[Seq[PushedAggOp]] = None,
     limit: Option[Int] = None,
     groupCols: Seq[String] = Nil,
-    reverse: Boolean = false) extends InputPartition {
+    reverse: Boolean = false,
+    /** CDC micro-batch only: the stamp window whose delete markers this
+      * partition must ALSO emit (as `_deleted=true` rows). None on batch
+      * scans — a batch read never sees tombstones. */
+    tombstoneWindow: Option[graft.store.TimeRange] = None) extends InputPartition {
   /** Data locality: the region's host (reference getPreferredLocations,
     * HBaseTableScan.scala:384-388). */
   override def preferredLocations(): Array[String] = Array(host)
@@ -527,6 +564,9 @@ class GraftReaderFactory extends PartitionReaderFactory {
           .forall(VectorSlotSink.supports)
       case Some(_) => false // one partial row per region — nothing to batch
       case None =>
+        // _deleted stays on the row path: CDC batches interleave upserts and
+        // tombstone rows, not a shape worth vectorizing
+        if (p.requiredSchema.fieldNames.contains(GraftTable.DeletedColumn)) return false
         val dataFields = p.requiredSchema.fields.toSeq
           .filterNot(_.name == GraftTable.CellTsColumn)
         dataFields.forall(f => VectorSlotSink.supports(f.dataType)) && {
@@ -757,17 +797,20 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
   private val catalog = p.catalog
   private val table = KvStore.table(p.opts.storeName(catalog))
 
-  // the _cell_ts metadata column is not a catalog field: carve its slots
-  // out, materialize the DATA slots normally, and splice the row's newest
-  // visible cell stamp back in at assembly time
+  // the _cell_ts and _deleted metadata columns are not catalog fields:
+  // carve their slots out, materialize the DATA slots normally, and splice
+  // the metadata values back in at assembly time
   private[datasource] val tsSlots: Array[Int] = p.requiredSchema.fields.zipWithIndex
     .collect { case (f, i) if f.name == GraftTable.CellTsColumn => i }
+  private[datasource] val delSlots: Array[Int] = p.requiredSchema.fields.zipWithIndex
+    .collect { case (f, i) if f.name == GraftTable.DeletedColumn => i }
   private val dataFields = p.requiredSchema.fields.zipWithIndex
-    .filterNot { case (_, i) => tsSlots.contains(i) }
+    .filterNot { case (_, i) => tsSlots.contains(i) || delSlots.contains(i) }
   private[datasource] val dataSlots: Array[Int] = dataFields.map(_._2)
   private val dataDts = dataFields.map(_._1.dataType)
   private[datasource] def dataSchema: StructType = StructType(dataFields.map(_._1))
   def hasCellTs: Boolean = tsSlots.nonEmpty
+  def hasMeta: Boolean = tsSlots.nonEmpty || delSlots.nonEmpty
 
   /** Newest cell stamp of a scanned row, `Long.MinValue` when cell-less —
     * the _cell_ts value (the scan is forced wide when _cell_ts is
@@ -782,9 +825,10 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
   val projection: Seq[(graft.catalog.Field, org.apache.spark.sql.types.DataType)] =
     dataFields.toSeq.map { case (sf, _) => (catalog.field(sf.name), sf.dataType) }
 
-  /** Splice `cellTs` (boxed Long or null) into the metadata slots around
-    * the materialized data row. */
-  def assembleWithTs(dataRow: InternalRow, cellTs: Any): InternalRow = {
+  /** Splice the metadata values — `cellTs` (boxed Long or null) and the
+    * `_deleted` flag — into their slots around the materialized data row. */
+  def assembleWithMeta(dataRow: InternalRow, cellTs: Any,
+      deleted: Boolean = false): InternalRow = {
     val out = new Array[Any](p.requiredSchema.length)
     var i = 0
     while (i < dataSlots.length) {
@@ -792,6 +836,7 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
       i += 1
     }
     tsSlots.foreach(j => out(j) = cellTs)
+    delSlots.foreach(j => out(j) = deleted)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
@@ -847,6 +892,30 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
     ordered.flatMap(r => table.scan(p.regionIndex, r.toRange, columnSet,
       timeRange, versions, p.pred, p.reverse))
   }
+
+  /** CDC tombstones for this partition's stamp window: each delete marker
+    * inside the pushed key ranges materializes as a key-only row (value
+    * columns null) with `_deleted=true` and `_cell_ts` = the delete stamp.
+    * A marker superseded by a LIVE row whose newest cell stamp is >= the
+    * marker (a re-put resurrected the key) is suppressed — the upsert row
+    * carries the truth. Key-range pruning applies; value predicates don't
+    * (a deleted row has no values to test — tombstones stream whenever
+    * their KEY survives the pushed ranges, the CDC-useful contract). */
+  def tombstoneRows: Iterator[InternalRow] =
+    if (delSlots.isEmpty) Iterator.empty // projection dropped _deleted —
+    // upsert rows and tombstones would be indistinguishable, so emit none
+    else p.tombstoneWindow.iterator.flatMap { window =>
+      p.ranges.iterator.flatMap(r =>
+        table.tombstonesIn(p.regionIndex, r.toRange, window))
+        .filter { case (key, stamp) =>
+          table.get(key, ColumnSet.All, None, 1)
+            .forall(live => newestStamp(live) < stamp)
+        }
+        .flatMap { case (key, stamp) =>
+          materializer.materialize(graft.store.KvRow(key, Seq.empty))
+            .map(assembleWithMeta(_, Long.box(stamp), deleted = true))
+        }
+    }
 }
 
 /** Executor-side reader: splits ranges into point gets vs scans (reference
@@ -856,13 +925,16 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
   private val setup = new GraftScanSetup(p)
 
   private val rows: Iterator[InternalRow] = {
-    val base =
-      if (!setup.hasCellTs) setup.kvRows.flatMap(setup.materializer.materialize)
+    val upserts =
+      if (!setup.hasMeta) setup.kvRows.flatMap(setup.materializer.materialize)
       else setup.kvRows.flatMap { kr =>
         val maxTs = setup.newestStamp(kr)
         val ts: Any = if (maxTs == Long.MinValue) null else Long.box(maxTs)
-        setup.materializer.materialize(kr).map(setup.assembleWithTs(_, ts))
+        setup.materializer.materialize(kr).map(setup.assembleWithMeta(_, ts))
       }
+    // CDC tombstones ride behind the window's upserts (order within a
+    // micro-batch carries no semantics — stamps do); None on batch scans
+    val base = upserts ++ setup.tombstoneRows
     // pushed limit/top-N: ranges are normalized-disjoint and each region
     // scan is key-ordered, so the first `l` materialized rows are the
     // partition's top `l` — the iterator stops, the region read ends early

@@ -53,7 +53,12 @@ object GraftStreamOffset {
   *    the stream (standard CDC low-watermark caveat; the default
   *    current-time stamps satisfy this, explicit `timestamp` writes into
   *    the past do not).
-  *  - Deletes don't stamp cells and are not streamed (no tombstones).
+  *  - Deletes stream ONLY under the `tombstones=true` read option, which
+  *    appends a `_deleted` boolean column to the schema: each delete marker
+  *    in the window emits a key-only row (`_deleted=true`, value columns
+  *    null, `_cell_ts` = delete stamp — HBase delete-marker semantics), and
+  *    a marker superseded by a newer re-put is suppressed in favor of the
+  *    upsert row. Without the option deletes are invisible (upsert-only CDC).
   *  - Filter pushdown and column pruning apply per batch exactly as in
   *    batch scans (key ranges prune regions inside the window).
   *  - [[SupportsTriggerAvailableNow]]: an AvailableNow run pins the target
@@ -129,7 +134,9 @@ class GraftMicroBatchStream(catalog: GraftCatalog, opts: GraftOptions,
             minStamp = Some(winMin), maxStamp = Some(winMax))
           Some(GraftInputPartition(catalog, batchOpts, r.index, r.host,
             clipped.map(SerializableRange.from), hrf.pred,
-            requiredSchema): InputPartition)
+            requiredSchema,
+            tombstoneWindow = if (opts.tombstones)
+              Some(graft.store.TimeRange(winMin, winMax)) else None): InputPartition)
         }
       }
     }.toArray

@@ -325,6 +325,95 @@ object StreamBatch {
       |  WHERE event_id % 13 = 0
       |) ORDER BY event_id, value""".stripMargin
 
+  private val sv11SourceCatalog = sv10SourceCatalog
+    .replace("\"kv_cdc_events\"", "\"kv_cdc_del_src\"")
+  private val sv11MirrorCatalog = sv10SourceCatalog
+    .replace("\"kv_cdc_events\"", "\"kv_cdc_del_mirror\"")
+
+  /** sv11: tombstone CDC end to end — the delete-propagation shape sv10
+    * can't express. The source table goes through snapshot → ranged DELETE →
+    * update wave; after each phase a `tombstones=true` streaming read
+    * resumes from one shared checkpoint and a foreachBatch consumer applies
+    * the changes to a mirror: `_deleted=false` rows upsert, `_deleted=true`
+    * rows delete (exact keys, the store's SupportsDelete path). The final
+    * mirror equals base minus the deleted id range — except ids the update
+    * wave re-put afterwards (resurrection), which return with updated
+    * values. Exactly the incremental-index-maintenance loop a 100 TB
+    * training-data pipeline runs off CDC. */
+  def sv11StreamCdcTombstones(s: SparkSession, dir: String): DataFrame = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
+    val base = Tables.events(s, dir).select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type"),
+      col("value").cast("double").as("value"))
+    val maxId = base.agg(max(col("event_id"))).head().getLong(0)
+    val srcParsed = graft.catalog.GraftCatalog.parse(sv11SourceCatalog, Map.empty)
+    val mirParsed = graft.catalog.GraftCatalog.parse(sv11MirrorCatalog, Map.empty)
+    def writeGen(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv11SourceCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val ckpt = Files.createTempDirectory("graft-sv11-ckpt").toString
+    def mirrorApply(phaseStamp: Long): Unit = {
+      val stream = s.readStream.format("graft-kv")
+        .option("catalog", sv11SourceCatalog).option("tombstones", "true").load()
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val dels = df.filter(col("_deleted")).select("event_id").collect()
+            .map(_.getLong(0): Any)
+          if (dels.nonEmpty) {
+            val hrf = FilterCompiler.compileAll(mirParsed,
+              Seq(org.apache.spark.sql.sources.In("event_id", dels)))
+            KvStore.table(mirParsed.qualifiedName).delete(hrf.ranges, hrf.pred, phaseStamp)
+          }
+          val ups = df.filter(!col("_deleted")).drop("_deleted", "_cell_ts")
+          if (!ups.isEmpty)
+            ups.write.format("graft-kv")
+              .options(Map("catalog" -> sv11MirrorCatalog, "newtable" -> "4",
+                "timestamp" -> phaseStamp.toString,
+                "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+              .mode("append").save()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // fresh run every invocation (same protocol as sv10)
+    KvStore.drop(mirParsed.qualifiedName)
+    writeGen(base, ts = 1000, overwrite = true)
+    mirrorApply(phaseStamp = 10)
+    // ranged DELETE on the source — streams as _deleted=true tombstones
+    val hrf = FilterCompiler.compileAll(srcParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", 100L),
+      org.apache.spark.sql.sources.LessThanOrEqual("event_id", 499L)))
+    KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 2000)
+    mirrorApply(phaseStamp = 20)
+    // update wave: re-puts %7 ids (resurrecting deleted ones) with new values
+    writeGen(base.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") + 1000000.0d), ts = 3000, overwrite = false)
+    mirrorApply(phaseStamp = 30)
+    s.read.format("graft-kv")
+      .option("catalog", sv11MirrorCatalog).load()
+      .orderBy(col("event_id"))
+  }
+
+  val sv11Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(event_id AS BIGINT) AS event_id,
+      |         CAST(user_id AS BIGINT) AS user_id,
+      |         event_type, CAST(value AS DOUBLE) AS value
+      |  FROM events)
+      |SELECT event_id, user_id, event_type,
+      |       CASE WHEN event_id % 7 = 0 THEN value + 1000000 ELSE value END AS value
+      |FROM base
+      |WHERE event_id NOT BETWEEN 100 AND 499 OR event_id % 7 = 0
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -336,6 +425,7 @@ object StreamBatch {
     "sv8_stream_transitions" -> (sv8StreamTransitions _),
     "sv9_stream_funnel"     -> (sv9StreamFunnel _),
     "sv10_stream_kv_source" -> (sv10StreamKvSource _),
+    "sv11_stream_cdc_tombstones" -> (sv11StreamCdcTombstones _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +439,6 @@ object StreamBatch {
     "sv8_stream_transitions" -> sv8Sql,
     "sv9_stream_funnel"     -> sv9Sql,
     "sv10_stream_kv_source" -> sv10Sql,
+    "sv11_stream_cdc_tombstones" -> sv11Sql,
   )
 }

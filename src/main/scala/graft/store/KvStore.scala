@@ -53,7 +53,7 @@ object KvStore {
       applyCreate = (name, splits, mv, byCf) =>
         createTable(name, splits, mv, dropExisting = true, byCf),
       applyPut = (name, key, cells) => tables.get(name).foreach(_.put(key, cells)),
-      applyDeleteKey = (name, key) => tables.get(name).foreach(_.deleteKey(key)),
+      applyDeleteKey = (name, key, stamp) => tables.get(name).foreach(_.deleteKey(key, stamp)),
       applyDrop = name => { tables.remove(name); () },
       applyClear = () => tables.clear())
     finally replaying = false
@@ -144,9 +144,19 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
       * empty) — the region's mutation high-water mark. The streaming source
       * uses the vector of these as its micro-batch offsets, so computing
       * `latestOffset` costs O(regions), never a scan. Monotone by
-      * construction; deletes don't lower it (an offset must never move
-      * backwards). */
+      * construction; stamped deletes ADVANCE it (a delete is a mutation a
+      * CDC consumer must see), and it never moves backwards. */
     val maxStamp = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    /** Delete markers: key → newest delete stamp. [[delete]] records one per
+      * removed row so a CDC reader ([[graft.datasource.GraftMicroBatchStream]]
+      * with `tombstones=true`) can stream deletions as `_deleted` rows —
+      * HBase's delete-marker model, where markers outlive the data until
+      * compaction. Markers are retained indefinitely here (the in-process
+      * analogue of "until major compaction"); a re-put newer than the marker
+      * supersedes it at read time. Bounded by total deleted keys, and empty
+      * unless deletes happen. */
+    val tombstones = new ConcurrentSkipListMap[Array[Byte], java.lang.Long](
+      BytesUtil.byteArrayOrdering)
   }
 
   val regions: IndexedSeq[Region] = (0 to sortedSplits.size).map(new Region(_)).toIndexedSeq
@@ -222,10 +232,14 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
     * `predicate` — the store half of DSv2 `SupportsDelete`. Caller contract:
     * ranges+predicate must be EXACT (no over-approximation — a residual
     * would delete rows the filter didn't select); the connector only routes
-    * deletes here when the filter compiler handled every filter. Returns
-    * the removed-row count. */
+    * deletes here when the filter compiler handled every filter. Each
+    * removed row leaves a delete marker at `stamp` (CDC visibility — see
+    * [[Region.tombstones]]) and advances the region's mutation high-water
+    * mark, so streaming readers observe the deletion as a new offset.
+    * Returns the removed-row count. */
   def delete(ranges: Seq[ScanRange[Array[Byte]]],
-      predicate: Option[KvPredicate]): Long = {
+      predicate: Option[KvPredicate],
+      stamp: Long = System.currentTimeMillis()): Long = {
     var removed = 0L
     regions.foreach { region =>
       ranges.foreach { range =>
@@ -235,9 +249,12 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
           if (predicate.forall(_.eval(e.getKey, e.getValue, None))) {
             // physical logging: the key actually removed, post-resolution —
             // replay re-deletes exact keys, no predicate re-evaluation
-            KvStore.wal.foreach(_.logDeleteKey(name, e.getKey))
+            KvStore.wal.foreach(_.logDeleteKey(name, e.getKey, stamp))
             it.remove()
             region.rowCount.decrementAndGet()
+            region.tombstones.merge(e.getKey, Long.box(stamp),
+              (a, b) => if (a >= b) a else b)
+            region.maxStamp.accumulateAndGet(stamp, (a, b) => math.max(a, b))
             removed += 1
           }
         }
@@ -249,9 +266,32 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
   /** Remove one exact key (WAL replay's delete primitive — [[delete]] logs
     * the keys it removed, replay re-applies them here). Not WAL-logged
     * itself: only reached with logging suspended. */
-  private[store] def deleteKey(key: Array[Byte]): Unit = {
+  private[store] def deleteKey(key: Array[Byte], stamp: Long): Unit = {
     val region = regionFor(key)
     if (region.rows.remove(key) != null) region.rowCount.decrementAndGet()
+    region.tombstones.merge(key, Long.box(stamp), (a, b) => if (a >= b) a else b)
+    region.maxStamp.accumulateAndGet(stamp, (a, b) => math.max(a, b))
+  }
+
+  /** Delete markers of one region whose stamp falls in `window`, restricted
+    * to `range` — the CDC reader's tombstone feed (key bytes + delete
+    * stamp), served from the marker map: O(markers-in-range), no row scan. */
+  def tombstonesIn(regionIndex: Int, range: ScanRange[Array[Byte]],
+      window: TimeRange): Iterator[(Array[Byte], Long)] = {
+    val region = regions(regionIndex)
+    val m: java.util.NavigableMap[Array[Byte], java.lang.Long] =
+      ((range.start.value, range.end.value) match {
+        case (Some(s), Some(e)) if BytesUtil.compareBytes(s, e) > 0 =>
+          java.util.Collections.emptyNavigableMap[Array[Byte], java.lang.Long]()
+        case (Some(s), Some(e)) =>
+          region.tombstones.subMap(s, range.start.inclusive, e, range.end.inclusive)
+        case (Some(s), None) => region.tombstones.tailMap(s, range.start.inclusive)
+        case (None, Some(e)) => region.tombstones.headMap(e, range.end.inclusive)
+        case (None, None)    => region.tombstones
+      })
+    m.entrySet().iterator().asScala
+      .filter(e => e.getValue >= window.minStamp && e.getValue < window.maxStamp)
+      .map(e => (e.getKey, e.getValue.longValue()))
   }
 
   def scan(regionIndex: Int, range: ScanRange[Array[Byte]], cols: ColumnSet,

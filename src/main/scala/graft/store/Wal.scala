@@ -58,8 +58,9 @@ final class Wal private[store] (val dir: Path) {
     out.flush()
   }
 
-  def logDeleteKey(table: String, key: Array[Byte]): Unit = synchronized {
+  def logDeleteKey(table: String, key: Array[Byte], stamp: Long): Unit = synchronized {
     out.writeByte(DeleteKeyRec); out.writeUTF(table); bytes(out, key)
+    out.writeLong(stamp)
     out.flush()
   }
 
@@ -85,7 +86,7 @@ object Wal {
   private[store] def replay(dir: Path,
       applyCreate: (String, Seq[Array[Byte]], Int, Map[String, Int]) => Unit,
       applyPut: (String, Array[Byte], Seq[KvCell]) => Unit,
-      applyDeleteKey: (String, Array[Byte]) => Unit,
+      applyDeleteKey: (String, Array[Byte], Long) => Unit,
       applyDrop: String => Unit,
       applyClear: () => Unit): Unit = {
     val f = dir.resolve(FileName)
@@ -113,7 +114,9 @@ object Wal {
             val cells = Seq.fill(in.readInt())(
               KvCell(in.readUTF(), in.readUTF(), in.readLong(), bytes()))
             applyPut(table, key, cells)
-          case DeleteKeyRec => applyDeleteKey(in.readUTF(), bytes())
+          case DeleteKeyRec =>
+            val table = in.readUTF(); val key = bytes()
+            applyDeleteKey(table, key, in.readLong())
           case DropRec => applyDrop(in.readUTF())
           case ClearRec => applyClear()
           case other => throw new java.io.IOException(s"corrupt WAL record tag $other")

@@ -380,6 +380,32 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select(col("k"), col("v1"), col("v2"), col("_cell_ts")).head().getLong(3) == 2000L)
   }
 
+  test("tombstones option on a BATCH read: _deleted constant false, deleted rows gone") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"tomb_batch"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4", "timestamp" -> "1000"))
+      .mode("append").save()
+    val parsed = graft.catalog.GraftCatalog.parse(catalog, Map.empty)
+    val hrf = FilterCompiler.compileAll(parsed,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 2L)))
+    KvStore.table("default:tomb_batch").delete(hrf.ranges, hrf.pred, stamp = 2000)
+    // a batch read sees CURRENT state: the deleted row is gone, survivors
+    // carry _deleted=false and a real _cell_ts — markers never leak into
+    // batch results even under the option
+    val rows = spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalog, "tombstones" -> "true")).load()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(rows == Set((1L, "a", 1000L, false), (3L, "c", 1000L, false)))
+    // without the option the schema is unchanged
+    assert(spark.read.format("graft-kv").option("catalog", catalog).load()
+      .columns.toSeq == Seq("k", "v"))
+  }
+
   test("Avro-encoded row key: round trip with range pruning disabled") {
     val keySchema =
       """{"type":"record","name":"K","fields":[

@@ -50,10 +50,20 @@ class KvStoreSpec extends AnyFunSuite {
     t.put(key(700), Seq(cell(3000L)))
     assert(t.regions(0).maxStamp.get() == 1000L)
     assert(t.regions(1).maxStamp.get() == 3000L)
-    // an older stamp never lowers the mark; deletes never move it back
+    // an older stamp never lowers the mark
     t.put(key(2), Seq(cell(500L)))
-    t.delete(all, None)
     assert(t.regions(0).maxStamp.get() == 1000L)
-    assert(t.regions(1).maxStamp.get() == 3000L)
+    // deletes ADVANCE the mark to their stamp (they are mutations a CDC
+    // stream must observe) — and a backdated delete stamp never lowers it
+    t.delete(all, None, stamp = 5000L)
+    assert(t.regions(0).maxStamp.get() == 5000L)
+    assert(t.regions(1).maxStamp.get() == 5000L)
+    t.put(key(3), Seq(cell(600L)))
+    t.delete(all, None, stamp = 100L)
+    assert(t.regions(0).maxStamp.get() == 5000L)
+    // the delete markers carry their stamps for the tombstone feed
+    val marks = t.regions.indices.flatMap(r => t.tombstonesIn(r, all.head,
+      TimeRange(Long.MinValue, Long.MaxValue))).map(_._2).toSet
+    assert(marks == Set(5000L, 100L))
   }
 }

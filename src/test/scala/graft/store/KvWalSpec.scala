@@ -66,6 +66,12 @@ class KvWalSpec extends AnyFunSuite {
       assert(replayed.regions.map(_.maxStamp.get()) == stampsBefore,
         "streaming-source offsets (maxStamp) must survive the restart")
       assert(replayed.maxVersions == 2 && replayed.versionCap("f") == 2)
+      // CDC delete markers survive too: a post-restart tombstone stream
+      // still sees the deletion window
+      val marks = replayed.regions.indices.flatMap(r => replayed.tombstonesIn(
+        r, all, TimeRange(Long.MinValue, Long.MaxValue))).toSeq
+      assert(marks.size == 50 && marks.forall(_._2 == stampsBefore.max),
+        s"expected 50 delete markers at the delete stamp, got ${marks.take(3)}")
     } finally {
       KvStore.disableWal()
       KvStore.drop("wal:t1")

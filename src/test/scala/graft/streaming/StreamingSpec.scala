@@ -292,6 +292,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stale-stamped write must not re-stream: ${after.last}")
   }
 
+  test("graft-kv streaming SOURCE: delete tombstones under the tombstones option") {
+    import org.apache.spark.sql.streaming.Trigger
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"cdc_tomb"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)], ts: Long, mode: String = "append"): Unit =
+      rows.toDF("k", "v").write.format("graft-kv")
+        .options(Map("catalog" -> catalogJson, "newtable" -> "4", "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> "1000"))
+        .mode(mode).save()
+    val parsed = graft.catalog.GraftCatalog.parse(catalogJson, Map.empty)
+    def deleteRange(lo: Long, hi: Long, stamp: Long): Long = {
+      val hrf = graft.datasource.FilterCompiler.compileAll(parsed, Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k", lo),
+        org.apache.spark.sql.sources.LessThanOrEqual("k", hi)))
+      KvStore.table("default:cdc_tomb").delete(hrf.ranges, hrf.pred, stamp)
+    }
+
+    val ckpt = Files.createTempDirectory("graft-tomb-ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer[Set[(Long, Option[String], Boolean, Long)]]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-kv")
+        .option("catalog", catalogJson).option("tombstones", "true").load()
+        .select(col("k"), col("v"), col("_deleted"), col("_cell_ts"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect()
+            .map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2), r.getLong(3))).toSet
+          if (rows.nonEmpty) batches.synchronized { batches += rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // snapshot: all upserts, _deleted=false, _cell_ts = write stamp
+    write(Seq((1L, "a"), (300L, "b"), (600L, "c"), (900L, "d")), ts = 1000, mode = "overwrite")
+    drain()
+    assert(batches.last == Set((1L, Some("a"), false, 1000L), (300L, Some("b"), false, 1000L),
+      (600L, Some("c"), false, 1000L), (900L, Some("d"), false, 1000L)))
+
+    // ranged delete → tombstone rows: value null, _deleted=true, stamp = delete stamp
+    assert(deleteRange(300, 600, stamp = 2000) == 2)
+    drain()
+    assert(batches.last == Set((300L, None, true, 2000L), (600L, None, true, 2000L)),
+      s"expected exactly the two tombstones: ${batches.last}")
+
+    // resurrect one key: the re-put supersedes its marker — upsert only
+    write(Seq((300L, "b2")), ts = 3000)
+    drain()
+    assert(batches.last == Set((300L, Some("b2"), false, 3000L)))
+
+    // put + delete inside ONE window → only the tombstone survives (the row
+    // is gone from the store; the marker is the newest event)
+    write(Seq((42L, "temp")), ts = 3500)
+    assert(deleteRange(42, 42, stamp = 3600) == 1)
+    drain()
+    assert(batches.last == Set((42L, None, true, 3600L)),
+      s"put-then-delete in one window must stream only the tombstone: ${batches.last}")
+
+    // without the option: same table, no _deleted column, deletes invisible
+    val plain = spark.readStream.format("graft-kv").option("catalog", catalogJson).load()
+    assert(!plain.schema.fieldNames.contains("_deleted"))
+  }
+
   test("graft-kv streaming sink lands micro-batches in the store") {
     val catalog =
       """{"table":{"namespace":"default", "name":"stream_events"},
