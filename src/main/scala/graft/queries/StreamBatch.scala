@@ -414,6 +414,164 @@ object StreamBatch {
       |WHERE event_id NOT BETWEEN 100 AND 499 OR event_id % 7 = 0
       |ORDER BY event_id""".stripMargin
 
+  private val sv12SrcCatalog =
+    """{"table":{"namespace":"default", "name":"kv_idx_src"},
+      |"rowkey":"key",
+      |"columns":{
+      |"doc_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"text":{"cf":"f", "col":"t", "type":"string"}}}""".stripMargin
+  private val sv12FwdCatalog = sv12SrcCatalog
+    .replace("\"kv_idx_src\"", "\"kv_idx_fwd\"")
+  private val sv12IdxCatalog =
+    """{"table":{"namespace":"default", "name":"kv_idx_inv"},
+      |"rowkey":"key",
+      |"columns":{
+      |"ik":{"cf":"rowkey", "col":"key", "type":"string"},
+      |"term":{"cf":"f", "col":"term", "type":"string"},
+      |"doc_id":{"cf":"f", "col":"doc", "type":"bigint"}}}""".stripMargin
+
+  /** sv12: CDC-maintained secondary index — the consumer the tombstone
+    * stream exists FOR. One `tombstones=true` stream over a documents kv
+    * table drives TWO mirrors through foreachBatch: a forward mirror
+    * (doc_id → text, the "old state" lookup) and an inverted index keyed
+    * `term   doc_id`. Every change first retires the doc's OLD index
+    * entries — their keys are recomputed by tokenizing the forward mirror's
+    * copy, the standard CDC index-maintenance move (a tombstone carries no
+    * values, so the old state must come from somewhere) — then upserts
+    * insert the new pairs and refresh the forward mirror. Source phases:
+    * full corpus, ranged DELETE (docs 100-199), and an update wave
+    * (doc_id % 9 = 0 gets a new token appended — including resurrections
+    * inside the deleted range). The final answer aggregates the index table
+    * into px26's capped-postings form, so the oracle is px26's SQL over the
+    * corpus's FINAL state. */
+  def sv12StreamCdcIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
+    import org.apache.spark.sql.expressions.Window
+    val sep = " " // tokens are whitespace-split, so   can't collide
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    val fwdParsed = graft.catalog.GraftCatalog.parse(sv12FwdCatalog, Map.empty)
+    val idxParsed = graft.catalog.GraftCatalog.parse(sv12IdxCatalog, Map.empty)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv12SrcCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    /** (doc_id, term, ik) pairs of a (doc_id, text) frame — MUST tokenize
+      * exactly like px26 ([[graft.pipeline.TextOps.tokens]]). */
+    def pairsOf(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        explode(array_distinct(graft.pipeline.TextOps.tokens(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("ik", concat(col("term"), lit(sep),
+        format_string("%012d", col("doc_id"))))
+    val ckpt = Files.createTempDirectory("graft-sv12-ckpt").toString
+    def applyBatch(phaseStamp: Long): Unit = {
+      val stream = s.readStream.format("graft-kv")
+        .option("catalog", sv12SrcCatalog).option("tombstones", "true").load()
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val changed = df.select(col("doc_id"), col("text"), col("_deleted")).cache()
+          val ids = changed.select("doc_id").distinct().collect().map(_.getLong(0))
+          // before the first batch no mirror exists — nothing old to retire
+          val haveMirror = KvStore.exists(fwdParsed.qualifiedName)
+          if (ids.nonEmpty) {
+            // 1. retire the OLD index entries of every touched doc: the old
+            //    text comes from the forward mirror (point gets via In
+            //    pushdown); its tokenization yields the exact keys to drop
+            val oldKeys = if (!haveMirror) Array.empty[Any] else {
+              val oldDocs = s.read.format("graft-kv")
+                .option("catalog", sv12FwdCatalog).load()
+                .filter(col("doc_id").isin(ids.map(Long.box).toIndexedSeq: _*))
+              pairsOf(oldDocs).select("ik").collect().map(_.getString(0): Any)
+            }
+            if (oldKeys.nonEmpty) {
+              val hrf = FilterCompiler.compileAll(idxParsed,
+                Seq(org.apache.spark.sql.sources.In("ik", oldKeys)))
+              KvStore.table(idxParsed.qualifiedName).delete(hrf.ranges, hrf.pred, phaseStamp)
+            }
+            // 2. forward mirror: drop deleted docs, upsert changed ones
+            val delIds = changed.filter(col("_deleted")).select("doc_id")
+              .collect().map(_.getLong(0): Any)
+            if (delIds.nonEmpty && haveMirror) {
+              val hrf = FilterCompiler.compileAll(fwdParsed,
+                Seq(org.apache.spark.sql.sources.In("doc_id", delIds)))
+              KvStore.table(fwdParsed.qualifiedName).delete(hrf.ranges, hrf.pred, phaseStamp)
+            }
+            val ups = changed.filter(!col("_deleted")).select(col("doc_id"), col("text"))
+            ups.write.format("graft-kv")
+              .options(Map("catalog" -> sv12FwdCatalog, "newtable" -> "4",
+                "timestamp" -> phaseStamp.toString,
+                "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+              .mode("append").save()
+            // 3. insert the new index pairs
+            pairsOf(ups).select(col("ik"), col("term"), col("doc_id"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> sv12IdxCatalog, "newtable" -> "4",
+                "timestamp" -> phaseStamp.toString))
+              .mode("append").save()
+          }
+          changed.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // fresh run every invocation
+    KvStore.drop(fwdParsed.qualifiedName)
+    KvStore.drop(idxParsed.qualifiedName)
+    writeSrc(base, ts = 1000, overwrite = true)
+    applyBatch(phaseStamp = 10)
+    val hrf = FilterCompiler.compileAll(
+      graft.catalog.GraftCatalog.parse(sv12SrcCatalog, Map.empty), Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
+        org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 199L)))
+    KvStore.table("default:kv_idx_src").delete(hrf.ranges, hrf.pred, stamp = 2000)
+    applyBatch(phaseStamp = 20)
+    writeSrc(base.filter(col("doc_id") % 9 === 0)
+      .withColumn("text", concat(col("text"), lit(" zzznewterm"))), ts = 3000,
+      overwrite = false)
+    applyBatch(phaseStamp = 30)
+    // the answer: the maintained index aggregated into px26's capped form
+    val pairs = s.read.format("graft-kv")
+      .option("catalog", sv12IdxCatalog).load()
+      .select(col("term"), col("doc_id"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("df", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("df") >= 2 && col("rn") <= 20)
+      .groupBy(col("term"))
+      .agg(max(col("df")).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"),
+        (max(col("df")) > 20).cast("int").as("truncated"))
+      .orderBy(col("term"))
+  }
+
+  val sv12Sql: String =
+    """WITH final AS (
+      |  SELECT doc_id, text || ' zzznewterm' AS text FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 9 <> 0 AND doc_id NOT BETWEEN 100 AND 199),
+      |t AS (SELECT doc_id,
+      |         unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+      |       FROM final),
+      |w AS (SELECT term, doc_id,
+      |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY term) AS df
+      |      FROM t WHERE length(term) > 0)
+      |SELECT term, CAST(max(df) AS BIGINT) AS df,
+      |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
+      |  CAST(max(df) > 20 AS INTEGER) AS truncated
+      |FROM w WHERE df >= 2 AND rn <= 20
+      |GROUP BY term ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -426,6 +584,7 @@ object StreamBatch {
     "sv9_stream_funnel"     -> (sv9StreamFunnel _),
     "sv10_stream_kv_source" -> (sv10StreamKvSource _),
     "sv11_stream_cdc_tombstones" -> (sv11StreamCdcTombstones _),
+    "sv12_stream_cdc_index"     -> (sv12StreamCdcIndex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,5 +599,6 @@ object StreamBatch {
     "sv9_stream_funnel"     -> sv9Sql,
     "sv10_stream_kv_source" -> sv10Sql,
     "sv11_stream_cdc_tombstones" -> sv11Sql,
+    "sv12_stream_cdc_index"     -> sv12Sql,
   )
 }
