@@ -181,6 +181,38 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftTableRegistry.entries.remove((Seq("default"), "ttravel"))
   }
 
+  test("readStream.table streams a catalog table (CDC through the SQL path)") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql(
+      """CREATE TABLE graft.default.cdc_sqlt (k BIGINT, v STRING)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100')""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft.default.cdc_sqlt VALUES (1, 'a'), (60, 'b')")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sqlt-ckpt").toString
+      val got = scala.collection.mutable.ArrayBuffer[Set[(Long, String)]]()
+      def drain(): Unit = {
+        val q = spark.readStream.table("graft.default.cdc_sqlt")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+            if (rows.nonEmpty) got.synchronized { got += rows }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()
+      assert(got.last == Set((1L, "a"), (60L, "b")))
+      // a second INSERT streams incrementally from the shared checkpoint
+      spark.sql("INSERT INTO graft.default.cdc_sqlt VALUES (75, 'c')")
+      drain()
+      assert(got.last == Set((75L, "c")),
+        s"resumed read must emit only the new insert: ${got.last}")
+    } finally spark.sql("DROP TABLE graft.default.cdc_sqlt")
+  }
+
   test("non-exact DELETE predicates are refused, not over-deleted") {
     spark.sql(
       """CREATE TABLE graft.default.delkeep (k BIGINT, v DOUBLE)
