@@ -23,7 +23,12 @@ final case class GraftOptions(
     /** streaming-read CDC option: also emit delete tombstones, with a
       * `_deleted` boolean column appended to the schema (see
       * [[GraftMicroBatchStream]]). */
-    tombstones: Boolean = false) extends Serializable {
+    tombstones: Boolean = false,
+    /** streaming-read admission control: advertise
+      * `ReadLimit.maxRows(n)` so a catch-up backlog drains in stamp-ordered
+      * chunks of ~n rows instead of one unbounded micro-batch (see
+      * [[GraftMicroBatchStream.latestOffset]]). */
+    maxRowsPerBatch: Option[Long] = None) extends Serializable {
 
   /** Store-registry key for this relation. The `cluster` option namespaces
     * the table, so two relations carrying different cluster ids resolve to
@@ -80,6 +85,7 @@ object GraftOptions {
         }.toMap).getOrElse(Map.empty),
       mergeToLatest = get(GraftCatalog.MergeToLatest).forall(_.toBoolean),
       restrictive = get(GraftCatalog.Restrictive).getOrElse("auto").toLowerCase,
-      tombstones = get("tombstones").exists(_.toBoolean))
+      tombstones = get("tombstones").exists(_.toBoolean),
+      maxRowsPerBatch = get("maxRowsPerBatch").map(_.toLong))
   }
 }

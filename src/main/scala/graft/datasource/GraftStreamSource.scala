@@ -63,7 +63,16 @@ object GraftStreamOffset {
   *    batch scans (key ranges prune regions inside the window).
   *  - [[SupportsTriggerAvailableNow]]: an AvailableNow run pins the target
   *    offset vector at start and drains up to it, so write-then-stream
-  *    round trips terminate deterministically. */
+  *    round trips terminate deterministically.
+  *  - Admission control ([[SupportsAdmissionControl]]): the
+  *    `maxRowsPerBatch` read option advertises `ReadLimit.maxRows`, and
+  *    [[latestOffset]] honors any maxRows limit by cutting the offset
+  *    vector at a global stamp whose backlog fits the budget — a stream
+  *    restarted after downtime (or first started against a populated
+  *    table) drains its backlog in bounded, stamp-ordered chunks instead
+  *    of one micro-batch sized like the whole table. Composes with
+  *    AvailableNow: the drain still terminates at the pinned target, in
+  *    budget-sized steps. */
 class GraftMicroBatchStream(catalog: GraftCatalog, opts: GraftOptions,
     requiredSchema: StructType, filters: Array[Filter])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
@@ -89,10 +98,60 @@ class GraftMicroBatchStream(catalog: GraftCatalog, opts: GraftOptions,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(liveLatest)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxRowsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.getOrElse(liveLatest)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = availableNowTarget.getOrElse(liveLatest)
+    maxRowsOf(limit) match {
+      case None         => cap
+      case Some(budget) => admit(GraftStreamOffset.of(start), cap, budget)
+    }
+  }
+
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxRows => Some(r.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case r: ReadMaxRows => r.maxRows() }
+    case _ => None
+  }
+
+  /** Admission control: largest per-region stamp cut ≤ `cap` whose total
+    * backlog stays within `budget` rows. Walks the per-region mutation
+    * histograms ([[graft.store.KvTable.Region.mutHist]]) merged in GLOBAL
+    * stamp order, so a catch-up drains oldest-mutations-first across all
+    * regions — replaying history in write order rather than letting one
+    * region race ahead. Whole stamps admit atomically (every mutation at
+    * the cut stamp lands in the same batch, so a batch can overshoot by
+    * the size of its last stamp's tie group), and the first pending stamp
+    * is always admitted even when larger than the budget — the progress
+    * guarantee that keeps a stream from stalling on a burst. Cost is
+    * O(distinct stamps in the window): stamps are millisecond-resolution,
+    * so histograms are bounded by active wall-clock ms, never row count. */
+  private def admit(start: GraftStreamOffset, cap: GraftStreamOffset,
+      budget: Long): GraftStreamOffset = {
+    import scala.jdk.CollectionConverters._
+    val pending = table.regions.iterator.flatMap { r =>
+      val lo = start.stamps.getOrElse(r.index, Long.MinValue)
+      val hi = cap.stamps.getOrElse(r.index, Long.MinValue)
+      if (hi <= lo) Iterator.empty
+      else r.mutHist.subMap(Long.box(lo), false, Long.box(hi), true)
+        .entrySet().iterator().asScala
+        .map(e => (e.getKey.longValue(), e.getValue.sum()))
+    }.toArray.sortBy(_._1)
+    var remaining = budget
+    var cut = Long.MinValue
+    var admitted = 0
+    while (admitted < pending.length &&
+        (admitted == 0 || remaining > 0)) {
+      val (stamp, n) = pending(admitted)
+      cut = stamp; remaining -= n; admitted += 1
+    }
+    if (admitted == pending.length) cap // whole backlog fits — drain to cap
+    else GraftStreamOffset(cap.stamps.map { case (ri, hi) =>
+      ri -> math.max(start.stamps.getOrElse(ri, Long.MinValue), math.min(hi, cut))
+    })
+  }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")

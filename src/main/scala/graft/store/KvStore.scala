@@ -157,6 +157,16 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
       * unless deletes happen. */
     val tombstones = new ConcurrentSkipListMap[Array[Byte], java.lang.Long](
       BytesUtil.byteArrayOrdering)
+    /** Mutation histogram: stamp → row-mutations landed at that stamp (one
+      * per put row / delete marker). The streaming source's admission
+      * control ([[graft.datasource.GraftMicroBatchStream]] honoring
+      * `ReadLimit.maxRows`) walks this to pick a stamp cut whose backlog
+      * fits the batch budget — O(distinct stamps in window), never a row
+      * scan. Stamps are currentTimeMillis-resolution, so live size is
+      * bounded by the table's active wall-clock milliseconds, not its row
+      * count; the in-process analogue of reading WAL entry counts between
+      * two replication positions. */
+    val mutHist = new ConcurrentSkipListMap[java.lang.Long, java.util.concurrent.atomic.LongAdder]()
   }
 
   val regions: IndexedSeq[Region] = (0 to sortedSplits.size).map(new Region(_)).toIndexedSeq
@@ -198,6 +208,11 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
       val cap = versionCap(c.cf)
       while (versions.size() > cap) versions.pollLastEntry()
     }
+    // one histogram tick per row-mutation, at the row's newest cell stamp
+    // (a multi-column put is one CDC row, not cells.size of them)
+    if (cells.nonEmpty)
+      region.mutHist.computeIfAbsent(cells.map(_.ts).max,
+        _ => new java.util.concurrent.atomic.LongAdder).increment()
   }
 
   def get(key: Array[Byte], cols: ColumnSet, time: Option[TimeRange], versions: Int): Option[KvRow] = {
@@ -255,6 +270,8 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
             region.tombstones.merge(e.getKey, Long.box(stamp),
               (a, b) => if (a >= b) a else b)
             region.maxStamp.accumulateAndGet(stamp, (a, b) => math.max(a, b))
+            region.mutHist.computeIfAbsent(stamp,
+              _ => new java.util.concurrent.atomic.LongAdder).increment()
             removed += 1
           }
         }
@@ -271,6 +288,8 @@ final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
     if (region.rows.remove(key) != null) region.rowCount.decrementAndGet()
     region.tombstones.merge(key, Long.box(stamp), (a, b) => if (a >= b) a else b)
     region.maxStamp.accumulateAndGet(stamp, (a, b) => math.max(a, b))
+    region.mutHist.computeIfAbsent(stamp,
+      _ => new java.util.concurrent.atomic.LongAdder).increment()
   }
 
   /** Delete markers of one region whose stamp falls in `window`, restricted

@@ -362,6 +362,116 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plain.schema.fieldNames.contains("_deleted"))
   }
 
+  test("graft-kv streaming SOURCE: maxRowsPerBatch drains a backlog in stamp-ordered chunks") {
+    import org.apache.spark.sql.streaming.Trigger
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"cdc_limit"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)], ts: Long, mode: String = "append"): Unit =
+      rows.toDF("k", "v").write.format("graft-kv")
+        .options(Map("catalog" -> catalogJson, "newtable" -> "4", "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> "1000"))
+        .mode(mode).save()
+
+    // a 9-generation backlog, two rows per stamp in DIFFERENT regions
+    // (keys g and 500+g), written BEFORE the stream ever starts
+    write(Seq((0L, "g0"), (500L, "g0")), ts = 1000, mode = "overwrite")
+    (1 to 8).foreach(g => write(Seq((g.toLong, s"g$g"), (500L + g, s"g$g")), ts = 1000L + g))
+
+    val ckpt = Files.createTempDirectory("graft-limit-ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[(Long, String)]]()
+    def drain(maxRows: Int): Unit = {
+      val q = spark.readStream.format("graft-kv")
+        .option("catalog", catalogJson).option("maxRowsPerBatch", maxRows.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+          if (rows.nonEmpty) batches.synchronized { batches += rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // budget 5 admits whole stamps: 2+2+2=6 crosses 5 at the third stamp,
+    // so the 18-row backlog drains as three 6-row batches of consecutive
+    // generations — bounded catch-up instead of one 18-row batch
+    drain(maxRows = 5)
+    assert(batches.size == 3, s"expected 3 bounded catch-up batches, got ${batches.size}")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val gens = Set(3 * i, 3 * i + 1, 3 * i + 2).map(g => s"g$g")
+      assert(b.size == 6 && b.map(_._2).toSet == gens,
+        s"batch $i must hold exactly generations $gens in stamp order: $b")
+    }
+
+    // progress guarantee: a single-stamp burst larger than the budget still
+    // admits (whole-stamp atomicity) — one batch of 8, never a stall
+    write((0 until 8).map(i => (100L + i, "burst")), ts = 9000)
+    drain(maxRows = 3)
+    assert(batches.last.size == 8 && batches.last.forall(_._2 == "burst"),
+      s"burst stamp must admit atomically: ${batches.last}")
+  }
+
+  test("graft-kv streaming SOURCE: checkpoint survives a store restart via WAL replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"cdc_wal"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)], ts: Long, mode: String = "append"): Unit =
+      rows.toDF("k", "v").write.format("graft-kv")
+        .options(Map("catalog" -> catalogJson, "newtable" -> "4", "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> "1000"))
+        .mode(mode).save()
+
+    val walDir = Files.createTempDirectory("graft-wal-stream")
+    val ckpt = Files.createTempDirectory("graft-wal-stream-ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer[Set[(Long, String)]]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-kv").option("catalog", catalogJson).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+          if (rows.nonEmpty) batches.synchronized { batches += rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    KvStore.enableWal(walDir)
+    try {
+      write(Seq((1L, "a"), (600L, "b")), ts = 1000, mode = "overwrite")
+      drain()
+      assert(batches.last == Set((1L, "a"), (600L, "b")))
+
+      // "crash": wipe the in-memory store, then rebuild from the log. The
+      // checkpoint's offset vector must stay valid — replay reconstructs
+      // per-region maxStamp marks, so the resumed stream sees only what
+      // lands AFTER the committed offsets, never a re-emission of history
+      KvStore.disableWal()
+      KvStore.replayWal(walDir)
+
+      write(Seq((300L, "c"), (1L, "a2")), ts = 2000)
+      drain()
+      assert(batches.last == Set((300L, "c"), (1L, "a2")),
+        s"resumed stream after restart must emit only post-restart writes: ${batches.last}")
+    } finally {
+      KvStore.disableWal()
+      KvStore.drop("default:cdc_wal")
+    }
+  }
+
   test("graft-kv streaming sink lands micro-batches in the store") {
     val catalog =
       """{"table":{"namespace":"default", "name":"stream_events"},
