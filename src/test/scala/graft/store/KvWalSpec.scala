@@ -50,6 +50,12 @@ class KvWalSpec extends AnyFunSuite {
       val before = snapshot(t)
       val countsBefore = t.regions.map(_.rowCount.get())
       val stampsBefore = t.regions.map(_.maxStamp.get())
+      def hist(table: KvTable): Seq[Map[Long, Long]] = {
+        import scala.jdk.CollectionConverters._
+        table.regions.map(_.mutHist.asScala.map {
+          case (s, n) => (s.longValue(), n.sum()) }.toMap)
+      }
+      val histBefore = hist(t)
       assert(countsBefore.sum == 850)
 
       // "restart": wipe memory (bypassing the logged dropAll on purpose —
@@ -65,6 +71,8 @@ class KvWalSpec extends AnyFunSuite {
         "statistics row counters must survive the restart")
       assert(replayed.regions.map(_.maxStamp.get()) == stampsBefore,
         "streaming-source offsets (maxStamp) must survive the restart")
+      assert(hist(replayed) == histBefore,
+        "admission-control stamp histograms must survive the restart")
       assert(replayed.maxVersions == 2 && replayed.versionCap("f") == 2)
       // CDC delete markers survive too: a post-restart tombstone stream
       // still sees the deletion window
