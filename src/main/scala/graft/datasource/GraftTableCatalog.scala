@@ -106,18 +106,31 @@ class GraftTableCatalog extends TableCatalog {
     new GraftTable(catalog, opts, acceptAnySchema = false)
   }
 
-  /** `ALTER TABLE ADD COLUMN` for NON-KEY columns — schema-on-read-trivial
-    * for a KV engine: the new column maps to a fresh qualifier in the value
-    * family, rows written before the alter simply have no cell there and
-    * read back as null. Everything else (key changes, drops, renames, type
-    * updates) is rejected: the row-key layout is the table's physical sort
-    * order and qualifier bytes are the stored data's addressing, so those
-    * would need a table rewrite, not a metadata edit. */
+  /** `ALTER TABLE ADD/DROP/RENAME COLUMN` for NON-KEY columns — all three
+    * are schema-on-read-trivial for a KV engine, metadata edits that touch
+    * no stored byte:
+    *  - ADD maps a fresh qualifier in the value family; rows written before
+    *    the alter have no cell there and read back as null.
+    *  - DROP hides the qualifier; surviving cells become invisible (and a
+    *    later ADD of the same name re-exposes them — HBase semantics, where
+    *    re-declaring a column over existing data reads what's stored).
+    *  - RENAME changes only the Spark-side name: a `qualifier.<field>`
+    *    property pins the column to its ORIGINAL stored qualifier, so data
+    *    written before the rename stays readable under the new name.
+    * Key changes and type updates are rejected: the row-key layout is the
+    * table's physical sort order, so those would need a table rewrite, not
+    * a metadata edit. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val (json, props) = GraftTableRegistry.entries.getOrElse(key(ident),
+    val (json, props0) = GraftTableRegistry.entries.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
-    val catalog = GraftCatalog.parse(json, props)
+    val catalog = GraftCatalog.parse(json, props0)
     var schema = catalog.schema
+    // pin the key list through schema edits: a defaulted rowkey property
+    // ("first column") must not drift when columns are added or dropped
+    var props = props0 +
+      ("rowkey" -> catalog.rowKeyFields.map(_.name).mkString(":"))
+    val keyNames = catalog.rowKeyFields.map(_.name)
+    def isKey(col: String): Boolean = keyNames.exists(_.equalsIgnoreCase(col))
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -133,8 +146,46 @@ class GraftTableCatalog extends TableCatalog {
             "(columns append; key order is fixed by the rowkey property)")
         schema = schema.add(org.apache.spark.sql.types.StructField(
           colName, add.dataType, nullable = true))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"DROP COLUMN ${del.fieldNames.mkString(".")}: nested drops are not supported")
+        val colName = del.fieldNames.head
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+        if (idx < 0) require(del.ifExists, s"column $colName does not exist")
+        else {
+          val actual = schema.fieldNames(idx)
+          require(!isKey(actual),
+            s"DROP COLUMN $actual: key parts are the table's physical sort " +
+              "order — dropping one would need a table rewrite")
+          require(schema.fields.length - 1 > keyNames.length,
+            s"DROP COLUMN $actual: a table needs at least one value column")
+          schema = StructType(schema.fields.patch(idx, Nil, 1))
+          props = props - s"qualifier.$actual" - s"length.$actual"
+        }
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"RENAME COLUMN ${ren.fieldNames.mkString(".")}: nested renames are not supported")
+        val colName = ren.fieldNames.head
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+        require(idx >= 0, s"column $colName does not exist")
+        val actual = schema.fieldNames(idx)
+        require(!isKey(actual),
+          s"RENAME COLUMN $actual: key parts are baked into the row-key " +
+            "layout — renaming one would need a table rewrite")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(ren.newName)),
+          s"column ${ren.newName} already exists")
+        // the stored qualifier stays the ORIGINAL name (or wherever an
+        // earlier rename already pinned it) — only the Spark name moves
+        val storedQual = props.getOrElse(s"qualifier.$actual", actual)
+        props = props - s"qualifier.$actual" +
+          (s"qualifier.${ren.newName}" -> storedQual)
+        props.get(s"length.$actual").foreach { l =>
+          props = props - s"length.$actual" + (s"length.${ren.newName}" -> l)
+        }
+        schema = StructType(schema.fields.updated(idx,
+          schema.fields(idx).copy(name = ren.newName)))
       case other => throw new UnsupportedOperationException(
-        s"graft-kv supports only ADD COLUMN of non-key columns (got $other): " +
+        s"graft-kv supports only ADD/DROP/RENAME COLUMN of non-key columns (got $other): " +
           "the row key layout and existing qualifier bytes are fixed at CREATE TABLE")
     }
     val newJson = GraftTableCatalog.synthesizeCatalogJson(ident, schema, props)
@@ -188,9 +239,13 @@ object GraftTableCatalog {
       val cf = if (keyParts.contains(f.name)) "rowkey" else family
       val len = props.get(s"length.${f.name}")
         .map(l => s""", "length":"${esc(l)}"""").getOrElse("")
+      // a `qualifier.<field>` property pins the stored qualifier when it
+      // differs from the Spark name (ALTER TABLE RENAME COLUMN keeps data
+      // addressed by its original qualifier bytes)
+      val qual = props.getOrElse(s"qualifier.${f.name}", f.name)
       // the catalog parses `type` with CatalystSqlParser — any SQL type
       // string Spark prints round-trips
-      s""""${esc(f.name)}":{"cf":"${esc(cf)}", "col":"${esc(f.name)}", """ +
+      s""""${esc(f.name)}":{"cf":"${esc(cf)}", "col":"${esc(qual)}", """ +
         s""""type":"${esc(f.dataType.sql.toLowerCase)}"$len}"""
     }.mkString(",\n")
     // non-final string key parts need a declared width, or the write path

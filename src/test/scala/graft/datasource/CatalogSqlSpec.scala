@@ -115,17 +115,55 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the new qualifier participates in the pushdown surface like any column
     assert(spark.sql("SELECT k FROM graft.default.altt WHERE w > 3.0")
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
-    // key mutations and drops are rejected — physical layout is fixed
+    // key mutations are rejected — the row-key layout is physical
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.default.altt DROP COLUMN v")
+      spark.sql("ALTER TABLE graft.default.altt DROP COLUMN k")
     }
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.default.altt RENAME COLUMN v TO vv")
+      spark.sql("ALTER TABLE graft.default.altt RENAME COLUMN k TO kk")
     }
     // rows survived the rejected alters
     assert(spark.sql("SELECT count(*) AS n FROM graft.default.altt")
       .head().getLong(0) == 3L)
     spark.sql("DROP TABLE graft.default.altt")
+  }
+
+  test("ALTER TABLE RENAME / DROP COLUMN: metadata-only, data stays addressed") {
+    spark.sql(
+      """CREATE TABLE graft.default.rent (k BIGINT, v STRING, w DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100')""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft.default.rent VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+      // rename is metadata-only: pre-rename cells read under the new name
+      // because the stored qualifier stays pinned to the original
+      spark.sql("ALTER TABLE graft.default.rent RENAME COLUMN v TO label")
+      assert(spark.sql("SELECT label FROM graft.default.rent WHERE k = 1")
+        .head().getString(0) == "a")
+      // writes and pushdown under the new name land on the SAME qualifier
+      spark.sql("INSERT INTO graft.default.rent VALUES (3, 'c', 3.5)")
+      assert(spark.sql("SELECT k FROM graft.default.rent WHERE label = 'c'")
+        .collect().map(_.getLong(0)).toSeq == Seq(3L))
+      // a chained rename keeps the ORIGINAL qualifier pinned
+      spark.sql("ALTER TABLE graft.default.rent RENAME COLUMN label TO tag")
+      assert(spark.sql("SELECT tag FROM graft.default.rent ORDER BY k")
+        .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+      // DROP hides the column (cells survive, invisible)
+      spark.sql("ALTER TABLE graft.default.rent DROP COLUMN tag")
+      assert(!spark.table("graft.default.rent").schema.fieldNames.contains("tag"))
+      assert(spark.sql("SELECT count(*) AS n FROM graft.default.rent")
+        .head().getLong(0) == 3L)
+      // re-ADDing the ORIGINAL name maps the original qualifier, so the
+      // surviving cells re-expose — KV schema-on-read, as documented
+      spark.sql("ALTER TABLE graft.default.rent ADD COLUMN v STRING")
+      assert(spark.sql("SELECT v FROM graft.default.rent ORDER BY k")
+        .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+      // the last value column can't be dropped
+      spark.sql("ALTER TABLE graft.default.rent DROP COLUMN v")
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.default.rent DROP COLUMN w")
+      }
+    } finally spark.sql("DROP TABLE graft.default.rent")
   }
 
   test("composite string key parts need declared widths at CREATE time") {
