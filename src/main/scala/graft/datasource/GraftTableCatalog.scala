@@ -5,7 +5,7 @@ import java.util
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -34,7 +34,7 @@ import graft.store.KvStore
   * fixed-width composite string key parts — then creates the presplit store
   * table. Table definitions live in a JVM-wide registry (the stand-in for a
   * metastore), like the store itself. */
-class GraftTableCatalog extends TableCatalog {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft"
 
@@ -203,8 +203,88 @@ class GraftTableCatalog extends TableCatalog {
       case None => false
     }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename is not supported")
+  /** `ALTER TABLE ... RENAME TO` — metadata-only end to end: the registry
+    * entry re-keys, the catalog JSON re-synthesizes under the new
+    * identifier, and the store re-keys its table handle
+    * ([[KvStore.rename]]); regions, cells, counters, and streaming offsets
+    * ride along untouched. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (json, props) = GraftTableRegistry.entries.getOrElse(key(oldIdent),
+      throw new NoSuchTableException(oldIdent))
+    if (GraftTableRegistry.entries.contains(key(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
+    val catalog = GraftCatalog.parse(json, props)
+    // pin the key list, same reason as alterTable: a defaulted rowkey
+    // property must not drift through metadata edits
+    val newProps = props +
+      ("rowkey" -> catalog.rowKeyFields.map(_.name).mkString(":"))
+    val newJson = GraftTableCatalog.synthesizeCatalogJson(
+      newIdent, catalog.schema, newProps)
+    val opts = GraftOptions(new CaseInsensitiveStringMap(
+      (props + ("catalog" -> json)).asJava))
+    KvStore.rename(opts.storeName(catalog),
+      opts.storeName(GraftCatalog.parse(newJson, newProps)))
+    GraftTableRegistry.entries.remove(key(oldIdent))
+    GraftTableRegistry.entries.put(key(newIdent), (newJson, newProps))
+  }
+
+  // ---- SupportsNamespaces: registry-backed, single-level (no nesting) ----
+
+  private def nsKey(namespace: Array[String]): Seq[String] = namespace.toSeq
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    nsKey(namespace) == Seq("default") ||
+      GraftTableRegistry.namespaces.contains(nsKey(namespace)) ||
+      GraftTableRegistry.entries.keys.exists(_._1 == nsKey(namespace))
+
+  override def listNamespaces(): Array[Array[String]] =
+    (GraftTableRegistry.entries.keys.map(_._1).toSet ++
+      GraftTableRegistry.namespaces.keys + Seq("default"))
+      .toArray.sortBy(_.mkString(".")).map(_.toArray)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // single-level
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace))
+      GraftTableRegistry.namespaces.getOrElse(nsKey(namespace), Map.empty).asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    GraftTableRegistry.namespaces.put(nsKey(namespace), metadata.asScala.toMap)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    var meta = GraftTableRegistry.namespaces.getOrElse(nsKey(namespace), Map.empty)
+    changes.foreach {
+      case set: NamespaceChange.SetProperty => meta += (set.property -> set.value)
+      case rm: NamespaceChange.RemoveProperty => meta -= rm.property
+      case other => throw new UnsupportedOperationException(s"namespace change $other")
+    }
+    GraftTableRegistry.namespaces.put(nsKey(namespace), meta)
+  }
+
+  /** DROP NAMESPACE; CASCADE drops the namespace's tables (store included),
+    * RESTRICT (the default) refuses on a non-empty namespace. */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val tables = listTables(namespace)
+    if (tables.nonEmpty) {
+      if (!cascade) throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (${tables.length} tables); " +
+          "use DROP NAMESPACE ... CASCADE")
+      tables.foreach(dropTable)
+    }
+    GraftTableRegistry.namespaces.remove(nsKey(namespace))
+    true
+  }
 }
 
 /** JVM-wide table-definition registry — the metastore stand-in, mirroring
@@ -212,6 +292,9 @@ class GraftTableCatalog extends TableCatalog {
 private[datasource] object GraftTableRegistry {
   /** (namespace segments, table name) → (catalog JSON, table properties) */
   val entries = TrieMap[(Seq[String], String), (String, Map[String, String])]()
+  /** explicitly created namespaces → their metadata (namespaces implied by
+    * existing tables need no entry here) */
+  val namespaces = TrieMap[Seq[String], Map[String, String]]()
 }
 
 object GraftTableCatalog {

@@ -55,7 +55,10 @@ object KvStore {
       applyPut = (name, key, cells) => tables.get(name).foreach(_.put(key, cells)),
       applyDeleteKey = (name, key, stamp) => tables.get(name).foreach(_.deleteKey(key, stamp)),
       applyDrop = name => { tables.remove(name); () },
-      applyClear = () => tables.clear())
+      applyClear = () => tables.clear(),
+      applyRename = (oldName, newName) => tables.remove(oldName).foreach { t =>
+        t.setName(newName); tables.put(newName, t)
+      })
     finally replaying = false
   }
 
@@ -71,6 +74,20 @@ object KvStore {
 
   def table(name: String): KvTable =
     tables.getOrElse(name, throw new NoSuchElementException(s"KV table $name does not exist"))
+
+  /** Rename a table: a registry re-key — regions, cells, counters, and
+    * streaming offsets all ride along untouched (the store analogue of an
+    * HBase snapshot-clone-drop done as pure metadata here). WAL-logged, so
+    * replay re-applies the move. */
+  def rename(oldName: String, newName: String): Unit = synchronized {
+    val t = tables.getOrElse(oldName,
+      throw new NoSuchElementException(s"KV table $oldName does not exist"))
+    require(!tables.contains(newName), s"KV table $newName already exists")
+    wal.foreach(_.logRename(oldName, newName))
+    tables.remove(oldName)
+    t.setName(newName)
+    tables.put(newName, t)
+  }
 
   def exists(name: String): Boolean = tables.contains(name)
 
@@ -115,8 +132,14 @@ final case class RegionInfo(index: Int, start: Option[Array[Byte]], end: Option[
   *   version cap on each HColumnDescriptor (reference
   *   HBaseRelation.scala:155-160 sets it per descriptor at table create),
   *   so families of one table may retain different version counts */
-final class KvTable(val name: String, splits: IndexedSeq[Array[Byte]],
+final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     val maxVersions: Int, val maxVersionsByCf: Map[String, Int] = Map.empty) {
+
+  /** Registry name; mutable only through [[KvStore.rename]] (ALTER TABLE
+    * RENAME TO is a metadata move — regions and data never touch). */
+  @volatile private var currentName: String = initialName
+  def name: String = currentName
+  private[store] def setName(n: String): Unit = currentName = n
 
   /** retention cap for a family: its descriptor override, else the default */
   def versionCap(cf: String): Int = maxVersionsByCf.getOrElse(cf, maxVersions)

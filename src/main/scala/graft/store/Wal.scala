@@ -70,6 +70,11 @@ final class Wal private[store] (val dir: Path) {
 
   def logClear(): Unit = synchronized { out.writeByte(ClearRec); out.flush() }
 
+  def logRename(oldName: String, newName: String): Unit = synchronized {
+    out.writeByte(RenameRec); out.writeUTF(oldName); out.writeUTF(newName)
+    out.flush()
+  }
+
   def close(): Unit = synchronized(out.close())
 }
 
@@ -80,6 +85,7 @@ object Wal {
   private val DeleteKeyRec = 3
   private val DropRec = 4
   private val ClearRec = 5
+  private val RenameRec = 6
 
   /** Re-apply every complete record in `dir`'s log through `apply*`
     * callbacks; a torn tail is silently dropped. */
@@ -88,7 +94,8 @@ object Wal {
       applyPut: (String, Array[Byte], Seq[KvCell]) => Unit,
       applyDeleteKey: (String, Array[Byte], Long) => Unit,
       applyDrop: String => Unit,
-      applyClear: () => Unit): Unit = {
+      applyClear: () => Unit,
+      applyRename: (String, String) => Unit): Unit = {
     val f = dir.resolve(FileName)
     if (!Files.exists(f)) return
     val in = new DataInputStream(new java.io.BufferedInputStream(Files.newInputStream(f)))
@@ -119,6 +126,7 @@ object Wal {
             applyDeleteKey(table, key, in.readLong())
           case DropRec => applyDrop(in.readUTF())
           case ClearRec => applyClear()
+          case RenameRec => applyRename(in.readUTF(), in.readUTF())
           case other => throw new java.io.IOException(s"corrupt WAL record tag $other")
         }
       }

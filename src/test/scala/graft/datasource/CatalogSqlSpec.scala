@@ -166,6 +166,45 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE graft.default.rent")
   }
 
+  test("ALTER TABLE RENAME TO: registry and store re-key, data rides along") {
+    spark.sql(
+      """CREATE TABLE graft.default.rn1 (k BIGINT, v STRING)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.rn1 VALUES (1, 'a'), (60, 'b')")
+    spark.sql("ALTER TABLE graft.default.rn1 RENAME TO default.rn2")
+    try {
+      assert(KvStore.exists("default:rn2") && !KvStore.exists("default:rn1"))
+      assert(spark.sql("SELECT v FROM graft.default.rn2 ORDER BY k")
+        .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+      // pushdown and writes keep working under the new name
+      spark.sql("INSERT INTO graft.default.rn2 VALUES (80, 'c')")
+      assert(spark.sql("SELECT k FROM graft.default.rn2 WHERE v = 'c'")
+        .head().getLong(0) == 80L)
+      intercept[Exception](spark.sql("SELECT * FROM graft.default.rn1"))
+    } finally spark.sql("DROP TABLE graft.default.rn2")
+  }
+
+  test("namespaces: CREATE / SHOW / DROP, RESTRICT refuses non-empty") {
+    spark.sql("CREATE NAMESPACE graft.ns1")
+    assert(spark.sql("SHOW NAMESPACES IN graft")
+      .collect().map(_.getString(0)).contains("ns1"))
+    intercept[Exception](spark.sql("CREATE NAMESPACE graft.ns1"))
+    spark.sql(
+      """CREATE TABLE graft.ns1.t1 (k BIGINT, v STRING)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100')""".stripMargin)
+    spark.sql("INSERT INTO graft.ns1.t1 VALUES (1, 'a')")
+    assert(spark.sql("SHOW TABLES IN graft.ns1")
+      .collect().map(_.getString(1)).toSeq == Seq("t1"))
+    // RESTRICT (the default) refuses a non-empty namespace
+    intercept[Exception](spark.sql("DROP NAMESPACE graft.ns1"))
+    spark.sql("DROP NAMESPACE graft.ns1 CASCADE")
+    assert(!KvStore.exists("ns1:t1"), "CASCADE must drop the namespace's store tables")
+    assert(!spark.sql("SHOW NAMESPACES IN graft")
+      .collect().map(_.getString(0)).contains("ns1"))
+  }
+
   test("composite string key parts need declared widths at CREATE time") {
     val ex = intercept[IllegalArgumentException] {
       spark.sql(

@@ -46,6 +46,11 @@ class KvWalSpec extends AnyFunSuite {
       val t2 = KvStore.createTable("wal:gone", Seq.empty, dropExisting = true)
       t2.put(key(1), Seq(cell("q", 1L, "z")))
       KvStore.drop("wal:gone")
+      // a third table renamed, with writes logged under BOTH names
+      val t3 = KvStore.createTable("wal:old", Seq.empty, dropExisting = true)
+      t3.put(key(1), Seq(cell("q", 5L, "pre")))
+      KvStore.rename("wal:old", "wal:new")
+      t3.put(key(2), Seq(cell("q", 6L, "post")))
 
       val before = snapshot(t)
       val countsBefore = t.regions.map(_.rowCount.get())
@@ -66,6 +71,12 @@ class KvWalSpec extends AnyFunSuite {
         KvStore.table("wal:t1")
       }
       assert(!KvStore.exists("wal:gone"), "dropped table must stay dropped")
+      assert(!KvStore.exists("wal:old") && KvStore.exists("wal:new"),
+        "rename must replay as a move, not a copy")
+      assert(snapshot(KvStore.table("wal:new")) == Seq(
+        "row0001" -> Seq(("f", "q", 5L, "pre")),
+        "row0002" -> Seq(("f", "q", 6L, "post"))),
+        "writes logged before AND after the rename must both land")
       assert(snapshot(replayed) == before)
       assert(replayed.regions.map(_.rowCount.get()) == countsBefore,
         "statistics row counters must survive the restart")
@@ -83,6 +94,8 @@ class KvWalSpec extends AnyFunSuite {
     } finally {
       KvStore.disableWal()
       KvStore.drop("wal:t1")
+      KvStore.drop("wal:new")
+      KvStore.drop("wal:old")
     }
   }
 
