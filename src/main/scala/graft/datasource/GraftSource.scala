@@ -87,9 +87,17 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
     acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String = catalog.qualifiedName
+
+  /** `TRUNCATE TABLE t` — same move as a whole-table INSERT OVERWRITE:
+    * drop and recreate with fresh presplits. */
+  override def truncateTable(): Boolean = {
+    GraftDdl.ensureTable(catalog, opts, dropExisting = true)
+    true
+  }
 
   override def schema(): StructType =
     userSchema.getOrElse(GraftTable.tableSchema(catalog, opts))

@@ -205,6 +205,22 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).contains("ns1"))
   }
 
+  test("TRUNCATE TABLE empties the store table, fresh presplits included") {
+    spark.sql(
+      """CREATE TABLE graft.default.trt (k BIGINT, v STRING)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100')""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft.default.trt VALUES (1, 'a'), (60, 'b')")
+      spark.sql("TRUNCATE TABLE graft.default.trt")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.default.trt")
+        .head().getLong(0) == 0L)
+      // table stays writable after the truncate
+      spark.sql("INSERT INTO graft.default.trt VALUES (7, 'c')")
+      assert(spark.sql("SELECT v FROM graft.default.trt").head().getString(0) == "c")
+    } finally spark.sql("DROP TABLE graft.default.trt")
+  }
+
   test("composite string key parts need declared widths at CREATE time") {
     val ex = intercept[IllegalArgumentException] {
       spark.sql(
