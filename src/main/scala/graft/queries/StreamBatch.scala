@@ -572,6 +572,77 @@ object StreamBatch {
       |FROM w WHERE df >= 2 AND rn <= 20
       |GROUP BY term ORDER BY term""".stripMargin
 
+  private val sv13SrcCatalog = sv10SourceCatalog
+    .replace("\"kv_cdc_events\"", "\"kv_cap_src\"")
+  private val sv13MirCatalog = sv10SourceCatalog
+    .replace("\"kv_cdc_events\"", "\"kv_cap_mirror\"")
+
+  /** sv13: ADMISSION-CONTROLLED catch-up — the bounded-backlog drain sv10
+    * cannot show (its drains run after every write, so no multi-stamp
+    * backlog ever accumulates). Three stamped generations land BEFORE the
+    * stream ever starts; one `maxRowsPerBatch=1` AvailableNow run must then
+    * drain the backlog as THREE stamp-ordered micro-batches (whole stamps
+    * admit atomically, so budget 1 means exactly one stamp generation per
+    * batch — see [[graft.datasource.GraftMicroBatchStream]]). The
+    * foreachBatch consumer upserts each batch into a mirror at an
+    * increasing stamp (10 + batchId), so the mirror's latest-merge read
+    * equals "newest generation per key" ONLY if the capped batches replayed
+    * history oldest-first with no skips and no duplicates — that ordering
+    * contract is exactly what the oracle hashes. */
+  def sv13StreamCappedCatchup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type"),
+      col("value").cast("double").as("value"))
+    val maxId = base.agg(max(col("event_id"))).head().getLong(0)
+    def writeGen(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv13SrcCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    // fresh run every invocation
+    graft.store.KvStore.drop("default:kv_cap_mirror")
+    writeGen(base, ts = 1000, overwrite = true)
+    writeGen(base.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") + 1000000.0d), ts = 2000, overwrite = false)
+    writeGen(base.filter(col("event_id") % 11 === 0)
+      .withColumn("value", col("value") + 2000000.0d), ts = 3000, overwrite = false)
+    val ckpt = Files.createTempDirectory("graft-sv13-ckpt").toString
+    val q = s.readStream.format("graft-kv")
+      .option("catalog", sv13SrcCatalog)
+      .option("maxRowsPerBatch", "1") // one stamp generation per micro-batch
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.format("graft-kv")
+          .options(Map("catalog" -> sv13MirCatalog, "newtable" -> "4",
+            "timestamp" -> (10 + batchId).toString,
+            "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+          .mode("append").save()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.format("graft-kv").option("catalog", sv13MirCatalog).load()
+      .orderBy(col("event_id"))
+  }
+
+  val sv13Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(event_id AS BIGINT) AS event_id,
+      |         CAST(user_id AS BIGINT) AS user_id,
+      |         event_type, CAST(value AS DOUBLE) AS value
+      |  FROM events)
+      |SELECT event_id, user_id, event_type,
+      |       CASE WHEN event_id % 11 = 0 THEN value + 2000000
+      |            WHEN event_id % 5 = 0 THEN value + 1000000
+      |            ELSE value END AS value
+      |FROM base
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -585,6 +656,7 @@ object StreamBatch {
     "sv10_stream_kv_source" -> (sv10StreamKvSource _),
     "sv11_stream_cdc_tombstones" -> (sv11StreamCdcTombstones _),
     "sv12_stream_cdc_index"     -> (sv12StreamCdcIndex _),
+    "sv13_stream_capped_catchup" -> (sv13StreamCappedCatchup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -600,5 +672,6 @@ object StreamBatch {
     "sv10_stream_kv_source" -> sv10Sql,
     "sv11_stream_cdc_tombstones" -> sv11Sql,
     "sv12_stream_cdc_index"     -> sv12Sql,
+    "sv13_stream_capped_catchup" -> sv13Sql,
   )
 }

@@ -78,7 +78,12 @@ object KvStore {
   /** Rename a table: a registry re-key — regions, cells, counters, and
     * streaming offsets all ride along untouched (the store analogue of an
     * HBase snapshot-clone-drop done as pure metadata here). WAL-logged, so
-    * replay re-applies the move. */
+    * replay re-applies the move. Like HBase's disable-before-rename, the
+    * caller must quiesce writers first: a put racing the rename can log
+    * under the old name AFTER the rename record, and replay would drop that
+    * mutation (its table name no longer resolves). DDL through the SQL
+    * catalog satisfies this by construction — ALTER TABLE is not run
+    * concurrently with INSERTs into the same table. */
   def rename(oldName: String, newName: String): Unit = synchronized {
     val t = tables.getOrElse(oldName,
       throw new NoSuchElementException(s"KV table $oldName does not exist"))
