@@ -88,7 +88,8 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = catalog.qualifiedName
 
@@ -149,6 +150,15 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(catalog, opts, info)
+
+  /** SQL `UPDATE` / residual-predicate `DELETE` / `MERGE INTO`, rewritten by
+    * Spark into scan → delta write with per-row callbacks — see
+    * [[GraftRowLevelOperationBuilder]]. Exactly-compilable DELETEs never get
+    * here: the metadata-delete optimization takes [[canDeleteWhere]] first. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(catalog, opts, info)
 }
 
 /** A pushed-down aggregate the partition readers evaluate store-side —

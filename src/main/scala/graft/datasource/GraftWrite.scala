@@ -215,18 +215,18 @@ class GraftWriterFactory(catalog: GraftCatalog, opts: GraftOptions, writeSchema:
     new GraftDataWriter(catalog, opts, writeSchema, targetTable)
 }
 
-/** Row → (rowkey bytes, cells) encoder (reference convertToPut,
+/** Row → (rowkey bytes, cells) codec shared by every write path — batch,
+  * streaming, and row-level delta (reference convertToPut,
   * HBaseRelation.scala:202-267): composite keys concatenated with fixed
-  * widths, nulls skipped, map columns fanned out, optional fixed timestamp. */
-class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType,
-    targetTable: Option[String] = None)
-    extends DataWriter[InternalRow] {
+  * widths, nulls skipped, map columns fanned out. `schema` may be any
+  * subset of the catalog's columns that includes every key part — the
+  * delta path instantiates one codec over the full row schema and one
+  * over the row-id (key-only) schema. */
+final class KvRowCodec(catalog: GraftCatalog, schema: StructType) extends Serializable {
 
-  private val table = KvStore.table(targetTable.getOrElse(opts.storeName(catalog)))
-
-  // resolve write-schema positions to catalog fields by NAME
+  // resolve schema positions to catalog fields by NAME
   private val slots: Array[(Field, Int, DataType)] =
-    writeSchema.fields.zipWithIndex.map { case (sf, i) =>
+    schema.fields.zipWithIndex.map { case (sf, i) =>
       (catalog.field(sf.name), i, sf.dataType)
     }
   private val keySlots = catalog.rowKeyParts.map { p =>
@@ -237,9 +237,19 @@ class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: St
   }
   private val valueSlots = slots.filterNot { case (f, _, _) => f.isRowKey }
 
-  override def write(row: InternalRow): Unit = {
-    val ts = opts.timestamp.getOrElse(System.currentTimeMillis())
+  /** Dynamic-map value columns fan out to data-dependent qualifiers, so a
+    * rewritten row can't prove it shadows every qualifier the old row had —
+    * the delta update path must delete-then-put for such tables. */
+  val hasDynamicColumns: Boolean =
+    valueSlots.exists(_._3.isInstanceOf[MapType])
 
+  /** Whether `row` writes a cell into EVERY declared value column — if so,
+    * a put at a newer stamp fully shadows the row's previous values under
+    * latest-merge reads (no stale column can leak through a null). */
+  def coversAllValueColumns(row: InternalRow): Boolean =
+    valueSlots.forall { case (_, i, _) => !row.isNullAt(i) }
+
+  def key(row: InternalRow): Array[Byte] = {
     val keyBytes = keySlots.map { case (p, i, dt) =>
       require(!row.isNullAt(i), s"row-key column ${p.field.name} is null")
       val v = CatalystConv.fromCatalyst(dt, row.get(i, dt))
@@ -253,8 +263,10 @@ class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: St
           "fixed-width key parts require exact-length values")
       enc
     }
-    val key = BytesUtil.concat(keyBytes: _*)
+    BytesUtil.concat(keyBytes: _*)
+  }
 
+  def cells(row: InternalRow, ts: Long): Seq[KvCell] = {
     val cells = Seq.newBuilder[KvCell]
     valueSlots.foreach { case (f, i, dt) =>
       if (!row.isNullAt(i)) {
@@ -278,7 +290,22 @@ class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: St
         }
       }
     }
-    table.put(key, cells.result())
+    cells.result()
+  }
+}
+
+/** Append-path writer: one put per row at the fixed (option) or wall-clock
+  * timestamp. */
+class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType,
+    targetTable: Option[String] = None)
+    extends DataWriter[InternalRow] {
+
+  private val table = KvStore.table(targetTable.getOrElse(opts.storeName(catalog)))
+  private val codec = new KvRowCodec(catalog, writeSchema)
+
+  override def write(row: InternalRow): Unit = {
+    val ts = opts.timestamp.getOrElse(System.currentTimeMillis())
+    table.put(codec.key(row), codec.cells(row, ts))
   }
 
   override def commit(): WriterCommitMessage = GraftCommit

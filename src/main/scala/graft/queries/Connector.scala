@@ -579,6 +579,71 @@ object Connector {
       |FROM customer WHERE c_custkey <= 1000
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** kv20: SQL row-level operations through the catalog plugin — UPDATE
+    * with a value predicate, DELETE with a NON-compilable predicate (the
+    * metadata delete steps aside), and a three-arm MERGE INTO — all
+    * rewritten by Spark into scan → delta write per-row mutations
+    * ([[graft.datasource.GraftRowLevelOperationBuilder]]); the oracle
+    * replays the same edits relationally. The DSv1 reference has no
+    * row-level surface at all. */
+  def kv20SqlRowLevel(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.datasource.GraftTableCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft.default.sql_cust_rl")
+    s.sql(
+      """CREATE TABLE graft.default.sql_cust_rl
+        |  (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING)
+        |TBLPROPERTIES ('rowkey' = 'c_custkey', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '20000')""".stripMargin)
+    Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .createOrReplaceTempView("kv20_src")
+    s.sql("INSERT INTO graft.default.sql_cust_rl SELECT * FROM kv20_src")
+    s.sql(
+      """UPDATE graft.default.sql_cust_rl SET c_acctbal = c_acctbal + 100.0
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    // the arithmetic predicate defeats the filter compiler on purpose, so
+    // the delete exercises the row-level rewrite, not the metadata path
+    s.sql("DELETE FROM graft.default.sql_cust_rl WHERE c_acctbal + 100.0 < 100.0")
+    Tables.orders(s, dir).createOrReplaceTempView("kv20_orders")
+    s.sql(
+      """MERGE INTO graft.default.sql_cust_rl t
+        |USING (SELECT o_custkey AS k, count(*) AS cnt
+        |       FROM kv20_orders GROUP BY o_custkey) s
+        |ON t.c_custkey = s.k
+        |WHEN MATCHED THEN UPDATE SET c_name = concat(t.c_name, '/', CAST(s.cnt AS STRING))
+        |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal, c_mktsegment)
+        |  VALUES (s.k, concat('ghost/', CAST(s.cnt AS STRING)), CAST(0.0 AS DOUBLE), 'NONE')
+        |""".stripMargin)
+    s.sql(
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM graft.default.sql_cust_rl ORDER BY c_custkey""".stripMargin)
+  }
+
+  val kv20Sql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name,
+      |         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+      |              ELSE c_acctbal END AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer),
+      |del AS (SELECT * FROM upd WHERE NOT (c_acctbal + 100.0 < 100.0)),
+      |src AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY o_custkey),
+      |matched AS (
+      |  SELECT d.c_custkey,
+      |         CASE WHEN s.k IS NOT NULL
+      |              THEN d.c_name || '/' || CAST(s.cnt AS VARCHAR)
+      |              ELSE d.c_name END AS c_name,
+      |         d.c_acctbal, d.c_mktsegment
+      |  FROM del d LEFT JOIN src s ON d.c_custkey = s.k),
+      |ghosts AS (
+      |  SELECT s.k AS c_custkey, 'ghost/' || CAST(s.cnt AS VARCHAR) AS c_name,
+      |         CAST(0.0 AS DOUBLE) AS c_acctbal, 'NONE' AS c_mktsegment
+      |  FROM src s WHERE s.k NOT IN (SELECT c_custkey FROM del))
+      |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM matched
+      |UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM ghosts
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -599,6 +664,7 @@ object Connector {
     "kv17_groupby_pushdown" -> (kv17GroupbyPushdown _),
     "kv18_reverse_topn"   -> (kv18ReverseTopn _),
     "kv19_sql_catalog"    -> (kv19SqlCatalog _),
+    "kv20_sql_rowlevel"   -> (kv20SqlRowLevel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -621,5 +687,6 @@ object Connector {
     "kv17_groupby_pushdown" -> kv17Sql,
     "kv18_reverse_topn"   -> kv18Sql,
     "kv19_sql_catalog"    -> kv19Sql,
+    "kv20_sql_rowlevel"   -> kv20Sql,
   )
 }

@@ -279,7 +279,7 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     * removed row leaves a delete marker at `stamp` (CDC visibility — see
     * [[Region.tombstones]]) and advances the region's mutation high-water
     * mark, so streaming readers observe the deletion as a new offset.
-    * Returns the removed-row count. */
+    * Returns the matched-row count. */
   def delete(ranges: Seq[ScanRange[Array[Byte]]],
       predicate: Option[KvPredicate],
       stamp: Long = System.currentTimeMillis()): Long = {
@@ -290,16 +290,11 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
         while (it.hasNext) {
           val e = it.next()
           if (predicate.forall(_.eval(e.getKey, e.getValue, None))) {
-            // physical logging: the key actually removed, post-resolution —
+            // physical logging: the key actually matched, post-resolution —
             // replay re-deletes exact keys, no predicate re-evaluation
             KvStore.wal.foreach(_.logDeleteKey(name, e.getKey, stamp))
-            it.remove()
-            region.rowCount.decrementAndGet()
-            region.tombstones.merge(e.getKey, Long.box(stamp),
-              (a, b) => if (a >= b) a else b)
-            region.maxStamp.accumulateAndGet(stamp, (a, b) => math.max(a, b))
-            region.mutHist.computeIfAbsent(stamp,
-              _ => new java.util.concurrent.atomic.LongAdder).increment()
+            eraseUpTo(region, e.getKey, e.getValue, stamp)
+            markDeleted(region, e.getKey, stamp)
             removed += 1
           }
         }
@@ -308,16 +303,55 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     removed
   }
 
-  /** Remove one exact key (WAL replay's delete primitive — [[delete]] logs
-    * the keys it removed, replay re-applies them here). Not WAL-logged
-    * itself: only reached with logging suspended. */
-  private[store] def deleteKey(key: Array[Byte], stamp: Long): Unit = {
-    val region = regionFor(key)
-    if (region.rows.remove(key) != null) region.rowCount.decrementAndGet()
+  /** MVCC delete rule: erase only the cell versions the delete could SEE
+    * (ts ≤ `stamp`); physically drop the row when nothing newer survives.
+    * Cells stamped after the delete — a concurrent writer landing at a
+    * newer stamp — survive, which makes delete@T and put@T+1 commute no
+    * matter which task's mutation reaches the store first (the row-level
+    * delta write path depends on this). Returns true iff the row was
+    * physically dropped. */
+  private def eraseUpTo(region: Region, key: Array[Byte],
+      row: ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]],
+      stamp: Long): Boolean = {
+    val colIt = row.entrySet().iterator()
+    while (colIt.hasNext) {
+      val versions = colIt.next().getValue
+      val vit = versions.entrySet().iterator()
+      while (vit.hasNext) if (vit.next().getKey <= stamp) vit.remove()
+      if (versions.isEmpty) colIt.remove()
+    }
+    if (row.isEmpty && region.rows.remove(key) != null) {
+      region.rowCount.decrementAndGet(); true
+    } else false
+  }
+
+  /** Delete-marker bookkeeping shared by every delete path: tombstone for
+    * CDC readers, mutation high-water mark, admission histogram tick. */
+  private def markDeleted(region: Region, key: Array[Byte], stamp: Long): Unit = {
     region.tombstones.merge(key, Long.box(stamp), (a, b) => if (a >= b) a else b)
     region.maxStamp.accumulateAndGet(stamp, (a, b) => math.max(a, b))
     region.mutHist.computeIfAbsent(stamp,
       _ => new java.util.concurrent.atomic.LongAdder).increment()
+  }
+
+  /** Row-level delete primitive for the delta write path (SQL UPDATE /
+    * non-exact DELETE / MERGE): WAL-logged, stamp-aware ([[eraseUpTo]]'s
+    * MVCC rule), marker-recorded. One exact key — the caller already knows
+    * WHICH row dies; no range resolution. */
+  def deleteRow(key: Array[Byte], stamp: Long): Unit = {
+    KvStore.wal.foreach(_.logDeleteKey(name, key, stamp))
+    deleteKey(key, stamp)
+  }
+
+  /** Remove one exact key (WAL replay's delete primitive — [[delete]] logs
+    * the keys it matched, replay re-applies them here). Not WAL-logged
+    * itself: [[deleteRow]] logs before delegating, and replay runs with
+    * logging suspended. */
+  private[store] def deleteKey(key: Array[Byte], stamp: Long): Unit = {
+    val region = regionFor(key)
+    val row = region.rows.get(key)
+    if (row != null) eraseUpTo(region, key, row, stamp)
+    markDeleted(region, key, stamp)
   }
 
   /** Delete markers of one region whose stamp falls in `window`, restricted

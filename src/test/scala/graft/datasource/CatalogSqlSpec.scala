@@ -306,18 +306,89 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE graft.default.cdc_sqlt")
   }
 
-  test("non-exact DELETE predicates are refused, not over-deleted") {
+  test("non-exact DELETE predicates take the row-level path and delete exactly") {
     spark.sql(
       """CREATE TABLE graft.default.delkeep (k BIGINT, v DOUBLE)
         |TBLPROPERTIES ('rowkey' = 'k')""".stripMargin)
-    spark.sql("INSERT INTO graft.default.delkeep VALUES (1, 1.0), (2, 2.0)")
-    // v + 1 > 2 is not a compilable store predicate — DELETE must fail
-    // loudly instead of deleting an over-approximated key range
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft.default.delkeep WHERE v + 1.0 > 2.0")
-    }
-    assert(spark.sql("SELECT count(*) AS n FROM graft.default.delkeep")
-      .head().getLong(0) == 2L)
+    spark.sql("INSERT INTO graft.default.delkeep VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    // v + 1 > 2 is not a compilable store predicate — the metadata delete
+    // steps aside and Spark rewrites into scan → delta write (row-level
+    // deletes of exactly the matched keys, never an over-approximated range)
+    spark.sql("DELETE FROM graft.default.delkeep WHERE v + 1.0 > 2.0")
+    val left = spark.sql("SELECT k FROM graft.default.delkeep ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(1L))
     spark.sql("DROP TABLE graft.default.delkeep")
+  }
+
+  test("UPDATE: value predicate, in-place; full-row updates keep version history") {
+    spark.sql(
+      """CREATE TABLE graft.default.updt (k BIGINT, name STRING, bal DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '10',
+        |               'maxVersions' = '2')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.updt VALUES " +
+      "(1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0)")
+    val preStamp = graft.store.KvStore.table("default:updt")
+      .regions.map(_.maxStamp.get()).max
+
+    spark.sql("UPDATE graft.default.updt SET bal = bal + 1.0, name = upper(name) " +
+      "WHERE bal >= 20.0")
+    val rows = spark.sql("SELECT k, name, bal FROM graft.default.updt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a", 10.0), (2L, "B", 21.0), (3L, "C", 31.0)))
+
+    // the update covered every value column → pure put: pre-update versions
+    // stay readable under time travel (HBase put semantics)
+    val asOf = spark.sql(
+      s"SELECT k, name, bal FROM graft.default.updt VERSION AS OF '$preStamp' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(asOf == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+
+    // a key-column assignment MOVES the row: old identity deleted, new key
+    // put — and the delete@T / put@T+1 stamp split keeps a key-shifting
+    // UPDATE race-safe across tasks
+    spark.sql("UPDATE graft.default.updt SET k = k + 1 WHERE k >= 1")
+    val shifted = spark.sql("SELECT k, name FROM graft.default.updt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(shifted == Seq((2L, "a"), (3L, "B"), (4L, "C")))
+    spark.sql("DROP TABLE graft.default.updt")
+  }
+
+  test("UPDATE SET NULL reads back null — no stale cell leaks through latest-merge") {
+    spark.sql(
+      """CREATE TABLE graft.default.updnull (k BIGINT, a STRING, b DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'k')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.updnull VALUES (1, 'x', 1.5), (2, 'y', 2.5)")
+    spark.sql("UPDATE graft.default.updnull SET a = NULL WHERE k = 1")
+    val rows = spark.sql("SELECT k, a, b FROM graft.default.updnull ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, None, 1.5), (2L, Some("y"), 2.5)))
+    spark.sql("DROP TABLE graft.default.updnull")
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert") {
+    spark.sql(
+      """CREATE TABLE graft.default.mrg (k BIGINT, v STRING, n BIGINT)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '10')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.mrg VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    spark.range(0, 5).selectExpr("id AS k", "concat('s', CAST(id AS STRING)) AS v",
+      "id * 100 AS n").createOrReplaceTempView("mrg_src")
+
+    spark.sql(
+      """MERGE INTO graft.default.mrg t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED AND s.k = 2 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + s.n
+        |WHEN NOT MATCHED AND s.k > 0 THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)
+        |""".stripMargin)
+
+    val rows = spark.sql("SELECT k, v, n FROM graft.default.mrg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // 1,3 matched-updated; 2 matched-deleted; 4 not-matched-inserted
+    // (0 excluded by the insert guard); source rows beyond 4 don't exist
+    assert(rows == Seq((1L, "s1", 110L), (3L, "s3", 330L), (4L, "s4", 400L)))
+    spark.sql("DROP TABLE graft.default.mrg")
   }
 }
