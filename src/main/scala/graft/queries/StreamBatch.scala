@@ -643,6 +643,135 @@ object StreamBatch {
       |FROM base
       |ORDER BY event_id""".stripMargin
 
+  private val sv14SrcCatalog =
+    """{"table":{"namespace":"default", "name":"kv_nd_src"},
+      |"rowkey":"key",
+      |"columns":{
+      |"doc_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"text":{"cf":"f", "col":"t", "type":"string"}}}""".stripMargin
+  private val sv14FwdCatalog = sv14SrcCatalog
+    .replace("\"kv_nd_src\"", "\"kv_nd_fwd\"")
+  private val sv14IdxCatalog =
+    """{"table":{"namespace":"default", "name":"kv_nd_idx"},
+      |"rowkey":"key",
+      |"columns":{
+      |"ik":{"cf":"rowkey", "col":"key", "type":"string"},
+      |"band":{"cf":"f", "col":"band", "type":"int"},
+      |"bh":{"cf":"f", "col":"bh", "type":"bigint"},
+      |"doc_id":{"cf":"f", "col":"doc", "type":"bigint"}}}""".stripMargin
+  private val sv14PairsCatalog =
+    """{"table":{"namespace":"default", "name":"kv_nd_pairs"},
+      |"rowkey":"key",
+      |"columns":{
+      |"pk":{"cf":"rowkey", "col":"key", "type":"string"},
+      |"id_a":{"cf":"f", "col":"a", "type":"bigint"},
+      |"id_b":{"cf":"f", "col":"b", "type":"bigint"},
+      |"jaccard":{"cf":"f", "col":"j", "type":"double"}}}""".stripMargin
+
+  /** sv14: INCREMENTAL near-dup detection over CDC — the "incremental dedup"
+    * capability a training-data pipeline wants from a streaming source. The
+    * corpus lands in three disjoint stamped generations (doc_id % 3) before
+    * the stream starts; a `maxRowsPerBatch=1` AvailableNow run then replays
+    * them as three stamp-ordered micro-batches. Each batch LSH-indexes ONLY
+    * its new documents: band keys ([[graft.functions.HashExprs.minhashBands]],
+    * px7's exact parameters) join against the PERSISTED band index (new×old
+    * candidates) and against themselves (new×new), the exact shingle-Jaccard
+    * rerank pulls old text from a forward mirror, accepted pairs upsert into
+    * a pairs table keyed `a:b` (idempotent re-discovery), and the batch's
+    * band entries + docs are appended to index + mirror. Every qualifying
+    * pair is found exactly when its LATER document arrives — so the final
+    * pair set must equal the BATCH px7 answer, and the oracle IS px7's SQL
+    * (all-pairs exact Jaccard ≥ 0.8). Per batch the work is proportional to
+    * new-docs × bucket-mates — never a corpus re-scan; at 100 TB the index
+    * lookup is a (band, bh) equi-join riding the kv scan's pushdown. */
+  def sv14StreamIncrNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.KvStore
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv14SrcCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    // fresh run every invocation
+    Seq("default:kv_nd_fwd", "default:kv_nd_idx", "default:kv_nd_pairs")
+      .foreach(KvStore.drop)
+    (0 to 2).foreach { g =>
+      writeSrc(base.filter(col("doc_id") % 3 === g), ts = 1000L * (g + 1),
+        overwrite = g == 0)
+    }
+    def kvWrite(df: DataFrame, cat: String, ts: Long): Unit = {
+      // numeric presplits for the doc_id-keyed mirror; byte-interpolated
+      // string presplits ('0'..'z' covers the digit-formatted keys) for the
+      // string-keyed index and pairs tables
+      val splits =
+        if (cat eq sv14FwdCatalog) Map("minSplitNum" -> "0", "maxSplitNum" -> maxId.toString)
+        else Map("minSplit" -> "0", "maxSplit" -> "z")
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> cat, "newtable" -> "4",
+          "timestamp" -> ts.toString) ++ splits)
+        .mode("append").save()
+    }
+    // pre-create the mirror/index/pairs tables (empty): the FIRST batch
+    // already reads them for its index lookup
+    kvWrite(base.limit(0), sv14FwdCatalog, ts = 1)
+    kvWrite(s.range(0).select(lit("").as("ik"), lit(0).as("band"),
+      lit(0L).as("bh"), lit(0L).as("doc_id")), sv14IdxCatalog, ts = 1)
+    kvWrite(s.range(0).select(lit("").as("pk"), lit(0L).as("id_a"),
+      lit(0L).as("id_b"), lit(0.0d).as("jaccard")), sv14PairsCatalog, ts = 1)
+    val ckpt = Files.createTempDirectory("graft-sv14-ckpt").toString
+    val q = s.readStream.format("graft-kv")
+      .option("catalog", sv14SrcCatalog)
+      .option("maxRowsPerBatch", "1") // one stamp generation per micro-batch
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val docs = b.select(col("doc_id"), col("text"))
+        val toks = docs
+          .select(col("doc_id").as("id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        val newBands = toks
+          .select(col("id"),
+            posexplode(graft.functions.HashExprs.minhashBands(col("toks"), 32, 16)))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+        val fwd = s.read.format("graft-kv").option("catalog", sv14FwdCatalog).load()
+        val oldIdx = s.read.format("graft-kv").option("catalog", sv14IdxCatalog).load()
+          .select(col("band"), col("bh"), col("doc_id").as("old_id"))
+        val nn = newBands.as("x").join(newBands.as("y"), Seq("band", "bh"))
+          .filter(col("x.id") < col("y.id"))
+          .select(col("x.id").as("ida"), col("y.id").as("idb"))
+        val no = newBands.join(oldIdx, Seq("band", "bh"))
+          .select(least(col("id"), col("old_id")).as("ida"),
+            greatest(col("id"), col("old_id")).as("idb"))
+        val cand = nn.union(no).distinct()
+        val sh = docs.unionByName(fwd)
+          .select(col("doc_id").as("id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("id"), graft.functions.HashExprs.sortedShingles(col("toks")).as("sh"))
+        val accepted = cand
+          .join(sh.select(col("id").as("ida"), col("sh").as("sh_a")), Seq("ida"))
+          .join(sh.select(col("id").as("idb"), col("sh").as("sh_b")), Seq("idb"))
+          .withColumn("jaccard", graft.pipeline.Dedup.jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.8)
+          .select(format_string("%012d:%012d", col("ida"), col("idb")).as("pk"),
+            col("ida").as("id_a"), col("idb").as("id_b"), col("jaccard"))
+        kvWrite(accepted, sv14PairsCatalog, ts = 10 + batchId)
+        kvWrite(newBands.select(
+          format_string("%02d:%021d:%012d", col("band"), col("bh"), col("id")).as("ik"),
+          col("band"), col("bh"), col("id").as("doc_id")), sv14IdxCatalog, ts = 10 + batchId)
+        kvWrite(docs, sv14FwdCatalog, ts = 10 + batchId)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.format("graft-kv").option("catalog", sv14PairsCatalog).load()
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -657,6 +786,7 @@ object StreamBatch {
     "sv11_stream_cdc_tombstones" -> (sv11StreamCdcTombstones _),
     "sv12_stream_cdc_index"     -> (sv12StreamCdcIndex _),
     "sv13_stream_capped_catchup" -> (sv13StreamCappedCatchup _),
+    "sv14_stream_incr_neardup"   -> (sv14StreamIncrNeardup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -673,5 +803,6 @@ object StreamBatch {
     "sv11_stream_cdc_tombstones" -> sv11Sql,
     "sv12_stream_cdc_index"     -> sv12Sql,
     "sv13_stream_capped_catchup" -> sv13Sql,
+    "sv14_stream_incr_neardup"   -> Pipeline.px7Sql,
   )
 }
