@@ -367,6 +367,27 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.default.updnull")
   }
 
+  test("DELETE plans: exact predicates go metadata-only, residuals go row-level") {
+    spark.sql(
+      """CREATE TABLE graft.default.delplan (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'k')""".stripMargin)
+    try {
+      // fully-compilable predicate: the metadata delete (no scan, no write
+      // job) — the O(ranges) store-side path
+      val exact = spark.sql(
+        "EXPLAIN FORMATTED DELETE FROM graft.default.delplan WHERE k < 5")
+        .head().getString(0)
+      assert(exact.contains("DeleteFromTable") && !exact.contains("WriteDelta"),
+        s"exact delete must stay metadata-only:\n$exact")
+      // residual predicate: rewritten into scan -> delta write
+      val residual = spark.sql(
+        "EXPLAIN FORMATTED DELETE FROM graft.default.delplan WHERE v + 1.0 > 2.0")
+        .head().getString(0)
+      assert(residual.contains("WriteDelta"),
+        s"residual delete must take the row-level path:\n$residual")
+    } finally spark.sql("DROP TABLE graft.default.delplan")
+  }
+
   test("MERGE INTO: matched update, matched delete, not-matched insert") {
     spark.sql(
       """CREATE TABLE graft.default.mrg (k BIGINT, v STRING, n BIGINT)

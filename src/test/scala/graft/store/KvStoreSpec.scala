@@ -66,4 +66,38 @@ class KvStoreSpec extends AnyFunSuite {
       TimeRange(Long.MinValue, Long.MaxValue))).map(_._2).toSet
     assert(marks == Set(5000L, 100L))
   }
+
+  test("deletes are MVCC: only versions <= the delete stamp are erased") {
+    val t = KvStore.createTable("spec:mvccdel", Seq("row0500").map(_.getBytes("UTF-8")),
+      maxVersions = 3, dropExisting = true)
+    t.put(key(1), Seq(cell(100L, "old"), cell(300L, "new")))
+    t.put(key(2), Seq(cell(100L, "only-old")))
+
+    // delete@200 sees only the ts<=200 history: key(1)'s ts=300 cell
+    // survives (the put "arrived after" the delete), key(2) dies entirely
+    t.delete(all, None, stamp = 200L)
+    val k1 = t.get(key(1), ColumnSet.All, None, versions = 3)
+    assert(k1.isDefined && k1.get.cells.map(c => (c.ts, new String(c.value))) ==
+      Seq((300L, "new")))
+    assert(t.get(key(2), ColumnSet.All, None, versions = 3).isEmpty)
+    assert(t.regions.map(_.rowCount.get()).sum == 1L)
+
+    // deleteRow is the same rule: delete@T then put@T+1 commute — apply
+    // them put-first and the row must still converge to the put
+    t.put(key(3), Seq(cell(401L, "winner")))
+    t.deleteRow(key(3), stamp = 400L)
+    val k3 = t.get(key(3), ColumnSet.All, None, versions = 3)
+    assert(k3.isDefined && k3.get.cells.map(c => new String(c.value)) == Seq("winner"))
+    // ...and delete-first converges identically
+    t.deleteRow(key(4), stamp = 400L)
+    t.put(key(4), Seq(cell(401L, "winner")))
+    val k4 = t.get(key(4), ColumnSet.All, None, versions = 3)
+    assert(k4.isDefined && k4.get.cells.map(c => new String(c.value)) == Seq("winner"))
+
+    // a fully-erased row leaves a tombstone AND decrements the counter once
+    val marks = t.regions.indices.flatMap(r => t.tombstonesIn(r, all.head,
+      TimeRange(Long.MinValue, Long.MaxValue))).toMap
+    assert(marks.keySet.map(new String(_)).contains("row0002"))
+    assert(t.regions.map(_.rowCount.get()).sum == 3L) // keys 1, 3, 4
+  }
 }

@@ -99,6 +99,39 @@ class KvWalSpec extends AnyFunSuite {
     }
   }
 
+  test("MVCC row-level deletes replay to the same converged state") {
+    val dir = Files.createTempDirectory("graft-wal-mvcc")
+    KvStore.enableWal(dir)
+    try {
+      // the delta-writer shape: stamped deleteRow@T + put@T+1, applied in
+      // BOTH orders across keys — replay re-applies records in log order
+      // and must converge identically (the MVCC erase-≤-stamp rule is what
+      // makes log order irrelevant per key)
+      val t = KvStore.createTable("wal:mvcc", Seq.empty, maxVersions = 2,
+        dropExisting = true)
+      t.put(key(1), Seq(cell("q", 100L, "old1")))
+      t.put(key(2), Seq(cell("q", 100L, "old2")))
+      t.deleteRow(key(1), stamp = 200L)          // delete-then-put
+      t.put(key(1), Seq(cell("q", 201L, "new1")))
+      t.put(key(2), Seq(cell("q", 201L, "new2"))) // put-then-delete
+      t.deleteRow(key(2), stamp = 200L)
+      t.deleteRow(key(3), stamp = 200L)          // delete of an absent row
+      val before = snapshot(t)
+      assert(before == Seq(
+        "row0001" -> Seq(("f", "q", 201L, "new1")),
+        "row0002" -> Seq(("f", "q", 201L, "new2"))))
+
+      KvStore.disableWal()
+      KvStore.replayWal(dir)
+      val replayed = KvStore.table("wal:mvcc")
+      assert(snapshot(replayed) == before)
+      assert(replayed.regions.map(_.rowCount.get()).sum == 2L)
+    } finally {
+      KvStore.disableWal()
+      KvStore.drop("wal:mvcc")
+    }
+  }
+
   test("torn tail is discarded; preceding records replay") {
     val dir = Files.createTempDirectory("graft-wal-torn")
     KvStore.enableWal(dir)
