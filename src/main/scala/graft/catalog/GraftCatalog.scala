@@ -52,7 +52,29 @@ final case class GraftCatalog(
     tableCoderName: String,
     fields: Seq[Field],
     rowKeyParts: Seq[RowKeyPart],
-    numVersions: Int) extends Serializable {
+    numVersions: Int,
+    /** Phoenix-style salt-bucket count (0 = unsalted). When > 0, every
+      * stored key is `hash(logical key) % saltBuckets` as ONE prefix byte +
+      * the logical key: monotonically increasing keys (event ids, time
+      * stamps — the classic region-server hot-spot) spread across
+      * `saltBuckets` regions instead of hammering the last one. The salt
+      * lives in the catalog JSON (`"table":{"salt":"n"}`) — NOT in per-read
+      * options — so every reader/writer of the table agrees by
+      * construction; a disagreeing salt would silently mis-decode every
+      * key. `RowKeyPart.offset`s are parsed salt-inclusive, so all decode
+      * paths (materializer, columnar, key predicates) shift automatically;
+      * range pruning fans each logical key range out per salt bucket
+      * ([[graft.datasource.FilterCompiler]]). */
+    saltBuckets: Int = 0) extends Serializable {
+
+  /** bytes the salt prefix occupies in stored keys */
+  def saltLen: Int = if (saltBuckets > 0) 1 else 0
+
+  /** The salt byte of a fully-encoded LOGICAL key (salt excluded):
+    * deterministic hash, stable across the library's writers and readers. */
+  def saltOf(logicalKey: Array[Byte]): Byte =
+    math.floorMod(scala.util.hashing.MurmurHash3.bytesHash(logicalKey, 0x9747b28c),
+      saltBuckets).toByte
 
   def qualifiedName: String = s"$namespace:$table"
 
@@ -138,6 +160,13 @@ object GraftCatalog {
       .getOrElse(sys.error("catalog is missing \"rowkey\""))
     val keyNames = rowKeySpec.split(":").toSeq
 
+    // salt-bucket count rides the table node so every reader and writer of
+    // this catalog string agrees on the key layout (see the field's doc)
+    val saltBuckets = opt(tbl, "salt").map(_.toInt).getOrElse(0)
+    require(saltBuckets == 0 || (saltBuckets >= 4 && saltBuckets <= 256),
+      s"salt=$saltBuckets: bucket count must be 4..256 (one region per bucket, " +
+        "and the presplit rule wants at least 4 regions)")
+
     val colsNode = root.get("columns")
     require(colsNode != null, "catalog is missing \"columns\"")
     val fields = ArrayBuffer[Field]()
@@ -159,12 +188,14 @@ object GraftCatalog {
         length = opt(c, "length").map(_.toInt).getOrElse(-1))
     }
 
-    // row-key byte offsets (reference initRowKey, HBaseTableCatalog.scala:184-204)
+    // row-key byte offsets (reference initRowKey, HBaseTableCatalog.scala:
+    // 184-204); parsed SALT-INCLUSIVE so every offset consumer decodes
+    // stored keys correctly without knowing about salting
     val keyFields = keyNames.map { kn =>
       fields.find(f => f.isRowKey && f.qual == kn)
         .getOrElse(sys.error(s"rowkey part $kn has no column mapping"))
     }
-    var off = 0
+    var off = if (saltBuckets > 0) 1 else 0
     val parts = keyFields.map { f =>
       val w = f.byteWidth
       val p = RowKeyPart(f, off, w)
@@ -175,7 +206,8 @@ object GraftCatalog {
     val cat = GraftCatalog(
       namespace, name, tableCoder,
       fields.toSeq, parts,
-      numVersions = options.get(MaxVersions).map(_.toInt).getOrElse(1))
+      numVersions = options.get(MaxVersions).map(_.toInt).getOrElse(1),
+      saltBuckets = saltBuckets)
     cat.validate()
     cat
   }

@@ -171,7 +171,8 @@ object FilterCompiler {
         val f = part.field
         val pred = KvPredicate.KeyCmp(part.offset, part.width, op, v, f.dataType, f.coder)
         val ranges =
-          if (part.offset != 0) AllRanges // suffix parts: predicate only, no pruning
+          // first LOGICAL part (offset 0, or right after the salt byte)
+          if (part.offset != catalog.saltLen) AllRanges // suffix parts: predicate only, no pruning
           else {
             val exactKey = catalog.rowKeyParts.size == 1 && part.width < 0
             val fieldRanges: Seq[ScanRange[Array[Byte]]] = op match {
@@ -181,8 +182,13 @@ object FilterCompiler {
               case Gt => f.coder.greaterRanges(f.dataType, v, inclusive = false)
               case Ge => f.coder.greaterRanges(f.dataType, v, inclusive = true)
             }
-            if (exactKey || catalog.rowKeyParts.size == 1) fieldRanges.map(identity)
-            else fieldRanges.map(prefixExpand) // fixed-width first part of composite key
+            val logical =
+              if (exactKey || catalog.rowKeyParts.size == 1) fieldRanges.map(identity)
+              else fieldRanges.map(prefixExpand) // fixed-width first part of composite key
+            // a single-part Eq pins the WHOLE logical key, so its salt is
+            // computable: one exact salted point instead of an n-way fan
+            saltFan(catalog, logical,
+              fullKey = op == Eq && catalog.rowKeyParts.size == 1)
           }
         Hrf(ScanRange.normalize(ranges), Some(pred), handled = true)
       case None =>
@@ -219,12 +225,12 @@ object FilterCompiler {
         val prefix = p.getBytes("UTF-8")
         val pred = KvPredicate.KeyPartPrefix(part.offset, prefix)
         val ranges =
-          if (part.offset != 0) AllRanges
-          else Seq(ScanRange(Bound(Some(prefix), inclusive = true),
+          if (part.offset != catalog.saltLen) AllRanges
+          else saltFan(catalog, Seq(ScanRange(Bound(Some(prefix), inclusive = true),
             BytesUtil.prefixUpperBound(prefix) match {
               case Some(up) => Bound(Some(up), inclusive = false)
               case None     => Bound.posInf[Array[Byte]]
-            }))
+            })), fullKey = false)
         Hrf(ranges, Some(pred), handled = true)
       case Some(_) => unhandled
       case None => leafStrMatch(catalog, attr, p, StrMode.Prefix)
@@ -265,6 +271,42 @@ object FilterCompiler {
     val exact = l.handled && r.handled && (pred.isDefined ||
       (l.pred.isEmpty && l.ranges == AllRanges) || (r.pred.isEmpty && r.ranges == AllRanges))
     Hrf(ScanRange.or(l.ranges, r.ranges), if (exact) pred else None, handled = exact)
+  }
+
+  /** Fan LOGICAL key ranges out across the table's salt buckets (identity
+    * when unsalted): `[a, b)` becomes `[s‖a, s‖b)` for every salt byte s —
+    * salting trades a single contiguous range for `saltBuckets` parallel
+    * per-bucket ranges (the Phoenix salted-scan shape), so pruning survives:
+    * each bucket region scans only its slice of the logical range, never
+    * the whole bucket. When `fullKey` and the range is one point, the salt
+    * is computed from the key itself — a single exact salted get. */
+  private def saltFan(catalog: GraftCatalog, logical: Seq[ScanRange[Array[Byte]]],
+      fullKey: Boolean): Seq[ScanRange[Array[Byte]]] = {
+    val n = catalog.saltBuckets
+    if (n == 0) return logical
+    def salted(b: Int, k: Array[Byte]): Array[Byte] =
+      BytesUtil.concat(Array(b.toByte), k)
+    logical.flatMap { r =>
+      (r.start.value, r.end.value) match {
+        case (Some(s), Some(e)) if fullKey && r.start.inclusive && r.end.inclusive &&
+            java.util.Arrays.equals(s, e) =>
+          val b = catalog.saltOf(s) & 0xff
+          Seq(ScanRange.point(salted(b, s)))
+        case _ =>
+          (0 until n).map { b =>
+            val start = r.start.value match {
+              case Some(s) => Bound(Some(salted(b, s)), r.start.inclusive)
+              case None    => Bound(Some(Array(b.toByte)), inclusive = true)
+            }
+            val end = r.end.value match {
+              case Some(e) => Bound(Some(salted(b, e)), r.end.inclusive)
+              case None if b + 1 < 256 => Bound(Some(Array((b + 1).toByte)), inclusive = false)
+              case None    => Bound.posInf[Array[Byte]]
+            }
+            ScanRange(start, end)
+          }
+      }
+    }
   }
 
   /** Turn a closed field-value range into the matching key-prefix range:

@@ -517,10 +517,19 @@ final case class GraftInputPartition(
     /** CDC micro-batch only: the stamp window whose delete markers this
       * partition must ALSO emit (as `_deleted=true` rows). None on batch
       * scans — a batch read never sees tombstones. */
-    tombstoneWindow: Option[graft.store.TimeRange] = None) extends InputPartition {
+    tombstoneWindow: Option[graft.store.TimeRange] = None) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Data locality: the region's host (reference getPreferredLocations,
     * HBaseTableScan.scala:384-388). */
   override def preferredLocations(): Array[String] = Array(host)
+
+  /** Partition identity for storage-partitioned joins: on a SALTED table
+    * region i holds exactly bucket i (presplits are the salt bytes), so the
+    * region index IS the bucket value the scan's reported
+    * `KeyGroupedPartitioning(bucket(n, key...))` promises. Spark reads this
+    * only when the scan reports that partitioning (salted tables); for
+    * range-split tables the value is meaningless and never consulted. */
+  override def partitionKey(): InternalRow = InternalRow(regionIndex)
 }
 
 /** DSv2 custom metrics for the SQL UI: scan efficiency is visible per

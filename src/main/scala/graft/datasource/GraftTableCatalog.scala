@@ -339,7 +339,12 @@ object GraftTableCatalog {
         s"composite key part $k is a string before the last position — " +
           s"declare TBLPROPERTIES ('length.$k' = '<bytes>')")
     }
-    s"""{"table":{"namespace":"${esc(ns)}", "name":"${esc(ident.name)}"},
+    // `saltBuckets` TBLPROPERTY → the table node's "salt": the bucket count
+    // must live in the catalog JSON itself so every reader/writer agrees on
+    // the key layout (see GraftCatalog.saltBuckets)
+    val salt = props.get("saltBuckets")
+      .map(n => s""", "salt":"${esc(n)}"""").getOrElse("")
+    s"""{"table":{"namespace":"${esc(ns)}", "name":"${esc(ident.name)}"$salt},
        |"rowkey":"${esc(rowkey)}",
        |"columns":{
        |$cols}}""".stripMargin

@@ -165,6 +165,15 @@ object GraftDdl {
   def ensureTable(catalog: GraftCatalog, opts: GraftOptions, dropExisting: Boolean): Unit = {
     val name = opts.storeName(catalog)
     if (!dropExisting && KvStore.exists(name)) return
+    if (catalog.saltBuckets > 0) {
+      // salted tables presplit ON the salt boundaries — one region per
+      // bucket, which is the whole point (each bucket takes 1/n of a
+      // monotone write stream); numeric/string split options are ignored
+      val splits = (1 until catalog.saltBuckets).map(b => Array(b.toByte))
+      KvStore.createTable(name, splits, math.max(opts.maxVersions, 1), dropExisting,
+        opts.familyMaxVersions)
+      return
+    }
     val numReg = if (opts.newTable > 0) opts.newTable else 5
     require(numReg > 3, s"newtable=$numReg: region count must be at least 4")
     val first = catalog.rowKeyParts.head.field
@@ -263,7 +272,10 @@ final class KvRowCodec(catalog: GraftCatalog, schema: StructType) extends Serial
           "fixed-width key parts require exact-length values")
       enc
     }
-    BytesUtil.concat(keyBytes: _*)
+    val logical = BytesUtil.concat(keyBytes: _*)
+    if (catalog.saltBuckets > 0)
+      BytesUtil.concat(Array(catalog.saltOf(logical)), logical)
+    else logical
   }
 
   def cells(row: InternalRow, ts: Long): Seq[KvCell] = {

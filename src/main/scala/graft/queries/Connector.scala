@@ -644,6 +644,51 @@ object Connector {
       |UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM ghosts
       |ORDER BY c_custkey""".stripMargin
 
+  // salted events table: monotonically increasing event_id is THE write
+  // pattern salt buckets exist for (every append lands on the last region
+  // of a range-split table; salt spreads it 1/n per bucket)
+  private val saltedEventsCatalog =
+    """{"table":{"namespace":"default", "name":"kv_salted_events", "salt":"8"},
+      |"rowkey":"key",
+      |"columns":{
+      |"event_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"user_id":{"cf":"f", "col":"user", "type":"bigint"},
+      |"event_type":{"cf":"f", "col":"etype", "type":"string"},
+      |"value":{"cf":"f", "col":"value", "type":"double"}}}""".stripMargin
+
+  /** kv21: SALTED table round trip — writes spread across 8 bucket regions
+    * by a key-hash prefix byte ([[graft.catalog.GraftCatalog.saltBuckets]],
+    * the Phoenix salt-bucket defense the reference lacks); the key-range
+    * read fans per bucket ([[graft.datasource.FilterCompiler]] saltFan), so
+    * pruning survives: each bucket region scans only its slice of the
+    * logical range. The aggregate merges per-bucket partials exactly like
+    * range-split regions. */
+  def kv21Salted(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_salted_events")) {
+      Tables.events(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> saltedEventsCatalog))
+        .mode("append").save()
+    }
+    s.read.format("graft-kv").option("catalog", saltedEventsCatalog).load()
+      .filter(col("event_id") >= 100L && col("event_id") < 800L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  val kv21Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total
+      |FROM (SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+      |             CAST(value AS DOUBLE) AS value FROM events)
+      |WHERE event_id >= 100 AND event_id < 800
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -665,6 +710,7 @@ object Connector {
     "kv18_reverse_topn"   -> (kv18ReverseTopn _),
     "kv19_sql_catalog"    -> (kv19SqlCatalog _),
     "kv20_sql_rowlevel"   -> (kv20SqlRowLevel _),
+    "kv21_salted"         -> (kv21Salted _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -688,5 +734,6 @@ object Connector {
     "kv18_reverse_topn"   -> kv18Sql,
     "kv19_sql_catalog"    -> kv19Sql,
     "kv20_sql_rowlevel"   -> kv20Sql,
+    "kv21_salted"         -> kv21Sql,
   )
 }
