@@ -18,7 +18,13 @@ final case class Field(
     typeName: Option[String],
     coderName: String,
     avroSchemaJson: Option[String],
-    length: Int) extends Serializable {
+    length: Int,
+    /** Global secondary index on this (non-key) column — catalog
+      * `"index":"true"` on the column node. Writes through the connector
+      * maintain a derived index table keyed `encode(value) ‖ main row key`
+      * (see [[graft.datasource.SecondaryIndex]]); selective reads on the
+      * column consult it instead of scanning every region. */
+    indexed: Boolean = false) extends Serializable {
 
   val isRowKey: Boolean = cf == GraftCatalog.RowKeyFamily
 
@@ -100,6 +106,9 @@ final case class GraftCatalog(
 
   def hasDynamicFields: Boolean = valueFields.exists(_.isDynamic)
 
+  /** Columns carrying a global secondary index (catalog `"index":"true"`). */
+  def indexedFields: Seq[Field] = valueFields.filter(_.indexed)
+
   private[catalog] def validate(): Unit = {
     rowKeyParts.zipWithIndex.foreach { case (p, i) =>
       val f = p.field
@@ -111,6 +120,11 @@ final case class GraftCatalog(
         require(p.width > 0,
           s"row-key field ${f.name} is variable-length but not the last key part; " +
             "give it an explicit \"length\"")
+    }
+    fields.filter(_.indexed).foreach { f =>
+      require(!f.isRowKey, s"index on ${f.name}: key parts are already the primary index")
+      require(!f.isDynamic, s"index on ${f.name}: dynamic (schema-on-read) columns cannot be indexed")
+      require(f.avroSchemaJson.isEmpty, s"index on ${f.name}: Avro columns cannot be indexed")
     }
   }
 }
@@ -185,7 +199,8 @@ object GraftCatalog {
           options.get(k).orElse(options.collectFirst {
             case (ok, ov) if ok.equalsIgnoreCase(k) => ov
           })),
-        length = opt(c, "length").map(_.toInt).getOrElse(-1))
+        length = opt(c, "length").map(_.toInt).getOrElse(-1),
+        indexed = opt(c, "index").exists(_.toBoolean))
     }
 
     // row-key byte offsets (reference initRowKey, HBaseTableCatalog.scala:

@@ -1,0 +1,218 @@
+package graft.datasource
+
+import org.apache.spark.sql.sources._
+
+import graft.catalog.{Field, GraftCatalog}
+import graft.ranges.{Bound, BytesUtil, ScanRange}
+import graft.store.{ColumnSet, KvCell, KvStore, RowHook}
+
+/** Global secondary indexes over non-key columns — the Phoenix-style global
+  * index the reference connector lacks (its only access path is the row
+  * key; every predicate on a value column is a full scan with a server-side
+  * filter, reference HBaseFilter.scala:126-407).
+  *
+  * Layout: one derived table per indexed column, keyed
+  * `encode(value) ‖ main row key` (the main key rides the cell value too,
+  * so readers never re-parse variable-width prefixes). Maintenance is a
+  * store-side [[RowHook]] — the coprocessor model: EVERY mutation path
+  * (batch/streaming put, SQL DELETE/UPDATE/MERGE, ranged delete) reports the
+  * row's before/after latest state and the hook diffs it into index
+  * delete+put, so out-of-band writers can't leave the index stale.
+  *
+  * Reads consult the index in the scan PLANNER: a selective predicate on an
+  * indexed column compiles to value ranges, the planner range-scans the
+  * index (a bounded, selectivity-proportional read served region-side at
+  * scale), and the main scan collapses to point gets grouped per region.
+  * Correctness never depends on the consult: index ranges may
+  * over-approximate (value-prefix ranges include longer-string false
+  * positives) because the row-level predicate is still evaluated — the
+  * library's "ranges prune, predicates decide" invariant. A consult that
+  * would return more than [[LookupCap]] keys falls back to the ordinary
+  * region scan (at that selectivity a scan beats point-get fan-out anyway).
+  *
+  * Versioned/time-travel reads never consult: the index reflects CURRENT
+  * row state, and a historical read may match rows whose old versions
+  * satisfy the predicate while their current value does not.
+  */
+object SecondaryIndex {
+
+  /** Fallback threshold: more matches than this and the consult declines.
+    * Driver-side cost is keys × ~40 bytes; 100k ≈ 4 MB, and beyond that
+    * point-get fan-out loses to a straight region scan. */
+  val LookupCap = 100000
+
+  def indexTableName(mainStoreName: String, field: Field): String =
+    s"$mainStoreName__idx__${field.name}"
+
+  /** Index-table DDL + hook attach; idempotent, runs with the main table's
+    * DDL. `droppedMain=true` (INSERT OVERWRITE / truncate) recreates the
+    * index tables too — stale entries of dropped rows must not survive. */
+  def ensure(catalog: GraftCatalog, opts: GraftOptions, droppedMain: Boolean): Unit = {
+    val indexed = catalog.indexedFields
+    if (indexed.isEmpty) return
+    val mainName = opts.storeName(catalog)
+    val main = KvStore.table(mainName)
+    indexed.foreach { f =>
+      val idxName = indexTableName(mainName, f)
+      if (droppedMain || !KvStore.exists(idxName)) {
+        // presplit evenly over the first encoded-value byte: without value
+        // statistics a uniform byte split is the neutral choice, and the
+        // store's planner prunes per-region ranges either way
+        val splits = Seq(Array(0x40.toByte), Array(0x80.toByte), Array(0xc0.toByte))
+        KvStore.createTable(idxName, splits, maxVersions = 1, dropExisting = droppedMain)
+      }
+      main.attachHook(idxName, new IndexMaintainer(idxName, f.cf, f.qual))
+    }
+  }
+
+  /** `encode(value) ‖ main stored key` — unique per (value, row); sorts by
+    * value first, so equal values are contiguous and a value range is a key
+    * range. */
+  private[datasource] def entryKey(valueBytes: Array[Byte], mainKey: Array[Byte]): Array[Byte] =
+    BytesUtil.concat(valueBytes, mainKey)
+
+  /** The store hook maintaining one column's index: on any change of the
+    * column's latest value, retire the old entry and insert the new one.
+    * Index-table mutations go through the ordinary logged put/delete, so
+    * WAL replay restores the index without re-firing hooks. */
+  final class IndexMaintainer(idxName: String, cf: String, qual: String) extends RowHook {
+    override val cols: Set[(String, String)] = Set((cf, qual))
+    override def onMutate(key: Array[Byte],
+        before: Map[(String, String), Array[Byte]],
+        after: Map[(String, String), Array[Byte]], stamp: Long): Unit = {
+      val oldV = before.get((cf, qual))
+      val newV = after.get((cf, qual))
+      val same = (oldV, newV) match {
+        case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+        case (None, None)       => true
+        case _                  => false
+      }
+      if (!same) {
+        val idx = KvStore.table(idxName)
+        oldV.foreach(v => idx.deleteRow(entryKey(v, key), stamp))
+        newV.foreach(v => idx.put(entryKey(v, key), Seq(KvCell("i", "k", stamp, key))))
+      }
+    }
+  }
+
+  /** Planner consult: if the pushed filters are selective on an indexed
+    * column, return the matching MAIN-table point ranges (sorted, deduped)
+    * — or None to keep the ordinary scan. Over-approximation is safe (the
+    * row predicate still runs); under-approximation would lose rows, so
+    * every gate here errs toward None. */
+  def lookup(catalog: GraftCatalog, opts: GraftOptions,
+      filters: Seq[Filter]): Option[Seq[ScanRange[Array[Byte]]]] = {
+    val indexed = catalog.indexedFields
+    if (indexed.isEmpty) return None
+    // current-state index ⇒ latest-merge single-version reads only
+    if (!opts.mergeToLatest || opts.maxVersions != 1 || opts.timeRange.isDefined) return None
+    val mainName = opts.storeName(catalog)
+    indexed.iterator.flatMap { f =>
+      val idxName = indexTableName(mainName, f)
+      if (!KvStore.exists(idxName)) None
+      else {
+        // intersect the value ranges of every top-level (AND-ed) filter
+        // that constrains this column
+        val perFilter = filters.flatMap(valueRanges(f, _))
+        if (perFilter.isEmpty) None
+        else {
+          implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+          val valueRs = perFilter.reduce(ScanRange.and(_, _))
+          if (valueRs == Seq(ScanRange.all[Array[Byte]])) None
+          else scanIndex(idxName, valueRs)
+        }
+      }
+    }.nextOption()
+  }
+
+  /** Read matching main keys out of the index table; None over [[LookupCap]]. */
+  private def scanIndex(idxName: String,
+      valueRs: Seq[ScanRange[Array[Byte]]]): Option[Seq[ScanRange[Array[Byte]]]] = {
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    val idx = KvStore.table(idxName)
+    val entryRs = ScanRange.normalize(valueRs.map(valueToEntryRange))
+    val keys = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    idx.regionInfos.foreach { r =>
+      val regionRange = ScanRange[Array[Byte]](
+        Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
+      ScanRange.and(entryRs, Seq(regionRange)).foreach { range =>
+        val it = idx.scan(r.index, range, ColumnSet.All, None, 1, None)
+        while (it.hasNext) {
+          if (keys.size > LookupCap) return None
+          it.next().cells.find(c => c.cf == "i" && c.qual == "k")
+            .foreach(c => keys += c.value)
+        }
+      }
+    }
+    val sorted = keys.distinct.sortWith(BytesUtil.compareBytes(_, _) < 0)
+    Some(sorted.map(k => ScanRange.point(k)).toSeq)
+  }
+
+  /** A closed range in VALUE space → the covering index-key range: entry
+    * keys extend the value with the main key, so inclusive bounds widen to
+    * just past the value prefix (exactly [[FilterCompiler]]'s prefixExpand
+    * rule). May include longer-value false positives (e.g. value "ab"
+    * covers "abc" entries) — safe, the row predicate decides. */
+  private def valueToEntryRange(r: ScanRange[Array[Byte]]): ScanRange[Array[Byte]] = {
+    val start = r.start match {
+      case Bound(Some(b), false) => BytesUtil.prefixUpperBound(b) match {
+        case Some(up) => Bound(Some(up), true)
+        case None     => Bound(Some(b), false)
+      }
+      case other => other
+    }
+    val end = r.end match {
+      case Bound(Some(b), true) => BytesUtil.prefixUpperBound(b) match {
+        case Some(up) => Bound(Some(up), false)
+        case None     => Bound.posInf[Array[Byte]]
+      }
+      case other => other
+    }
+    ScanRange(start, end)
+  }
+
+  /** Value-space ranges a single filter implies for column `f`, or None if
+    * this filter does not constrain `f` exactly enough to prune with.
+    * And: one compilable side suffices (superset). Or: both sides must
+    * compile (else the union is unbounded). Not/unknown: None. */
+  private def valueRanges(f: Field, filter: Filter): Option[Seq[ScanRange[Array[Byte]]]] = {
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    def enc(v: Any): Array[Byte] = f.coder.encode(f.dataType, v)
+    filter match {
+      case EqualTo(a, v) if a == f.name && v != null =>
+        Some(Seq(ScanRange.point(enc(v))))
+      case EqualNullSafe(a, v) if a == f.name && v != null =>
+        Some(Seq(ScanRange.point(enc(v))))
+      case In(a, vs) if a == f.name =>
+        // nulls match nothing as a positive filter — drop them; an
+        // all-null/empty list matches no rows at all
+        Some(ScanRange.normalize(
+          vs.filter(_ != null).toSeq.map(v => ScanRange.point(enc(v)))))
+      case LessThan(a, v) if a == f.name && v != null =>
+        Some(f.coder.lessRanges(f.dataType, v, inclusive = false))
+      case LessThanOrEqual(a, v) if a == f.name && v != null =>
+        Some(f.coder.lessRanges(f.dataType, v, inclusive = true))
+      case GreaterThan(a, v) if a == f.name && v != null =>
+        Some(f.coder.greaterRanges(f.dataType, v, inclusive = false))
+      case GreaterThanOrEqual(a, v) if a == f.name && v != null =>
+        Some(f.coder.greaterRanges(f.dataType, v, inclusive = true))
+      case StringStartsWith(a, p) if a == f.name &&
+          f.dataType == org.apache.spark.sql.types.StringType =>
+        val prefix = p.getBytes("UTF-8")
+        Some(Seq(ScanRange(Bound(Some(prefix), inclusive = true),
+          BytesUtil.prefixUpperBound(prefix) match {
+            case Some(up) => Bound(Some(up), inclusive = false)
+            case None     => Bound.posInf[Array[Byte]]
+          })))
+      case And(l, r) =>
+        (valueRanges(f, l), valueRanges(f, r)) match {
+          case (Some(a), Some(b)) => Some(ScanRange.and(a, b))
+          case (a, b)             => a.orElse(b)
+        }
+      case Or(l, r) =>
+        for { a <- valueRanges(f, l); b <- valueRanges(f, r) }
+          yield ScanRange.or(a, b)
+      case _ => None
+    }
+  }
+}

@@ -29,6 +29,7 @@ object StreamBatch {
     * file is copied so the source directory contains exactly one file). */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val src = Files.createTempDirectory("graft-sv-src")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       src.resolve("events.parquet"))

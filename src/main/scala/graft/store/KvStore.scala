@@ -132,6 +132,25 @@ final case class KvRow(key: Array[Byte], cells: Seq[KvCell])
 
 final case class RegionInfo(index: Int, start: Option[Array[Byte]], end: Option[Array[Byte]], host: String)
 
+/** Server-side row-mutation observer — the store analogue of an HBase
+  * coprocessor. The connector attaches one per secondary index
+  * ([[graft.datasource.SecondaryIndex]]); every mutation path (put, ranged
+  * delete, row-level delete, WAL-replayed deletes included) reports the
+  * row's before/after latest state for the hook's declared columns, and the
+  * hook derives index-table mutations from the diff. Hooks never fire
+  * during WAL replay (tables are rebuilt bare and the index table's own
+  * logged mutations replay directly — firing them too would double-apply). */
+trait RowHook {
+  /** (cf, qualifier) columns whose latest value the hook derives from. */
+  def cols: Set[(String, String)]
+  /** `before`/`after`: latest-version value per declared column, absent if
+    * the column has no visible cell in that state. */
+  def onMutate(key: Array[Byte],
+      before: Map[(String, String), Array[Byte]],
+      after: Map[(String, String), Array[Byte]],
+      stamp: Long): Unit
+}
+
 /** @param maxVersions default retained-version cap for every column family
   * @param maxVersionsByCf per-family overrides — HBase's model keeps the
   *   version cap on each HColumnDescriptor (reference
@@ -148,6 +167,32 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
 
   /** retention cap for a family: its descriptor override, else the default */
   def versionCap(cf: String): Int = maxVersionsByCf.getOrElse(cf, maxVersions)
+
+  /** Attached mutation hooks, keyed for idempotent re-attach (the connector
+    * re-runs DDL per query; attaching the same index twice must not
+    * double-maintain). Not WAL-persisted: replay rebuilds tables bare and
+    * the connector re-attaches on next use. */
+  @volatile private var hookMap: Map[String, RowHook] = Map.empty
+  def attachHook(id: String, h: RowHook): Unit = synchronized { hookMap += id -> h }
+  def detachHook(id: String): Unit = synchronized { hookMap -= id }
+  private def hooks: Iterable[RowHook] = hookMap.values
+
+  /** Latest-version value per hook column for one row's current state —
+    * the before/after snapshots [[RowHook.onMutate]] receives. Versions maps
+    * are newest-first, so this is O(hook cols), not O(cells). */
+  private def hookState(
+      row: ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]],
+      cols: Set[(String, String)]): Map[(String, String), Array[Byte]] =
+    if (row == null) Map.empty
+    else cols.flatMap { c =>
+      val versions = row.get(c)
+      if (versions == null) None else Option(versions.firstEntry()).map(e => c -> e.getValue)
+    }.toMap
+
+  private def hookCols: Set[(String, String)] = {
+    val hs = hooks
+    if (hs.isEmpty) Set.empty else hs.flatMap(_.cols).toSet
+  }
 
   import BytesUtil.byteArrayOrdering
 
@@ -220,6 +265,8 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     // increments exactly once per NEW key even under concurrent writers:
     // only the thread whose putIfAbsent won counts the row
     var row = region.rows.get(key)
+    val hcols = hookCols
+    val beforeState = if (hcols.isEmpty) null else hookState(row, hcols)
     if (row == null) {
       val fresh = new ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
       val prev = region.rows.putIfAbsent(key, fresh)
@@ -241,7 +288,18 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     if (cells.nonEmpty)
       region.mutHist.computeIfAbsent(cells.map(_.ts).max,
         _ => new java.util.concurrent.atomic.LongAdder).increment()
+    if (beforeState != null && cells.nonEmpty)
+      fireHooks(key, beforeState, hookState(row, hcols), cells.map(_.ts).max)
   }
+
+  /** Per-hook column filtering + dispatch shared by every mutation path. */
+  private def fireHooks(key: Array[Byte],
+      before: Map[(String, String), Array[Byte]],
+      after: Map[(String, String), Array[Byte]], stamp: Long): Unit =
+    hooks.foreach { h =>
+      h.onMutate(key, before.view.filterKeys(h.cols).toMap,
+        after.view.filterKeys(h.cols).toMap, stamp)
+    }
 
   def get(key: Array[Byte], cols: ColumnSet, time: Option[TimeRange], versions: Int): Option[KvRow] = {
     val row = regionFor(key).rows.get(key)
@@ -287,14 +345,18 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     regions.foreach { region =>
       ranges.foreach { range =>
         val it = selectRows(region, range).entrySet().iterator()
+        val hcols = hookCols
         while (it.hasNext) {
           val e = it.next()
           if (predicate.forall(_.eval(e.getKey, e.getValue, None))) {
             // physical logging: the key actually matched, post-resolution —
             // replay re-deletes exact keys, no predicate re-evaluation
             KvStore.wal.foreach(_.logDeleteKey(name, e.getKey, stamp))
+            val before = if (hcols.isEmpty) null else hookState(e.getValue, hcols)
             eraseUpTo(region, e.getKey, e.getValue, stamp)
             markDeleted(region, e.getKey, stamp)
+            if (before != null)
+              fireHooks(e.getKey, before, hookState(e.getValue, hcols), stamp)
             removed += 1
           }
         }
@@ -350,8 +412,11 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
   private[store] def deleteKey(key: Array[Byte], stamp: Long): Unit = {
     val region = regionFor(key)
     val row = region.rows.get(key)
+    val hcols = hookCols
+    val before = if (hcols.isEmpty || row == null) null else hookState(row, hcols)
     if (row != null) eraseUpTo(region, key, row, stamp)
     markDeleted(region, key, stamp)
+    if (before != null) fireHooks(key, before, hookState(row, hcols), stamp)
   }
 
   /** Delete markers of one region whose stamp falls in `window`, restricted
