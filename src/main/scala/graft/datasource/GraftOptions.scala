@@ -28,7 +28,32 @@ final case class GraftOptions(
       * `ReadLimit.maxRows(n)` so a catch-up backlog drains in stamp-ordered
       * chunks of ~n rows instead of one unbounded micro-batch (see
       * [[GraftMicroBatchStream.latestOffset]]). */
-    maxRowsPerBatch: Option[Long] = None) extends Serializable {
+    maxRowsPerBatch: Option[Long] = None,
+    /** Table-level time-to-live (ms): cells stamped before `now - ttl` are
+      * invisible to batch reads (HBase TTL semantics, table-wide rather than
+      * per-family). Implemented exactly by folding the TTL window into the
+      * scan's time range at plan time ([[GraftScan.planInputPartitions]]) —
+      * one `now` snapshot per query, so every partition, predicate, pushed
+      * aggregate, and the `_cell_ts` column agree on visibility. Physical
+      * removal is a separate, explicit [[graft.store.KvTable.compact]]. */
+    ttl: Option[Long] = None) extends Serializable {
+
+  /** TTL folded into the stamp window (identity without `ttl`): reads see
+    * `[max(minStamp, now-ttl), maxStamp)`; an exact-version read below the
+    * cutoff sees nothing. The returned options carry no `ttl` — resolution
+    * happens once, driver-side. */
+  def withTtlResolved(now: Long): GraftOptions = ttl match {
+    case None => this
+    case Some(t) =>
+      val cutoff = now - t
+      timestamp match {
+        case Some(ts) if ts >= cutoff => copy(ttl = None)
+        case Some(_) => // exact-version read of an expired stamp: empty window
+          copy(timestamp = None, minStamp = Some(1L), maxStamp = Some(0L), ttl = None)
+        case None =>
+          copy(minStamp = Some(math.max(minStamp.getOrElse(0L), cutoff)), ttl = None)
+      }
+  }
 
   /** Store-registry key for this relation. The `cluster` option namespaces
     * the table, so two relations carrying different cluster ids resolve to
@@ -86,6 +111,7 @@ object GraftOptions {
       mergeToLatest = get(GraftCatalog.MergeToLatest).forall(_.toBoolean),
       restrictive = get(GraftCatalog.Restrictive).getOrElse("auto").toLowerCase,
       tombstones = get("tombstones").exists(_.toBoolean),
-      maxRowsPerBatch = get("maxRowsPerBatch").map(_.toLong))
+      maxRowsPerBatch = get("maxRowsPerBatch").map(_.toLong),
+      ttl = get("ttl").map(_.toLong))
   }
 }

@@ -388,16 +388,34 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     * a skip list is O(rows) and would be a full-table count on the driver
     * before every query at scale. A networked deployment would serve the
     * same numbers from region-server metadata. */
+  /** Memoized index consult over the STATIC pushed filters (runtime filters
+    * add key ranges, which take the non-consult path anyway) — shared by
+    * statistics and partition planning so the index is scanned at most once
+    * per query compilation. */
+  private lazy val staticIndexConsult: Option[Seq[ScanRange[Array[Byte]]]] = {
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
+    if (hrf.ranges == Seq(ScanRange.all[Array[Byte]]))
+      SecondaryIndex.lookup(catalog,
+        opts.withTtlResolved(System.currentTimeMillis()), filters.toSeq)
+    else None
+  }
+
   override def estimateStatistics(): Statistics = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
     val table = KvStore.table(opts.storeName(catalog))
-    val rowCount = table.regionInfos.map { r =>
-      val regionRange = ScanRange[Array[Byte]](
-        Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
-      if (ScanRange.and(hrf.ranges, Seq(regionRange)).isEmpty) 0L
-      else table.regions(r.index).rowCount.get()
-    }.sum
+    val rowCount = staticIndexConsult match {
+      // an index consult bounds the result exactly: ≤ 1 row per point key —
+      // a selective indexed filter now auto-broadcasts in joins
+      case Some(points) => points.size.toLong
+      case None => table.regionInfos.map { r =>
+        val regionRange = ScanRange[Array[Byte]](
+          Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
+        if (ScanRange.and(hrf.ranges, Seq(regionRange)).isEmpty) 0L
+        else table.regions(r.index).rowCount.get()
+      }.sum
+    }
     val surviving = table.regionInfos.count { r =>
       val regionRange = ScanRange[Array[Byte]](
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
@@ -429,13 +447,16 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
 
   @volatile private var plannedRegions = 0L
   @volatile private var totalRegions = 0L
+  /** point keys the secondary-index consult produced; 0 = not consulted */
+  @volatile private var indexKeys = 0L
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     GraftMetricsDefs.all
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(GraftMetricsDefs.task("graftRegionsPlanned", plannedRegions),
-      GraftMetricsDefs.task("graftRegionsTotal", totalRegions))
+      GraftMetricsDefs.task("graftRegionsTotal", totalRegions),
+      GraftMetricsDefs.task("graftIndexKeys", indexKeys))
 
   override def description(): String = aggOps match {
     case Some(ops) =>
@@ -452,8 +473,22 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     * getPartitions, HBaseTableScan.scala:63-89). */
   override def planInputPartitions(): Array[InputPartition] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
-    val hrf = FilterCompiler.compileAll(catalog, (filters ++ runtimeFilters).toSeq)
+    val allFilters = (filters ++ runtimeFilters).toSeq
+    val hrf = FilterCompiler.compileAll(catalog, allFilters)
     val table = KvStore.table(opts.storeName(catalog))
+    // one `now` snapshot per query: every partition sees the same TTL
+    // cutoff, folded into the ordinary stamp window (identity without ttl)
+    val resolvedOpts = opts.withTtlResolved(System.currentTimeMillis())
+    // secondary-index consult: when the KEY gives no pruning but a pushed
+    // filter is selective on an indexed column, the index turns the scan
+    // into point gets. Pure pruning — hrf.pred still decides every row, so
+    // the consult's over-approximations (value-prefix false positives) and
+    // its fallback (None over the cap) never affect results.
+    val idxRanges =
+      if (hrf.ranges == Seq(ScanRange.all[Array[Byte]])) staticIndexConsult
+      else None
+    idxRanges.foreach(pts => indexKeys = pts.size.toLong)
+    val effRanges = idxRanges.getOrElse(hrf.ranges)
     // an aggregated partition reads only the group fields + the fields the
     // agg ops reference
     val partSchema = aggOps match {
@@ -471,9 +506,9 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     val partitions = table.regionInfos.flatMap { r =>
       val regionRange = ScanRange[Array[Byte]](
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
-      val clipped = ScanRange.and(hrf.ranges, Seq(regionRange))
+      val clipped = ScanRange.and(effRanges, Seq(regionRange))
       if (clipped.isEmpty) None
-      else Some(GraftInputPartition(catalog, opts, r.index, r.host,
+      else Some(GraftInputPartition(catalog, resolvedOpts, r.index, r.host,
         clipped.map(SerializableRange.from), hrf.pred,
         partSchema, aggOps, if (aggOps.isEmpty) limit else None,
         aggGroupCols, reverse): InputPartition)
@@ -550,9 +585,13 @@ private[datasource] object GraftMetricsDefs {
     override def name(): String = "graftRegionsTotal"
     override def description(): String = "kv regions in table"
   }
+  final class IndexKeys extends CustomSumMetric {
+    override def name(): String = "graftIndexKeys"
+    override def description(): String = "point keys from secondary-index consult"
+  }
 
   def all: Array[CustomMetric] =
-    Array(new RowsScanned, new RegionsPlanned, new RegionsTotal)
+    Array(new RowsScanned, new RegionsPlanned, new RegionsTotal, new IndexKeys)
 
   def task(metricName: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
     override def name(): String = metricName

@@ -198,7 +198,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       case Some((json, props)) =>
         val opts = GraftOptions(new CaseInsensitiveStringMap(
           (props + ("catalog" -> json)).asJava))
-        KvStore.drop(opts.storeName(GraftCatalog.parse(json, props)))
+        val cat = GraftCatalog.parse(json, props)
+        val mainName = opts.storeName(cat)
+        // derived secondary-index tables die with their main table
+        cat.indexedFields.foreach(f =>
+          KvStore.drop(SecondaryIndex.indexTableName(mainName, f)))
+        KvStore.drop(mainName)
         true
       case None => false
     }
@@ -222,8 +227,20 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       newIdent, catalog.schema, newProps)
     val opts = GraftOptions(new CaseInsensitiveStringMap(
       (props + ("catalog" -> json)).asJava))
-    KvStore.rename(opts.storeName(catalog),
-      opts.storeName(GraftCatalog.parse(newJson, newProps)))
+    val oldMain = opts.storeName(catalog)
+    val newMain = opts.storeName(GraftCatalog.parse(newJson, newProps))
+    KvStore.rename(oldMain, newMain)
+    // derived index tables follow the rename, and the main table's hooks
+    // re-target the new index names (a hook writing to the orphaned old
+    // name while reads consult the new one would silently under-index)
+    catalog.indexedFields.foreach { f =>
+      val oldIdx = SecondaryIndex.indexTableName(oldMain, f)
+      val newIdx = SecondaryIndex.indexTableName(newMain, f)
+      if (KvStore.exists(oldIdx)) KvStore.rename(oldIdx, newIdx)
+      val t = KvStore.table(newMain)
+      t.detachHook(oldIdx)
+      t.attachHook(newIdx, new SecondaryIndex.IndexMaintainer(newIdx, f.cf, f.qual))
+    }
     GraftTableRegistry.entries.remove(key(oldIdent))
     GraftTableRegistry.entries.put(key(newIdent), (newJson, newProps))
   }
@@ -318,6 +335,14 @@ object GraftTableCatalog {
       case '\\' => "\\\\"
       case c => c.toString
     }
+    // `index` TBLPROPERTY: comma-separated non-key columns that carry a
+    // global secondary index (SecondaryIndex) — becomes the per-column
+    // "index" flag so JSON-catalog and SQL-DDL tables share one code path
+    val indexedCols: Set[String] = props.get("index")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    indexedCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"index column $c not in schema")
+    }
     val cols = schema.fields.map { f =>
       val cf = if (keyParts.contains(f.name)) "rowkey" else family
       val len = props.get(s"length.${f.name}")
@@ -326,10 +351,11 @@ object GraftTableCatalog {
       // differs from the Spark name (ALTER TABLE RENAME COLUMN keeps data
       // addressed by its original qualifier bytes)
       val qual = props.getOrElse(s"qualifier.${f.name}", f.name)
+      val idx = if (indexedCols.contains(f.name)) s""", "index":"true"""" else ""
       // the catalog parses `type` with CatalystSqlParser — any SQL type
       // string Spark prints round-trips
       s""""${esc(f.name)}":{"cf":"${esc(cf)}", "col":"${esc(qual)}", """ +
-        s""""type":"${esc(f.dataType.sql.toLowerCase)}"$len}"""
+        s""""type":"${esc(f.dataType.sql.toLowerCase)}"$len$idx}"""
     }.mkString(",\n")
     // non-final string key parts need a declared width, or the write path
     // can't delimit the composite key — fail at CREATE, not first INSERT

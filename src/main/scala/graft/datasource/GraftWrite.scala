@@ -164,7 +164,13 @@ object GraftDdl {
     * 150-164). Table absent + no `newtable` ⇒ default 5 regions. */
   def ensureTable(catalog: GraftCatalog, opts: GraftOptions, dropExisting: Boolean): Unit = {
     val name = opts.storeName(catalog)
-    if (!dropExisting && KvStore.exists(name)) return
+    if (!dropExisting && KvStore.exists(name)) {
+      // table DDL is settled, but index hooks live on the in-memory KvTable
+      // instance — (re-)attach so a fresh process (or a WAL-replayed store)
+      // resumes maintenance before the first mutation
+      SecondaryIndex.ensure(catalog, opts, droppedMain = false)
+      return
+    }
     if (catalog.saltBuckets > 0) {
       // salted tables presplit ON the salt boundaries — one region per
       // bucket, which is the whole point (each bucket takes 1/n of a
@@ -172,6 +178,7 @@ object GraftDdl {
       val splits = (1 until catalog.saltBuckets).map(b => Array(b.toByte))
       KvStore.createTable(name, splits, math.max(opts.maxVersions, 1), dropExisting,
         opts.familyMaxVersions)
+      SecondaryIndex.ensure(catalog, opts, droppedMain = dropExisting)
       return
     }
     val numReg = if (opts.newTable > 0) opts.newTable else 5
@@ -196,6 +203,7 @@ object GraftDdl {
     }
     KvStore.createTable(name, splits, math.max(opts.maxVersions, 1), dropExisting,
       opts.familyMaxVersions)
+    SecondaryIndex.ensure(catalog, opts, droppedMain = dropExisting)
   }
 
   /** n split points linearly interpolated across [min, max] inclusive,

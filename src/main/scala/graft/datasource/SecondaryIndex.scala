@@ -42,7 +42,7 @@ object SecondaryIndex {
   val LookupCap = 100000
 
   def indexTableName(mainStoreName: String, field: Field): String =
-    s"$mainStoreName__idx__${field.name}"
+    s"${mainStoreName}__idx__${field.name}"
 
   /** Index-table DDL + hook attach; idempotent, runs with the main table's
     * DDL. `droppedMain=true` (INSERT OVERWRITE / truncate) recreates the
@@ -104,8 +104,15 @@ object SecondaryIndex {
       filters: Seq[Filter]): Option[Seq[ScanRange[Array[Byte]]]] = {
     val indexed = catalog.indexedFields
     if (indexed.isEmpty) return None
-    // current-state index ⇒ latest-merge single-version reads only
-    if (!opts.mergeToLatest || opts.maxVersions != 1 || opts.timeRange.isDefined) return None
+    // current-state index ⇒ latest-merge single-version reads. A lower
+    // stamp bound alone (the TTL window [cutoff, ∞)) stays safe: the
+    // newest-in-window cell is either the current cell (the index's view)
+    // or expired (row invisible — the point get over-approximates and the
+    // time-filtered predicate drops it). An UPPER stamp bound is the unsafe
+    // case — a historical read can match rows whose old value satisfied
+    // the filter while the current value (the index entry) does not.
+    if (!opts.mergeToLatest || opts.maxVersions != 1 ||
+      opts.timeRange.exists(_.maxStamp != Long.MaxValue)) return None
     val mainName = opts.storeName(catalog)
     indexed.iterator.flatMap { f =>
       val idxName = indexTableName(mainName, f)
@@ -144,7 +151,9 @@ object SecondaryIndex {
         }
       }
     }
-    val sorted = keys.distinct.sortWith(BytesUtil.compareBytes(_, _) < 0)
+    // entry keys are unique per (value, row) and normalized ranges are
+    // disjoint, so no key arrives twice — sort once for the planner
+    val sorted = keys.sortWith(BytesUtil.compareBytes(_, _) < 0)
     Some(sorted.map(k => ScanRange.point(k)).toSeq)
   }
 

@@ -689,6 +689,101 @@ object Connector {
       |WHERE event_id >= 100 AND event_id < 800
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // events keyed by event_id with a global secondary index on user_id:
+  // the access pattern the primary key can't serve (fetch one user's
+  // events) without scanning every region
+  private val idxEventsCatalog =
+    """{"table":{"namespace":"default", "name":"kv_idx_events"},
+      |"rowkey":"key",
+      |"columns":{
+      |"event_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"user_id":{"cf":"f", "col":"user", "type":"bigint", "index":"true"},
+      |"event_type":{"cf":"f", "col":"etype", "type":"string"},
+      |"value":{"cf":"f", "col":"value", "type":"double"}}}""".stripMargin
+
+  /** kv22: SECONDARY-INDEX read — `user_id` carries a global index
+    * ([[graft.datasource.SecondaryIndex]], the Phoenix-style capability the
+    * reference lacks: its only access path is the row key). The planner
+    * consults the index for the In filter and the scan collapses to point
+    * gets on exactly the matching rows (graftIndexKeys / graftRowsScanned
+    * metrics, pinned in IndexSpec); the residual-free row predicate keeps
+    * correctness independent of the consult. */
+  def kv22IndexedRead(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_idx_events")) {
+      Tables.events(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> idxEventsCatalog, "newtable" -> "4",
+          "minSplitNum" -> "0", "maxSplitNum" -> "100000"))
+        .mode("append").save()
+    }
+    s.read.format("graft-kv").option("catalog", idxEventsCatalog).load()
+      .filter(col("user_id").isin(3L, 17L, 41L))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("total"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val kv22Sql: String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id, event_type, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total
+      |FROM events WHERE user_id IN (3, 17, 41)
+      |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
+  private val ttlEventsCatalog =
+    """{"table":{"namespace":"default", "name":"kv_ttl_events"},
+      |"rowkey":"key",
+      |"columns":{
+      |"event_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"event_type":{"cf":"f", "col":"etype", "type":"string"},
+      |"value":{"cf":"f", "col":"value", "type":"double"}}}""".stripMargin
+
+  /** kv23: TTL + COMPACTION — even event_ids are written at an ancient
+    * stamp, odd ones at write time; a `ttl` read (10 years) sees only the
+    * fresh half (the cutoff is folded into the scan's stamp window at plan
+    * time, [[graft.datasource.GraftOptions.withTtlResolved]], so predicates
+    * and pushdown stay exact). Between two reads the table is MAJOR-
+    * COMPACTED ([[graft.store.KvTable.compact]]) — expired cells physically
+    * dropped, emptied rows removed, row counters maintained — and the
+    * result must not change: visibility is the read-time window, compaction
+    * only reclaims space. The emitted frame is the post-compact read. */
+  def kv23TtlCompact(s: SparkSession, dir: String): DataFrame = {
+    val tenYearsMs = 10L * 365 * 24 * 3600 * 1000
+    if (!graft.store.KvStore.exists("default:kv_ttl_events")) {
+      val base = Tables.events(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+      def save(df: DataFrame, ts: Long): Unit = df.write.format("graft-kv")
+        .options(Map("catalog" -> ttlEventsCatalog, "newtable" -> "4",
+          "minSplitNum" -> "0", "maxSplitNum" -> "100000",
+          "timestamp" -> ts.toString)).mode("append").save()
+      save(base.filter(col("event_id") % 2 === 0), ts = 1000L) // expired half
+      save(base.filter(col("event_id") % 2 === 1), ts = System.currentTimeMillis())
+    }
+    def readAgg = s.read.format("graft-kv")
+      .option("catalog", ttlEventsCatalog).option("ttl", tenYearsMs.toString).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("total"))
+      .orderBy(col("event_type"))
+    val preCompact = readAgg.collect()
+    graft.store.KvStore.table("default:kv_ttl_events")
+      .compact(expireBefore = System.currentTimeMillis() - tenYearsMs)
+    val post = readAgg
+    require(post.collect().toSeq == preCompact.toSeq,
+      "compaction must not change TTL-read visibility")
+    post
+  }
+
+  val kv23Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total
+      |FROM events WHERE event_id % 2 = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -711,6 +806,8 @@ object Connector {
     "kv19_sql_catalog"    -> (kv19SqlCatalog _),
     "kv20_sql_rowlevel"   -> (kv20SqlRowLevel _),
     "kv21_salted"         -> (kv21Salted _),
+    "kv22_indexed_read"   -> (kv22IndexedRead _),
+    "kv23_ttl_compact"    -> (kv23TtlCompact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,5 +832,7 @@ object Connector {
     "kv19_sql_catalog"    -> kv19Sql,
     "kv20_sql_rowlevel"   -> kv20Sql,
     "kv21_salted"         -> kv21Sql,
+    "kv22_indexed_read"   -> kv22Sql,
+    "kv23_ttl_compact"    -> kv23Sql,
   )
 }

@@ -918,6 +918,94 @@ object Pipeline {
       |SELECT term, doc_id, tf, dl, df, score_micro, CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin
 
+  /** px33: HYBRID retrieval — BM25 lexical ranking (px31's exact-integer
+    * scorer) fused with embedding cosine ranking (px9's bit-identical
+    * arithmetic) by reciprocal-rank fusion, the standard way a training-data
+    * / RAG pipeline combines sparse and dense retrieval. Per query term the
+    * top-1 BM25 doc seeds the dense side (doc_id ↔ vec_id align in the
+    * corpus); RRF = Σ 1e6 div (60 + rank) in INTEGER division, so scores
+    * and ranks hash-match cross-engine. One term-keyed shuffle on each arm,
+    * a broadcast of the ≤3 seed vectors, one corpus scan for cosine — the
+    * fused output is k-bounded per term. */
+  def px33HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lex = TextOps.bm25Search(docs, "doc_id", "text", nQueryTerms = 3, k = 10)
+      .select(col("term"), col("doc_id"), col("rank").as("rank_lex"))
+    val seeds = lex.filter(col("rank_lex") === 1)
+      .select(col("term"), col("doc_id").as("seed_id"))
+    val emb = Tables.embeddings(s, dir)
+    val queryVecs = emb.join(
+      broadcast(seeds.select(col("seed_id")).distinct()),
+      emb("vec_id") === col("seed_id")).select(col("vec_id"), col("embedding"))
+    val vec = graft.pipeline.Similarity.bruteForceTopK(
+      queryVecs, emb, "vec_id", "embedding", k = 10)
+    val vecRanks = broadcast(seeds)
+      .join(vec, col("seed_id") === col("query_id"))
+      .select(col("term"), col("neighbor_id").as("doc_id"), col("rank").as("rank_vec"))
+    val fused = lex.join(vecRanks, Seq("term", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("term"), col("doc_id"),
+        col("rank_lex").cast("int").as("rank_lex"),
+        col("rank_vec").cast("int").as("rank_vec"),
+        col("rrf_micro"), col("rank"))
+      .orderBy(col("term"), col("rank"))
+  }
+
+  val px33Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+      |                             t -> length(t) > 0) AS l
+      |  FROM documents),
+      |base AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM toks),
+      |tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM base GROUP BY 1, 2, 3),
+      |wdf AS (SELECT term, doc_id, dl, tf,
+      |          count(*) OVER (PARTITION BY term) AS df FROM tf),
+      |tot AS (SELECT count(*) AS n_docs, CAST(sum(len(l)) AS BIGINT) AS t_tokens
+      |        FROM toks),
+      |q AS (SELECT term FROM (SELECT DISTINCT term, df FROM wdf)
+      |      ORDER BY df DESC, term LIMIT 3),
+      |sc AS (SELECT w.term, w.doc_id,
+      |        CAST((CAST(2*t.n_docs - 2*w.df + 1 AS HUGEINT) * 22 * t.t_tokens
+      |              * w.tf * 1000000)
+      |          // (CAST(2*w.df + 1 AS HUGEINT) *
+      |              (CAST(10 AS HUGEINT)*t.t_tokens*w.tf +
+      |               CAST(3 AS HUGEINT)*t.t_tokens +
+      |               CAST(9 AS HUGEINT)*w.dl*t.n_docs))
+      |          AS BIGINT) AS score_micro
+      |      FROM wdf w JOIN q USING (term), tot t),
+      |lex AS (SELECT term, doc_id, rank_lex FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY term
+      |          ORDER BY score_micro DESC, doc_id) AS rank_lex FROM sc) x
+      |        WHERE rank_lex <= 10),
+      |seeds AS (SELECT term, doc_id AS seed_id FROM lex WHERE rank_lex = 1),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |vtop AS (SELECT term, doc_id, rank_vec FROM (
+      |        SELECT s.term, c.vec_id AS doc_id,
+      |          row_number() OVER (PARTITION BY s.term
+      |            ORDER BY list_cosine_similarity(qe.v, c.v) DESC, c.vec_id) AS rank_vec
+      |        FROM seeds s JOIN e qe ON qe.vec_id = s.seed_id
+      |        CROSS JOIN e c WHERE c.vec_id <> s.seed_id) y
+      |        WHERE rank_vec <= 10),
+      |f AS (SELECT coalesce(l.term, v.term) AS term,
+      |        coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |        l.rank_lex, v.rank_vec,
+      |        coalesce(1000000 // (60 + l.rank_lex), 0)
+      |          + coalesce(1000000 // (60 + v.rank_vec), 0) AS rrf_micro
+      |      FROM lex l FULL OUTER JOIN vtop v
+      |        ON l.term = v.term AND l.doc_id = v.doc_id)
+      |SELECT term, doc_id, CAST(rank_lex AS INTEGER) AS rank_lex,
+      |  CAST(rank_vec AS INTEGER) AS rank_vec,
+      |  CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY term
+      |        ORDER BY rrf_micro DESC, doc_id) AS rank FROM f) z
+      |WHERE rank <= 10 ORDER BY term, rank""".stripMargin
+
   /** px32: per-source token-length histogram ([[TextOps.lengthHistogram]])
     * — power-of-two buckets via exact integer digit counting, so the
     * histogram hash-matches cross-engine. */
@@ -974,6 +1062,7 @@ object Pipeline {
     "px30_bigram_lm"       -> (px30BigramLm _),
     "px31_bm25"            -> (px31Bm25 _),
     "px32_length_histogram" -> (px32LengthHistogram _),
+    "px33_hybrid_retrieval" -> (px33HybridRetrieval _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1008,6 +1097,7 @@ object Pipeline {
     "px30_bigram_lm"       -> px30Sql,
     "px31_bm25"            -> px31Sql,
     "px32_length_histogram" -> px32Sql,
+    "px33_hybrid_retrieval" -> px33Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -419,6 +419,51 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     if (before != null) fireHooks(key, before, hookState(row, hcols), stamp)
   }
 
+  /** Physical housekeeping — the HBase major-compaction analogue, explicit
+    * and optional because READ correctness never depends on it: TTL
+    * invisibility is a plan-time stamp window
+    * ([[graft.datasource.GraftOptions.withTtlResolved]]), this reclaims the
+    * space. (1) Cell versions stamped before `expireBefore` are dropped;
+    * rows left cell-less are removed (row counters maintained, index hooks
+    * fired so secondary indexes retire the dead entries). (2) Delete
+    * markers and admission-histogram entries stamped before `cdcHorizon`
+    * are dropped — a CDC reader whose checkpoint predates the horizon loses
+    * those events, exactly like HBase replication after WAL cleanup; pick a
+    * horizon behind every consumer. Not WAL-logged: replay resurrects the
+    * physical cells but the same TTL window keeps them invisible, and the
+    * next compact re-converges. Returns (cells, rows, markers) dropped. */
+  def compact(expireBefore: Long, cdcHorizon: Long = Long.MinValue): (Long, Long, Long) = {
+    var cells = 0L; var rowsDropped = 0L; var markers = 0L
+    val hcols = hookCols
+    regions.foreach { region =>
+      val it = region.rows.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val row = e.getValue
+        val before = if (hcols.isEmpty) null else hookState(row, hcols)
+        var dropped = 0L
+        val colIt = row.entrySet().iterator()
+        while (colIt.hasNext) {
+          val versions = colIt.next().getValue
+          val vit = versions.entrySet().iterator()
+          while (vit.hasNext) if (vit.next().getKey < expireBefore) { vit.remove(); dropped += 1 }
+          if (versions.isEmpty) colIt.remove()
+        }
+        cells += dropped
+        if (row.isEmpty) {
+          it.remove(); region.rowCount.decrementAndGet(); rowsDropped += 1
+        }
+        if (before != null && dropped > 0)
+          fireHooks(e.getKey, before, hookState(row, hcols), expireBefore)
+      }
+      val tit = region.tombstones.entrySet().iterator()
+      while (tit.hasNext) if (tit.next().getValue < cdcHorizon) { tit.remove(); markers += 1 }
+      val hit = region.mutHist.headMap(cdcHorizon, false).entrySet().iterator()
+      while (hit.hasNext) { hit.next(); hit.remove() }
+    }
+    (cells, rowsDropped, markers)
+  }
+
   /** Delete markers of one region whose stamp falls in `window`, restricted
     * to `range` — the CDC reader's tombstone feed (key bytes + delete
     * stamp), served from the marker map: O(markers-in-range), no row scan. */

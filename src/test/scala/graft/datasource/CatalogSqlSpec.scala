@@ -57,6 +57,37 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!KvStore.exists("default:sqlt"))
   }
 
+  test("index TBLPROPERTY: SQL-DDL tables get a consulted secondary index; RENAME TO re-targets it") {
+    spark.sql(
+      """CREATE TABLE graft.default.sqlidx (k BIGINT, owner STRING, v BIGINT)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100',
+        |               'index' = 'owner')""".stripMargin)
+    assert(KvStore.exists("default:sqlidx__idx__owner"))
+    spark.sql("INSERT INTO graft.default.sqlidx VALUES (1,'a',10),(2,'b',20),(3,'a',30)")
+    val a = spark.sql(
+      "SELECT k FROM graft.default.sqlidx WHERE owner = 'a' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == Seq(1L, 3L))
+
+    // the rename target is catalog-relative (same Spark rule as the rn1/rn2
+    // test below: a graft.-prefixed target would nest the catalog name into
+    // the namespace)
+    spark.sql("ALTER TABLE graft.default.sqlidx RENAME TO default.sqlidx2")
+    assert(KvStore.exists("default:sqlidx2__idx__owner"))
+    assert(!KvStore.exists("default:sqlidx__idx__owner"))
+    // post-rename writes must keep maintaining the RENAMED index
+    spark.sql("INSERT INTO graft.default.sqlidx2 VALUES (4,'a',40)")
+    val a2 = spark.sql(
+      "SELECT k FROM graft.default.sqlidx2 WHERE owner = 'a' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a2 == Seq(1L, 3L, 4L))
+
+    spark.sql("DROP TABLE graft.default.sqlidx2")
+    assert(!KvStore.exists("default:sqlidx2__idx__owner"),
+      "index tables die with their main table")
+  }
+
   test("INSERT OVERWRITE replaces table contents with fresh presplits") {
     spark.sql(
       """CREATE TABLE graft.default.ovw (k BIGINT, v STRING)

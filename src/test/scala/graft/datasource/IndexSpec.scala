@@ -1,0 +1,193 @@
+package graft.datasource
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.GraftCatalog
+import graft.store.KvStore
+
+/** Global secondary index ([[SecondaryIndex]]): write-path maintenance
+  * through every mutation route, planner consult correctness, and the
+  * fallback gates. */
+class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); KvStore.dropAll() }
+
+  import spark.implicits._
+
+  private val catalogJson =
+    """{"table":{"namespace":"default", "name":"idxtab"},
+      |"rowkey":"key",
+      |"columns":{
+      |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"owner":{"cf":"f", "col":"o", "type":"string", "index":"true"},
+      |"score":{"cf":"f", "col":"s", "type":"bigint", "index":"true"},
+      |"note":{"cf":"f", "col":"n", "type":"string"}}}""".stripMargin
+
+  private val cat = GraftCatalog.parse(catalogJson, Map.empty)
+  private val opts = GraftOptions(new java.util.HashMap[String, String] {
+    put("catalog", catalogJson)
+  })
+
+  private def write(rows: Seq[(Long, String, Long, String)], ts: Long): Unit =
+    rows.toDF("key", "owner", "score", "note").write.format("graft-kv")
+      .options(Map("catalog" -> catalogJson, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "1000", "timestamp" -> ts.toString))
+      .mode("append").save()
+
+  private def readBack = spark.read.format("graft-kv").option("catalog", catalogJson).load()
+
+  private def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allPlanNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allPlanNodes(q.plan)
+    case _ => p +: p.children.flatMap(allPlanNodes)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    allPlanNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+
+  test("catalog parses index flags; key/dynamic columns are rejected") {
+    assert(cat.indexedFields.map(_.name) == Seq("owner", "score"))
+    val bad =
+      """{"table":{"namespace":"default", "name":"badidx"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint", "index":"true"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftCatalog.parse(bad, Map.empty))
+    assert(e.getMessage.contains("primary index"))
+  }
+
+  test("writes maintain the index; an indexed eq-filter read consults it") {
+    write(Seq(
+      (1L, "alice", 10L, "a"), (2L, "bob", 20L, "b"), (3L, "alice", 30L, "c"),
+      (4L, "carol", 10L, "d"), (5L, "bob", 50L, "e")), ts = 100L)
+    assert(KvStore.exists("default:idxtab__idx__owner"))
+    assert(KvStore.exists("default:idxtab__idx__score"))
+
+    val df = readBack.filter(col("owner") === "alice").select(col("key"), col("score"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq == Seq((1L, 10L), (3L, 30L)))
+    val metrics = scanOf(df).metrics
+    assert(metrics("graftIndexKeys").value == 2L,
+      s"eq consult must produce exactly the 2 matching keys, got ${metrics("graftIndexKeys").value}")
+    assert(metrics("graftRowsScanned").value == 2L,
+      "point gets must materialize only matching rows, not the whole table")
+  }
+
+  test("updating an indexed value retires the old entry and adds the new") {
+    // key 2: bob -> dave (newer stamp wins latest-merge)
+    write(Seq((2L, "dave", 20L, "b2")), ts = 200L)
+    val dave = readBack.filter(col("owner") === "dave").select("key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dave == Seq(2L))
+    val bob = readBack.filter(col("owner") === "bob").select("key")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bob == Seq(5L), s"key 2's old 'bob' entry must be retired, got $bob")
+  }
+
+  test("range + In filters consult; residual predicates still apply") {
+    val in = readBack.filter(col("owner").isin("alice", "dave")).select("key")
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(scanOf(in).metrics("graftIndexKeys").value == 3L)
+
+    // numeric range on the second index; extra predicate on an unindexed
+    // column is evaluated on the fetched rows
+    val rng = readBack.filter(col("score") >= 20L && col("score") <= 50L &&
+      col("note") =!= "b2").select("key")
+    assert(rng.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L))
+    val m = scanOf(rng).metrics
+    assert(m("graftIndexKeys").value == 3L, // keys 2,3,5 match the range pre-residual
+      s"range consult keys: ${m("graftIndexKeys").value}")
+  }
+
+  test("SQL DELETE retires index entries (metadata-delete path)") {
+    val tmp = readBack
+    tmp.createOrReplaceTempView("idxtab_v")
+    // exact-compilable delete routes through KvTable.delete → hooks fire
+    KvStore.table("default:idxtab").delete(
+      Seq(graft.ranges.ScanRange.point(
+        cat.rowKeyParts.head.field.coder.encode(
+          org.apache.spark.sql.types.LongType, 3L))), None, stamp = 300L)
+    val alice = readBack.filter(col("owner") === "alice").select("key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(alice == Seq(1L), s"deleted key 3 must leave the index, got $alice")
+  }
+
+  test("versioned and time-travel reads do not consult the index") {
+    import org.apache.spark.sql.sources.EqualTo
+    assert(SecondaryIndex.lookup(cat, opts, Seq(EqualTo("owner", "alice"))).isDefined)
+    val versioned = opts.copy(maxVersions = 3)
+    assert(SecondaryIndex.lookup(cat, versioned, Seq(EqualTo("owner", "alice"))).isEmpty)
+    val timeTravel = opts.copy(maxStamp = Some(150L))
+    assert(SecondaryIndex.lookup(cat, timeTravel, Seq(EqualTo("owner", "alice"))).isEmpty)
+    // no filter on an indexed column -> no consult
+    assert(SecondaryIndex.lookup(cat, opts, Seq(EqualTo("note", "a"))).isEmpty)
+  }
+
+  test("INSERT OVERWRITE (drop-recreate) rebuilds the index tables") {
+    Seq((7L, "erin", 70L, "x"), (8L, "erin", 80L, "y"))
+      .toDF("key", "owner", "score", "note").write.format("graft-kv")
+      .options(Map("catalog" -> catalogJson, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "1000", "timestamp" -> "400"))
+      .mode("overwrite").save()
+    val erin = readBack.filter(col("owner") === "erin").select("key")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(erin == Seq(7L, 8L))
+    // stale pre-overwrite entries must be gone with their index tables
+    val alice = readBack.filter(col("owner") === "alice").count()
+    assert(alice == 0L)
+  }
+
+  test("indexed-filter scans report consult-bounded stats and auto-broadcast in joins") {
+    val dim = readBack.filter(col("owner") === "erin").select(col("key"), col("score"))
+    val fact = spark.range(0, 10000).select(
+      (col("id") % 10L + 1L).as("key"), col("id").as("payload"))
+    val joined = fact.join(dim, "key")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 2-key indexed filter must auto-broadcast without hints:\n${plan.take(2500)}")
+  }
+
+  test("a pure TTL window (lower stamp bound) still consults; upper bounds decline") {
+    import org.apache.spark.sql.sources.EqualTo
+    val tenYears = 10L * 365 * 24 * 3600 * 1000
+    // fresh wall-clock stamps: rows must be INSIDE the ttl window
+    write(Seq((20L, "frank", 5L, "f1"), (21L, "frank", 6L, "f2")),
+      ts = System.currentTimeMillis())
+    val ttlOpts = opts.copy(ttl = Some(tenYears))
+      .withTtlResolved(System.currentTimeMillis())
+    assert(ttlOpts.timeRange.isDefined)
+    assert(SecondaryIndex.lookup(cat, ttlOpts, Seq(EqualTo("owner", "frank"))).isDefined)
+    val ttlRead = spark.read.format("graft-kv").option("catalog", catalogJson)
+      .option("ttl", tenYears.toString).load()
+      .filter(col("owner") === "frank").select("key")
+    assert(ttlRead.collect().map(_.getLong(0)).sorted.toSeq == Seq(20L, 21L))
+    assert(scanOf(ttlRead).metrics("graftIndexKeys").value == 2L,
+      "TTL reads must still take the index point-get path")
+  }
+
+  test("string-prefix over-approximation is corrected by the row predicate") {
+    write(Seq((10L, "ab", 1L, "p"), (11L, "abc", 2L, "q")), ts = 500L)
+    // eq "ab" consults a prefix range that also covers "abc" entries; the
+    // row predicate must drop key 11
+    val df = readBack.filter(col("owner") === "ab").select("key")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(10L))
+    val m = scanOf(df).metrics
+    assert(m("graftIndexKeys").value == 2L, "prefix consult over-approximates by design")
+  }
+}

@@ -102,6 +102,48 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secs < 90.0, s"minhashKeepers took $secs s")
   }
 
+  test("secondary index at 1M rows: cold values are point gets, the hot value falls back") {
+    import graft.store.KvStore
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"idxscale"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"owner":{"cf":"f", "col":"o", "type":"string", "index":"true"},
+        |"v":{"cf":"f", "col":"v", "type":"bigint"}}}""".stripMargin
+    val (_, loadSecs) = timed {
+      spark.range(N).selectExpr("id AS key",
+        // one hot value with 500k rows (beyond the consult cap) and 25k
+        // cold values with ~20 rows each — the selectivity skew an index
+        // must survive
+        "CASE WHEN id % 2 = 0 THEN 'hot' ELSE concat('u', CAST(id % 25000 AS STRING)) END AS owner",
+        "id * 3 AS v")
+        .write.format("graft-kv")
+        .options(Map("catalog" -> catalogJson, "newtable" -> "8",
+          "minSplitNum" -> "0", "maxSplitNum" -> N.toString, "timestamp" -> "100"))
+        .mode("append").save()
+    }
+    info(f"indexed load of $N%d rows: $loadSecs%.1f s (hooked writes)")
+
+    def read = spark.read.format("graft-kv").option("catalog", catalogJson).load()
+    val (cold, coldSecs) = timed {
+      read.filter(col("owner") === "u7").select("key").collect()
+    }
+    // ids ≡ 7 (mod 25000) are all odd (25000 is even), so every one of the
+    // 40 hits carries owner u7
+    assert(cold.length == 40)
+    assert(cold.forall(r => r.getLong(0) % 2 == 1 && r.getLong(0) % 25000 == 7))
+    info(f"cold-value indexed read: $coldSecs%.2f s for ${cold.length} of $N%d rows")
+    assert(coldSecs < 5.0, s"an indexed point lookup must not scan 1M rows: $coldSecs s")
+
+    // the hot value exceeds LookupCap -> consult declines, full scan, still correct
+    val (hot, hotSecs) = timed { read.filter(col("owner") === "hot").count() }
+    assert(hot == N / 2)
+    info(f"hot-value fallback scan: $hotSecs%.2f s for $hot rows")
+    KvStore.drop("default:idxscale")
+    KvStore.drop("default:idxscale__idx__owner")
+  }
+
   test("capBuckets at 1M entries in one bucket: capped, spread, drops observed") {
     val entries = spark.range(N).selectExpr("id", "0 AS band", "7L AS bh")
     val (kept, secs) = timed {
