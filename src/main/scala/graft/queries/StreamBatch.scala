@@ -435,7 +435,7 @@ object StreamBatch {
     * stream exists FOR. One `tombstones=true` stream over a documents kv
     * table drives TWO mirrors through foreachBatch: a forward mirror
     * (doc_id → text, the "old state" lookup) and an inverted index keyed
-    * `term   doc_id`. Every change first retires the doc's OLD index
+    * `term NUL doc_id` (a literal 0x00 separator). Every change first retires the doc's OLD index
     * entries — their keys are recomputed by tokenizing the forward mirror's
     * copy, the standard CDC index-maintenance move (a tombstone carries no
     * values, so the old state must come from somewhere) — then upserts
@@ -449,7 +449,7 @@ object StreamBatch {
     import graft.datasource.FilterCompiler
     import graft.store.KvStore
     import org.apache.spark.sql.expressions.Window
-    val sep = " " // tokens are whitespace-split, so   can't collide
+    val sep = "\u0000" // tokens are whitespace-split, so NUL can't collide
     val base = Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val maxId = base.agg(max(col("doc_id"))).head().getLong(0)

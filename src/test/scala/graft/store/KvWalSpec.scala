@@ -132,6 +132,37 @@ class KvWalSpec extends AnyFunSuite {
     }
   }
 
+  test("secondary-index mutations replay from their own records; hooks stay quiet") {
+    val dir = Files.createTempDirectory("graft-wal-idx")
+    KvStore.enableWal(dir)
+    try {
+      // connector-level shape: main table with an attached index hook — the
+      // hook's index-table mutations go through the ordinary logged put /
+      // deleteRow, so replay restores the index from its OWN records while
+      // hooks (attached to the pre-replay instances only) never re-fire
+      val main = KvStore.createTable("wal:m", Seq.empty, dropExisting = true)
+      val idx = KvStore.createTable("wal:m__idx__v", Seq.empty, dropExisting = true)
+      main.attachHook("wal:m__idx__v",
+        new graft.datasource.SecondaryIndex.IndexMaintainer("wal:m__idx__v", "f", "q"))
+      main.put(key(1), Seq(cell("q", 10L, "alpha")))
+      main.put(key(2), Seq(cell("q", 10L, "alpha")))
+      main.put(key(1), Seq(cell("q", 20L, "beta"))) // retires (alpha, key1)
+      main.delete(Seq(ScanRange.point(key(2))), None, stamp = 30L) // retires (alpha, key2)
+      val mainBefore = snapshot(main)
+      val idxBefore = snapshot(idx)
+      assert(idxBefore.size == 1, s"only (beta, key1) must survive: $idxBefore")
+
+      KvStore.replayWal(dir)
+      assert(snapshot(KvStore.table("wal:m")) == mainBefore)
+      assert(snapshot(KvStore.table("wal:m__idx__v")) == idxBefore,
+        "replayed index-table records must reconstruct the index exactly " +
+          "(no hook double-fire, no lost retirement)")
+    } finally {
+      KvStore.disableWal()
+      KvStore.drop("wal:m"); KvStore.drop("wal:m__idx__v")
+    }
+  }
+
   test("torn tail is discarded; preceding records replay") {
     val dir = Files.createTempDirectory("graft-wal-torn")
     KvStore.enableWal(dir)
