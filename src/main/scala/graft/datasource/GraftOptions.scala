@@ -29,6 +29,11 @@ final case class GraftOptions(
       * chunks of ~n rows instead of one unbounded micro-batch (see
       * [[GraftMicroBatchStream.latestOffset]]). */
     maxRowsPerBatch: Option[Long] = None,
+    /** Secondary-index consult cap override (`indexLookupCap` option):
+      * consults returning more point keys than this fall back to a region
+      * scan — at that selectivity a scan beats point-get fan-out. Default
+      * [[SecondaryIndex.LookupCap]]. */
+    indexLookupCap: Option[Int] = None,
     /** Table-level time-to-live (ms): cells stamped before `now - ttl` are
       * invisible to batch reads (HBase TTL semantics, table-wide rather than
       * per-family). Implemented exactly by folding the TTL window into the
@@ -112,6 +117,7 @@ object GraftOptions {
       restrictive = get(GraftCatalog.Restrictive).getOrElse("auto").toLowerCase,
       tombstones = get("tombstones").exists(_.toBoolean),
       maxRowsPerBatch = get("maxRowsPerBatch").map(_.toLong),
+      indexLookupCap = get("indexLookupCap").map(_.toInt),
       ttl = get("ttl").map(_.toLong))
   }
 }

@@ -449,6 +449,8 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
   @volatile private var totalRegions = 0L
   /** point keys the secondary-index consult produced; 0 = not consulted */
   @volatile private var indexKeys = 0L
+  /** 1 when the whole scan was served from the index table (index-only) */
+  @volatile private var indexOnlyScan = 0L
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     GraftMetricsDefs.all
@@ -456,7 +458,8 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(GraftMetricsDefs.task("graftRegionsPlanned", plannedRegions),
       GraftMetricsDefs.task("graftRegionsTotal", totalRegions),
-      GraftMetricsDefs.task("graftIndexKeys", indexKeys))
+      GraftMetricsDefs.task("graftIndexKeys", indexKeys),
+      GraftMetricsDefs.task("graftIndexOnlyScan", indexOnlyScan))
 
   override def description(): String = aggOps match {
     case Some(ops) =>
@@ -484,11 +487,6 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     // into point gets. Pure pruning — hrf.pred still decides every row, so
     // the consult's over-approximations (value-prefix false positives) and
     // its fallback (None over the cap) never affect results.
-    val idxRanges =
-      if (hrf.ranges == Seq(ScanRange.all[Array[Byte]])) staticIndexConsult
-      else None
-    idxRanges.foreach(pts => indexKeys = pts.size.toLong)
-    val effRanges = idxRanges.getOrElse(hrf.ranges)
     // an aggregated partition reads only the group fields + the fields the
     // agg ops reference
     val partSchema = aggOps match {
@@ -503,6 +501,35 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
           f, catalog.field(f).dataType)))
       case None => requiredSchema
     }
+    // INDEX-ONLY scan first (the strongest rewrite: the index table IS the
+    // scan, an ordinary range scan over a re-keyed catalog), then the
+    // point-get consult, then the plain region scan.
+    SecondaryIndex.indexOnlyPlan(catalog, resolvedOpts, allFilters,
+      partSchema.fieldNames.toSeq, groupedAgg = aggGroupCols.nonEmpty,
+      limited = limit.isDefined || reverse) match {
+      case Some(idxCat) =>
+        indexOnlyScan = 1L
+        val idxHrf = FilterCompiler.compileAll(idxCat, allFilters)
+        val idxTable = KvStore.table(resolvedOpts.storeName(idxCat))
+        val partitions = idxTable.regionInfos.flatMap { r =>
+          val regionRange = ScanRange[Array[Byte]](
+            Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
+          val clipped = ScanRange.and(idxHrf.ranges, Seq(regionRange))
+          if (clipped.isEmpty) None
+          else Some(GraftInputPartition(idxCat, resolvedOpts, r.index, r.host,
+            clipped.map(SerializableRange.from), idxHrf.pred,
+            partSchema, aggOps): InputPartition)
+        }.toArray
+        plannedRegions = partitions.length.toLong
+        totalRegions = idxTable.regionInfos.size.toLong
+        return partitions
+      case None =>
+    }
+    val idxRanges =
+      if (hrf.ranges == Seq(ScanRange.all[Array[Byte]])) staticIndexConsult
+      else None
+    idxRanges.foreach(pts => indexKeys = pts.size.toLong)
+    val effRanges = idxRanges.getOrElse(hrf.ranges)
     val partitions = table.regionInfos.flatMap { r =>
       val regionRange = ScanRange[Array[Byte]](
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
@@ -589,9 +616,14 @@ private[datasource] object GraftMetricsDefs {
     override def name(): String = "graftIndexKeys"
     override def description(): String = "point keys from secondary-index consult"
   }
+  final class IndexOnlyScan extends CustomSumMetric {
+    override def name(): String = "graftIndexOnlyScan"
+    override def description(): String = "1 = scan served entirely from the index table"
+  }
 
   def all: Array[CustomMetric] =
-    Array(new RowsScanned, new RegionsPlanned, new RegionsTotal, new IndexKeys)
+    Array(new RowsScanned, new RegionsPlanned, new RegionsTotal, new IndexKeys,
+      new IndexOnlyScan)
 
   def task(metricName: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
     override def name(): String = metricName

@@ -95,6 +95,82 @@ object SecondaryIndex {
     }
   }
 
+  /** INDEX-ONLY scan: when the projection and every pushed filter live
+    * inside {indexed column, main row-key parts}, the whole query is
+    * answerable from the index table as an ORDINARY RANGE SCAN — entry keys
+    * are `enc(value) ‖ main key`, which is exactly a composite-key catalog
+    * `(value, key parts…)`, so the standard compiler/materializer/columnar
+    * machinery runs unchanged against the index regions. No point-get
+    * fan-out, no main-table touch: the Phoenix index-only-scan shape, the
+    * dominant win at cluster scale.
+    *
+    * Returned: the synthesized index catalog, or None when any gate fails.
+    * Gates err toward None — this path must be EXACT (it replaces the row
+    * set, not just pruning):
+    *  - fixed-width indexed column on an unsalted table (the entry layout
+    *    must parse as composite fixed-offset key parts);
+    *  - latest-merge, single-version, no time window (entry stamps are
+    *    index-maintenance times, not row cell times);
+    *  - no pushed limit/top-N or reverse (their per-partition early-stop
+    *    contract is tied to MAIN key order) and no grouped agg pushdown
+    *    (the O(1)-state group reader needs group-prefix contiguity, which
+    *    index order breaks); global agg partials are order-free and allowed;
+    *  - every filter references only index-resident fields and compiles
+    *    exactly against the index catalog;
+    *  - at least one top-level conjunct constrains the indexed column with
+    *    a null-excluding shape, and no filter anywhere tests it for NULL —
+    *    rows whose indexed value is null exist in the main table but not in
+    *    the index, so only a null-excluding conjunction makes the two row
+    *    sets provably equal. */
+  def indexOnlyPlan(catalog: GraftCatalog, opts: GraftOptions, filters: Seq[Filter],
+      neededFields: Seq[String], groupedAgg: Boolean, limited: Boolean):
+      Option[GraftCatalog] = {
+    if (catalog.saltBuckets != 0 || limited || groupedAgg) return None
+    if (!opts.mergeToLatest || opts.maxVersions != 1 || opts.timeRange.isDefined ||
+      opts.tombstones) return None
+    val mainName = opts.storeName(catalog)
+    catalog.indexedFields.iterator.flatMap { f =>
+      if (f.byteWidth <= 0 || !f.coder.preservesOrdering(f.dataType)) None
+      else if (!KvStore.exists(indexTableName(mainName, f))) None
+      else {
+        val idxCat = indexOnlyCatalog(catalog, f)
+        val names = idxCat.fields.map(_.name).toSet
+        val ok =
+          neededFields.forall(names.contains) &&
+          filters.forall(_.references.forall(names.contains)) &&
+          filters.forall(fl => FilterCompiler.compile(idxCat, fl).handled) &&
+          filters.exists(valueRanges(f, _).isDefined) &&
+          !filters.exists(mentionsNullTest(_, f.name))
+        if (ok) Some(idxCat) else None
+      }
+    }.nextOption()
+  }
+
+  /** The index table seen as an ordinary graft catalog: the indexed column
+    * is key part 0, the main key parts follow at shifted offsets. */
+  private[datasource] def indexOnlyCatalog(cat: GraftCatalog, f: Field): GraftCatalog = {
+    val keyF = f.copy(cf = graft.catalog.GraftCatalog.RowKeyFamily,
+      qual = f.name, indexed = false)
+    val w = f.byteWidth
+    val parts = graft.catalog.RowKeyPart(keyF, 0, w) +:
+      cat.rowKeyParts.map(p => graft.catalog.RowKeyPart(p.field, w + p.offset, p.width))
+    GraftCatalog(cat.namespace, s"${cat.table}__idx__${f.name}", cat.tableCoderName,
+      keyF +: cat.rowKeyParts.map(_.field), parts, numVersions = 1, saltBuckets = 0)
+  }
+
+  /** Does this filter tree test `name` for null anywhere (IsNull /
+    * EqualNullSafe(null) / any such test under Not)? Those are the shapes
+    * whose truth differs between the main table (null rows exist) and the
+    * index (they don't). */
+  private def mentionsNullTest(fl: Filter, name: String): Boolean = fl match {
+    case IsNull(a)            => a == name
+    case EqualNullSafe(a, v)  => a == name && v == null
+    case And(l, r)            => mentionsNullTest(l, name) || mentionsNullTest(r, name)
+    case Or(l, r)             => mentionsNullTest(l, name) || mentionsNullTest(r, name)
+    case Not(c)               => mentionsNullTest(c, name)
+    case _                    => false
+  }
+
   /** Planner consult: if the pushed filters are selective on an indexed
     * column, return the matching MAIN-table point ranges (sorted, deduped)
     * — or None to keep the ordinary scan. Over-approximation is safe (the
@@ -126,15 +202,15 @@ object SecondaryIndex {
           implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
           val valueRs = perFilter.reduce(ScanRange.and(_, _))
           if (valueRs == Seq(ScanRange.all[Array[Byte]])) None
-          else scanIndex(idxName, valueRs)
+          else scanIndex(idxName, valueRs, opts.indexLookupCap.getOrElse(LookupCap))
         }
       }
     }.nextOption()
   }
 
-  /** Read matching main keys out of the index table; None over [[LookupCap]]. */
-  private def scanIndex(idxName: String,
-      valueRs: Seq[ScanRange[Array[Byte]]]): Option[Seq[ScanRange[Array[Byte]]]] = {
+  /** Read matching main keys out of the index table; None over `cap`. */
+  private def scanIndex(idxName: String, valueRs: Seq[ScanRange[Array[Byte]]],
+      cap: Int): Option[Seq[ScanRange[Array[Byte]]]] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     val idx = KvStore.table(idxName)
     val entryRs = ScanRange.normalize(valueRs.map(valueToEntryRange))
@@ -145,7 +221,7 @@ object SecondaryIndex {
       ScanRange.and(entryRs, Seq(regionRange)).foreach { range =>
         val it = idx.scan(r.index, range, ColumnSet.All, None, 1, None)
         while (it.hasNext) {
-          if (keys.size > LookupCap) return None
+          if (keys.size > cap) return None
           it.next().cells.find(c => c.cf == "i" && c.qual == "k")
             .foreach(c => keys += c.value)
         }

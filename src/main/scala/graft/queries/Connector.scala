@@ -733,6 +733,32 @@ object Connector {
       |FROM events WHERE user_id IN (3, 17, 41)
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
 
+  /** kv24: INDEX-ONLY scan — the projection {user_id, event_id} lives
+    * entirely inside the index's entry keys, so the planner swaps the scan
+    * to the index table as an ordinary range scan
+    * ([[graft.datasource.SecondaryIndex.indexOnlyPlan]]): no point gets, no
+    * main-table touch, KeysOnly + columnar decode of composite key parts —
+    * the Phoenix index-only shape and the dominant 100 TB win for
+    * fetch-by-attribute queries. Correctness is pinned by IndexSpec; here
+    * the driver hash-checks the row set. */
+  def kv24IndexOnly(s: SparkSession, dir: String): DataFrame = {
+    kv22IndexedRead(s, dir).count() // ensure the shared table+index exist
+    s.read.format("graft-kv").option("catalog", idxEventsCatalog).load()
+      .filter(col("user_id").isin(3L, 17L, 41L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy(col("user_id"))
+  }
+
+  val kv24Sql: String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
+      |  CAST(min(event_id) AS BIGINT) AS first_event,
+      |  CAST(max(event_id) AS BIGINT) AS last_event
+      |FROM events WHERE user_id IN (3, 17, 41)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private val ttlEventsCatalog =
     """{"table":{"namespace":"default", "name":"kv_ttl_events"},
       |"rowkey":"key",
@@ -808,6 +834,7 @@ object Connector {
     "kv21_salted"         -> (kv21Salted _),
     "kv22_indexed_read"   -> (kv22IndexedRead _),
     "kv23_ttl_compact"    -> (kv23TtlCompact _),
+    "kv24_index_only"     -> (kv24IndexOnly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -834,5 +861,6 @@ object Connector {
     "kv21_salted"         -> kv21Sql,
     "kv22_indexed_read"   -> kv22Sql,
     "kv23_ttl_compact"    -> kv23Sql,
+    "kv24_index_only"     -> kv24Sql,
   )
 }

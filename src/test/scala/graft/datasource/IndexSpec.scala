@@ -102,6 +102,8 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("range + In filters consult; residual predicates still apply") {
     val in = readBack.filter(col("owner").isin("alice", "dave")).select("key")
     assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // owner is VARIABLE-width, so even a {key}-only projection stays on the
+    // consult path (index-only needs fixed entry offsets)
     assert(scanOf(in).metrics("graftIndexKeys").value == 3L)
 
     // numeric range on the second index; extra predicate on an unindexed
@@ -179,6 +181,63 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ttlRead.collect().map(_.getLong(0)).sorted.toSeq == Seq(20L, 21L))
     assert(scanOf(ttlRead).metrics("graftIndexKeys").value == 2L,
       "TTL reads must still take the index point-get path")
+  }
+
+  test("index-only scan: projections inside {indexed col, key} never touch the main table") {
+    // live rows here: erin (7, 70), (8, 80) and frank (20, 5), (21, 6);
+    // score is FIXED-width (bigint) so its index supports index-only scans
+    val df = readBack.filter(col("score") === 5L).select(col("key"), col("score"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq == Seq((20L, 5L)))
+    val m = scanOf(df).metrics
+    assert(m("graftIndexOnlyScan").value == 1L,
+      "a {key, score} projection with a score filter must serve from the index alone")
+    assert(m("graftIndexKeys").value == 0L, "index-only needs no point-get consult")
+
+    // a key-suffix predicate rides along: it compiles exactly against the
+    // index catalog (key part at a shifted offset)
+    val mixed = readBack.filter(col("score") >= 5L && col("key") > 20L).select("key")
+    assert(mixed.collect().map(_.getLong(0)).sorted.toSeq == Seq(21L))
+    assert(scanOf(mixed).metrics("graftIndexOnlyScan").value == 1L)
+
+    // count(*) under the filter: global agg pushdown composes (KeysOnly
+    // partials over the index regions)
+    val cnt = readBack.filter(col("score").isin(5L, 6L)).agg(count(lit(1)).as("n"))
+    // collect() (not head()) so the DF's own queryExecution carries metrics
+    assert(cnt.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(scanOf(cnt).metrics("graftIndexOnlyScan").value == 1L)
+  }
+
+  test("index-only declines: wider projections, OR-with-key, and null tests") {
+    // projecting a non-index column falls back to the point-get consult
+    val wide = readBack.filter(col("owner") === "frank").select("key", "score")
+    assert(wide.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((20L, 5L), (21L, 6L)))
+    val mWide = scanOf(wide).metrics
+    assert(mWide("graftIndexOnlyScan").value == 0L)
+    assert(mWide("graftIndexKeys").value == 2L)
+
+    // a row whose indexed column is NULL exists in the main table only —
+    // every shape that could match it must refuse the index
+    write(Seq((30L, null, 9L, "nullowner")), ts = 600L)
+    val orKey = readBack.filter(col("owner") === "frank" || col("key") === 30L).select("key")
+    assert(orKey.collect().map(_.getLong(0)).sorted.toSeq == Seq(20L, 21L, 30L),
+      "OR-with-key can match null-owner rows; the index must not serve it")
+    assert(scanOf(orKey).metrics("graftIndexOnlyScan").value == 0L)
+
+    val isNull = readBack.filter(col("owner").isNull).select("key")
+    assert(isNull.collect().map(_.getLong(0)).toSeq == Seq(30L))
+    assert(scanOf(isNull).metrics("graftIndexOnlyScan").value == 0L)
+  }
+
+  test("indexLookupCap: a tiny cap forces consult fallback without changing results") {
+    val capped = spark.read.format("graft-kv").option("catalog", catalogJson)
+      .option("indexLookupCap", "0").load()
+      .filter(col("owner") === "erin").select("key")
+    assert(capped.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L))
+    val m = scanOf(capped).metrics
+    assert(m("graftIndexKeys").value == 0L,
+      "over-cap consults must fall back to the plain region scan")
   }
 
   test("string-prefix over-approximation is corrected by the row predicate") {
