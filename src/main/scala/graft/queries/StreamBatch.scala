@@ -37,11 +37,26 @@ object StreamBatch {
     Tables.normalizeEventTs(s.readStream.schema(schema).parquet(src.toString))
   }
 
-  private def runToMemory(df: DataFrame, name: String, mode: String): Unit = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+  /** Stateful streaming operators launch one state-store task per shuffle
+    * partition PER MICRO-BATCH; at these data sizes 32 partitions is pure
+    * fixed overhead (measured ~2× on the stream-stream join). Pin 8 for the
+    * stream's lifetime and restore after: the state partitioning bakes into
+    * each query's FRESH checkpoint at its first batch, so the choice is
+    * per-query-run, and every sv oracle is partitioning-independent (key
+    * sets, per-group folds, maxes). At real scale the inverse applies —
+    * size state partitions to executor count × cores, not down. */
+  private def withStreamShuffle[A](s: SparkSession)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): Unit =
+    withStreamShuffle(df.sparkSession) {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
 
   /** sv1: watermarked streaming dedup — one row per distinct
     * (user_id, event_type); the emitted key set equals batch DISTINCT. */
