@@ -24,7 +24,12 @@ final case class Field(
       * maintain a derived index table keyed `encode(value) ‖ main row key`
       * (see [[graft.datasource.SecondaryIndex]]); selective reads on the
       * column consult it instead of scanning every region. */
-    indexed: Boolean = false) extends Serializable {
+    indexed: Boolean = false,
+    /** Covered (Phoenix INCLUDE) columns — catalog `"cover":"a,b"` on an
+      * indexed column node: their values ride inside each index entry, so
+      * projections touching them stay INDEX-ONLY instead of falling back to
+      * point gets on the main table. */
+    cover: Seq[String] = Nil) extends Serializable {
 
   val isRowKey: Boolean = cf == GraftCatalog.RowKeyFamily
 
@@ -125,7 +130,15 @@ final case class GraftCatalog(
       require(!f.isRowKey, s"index on ${f.name}: key parts are already the primary index")
       require(!f.isDynamic, s"index on ${f.name}: dynamic (schema-on-read) columns cannot be indexed")
       require(f.avroSchemaJson.isEmpty, s"index on ${f.name}: Avro columns cannot be indexed")
+      f.cover.foreach { c =>
+        val cf = fields.find(_.name == c).getOrElse(
+          sys.error(s"cover column $c of index ${f.name} is not in the catalog"))
+        require(!cf.isRowKey && !cf.isDynamic && cf.avroSchemaJson.isEmpty && c != f.name,
+          s"cover column $c of index ${f.name}: must be a plain non-key value column")
+      }
     }
+    fields.filterNot(_.indexed).foreach(f =>
+      require(f.cover.isEmpty, s"${f.name}: \"cover\" requires \"index\":\"true\""))
   }
 }
 
@@ -200,7 +213,9 @@ object GraftCatalog {
             case (ok, ov) if ok.equalsIgnoreCase(k) => ov
           })),
         length = opt(c, "length").map(_.toInt).getOrElse(-1),
-        indexed = opt(c, "index").exists(_.toBoolean))
+        indexed = opt(c, "index").exists(_.toBoolean),
+        cover = opt(c, "cover").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
     }
 
     // row-key byte offsets (reference initRowKey, HBaseTableCatalog.scala:

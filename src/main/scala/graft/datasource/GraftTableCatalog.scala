@@ -239,7 +239,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       if (KvStore.exists(oldIdx)) KvStore.rename(oldIdx, newIdx)
       val t = KvStore.table(newMain)
       t.detachHook(oldIdx)
-      t.attachHook(newIdx, new SecondaryIndex.IndexMaintainer(newIdx, f.cf, f.qual))
+      t.attachHook(newIdx, new SecondaryIndex.IndexMaintainer(newIdx, f.cf, f.qual,
+        f.cover.map { c => val cv = catalog.field(c); (cv.cf, cv.qual) }))
     }
     GraftTableRegistry.entries.remove(key(oldIdent))
     GraftTableRegistry.entries.put(key(newIdent), (newJson, newProps))
@@ -351,7 +352,11 @@ object GraftTableCatalog {
       // differs from the Spark name (ALTER TABLE RENAME COLUMN keeps data
       // addressed by its original qualifier bytes)
       val qual = props.getOrElse(s"qualifier.${f.name}", f.name)
-      val idx = if (indexedCols.contains(f.name)) s""", "index":"true"""" else ""
+      // `cover.<col>` TBLPROPERTY → the indexed column's INCLUDE list
+      val idx = if (indexedCols.contains(f.name))
+        s""", "index":"true"""" + props.get(s"cover.${f.name}")
+          .map(v => s""", "cover":"${esc(v)}"""").getOrElse("")
+      else ""
       // the catalog parses `type` with CatalystSqlParser — any SQL type
       // string Spark prints round-trips
       s""""${esc(f.name)}":{"cf":"${esc(cf)}", "col":"${esc(qual)}", """ +

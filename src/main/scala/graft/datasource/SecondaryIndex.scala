@@ -61,7 +61,8 @@ object SecondaryIndex {
         val splits = Seq(Array(0x40.toByte), Array(0x80.toByte), Array(0xc0.toByte))
         KvStore.createTable(idxName, splits, maxVersions = 1, dropExisting = droppedMain)
       }
-      main.attachHook(idxName, new IndexMaintainer(idxName, f.cf, f.qual))
+      main.attachHook(idxName, new IndexMaintainer(idxName, f.cf, f.qual,
+        f.cover.map { c => val cf = catalog.field(c); (cf.cf, cf.qual) }))
     }
   }
 
@@ -72,25 +73,36 @@ object SecondaryIndex {
     BytesUtil.concat(valueBytes, mainKey)
 
   /** The store hook maintaining one column's index: on any change of the
-    * column's latest value, retire the old entry and insert the new one.
+    * observed latest state (the indexed column, or a covered column riding
+    * in the entry), retire the stale entry and insert the fresh one. Covered
+    * cells carry the RAW stored bytes under their original (cf, qualifier),
+    * so the ordinary materializer decodes them with the column's own coder.
     * Index-table mutations go through the ordinary logged put/delete, so
     * WAL replay restores the index without re-firing hooks. */
-  final class IndexMaintainer(idxName: String, cf: String, qual: String) extends RowHook {
-    override val cols: Set[(String, String)] = Set((cf, qual))
+  final class IndexMaintainer(idxName: String, cf: String, qual: String,
+      covered: Seq[(String, String)] = Nil) extends RowHook {
+    override val cols: Set[(String, String)] = covered.toSet + ((cf, qual))
     override def onMutate(key: Array[Byte],
         before: Map[(String, String), Array[Byte]],
         after: Map[(String, String), Array[Byte]], stamp: Long): Unit = {
-      val oldV = before.get((cf, qual))
-      val newV = after.get((cf, qual))
-      val same = (oldV, newV) match {
-        case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+      def same(a: Option[Array[Byte]], b: Option[Array[Byte]]): Boolean = (a, b) match {
+        case (Some(x), Some(y)) => java.util.Arrays.equals(x, y)
         case (None, None)       => true
         case _                  => false
       }
-      if (!same) {
+      if (cols.exists(c => !same(before.get(c), after.get(c)))) {
         val idx = KvStore.table(idxName)
-        oldV.foreach(v => idx.deleteRow(entryKey(v, key), stamp))
-        newV.foreach(v => idx.put(entryKey(v, key), Seq(KvCell("i", "k", stamp, key))))
+        // delete-then-put covers both shapes: an indexed-value change
+        // re-keys the entry (old key dies, new key born), a covered-only
+        // change refreshes the SAME key (the delete at `stamp` erases the
+        // stale covered cells, the put re-lands the fresh ones at `stamp`)
+        before.get((cf, qual)).foreach(v => idx.deleteRow(entryKey(v, key), stamp))
+        after.get((cf, qual)).foreach { v =>
+          val cells = KvCell("i", "k", stamp, key) +: covered.flatMap { case (ccf, cq) =>
+            after.get((ccf, cq)).map(raw => KvCell(ccf, cq, stamp, raw))
+          }
+          idx.put(entryKey(v, key), cells)
+        }
       }
     }
   }
@@ -147,15 +159,20 @@ object SecondaryIndex {
   }
 
   /** The index table seen as an ordinary graft catalog: the indexed column
-    * is key part 0, the main key parts follow at shifted offsets. */
+    * is key part 0, the main key parts follow at shifted offsets, and any
+    * covered columns appear as plain value fields (their cells ride in the
+    * entries under their original cf/qualifier — see [[IndexMaintainer]]). */
   private[datasource] def indexOnlyCatalog(cat: GraftCatalog, f: Field): GraftCatalog = {
     val keyF = f.copy(cf = graft.catalog.GraftCatalog.RowKeyFamily,
-      qual = f.name, indexed = false)
+      qual = f.name, indexed = false, cover = Nil)
     val w = f.byteWidth
     val parts = graft.catalog.RowKeyPart(keyF, 0, w) +:
       cat.rowKeyParts.map(p => graft.catalog.RowKeyPart(p.field, w + p.offset, p.width))
+    val coveredFields = f.cover.map(c =>
+      cat.field(c).copy(indexed = false, cover = Nil))
     GraftCatalog(cat.namespace, s"${cat.table}__idx__${f.name}", cat.tableCoderName,
-      keyF +: cat.rowKeyParts.map(_.field), parts, numVersions = 1, saltBuckets = 0)
+      (keyF +: cat.rowKeyParts.map(_.field)) ++ coveredFields, parts,
+      numVersions = 1, saltBuckets = 0)
   }
 
   /** Does this filter tree test `name` for null anywhere (IsNull /

@@ -759,6 +759,42 @@ object Connector {
       |FROM events WHERE user_id IN (3, 17, 41)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // same shape as kv22's table but with COVERED columns on the index: the
+  // whole aggregate is then servable from the index table alone
+  private val covEventsCatalog =
+    """{"table":{"namespace":"default", "name":"kv_cov_events"},
+      |"rowkey":"key",
+      |"columns":{
+      |"event_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"user_id":{"cf":"f", "col":"user", "type":"bigint", "index":"true", "cover":"event_type,value"},
+      |"event_type":{"cf":"f", "col":"etype", "type":"string"},
+      |"value":{"cf":"f", "col":"value", "type":"double"}}}""".stripMargin
+
+  /** kv25: COVERED index (Phoenix INCLUDE) — `event_type` and `value` ride
+    * inside the user_id index entries, so kv22's exact aggregate shape
+    * becomes an INDEX-ONLY scan: no point gets, no main-table touch
+    * ([[graft.datasource.SecondaryIndex.indexOnlyCatalog]] exposes covered
+    * cells as ordinary value fields). Same oracle as kv22 — the execution
+    * path is the thing under test. */
+  def kv25CoveredIndex(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_cov_events")) {
+      Tables.events(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> covEventsCatalog, "newtable" -> "4",
+          "minSplitNum" -> "0", "maxSplitNum" -> "100000"))
+        .mode("append").save()
+    }
+    s.read.format("graft-kv").option("catalog", covEventsCatalog).load()
+      .filter(col("user_id").isin(3L, 17L, 41L))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("total"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   private val ttlEventsCatalog =
     """{"table":{"namespace":"default", "name":"kv_ttl_events"},
       |"rowkey":"key",
@@ -835,6 +871,7 @@ object Connector {
     "kv22_indexed_read"   -> (kv22IndexedRead _),
     "kv23_ttl_compact"    -> (kv23TtlCompact _),
     "kv24_index_only"     -> (kv24IndexOnly _),
+    "kv25_covered_index"  -> (kv25CoveredIndex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -862,5 +899,6 @@ object Connector {
     "kv22_indexed_read"   -> kv22Sql,
     "kv23_ttl_compact"    -> kv23Sql,
     "kv24_index_only"     -> kv24Sql,
+    "kv25_covered_index"  -> kv22Sql, // same result set; the execution path differs
   )
 }

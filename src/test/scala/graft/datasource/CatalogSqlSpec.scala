@@ -62,13 +62,19 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       """CREATE TABLE graft.default.sqlidx (k BIGINT, owner STRING, v BIGINT)
         |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
         |               'minSplitNum' = '0', 'maxSplitNum' = '100',
-        |               'index' = 'owner')""".stripMargin)
+        |               'index' = 'owner', 'cover.owner' = 'v')""".stripMargin)
     assert(KvStore.exists("default:sqlidx__idx__owner"))
     spark.sql("INSERT INTO graft.default.sqlidx VALUES (1,'a',10),(2,'b',20),(3,'a',30)")
     val a = spark.sql(
       "SELECT k FROM graft.default.sqlidx WHERE owner = 'a' ORDER BY k")
       .collect().map(_.getLong(0)).toSeq
     assert(a == Seq(1L, 3L))
+    // the covered column rides in the entries (owner is var-width so this
+    // stays on the consult path, but the cover list must parse + maintain)
+    val av = spark.sql(
+      "SELECT k, v FROM graft.default.sqlidx WHERE owner = 'a' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(av == Seq((1L, 10L), (3L, 30L)))
 
     // the rename target is catalog-relative (same Spark rule as the rn1/rn2
     // test below: a graft.-prefixed target would nest the catalog name into

@@ -230,6 +230,61 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanOf(isNull).metrics("graftIndexOnlyScan").value == 0L)
   }
 
+  test("covered columns: wider projections stay index-only and track updates") {
+    val covCatalog =
+      """{"table":{"namespace":"default", "name":"covtab"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"grp":{"cf":"f", "col":"g", "type":"bigint", "index":"true", "cover":"label,qty"},
+        |"label":{"cf":"f", "col":"l", "type":"string"},
+        |"qty":{"cf":"f", "col":"q", "type":"bigint"},
+        |"other":{"cf":"f", "col":"o", "type":"string"}}}""".stripMargin
+    def writeCov(rows: Seq[(Long, Long, String, Long, String)], ts: Long): Unit =
+      rows.toDF("key", "grp", "label", "qty", "other").write.format("graft-kv")
+        .options(Map("catalog" -> covCatalog, "newtable" -> "4",
+          "minSplitNum" -> "0", "maxSplitNum" -> "100", "timestamp" -> ts.toString))
+        .mode("append").save()
+    writeCov(Seq((1L, 10L, "a", 5L, "x"), (2L, 10L, "b", 6L, "y"),
+      (3L, 20L, "c", 7L, "z")), ts = 100L)
+    def readCov = spark.read.format("graft-kv").option("catalog", covCatalog).load()
+
+    // {key, label, qty} projection: label/qty ride in the entries
+    val df = readCov.filter(col("grp") === 10L)
+      .select(col("key"), col("label"), col("qty"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(rows.toSeq == Seq((1L, "a", 5L), (2L, "b", 6L)))
+    assert(scanOf(df).metrics("graftIndexOnlyScan").value == 1L,
+      "covered projections must serve from the index alone")
+
+    // filters on covered columns compile as exact value predicates
+    val filtered = readCov.filter(col("grp") === 10L && col("qty") > 5L).select("key", "label")
+    assert(filtered.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b")))
+    assert(scanOf(filtered).metrics("graftIndexOnlyScan").value == 1L)
+
+    // an un-covered column falls back to the point-get consult
+    val wide = readCov.filter(col("grp") === 10L).select("key", "other")
+    assert(wide.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+    assert(scanOf(wide).metrics("graftIndexOnlyScan").value == 0L)
+    assert(scanOf(wide).metrics("graftIndexKeys").value == 2L)
+
+    // a covered-only update refreshes the entry in place
+    writeCov(Seq((1L, 10L, "a2", 50L, "x")), ts = 200L)
+    val upd = readCov.filter(col("grp") === 10L).select(col("key"), col("label"), col("qty"))
+    assert(upd.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq ==
+      Seq((1L, "a2", 50L), (2L, "b", 6L)))
+    assert(scanOf(upd).metrics("graftIndexOnlyScan").value == 1L)
+
+    // an indexed-value change re-keys the entry, covered values ride along
+    writeCov(Seq((2L, 20L, "b2", 60L, "y")), ts = 300L)
+    val moved = readCov.filter(col("grp") === 20L).select(col("key"), col("label"))
+    assert(moved.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((2L, "b2"), (3L, "c")))
+    assert(readCov.filter(col("grp") === 10L).count() == 1L)
+  }
+
   test("indexLookupCap: a tiny cap forces consult fallback without changing results") {
     val capped = spark.read.format("graft-kv").option("catalog", catalogJson)
       .option("indexLookupCap", "0").load()
