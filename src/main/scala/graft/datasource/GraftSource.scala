@@ -201,8 +201,12 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
 
   /** Any scan can stop early — each partition emits at most `l` rows and
     * Spark's GlobalLimit picks among them (partial pushdown, so the limit
-    * node stays for the final cut). */
-  override def pushLimit(l: Int): Boolean = { pushedLimit = Some(l); true }
+    * node stays for the final cut). Declined once an aggregation is pushed:
+    * partitions then emit partials (a limit would be meaningless), and
+    * keeping the limit/top-N state frozen makes the push-time index-grouping
+    * decision (see [[pushAggregation]]) identical to the plan-time one. */
+  override def pushLimit(l: Int): Boolean =
+    if (aggSchema.isDefined) false else { pushedLimit = Some(l); true }
 
   override def isPartiallyPushed(): Boolean = true
 
@@ -217,6 +221,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (aggSchema.isDefined) return false // see pushLimit
     val keyFields = catalog.rowKeyFields
     val uniform = orders.nonEmpty && orders.forall(_.direction == orders.head.direction)
     val ok = uniform && orders.length <= keyFields.length &&
@@ -264,6 +269,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (FilterCompiler.partition(catalog, pushed)._2.nonEmpty) return false
+    var groupViaIndex = false
     val groupCols: Seq[String] = if (agg.groupByExpressions.isEmpty) Nil else {
       val keyFields = catalog.rowKeyFields
       val names = agg.groupByExpressions.toSeq.map {
@@ -274,7 +280,11 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
         names.zip(keyFields).forall { case (n, kf) =>
           n == kf.name && kf.coder.preservesOrdering(kf.dataType)
         }
-      if (!prefixOk) return false
+      // not a main-key prefix: it may still be a prefix of a secondary
+      // INDEX's key order (indexed column first, then main key parts) —
+      // `GROUP BY indexed_col` streams per-group partials off the index's
+      // sort. Validated below once the agg fields are known.
+      if (!prefixOk) groupViaIndex = true
       names
     }
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
@@ -318,6 +328,23 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
       case _ => None
     }
     if (!ops.forall(_.isDefined)) return false
+    if (groupViaIndex) {
+      // the plan-time decision re-evaluates the SAME gates with the same
+      // inputs (limit/top-N are frozen after an accepted aggregation, and
+      // runtime filters only add exact key predicates), so acceptance here
+      // guarantees the index-ordered grouped reader actually runs
+      val opFields = ops.flatten.collect {
+        case CountColOp(f) => f
+        case MinOp(f) => f
+        case MaxOp(f) => f
+        case SumOp(f, _, _) => f
+      }
+      val viable = SecondaryIndex.indexOnlyPlan(catalog,
+        opts.withTtlResolved(System.currentTimeMillis()), pushed.toSeq,
+        (groupCols ++ opFields).distinct, groupCols,
+        limited = pushedLimit.isDefined || reverseScan).isDefined
+      if (!viable) return false
+    }
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     aggOps = Some(ops.flatten)
     aggGroupCols = groupCols
@@ -505,7 +532,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     // scan, an ordinary range scan over a re-keyed catalog), then the
     // point-get consult, then the plain region scan.
     SecondaryIndex.indexOnlyPlan(catalog, resolvedOpts, allFilters,
-      partSchema.fieldNames.toSeq, groupedAgg = aggGroupCols.nonEmpty,
+      partSchema.fieldNames.toSeq, groupCols = aggGroupCols,
       limited = limit.isDefined || reverse) match {
       case Some(idxCat) =>
         indexOnlyScan = 1L
@@ -518,7 +545,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
           if (clipped.isEmpty) None
           else Some(GraftInputPartition(idxCat, resolvedOpts, r.index, r.host,
             clipped.map(SerializableRange.from), idxHrf.pred,
-            partSchema, aggOps): InputPartition)
+            partSchema, aggOps, None, aggGroupCols): InputPartition)
         }.toArray
         plannedRegions = partitions.length.toLong
         totalRegions = idxTable.regionInfos.size.toLong

@@ -135,9 +135,9 @@ object SecondaryIndex {
     *    the index, so only a null-excluding conjunction makes the two row
     *    sets provably equal. */
   def indexOnlyPlan(catalog: GraftCatalog, opts: GraftOptions, filters: Seq[Filter],
-      neededFields: Seq[String], groupedAgg: Boolean, limited: Boolean):
+      neededFields: Seq[String], groupCols: Seq[String], limited: Boolean):
       Option[GraftCatalog] = {
-    if (catalog.saltBuckets != 0 || limited || groupedAgg) return None
+    if (catalog.saltBuckets != 0 || limited) return None
     if (!opts.mergeToLatest || opts.maxVersions != 1 || opts.timeRange.isDefined ||
       opts.tombstones) return None
     val mainName = opts.storeName(catalog)
@@ -147,7 +147,18 @@ object SecondaryIndex {
       else {
         val idxCat = indexOnlyCatalog(catalog, f)
         val names = idxCat.fields.map(_.name).toSet
-        val ok =
+        // a grouped pushed aggregate streams per-group partials with O(1)
+        // state on prefix change, which needs the grouping to be a
+        // byte-contiguous PREFIX of the INDEX key order (indexed column
+        // first, then main key parts, all order-preserving) — `GROUP BY
+        // indexed_col` over a selective filter is the classic shape
+        val idxKeyFields = idxCat.rowKeyFields
+        val groupOk = groupCols.isEmpty || (
+          groupCols.length <= idxKeyFields.length &&
+          groupCols.zip(idxKeyFields).forall { case (g, kf) =>
+            g == kf.name && kf.coder.preservesOrdering(kf.dataType)
+          })
+        val ok = groupOk &&
           neededFields.forall(names.contains) &&
           filters.forall(_.references.forall(names.contains)) &&
           filters.forall(fl => FilterCompiler.compile(idxCat, fl).handled) &&

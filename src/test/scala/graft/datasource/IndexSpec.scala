@@ -285,6 +285,32 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readCov.filter(col("grp") === 10L).count() == 1L)
   }
 
+  test("GROUP BY an indexed column pushes grouped partials through the index") {
+    // covtab state from the covered test: (1, grp 10, a2, 50), (2, grp 20,
+    // b2, 60), (3, grp 20, c, 7)
+    val covCatalog =
+      """{"table":{"namespace":"default", "name":"covtab"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"grp":{"cf":"f", "col":"g", "type":"bigint", "index":"true", "cover":"label,qty"},
+        |"label":{"cf":"f", "col":"l", "type":"string"},
+        |"qty":{"cf":"f", "col":"q", "type":"bigint"},
+        |"other":{"cf":"f", "col":"o", "type":"string"}}}""".stripMargin
+    val grouped = spark.read.format("graft-kv").option("catalog", covCatalog).load()
+      .filter(col("grp").isin(10L, 20L))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
+      .orderBy(col("grp"))
+    val rows = grouped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((10L, 1L, 50L), (20L, 2L, 67L)))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedGroupBy=[grp]"),
+      s"GROUP BY on the indexed column must push grouped partials:\n${plan.take(2500)}")
+    assert(scanOf(grouped).metrics("graftIndexOnlyScan").value == 1L,
+      "the grouped partials must stream off the INDEX's sort order")
+  }
+
   test("indexLookupCap: a tiny cap forces consult fallback without changing results") {
     val capped = spark.read.format("graft-kv").option("catalog", catalogJson)
       .option("indexLookupCap", "0").load()

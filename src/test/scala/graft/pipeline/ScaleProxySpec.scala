@@ -110,6 +110,7 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
         |"columns":{
         |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
         |"owner":{"cf":"f", "col":"o", "type":"string", "index":"true"},
+        |"bucket":{"cf":"f", "col":"b", "type":"bigint", "index":"true"},
         |"v":{"cf":"f", "col":"v", "type":"bigint"}}}""".stripMargin
     val (_, loadSecs) = timed {
       spark.range(N).selectExpr("id AS key",
@@ -117,13 +118,14 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
         // cold values with ~20 rows each — the selectivity skew an index
         // must survive
         "CASE WHEN id % 2 = 0 THEN 'hot' ELSE concat('u', CAST(id % 25000 AS STRING)) END AS owner",
+        "id % 1000 AS bucket",
         "id * 3 AS v")
         .write.format("graft-kv")
         .options(Map("catalog" -> catalogJson, "newtable" -> "8",
           "minSplitNum" -> "0", "maxSplitNum" -> N.toString, "timestamp" -> "100"))
         .mode("append").save()
     }
-    info(f"indexed load of $N%d rows: $loadSecs%.1f s (hooked writes)")
+    info(f"indexed load of $N%d rows: $loadSecs%.1f s (two hooked indexes)")
 
     def read = spark.read.format("graft-kv").option("catalog", catalogJson).load()
     val (cold, coldSecs) = timed {
@@ -140,8 +142,22 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     val (hot, hotSecs) = timed { read.filter(col("owner") === "hot").count() }
     assert(hot == N / 2)
     info(f"hot-value fallback scan: $hotSecs%.2f s for $hot rows")
+
+    // GROUP BY the numeric indexed column: grouped partials stream off the
+    // index's sort, reading only the 3 selected buckets of 1M rows
+    val (g, gSecs) = timed {
+      val grouped = read.filter(col("bucket").isin(1L, 2L, 3L))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n")).orderBy(col("bucket"))
+      val rows = grouped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(grouped.queryExecution.executedPlan.toString.contains("pushedGroupBy=[bucket]"))
+      rows
+    }
+    assert(g == Seq((1L, 1000L), (2L, 1000L), (3L, 1000L)))
+    info(f"grouped index-only agg: $gSecs%.2f s for 3 of 1000 buckets")
+    assert(gSecs < 5.0, s"a grouped indexed agg must not scan 1M rows: $gSecs s")
     KvStore.drop("default:idxscale")
     KvStore.drop("default:idxscale__idx__owner")
+    KvStore.drop("default:idxscale__idx__bucket")
   }
 
   test("capBuckets at 1M entries in one bucket: capped, spread, drops observed") {
