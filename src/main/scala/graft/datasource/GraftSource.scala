@@ -415,6 +415,21 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     * a skip list is O(rows) and would be a full-table count on the driver
     * before every query at scale. A networked deployment would serve the
     * same numbers from region-server metadata. */
+  /** An aggregated partition reads only the group fields + the fields the
+    * agg ops reference; a row partition reads the pruned schema. */
+  private lazy val partSchema: StructType = aggOps match {
+    case Some(ops) =>
+      val fields = (aggGroupCols ++ ops.collect {
+        case CountColOp(f) => f
+        case MinOp(f) => f
+        case MaxOp(f) => f
+        case SumOp(f, _, _) => f
+      }).distinct
+      StructType(fields.map(f => org.apache.spark.sql.types.StructField(
+        f, catalog.field(f).dataType)))
+    case None => requiredSchema
+  }
+
   /** Memoized index consult over the STATIC pushed filters (runtime filters
     * add key ranges, which take the non-consult path anyway) — shared by
     * statistics and partition planning so the index is scanned at most once
@@ -488,15 +503,27 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       GraftMetricsDefs.task("graftIndexKeys", indexKeys),
       GraftMetricsDefs.task("graftIndexOnlyScan", indexOnlyScan))
 
-  override def description(): String = aggOps match {
-    case Some(ops) =>
-      val grp = if (aggGroupCols.isEmpty) ""
-        else s", pushedGroupBy=[${aggGroupCols.mkString(", ")}]"
-      s"GraftScan(${catalog.qualifiedName}, pushedAggregates=[${ops.mkString(", ")}]$grp)"
-    case None =>
-      val lim = limit.map(l =>
-        s", pushedLimit=$l${if (reverse) " (reversed)" else ""}").getOrElse("")
-      s"GraftScan(${catalog.qualifiedName}, cols=${requiredSchema.fieldNames.mkString(",")}$lim)"
+  /** The index-only decision over the static filters — deterministic and
+    * cheap (gate checks only, no store scan), so `explain()` output shows
+    * where the scan will actually read from. */
+  private lazy val indexOnlyTarget: Option[String] =
+    SecondaryIndex.indexOnlyPlan(catalog,
+      opts.withTtlResolved(System.currentTimeMillis()), filters.toSeq,
+      partSchema.fieldNames.toSeq, groupCols = aggGroupCols,
+      limited = limit.isDefined || reverse).map(_.qualifiedName)
+
+  override def description(): String = {
+    val via = indexOnlyTarget.map(t => s", scan=index-only($t)").getOrElse("")
+    aggOps match {
+      case Some(ops) =>
+        val grp = if (aggGroupCols.isEmpty) ""
+          else s", pushedGroupBy=[${aggGroupCols.mkString(", ")}]"
+        s"GraftScan(${catalog.qualifiedName}, pushedAggregates=[${ops.mkString(", ")}]$grp$via)"
+      case None =>
+        val lim = limit.map(l =>
+          s", pushedLimit=$l${if (reverse) " (reversed)" else ""}").getOrElse("")
+        s"GraftScan(${catalog.qualifiedName}, cols=${requiredSchema.fieldNames.mkString(",")}$lim$via)"
+    }
   }
 
   /** Region × pushed-range intersection with partition pruning (reference
@@ -514,20 +541,6 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     // into point gets. Pure pruning — hrf.pred still decides every row, so
     // the consult's over-approximations (value-prefix false positives) and
     // its fallback (None over the cap) never affect results.
-    // an aggregated partition reads only the group fields + the fields the
-    // agg ops reference
-    val partSchema = aggOps match {
-      case Some(ops) =>
-        val fields = (aggGroupCols ++ ops.collect {
-          case CountColOp(f) => f
-          case MinOp(f) => f
-          case MaxOp(f) => f
-          case SumOp(f, _, _) => f
-        }).distinct
-        StructType(fields.map(f => org.apache.spark.sql.types.StructField(
-          f, catalog.field(f).dataType)))
-      case None => requiredSchema
-    }
     // INDEX-ONLY scan first (the strongest rewrite: the index table IS the
     // scan, an ordinary range scan over a re-keyed catalog), then the
     // point-get consult, then the plain region scan.

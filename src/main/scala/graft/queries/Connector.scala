@@ -733,14 +733,17 @@ object Connector {
       |FROM events WHERE user_id IN (3, 17, 41)
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
 
-  /** kv24: INDEX-ONLY scan — the projection {user_id, event_id} lives
-    * entirely inside the index's entry keys, so the planner swaps the scan
-    * to the index table as an ordinary range scan
-    * ([[graft.datasource.SecondaryIndex.indexOnlyPlan]]): no point gets, no
-    * main-table touch, KeysOnly + columnar decode of composite key parts —
-    * the Phoenix index-only shape and the dominant 100 TB win for
-    * fetch-by-attribute queries. Correctness is pinned by IndexSpec; here
-    * the driver hash-checks the row set. */
+  /** kv24: INDEX-ONLY scan with GROUPED aggregate pushdown — the projection
+    * {user_id, event_id} lives entirely inside the index's entry keys, so
+    * the planner swaps the scan to the index table as an ordinary range
+    * scan ([[graft.datasource.SecondaryIndex.indexOnlyPlan]]); and since
+    * `GROUP BY user_id` is a prefix of the INDEX key order, the
+    * count/min/max partials stream store-side with O(1) state off the
+    * index's sort (`pushedGroupBy=[user_id], scan=index-only(...)` in the
+    * plan). No point gets, no main-table touch — the Phoenix index-only
+    * shape and the dominant 100 TB win for fetch-by-attribute queries.
+    * Correctness is pinned by IndexSpec; here the driver hash-checks the
+    * row set. */
   def kv24IndexOnly(s: SparkSession, dir: String): DataFrame = {
     kv22IndexedRead(s, dir).count() // ensure the shared table+index exist
     s.read.format("graft-kv").option("catalog", idxEventsCatalog).load()

@@ -307,6 +307,8 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = grouped.queryExecution.executedPlan.toString
     assert(plan.contains("pushedGroupBy=[grp]"),
       s"GROUP BY on the indexed column must push grouped partials:\n${plan.take(2500)}")
+    assert(plan.contains("scan=index-only(default:covtab__idx__grp)"),
+      s"explain output must surface the index-only decision:\n${plan.take(2500)}")
     assert(scanOf(grouped).metrics("graftIndexOnlyScan").value == 1L,
       "the grouped partials must stream off the INDEX's sort order")
   }
