@@ -493,6 +493,54 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contamination]] specialised for the COMMON production shape: the
+    * eval/benchmark side is tiny relative to the corpus (a benchmark suite
+    * vs a 100 TB crawl), so the right plan never shuffles the corpus at
+    * all — a broadcast Bloom filter over the eval n-gram hashes prunes the
+    * corpus grams MAP-SIDE, and only the surviving sliver (true overlaps
+    * plus `fpp` false positives) enters a broadcast equi-join against the
+    * eval grams. Two corpus passes happen implicitly (explode feeds both
+    * the semi-filter and the rerank) but neither moves corpus bytes across
+    * the network keyed on n-grams, which [[contamination]]'s hash-join
+    * shape must.
+    *
+    * Exactness: Bloom filters have NO false negatives, so every truly
+    * shared gram survives the prefilter; false positives are eliminated by
+    * the exact string join. The result is byte-identical to
+    * [[contamination]] on the same inputs — asserted differentially in
+    * SketchOpsSpec, including under an absurd `fpp` that floods the join
+    * with false positives.
+    *
+    * At 100 TB: ~1e8 distinct eval grams at 1% fpp is a ~120 MB bit array
+    * — broadcastable; the corpus-side work is a codegen'd scan + filter.
+    * The filter is sized from an exact distinct count of the (small) eval
+    * side; `expectedItems` overrides the sizing (a test hook — undersizing
+    * degrades fpp, never recall). */
+  def bloomContamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minShared: Int = 1, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    def grams(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(as), explode(tokenNgramsOf(col("toks"), n)).as("ngram"))
+    val evalG = grams(eval, "eval_id")
+    val evalHashes = evalG.select(xxhash64(col("ngram")).as("h"))
+    val nDistinct = evalHashes.distinct().count()
+    val prefilter: Column =
+      if (nDistinct == 0) lit(false) // no eval grams — nothing can match
+      else {
+        val nItems = if (expectedItems > 0) expectedItems else nDistinct
+        val bloom = evalHashes.stat.bloomFilter("h", nItems, fpp)
+        val mightContain = udf((h: Long) => bloom.mightContainLong(h))
+        mightContain(xxhash64(col("ngram")))
+      }
+    grams(train, "train_id")
+      .filter(prefilter)
+      .join(broadcast(evalG), Seq("ngram"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash over word tokens via the native one-pass `SimHash64`
     * expression: bit b of xxhash64(token) votes ±1; fingerprint bit = sign
     * of the vote sum. A pure projection — no explode, no groupBy, no

@@ -1029,6 +1029,56 @@ object Pipeline {
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** px34: Bloom-prefiltered decontamination ([[Dedup.bloomContamination]])
+    * — the small-eval-side production shape: broadcast Bloom over the eval
+    * 4-gram hashes prunes corpus grams map-side; the corpus never shuffles
+    * keyed on n-grams. Exactness (no Bloom false negatives + exact string
+    * rerank) means the oracle is the plain exact-overlap SQL. Deliberately
+    * a DIFFERENT split and gram size than px17 (2% eval split, n=4) so the
+    * two decontamination entries don't share a result. */
+  def px34BloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Dedup.bloomContamination(
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 4, minShared = 1)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val px34Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN CAST([] AS VARCHAR[])
+      |        ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |               toks[i+3])) END AS gs
+      |      FROM t),
+      |u AS (SELECT doc_id, unnest(gs) AS ngram FROM g)
+      |SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS n_shared
+      |FROM u a JOIN u b ON a.ngram = b.ngram
+      |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+      |GROUP BY 1, 2 HAVING count(*) >= 1
+      |ORDER BY train_id, eval_id""".stripMargin
+
+  /** px35: exact trigram heavy hitters via the Count-Min-Sketch two-pass
+    * ([[Sketches.heavyHitters]]): sketch pass bounds memory at ~1 MB, the
+    * exact groupBy shuffles only grams the sketch estimates ≥ threshold —
+    * never the long tail. CMS never undercounts, so the answer is exact
+    * and the oracle is the naive count/HAVING SQL. */
+  def px35HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Sketches
+      .heavyHitters(Tables.documents(s, dir), "text", n = 3, minCount = 4L)
+      .orderBy(col("ngram"))
+  }
+
+  val px35Sql: String =
+    """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |u AS (SELECT unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |        ELSE list_transform(range(1, len(toks) - 1),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS ngram
+      |      FROM t)
+      |SELECT ngram, count(*) AS cnt FROM u WHERE length(ngram) > 0
+      |GROUP BY ngram HAVING count(*) >= 4
+      |ORDER BY ngram""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1063,6 +1113,8 @@ object Pipeline {
     "px31_bm25"            -> (px31Bm25 _),
     "px32_length_histogram" -> (px32LengthHistogram _),
     "px33_hybrid_retrieval" -> (px33HybridRetrieval _),
+    "px34_bloom_decontam"  -> (px34BloomDecontam _),
+    "px35_heavy_hitters"   -> (px35HeavyHitters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1098,6 +1150,8 @@ object Pipeline {
     "px31_bm25"            -> px31Sql,
     "px32_length_histogram" -> px32Sql,
     "px33_hybrid_retrieval" -> px33Sql,
+    "px34_bloom_decontam"  -> px34Sql,
+    "px35_heavy_hitters"   -> px35Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )
