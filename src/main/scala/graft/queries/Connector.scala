@@ -849,6 +849,65 @@ object Connector {
       |FROM events WHERE event_id % 2 = 1
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // z-order key: user_id × minute-slot interleaved into one bigint, with
+  // event_id as the key suffix for uniqueness — the layout for queries that
+  // constrain BOTH dimensions ("these users in this time window")
+  private val zorderEventsCatalog =
+    """{"table":{"namespace":"default", "name":"kv_zorder_events"},
+      |"rowkey":"z:eid",
+      |"columns":{
+      |"z":{"cf":"rowkey", "col":"z", "type":"bigint"},
+      |"event_id":{"cf":"rowkey", "col":"eid", "type":"bigint"},
+      |"event_type":{"cf":"f", "col":"etype", "type":"string"},
+      |"value":{"cf":"f", "col":"value", "type":"double"}}}""".stripMargin
+
+  /** kv26: Z-ORDER (Morton) multi-dimensional pruning — the capability a
+    * one-dimensional key order cannot give ([[graft.ranges.ZOrder]]): the
+    * write interleaves (user_id, minute-slot) bits into the leading key
+    * part via the codegen'd [[graft.functions.ZOrderExprs.morton2]], and a
+    * rectangle query (users 20-60 × slots 100-900) becomes a driver-side
+    * [[graft.ranges.ZOrder.rectRanges]] decomposition into ≤32 contiguous
+    * z ranges, pushed through the ordinary interval-OR algebra — so BOTH
+    * dimensions prune regions, not just the leading one. The exact
+    * rectangle residual re-derives x/y from the scanned keys (mortonX/Y,
+    * pure bit math in codegen), making the budgeted over-approximation
+    * invisible — same contract as Delta Z-ORDER clustering + file skipping,
+    * here at row-range granularity. */
+  def kv26Zorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrderExprs
+    if (!graft.store.KvStore.exists("default:kv_zorder_events")) {
+      Tables.events(s, dir)
+        .select(
+          ZOrderExprs.morton2(col("user_id").cast("int"),
+            (col("event_id") % 1440).cast("int")).as("z"),
+          col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> zorderEventsCatalog, "newtable" -> "8"))
+        .mode("append").save()
+    }
+    val (xlo, xhi, ylo, yhi) = (20, 60, 100, 900)
+    val ranges = graft.ranges.ZOrder.rectRanges(xlo, xhi, ylo, yhi, maxRanges = 32)
+    val zPushed = ranges.map { case (lo, hi) => col("z") >= lo && col("z") <= hi }
+      .reduce(_ || _)
+    s.read.format("graft-kv").option("catalog", zorderEventsCatalog).load()
+      .filter(zPushed)
+      .withColumn("user_id", ZOrderExprs.mortonX(col("z")).cast("long"))
+      .withColumn("slot", ZOrderExprs.mortonY(col("z")))
+      .filter(col("user_id").between(xlo, xhi) && col("slot").between(ylo, yhi))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("total"))
+      .orderBy(col("user_id"))
+  }
+
+  val kv26Sql: String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total
+      |FROM (SELECT user_id, CAST(value AS DOUBLE) AS value FROM events
+      |      WHERE user_id BETWEEN 20 AND 60 AND (event_id % 1440) BETWEEN 100 AND 900)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -875,6 +934,7 @@ object Connector {
     "kv23_ttl_compact"    -> (kv23TtlCompact _),
     "kv24_index_only"     -> (kv24IndexOnly _),
     "kv25_covered_index"  -> (kv25CoveredIndex _),
+    "kv26_zorder"         -> (kv26Zorder _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -903,5 +963,6 @@ object Connector {
     "kv23_ttl_compact"    -> kv23Sql,
     "kv24_index_only"     -> kv24Sql,
     "kv25_covered_index"  -> kv22Sql, // same result set; the execution path differs
+    "kv26_zorder"         -> kv26Sql,
   )
 }
