@@ -97,6 +97,21 @@ object GraftExtensions {
       arity("graft_min_kgram_md5", "(text, k)", args.size, 2)
       MinKgramMd5(args(0), litInt("graft_min_kgram_md5", "k", args(1)))
     },
+    desc("graft_morton2", classOf[Morton2],
+      "(x, y) - z-order (Morton) interleave of two ints as an order-preserving long key") { args =>
+      arity("graft_morton2", "(x, y)", args.size, 2)
+      Morton2(args(0), args(1))
+    },
+    desc("graft_morton_x", classOf[MortonX],
+      "(z) - first dimension of a graft_morton2 key") { args =>
+      arity("graft_morton_x", "(z)", args.size, 1)
+      MortonX(args.head)
+    },
+    desc("graft_morton_y", classOf[MortonY],
+      "(z) - second dimension of a graft_morton2 key") { args =>
+      arity("graft_morton_y", "(z)", args.size, 1)
+      MortonY(args.head)
+    },
     desc("graft_cosine_sim", classOf[CosineSim],
       "(a, b) - cosine similarity of two float arrays") { args =>
       arity("graft_cosine_sim", "(a, b)", args.size, 2)

@@ -852,7 +852,7 @@ object Connector {
   // z-order key: user_id × minute-slot interleaved into one bigint, with
   // event_id as the key suffix for uniqueness — the layout for queries that
   // constrain BOTH dimensions ("these users in this time window")
-  private val zorderEventsCatalog =
+  private[queries] val zorderEventsCatalog =
     """{"table":{"namespace":"default", "name":"kv_zorder_events"},
       |"rowkey":"z:eid",
       |"columns":{
@@ -865,7 +865,7 @@ object Connector {
     * one-dimensional key order cannot give ([[graft.ranges.ZOrder]]): the
     * write interleaves (user_id, minute-slot) bits into the leading key
     * part via the codegen'd [[graft.functions.ZOrderExprs.morton2]], and a
-    * rectangle query (users 20-60 × slots 100-900) becomes a driver-side
+    * rectangle query (users 3-9 × slots 100-900) becomes a driver-side
     * [[graft.ranges.ZOrder.rectRanges]] decomposition into ≤32 contiguous
     * z ranges, pushed through the ordinary interval-OR algebra — so BOTH
     * dimensions prune regions, not just the leading one. The exact
@@ -886,7 +886,8 @@ object Connector {
         .options(Map("catalog" -> zorderEventsCatalog, "newtable" -> "8"))
         .mode("append").save()
     }
-    val (xlo, xhi, ylo, yhi) = (20, 60, 100, 900)
+    // users 3-9 exist at every SF (sf0.001 caps at user 14)
+    val (xlo, xhi, ylo, yhi) = (3, 9, 100, 900)
     val ranges = graft.ranges.ZOrder.rectRanges(xlo, xhi, ylo, yhi, maxRanges = 32)
     val zPushed = ranges.map { case (lo, hi) => col("z") >= lo && col("z") <= hi }
       .reduce(_ || _)
@@ -905,7 +906,7 @@ object Connector {
     """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n,
       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total
       |FROM (SELECT user_id, CAST(value AS DOUBLE) AS value FROM events
-      |      WHERE user_id BETWEEN 20 AND 60 AND (event_id % 1440) BETWEEN 100 AND 900)
+      |      WHERE user_id BETWEEN 3 AND 9 AND (event_id % 1440) BETWEEN 100 AND 900)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

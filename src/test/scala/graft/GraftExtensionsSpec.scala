@@ -77,6 +77,21 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("argument"), e2.getMessage)
   }
 
+  test("morton functions: SQL roundtrip equals the Column API and ZOrder math") {
+    import spark.implicits._
+    val pts = Seq((3, -7), (0, 0), (Int.MaxValue, Int.MinValue), (-1, 1))
+    pts.toDF("x", "y").createOrReplaceTempView("ext_pts")
+    val viaSql = spark.sql(
+      """SELECT graft_morton2(x, y) AS z,
+        |       graft_morton_x(graft_morton2(x, y)) AS rx,
+        |       graft_morton_y(graft_morton2(x, y)) AS ry
+        |FROM ext_pts""".stripMargin).collect()
+    viaSql.zip(pts).foreach { case (r, (x, y)) =>
+      assert(r.getLong(0) == graft.ranges.ZOrder.encode(x, y))
+      assert(r.getInt(1) == x && r.getInt(2) == y)
+    }
+  }
+
   test("register() is idempotent on a live session") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)

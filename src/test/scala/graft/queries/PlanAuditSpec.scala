@@ -407,6 +407,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "partial pushdown keeps the global top-N cut")
   }
 
+  test("kv26: z-order rectangle pushes range disjunction; scan reads a sliver") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ZOrderExprs
+    Connector.kv26Zorder(spark, dir).collect() // builds the z-keyed table
+    // a tight rectangle (users 3-5 × slots 200-400, ~3% of rows): the
+    // pushed z ranges must keep the scan at a sliver of the table
+    val ranges = graft.ranges.ZOrder.rectRanges(3, 5, 200, 400, maxRanges = 32)
+    val df = spark.read.format("graft-kv")
+      .option("catalog", Connector.zorderEventsCatalog).load()
+      .filter(ranges.map { case (lo, hi) => col("z") >= lo && col("z") <= hi }
+        .reduce(_ || _))
+      .withColumn("x", ZOrderExprs.mortonX(col("z")))
+      .withColumn("y", ZOrderExprs.mortonY(col("z")))
+      .filter(col("x").between(3, 5) && col("y").between(200, 400))
+    val n = df.count()
+    df.collect()
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val scanned = scan.metrics("graftRowsScanned").value
+    val total = graft.store.KvStore.table("default:kv_zorder_events").regions
+      .map(_.rowCount.get()).sum
+    assert(n > 0, "rectangle must be non-vacuous")
+    assert(scanned < total * 3 / 10,
+      s"z-range pushdown read $scanned of $total rows — no multi-dim pruning")
+  }
+
   test("kv write: rows range-partition + sort by row key (region-aligned tasks)") {
     val catalog =
       """{"table":{"namespace":"default", "name":"planwrite"},
