@@ -1,0 +1,223 @@
+package graft.datasource
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.catalog.GraftCatalog
+import graft.ranges.ScanRange
+import graft.store.KvStore
+
+/** Store-side kv × kv join — the DSv2 `SupportsPushDownJoin` capability
+  * (`spark.sql.optimizer.datasourceV2JoinPushdown=true`).
+  *
+  * Accepted shape (see `GraftScanBuilder.pushDownJoin`): INNER or LEFT
+  * OUTER equi-join whose condition is exactly `leftRowKey = rightRowKey`,
+  * both sides plain current-state reads of unsalted single-part-key tables
+  * in the same cluster. Execution is a LOOKUP JOIN: each left region scans
+  * key-ordered as usual and point-gets the matching right row per key — at
+  * 100 TB this is the co-located join a networked deployment runs inside
+  * region servers: ZERO shuffle of either side, no hash table, and the
+  * output inherits the left scan's key order and partitioning.
+  *
+  * Correctness vs the unpushed plan:
+  *  - row keys are unique per table, so a key matches AT MOST one right
+  *    row — no fan-out, INNER emits the pair or nothing, LEFT OUTER pads
+  *    right columns with nulls;
+  *  - row keys are never null, so null-key join semantics don't arise;
+  *  - the right probe materializes through the SAME column-restriction +
+  *    materializer stack a normal scan of the right side with that
+  *    projection uses ([[GraftScanSetup.probeColumnSet]]), so a row
+  *    invisible to the unpushed plan's right-side scan (no cells under the
+  *    restricted columns) is exactly as invisible to the probe;
+  *  - filters above the join stay residual in Spark (the joined builder
+  *    declines all pushdown), so predicate semantics are Spark's own.
+  *
+  * `cols` pairs are (outputName, catalogColumnName) — output names carry
+  * Spark's conflict-resolving aliases, catalog names drive the store reads.
+  * `filters` are the side's pushed (fully-handled) predicates: the left
+  * side's prune regions/ranges and gate the scan exactly as in a plain
+  * read; the right side's gate each probe (range containment + predicate),
+  * so a row the unpushed plan's filtered right scan would drop is equally
+  * invisible to the lookup. */
+final case class JoinSide(catalog: GraftCatalog, opts: GraftOptions,
+    cols: Seq[(String, String)],
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil) extends Serializable
+
+final case class PushedKvJoin(left: JoinSide, right: JoinSide,
+    leftKey: String, rightKey: String, leftOuter: Boolean) extends Serializable
+
+class GraftKvJoinScan(join: PushedKvJoin, schema: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = schema
+
+  override def description(): String = {
+    val kind = if (join.leftOuter) "LEFT OUTER" else "INNER"
+    s"GraftKvJoinScan(${join.left.catalog.qualifiedName} $kind JOIN " +
+      s"${join.right.catalog.qualifiedName} ON ${join.leftKey} = ${join.rightKey}, " +
+      s"cols=${schema.fieldNames.mkString(",")})"
+  }
+
+  override def toBatch: Batch = this
+
+  /** Left-side row counters bound the join output (unique right keys: INNER
+    * emits ≤ left rows, LEFT OUTER exactly left rows) — so a small joined
+    * pair still auto-broadcasts in an enclosing join. */
+  override def estimateStatistics(): Statistics = {
+    val table = KvStore.table(join.left.opts.storeName(join.left.catalog))
+    val leftRows = table.regions.map(_.rowCount.get()).sum
+    val width = math.max(schema.defaultSize, 1).toLong
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(leftRows * width, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(leftRows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    implicit val ord: Ordering[Array[Byte]] = graft.ranges.BytesUtil.byteArrayOrdering
+    val hrfL = FilterCompiler.compileAll(join.left.catalog, join.left.filters)
+    val hrfR = FilterCompiler.compileAll(join.right.catalog, join.right.filters)
+    val rightRanges = hrfR.ranges.map(SerializableRange.from)
+    val table = KvStore.table(join.left.opts.storeName(join.left.catalog))
+    table.regionInfos.flatMap { r =>
+      val regionRange = ScanRange[Array[Byte]](
+        graft.ranges.Bound(r.start, inclusive = true),
+        graft.ranges.Bound(r.end, inclusive = false))
+      val clipped = ScanRange.and(hrfL.ranges, Seq(regionRange))
+      if (clipped.isEmpty) None
+      else Some(KvJoinInputPartition(join, schema, r.index, r.host,
+        clipped.map(SerializableRange.from), hrfL.pred,
+        rightRanges, hrfR.pred): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvJoinReaderFactory
+
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftMetricsDefs.all
+}
+
+final case class KvJoinInputPartition(join: PushedKvJoin, schema: StructType,
+    regionIndex: Int, host: String,
+    leftRanges: Seq[SerializableRange],
+    leftPred: Option[graft.store.KvPredicate],
+    rightRanges: Seq[SerializableRange],
+    rightPred: Option[graft.store.KvPredicate]) extends InputPartition {
+  override def preferredLocations(): Array[String] = Array(host)
+}
+
+class KvJoinReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KvJoinPartitionReader(partition.asInstanceOf[KvJoinInputPartition])
+}
+
+class KvJoinPartitionReader(p: KvJoinInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val join = p.join
+  private val leftOutToCol = join.left.cols.toMap
+  private val rightOutToCol = join.right.cols.toMap
+
+  // the (possibly nested-pruned) output fields each side serves, keyed by
+  // CATALOG column name but typed by the PRUNED output type
+  private def sideSchema(cat: GraftCatalog, outToCol: Map[String, String],
+      extraKey: Option[String]): StructType = {
+    val fromOut = p.schema.fields.toSeq.collect {
+      case f if outToCol.contains(f.name) =>
+        StructField(outToCol(f.name), f.dataType, f.nullable)
+    }
+    val withKey = extraKey match {
+      case Some(k) if !fromOut.exists(_.name == k) =>
+        fromOut :+ StructField(k, cat.field(k).dataType)
+      case _ => fromOut
+    }
+    StructType(withKey)
+  }
+
+  // LEFT: an ordinary region scan through the standard setup (column
+  // restriction, materializer, KeysOnly fast path all apply); the key is
+  // appended to the projection when pruned away so the probe has it
+  private val leftSchema =
+    sideSchema(join.left.catalog, leftOutToCol, Some(join.leftKey))
+  private val leftSetup = new GraftScanSetup(GraftInputPartition(
+    join.left.catalog, join.left.opts, p.regionIndex, p.host,
+    p.leftRanges, p.leftPred, leftSchema))
+  private val leftKeyIdx = leftSchema.fieldIndex(join.leftKey)
+  private val leftKeyDt = leftSchema.fields(leftKeyIdx).dataType
+
+  // RIGHT: probes reuse a setup built over the right projection so the
+  // column restriction and materializer match a normal right-side scan
+  private val rightSchema = sideSchema(join.right.catalog, rightOutToCol, None)
+  private val rightSetup = new GraftScanSetup(GraftInputPartition(
+    join.right.catalog, join.right.opts, 0, p.host,
+    Seq(SerializableRange.from(ScanRange.all[Array[Byte]])), None, rightSchema))
+  private val rightKeyField = join.right.catalog.field(join.rightKey)
+
+  // output slot → (fromLeft, index in that side's materialized row)
+  private val slotPlan: Array[(Boolean, Int)] = p.schema.fields.map { f =>
+    if (leftOutToCol.contains(f.name))
+      (true, leftSchema.fieldIndex(leftOutToCol(f.name)))
+    else (false, rightSchema.fieldIndex(rightOutToCol(f.name)))
+  }
+  private val slotDts = p.schema.fields.map(_.dataType)
+  private val leftDts = leftSchema.fields.map(_.dataType)
+  private val rightDts = rightSchema.fields.map(_.dataType)
+
+  private var rowsScanned = 0L
+
+  private implicit val byteOrd: Ordering[Array[Byte]] =
+    graft.ranges.BytesUtil.byteArrayOrdering
+  private val rightScanRanges = p.rightRanges.map(_.toRange)
+
+  private val rows: Iterator[InternalRow] = leftSetup.kvRows
+    .flatMap(leftSetup.materializer.materialize)
+    .flatMap { lrow =>
+      rowsScanned += 1
+      val keyVal = lrow.get(leftKeyIdx, leftKeyDt) // row keys are never null
+      val keyBytes = rightKeyField.coder.encode(rightKeyField.dataType, keyVal)
+      val rrow =
+        if (!rightScanRanges.exists(_.contains(keyBytes))) None
+        else rightSetup.probeTable
+          .get(keyBytes, rightSetup.probeColumnSet, None, 1, p.rightPred)
+          .flatMap(kr => rightSetup.materializer.materialize(kr).toSeq.headOption)
+      rrow match {
+        case Some(r) => rowsScanned += 1; Some(assemble(lrow, r))
+        case None if join.leftOuter => Some(assemble(lrow, null))
+        case None => None
+      }
+    }
+
+  private def assemble(lrow: InternalRow, rrow: InternalRow): InternalRow = {
+    val out = new Array[Any](slotPlan.length)
+    var i = 0
+    while (i < slotPlan.length) {
+      val (fromLeft, idx) = slotPlan(i)
+      out(i) =
+        if (fromLeft) { if (lrow.isNullAt(idx)) null else lrow.get(idx, leftDts(idx)) }
+        else if (rrow == null) null
+        else if (rrow.isNullAt(idx)) null
+        else rrow.get(idx, rightDts(idx))
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftMetricsDefs.task("graftRowsScanned", rowsScanned))
+}

@@ -189,7 +189,102 @@ final case class SumOp(field: String, integral: Boolean, ansi: Boolean) extends 
 class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     initialSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
+
+  import org.apache.spark.sql.connector.read.SupportsPushDownJoin.ColumnWithAlias
+
+  // ---- kv × kv join pushdown (spark.sql.optimizer.datasourceV2JoinPushdown) --
+  // A row-key equi-join of two tables in the same cluster executes
+  // store-side as a LOOKUP JOIN: scan the left table's regions, point-get
+  // the right row per key — no shuffle of either side, the co-located-join
+  // plan a networked deployment would run inside the region servers. See
+  // [[PushedKvJoin]] for the accepted shape and its correctness argument.
+  private var pushedJoinSpec: Option[PushedKvJoin] = None
+  private var joinedSchema: Option[StructType] = None
+
+  private[datasource] def sideCatalog: GraftCatalog = catalog
+  private[datasource] def sideOpts: GraftOptions = opts
+
+  /** Join pushdown accepts only PLAIN current-state reads of unsalted
+    * single-part-key tables: time travel/TTL/version explosion change row
+    * visibility per side, salt changes the key bytes, and a composite key
+    * would need all-parts equality (not yet wired). */
+  private[datasource] def plainForJoin: Boolean =
+    opts.timeRange.isEmpty && opts.maxVersions == 1 && opts.mergeToLatest &&
+      !opts.tombstones && opts.ttl.isEmpty && catalog.saltBuckets == 0 &&
+      catalog.rowKeyParts.length == 1
+
+  /** Pushed FILTERS are fine on a join side — the optimizer pushes each
+    * side's predicates into the relations BEFORE attempting the join, and
+    * the join scan honors them (left: region/range pruning + scan
+    * predicate; right: range + predicate check per probe). They must be
+    * fully handled though: a residual leaves a Filter node above the
+    * relation, which blocks the rule anyway. Aggregates/limits/another
+    * join on a side decline. */
+  private[datasource] def noPushedState: Boolean =
+    aggSchema.isEmpty && pushedLimit.isEmpty && pushedJoinSpec.isEmpty &&
+      FilterCompiler.partition(catalog, pushed)._2.isEmpty
+
+  override def isOtherSideCompatibleForJoin(
+      other: org.apache.spark.sql.connector.read.SupportsPushDownJoin): Boolean =
+    other match {
+      case o: GraftScanBuilder =>
+        plainForJoin && o.plainForJoin && noPushedState && o.noPushedState &&
+          opts.cluster == o.sideOpts.cluster &&
+          catalog.rowKeyFields.head.dataType == o.sideCatalog.rowKeyFields.head.dataType
+      case _ => false
+    }
+
+  override def pushDownJoin(
+      other: org.apache.spark.sql.connector.read.SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftCols: Array[ColumnWithAlias],
+      rightCols: Array[ColumnWithAlias],
+      cond: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.join.JoinType
+    if (!isOtherSideCompatibleForJoin(other)) return false
+    val o = other.asInstanceOf[GraftScanBuilder]
+    val leftOuter = joinType == JoinType.LEFT_OUTER_JOIN
+    if (joinType != JoinType.INNER_JOIN && !leftOuter) return false
+    // the condition must be exactly `leftRowKey = rightRowKey`, expressed
+    // over the ALIASED output names Spark hands us
+    val refs = cond.children() match {
+      case Array(a: NamedReference, b: NamedReference)
+        if cond.name() == "=" &&
+          a.fieldNames.length == 1 && b.fieldNames.length == 1 =>
+        Some((a.fieldNames.head, b.fieldNames.head))
+      case _ => None
+    }
+    if (refs.isEmpty) return false
+    val (aName, bName) = refs.get
+    def pairs(cols: Array[ColumnWithAlias]): Seq[(String, String)] =
+      cols.toSeq.map(c => (Option(c.alias).getOrElse(c.colName), c.colName))
+    val lm = pairs(leftCols); val rm = pairs(rightCols)
+    val lByOut = lm.toMap; val rByOut = rm.toMap
+    val lKey = catalog.rowKeyFields.head.name
+    val rKey = o.sideCatalog.rowKeyFields.head.name
+    val keysOk =
+      (lByOut.get(aName).contains(lKey) && rByOut.get(bName).contains(rKey)) ||
+        (lByOut.get(bName).contains(lKey) && rByOut.get(aName).contains(rKey))
+    if (!keysOk) return false
+    def sideFields(cat: GraftCatalog, m: Seq[(String, String)],
+        forceNullable: Boolean): Seq[org.apache.spark.sql.types.StructField] =
+      m.map { case (out, colName) =>
+        val sf = cat.schema(colName)
+        org.apache.spark.sql.types.StructField(out, sf.dataType,
+          sf.nullable || forceNullable)
+      }
+    joinedSchema = Some(StructType(
+      sideFields(catalog, lm, forceNullable = false) ++
+        sideFields(o.sideCatalog, rm, forceNullable = leftOuter)))
+    pushedJoinSpec = Some(PushedKvJoin(
+      JoinSide(catalog, opts, lm, pushed.toSeq),
+      JoinSide(o.sideCatalog, o.sideOpts, rm, o.pushedFilters().toSeq),
+      lKey, rKey, leftOuter))
+    true
+  }
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = initialSchema
@@ -206,7 +301,8 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     * keeping the limit/top-N state frozen makes the push-time index-grouping
     * decision (see [[pushAggregation]]) identical to the plan-time one. */
   override def pushLimit(l: Int): Boolean =
-    if (aggSchema.isDefined) false else { pushedLimit = Some(l); true }
+    if (aggSchema.isDefined || pushedJoinSpec.isDefined) false
+    else { pushedLimit = Some(l); true }
 
   override def isPartiallyPushed(): Boolean = true
 
@@ -221,7 +317,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    if (aggSchema.isDefined) return false // see pushLimit
+    if (aggSchema.isDefined || pushedJoinSpec.isDefined) return false // see pushLimit
     val keyFields = catalog.rowKeyFields
     val uniform = orders.nonEmpty && orders.forall(_.direction == orders.head.direction)
     val ok = uniform && orders.length <= keyFields.length &&
@@ -240,6 +336,9 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // a joined builder's columns are ALIASED join outputs the compiler has
+    // no catalog mapping for — everything stays residual (Spark re-applies)
+    if (pushedJoinSpec.isDefined) return filters
     pushed = filters
     // residual = filters we can't evaluate exactly; Spark re-applies them
     val (_, residual) = FilterCompiler.partition(catalog, filters)
@@ -248,7 +347,9 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(required: StructType): Unit = requiredSchema = required
+  override def pruneColumns(required: StructType): Unit =
+    if (pushedJoinSpec.isDefined) joinedSchema = Some(required)
+    else requiredSchema = required
 
   /** Partial pushdown only (`supportCompletePushDown` stays false): every
     * region partition answers with its own min/max/count partials, which is
@@ -268,6 +369,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
+    if (pushedJoinSpec.isDefined) return false
     if (FilterCompiler.partition(catalog, pushed)._2.nonEmpty) return false
     var groupViaIndex = false
     val groupCols: Seq[String] = if (agg.groupByExpressions.isEmpty) Nil else {
@@ -363,9 +465,12 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     true
   }
 
-  override def build(): Scan =
-    new GraftScan(catalog, opts, requiredSchema, pushed, aggOps, aggSchema,
-      pushedLimit, aggGroupCols, reverseScan)
+  override def build(): Scan = pushedJoinSpec match {
+    case Some(j) => new GraftKvJoinScan(j, joinedSchema.get)
+    case None =>
+      new GraftScan(catalog, opts, requiredSchema, pushed, aggOps, aggSchema,
+        pushedLimit, aggGroupCols, reverseScan)
+  }
 }
 
 class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
@@ -1018,6 +1123,12 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
   }
 
   val materializer = new RowMaterializer(catalog, projection, p.opts.mergeToLatest)
+
+  /** Column restriction + table handle, exposed for the join reader's
+    * point-get probes — which must see EXACTLY what a normal scan of this
+    * side with this projection would see. */
+  private[datasource] def probeColumnSet: ColumnSet = columnSet
+  private[datasource] def probeTable = table
 
   // Point ranges become single-key lookups and range ranges become ordered
   // scans over the region's skip list — the scan-vs-get split of the

@@ -909,6 +909,88 @@ object Connector {
       |      WHERE user_id BETWEEN 3 AND 9 AND (event_id % 1440) BETWEEN 100 AND 900)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private val joinCustCatalog =
+    """{"table":{"namespace":"default", "name":"kv_join_cust"},
+      |"rowkey":"key",
+      |"columns":{
+      |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"c_name":{"cf":"f", "col":"name", "type":"string"},
+      |"c_acctbal":{"cf":"f", "col":"bal", "type":"double"},
+      |"c_mktsegment":{"cf":"f", "col":"seg", "type":"string"}}}""".stripMargin
+  private val joinStatCatalog =
+    """{"table":{"namespace":"default", "name":"kv_join_stat"},
+      |"rowkey":"key",
+      |"columns":{
+      |"custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"n_orders":{"cf":"f", "col":"n", "type":"bigint"},
+      |"total_price":{"cf":"f", "col":"t", "type":"double"}}}""".stripMargin
+
+  /** kv27: kv × kv JOIN PUSHDOWN (DSv2 `SupportsPushDownJoin`,
+    * `spark.sql.optimizer.datasourceV2JoinPushdown`) — a row-key equi-join
+    * of two co-keyed kv tables executes STORE-SIDE as a lookup join
+    * ([[graft.datasource.PushedKvJoin]]): left regions scan in key order
+    * and point-get the right row per key — zero shuffle of either side,
+    * the co-located join a networked deployment runs inside region
+    * servers. Here: customer profiles LEFT OUTER JOIN per-customer order
+    * stats (a separate kv table keyed the same), with a pushed left-side
+    * filter and an aggregate on top; the pushed plan is `require`d, and
+    * the conf toggle is scoped to this query (eager evaluation) so the
+    * rest of the suite plans untouched. Differential coverage incl.
+    * fallback shapes lives in KvJoinSpec. */
+  def kv27JoinPushdown(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_join_cust")) {
+      Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> joinCustCatalog, "newtable" -> "6"))
+        .mode("append").save()
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey").cast("long").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("double")).as("total_price"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> joinStatCatalog, "newtable" -> "5"))
+        .mode("append").save()
+    }
+    val confKey = "spark.sql.optimizer.datasourceV2JoinPushdown"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, "true")
+    try {
+      val cust = s.read.format("graft-kv").option("catalog", joinCustCatalog).load()
+      val stat = s.read.format("graft-kv").option("catalog", joinStatCatalog).load()
+      val joined = cust
+        .join(stat, col("c_custkey") === col("custkey"), "left")
+        .filter(col("c_acctbal") > 0.0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+          Relational.microUnits(sum(
+            coalesce(col("total_price"), lit(0.0)).cast("decimal(18,6)"))).as("total"))
+        .orderBy(col("c_mktsegment"))
+      val rows = joined.collect()
+      require(joined.queryExecution.executedPlan.toString.contains("GraftKvJoinScan"),
+        "kv27 must execute the pushed kv-kv join, not a fallback plan")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+  }
+
+  val kv27Sql: String =
+    """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
+      |                     c_mktsegment FROM customer),
+      |stat AS (SELECT CAST(o_custkey AS BIGINT) AS custkey, count(*) AS n,
+      |                sum(CAST(o_totalprice AS DOUBLE)) AS t
+      |         FROM orders GROUP BY 1)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_orders,
+      |  CAST(CAST(sum(CAST(coalesce(t, 0) AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total
+      |FROM cust LEFT JOIN stat ON c_custkey = custkey
+      |WHERE c_acctbal > 0
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -936,6 +1018,7 @@ object Connector {
     "kv24_index_only"     -> (kv24IndexOnly _),
     "kv25_covered_index"  -> (kv25CoveredIndex _),
     "kv26_zorder"         -> (kv26Zorder _),
+    "kv27_join_pushdown"  -> (kv27JoinPushdown _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -965,5 +1048,6 @@ object Connector {
     "kv24_index_only"     -> kv24Sql,
     "kv25_covered_index"  -> kv22Sql, // same result set; the execution path differs
     "kv26_zorder"         -> kv26Sql,
+    "kv27_join_pushdown"  -> kv27Sql,
   )
 }

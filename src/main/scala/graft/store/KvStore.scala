@@ -301,9 +301,12 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
         after.view.filterKeys(h.cols).toMap, stamp)
     }
 
-  def get(key: Array[Byte], cols: ColumnSet, time: Option[TimeRange], versions: Int): Option[KvRow] = {
+  def get(key: Array[Byte], cols: ColumnSet, time: Option[TimeRange], versions: Int,
+      pred: Option[graft.store.KvPredicate] = None): Option[KvRow] = {
     val row = regionFor(key).rows.get(key)
-    if (row == null) None else materialize(key, row, cols, time, versions)
+    if (row == null) None
+    else if (!pred.forall(_.eval(key, row, time))) None
+    else materialize(key, row, cols, time, versions)
   }
 
   /** Range scan over one region; [start,end) semantics come from the caller
