@@ -45,8 +45,14 @@ final case class JoinSide(catalog: GraftCatalog, opts: GraftOptions,
     cols: Seq[(String, String)],
     filters: Seq[org.apache.spark.sql.sources.Filter] = Nil) extends Serializable
 
+/** `leftKeys`/`rightKeys` are the sides' FULL row-key part lists in key
+  * order — the accepted condition equates them position-wise (part i of the
+  * left key = part i of the right key, all parts covered), so the probe can
+  * assemble the right key bytes from the left row exactly like the writer
+  * does. */
 final case class PushedKvJoin(left: JoinSide, right: JoinSide,
-    leftKey: String, rightKey: String, leftOuter: Boolean) extends Serializable
+    leftKeys: Seq[String], rightKeys: Seq[String],
+    leftOuter: Boolean) extends Serializable
 
 class GraftKvJoinScan(join: PushedKvJoin, schema: StructType)
     extends Scan with Batch with SupportsReportStatistics {
@@ -55,8 +61,10 @@ class GraftKvJoinScan(join: PushedKvJoin, schema: StructType)
 
   override def description(): String = {
     val kind = if (join.leftOuter) "LEFT OUTER" else "INNER"
+    val on = join.leftKeys.zip(join.rightKeys)
+      .map { case (l, r) => s"$l = $r" }.mkString(" AND ")
     s"GraftKvJoinScan(${join.left.catalog.qualifiedName} $kind JOIN " +
-      s"${join.right.catalog.qualifiedName} ON ${join.leftKey} = ${join.rightKey}, " +
+      s"${join.right.catalog.qualifiedName} ON $on, " +
       s"cols=${schema.fieldNames.mkString(",")})"
   }
 
@@ -127,37 +135,36 @@ class KvJoinPartitionReader(p: KvJoinInputPartition)
   // the (possibly nested-pruned) output fields each side serves, keyed by
   // CATALOG column name but typed by the PRUNED output type
   private def sideSchema(cat: GraftCatalog, outToCol: Map[String, String],
-      extraKey: Option[String]): StructType = {
+      extraKeys: Seq[String]): StructType = {
     val fromOut = p.schema.fields.toSeq.collect {
       case f if outToCol.contains(f.name) =>
         StructField(outToCol(f.name), f.dataType, f.nullable)
     }
-    val withKey = extraKey match {
-      case Some(k) if !fromOut.exists(_.name == k) =>
-        fromOut :+ StructField(k, cat.field(k).dataType)
-      case _ => fromOut
-    }
-    StructType(withKey)
+    val missing = extraKeys.filterNot(k => fromOut.exists(_.name == k))
+      .map(k => StructField(k, cat.field(k).dataType))
+    StructType(fromOut ++ missing)
   }
 
   // LEFT: an ordinary region scan through the standard setup (column
-  // restriction, materializer, KeysOnly fast path all apply); the key is
-  // appended to the projection when pruned away so the probe has it
+  // restriction, materializer, KeysOnly fast path all apply); key parts
+  // are appended to the projection when pruned away so the probe has them
   private val leftSchema =
-    sideSchema(join.left.catalog, leftOutToCol, Some(join.leftKey))
+    sideSchema(join.left.catalog, leftOutToCol, join.leftKeys)
   private val leftSetup = new GraftScanSetup(GraftInputPartition(
     join.left.catalog, join.left.opts, p.regionIndex, p.host,
     p.leftRanges, p.leftPred, leftSchema))
-  private val leftKeyIdx = leftSchema.fieldIndex(join.leftKey)
-  private val leftKeyDt = leftSchema.fields(leftKeyIdx).dataType
+  private val leftKeyIdxs = join.leftKeys.map(leftSchema.fieldIndex).toArray
+  private val leftKeyDts = leftKeyIdxs.map(leftSchema.fields(_).dataType)
 
   // RIGHT: probes reuse a setup built over the right projection so the
   // column restriction and materializer match a normal right-side scan
-  private val rightSchema = sideSchema(join.right.catalog, rightOutToCol, None)
+  private val rightSchema = sideSchema(join.right.catalog, rightOutToCol, Nil)
   private val rightSetup = new GraftScanSetup(GraftInputPartition(
     join.right.catalog, join.right.opts, 0, p.host,
     Seq(SerializableRange.from(ScanRange.all[Array[Byte]])), None, rightSchema))
-  private val rightKeyField = join.right.catalog.field(join.rightKey)
+  // right key parts in key order — position i assembles from left part i,
+  // exactly the writer's encode-and-concat ([[KvRowEncoder.key]])
+  private val rightKeyParts = join.right.catalog.rowKeyParts.toArray
 
   // output slot → (fromLeft, index in that side's materialized row)
   private val slotPlan: Array[(Boolean, Int)] = p.schema.fields.map { f =>
@@ -179,8 +186,20 @@ class KvJoinPartitionReader(p: KvJoinInputPartition)
     .flatMap(leftSetup.materializer.materialize)
     .flatMap { lrow =>
       rowsScanned += 1
-      val keyVal = lrow.get(leftKeyIdx, leftKeyDt) // row keys are never null
-      val keyBytes = rightKeyField.coder.encode(rightKeyField.dataType, keyVal)
+      // assemble the right key from the left row's key-part values —
+      // encode-and-concat, the writer's own recipe (row keys are never
+      // null; part widths are equal by the compat gate, so the encoded
+      // bytes are exactly a stored right key when the values match)
+      val partBytes = new Array[Array[Byte]](rightKeyParts.length)
+      var i = 0
+      while (i < rightKeyParts.length) {
+        val v = CatalystConv.fromCatalyst(leftKeyDts(i),
+          lrow.get(leftKeyIdxs(i), leftKeyDts(i)))
+        partBytes(i) = rightKeyParts(i).field.coder
+          .encode(rightKeyParts(i).field.dataType, v)
+        i += 1
+      }
+      val keyBytes = graft.ranges.BytesUtil.concat(partBytes.toIndexedSeq: _*)
       val rrow =
         if (!rightScanRanges.exists(_.contains(keyBytes))) None
         else rightSetup.probeTable

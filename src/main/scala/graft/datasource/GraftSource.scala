@@ -207,13 +207,11 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   private[datasource] def sideOpts: GraftOptions = opts
 
   /** Join pushdown accepts only PLAIN current-state reads of unsalted
-    * single-part-key tables: time travel/TTL/version explosion change row
-    * visibility per side, salt changes the key bytes, and a composite key
-    * would need all-parts equality (not yet wired). */
+    * tables: time travel/TTL/version explosion change row visibility per
+    * side, and salt changes the key bytes the probe would assemble. */
   private[datasource] def plainForJoin: Boolean =
     opts.timeRange.isEmpty && opts.maxVersions == 1 && opts.mergeToLatest &&
-      !opts.tombstones && opts.ttl.isEmpty && catalog.saltBuckets == 0 &&
-      catalog.rowKeyParts.length == 1
+      !opts.tombstones && opts.ttl.isEmpty && catalog.saltBuckets == 0
 
   /** Pushed FILTERS are fine on a join side — the optimizer pushes each
     * side's predicates into the relations BEFORE attempting the join, and
@@ -232,7 +230,13 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
       case o: GraftScanBuilder =>
         plainForJoin && o.plainForJoin && noPushedState && o.noPushedState &&
           opts.cluster == o.sideOpts.cluster &&
-          catalog.rowKeyFields.head.dataType == o.sideCatalog.rowKeyFields.head.dataType
+          // key structures must match part-for-part (type AND width), so
+          // the probe's encode-and-concat of left values yields exactly a
+          // stored right key when the values match
+          catalog.rowKeyParts.length == o.sideCatalog.rowKeyParts.length &&
+          catalog.rowKeyParts.zip(o.sideCatalog.rowKeyParts).forall {
+            case (l, r) => l.field.dataType == r.field.dataType && l.width == r.width
+          }
       case _ => false
     }
 
@@ -248,26 +252,42 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     val o = other.asInstanceOf[GraftScanBuilder]
     val leftOuter = joinType == JoinType.LEFT_OUTER_JOIN
     if (joinType != JoinType.INNER_JOIN && !leftOuter) return false
-    // the condition must be exactly `leftRowKey = rightRowKey`, expressed
-    // over the ALIASED output names Spark hands us
-    val refs = cond.children() match {
-      case Array(a: NamedReference, b: NamedReference)
-        if cond.name() == "=" &&
-          a.fieldNames.length == 1 && b.fieldNames.length == 1 =>
-        Some((a.fieldNames.head, b.fieldNames.head))
+    // the condition must equate the two row keys part-for-part: a
+    // conjunction of `=` predicates over the ALIASED output names, covering
+    // EVERY key part of both sides position-wise (part i = part i)
+    def eqPairs(pr: org.apache.spark.sql.connector.expressions.filter.Predicate):
+        Option[Seq[(String, String)]] = pr match {
+      case and: org.apache.spark.sql.connector.expressions.filter.And =>
+        for { a <- eqPairs(and.left()); b <- eqPairs(and.right()) } yield a ++ b
+      case p if p.name() == "=" => p.children() match {
+        case Array(a: NamedReference, b: NamedReference)
+          if a.fieldNames.length == 1 && b.fieldNames.length == 1 =>
+          Some(Seq((a.fieldNames.head, b.fieldNames.head)))
+        case _ => None
+      }
       case _ => None
     }
-    if (refs.isEmpty) return false
-    val (aName, bName) = refs.get
+    val refPairs = eqPairs(cond).getOrElse(return false)
     def pairs(cols: Array[ColumnWithAlias]): Seq[(String, String)] =
       cols.toSeq.map(c => (Option(c.alias).getOrElse(c.colName), c.colName))
     val lm = pairs(leftCols); val rm = pairs(rightCols)
     val lByOut = lm.toMap; val rByOut = rm.toMap
-    val lKey = catalog.rowKeyFields.head.name
-    val rKey = o.sideCatalog.rowKeyFields.head.name
-    val keysOk =
-      (lByOut.get(aName).contains(lKey) && rByOut.get(bName).contains(rKey)) ||
-        (lByOut.get(bName).contains(lKey) && rByOut.get(aName).contains(rKey))
+    val lKeys = catalog.rowKeyFields.map(_.name)
+    val rKeys = o.sideCatalog.rowKeyFields.map(_.name)
+    // resolve each equality to (left catalog col, right catalog col)
+    val resolved = refPairs.map { case (x, y) =>
+      (lByOut.get(x), rByOut.get(y), lByOut.get(y), rByOut.get(x)) match {
+        case (Some(l), Some(r), _, _) => (l, r)
+        case (_, _, Some(l), Some(r)) => (l, r)
+        case _ => return false
+      }
+    }
+    // every pair must be key = key at the SAME position, every part covered
+    val byLeft = resolved.toMap
+    val keysOk = resolved.size == resolved.distinct.size &&
+      resolved.forall { case (l, r) =>
+        val i = lKeys.indexOf(l); i >= 0 && rKeys.lift(i).contains(r)
+      } && lKeys.forall(byLeft.contains)
     if (!keysOk) return false
     def sideFields(cat: GraftCatalog, m: Seq[(String, String)],
         forceNullable: Boolean): Seq[org.apache.spark.sql.types.StructField] =
@@ -282,7 +302,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     pushedJoinSpec = Some(PushedKvJoin(
       JoinSide(catalog, opts, lm, pushed.toSeq),
       JoinSide(o.sideCatalog, o.sideOpts, rm, o.pushedFilters().toSeq),
-      lKey, rKey, leftOuter))
+      lKeys, rKeys, leftOuter))
     true
   }
 

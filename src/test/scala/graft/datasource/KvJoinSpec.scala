@@ -169,6 +169,50 @@ class KvJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     differential(readA.join(readB, Seq("k"), "full"), expectPushed = false)
   }
 
+  private val catCompA =
+    """{"table":{"namespace":"default", "name":"jca"},
+      |"rowkey":"k1:k2",
+      |"columns":{
+      |"g":{"cf":"rowkey", "col":"k1", "type":"string", "length":"1"},
+      |"n":{"cf":"rowkey", "col":"k2", "type":"bigint"},
+      |"av":{"cf":"f", "col":"av", "type":"string"}}}""".stripMargin
+  private val catCompB =
+    """{"table":{"namespace":"default", "name":"jcb"},
+      |"rowkey":"k1:k2",
+      |"columns":{
+      |"h":{"cf":"rowkey", "col":"k1", "type":"string", "length":"1"},
+      |"m":{"cf":"rowkey", "col":"k2", "type":"bigint"},
+      |"bv":{"cf":"f", "col":"bv", "type":"double"}}}""".stripMargin
+
+  test("composite-key joins push on all-parts equality, decline on a prefix") {
+    val rows = for (g <- Seq("a", "b", "c"); i <- 1L to 40L) yield (g, i)
+    rows.map { case (g, i) => (g, i, s"$g$i") }.toDF("g", "n", "av")
+      .write.format("graft-kv").options(Map("catalog" -> catCompA, "newtable" -> "4"))
+      .mode("append").save()
+    rows.filter(_._2 % 2 == 0).map { case (g, i) => (g, i, i * 1.5) }
+      .toDF("h", "m", "bv")
+      .write.format("graft-kv").options(Map("catalog" -> catCompB, "newtable" -> "4"))
+      .mode("append").save()
+    def a = spark.read.format("graft-kv").option("catalog", catCompA).load()
+    def b = spark.read.format("graft-kv").option("catalog", catCompB).load()
+    // all parts equated (order scrambled on purpose) → pushes
+    differential(
+      a.join(b, $"n" === $"m" && $"g" === $"h").select($"g", $"n", $"av", $"bv"),
+      expectPushed = true)
+    differential(
+      a.join(b, $"g" === $"h" && $"n" === $"m", "left"),
+      expectPushed = true)
+    // only the first key part equated → a prefix can match MANY right rows,
+    // the single-probe shape is wrong: must decline
+    differential(
+      a.join(b, $"g" === $"h").select($"g", $"n", $"m", $"av", $"bv"),
+      expectPushed = false)
+    // only the second part → decline
+    differential(
+      a.join(b, $"n" === $"m").select($"g", $"h", $"n", $"av", $"bv"),
+      expectPushed = false)
+  }
+
   test("a second join above a pushed join falls back (one level only)") {
     val j = readA.join(readB, Seq("k"))
     // joining the pushed pair with a parquet frame: the kv pair may push,
