@@ -762,7 +762,15 @@ object StreamBatch {
           .select(least(col("id"), col("old_id")).as("ida"),
             greatest(col("id"), col("old_id")).as("idb"))
         val cand = nn.union(no).distinct()
+        // rerank shingles ONLY for candidate docs — a semi-join restriction
+        // before the sketch, not after: at scale the corpus+mirror union is
+        // everything ever ingested, and sketching it per batch would be a
+        // full re-read; the candidate sliver is what the LSH stage exists
+        // to produce
+        val candIds = cand.select(col("ida").as("doc_id"))
+          .union(cand.select(col("idb").as("doc_id"))).distinct()
         val sh = docs.unionByName(fwd)
+          .join(candIds, Seq("doc_id"), "leftsemi")
           .select(col("doc_id").as("id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) > 0)
           .select(col("id"), graft.functions.HashExprs.sortedShingles(col("toks")).as("sh"))
