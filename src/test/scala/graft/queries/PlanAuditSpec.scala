@@ -254,6 +254,60 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected map-side partial aggregation of pair counts:\n${plan.take(3000)}")
   }
 
+  test("px34: the Bloom prefilter broadcasts; the corpus never sort-merge-joins") {
+    val plan = executedPlan(Pipeline.px34BloomDecontam(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny eval gram side must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle keyed on n-grams:\n${plan.take(3000)}")
+  }
+
+  test("px35: heavy hitters shuffle only the sketch-filtered sliver") {
+    val plan = executedPlan(Pipeline.px35HeavyHitters(spark, dir))
+    // map-side partial count before the one gram shuffle
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"expected map-side partial counts:\n${plan.take(3000)}")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"exact pass must shuffle once (post-CMS-filter grams), found $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("kv27: the pushed kv join plans no exchange below the aggregate") {
+    val df = Connector.kv27JoinPushdown(spark, dir) // eager; plan require'd inside
+    assert(df.collect().nonEmpty)
+    // and the differential/fallback coverage lives in KvJoinSpec; here we
+    // re-assert the pushed scan exists under this session's configs
+    val confKey = "spark.sql.optimizer.datasourceV2JoinPushdown"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    try {
+      Connector.ensureCustomer(spark, dir)
+      val cust = spark.read.format("graft-kv").option("catalog",
+        """{"table":{"namespace":"default", "name":"kv_join_cust"},
+          |"rowkey":"key",
+          |"columns":{
+          |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+          |"c_acctbal":{"cf":"f", "col":"bal", "type":"double"}}}""".stripMargin).load()
+      val stat = spark.read.format("graft-kv").option("catalog",
+        """{"table":{"namespace":"default", "name":"kv_join_stat"},
+          |"rowkey":"key",
+          |"columns":{
+          |"custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+          |"n_orders":{"cf":"f", "col":"n", "type":"bigint"}}}""".stripMargin).load()
+      val j = cust.join(stat,
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("custkey"))
+      val plan = executedPlan(j)
+      assert(plan.contains("GraftKvJoinScan"), plan.take(3000))
+      assert(!plan.contains("Exchange") && !plan.contains("BroadcastHashJoin") &&
+        !plan.contains("SortMergeJoin"),
+        s"the pushed join must plan no join operator and no exchange:\n${plan.take(3000)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("px21: the composed manifest stays equi-join only (no cross product)") {
     val plan = executedPlan(Pipeline.px21CorpusManifest(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
