@@ -321,6 +321,93 @@ object TextOps {
           .as("est_kmv"))
   }
 
+  /** Cross-source vocabulary overlap via KMV sketch ALGEBRA — the property
+    * that makes sketches the right tool at 100 TB: k-minimum-values
+    * sketches are MERGEABLE, so pairwise union/intersection cardinalities
+    * of every source pair come from the tiny per-source sketches alone —
+    * the full vocabularies never meet. Union estimate = the KMV estimator
+    * over the merged (k smallest of A's ∪ B's sketch rows) sketch;
+    * intersection by inclusion–exclusion over the three estimates, clamped
+    * at 0. When the merged sketch holds fewer than k rows, both sides'
+    * sketches were exhaustive and the union "estimate" is exact.
+    *
+    * Like [[kmvDistinct]], every estimate is 128-bit INTEGER arithmetic
+    * over the md5-derived hash, so even the approximations hash-match the
+    * SQL oracle; the EXACT pairwise counts ride along (computed from the
+    * distinct (source, term) pairs — affordable at vocabulary scale, and
+    * they make the estimator's error visible in the result). The source ×
+    * source pair frame is a deliberate tiny crossJoin (#sources² rows).
+    *
+    * Output per pair (sa < sb): exact distinct counts, exact
+    * intersection/union, and the sketch-derived union/intersection
+    * estimates. */
+  def vocabOverlap(docs: org.apache.spark.sql.DataFrame, stratumCol: String,
+      textCol: String, k: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"vocabOverlap: k must be >= 2, got $k")
+    val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+    def unsignedH = col("h").bitwiseXOR(lit(Long.MinValue))
+    def estCol(mCol: Column): Column = when(mCol < k, mCol.cast("decimal(38,0)"))
+      .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * $two64 div u"))
+    def withU(df: org.apache.spark.sql.DataFrame) = df.withColumn("u",
+      when(col("h") < 0, col("h").cast("decimal(38,0)") + expr(two64))
+        .otherwise(col("h").cast("decimal(38,0)")))
+    val terms = docs
+      .select(col(stratumCol).as("source"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .withColumn("h", graft.functions.HashExprs.md5NumberLower(col("term")))
+    val w = Window.partitionBy(col("source")).orderBy(unsignedH, col("term"))
+    val ranked = terms
+      .withColumn("rk", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val sketch = ranked.filter(col("rk") <= k)
+      .select(col("source"), col("term"), col("h"), col("nd"))
+    // per-source exact count + KMV estimate (the k-th ranked row carries it)
+    val perSource = withU(ranked.filter(col("rk") === least(lit(k), col("nd"))))
+      .select(col("source"), col("nd"), estCol(col("nd")).as("est"))
+    val pairs = perSource
+      .select(col("source").as("sa"), col("nd").as("nd_a"), col("est").as("est_a"))
+      .crossJoin(perSource
+        .select(col("source").as("sb"), col("nd").as("nd_b"), col("est").as("est_b")))
+      .filter(col("sa") < col("sb")) // tiny: #sources² rows
+    // merged pair sketch: distinct sketch rows of either side
+    val merged = pairs.select(col("sa"), col("sb"))
+      .join(sketch.withColumnRenamed("source", "sa"), Seq("sa"))
+      .select(col("sa"), col("sb"), col("term"), col("h"))
+      .unionByName(pairs.select(col("sa"), col("sb"))
+        .join(sketch.withColumnRenamed("source", "sb"), Seq("sb"))
+        .select(col("sa"), col("sb"), col("term"), col("h")))
+      .distinct()
+    val wp = Window.partitionBy(col("sa"), col("sb")).orderBy(unsignedH, col("term"))
+    val kthUnion = withU(merged
+      .withColumn("rk", row_number().over(wp))
+      .withColumn("m", count(lit(1)).over(
+        wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rk") === least(lit(k), col("m"))))
+      .select(col("sa"), col("sb"), estCol(col("m")).as("est_union"))
+    // exact pairwise intersection from the distinct (source, term) pairs
+    val inter = terms.select(col("source").as("sa"), col("term"))
+      .join(terms.select(col("source").as("sb"), col("term")), Seq("term"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter_exact"))
+    pairs
+      .join(kthUnion, Seq("sa", "sb"))
+      .join(inter, Seq("sa", "sb"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .select(col("sa"), col("sb"),
+        col("nd_a").cast("long").as("nd_a"), col("nd_b").cast("long").as("nd_b"),
+        col("inter_exact"),
+        (col("nd_a") + col("nd_b") - col("inter_exact")).cast("long").as("union_exact"),
+        col("est_union").cast("long").as("est_union"),
+        greatest(lit(0).cast("decimal(38,0)"),
+          col("est_a") + col("est_b") - col("est_union"))
+          .cast("long").as("est_inter"))
+  }
+
   /** Bigram language-model counts — the n-gram-LM training pass (KenLM-style
     * count collection) a corpus pipeline runs to score fluency or build a
     * cheap contamination/quality prior. For every adjacent token pair the

@@ -1079,6 +1079,61 @@ object Pipeline {
       |GROUP BY ngram HAVING count(*) >= 4
       |ORDER BY ngram""".stripMargin
 
+  /** px36: cross-source vocabulary overlap via KMV sketch ALGEBRA
+    * ([[TextOps.vocabOverlap]]) — mergeable k-minimum-values sketches give
+    * every source pair's union/intersection cardinality from the tiny
+    * per-source sketches alone (the vocabularies never meet); estimates in
+    * 128-bit integer arithmetic so even the approximation hash-matches;
+    * exact counts ride along. */
+  def px36VocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    TextOps.vocabOverlap(Tables.documents(s, dir), "source", "text", k = 64)
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  val px36Sql: String =
+    """WITH t AS (SELECT DISTINCT source, term FROM (
+      |        SELECT source,
+      |          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+      |        FROM documents) WHERE length(term) > 0),
+      |h AS (SELECT source, term, md5_number_lower(term) AS h FROM t),
+      |rkd AS (SELECT source, term, h,
+      |          row_number() OVER (PARTITION BY source ORDER BY h, term) AS rk,
+      |          count(*) OVER (PARTITION BY source) AS nd
+      |        FROM h),
+      |sk AS (SELECT source, term, h FROM rkd WHERE rk <= 64),
+      |per AS (SELECT source, nd,
+      |          CASE WHEN nd < 64 THEN CAST(nd AS HUGEINT)
+      |               ELSE (63 * CAST('18446744073709551616' AS HUGEINT)) // CAST(h AS HUGEINT)
+      |          END AS est
+      |        FROM rkd WHERE rk = least(64, nd)),
+      |pairs AS (SELECT a.source AS sa, a.nd AS nd_a, a.est AS est_a,
+      |                 b.source AS sb, b.nd AS nd_b, b.est AS est_b
+      |          FROM per a JOIN per b ON a.source < b.source),
+      |m AS (SELECT p.sa, p.sb, s.term, s.h FROM pairs p JOIN sk s ON s.source = p.sa
+      |      UNION
+      |      SELECT p.sa, p.sb, s.term, s.h FROM pairs p JOIN sk s ON s.source = p.sb),
+      |mu AS (SELECT sa, sb, term, h,
+      |         row_number() OVER (PARTITION BY sa, sb ORDER BY h, term) AS rk,
+      |         count(*) OVER (PARTITION BY sa, sb) AS m
+      |       FROM m),
+      |ku AS (SELECT sa, sb,
+      |         CASE WHEN m < 64 THEN CAST(m AS HUGEINT)
+      |              ELSE (63 * CAST('18446744073709551616' AS HUGEINT)) // CAST(h AS HUGEINT)
+      |         END AS est_union
+      |       FROM mu WHERE rk = least(64, m)),
+      |inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+      |          FROM t a JOIN t b ON a.term = b.term AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT p.sa, p.sb, CAST(p.nd_a AS BIGINT) AS nd_a, CAST(p.nd_b AS BIGINT) AS nd_b,
+      |  CAST(coalesce(i.ni, 0) AS BIGINT) AS inter_exact,
+      |  CAST(p.nd_a + p.nd_b - coalesce(i.ni, 0) AS BIGINT) AS union_exact,
+      |  CAST(k.est_union AS BIGINT) AS est_union,
+      |  CAST(greatest(CAST(0 AS HUGEINT), p.est_a + p.est_b - k.est_union) AS BIGINT) AS est_inter
+      |FROM pairs p
+      |JOIN ku k ON k.sa = p.sa AND k.sb = p.sb
+      |LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+      |ORDER BY p.sa, p.sb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1115,6 +1170,7 @@ object Pipeline {
     "px33_hybrid_retrieval" -> (px33HybridRetrieval _),
     "px34_bloom_decontam"  -> (px34BloomDecontam _),
     "px35_heavy_hitters"   -> (px35HeavyHitters _),
+    "px36_vocab_overlap"   -> (px36VocabOverlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1152,6 +1208,7 @@ object Pipeline {
     "px33_hybrid_retrieval" -> px33Sql,
     "px34_bloom_decontam"  -> px34Sql,
     "px35_heavy_hitters"   -> px35Sql,
+    "px36_vocab_overlap"   -> px36Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -111,4 +111,35 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = corpus(4L, 20)
     assert(Sketches.heavyHitters(d, "text", n = 3, minCount = 1000000L).count() == 0)
   }
+
+  test("vocabOverlap: exact columns are exact; KMV estimates track them") {
+    // three sources with engineered vocabularies: A = w0..w199,
+    // B = w100..w299 (|A∩B| = 100), C = w500..w519 (disjoint, < k terms)
+    val rows =
+      (0 until 200).map(i => ("A", s"w$i")) ++
+        (100 until 300).map(i => ("B", s"w$i")) ++
+        (500 until 520).map(i => ("C", s"w$i"))
+    val docs = rows.groupBy(identity).keys.toSeq
+      .map { case (s, w) => (s, w) }
+      .groupBy(_._1).toSeq
+      .map { case (s, ws) => (s, ws.map(_._2).mkString(" ")) }
+      .toDF("source", "text")
+    val out = TextOps.vocabOverlap(docs, "source", "text", k = 64)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    val (ndA, ndB, interAB, unionAB, estU, estI) = out(("A", "B"))
+    assert((ndA, ndB, interAB, unionAB) == (200L, 200L, 100L, 300L))
+    // KMV with k=64: standard error ~ 1/sqrt(k-2) ≈ 13%; 3σ tolerance
+    assert(math.abs(estU - unionAB) <= unionAB * 2 / 5, s"est_union=$estU vs $unionAB")
+    assert(math.abs(estI - interAB) <= unionAB * 2 / 5, s"est_inter=$estI vs $interAB")
+    val (_, ndC, interAC, unionAC, estUac, _) = out(("A", "C"))
+    assert(ndC == 20L && interAC == 0L && unionAC == 220L)
+    assert(estUac >= 200L, s"union estimate must dominate the exhaustive side, got $estUac")
+    // C's sketch is exhaustive (20 < k): B-C union estimate inherits B's
+    // estimator error only
+    val (_, _, interBC, unionBC, _, estIbc) = out(("B", "C"))
+    assert(interBC == 0L && unionBC == 220L)
+    assert(estIbc <= unionBC / 2, s"disjoint sources: est_inter should be small, got $estIbc")
+  }
 }
