@@ -84,8 +84,7 @@ final case class GraftCatalog(
   /** The salt byte of a fully-encoded LOGICAL key (salt excluded):
     * deterministic hash, stable across the library's writers and readers. */
   def saltOf(logicalKey: Array[Byte]): Byte =
-    math.floorMod(scala.util.hashing.MurmurHash3.bytesHash(logicalKey, 0x9747b28c),
-      saltBuckets).toByte
+    GraftCatalog.saltOf(logicalKey, saltBuckets).toByte
 
   def qualifiedName: String = s"$namespace:$table"
 
@@ -145,6 +144,15 @@ final case class GraftCatalog(
 object GraftCatalog {
 
   val RowKeyFamily = "rowkey"
+
+  /** Salt-bucket assignment shared by the writer ([[GraftCatalog.saltOf]])
+    * and the catalog-served V2 salt function
+    * ([[graft.datasource.SaltBound]]) — one definition, so the co-location
+    * promise the scan reports for storage-partitioned joins is the writer's
+    * actual placement by construction. */
+  def saltOf(logicalKey: Array[Byte], buckets: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.bytesHash(logicalKey, 0x9747b28c),
+      buckets)
 
   // option keys (reference HBaseTableCatalog.scala:230-255, HBaseRelation.scala:346-363)
   val CatalogOption = "catalog"

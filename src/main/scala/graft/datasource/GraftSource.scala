@@ -500,9 +500,76 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     limit: Option[Int] = None,
     aggGroupCols: Seq[String] = Nil,
     reverse: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   override def readSchema(): StructType = aggSchema.getOrElse(requiredSchema)
+
+  /** Per-partition output ordering: readers drain the store's skip lists in
+    * encoded-key byte order, over planner ranges that are normalized
+    * ascending, so every partition's rows ascend by encoded key. That IS
+    * value order for exactly the leading key fields whose coder guarantees
+    * strict byte-order identity ([[graft.types.FieldCoder
+    * .byteOrderIsValueOrder]] — all Phoenix types; Primitive
+    * string/binary/boolean; never sign-split numerics, whose negatives
+    * physically sort above positives). Reporting it lets Spark drop the
+    * Sort under merge joins and sort-based aggregates — on a salted pair
+    * this plus the key-grouped partitioning report makes a kv × kv join
+    * literally exchange-free AND sort-free
+    * (`spark.sql.sources.v2.bucketing.sorting.enabled`). Salt does not
+    * break it: a partition is one bucket, whose constant salt prefix
+    * leaves the logical-key order untouched. Gated to plain row scans —
+    * aggregated / limited / reversed / index-driven partitions do not
+    * drain one skip-list range sequence. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val plain = aggOps.isEmpty && limit.isEmpty && !reverse &&
+      !opts.tombstones && indexOnlyTarget.isEmpty && staticIndexConsult.isEmpty
+    if (!plain) return Array.empty
+    val visible = readSchema().fieldNames.toSet
+    catalog.rowKeyFields
+      .takeWhile(f => f.avroSchemaJson.isEmpty &&
+        f.coder.byteOrderIsValueOrder(f.dataType) && visible.contains(f.name))
+      .map(f => Expressions.sort(Expressions.column(f.name), SortDirection.ASCENDING))
+      .toArray
+  }
+
+  /** Storage-partitioned-join identity: a SALTED table's regions ARE its
+    * salt buckets (presplit one region per salt byte), so a plain row scan
+    * is key-grouped by `bucket(numBuckets, key)` — the catalog-served
+    * function ([[SaltFunctions]]) that computes exactly the writer's bucket
+    * placement. Two salted tables with the same bucket count joined on
+    * their row key then need NO shuffle on either side (Spark's
+    * storage-partitioned join, the DSv2 analogue of co-located bucketed
+    * Hive tables) — at 100 TB that deletes the dominant cost of a kv × kv
+    * join. Reported only for single-column Primitive-coded keys (catalyst
+    * accepts only single-reference transforms in a key-grouped
+    * partitioning, and the salt hash is coder-dependent — see
+    * [[SaltFunctions]]) and only when the key survives column pruning:
+    * Spark resolves the transform's reference against the scan output and
+    * would fail analysis on a projected-away key (which could not be a
+    * join key anyway). Aggregated / limited / reversed / index-only scans
+    * report unknown — their partitions are not plain bucket row-sets. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val saltFn = catalog.rowKeyFields match {
+      case Seq(f) if f.avroSchemaJson.isEmpty => SaltFunctions.nameFor(f.coderName)
+      case _ => None
+    }
+    val visible = readSchema().fieldNames.toSet
+    saltFn match {
+      case Some(_) if catalog.saltBuckets > 0 && aggOps.isEmpty &&
+          limit.isEmpty && !reverse && indexOnlyTarget.isEmpty &&
+          catalog.rowKeyFields.forall(f => visible.contains(f.name)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(catalog.saltBuckets,
+            catalog.rowKeyFields.head.name)),
+          planInputPartitions().length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
 
   /** Runtime (DPP-style) filters on the row key: when this scan probes a
     * broadcast join, Spark hands over the build side's key set at runtime
@@ -700,10 +767,23 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
       val clipped = ScanRange.and(effRanges, Seq(regionRange))
       if (clipped.isEmpty) None
-      else Some(GraftInputPartition(catalog, resolvedOpts, r.index, r.host,
-        clipped.map(SerializableRange.from), hrf.pred,
-        partSchema, aggOps, if (aggOps.isEmpty) limit else None,
-        aggGroupCols, reverse): InputPartition)
+      else {
+        // ranges ascend by start within the partition — the reader drains
+        // them sequentially, so this is what makes the reported
+        // per-partition key ordering (outputOrdering) true by construction
+        val ordered = clipped.sortWith { (a, b) =>
+          (a.start.value, b.start.value) match {
+            case (None, None) => false
+            case (None, _) => true
+            case (_, None) => false
+            case (Some(x), Some(y)) => ord.lt(x, y)
+          }
+        }
+        Some(GraftInputPartition(catalog, resolvedOpts, r.index, r.host,
+          ordered.map(SerializableRange.from), hrf.pred,
+          partSchema, aggOps, if (aggOps.isEmpty) limit else None,
+          aggGroupCols, reverse): InputPartition)
+      }
     }.toArray
     plannedRegions = partitions.length.toLong
     totalRegions = table.regionInfos.size.toLong

@@ -34,9 +34,23 @@ import graft.store.KvStore
   * fixed-width composite string key parts — then creates the presplit store
   * table. Table definitions live in a JVM-wide registry (the stand-in for a
   * metastore), like the store itself. */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = "graft"
+
+  // ---- FunctionCatalog: serves the salt-bucket transform functions the
+  // scan's KeyGroupedPartitioning references, enabling storage-partitioned
+  // joins between salted tables (see SaltFunctions)
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      SaltFunctions.names.map(Identifier.of(namespace, _)).toArray
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    SaltFunctions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name

@@ -991,6 +991,93 @@ object Connector {
       |WHERE c_acctbal > 0
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** kv28: STORAGE-PARTITIONED JOIN between two salted kv tables — the
+    * scans report `KeyGroupedPartitioning(bucket(8, key))` backed by the
+    * catalog-served salt function ([[graft.datasource.SaltFunctions]]), so
+    * the row-key equi-join runs bucket-to-bucket with NO shuffle on either
+    * side (pinned by the `require`: no Exchange below the SortMergeJoin).
+    * This is the complement of kv27's store-side lookup join: kv27 wins
+    * when one side is a selective probe; SPJ wins when BOTH sides are
+    * large — at 100 TB it is the difference between shuffling two tables
+    * and shuffling nothing. Orders (keyed o_orderkey, salt 8) join
+    * per-order lineitem stats (keyed l_orderkey, salt 8). */
+  def kv28SpjJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.datasource.GraftTableCatalog].getName)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.default.spj_orders
+        |  (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'o_orderkey', 'saltBuckets' = '8')""".stripMargin)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.default.spj_linestats
+        |  (l_orderkey BIGINT, n_lines BIGINT, qty_micro BIGINT)
+        |TBLPROPERTIES ('rowkey' = 'l_orderkey', 'saltBuckets' = '8')""".stripMargin)
+    if (graft.store.KvStore.table("default:spj_orders").regions
+        .forall(_.rows.isEmpty)) {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("kv28_orders_src")
+      s.sql("INSERT INTO graft.default.spj_orders SELECT * FROM kv28_orders_src")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").cast("long").as("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          Relational.microUnits(sum(col("l_quantity").cast("decimal(18,6)")))
+            .as("qty_micro"))
+        .createOrReplaceTempView("kv28_lines_src")
+      s.sql("INSERT INTO graft.default.spj_linestats SELECT * FROM kv28_lines_src")
+    }
+    val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+    val broadcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBucketing = s.conf.getOption(bucketingKey)
+    val prevBroadcast = s.conf.getOption(broadcastKey)
+    s.conf.set(bucketingKey, "true")
+    // both sides are "large" by scenario: disable broadcast so the plan is
+    // the one a 100 TB run would get (SPJ sort-merge, not a broadcast)
+    s.conf.set(broadcastKey, "-1")
+    try {
+      val joined = s.sql(
+        """SELECT o.o_orderpriority, count(*) AS n_orders,
+          |  CAST(sum(l.n_lines) AS BIGINT) AS sum_lines,
+          |  CAST(sum(l.qty_micro) AS BIGINT) AS qty_total
+          |FROM graft.default.spj_orders o
+          |JOIN graft.default.spj_linestats l ON o.o_orderkey = l.l_orderkey
+          |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)
+      val rows = joined.collect()
+      // pin the SPJ shape: the SortMergeJoin subtree (everything printed
+      // below the join line) holds the scans and their sorts — any
+      // Exchange there means a side was shuffled and SPJ did not engage.
+      // Unwrap the AQE root first: its toString appends the INITIAL plan
+      // (which legitimately shows the pre-SPJ exchanges) after the final one.
+      val settled = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val planLines = settled.toString.linesIterator.toSeq
+      val joinAt = planLines.indexWhere(_.contains("SortMergeJoin"))
+      require(joinAt >= 0, "kv28 must plan a sort-merge join")
+      require(!planLines.drop(joinAt + 1).exists(_.contains("Exchange")),
+        "kv28 must run storage-partitioned: no shuffle below the join\n" +
+          planLines.mkString("\n"))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+    } finally {
+      prevBucketing.fold(s.conf.unset(bucketingKey))(v => s.conf.set(bucketingKey, v))
+      prevBroadcast.fold(s.conf.unset(broadcastKey))(v => s.conf.set(broadcastKey, v))
+    }
+  }
+
+  val kv28Sql: String =
+    """WITH stats AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      |    count(*) AS n_lines,
+      |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS qty_micro
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+      |  CAST(sum(qty_micro) AS BIGINT) AS qty_total
+      |FROM orders o JOIN stats l ON CAST(o.o_orderkey AS BIGINT) = l.l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_scan_project"    -> (kv1ScanProject _),
     "kv2_range_pushdown"  -> (kv2RangePushdown _),
@@ -1019,6 +1106,7 @@ object Connector {
     "kv25_covered_index"  -> (kv25CoveredIndex _),
     "kv26_zorder"         -> (kv26Zorder _),
     "kv27_join_pushdown"  -> (kv27JoinPushdown _),
+    "kv28_spj_join"       -> (kv28SpjJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1049,5 +1137,6 @@ object Connector {
     "kv25_covered_index"  -> kv22Sql, // same result set; the execution path differs
     "kv26_zorder"         -> kv26Sql,
     "kv27_join_pushdown"  -> kv27Sql,
+    "kv28_spj_join"       -> kv28Sql,
   )
 }

@@ -20,6 +20,15 @@ trait FieldCoder extends Serializable {
     * fields (range pruning relies on it). */
   def preservesOrdering(dt: DataType): Boolean
 
+  /** STRICT byte-order identity: rows laid out in encoded-key byte order
+    * really are sorted by VALUE, with no planning-time compensation.
+    * [[preservesOrdering]] is the weaker contract ("range pruning can be
+    * made correct", e.g. via sign-split ranges for two's-complement ints);
+    * this one backs the scan's `SupportsReportOrdering` claim, where no
+    * compensation is possible — a false `true` here silently corrupts
+    * sort-based plans. Default false: user coders must opt in. */
+  def byteOrderIsValueOrder(dt: DataType): Boolean = false
+
   /** True iff the coder can participate in concatenated composite keys. */
   def supportsComposite: Boolean
 

@@ -22,6 +22,11 @@ object PhoenixCoder extends FieldCoder {
 
   override def preservesOrdering(dt: DataType): Boolean = true
 
+  /** The whole point of the Phoenix format: sign-flipped ints and
+    * totally-ordered float bits make byte order the VALUE order for every
+    * supported type — no planning-time compensation anywhere. */
+  override def byteOrderIsValueOrder(dt: DataType): Boolean = true
+
   override def supportsComposite: Boolean = true
 
   override def byteWidth(dt: DataType): Int = dt match {

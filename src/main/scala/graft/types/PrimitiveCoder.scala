@@ -27,6 +27,13 @@ object PrimitiveCoder extends FieldCoder {
     case _ => false
   }
 
+  /** Strict byte-order identity holds only where no sign-split compensation
+    * exists: raw UTF-8 / raw bytes / the 0x00-false 0xFF-true boolean. */
+  override def byteOrderIsValueOrder(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType | BooleanType => true
+    case _ => false
+  }
+
   override def supportsComposite: Boolean = true
 
   override def byteWidth(dt: DataType): Int = dt match {
