@@ -269,4 +269,38 @@ object Similarity {
       }
     }
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): assign every vector
+    * to its nearest coarse-quantizer centroid, then drop any vector whose
+    * cosine to a LOWER-id member of the SAME cluster exceeds `threshold` —
+    * keep-lowest-id, the deterministic tie-break every dedup op here uses.
+    * Returns the KEPT (id, cell) rows.
+    *
+    * The clustering is the scale story: pairwise cosine runs only INSIDE a
+    * cluster, so the quadratic term is n·(n/nlist) instead of n² — at 100 TB
+    * nlist scales with the corpus (∝√n keeps per-cluster work flat) while
+    * the assignment stays one map-side pass over a broadcast centroid
+    * matrix. Callers share ONE trained matrix between this and the IVF ANN
+    * index ([[ivfTopKWithCentroids]]) — same quantizer, two uses.
+    *
+    * Unlike the banded-LSH near-dup ([[embeddingNearDupPairs]], a recall
+    * machine over ONE threshold), this is the corpus-shrinking variant:
+    * cluster-local comparison intentionally ignores cross-cluster near-dups
+    * (SemDeDup's published trade: centroid-adjacent duplicates dominate). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, 1), 1)
+        .as("cell"))
+    val dropped = assigned.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
+      .join(assigned.select(col("cell"), col("id").as("b_id"), col("v").as("bv")),
+        Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("av"), col("bv")) > threshold)
+      .select(col("b_id").as("id"))
+      .distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"))
+  }
 }

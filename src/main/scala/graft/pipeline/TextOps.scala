@@ -444,6 +444,95 @@ object TextOps {
         expr("CAST(c12 AS DECIMAL(38,0)) * 1000000 div c1").as("p_micro"))
   }
 
+  /** Gopher-style quality-rule bundle: the battery of cheap heuristic
+    * filters a training-data pipeline runs over every document BEFORE any
+    * expensive processing (Rae et al. 2021 "Scaling Language Models",
+    * Appendix A — the rule STRUCTURE; the thresholds here are tuned to the
+    * synthetic corpus). One codegen'd projection per document — tokenizes
+    * once via a lateral alias, every verdict in exact integer micro-units
+    * (no float thresholds, so the pass/fail booleans hash-match any SQL
+    * engine bit-for-bit). At 100 TB this is one parquet scan, no shuffle:
+    * the cheapest 30-50% corpus reduction available, which is why it runs
+    * first in every real pipeline. Rules:
+    *
+    *  - `ok_len`:   token count within [minTokens, maxTokens]
+    *  - `ok_mean`:  mean token length within [2, 10] (micro-units)
+    *  - `ok_stop`:  at least `minStopwords` (English) stopwords
+    *  - `ok_uniq`:  unique-token fraction ≥ 40% (kills word-salad spam)
+    *  - `ok_punct`: punctuation ≤ 10% of characters
+    *
+    * `pass` = all five. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minTokens: Int = 30, maxTokens: Int = 10000,
+      minStopwords: Int = 1): org.apache.spark.sql.DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    docs
+      .select(col(idCol), col(textCol).as("__text"), toks.as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)) * 1000000L)
+          .as("__len_sum_m"),
+        (size(array_distinct(col("__toks"))).cast("long") * 1000000L)
+          .as("__uniq_m"),
+        size(filter(col("__toks"), t => t.isin(EnStopwords: _*)))
+          .cast("long").as("n_stopwords"),
+        ((length(col("__text")) - length(regexp_replace(col("__text"), "[.,!?;:]", "")))
+          .cast("long") * 1000000L).as("__punct_m"),
+        length(col("__text")).cast("long").as("__chars"))
+      .select(col(idCol), col("n_tokens"), col("n_stopwords"),
+        expr("__len_sum_m div greatest(n_tokens, 1)").as("mean_len_micro"),
+        expr("__uniq_m div greatest(n_tokens, 1)").as("uniq_frac_micro"),
+        expr("__punct_m div greatest(__chars, 1)").as("punct_frac_micro"))
+      .select(col(idCol), col("n_tokens"), col("n_stopwords"),
+        col("mean_len_micro"), col("uniq_frac_micro"), col("punct_frac_micro"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("ok_len"),
+        (col("mean_len_micro") >= 2000000L && col("mean_len_micro") <= 10000000L)
+          .as("ok_mean"),
+        (col("n_stopwords") >= minStopwords).as("ok_stop"),
+        (col("uniq_frac_micro") >= 400000L).as("ok_uniq"),
+        (col("punct_frac_micro") <= 100000L).as("ok_punct"))
+      .withColumn("pass",
+        col("ok_len") && col("ok_mean") && col("ok_stop") &&
+          col("ok_uniq") && col("ok_punct"))
+  }
+
+  /** Per-document language-model quality score: the mean conditional bigram
+    * probability under the corpus's own bigram LM ([[bigramLm]]), in exact
+    * integer micro-units — the integer-arithmetic stand-in for the CCNet
+    * perplexity filter (docs scoring far below the corpus norm are noise;
+    * far above are boilerplate). Bigrams the LM dropped (below `minCount`)
+    * back off to probability 0, which is exactly the pessimism a filter
+    * wants for rare garbage.
+    *
+    * Shape: the LM is one (w1,w2)-keyed aggregate of the corpus; scoring
+    * re-explodes each document's bigrams and LEFT-joins the LM — one
+    * shuffle each side of the join, partial aggregation before both. The
+    * join key is the raw bigram pair; at 100 TB you would dictionary-encode
+    * the vocabulary first (the LM table IS that dictionary) so the join
+    * moves two ints per bigram, not strings — same plan shape, smaller
+    * bytes. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long = 3L): org.apache.spark.sql.DataFrame = {
+    val lm = bigramLm(docs, textCol, minCount)
+      .select(col("w1"), col("w2"), col("p_micro"))
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(lm, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("p_micro"), lit(0L).cast("decimal(38,0)")))
+          .as("__p_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("CAST(__p_sum div n_bigrams AS BIGINT)").as("score_micro"))
+  }
+
   /** BM25 keyword retrieval with EXACT integer scoring — the lexical-search
     * complement of the vector-ANN family: for the `nQueryTerms` highest-df
     * terms (a deterministic stand-in for a user query), the top `k`

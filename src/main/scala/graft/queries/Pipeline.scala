@@ -360,7 +360,8 @@ object Pipeline {
   /** Oracles that can only be rendered once a query has run (px13: trained
     * centroids become SQL literals). Merged into the static map by Verify. */
   def dynamicOracles(s: SparkSession, dir: String): Map[String, String] =
-    Map("px13_ann_ivf" -> px13Sql(s, dir))
+    Map("px13_ann_ivf" -> px13Sql(s, dir),
+      "px37_semantic_dedup" -> px37Sql(s, dir))
 
   /** px14: near-dup CLUSTER canonicalization — connected components over
     * the px7 pair graph, keeper = component min. The oracle recomputes the
@@ -1134,6 +1135,109 @@ object Pipeline {
       |LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
       |ORDER BY p.sa, p.sb""".stripMargin
 
+  /** px37: SemDeDup-style SEMANTIC dedup ([[Similarity.semanticDedup]]) —
+    * cluster by the SAME trained IVF coarse quantizer px13 uses (one
+    * training run, two consumers), then drop vectors cosine-closer than
+    * θ=0.3 to a lower-id cluster member. Oracle is DYNAMIC like px13's:
+    * the centroid matrix rides into the SQL as double literals and DuckDB
+    * replays assignment + within-cluster pairwise cosine exactly. */
+  def px37SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.semanticDedup(e, "vec_id", "embedding",
+      ivfCentroidsFor(s, dir), threshold = 0.3)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  def px37Sql(s: SparkSession, dir: String): String = {
+    val cents = ivfCentroidsFor(s, dir)
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n")
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |$values) AS t(cell, cv)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sims AS (SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.cv) AS sim
+       |         FROM e CROSS JOIN cents c),
+       |ranked AS (SELECT vec_id, cell,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+       |           FROM sims),
+       |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(ea.v, eb.v) > 0.3)
+       |SELECT vec_id, cell FROM assign
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** px38: Gopher-style quality-rule bundle ([[TextOps.gopherRules]]) —
+    * five integer-micro-unit heuristic verdicts + the combined pass flag,
+    * one codegen'd map-only projection per document. */
+  def px38GopherRules(s: SparkSession, dir: String): DataFrame = {
+    TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val px38Sql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(toks,
+      |      t -> t IN ('the','a','an','of','and','to','in','is','it','for')))
+      |      AS BIGINT) AS n_stopwords,
+      |    (CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+      |       AS BIGINT) * 1000000) // greatest(len(toks), 1) AS mean_len_micro,
+      |    (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000)
+      |      // greatest(len(toks), 1) AS uniq_frac_micro,
+      |    (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+      |       AS BIGINT) * 1000000) // greatest(length(text), 1) AS punct_frac_micro
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_stopwords, mean_len_micro, uniq_frac_micro,
+      |  punct_frac_micro,
+      |  n_tokens BETWEEN 30 AND 10000 AS ok_len,
+      |  mean_len_micro BETWEEN 2000000 AND 10000000 AS ok_mean,
+      |  n_stopwords >= 1 AS ok_stop,
+      |  uniq_frac_micro >= 400000 AS ok_uniq,
+      |  punct_frac_micro <= 100000 AS ok_punct,
+      |  (n_tokens BETWEEN 30 AND 10000) AND
+      |  (mean_len_micro BETWEEN 2000000 AND 10000000) AND
+      |  n_stopwords >= 1 AND uniq_frac_micro >= 400000 AND
+      |  punct_frac_micro <= 100000 AS pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** px39: LM quality score ([[TextOps.lmScore]]) — mean conditional bigram
+    * probability under the corpus's own bigram LM (px30's table), exact
+    * integer micro-units; the CCNet-perplexity-filter shape without a float
+    * anywhere. */
+  def px39LmScore(s: SparkSession, dir: String): DataFrame = {
+    TextOps.lmScore(Tables.documents(s, dir), "doc_id", "text", minCount = 3L)
+      .orderBy(col("doc_id"))
+  }
+
+  val px39Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+      |                             t -> length(t) > 0) AS l
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+      |  FROM toks WHERE len(l) >= 2),
+      |c AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      |t AS (SELECT w1, w2, c12,
+      |        CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c),
+      |lm AS (SELECT w1, w2, (c12 * 1000000) // c1 AS p_micro
+      |       FROM t WHERE c12 >= 3)
+      |SELECT p.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(coalesce(lm.p_micro, 0)) // count(*) AS BIGINT) AS score_micro
+      |FROM pairs p LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1171,6 +1275,9 @@ object Pipeline {
     "px34_bloom_decontam"  -> (px34BloomDecontam _),
     "px35_heavy_hitters"   -> (px35HeavyHitters _),
     "px36_vocab_overlap"   -> (px36VocabOverlap _),
+    "px37_semantic_dedup"  -> (px37SemanticDedup _),
+    "px38_gopher_rules"    -> (px38GopherRules _),
+    "px39_lm_score"        -> (px39LmScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1209,6 +1316,8 @@ object Pipeline {
     "px34_bloom_decontam"  -> px34Sql,
     "px35_heavy_hitters"   -> px35Sql,
     "px36_vocab_overlap"   -> px36Sql,
+    "px38_gopher_rules"    -> px38Sql,
+    "px39_lm_score"        -> px39Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

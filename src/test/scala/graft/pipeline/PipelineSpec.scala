@@ -690,4 +690,61 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got.toSeq == want)
   }
+
+  test("TextOps.gopherRules: per-rule verdicts on hand-built docs") {
+    val corpus = Seq(
+      // 35 tokens, stopwords, varied words → passes everything
+      (1L, (("the quick brown fox jumps over a lazy dog " * 3) +
+        "and then it ran far away home").trim),
+      (2L, "too short for the filter"),                       // fails ok_len
+      (3L, ("spam " * 40).trim + " the"),                     // fails ok_uniq
+      (4L, (("no stopwords here just words " +
+        "other tokens more words every time ") * 5).trim)     // fails ok_stop
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(corpus, "doc_id", "text", minTokens = 30)
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Boolean]("pass"))
+    assert(!r(1).getAs[Boolean]("ok_len") && !r(1).getAs[Boolean]("pass"))
+    assert(!r(2).getAs[Boolean]("ok_uniq") && !r(2).getAs[Boolean]("pass"))
+    assert(r(2).getAs[Boolean]("ok_len"), "41 tokens is within bounds")
+    assert(!r(3).getAs[Boolean]("ok_stop") && !r(3).getAs[Boolean]("pass"))
+    // micro-unit arithmetic is exact integer division
+    assert(r(1).getAs[Long]("n_tokens") == 5)
+    assert(r(1).getAs[Long]("uniq_frac_micro") == 1000000L)
+  }
+
+  test("TextOps.lmScore: hand-computed mean bigram probability, zero backoff") {
+    val corpus = Seq(
+      (1L, "a b a b a b"), // bigrams: ab×3, ba×2
+      (2L, "a b c")        // ab, bc
+    ).toDF("doc_id", "text")
+    // counts: (a,b)=4 c1(a)=6? no: w1=a rows: (a,b)=4 → c1(a)=4;
+    // (b,a)=2, (b,c)=1 → c1(b)=3. minCount=2 keeps (a,b) p=1e6*4//4=1000000
+    // and (b,a) p=2000000//3=666666; (b,c) dropped → backoff 0.
+    val r = TextOps.lmScore(corpus, "doc_id", "text", minCount = 2L)
+      .orderBy($"doc_id").collect()
+    // doc1: bigrams ab,ba,ab,ba,ab → 3×1000000 + 2×666666 = 4333332 // 5
+    assert(r(0).getAs[Long]("n_bigrams") == 5)
+    assert(r(0).getAs[Long]("score_micro") == 4333332L / 5)
+    // doc2: ab (1000000) + bc (dropped → 0) = 1000000 // 2
+    assert(r(1).getAs[Long]("n_bigrams") == 2)
+    assert(r(1).getAs[Long]("score_micro") == 500000L)
+  }
+
+  test("Similarity.semanticDedup: within-cluster lower-id drop, exact threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),            // cell 0, kept (lowest id)
+      (2L, Array(0.9f, 0.1f)),            // cell 0, cos(1,2) ≈ 0.994 > θ → dropped
+      (3L, Array(0.7f, -0.7f)),           // cell 0 or 1; far from 1 in angle
+      (4L, Array(0.0f, 1.0f)),            // cell 1, kept
+      (5L, Array(0.05f, 1.0f))            // cell 1, near 4 → dropped
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding", cents, 0.9)
+      .orderBy($"id").collect().map(_.getLong(0))
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L), "2 is cosine-0.994 to lower-id 1 in the same cell")
+    assert(!kept.contains(5L), "5 is near 4 in cell 1")
+    assert(kept.contains(3L), "3 is angularly far from its cluster's lower ids")
+  }
 }
