@@ -558,8 +558,16 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       case _ => None
     }
     val visible = readSchema().fieldNames.toSet
+    // a pushed GROUPED aggregate keeps the bucket identity iff the groups
+    // are whole row keys: every key lives in exactly one bucket, so each
+    // region's partials are ALREADY the final per-group values and the
+    // final aggregate can run in place — Spark drops the merge exchange.
+    // A key-PREFIX group (legal for the pushdown on range-split tables)
+    // spans buckets under salt, so it must NOT claim the partitioning.
+    val aggOk = aggOps.isEmpty ||
+      aggGroupCols == catalog.rowKeyFields.map(_.name)
     saltFn match {
-      case Some(_) if catalog.saltBuckets > 0 && aggOps.isEmpty &&
+      case Some(_) if catalog.saltBuckets > 0 && aggOk &&
           limit.isEmpty && !reverse && indexOnlyTarget.isEmpty &&
           catalog.rowKeyFields.forall(f => visible.contains(f.name)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(

@@ -142,6 +142,54 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "false")
   }
 
+  test("GROUP BY the row key of a salted table aggregates with no exchange") {
+    if (!KvStore.exists("default:spj_a")) createPair()
+    val agg = spark.sql(
+      """SELECT k, count(*) AS n, max(a) AS ma
+        |FROM graft.default.spj_a GROUP BY k""".stripMargin)
+    val plan = finalPlan(agg).toString
+    assert(!plan.contains("Exchange"),
+      s"bucket partitioning satisfies the group-by distribution:\n$plan")
+    assert(agg.collect().length == 500)
+  }
+
+  test("one-side-salted join: v2 bucketing shuffle aligns only the other side") {
+    // the kv side stays in place; the parquet-like side shuffles INTO the
+    // kv table's bucket partitioning by evaluating the catalog's bucket
+    // function — one exchange total, and it is bucket(8, k), not hash
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    try {
+      spark.range(0, 500, 3).selectExpr("id AS k", "id * 7 AS c")
+        .createOrReplaceTempView("spj_plain")
+      val joined = spark.sql(
+        """SELECT a.k, a.a, p.c FROM graft.default.spj_a a
+          |JOIN spj_plain p ON a.k = p.k""".stripMargin)
+      val rows = joined.collect()
+      assert(rows.length == 167)
+      assert(rows.forall(r => r.getLong(2) == r.getLong(0) * 7))
+      val plan = finalPlan(joined).toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+      assert(exchanges <= 1, s"at most the non-kv side may shuffle:\n$plan")
+      if (exchanges == 1)
+        assert(!plan.linesIterator.exists(l =>
+          l.contains("Exchange ") && l.contains("GraftScan")),
+          s"the kv side must not move:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
+  }
+
+  test("bucket-pruning filter on one side still joins exactly") {
+    // a point filter leaves one bucket alive on side B; partition-value
+    // push (v2.bucketing.pushPartValues) pads the other side or the plan
+    // falls back — either way rows must be exact
+    val joined = spark.sql(
+      """SELECT a.k, b.b FROM graft.default.spj_a a
+        |JOIN graft.default.spj_b b ON a.k = b.k
+        |WHERE b.k = 42""".stripMargin)
+    val rows = joined.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 42 && rows(0).getDouble(1) == 21.0)
+  }
+
   test("mismatched bucket counts fall back to a shuffled join, same rows") {
     spark.sql("DROP TABLE IF EXISTS graft.default.spj_c")
     spark.sql(
