@@ -34,6 +34,15 @@ final case class GraftOptions(
       * scan — at that selectivity a scan beats point-get fan-out. Default
       * [[SecondaryIndex.LookupCap]]. */
     indexLookupCap: Option[Int] = None,
+    /** Write-side delete mode (`delete` option): the writer issues a
+      * row-level delete tombstone per incoming row's KEY instead of a put —
+      * value columns are ignored, so a key-only frame suffices. This is the
+      * DISTRIBUTED retirement primitive: a CDC consumer that must drop a
+      * data-dependent key set (e.g. an inverted index's old postings)
+      * computes the keys as a DataFrame and writes them here, and each
+      * writer task deletes against its own region slice — no driver
+      * round-trip of the key set, unlike collect + `In`-filter delete. */
+    deleteWrite: Boolean = false,
     /** Table-level time-to-live (ms): cells stamped before `now - ttl` are
       * invisible to batch reads (HBase TTL semantics, table-wide rather than
       * per-family). Implemented exactly by folding the TTL window into the
@@ -118,6 +127,7 @@ object GraftOptions {
       tombstones = get("tombstones").exists(_.toBoolean),
       maxRowsPerBatch = get("maxRowsPerBatch").map(_.toLong),
       indexLookupCap = get("indexLookupCap").map(_.toInt),
+      deleteWrite = get("delete").exists(_.toBoolean),
       ttl = get("ttl").map(_.toLong))
   }
 }

@@ -409,6 +409,25 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
       if (!prefixOk) groupViaIndex = true
       names
     }
+    // DECLINE a grouped aggregate over the FULL row key of a salted table:
+    // row keys are unique, so store-side partials reduce nothing (exactly
+    // one row per group), and Spark 4.1's V2ScanPartitioningAndOrdering can
+    // never attach the scan's bucket(n, key) claim to a pushed-agg scan (it
+    // resolves the transform against the pre-pushdown relation's attributes
+    // but then requires them among the post-pushdown scan's fresh exprIds,
+    // silently discarding the claim). Declining lets the PLAIN row scan
+    // report KeyGroupedPartitioning, and the whole aggregate runs
+    // exchange-free on top — strictly better than pushdown + a same-
+    // cardinality partials exchange.
+    val fullSaltedKeyGroup = !groupViaIndex &&
+      groupCols == catalog.rowKeyFields.map(_.name) &&
+      catalog.saltBuckets > 0 &&
+      (catalog.rowKeyFields match {
+        case Seq(f) if f.avroSchemaJson.isEmpty =>
+          SaltFunctions.nameFor(f.coderName).isDefined
+        case _ => false
+      })
+    if (fullSaltedKeyGroup) return false
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 &&
         scala.util.Try(catalog.field(nr.fieldNames.head)).isSuccess =>
@@ -558,22 +577,20 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       case _ => None
     }
     val visible = readSchema().fieldNames.toSet
-    // a pushed GROUPED aggregate keeps the bucket identity iff the groups
-    // are whole row keys: every key lives in exactly one bucket, so each
-    // region's partials are ALREADY the final per-group values and the
-    // final aggregate can run in place — Spark drops the merge exchange.
-    // A key-PREFIX group (legal for the pushdown on range-split tables)
-    // spans buckets under salt, so it must NOT claim the partitioning.
-    val aggOk = aggOps.isEmpty ||
-      aggGroupCols == catalog.rowKeyFields.map(_.name)
+    // only PLAIN row scans claim the bucket identity. A pushed grouped
+    // aggregate never reaches here with the full row key as its group —
+    // pushAggregation declines that case precisely so this scan stays
+    // plain and the claim survives V2ScanPartitioningAndOrdering (which
+    // cannot resolve transform references against a pushed-agg scan's
+    // fresh output exprIds in Spark 4.1).
     saltFn match {
-      case Some(_) if catalog.saltBuckets > 0 && aggOk &&
+      case Some(_) if catalog.saltBuckets > 0 && aggOps.isEmpty &&
           limit.isEmpty && !reverse && indexOnlyTarget.isEmpty &&
           catalog.rowKeyFields.forall(f => visible.contains(f.name)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(Expressions.bucket(catalog.saltBuckets,
             catalog.rowKeyFields.head.name)),
-          planInputPartitions().length)
+          staticPlan.length)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
@@ -727,10 +744,24 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
   }
 
   /** Region × pushed-range intersection with partition pruning (reference
-    * getPartitions, HBaseTableScan.scala:63-89). */
-  override def planInputPartitions(): Array[InputPartition] = {
+    * getPartitions, HBaseTableScan.scala:63-89).
+    *
+    * The STATIC plan (no runtime filters yet) is memoized: Spark consults
+    * `outputPartitioning()` several times during physical planning, and each
+    * consult needs the partition count — re-running filter compilation,
+    * store metadata reads, and per-region clipping for every consult (and
+    * side-effecting the planning metrics outside the real planning call)
+    * would be pure waste. Runtime (DPP) filters arrive after planning and
+    * force a genuine re-plan, which also refreshes the metrics. */
+  @transient private lazy val staticPlan: Array[InputPartition] =
+    planPartitions(filters.toSeq)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (runtimeFilters.isEmpty) staticPlan
+    else planPartitions((filters ++ runtimeFilters).toSeq)
+
+  private def planPartitions(allFilters: Seq[Filter]): Array[InputPartition] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
-    val allFilters = (filters ++ runtimeFilters).toSeq
     val hrf = FilterCompiler.compileAll(catalog, allFilters)
     val table = KvStore.table(opts.storeName(catalog))
     // one `now` snapshot per query: every partition sees the same TTL

@@ -315,7 +315,10 @@ final class KvRowCodec(catalog: GraftCatalog, schema: StructType) extends Serial
 }
 
 /** Append-path writer: one put per row at the fixed (option) or wall-clock
-  * timestamp. */
+  * timestamp. With `delete=true` ([[GraftOptions.deleteWrite]]) each row is
+  * a row-level delete TOMBSTONE of its key instead — the distributed
+  * retirement path (WAL-logged, MVCC-stamped, index hooks fire), so a
+  * data-dependent key set dies without ever visiting the driver. */
 class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: StructType,
     targetTable: Option[String] = None)
     extends DataWriter[InternalRow] {
@@ -325,7 +328,8 @@ class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: St
 
   override def write(row: InternalRow): Unit = {
     val ts = opts.timestamp.getOrElse(System.currentTimeMillis())
-    table.put(codec.key(row), codec.cells(row, ts))
+    if (opts.deleteWrite) table.deleteRow(codec.key(row), ts)
+    else table.put(codec.key(row), codec.cells(row, ts))
   }
 
   override def commit(): WriterCommitMessage = GraftCommit

@@ -83,6 +83,12 @@ private[graft] final class SaltBound(keyType: DataType)
     FieldCoder.byName(FieldCoder.Primitive)
 
   override def produceResult(input: InternalRow): Integer = {
+    // with v2.bucketing.shuffle.enabled Spark evaluates this over the
+    // NON-kv join side's rows, where a nullable key that survives
+    // null-inference (e.g. the preserved side of an outer join) arrives as
+    // null. A null key matches no stored row, so any deterministic bucket
+    // is correct — use 0 rather than NPE-ing the task.
+    if (input.isNullAt(1)) return Int.box(0)
     val v = CatalystConv.fromCatalyst(keyType, input.get(1, keyType))
     Int.box(GraftCatalog.saltOf(coder.encode(keyType, v), input.getInt(0)))
   }

@@ -379,13 +379,15 @@ object StreamBatch {
         .option("catalog", sv11SourceCatalog).option("tombstones", "true").load()
       val q = stream.writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
-          val dels = df.filter(col("_deleted")).select("event_id").collect()
-            .map(_.getLong(0): Any)
-          if (dels.nonEmpty) {
-            val hrf = FilterCompiler.compileAll(mirParsed,
-              Seq(org.apache.spark.sql.sources.In("event_id", dels)))
-            KvStore.table(mirParsed.qualifiedName).delete(hrf.ranges, hrf.pred, phaseStamp)
-          }
+          // tombstones mirror as DISTRIBUTED delete-writes (delete=true):
+          // each task drops its own region slice's keys — no driver
+          // round-trip of the deleted-id set
+          df.filter(col("_deleted")).select(col("event_id"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> sv11MirrorCatalog, "delete" -> "true",
+              "timestamp" -> phaseStamp.toString, "newtable" -> "4",
+              "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+            .mode("append").save()
           val ups = df.filter(!col("_deleted")).drop("_deleted", "_cell_ts")
           if (!ups.isEmpty)
             ups.write.format("graft-kv")
@@ -491,31 +493,35 @@ object StreamBatch {
       val q = stream.writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
           val changed = df.select(col("doc_id"), col("text"), col("_deleted")).cache()
-          val ids = changed.select("doc_id").distinct().collect().map(_.getLong(0))
           // before the first batch no mirror exists — nothing old to retire
           val haveMirror = KvStore.exists(fwdParsed.qualifiedName)
-          if (ids.nonEmpty) {
-            // 1. retire the OLD index entries of every touched doc: the old
-            //    text comes from the forward mirror (point gets via In
-            //    pushdown); its tokenization yields the exact keys to drop
-            val oldKeys = if (!haveMirror) Array.empty[Any] else {
+          if (!changed.isEmpty) {
+            // 1. retire the OLD index entries of every touched doc,
+            //    DISTRIBUTED end to end: the changed-id set (bounded by
+            //    maxRowsPerBatch) broadcasts into a leftsemi probe of the
+            //    forward mirror, whose tokenization re-derives the exact
+            //    old posting keys — and those keys die through the
+            //    delete-mode writer, each task against its own region
+            //    slice. Nothing per-term ever visits the driver: a batch
+            //    of long documents fans out to millions of postings, and
+            //    the old collect-then-In path materialized every one of
+            //    them driver-side.
+            if (haveMirror) {
               val oldDocs = s.read.format("graft-kv")
                 .option("catalog", sv12FwdCatalog).load()
-                .filter(col("doc_id").isin(ids.map(Long.box).toIndexedSeq: _*))
-              pairsOf(oldDocs).select("ik").collect().map(_.getString(0): Any)
-            }
-            if (oldKeys.nonEmpty) {
-              val hrf = FilterCompiler.compileAll(idxParsed,
-                Seq(org.apache.spark.sql.sources.In("ik", oldKeys)))
-              KvStore.table(idxParsed.qualifiedName).delete(hrf.ranges, hrf.pred, phaseStamp)
-            }
-            // 2. forward mirror: drop deleted docs, upsert changed ones
-            val delIds = changed.filter(col("_deleted")).select("doc_id")
-              .collect().map(_.getLong(0): Any)
-            if (delIds.nonEmpty && haveMirror) {
-              val hrf = FilterCompiler.compileAll(fwdParsed,
-                Seq(org.apache.spark.sql.sources.In("doc_id", delIds)))
-              KvStore.table(fwdParsed.qualifiedName).delete(hrf.ranges, hrf.pred, phaseStamp)
+                .join(broadcast(changed.select("doc_id").distinct()),
+                  Seq("doc_id"), "leftsemi")
+              pairsOf(oldDocs).select(col("ik"))
+                .write.format("graft-kv")
+                .options(Map("catalog" -> sv12IdxCatalog, "delete" -> "true",
+                  "timestamp" -> phaseStamp.toString))
+                .mode("append").save()
+              // 2. forward mirror: deleted docs die the same way
+              changed.filter(col("_deleted")).select(col("doc_id"))
+                .write.format("graft-kv")
+                .options(Map("catalog" -> sv12FwdCatalog, "delete" -> "true",
+                  "timestamp" -> phaseStamp.toString))
+                .mode("append").save()
             }
             val ups = changed.filter(!col("_deleted")).select(col("doc_id"), col("text"))
             ups.write.format("graft-kv")

@@ -332,4 +332,47 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = scanOf(df).metrics
     assert(m("graftIndexKeys").value == 2L, "prefix consult over-approximates by design")
   }
+
+  test("delete-mode write: a key frame dies distributed, index hooks fire, MVCC re-put resurrects") {
+    // the distributed retirement primitive the CDC consumers (sv11/sv12)
+    // ride: rows to drop are a DataFrame of KEYS written with delete=true —
+    // each writer task tombstones against its own region slice; no driver
+    // round-trip of the key set
+    val delCatalog =
+      """{"table":{"namespace":"default", "name":"deltab"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"owner":{"cf":"f", "col":"o", "type":"string", "index":"true"},
+        |"note":{"cf":"f", "col":"n", "type":"string"}}}""".stripMargin
+    (0L until 100L).map(i => (i, if (i % 2 == 0) "even" else "odd", s"n$i"))
+      .toDF("key", "owner", "note").write.format("graft-kv")
+      .options(Map("catalog" -> delCatalog, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "100", "timestamp" -> "100"))
+      .mode("append").save()
+    def read = spark.read.format("graft-kv").option("catalog", delCatalog).load()
+    assert(read.count() == 100)
+
+    // delete every even key via a KEY-ONLY frame through the writer
+    spark.range(0, 100, 2).selectExpr("id AS key")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> delCatalog, "delete" -> "true", "timestamp" -> "200"))
+      .mode("append").save()
+    assert(read.count() == 50)
+    assert(read.filter(col("key") % 2 === 0).count() == 0)
+    // index hooks fired inside deleteRow: the 'even' postings are retired
+    assert(read.filter(col("owner") === "even").count() == 0)
+    assert(read.filter(col("owner") === "odd").count() == 50)
+
+    // MVCC: a newer-stamp re-put resurrects through the tombstone
+    Seq((42L, "even", "back")).toDF("key", "owner", "note")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> delCatalog, "timestamp" -> "300"))
+      .mode("append").save()
+    val back = read.filter(col("owner") === "even")
+      .select("key").collect().map(_.getLong(0)).toSeq
+    assert(back == Seq(42L))
+    KvStore.drop("default:deltab")
+    KvStore.drop("default:deltab__idx__owner")
+  }
 }
