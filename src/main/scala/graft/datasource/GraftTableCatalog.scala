@@ -145,6 +145,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       ("rowkey" -> catalog.rowKeyFields.map(_.name).mkString(":"))
     val keyNames = catalog.rowKeyFields.map(_.name)
     def isKey(col: String): Boolean = keyNames.exists(_.equalsIgnoreCase(col))
+    val alterOpts = GraftOptions(new CaseInsensitiveStringMap(
+      (props0 + ("catalog" -> json)).asJava))
+    val mainName = alterOpts.storeName(catalog)
+    def indexList: Seq[String] = props.get("index")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -175,6 +180,28 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
             s"DROP COLUMN $actual: a table needs at least one value column")
           schema = StructType(schema.fields.patch(idx, Nil, 1))
           props = props - s"qualifier.$actual" - s"length.$actual"
+          // indexed column: the derived index table and its maintenance
+          // hook die with the column — an orphaned hook would keep writing
+          // a dead index on every subsequent mutation
+          if (indexList.exists(_.equalsIgnoreCase(actual))) {
+            val idxName = SecondaryIndex.indexTableName(mainName, actual)
+            if (KvStore.exists(mainName)) KvStore.table(mainName).detachHook(idxName)
+            KvStore.drop(idxName)
+            val rest = indexList.filterNot(_.equalsIgnoreCase(actual))
+            props = if (rest.isEmpty) props - "index"
+              else props + ("index" -> rest.mkString(","))
+            props = props - s"cover.$actual"
+          }
+          // scrub the dropped column from other indexes' INCLUDE lists
+          // (their entries keep stale covered cells, which readers never
+          // request once the catalog stops declaring the cover)
+          props = props.flatMap {
+            case (k, v) if k.startsWith("cover.") =>
+              val kept = v.split(",").map(_.trim)
+                .filter(c => c.nonEmpty && !c.equalsIgnoreCase(actual))
+              if (kept.isEmpty) None else Some(k -> kept.mkString(","))
+            case kv => Some(kv)
+          }
         }
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
@@ -198,12 +225,43 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         }
         schema = StructType(schema.fields.updated(idx,
           schema.fields(idx).copy(name = ren.newName)))
+        // indexed column: the index table is named by the Spark-side column
+        // name, so it renames along, the old hook id detaches, and the
+        // `index`/`cover` TBLPROPERTIES follow — the final `ensure` below
+        // re-attaches the maintainer under the new name
+        if (indexList.exists(_.equalsIgnoreCase(actual))) {
+          val oldIdx = SecondaryIndex.indexTableName(mainName, actual)
+          val newIdx = SecondaryIndex.indexTableName(mainName, ren.newName)
+          if (KvStore.exists(oldIdx)) KvStore.rename(oldIdx, newIdx)
+          if (KvStore.exists(mainName)) KvStore.table(mainName).detachHook(oldIdx)
+          props = props + ("index" -> indexList.map(c =>
+            if (c.equalsIgnoreCase(actual)) ren.newName else c).mkString(","))
+          props.get(s"cover.$actual").foreach { v =>
+            props = props - s"cover.$actual" + (s"cover.${ren.newName}" -> v)
+          }
+        }
+        // the renamed column may ride in other indexes' INCLUDE lists
+        props = props.map {
+          case (k, v) if k.startsWith("cover.") =>
+            k -> v.split(",").map { c =>
+              if (c.trim.equalsIgnoreCase(actual)) ren.newName else c.trim
+            }.mkString(",")
+          case kv => kv
+        }
       case other => throw new UnsupportedOperationException(
         s"graft-kv supports only ADD/DROP/RENAME COLUMN of non-key columns (got $other): " +
           "the row key layout and existing qualifier bytes are fixed at CREATE TABLE")
     }
     val newJson = GraftTableCatalog.synthesizeCatalogJson(ident, schema, props)
     GraftTableRegistry.entries.put(key(ident), (newJson, props))
+    // re-attach maintenance hooks under the post-alter catalog: renamed
+    // indexes get their new hook id, and covered-list edits refresh the
+    // maintainers' observed-column sets (attach overwrites by id)
+    if (KvStore.exists(mainName)) {
+      val newCat = GraftCatalog.parse(newJson, props)
+      SecondaryIndex.ensure(newCat, GraftOptions(new CaseInsensitiveStringMap(
+        (props + ("catalog" -> newJson)).asJava)), droppedMain = false)
+    }
     loadTable(ident)
   }
 

@@ -42,7 +42,12 @@ object SecondaryIndex {
   val LookupCap = 100000
 
   def indexTableName(mainStoreName: String, field: Field): String =
-    s"${mainStoreName}__idx__${field.name}"
+    indexTableName(mainStoreName, field.name)
+
+  /** By Spark-side column name — ALTER TABLE paths derive index names for
+    * columns being dropped/renamed without re-parsing a catalog. */
+  def indexTableName(mainStoreName: String, col: String): String =
+    s"${mainStoreName}__idx__$col"
 
   /** Index-table DDL + hook attach; idempotent, runs with the main table's
     * DDL. `droppedMain=true` (INSERT OVERWRITE / truncate) recreates the
@@ -236,20 +241,56 @@ object SecondaryIndex {
     }.nextOption()
   }
 
+  /** Diagnostic: index entries read by the most recent consult — lets tests
+    * assert the selectivity pre-check declined WITHOUT scanning (IndexSpec),
+    * and quantifies plan-time consult cost. Driver-side planning state, not
+    * a concurrency-safe metric. */
+  private[graft] val lastConsultEntriesRead =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Read matching main keys out of the index table; None over `cap`. */
   private def scanIndex(idxName: String, valueRs: Seq[ScanRange[Array[Byte]]],
       cap: Int): Option[Seq[ScanRange[Array[Byte]]]] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     val idx = KvStore.table(idxName)
     val entryRs = ScanRange.normalize(valueRs.map(valueToEntryRange))
-    val keys = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    idx.regionInfos.foreach { r =>
+    lastConsultEntriesRead.set(0L)
+    def sameBound(a: Bound[Array[Byte]], b: Bound[Array[Byte]]): Boolean =
+      a.inclusive == b.inclusive && ((a.value, b.value) match {
+        case (Some(x), Some(y)) => java.util.Arrays.equals(x, y)
+        case (None, None)       => true
+        case _                  => false
+      })
+    // SELECTIVITY PRE-CHECK off the O(1) per-region row counters: an index
+    // region FULLY covered by the entry ranges contributes every row it
+    // holds, so if the covered total alone exceeds the cap the consult
+    // declines after O(regions) counter reads — an unselective range
+    // predicate never pays O(cap) index entry reads just to discover it
+    // should fall back to the region scan. Boundary regions (partially
+    // covered) stay unknown and are charged by the scan below, which keeps
+    // the pre-check conservative: it can only decline consults the scan
+    // would also have declined.
+    var coveredFloor = 0L
+    val regionCover = idx.regionInfos.map { r =>
       val regionRange = ScanRange[Array[Byte]](
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
-      ScanRange.and(entryRs, Seq(regionRange)).foreach { range =>
+      val inter = ScanRange.and(entryRs, Seq(regionRange))
+      val fully = inter match {
+        case Seq(one) => sameBound(one.start, regionRange.start) &&
+          sameBound(one.end, regionRange.end)
+        case _ => false
+      }
+      if (fully) coveredFloor += idx.regions(r.index).rowCount.get()
+      (r, inter)
+    }
+    if (coveredFloor > cap) return None
+    val keys = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    regionCover.foreach { case (r, inter) =>
+      inter.foreach { range =>
         val it = idx.scan(r.index, range, ColumnSet.All, None, 1, None)
         while (it.hasNext) {
           if (keys.size > cap) return None
+          lastConsultEntriesRead.incrementAndGet()
           it.next().cells.find(c => c.cf == "i" && c.qual == "k")
             .foreach(c => keys += c.value)
         }

@@ -286,7 +286,14 @@ object Similarity {
     * Unlike the banded-LSH near-dup ([[embeddingNearDupPairs]], a recall
     * machine over ONE threshold), this is the corpus-shrinking variant:
     * cluster-local comparison intentionally ignores cross-cluster near-dups
-    * (SemDeDup's published trade: centroid-adjacent duplicates dominate). */
+    * (SemDeDup's published trade: centroid-adjacent duplicates dominate).
+    *
+    * Zero-norm vectors: [[graft.functions.CosineSim]] yields NULL for them,
+    * the `> threshold` filter drops the NULL, and the vector is KEPT — a
+    * zero vector duplicates nothing. An engine with NaN-total-order
+    * comparisons (DuckDB) must guard with isnan to match (px37's oracle
+    * does); cell assignment already agrees by tie-break (all-NaN sims pick
+    * the first centroid on both engines). */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], threshold: Double): DataFrame = {
     val assigned = corpus.select(col(idCol).as("id"),

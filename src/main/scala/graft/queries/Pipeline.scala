@@ -311,6 +311,22 @@ object Pipeline {
     centroidCache.computeIfAbsent(dir, d =>
       Similarity.ivfCentroids(Tables.embeddings(s, d), "vec_id", "embedding", 16))
 
+  /** px37's quantizer: nlist scales ∝ √n (floored at px13's 16) so the
+    * within-cluster pairwise term stays n·(n/√n) = n^1.5 rather than n²/16
+    * — the SemDeDup scale knob the [[Similarity.semanticDedup]] scaladoc
+    * prescribes. Memoized per dataset dir like [[ivfCentroidsFor]] so the
+    * px37 query and its dynamically-rendered oracle share one training
+    * run; px13 keeps its own fixed-16 matrix (its oracle embeds 16 cells). */
+  private val semCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  def semDedupCentroidsFor(s: SparkSession, dir: String): Array[Array[Double]] =
+    semCentroidCache.computeIfAbsent(dir, d => {
+      val e = Tables.embeddings(s, d)
+      val nlist = math.max(16, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+      Similarity.ivfCentroids(e, "vec_id", "embedding", nlist)
+    })
+
   /** px13: IVF ANN — nearest-centroid inverted lists (nlist=16) with 4-probe
     * queries and exact rerank. Oracle-checked end to end: the trained 16×64
     * centroid matrix is embedded into the oracle SQL as double literals
@@ -1144,13 +1160,13 @@ object Pipeline {
   def px37SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.semanticDedup(e, "vec_id", "embedding",
-      ivfCentroidsFor(s, dir), threshold = 0.3)
+      semDedupCentroidsFor(s, dir), threshold = 0.3)
       .withColumnRenamed("id", "vec_id")
       .orderBy(col("vec_id"))
   }
 
   def px37Sql(s: SparkSession, dir: String): String = {
-    val cents = ivfCentroidsFor(s, dir)
+    val cents = semDedupCentroidsFor(s, dir)
     val values = cents.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.map(_.toString).mkString(", ")}])"
     }.mkString(",\n")
@@ -1167,7 +1183,8 @@ object Pipeline {
        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  JOIN e ea ON ea.vec_id = a.vec_id
        |  JOIN e eb ON eb.vec_id = b.vec_id
-       |  WHERE list_cosine_similarity(ea.v, eb.v) > 0.3)
+       |  WHERE list_cosine_similarity(ea.v, eb.v) > 0.3
+       |    AND NOT isnan(list_cosine_similarity(ea.v, eb.v)))
        |SELECT vec_id, cell FROM assign
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
        |ORDER BY vec_id""".stripMargin

@@ -94,6 +94,49 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "index tables die with their main table")
   }
 
+  test("ALTER TABLE DROP/RENAME COLUMN of an indexed column: index follows, no orphan hook") {
+    spark.sql(
+      """CREATE TABLE graft.default.idxalt (k BIGINT, owner STRING, grade STRING, v BIGINT)
+        |TBLPROPERTIES ('rowkey' = 'k', 'numRegions' = '4',
+        |               'minSplitNum' = '0', 'maxSplitNum' = '100',
+        |               'index' = 'owner,grade', 'cover.owner' = 'v')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.idxalt VALUES " +
+      "(1,'a','x',10),(2,'b','y',20),(3,'a','x',30)")
+    assert(KvStore.exists("default:idxalt__idx__owner"))
+    assert(KvStore.exists("default:idxalt__idx__grade"))
+
+    // RENAME an indexed column: index table renames, hook re-targets
+    spark.sql("ALTER TABLE graft.default.idxalt RENAME COLUMN owner TO who")
+    assert(KvStore.exists("default:idxalt__idx__who"))
+    assert(!KvStore.exists("default:idxalt__idx__owner"))
+    val a = spark.sql(
+      "SELECT k, v FROM graft.default.idxalt WHERE who = 'a' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == Seq((1L, 10L), (3L, 30L)))
+    // post-rename writes maintain the RENAMED index, not an orphan
+    spark.sql("INSERT INTO graft.default.idxalt VALUES (4,'a','y',40)")
+    val a2 = spark.sql(
+      "SELECT k FROM graft.default.idxalt WHERE who = 'a' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a2 == Seq(1L, 3L, 4L))
+
+    // DROP an indexed column: derived table dies, hook detaches — a write
+    // after the drop must not resurrect the index table
+    spark.sql("ALTER TABLE graft.default.idxalt DROP COLUMN grade")
+    assert(!KvStore.exists("default:idxalt__idx__grade"),
+      "dropping an indexed column must drop its derived index table")
+    spark.sql("INSERT INTO graft.default.idxalt VALUES (5,'c',50)")
+    assert(!KvStore.exists("default:idxalt__idx__grade"),
+      "an orphaned hook must not keep writing a dead index table")
+    // the surviving index still consults correctly
+    val c = spark.sql(
+      "SELECT k FROM graft.default.idxalt WHERE who = 'c'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(c == Seq(5L))
+    spark.sql("DROP TABLE graft.default.idxalt")
+    assert(!KvStore.exists("default:idxalt__idx__who"))
+  }
+
   test("INSERT OVERWRITE replaces table contents with fresh presplits") {
     spark.sql(
       """CREATE TABLE graft.default.ovw (k BIGINT, v STRING)

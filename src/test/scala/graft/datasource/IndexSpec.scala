@@ -333,6 +333,24 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("graftIndexKeys").value == 2L, "prefix consult over-approximates by design")
   }
 
+  test("selectivity pre-check: an unselective range declines off row counters, zero entry reads") {
+    // every owner value written by this suite starts with an ASCII byte in
+    // [0x40, 0x80) — index region 1 — so a range from " " FULLY covers
+    // every populated index region. The pre-check sums the O(1) region row
+    // counters, sees the covered floor alone exceeds the cap, and declines
+    // without reading a single index entry — O(regions), not O(cap).
+    val capped = spark.read.format("graft-kv").option("catalog", catalogJson)
+      .option("indexLookupCap", "2").load()
+      .filter(col("owner") >= " ").select("key")
+    val keys = capped.collect().map(_.getLong(0))
+    assert(keys.length > 2, "the filter must be unselective (matches everything)")
+    assert(scanOf(capped).metrics("graftIndexKeys").value == 0L,
+      "an unselective consult must fall back to the region scan")
+    assert(SecondaryIndex.lastConsultEntriesRead.get() == 0L,
+      s"pre-check must decline without scanning; read " +
+        s"${SecondaryIndex.lastConsultEntriesRead.get()} entries")
+  }
+
   test("delete-mode write: a key frame dies distributed, index hooks fire, MVCC re-put resurrects") {
     // the distributed retirement primitive the CDC consumers (sv11/sv12)
     // ride: rows to drop are a DataFrame of KEYS written with delete=true —

@@ -160,6 +160,33 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     KvStore.drop("default:idxscale__idx__bucket")
   }
 
+  test("px37 quantizer: nlist ∝ √n keeps within-cluster pair growth sub-quadratic") {
+    def embeddings(n: Long): DataFrame = spark.range(n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 7), d -> CAST(sin(CAST(id * 31 + d * 17 AS DOUBLE)) AS FLOAT)) AS embedding")
+    // the same derivation px37's caller uses (Pipeline.semDedupCentroidsFor)
+    def withinPairs(n: Long): (Int, Long) = {
+      val e = embeddings(n)
+      val nlist = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", nlist)
+      val sizes = e.select(element_at(
+          graft.functions.VectorExprs.nearestCentroids(col("embedding"), cents, 1), 1)
+          .as("cell"))
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      (nlist, sizes.map(c => c * (c - 1) / 2).sum)
+    }
+    val (nl1, p1) = withinPairs(2000)
+    val (nl2, p2) = withinPairs(8000)
+    assert(nl2 >= 2 * nl1 - 2, s"a 4x corpus must roughly double nlist: $nl1 -> $nl2")
+    val ratio = p2.toDouble / math.max(p1, 1L).toDouble
+    info(f"within-cluster pairs: n=2000 -> $p1 (nlist=$nl1), n=8000 -> $p2 (nlist=$nl2), ratio $ratio%.1f")
+    // a FIXED nlist multiplies within-cluster pairs ~16x for a 4x corpus
+    // (cluster sizes scale linearly); √n scaling holds the growth near
+    // 4^1.5 = 8x — per-vector comparison work grows √n, not n
+    assert(ratio < 12.0,
+      s"pair growth $ratio x must stay well under the fixed-nlist 16x")
+  }
+
   test("capBuckets at 1M entries in one bucket: capped, spread, drops observed") {
     val entries = spark.range(N).selectExpr("id", "0 AS band", "7L AS bh")
     val (kept, secs) = timed {
