@@ -332,7 +332,12 @@ class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: St
     else table.put(codec.key(row), codec.cells(row, ts))
   }
 
-  override def commit(): WriterCommitMessage = GraftCommit
+  override def commit(): WriterCommitMessage = {
+    // epoch boundary: under WAL group commit the buffered tail must be
+    // durable before this task acks its rows
+    KvStore.walSync()
+    GraftCommit
+  }
 
   override def abort(): Unit = ()
 

@@ -28,14 +28,22 @@ object KvStore {
     * records so replay never re-logs itself. */
   @volatile private var walRef: Option[Wal] = None
   @volatile private var replaying = false
-  sys.props.get("graft.kv.wal").foreach(d => enableWal(java.nio.file.Paths.get(d)))
+  sys.props.get("graft.kv.wal").foreach(d => enableWal(java.nio.file.Paths.get(d),
+    sys.props.get("graft.kv.walGroupCommit").map(_.toInt).getOrElse(1)))
 
   private[store] def wal: Option[Wal] = if (replaying) None else walRef
 
-  def enableWal(dir: java.nio.file.Path): Unit = synchronized {
+  /** `groupCommitRecords > 1` opts into batched WAL flushes (see
+    * [[Wal]] group commit); the default 1 keeps per-record durability. */
+  def enableWal(dir: java.nio.file.Path, groupCommitRecords: Int = 1): Unit = synchronized {
     walRef.foreach(_.close())
-    walRef = Some(new Wal(dir))
+    walRef = Some(new Wal(dir, groupCommitRecords))
   }
+
+  /** Flush any group-commit-buffered WAL tail — write-task commit and
+    * streaming epoch boundaries call this so an acked batch is durable
+    * even when per-record flushing is off. */
+  def walSync(): Unit = walRef.foreach(_.sync())
 
   def disableWal(): Unit = synchronized {
     walRef.foreach(_.close())

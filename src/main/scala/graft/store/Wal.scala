@@ -23,17 +23,39 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * query presents still mean the same thing).
   *
   * A torn tail (crash mid-append) is detected by EOF inside a record and
-  * discarded — the mutation never acked, standard WAL semantics. Appends are
-  * serialized and flushed per record (group commit is a real deployment's
-  * optimization; correctness first here).
+  * discarded — the mutation never acked, standard WAL semantics.
+  *
+  * GROUP COMMIT (opt-in, `groupCommitRecords > 1` via
+  * `-Dgraft.kv.walGroupCommit=N` or [[KvStore.enableWal]]): appends stay
+  * serialized but the stream flushes once per N records instead of every
+  * record, the batched-fsync trade every production WAL makes (HBase's
+  * ring-buffer sync, Postgres's commit_delay). Durability weakens from
+  * per-mutation to per-batch — a crash can lose up to the last N-1 records,
+  * each individually complete, so replay still converges on a prefix of
+  * acked state and a torn tail is still just the final partial record.
+  * Callers holding an epoch boundary (the streaming sink's per-task commit)
+  * call [[sync]] to force the tail out. Default stays 1: correctness-first
+  * per-record flush.
   */
-final class Wal private[store] (val dir: Path) {
+final class Wal private[store] (val dir: Path, val groupCommitRecords: Int = 1) {
   import Wal._
 
   Files.createDirectories(dir)
   private val out = new DataOutputStream(new BufferedOutputStream(
     Files.newOutputStream(dir.resolve(FileName),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)))
+
+  private var pending = 0
+
+  /** Record boundary: flush when the group-commit budget is exhausted. */
+  private def recordDone(): Unit = {
+    pending += 1
+    if (pending >= groupCommitRecords) { out.flush(); pending = 0 }
+  }
+
+  /** Force the buffered tail out — epoch/commit boundaries under group
+    * commit; no-op cheap when nothing is pending. */
+  def sync(): Unit = synchronized { out.flush(); pending = 0 }
 
   private def bytes(d: DataOutputStream, b: Array[Byte]): Unit = {
     d.writeInt(b.length); d.write(b)
@@ -46,7 +68,7 @@ final class Wal private[store] (val dir: Path) {
     out.writeInt(maxVersions)
     out.writeInt(maxVersionsByCf.size)
     maxVersionsByCf.foreach { case (cf, cap) => out.writeUTF(cf); out.writeInt(cap) }
-    out.flush()
+    recordDone()
   }
 
   def logPut(table: String, key: Array[Byte], cells: Seq[KvCell]): Unit = synchronized {
@@ -55,24 +77,24 @@ final class Wal private[store] (val dir: Path) {
     cells.foreach { c =>
       out.writeUTF(c.cf); out.writeUTF(c.qual); out.writeLong(c.ts); bytes(out, c.value)
     }
-    out.flush()
+    recordDone()
   }
 
   def logDeleteKey(table: String, key: Array[Byte], stamp: Long): Unit = synchronized {
     out.writeByte(DeleteKeyRec); out.writeUTF(table); bytes(out, key)
     out.writeLong(stamp)
-    out.flush()
+    recordDone()
   }
 
   def logDrop(name: String): Unit = synchronized {
-    out.writeByte(DropRec); out.writeUTF(name); out.flush()
+    out.writeByte(DropRec); out.writeUTF(name); recordDone()
   }
 
-  def logClear(): Unit = synchronized { out.writeByte(ClearRec); out.flush() }
+  def logClear(): Unit = synchronized { out.writeByte(ClearRec); recordDone() }
 
   def logRename(oldName: String, newName: String): Unit = synchronized {
     out.writeByte(RenameRec); out.writeUTF(oldName); out.writeUTF(newName)
-    out.flush()
+    recordDone()
   }
 
   def close(): Unit = synchronized(out.close())

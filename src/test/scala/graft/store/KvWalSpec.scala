@@ -182,4 +182,33 @@ class KvWalSpec extends AnyFunSuite {
       KvStore.drop("wal:torn")
     }
   }
+
+  test("group commit: batched flush keeps torn-tail semantics; sync makes the tail durable") {
+    val dir = Files.createTempDirectory("graft-wal-group")
+    KvStore.enableWal(dir, groupCommitRecords = 8)
+    try {
+      val t = KvStore.createTable("wal:grp", Seq.empty, dropExisting = true)
+      (1 to 20).foreach(i => t.put(key(i), Seq(cell("q", 10L + i, s"v$i"))))
+      val log = dir.resolve("graft-wal.log")
+      // 21 records (create + 20 puts) at batch 8: two full batches flushed,
+      // 5 records still buffered — the on-disk log is a PREFIX of acked
+      // state, which is exactly the group-commit durability contract
+      val sizeBeforeSync = Files.size(log)
+      KvStore.walSync()
+      assert(Files.size(log) > sizeBeforeSync,
+        "sync must push the buffered tail (5 records) to the file")
+      // torn tail on TOP of a group-committed log still discards cleanly
+      KvStore.disableWal()
+      Files.write(log, Array[Byte](2, 0, 50, 'w', 'a'),
+        java.nio.file.StandardOpenOption.APPEND)
+      KvStore.replayWal(dir)
+      val rt = KvStore.table("wal:grp")
+      val rows = snapshot(rt)
+      assert(rows.size == 20, s"all synced records must replay, got ${rows.size}")
+      assert(rows.contains("row0020" -> Seq(("f", "q", 30L, "v20"))))
+    } finally {
+      KvStore.disableWal()
+      KvStore.drop("wal:grp")
+    }
+  }
 }
