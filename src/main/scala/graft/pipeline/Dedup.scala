@@ -443,6 +443,51 @@ object Dedup {
       .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
 
+  /** Duplicated-n-gram fraction per document — the CCNet/Gopher repetition
+    * filter at CORPUS granularity: for every document, the fraction of its
+    * n-gram OCCURRENCES whose n-gram also appears in at least one OTHER
+    * document. High fractions mark boilerplate (licence blocks, navigation
+    * chrome, templated spam) that per-document repetition stats (px16)
+    * can't see, because the repetition lives across documents.
+    *
+    * Output: (doc_id, n_grams, dup_grams, dup_frac_micro, keep) — exact
+    * integer micro-units, keep = frac ≤ `keepBelowMicro`. A document
+    * shorter than n tokens has no n-grams: frac 0, kept.
+    *
+    * Shape, 100 TB honest: occurrence explosion is map-side; the
+    * per-(doc, gram) pre-aggregation runs with map-side combine BEFORE
+    * anything shuffles, so the gram shuffle carries one row per distinct
+    * (doc, gram) — boilerplate's repetitions within a doc collapse
+    * locally. Doc-frequency is a second map-combined aggregate over those
+    * rows, joined back on the gram key (both sides already hash-partitioned
+    * by gram, so the join reuses the partitioning). Nothing is driver-side
+    * and nothing is quadratic; at production scale the gram strings would
+    * be xxhash64-keyed (the px17 trick, ~1e-9 collision odds at 1e10
+    * grams), kept as exact strings here so the DuckDB oracle replays the
+    * arithmetic bit-for-bit. */
+  def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, keepBelowMicro: Long = 300000L): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val occ = toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("gram"))
+    val perDoc = occ.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val docFreq = perDoc.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val agg = perDoc.join(docFreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("df") >= 2, col("c")).otherwise(lit(0L))).as("dup_grams"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac_micro",
+        expr("dup_grams * 1000000 div greatest(n_grams, 1)"))
+      .withColumn("keep", col("dup_frac_micro") <= keepBelowMicro)
+  }
+
   /** Benchmark decontamination: for every training document, the eval-set
     * documents it shares ≥ `minShared` distinct word `n`-grams with — the
     * standard n-gram-overlap contamination check run before training (GPT-3

@@ -197,4 +197,52 @@ object Sampling {
       .withColumn("begin_offset", ((col("cum") - col("n_tokens")) % budget).cast("int"))
       .drop("cum")
   }
+
+  /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): hash every token into one of `buckets`
+    * feature buckets, estimate the TARGET distribution (rows matching
+    * `isTarget`) and the SOURCE distribution (all rows) over those buckets,
+    * and score each document by its mean per-token target/source ratio —
+    * documents whose token profile looks like the target domain score high
+    * and get up-sampled by the caller. DSIR's log-likelihood ratio is
+    * replaced by the mean LINEAR ratio in exact integer micro-units: same
+    * ordering intent, zero cross-engine float/log hazard (`log` is not
+    * required to be correctly rounded; integer division is exact).
+    *
+    * Output: (doc_id, n_tokens, score_micro); score 0 for empty docs.
+    * score_micro = mean over token occurrences of
+    * `ct(bucket)·10⁶ div cs(bucket)` — between 0 (bucket never appears in
+    * target) and 10⁶ (bucket exclusive to target).
+    *
+    * Shape at 100 TB: two corpus passes, as DSIR requires (one to estimate,
+    * one to score). The estimate pass reduces to `buckets` rows via
+    * map-side combine (the shuffle carries ≤ buckets rows per map task);
+    * the ratio table — 256 rows here — BROADCASTS to the scoring pass, so
+    * scoring adds one doc-keyed map-combined aggregate and no join
+    * shuffle. The md5-derived bucket hash is DuckDB's `md5_number_lower`,
+    * so the oracle replays feature hashing exactly. */
+  def importanceRatios(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val occ = docs.select(col(idCol).cast("long").as("doc_id"), isTarget.as("__t"),
+        explode(filter(graft.pipeline.TextOps.tokens(col(textCol)),
+          t => length(t) > 0)).as("tok"))
+      .withColumn("b", graft.functions.HashExprs.md5NumberLower(col("tok"))
+        .bitwiseAND(lit((buckets - 1).toLong)))
+    val ratios = occ.groupBy(col("b")).agg(
+        count(lit(1)).as("cs"),
+        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct"))
+      .select(col("b"), expr("ct * 1000000 div cs").as("ratio_micro"))
+    val scored = occ.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_micro")).as("__sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("__sum div greatest(n_tokens, 1)").as("score_micro"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
 }

@@ -660,4 +660,40 @@ object TextOps {
         (coalesce(col("covered"), lit(0)).cast("double") /
           greatest(col("n_tokens"), lit(1)).cast("double")).as("boilerplate_frac"))
   }
+
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * token vocabulary — the tokenizer-coverage diagnostic run before
+    * committing a vocab budget: documents with a high OOV fraction will
+    * fragment into byte-level pieces and train poorly. Vocabulary = the
+    * `vocabSize` most frequent tokens (ties broken token-ascending, so the
+    * set is deterministic across engines and partitionings).
+    *
+    * Output: (doc_id, n_tokens, oov_tokens, oov_micro) in exact integer
+    * micro-units; empty docs score 0.
+    *
+    * Shape at 100 TB: token counting is one map-combined aggregate; the
+    * top-K selection is a TakeOrdered (per-partition heaps, never a global
+    * sort); the K-row vocabulary BROADCASTS into the scoring pass, which
+    * is a map-side membership probe + one doc-keyed aggregate. No gram
+    * shuffle, no quadratic term. */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 500): org.apache.spark.sql.DataFrame = {
+    val occ = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("tok"))
+    val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(true).as("__in"))
+    val scored = occ.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, lit(1L)).otherwise(lit(0L))).as("oov_tokens"))
+      .withColumn("oov_micro",
+        expr("oov_tokens * 1000000 div greatest(n_tokens, 1)"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+        coalesce(col("oov_micro"), lit(0L)).as("oov_micro"))
+  }
 }

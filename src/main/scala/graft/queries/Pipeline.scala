@@ -1255,6 +1255,91 @@ object Pipeline {
       |FROM pairs p LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
+  /** px40: duplicated-n-gram fraction filter ([[Dedup.dupNgramFraction]]) —
+    * cross-document boilerplate detection: the fraction of each doc's
+    * 5-gram occurrences shared with at least one OTHER document. */
+  def px40DupNgramFraction(s: SparkSession, dir: String): DataFrame = {
+    Dedup.dupNgramFraction(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val px40Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |occ AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |               toks[i+3] || ' ' || toks[i+4])) AS gram
+      |        FROM t WHERE len(toks) >= 5),
+      |pd AS (SELECT doc_id, gram, count(*) AS c FROM occ GROUP BY 1, 2),
+      |f AS (SELECT gram, count(*) AS df FROM pd GROUP BY 1),
+      |a AS (SELECT pd.doc_id, sum(c) AS n_grams,
+      |        sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS dup_grams
+      |      FROM pd JOIN f USING (gram) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams,
+      |  CAST(coalesce(dup_grams, 0) * 1000000
+      |       // greatest(coalesce(n_grams, 0), 1) AS BIGINT) AS dup_frac_micro,
+      |  coalesce(dup_grams, 0) * 1000000
+      |       // greatest(coalesce(n_grams, 0), 1) <= 300000 AS keep
+      |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** px41: DSIR-shaped importance scoring ([[Sampling.importanceRatios]]) —
+    * hashed-unigram target/source ratios, target = lang='en', in exact
+    * integer micro-units (linear ratio instead of DSIR's log-LR: same
+    * ordering intent, no cross-engine log hazard). */
+  def px41ImportanceRatios(s: SparkSession, dir: String): DataFrame = {
+    Sampling.importanceRatios(Tables.documents(s, dir), "doc_id", "text",
+      isTarget = col("lang") === "en")
+      .orderBy(col("doc_id"))
+  }
+
+  val px41Sql: String =
+    """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |u AS (SELECT doc_id, tgt, unnest(toks) AS tok FROM t),
+      |occ AS (SELECT doc_id, tgt, md5_number_lower(tok) & 255 AS b FROM u),
+      |r AS (SELECT b, (sum(CASE WHEN tgt THEN 1 ELSE 0 END) * 1000000)
+      |        // count(*) AS ratio_micro
+      |      FROM occ GROUP BY 1),
+      |sc AS (SELECT occ.doc_id, count(*) AS n_tokens,
+      |        sum(ratio_micro) AS s
+      |       FROM occ JOIN r USING (b) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(s // greatest(n_tokens, 1), 0) AS BIGINT) AS score_micro
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** px42: OOV rate vs the corpus's top-500 token vocabulary
+    * ([[TextOps.oovRate]]) — the tokenizer-coverage diagnostic. */
+  def px42OovRate(s: SparkSession, dir: String): DataFrame = {
+    TextOps.oovRate(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val px42Sql: String =
+    """WITH occ AS (SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+      |v AS (SELECT tok FROM (SELECT tok,
+      |        row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM cnt)
+      |      WHERE rn <= 500),
+      |sc AS (SELECT occ.doc_id, count(*) AS n_tokens,
+      |        sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov
+      |       FROM occ LEFT JOIN v ON occ.tok = v.tok GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(oov, 0) AS BIGINT) AS oov_tokens,
+      |  CAST(coalesce(oov, 0) * 1000000
+      |       // greatest(coalesce(n_tokens, 0), 1) AS BIGINT) AS oov_micro
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1295,6 +1380,9 @@ object Pipeline {
     "px37_semantic_dedup"  -> (px37SemanticDedup _),
     "px38_gopher_rules"    -> (px38GopherRules _),
     "px39_lm_score"        -> (px39LmScore _),
+    "px40_dup_ngram_fraction" -> (px40DupNgramFraction _),
+    "px41_importance_ratios"  -> (px41ImportanceRatios _),
+    "px42_oov_rate"           -> (px42OovRate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1335,6 +1423,9 @@ object Pipeline {
     "px36_vocab_overlap"   -> px36Sql,
     "px38_gopher_rules"    -> px38Sql,
     "px39_lm_score"        -> px39Sql,
+    "px40_dup_ngram_fraction" -> px40Sql,
+    "px41_importance_ratios"  -> px41Sql,
+    "px42_oov_rate"           -> px42Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

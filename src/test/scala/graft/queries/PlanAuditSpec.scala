@@ -262,6 +262,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must never shuffle keyed on n-grams:\n${plan.take(3000)}")
   }
 
+  test("px41: the 256-row ratio table broadcasts; scoring never shuffles on tokens") {
+    val plan = executedPlan(Pipeline.px41ImportanceRatios(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bucket-ratio table must broadcast into the scoring pass:\n${plan.take(3000)}")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && (l.contains("tok#") || l.contains("(tok,"))),
+      s"token occurrences must never shuffle keyed on the token:\n${plan.take(3000)}")
+  }
+
+  test("px42: the top-K vocabulary is a TakeOrdered + broadcast, never a global sort") {
+    val plan = executedPlan(Pipeline.px42OovRate(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K vocab selection must be per-partition heaps:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the K-row vocabulary must broadcast into the membership probe:\n${plan.take(3000)}")
+  }
+
   test("px35: heavy hitters shuffle only the sketch-filtered sliver") {
     val plan = executedPlan(Pipeline.px35HeavyHitters(spark, dir))
     // map-side partial count before the one gram shuffle
