@@ -25,8 +25,13 @@ import graft.functions._
   * session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    // distributed index consult (OFF unless spark.graft.index.semiJoin
+    // .enabled): PreCBO = runs once, after filters settle onto relations,
+    // before join reordering — see [[graft.plans.IndexSemiJoin]]
+    ext.injectPreCBORule(_ => graft.plans.IndexSemiJoin)
+  }
 }
 
 object GraftExtensions {

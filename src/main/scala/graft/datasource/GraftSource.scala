@@ -93,6 +93,18 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
 
   override def name(): String = catalog.qualifiedName
 
+  /** Logical-rule access (the index-semi-join rewrite inspects the table's
+    * catalog/options at optimizer time). */
+  private[graft] def graftCatalog: GraftCatalog = catalog
+  private[graft] def graftOptions: GraftOptions = opts
+
+  /** This table with the driver-side index consult disabled — the
+    * semi-join rewrite's main side: the index lookup now happens as a
+    * distributed join, so the plan-time consult would only duplicate it. */
+  private[graft] def withIndexConsultDisabled: GraftTable =
+    new GraftTable(catalog, opts.copy(indexLookupCap = Some(0)),
+      userSchema, acceptAnySchema)
+
   /** `TRUNCATE TABLE t` — same move as a whole-table INSERT OVERWRITE:
     * drop and recreate with fresh presplits. */
   override def truncateTable(): Boolean = {

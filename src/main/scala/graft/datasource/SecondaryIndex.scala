@@ -178,7 +178,7 @@ object SecondaryIndex {
     * is key part 0, the main key parts follow at shifted offsets, and any
     * covered columns appear as plain value fields (their cells ride in the
     * entries under their original cf/qualifier — see [[IndexMaintainer]]). */
-  private[datasource] def indexOnlyCatalog(cat: GraftCatalog, f: Field): GraftCatalog = {
+  private[graft] def indexOnlyCatalog(cat: GraftCatalog, f: Field): GraftCatalog = {
     val keyF = f.copy(cf = graft.catalog.GraftCatalog.RowKeyFamily,
       qual = f.name, indexed = false, cover = Nil)
     val w = f.byteWidth
@@ -239,6 +239,41 @@ object SecondaryIndex {
         }
       }
     }.nextOption()
+  }
+
+  /** (coveredFloor, upperBound) match-count estimates for `valueRs` against
+    * the index's O(1) per-region row counters — the logical semi-join
+    * rule's gate, O(regions) with zero entry reads. `floor` sums regions
+    * FULLY covered by the entry ranges (every row matches); `upper` sums
+    * every INTERSECTING region (no row outside them can match). */
+  private[graft] def estimateMatches(idxName: String,
+      valueRs: Seq[ScanRange[Array[Byte]]]): (Long, Long) = {
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    val idx = KvStore.table(idxName)
+    val entryRs = ScanRange.normalize(valueRs.map(valueToEntryRange))
+    def sameBound(a: Bound[Array[Byte]], b: Bound[Array[Byte]]): Boolean =
+      a.inclusive == b.inclusive && ((a.value, b.value) match {
+        case (Some(x), Some(y)) => java.util.Arrays.equals(x, y)
+        case (None, None)       => true
+        case _                  => false
+      })
+    var floor = 0L; var upper = 0L
+    idx.regionInfos.foreach { r =>
+      val regionRange = ScanRange[Array[Byte]](
+        Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
+      val inter = ScanRange.and(entryRs, Seq(regionRange))
+      if (inter.nonEmpty) {
+        val c = idx.regions(r.index).rowCount.get()
+        upper += c
+        val fully = inter match {
+          case Seq(one) => sameBound(one.start, regionRange.start) &&
+            sameBound(one.end, regionRange.end)
+          case _ => false
+        }
+        if (fully) floor += c
+      }
+    }
+    (floor, upper)
   }
 
   /** Diagnostic: index entries read by the most recent consult — lets tests
@@ -329,7 +364,7 @@ object SecondaryIndex {
     * this filter does not constrain `f` exactly enough to prune with.
     * And: one compilable side suffices (superset). Or: both sides must
     * compile (else the union is unbounded). Not/unknown: None. */
-  private def valueRanges(f: Field, filter: Filter): Option[Seq[ScanRange[Array[Byte]]]] = {
+  private[graft] def valueRanges(f: Field, filter: Filter): Option[Seq[ScanRange[Array[Byte]]]] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     def enc(v: Any): Array[Byte] = f.coder.encode(f.dataType, v)
     filter match {

@@ -661,6 +661,42 @@ object TextOps {
           greatest(col("n_tokens"), lit(1)).cast("double")).as("boilerplate_frac"))
   }
 
+  /** EXACT corpus quantiles of tokens-per-document — order statistics
+    * without sorting the corpus. A 100 TB corpus cannot afford a global
+    * sort (the naive quantile), and mergeable sketches (t-digest/KLL) give
+    * approximations; but tokens-per-doc lives in a small DISCRETE domain,
+    * so the exact answer reduces to a value HISTOGRAM first: one
+    * map-combined groupBy collapses the corpus to ≤ |domain| rows (~10⁴),
+    * a single-task running sum over those rows builds the exact CDF (the
+    * one task touches domain-sized data, never corpus-sized), and each
+    * requested quantile reads off the smallest value whose cumulative
+    * count reaches `ceil(p·n)` — the `quantile_disc` definition, computed
+    * with explicit integer arithmetic so both engines agree bit-for-bit.
+    *
+    * Output per requested quantile: (p_micro, rank, value, n). */
+  def exactQuantiles(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      quantilesMicro: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L, 990000L))
+      : org.apache.spark.sql.DataFrame = {
+    val lens = docs.select(
+      size(filter(tokens(col(textCol)), t => length(t) > 0)).cast("long").as("v"))
+    val hist = lens.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cdf = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val qs = quantilesMicro.toDF("p_micro")
+    cdf.join(broadcast(qs),
+        col("cum") >= expr("(p_micro * n + 999999) div 1000000"))
+      .groupBy(col("p_micro"))
+      .agg(min(expr("(p_micro * n + 999999) div 1000000")).as("rank"),
+        min(col("v")).as("value"), min(col("n")).as("n"))
+      .select(col("p_micro"), col("rank"), col("value"), col("n"))
+  }
+
   /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
     * token vocabulary — the tokenizer-coverage diagnostic run before
     * committing a vocab budget: documents with a high OOV fraction will

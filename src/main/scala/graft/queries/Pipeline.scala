@@ -1340,6 +1340,32 @@ object Pipeline {
       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** px43: exact tokens-per-doc quantiles ([[TextOps.exactQuantiles]]) —
+    * order statistics over a discrete domain WITHOUT sorting the corpus:
+    * histogram → domain-sized CDF → integer `ceil(p·n)` rank read-off. */
+  def px43ExactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    TextOps.exactQuantiles(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("p_micro"))
+  }
+
+  val px43Sql: String =
+    """WITH t AS (SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                   x -> length(x) > 0)) AS v
+      |           FROM documents),
+      |m AS (SELECT v, count(*) AS c FROM t GROUP BY 1),
+      |tot AS (SELECT sum(c) AS n FROM m),
+      |cdf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM m),
+      |q AS (SELECT * FROM (VALUES (250000), (500000), (750000), (900000),
+      |                            (990000)) AS q(p_micro)),
+      |r AS (SELECT p_micro, (p_micro * n + 999999) // 1000000 AS rnk, n
+      |      FROM q CROSS JOIN tot)
+      |SELECT CAST(p_micro AS BIGINT) AS p_micro,
+      |  CAST(rnk AS BIGINT) AS rank,
+      |  CAST(min(v) AS BIGINT) AS value,
+      |  CAST(n AS BIGINT) AS n
+      |FROM r JOIN cdf ON cum >= rnk
+      |GROUP BY p_micro, rnk, n ORDER BY p_micro""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1383,6 +1409,7 @@ object Pipeline {
     "px40_dup_ngram_fraction" -> (px40DupNgramFraction _),
     "px41_importance_ratios"  -> (px41ImportanceRatios _),
     "px42_oov_rate"           -> (px42OovRate _),
+    "px43_exact_quantiles"    -> (px43ExactQuantiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1426,6 +1453,7 @@ object Pipeline {
     "px40_dup_ngram_fraction" -> px40Sql,
     "px41_importance_ratios"  -> px41Sql,
     "px42_oov_rate"           -> px42Sql,
+    "px43_exact_quantiles"    -> px43Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -10,4 +10,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst predicate -> DSv1 `sources.Filter` (the filter-compiler
+    * currency) — used by the logical index-semi-join rule, which must make
+    * the same pushability/selectivity judgments at OPTIMIZER time that the
+    * scan builder makes at pushdown time. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }

@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.KvStore
+
+/** The distributed index consult ([[IndexSemiJoin]]): when the driver-side
+  * consult would decline (estimated matches over `indexLookupCap`), an
+  * indexed-column filter rewrites into a broadcast LEFT SEMI join against
+  * the index table, whose key set reaches the main scan as a RUNTIME filter
+  * — selectivity-proportional index I/O with no driver materialization. */
+class IndexSemiJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); KvStore.dropAll() }
+
+  private val catalogJson =
+    """{"table":{"namespace":"default", "name":"sjtab"},
+      |"rowkey":"key",
+      |"columns":{
+      |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"owner":{"cf":"f", "col":"o", "type":"string"},
+      |"grade":{"cf":"f", "col":"g", "type":"string", "length":"4", "index":"true"},
+      |"v":{"cf":"f", "col":"v", "type":"bigint"}}}""".stripMargin
+
+  private def populate(): Unit = {
+    import spark.implicits._
+    // 2000 rows; grade gNNN (N = id % 200) — 10 rows per grade; the g199
+    // stratum is written as NULL grades (no index entry, must never be
+    // dropped wrongly by an index-routed plan)
+    (0L until 2000L).map { i =>
+      (i, s"owner$i", if (i % 200 == 199) null else f"g${i % 200}%03d", i * 2)
+    }.toDF("key", "owner", "grade", "v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalogJson, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "2000", "timestamp" -> "100"))
+      .mode("overwrite").save()
+  }
+
+  private def read(extra: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalogJson) ++ extra).load()
+
+  private def withSemiJoin[A](enabled: Boolean)(body: => A): A = {
+    spark.conf.set(IndexSemiJoin.EnabledKey, enabled.toString)
+    try body finally spark.conf.unset(IndexSemiJoin.EnabledKey)
+  }
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  test("over-cap indexed filter rewrites to a broadcast semi-join; results differential-equal") {
+    populate()
+    def q(extra: Map[String, String]) = read(extra)
+      .filter(col("grade") >= "g010" && col("grade") <= "g019")
+      .select(col("key"), col("grade"), col("v"))
+    // tiny cap: estimated matches (region row counters) exceed it, so the
+    // driver consult would decline — exactly the band the rule owns
+    val capped = Map("indexLookupCap" -> "10")
+    val expected = withSemiJoin(enabled = false) {
+      q(capped).collect().map(_.toString).sorted.toSeq
+    }
+    assert(expected.size == 100) // grades g010..g019, 10 rows each
+    withSemiJoin(enabled = true) {
+      val df = q(capped)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      assert(got == expected, "semi-join rewrite must not change results")
+      val plan = finalPlan(df)
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"expected a broadcast left-semi against the index table:\n${plan.take(3000)}")
+      assert(plan.contains("sjtab__idx__grade"),
+        s"the join's build side must be the index table scan:\n${plan.take(3000)}")
+      assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+        s"the index key set must reach the main scan as a runtime filter:\n${plan.take(3000)}")
+      // the runtime key set must turn the main scan selectivity-proportional:
+      // 100 matching rows materialized, not the 2000-row table
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: allNodes(qs.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val mainScan = allNodes(df.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().contains("default:sjtab,") => b
+      }.get
+      assert(mainScan.metrics("graftRowsScanned").value == 100L,
+        s"runtime point gets must materialize only matching rows, got " +
+          s"${mainScan.metrics("graftRowsScanned").value}")
+    }
+  }
+
+  test("null-indexed rows and disjunctive predicates stay exact under the rule") {
+    if (!KvStore.exists("default:sjtab")) populate()
+    withSemiJoin(enabled = true) {
+      // IS NULL must not be routed through the index (no entries for nulls)
+      val nulls = read(Map("indexLookupCap" -> "10"))
+        .filter(col("grade").isNull).select("key")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(nulls == (199L until 2000L by 200L).toSeq)
+      // OR across columns references more than the indexed attr — the
+      // conjunct is not rewritable and the result must still be exact
+      val mixed = read(Map("indexLookupCap" -> "10"))
+        .filter(col("grade") === "g005" || col("v") === 4L)
+        .select("key").collect().map(_.getLong(0)).sorted.toSeq
+      assert(mixed == (Seq(2L) ++ (5L until 2000L by 200L)).sorted)
+      assert(mixed.size == 11)
+    }
+  }
+
+  test("below the cap the plan-time consult wins: no join in the plan") {
+    if (!KvStore.exists("default:sjtab")) populate()
+    withSemiJoin(enabled = true) {
+      // default cap (100k) >> upper bound estimate: rule declines
+      val df = read().filter(col("grade") === "g042").select("key", "v")
+      assert(df.collect().length == 10)
+      val plan = finalPlan(df)
+      assert(!plan.contains("LeftSemi"),
+        s"under-cap consults must stay plan-time point gets:\n${plan.take(3000)}")
+    }
+  }
+
+  test("unselective predicates above maxKeys keep the plain scan") {
+    if (!KvStore.exists("default:sjtab")) populate()
+    withSemiJoin(enabled = true) {
+      spark.conf.set(IndexSemiJoin.MaxKeysKey, "100")
+      try {
+        val df = read(Map("indexLookupCap" -> "10"))
+          .filter(col("grade") >= "g000").select("key")
+        assert(df.collect().length == 1990) // all non-null grades
+        val plan = finalPlan(df)
+        assert(!plan.contains("LeftSemi"),
+          s"an unselective predicate must not pay join machinery:\n${plan.take(3000)}")
+      } finally spark.conf.unset(IndexSemiJoin.MaxKeysKey)
+    }
+  }
+}
