@@ -443,6 +443,29 @@ object Dedup {
       .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
 
+  /** Corpus SNAPSHOT DIFF — dataset-versioning's core query: which
+    * documents were added, removed, or changed between two corpus
+    * snapshots. One full-outer join on the id; change detection compares
+    * the text column directly (at 100 TB you'd pre-hash both sides to
+    * xxhash64 and compare 8-byte digests — same join shape, 1e-9 collision
+    * odds; the direct compare keeps the oracle engine-exact). Emits only
+    * the delta rows (status ≠ unchanged): the output scales with the
+    * CHANGE volume, not the corpus. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val a = before.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__a"))
+    val b = after.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__a").isNull, lit("added"))
+          .when(col("__b").isNull, lit("removed"))
+          .when(col("__a") =!= col("__b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** Duplicated-n-gram fraction per document — the CCNet/Gopher repetition
     * filter at CORPUS granularity: for every document, the fraction of its
     * n-gram OCCURRENCES whose n-gram also appears in at least one OTHER

@@ -1366,6 +1366,41 @@ object Pipeline {
       |FROM r JOIN cdf ON cum >= rnk
       |GROUP BY p_micro, rnk, n ORDER BY p_micro""".stripMargin
 
+  /** px44: corpus snapshot diff ([[Dedup.snapshotDiff]]) — the "after"
+    * snapshot drops doc_id%10==3, rewrites doc_id%7==0, and appends 20 new
+    * ids past the max; the diff emits exactly those deltas. */
+  def px44SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val before = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val maxId = before.agg(max(col("doc_id"))).head().getLong(0)
+    val after = before
+      .filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(s.range(maxId + 1, maxId + 21)
+        .selectExpr("id AS doc_id", "concat('new doc ', CAST(id AS STRING)) AS text"))
+    Dedup.snapshotDiff(before, after, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val px44Sql: String =
+    """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+      |mx AS (SELECT max(doc_id) AS m FROM b),
+      |a AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |      FROM b WHERE doc_id % 10 <> 3
+      |      UNION ALL
+      |      SELECT m + u AS doc_id, 'new doc ' || CAST(m + u AS VARCHAR) AS text
+      |      FROM mx CROSS JOIN (SELECT unnest(range(1, 21)) AS u)),
+      |d AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+      |        CASE WHEN b.doc_id IS NULL THEN 'added'
+      |             WHEN a.doc_id IS NULL THEN 'removed'
+      |             WHEN b.text <> a.text THEN 'changed'
+      |             ELSE 'unchanged' END AS status
+      |      FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+      |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1410,6 +1445,7 @@ object Pipeline {
     "px41_importance_ratios"  -> (px41ImportanceRatios _),
     "px42_oov_rate"           -> (px42OovRate _),
     "px43_exact_quantiles"    -> (px43ExactQuantiles _),
+    "px44_snapshot_diff"      -> (px44SnapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1454,6 +1490,7 @@ object Pipeline {
     "px41_importance_ratios"  -> px41Sql,
     "px42_oov_rate"           -> px42Sql,
     "px43_exact_quantiles"    -> px43Sql,
+    "px44_snapshot_diff"      -> px44Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

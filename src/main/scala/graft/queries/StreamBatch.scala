@@ -432,6 +432,74 @@ object StreamBatch {
       |WHERE event_id NOT BETWEEN 100 AND 499 OR event_id % 7 = 0
       |ORDER BY event_id""".stripMargin
 
+  private val sv15SourceCatalog = sv10SourceCatalog
+    .replace("\"kv_cdc_events\"", "\"kv_cdc_lake_src\"")
+
+  /** sv15: CDC → parquet LAKEHOUSE log, merge-on-read — the "sync the kv
+    * table into the data lake" consumer. Same three-phase source protocol
+    * as sv11 (snapshot → ranged DELETE → update wave with resurrections),
+    * but the `tombstones=true` stream lands every change — upserts AND
+    * delete tombstones — as IMMUTABLE appended parquet rows (the
+    * Hudi/Iceberg merge-on-read shape: writes are append-only and O(batch),
+    * no partition rewrite ever). The current state is reconstructed at READ
+    * time: one window keyed by event_id takes the newest `_cell_ts` row and
+    * drops it if it is a tombstone. At 100 TB the log partitions by ingest
+    * batch, the reconstruction is one key shuffle, and a periodic
+    * compaction (rewrite log → snapshot, exactly [[graft.store.KvTable
+    * .compact]]'s role) bounds read amplification. Oracle = the source's
+    * final state (sv11's SQL — same protocol, different sink). */
+  def sv15StreamCdcLakehouse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, dir).select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type"),
+      col("value").cast("double").as("value"))
+    val maxId = base.agg(max(col("event_id"))).head().getLong(0)
+    val srcParsed = graft.catalog.GraftCatalog.parse(sv15SourceCatalog, Map.empty)
+    def writeGen(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv15SourceCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val logDir = Files.createTempDirectory("graft-sv15-log").toString
+    val ckpt = Files.createTempDirectory("graft-sv15-ckpt").toString
+    def appendLog(): Unit = {
+      val q = s.readStream.format("graft-kv")
+        .option("catalog", sv15SourceCatalog).option("tombstones", "true").load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(logDir); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeGen(base, ts = 1000, overwrite = true)
+    appendLog()
+    val hrf = graft.datasource.FilterCompiler.compileAll(srcParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", 100L),
+      org.apache.spark.sql.sources.LessThanOrEqual("event_id", 499L)))
+    graft.store.KvStore.table(srcParsed.qualifiedName)
+      .delete(hrf.ranges, hrf.pred, stamp = 2000)
+    appendLog()
+    writeGen(base.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") + 1000000.0d), ts = 3000, overwrite = false)
+    appendLog()
+    // merge-on-read: newest log row per key wins; tombstones suppress
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("_cell_ts").desc, col("_deleted").asc)
+    s.read.parquet(logDir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("_deleted"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Same final state as sv11 — identical source protocol, lakehouse sink. */
+  val sv15Sql: String = sv11Sql
+
   private val sv12SrcCatalog =
     """{"table":{"namespace":"default", "name":"kv_idx_src"},
       |"rowkey":"key",
@@ -817,6 +885,7 @@ object StreamBatch {
     "sv12_stream_cdc_index"     -> (sv12StreamCdcIndex _),
     "sv13_stream_capped_catchup" -> (sv13StreamCappedCatchup _),
     "sv14_stream_incr_neardup"   -> (sv14StreamIncrNeardup _),
+    "sv15_stream_cdc_lakehouse"  -> (sv15StreamCdcLakehouse _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -834,5 +903,6 @@ object StreamBatch {
     "sv12_stream_cdc_index"     -> sv12Sql,
     "sv13_stream_capped_catchup" -> sv13Sql,
     "sv14_stream_incr_neardup"   -> Pipeline.px7Sql,
+    "sv15_stream_cdc_lakehouse"  -> sv15Sql,
   )
 }
