@@ -145,6 +145,69 @@ object Sampling {
       .toDF("stratum", "id", "rank")
   }
 
+  /** Per-group cap by a quality score — the "at most `cap` documents per
+    * domain, best first" rule every web-corpus recipe applies (per-domain
+    * caps counter SEO-farm over-representation; the keeper set is the
+    * `cap` HIGHEST-scoring docs, not a random sample — contrast
+    * [[stratifiedExactK]], which selects by seeded hash for unbiased eval
+    * sets). Ties break by ascending id so the selection is total-ordered
+    * and reproducible.
+    *
+    * Scale shape: identical to [[stratifiedExactK]] — a per-group window
+    * sort would funnel each domain through one task, and web domains are
+    * exactly where skew lives (one crawl domain can be 1% of the corpus).
+    * Instead the bounded top-k Aggregator runs as a partial aggregate:
+    * every map task keeps ≤ cap candidates per group, the shuffle carries
+    * ≤ cap rows per (partition, group), and the merge keeps cap. A
+    * 10⁹-page domain costs the same shuffle bytes as a 10³-page one.
+    *
+    * Output: (group, id, score, rank) with rank 1..cap by (score desc, id
+    * asc). Integer scores only — the cap decision must not ride on float
+    * ordering. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: Column, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val keyed = df.select(col(groupCol).cast("string").as("grp"),
+        scoreCol.cast("long").as("score"), col(idCol).cast("long").as("id"))
+      .filter(col("grp").isNotNull && col("score").isNotNull && col("id").isNotNull)
+      .as[(String, Long, Long)]
+    val topK = new org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
+      // buffer: (score, id) pairs in keep order — score DESC, id ASC —
+      // at most cap of them
+      private def before(a: (Long, Long), b: (Long, Long)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      override def zero: Array[(Long, Long)] = Array.empty
+      override def reduce(buf: Array[(Long, Long)], row: (String, Long, Long)): Array[(Long, Long)] = {
+        if (buf.length == cap && !before((row._2, row._3), buf(cap - 1))) buf
+        else merge(buf, Array((row._2, row._3)))
+      }
+      override def merge(x: Array[(Long, Long)], y: Array[(Long, Long)]): Array[(Long, Long)] = {
+        val out = new Array[(Long, Long)](math.min(x.length + y.length, cap))
+        var i = 0; var j = 0; var w = 0
+        while (w < out.length) {
+          out(w) =
+            if (j >= y.length || (i < x.length && before(x(i), y(j)))) { i += 1; x(i - 1) }
+            else { j += 1; y(j - 1) }
+          w += 1
+        }
+        out
+      }
+      override def finish(b: Array[(Long, Long)]): Array[(Long, Long)] = b
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
+        implicitly[org.apache.spark.sql.Encoder[Array[(Long, Long)]]]
+      override def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
+        implicitly[org.apache.spark.sql.Encoder[Array[(Long, Long)]]]
+    }
+    keyed.groupByKey(_._1).agg(topK.toColumn.name("top"))
+      .flatMap { case (grp, top) =>
+        top.iterator.zipWithIndex.map { case ((sc, id), i) => (grp, id, sc, i + 1) }
+      }
+      .toDF("group", "id", "score", "rank")
+  }
+
   /** Concat-and-chunk sequence packing: assign every document a (pack_id,
     * begin_offset) as if the corpus were concatenated in a deterministic
     * order and cut into fixed `budget`-token packs — the standard LLM

@@ -184,6 +184,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Cluster-balanced prototype selection: the `k` most-central vectors of
+    * every coarse-quantizer cell — the coreset/diversity-sampling step a
+    * curation pipeline runs after clustering (pick representative examples
+    * per topic instead of `k·nlist` global nearest-to-anything, which all
+    * land in the densest cluster). Selection = (cosine to own centroid
+    * DESC, id ASC), so the output is a total order per cell.
+    *
+    * Scale shape: assignment is a per-row nearest-centroid scan against a
+    * broadcast `nlist × dim` matrix (map-only); the only shuffle is the
+    * per-cell top-k. Cell populations are ~n/nlist by construction (the
+    * quantizer trained on this corpus), and nlist scales ∝ √n upstream
+    * ([[semanticDedup]]'s knob), so the per-cell window sort stays a
+    * bounded in-task sort at any corpus size — no single-task funnel.
+    *
+    * Takes a PRE-TRAINED centroid matrix for the same reason as
+    * [[ivfTopKWithCentroids]]: the caller's oracle embeds the same
+    * literals, so both engines score against bit-identical centroids. */
+  def clusterBalancedSample(cents: Array[Array[Double]], corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
+    val assigned = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"),
+      element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, 1), 1)
+        .as("cell"))
+    val scored = assigned.join(broadcast(centDf), Seq("cell"))
+      .withColumn("score", cosine(col("v"), col("cv")))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cell"), col("vec_id"), col("score"), col("rank"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before storing or ANN-indexing a vector
     * corpus: q_i = clamp(⌊v_i·scale + 0.5⌋, −127, 127). A pure per-row

@@ -347,11 +347,25 @@ object Pipeline {
     * statically. `java.lang.Double.toString` emits the shortest decimal
     * that round-trips to the same binary double; DuckDB parses literals
     * correctly rounded, so both engines score against identical centroids. */
-  def px13Sql(s: SparkSession, dir: String): String = {
-    val cents = ivfCentroidsFor(s, dir)
-    val values = cents.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.map(_.toString).mkString(", ")}])"
+  /** Render one double as a DuckDB literal that binds as DOUBLE, not
+    * DECIMAL: `java.lang.Double.toString` emits the shortest decimal that
+    * round-trips, and the `e0` exponent suffix forces double inference —
+    * without it DuckDB types the whole VALUES list as one unified DECIMAL
+    * whose shared scale can truncate mixed-magnitude centroids by an ULP. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.indexOf('E') >= 0 || s.indexOf('e') >= 0) s else s + "e0"
+  }
+
+  /** `(cell, [c0, c1, …])` VALUES rows for a centroid matrix, every
+    * element a DOUBLE literal (see [[dlit]]). */
+  private def centroidValuesSql(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(", ")}])"
     }.mkString(",\n")
+
+  def px13Sql(s: SparkSession, dir: String): String = {
+    val values = centroidValuesSql(ivfCentroidsFor(s, dir))
     s"""WITH cents AS (SELECT * FROM (VALUES
        |$values) AS t(cell, cv)),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -377,7 +391,8 @@ object Pipeline {
     * centroids become SQL literals). Merged into the static map by Verify. */
   def dynamicOracles(s: SparkSession, dir: String): Map[String, String] =
     Map("px13_ann_ivf" -> px13Sql(s, dir),
-      "px37_semantic_dedup" -> px37Sql(s, dir))
+      "px37_semantic_dedup" -> px37Sql(s, dir),
+      "px46_cluster_sample" -> px46Sql(s, dir))
 
   /** px14: near-dup CLUSTER canonicalization — connected components over
     * the px7 pair graph, keeper = component min. The oracle recomputes the
@@ -1166,10 +1181,7 @@ object Pipeline {
   }
 
   def px37Sql(s: SparkSession, dir: String): String = {
-    val cents = semDedupCentroidsFor(s, dir)
-    val values = cents.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.map(_.toString).mkString(", ")}])"
-    }.mkString(",\n")
+    val values = centroidValuesSql(semDedupCentroidsFor(s, dir))
     s"""WITH cents AS (SELECT * FROM (VALUES
        |$values) AS t(cell, cv)),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1401,6 +1413,63 @@ object Pipeline {
       |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
       |ORDER BY doc_id""".stripMargin
 
+  /** px45: per-source quality caps ([[Sampling.capPerGroup]]) — at most 20
+    * docs per source, highest `n_chars` first (the per-domain cap every
+    * web-corpus recipe applies against SEO-farm over-representation).
+    * Selection runs through the bounded top-k Aggregator, so a hot domain
+    * ships ≤ cap rows per map partition instead of funneling through one
+    * window task; the oracle recomputes it with a plain window — identical
+    * output, the Aggregator is the scale shape, the window is the spec. */
+  def px45SourceCaps(s: SparkSession, dir: String): DataFrame = {
+    Sampling.capPerGroup(Tables.documents(s, dir), "source", "doc_id",
+        col("n_chars"), cap = 20)
+      .withColumnsRenamed(Map("group" -> "source", "id" -> "doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val px45Sql: String =
+    """SELECT source, doc_id, CAST(score AS BIGINT) AS score,
+      |  CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT source, doc_id, n_chars AS score,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rank
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL) t
+      |WHERE rank <= 20 ORDER BY source, rank""".stripMargin
+
+  /** px46: cluster-balanced prototype selection
+    * ([[Similarity.clusterBalancedSample]]) — the 3 most-central vectors of
+    * each of px13's 16 IVF cells (coreset / diversity sampling: pick
+    * representatives per topic, not global nearest-to-anything). Shares
+    * px13's memoized quantizer; its oracle is DYNAMIC like px13's — the
+    * trained centroid matrix is embedded as double literals and DuckDB
+    * recomputes assignment and centrality with `list_cosine_similarity`,
+    * bit-identical to the native expressions. */
+  def px46ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    Similarity.clusterBalancedSample(ivfCentroidsFor(s, dir),
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)
+      .orderBy(col("cell"), col("rank"))
+  }
+
+  /** DYNAMIC oracle for px46 (same mechanism as [[px13Sql]]). */
+  def px46Sql(s: SparkSession, dir: String): String = {
+    val values = centroidValuesSql(ivfCentroidsFor(s, dir))
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |$values) AS t(cell, cv)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sims AS (SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.cv) AS sim
+       |         FROM e CROSS JOIN cents c),
+       |ranked AS (SELECT vec_id, cell, sim,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+       |           FROM sims),
+       |assign AS (SELECT vec_id, cell, sim FROM ranked WHERE rn = 1)
+       |SELECT cell, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT cell, vec_id, sim AS score,
+       |    row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM assign) t
+       |WHERE rank <= 3 ORDER BY cell, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1446,6 +1515,8 @@ object Pipeline {
     "px42_oov_rate"           -> (px42OovRate _),
     "px43_exact_quantiles"    -> (px43ExactQuantiles _),
     "px44_snapshot_diff"      -> (px44SnapshotDiff _),
+    "px45_source_caps"        -> (px45SourceCaps _),
+    "px46_cluster_sample"     -> (px46ClusterSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1491,6 +1562,7 @@ object Pipeline {
     "px42_oov_rate"           -> px42Sql,
     "px43_exact_quantiles"    -> px43Sql,
     "px44_snapshot_diff"      -> px44Sql,
+    "px45_source_caps"        -> px45Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

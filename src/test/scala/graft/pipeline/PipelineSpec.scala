@@ -486,6 +486,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiny.count() == 4)
   }
 
+  test("Sampling.capPerGroup: top-cap by score, window-equivalent, partition-invariant") {
+    // scores collide on purpose (i % 50) so the id tie-break is exercised
+    val d = (0 until 400).map(i =>
+        (i.toLong, if (i % 4 == 0) "x" else "y", (i % 50).toLong))
+      .toDF("doc_id", "source", "sc")
+    val got = Sampling.capPerGroup(d, "source", "doc_id", $"sc", cap = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"sc".desc, $"doc_id".asc)
+    val want = d.withColumn("rank", row_number().over(w)).filter($"rank" <= 9)
+      .select($"source", $"doc_id", $"sc", $"rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "x") == 9 && got.count(_._1 == "y") == 9)
+    // ranks are contiguous 1..cap and scores non-increasing within a group
+    Seq("x", "y").foreach { g =>
+      val rows = got.filter(_._1 == g).toSeq.sortBy(_._4)
+      assert(rows.map(_._4) == (1 to 9))
+      rows.sliding(2).foreach { case Seq(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+      }
+    }
+    val again = Sampling.capPerGroup(d.repartition(13), "source", "doc_id", $"sc", cap = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(again == got)
+    // group smaller than cap: returns all of it
+    assert(Sampling.capPerGroup(d.filter($"doc_id" < 3), "source", "doc_id",
+      $"sc", cap = 9).count() == 3)
+  }
+
+  test("Similarity.clusterBalancedSample: k most-central per cell, every cell covered") {
+    // two obvious clusters on orthogonal axes plus a mid-angle point each
+    def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
+    val corpus = Seq(
+      (1L, v(1, 0, 0)), (2L, v(0.9, 0.1, 0)), (3L, v(0.8, 0.3, 0)),
+      (4L, v(0, 1, 0)), (5L, v(0.1, 0.9, 0)), (6L, v(0.3, 0.8, 0))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val got = Similarity.clusterBalancedSample(cents, corpus, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    // cell 0 = x-axis cluster {1,2,3}: most central are 1 (exact) then 2
+    // cell 1 = y-axis cluster {4,5,6}: most central are 4 (exact) then 5
+    assert(got.toSet == Set((0, 1L, 1), (0, 2L, 2), (1, 4L, 1), (1, 5L, 2)))
+    // k larger than any cell: every vector comes back exactly once
+    val all = Similarity.clusterBalancedSample(cents, corpus, "vec_id", "embedding", k = 10)
+    assert(all.count() == 6)
+    assert(all.select("vec_id").distinct().count() == 6)
+  }
+
   test("Tokenizer.bpeMerges: frequency order, tie-break, and chained rewrites") {
     val d = Seq(
       (1L, "a b a b c d"),   // "a b" twice (overlap-free), "c d" once
