@@ -39,6 +39,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/reranker training data: for each
+    * query vector, the `k` corpus vectors MOST similar to it that carry a
+    * DIFFERENT label — the examples a bi-encoder confuses, which is exactly
+    * what its training batch should contain (random negatives are too easy;
+    * same-label neighbors are positives, not negatives).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the query batch (a
+    * training epoch mines thousands of anchors, not the corpus) broadcasts
+    * with its labels; the corpus streams through ONCE with a label
+    * inequality filter fused into the scan-side join; top-k is a per-query
+    * window over k·|queries| survivors. Swap the candidate generator for
+    * [[ivfTopKWithCentroids]]'s probed cells when the corpus × query
+    * product outgrows brute force — the label filter composes unchanged. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("query_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_label") =!= col("query_label"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("score"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucket id (sign bits of dim·r_i), via the native
     * one-pass [[graft.functions.SignLshBucket]] expression. */
   def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column =

@@ -1470,6 +1470,33 @@ object Pipeline {
        |WHERE rank <= 3 ORDER BY cell, rank""".stripMargin
   }
 
+  /** px47: hard-negative mining ([[Similarity.hardNegatives]]) — for each
+    * anchor (vec_id < 10), the 5 most-similar vectors with a DIFFERENT
+    * label: the confusable examples a contrastive trainer wants in-batch.
+    * Anchors broadcast with labels; the corpus streams once with the label
+    * inequality fused into the join. Static oracle — a plain SQL self-join
+    * recomputes the same scores with `list_cosine_similarity`. */
+  def px47HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val px47Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      |           FROM embeddings)
+      |SELECT query_id, neighbor_id, neighbor_label, score,
+      |  CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    c.label AS neighbor_label,
+      |    list_cosine_similarity(q.v, c.v) AS score,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+      |  FROM e q JOIN e c ON c.label <> q.label
+      |  WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1517,6 +1544,7 @@ object Pipeline {
     "px44_snapshot_diff"      -> (px44SnapshotDiff _),
     "px45_source_caps"        -> (px45SourceCaps _),
     "px46_cluster_sample"     -> (px46ClusterSample _),
+    "px47_hard_negatives"     -> (px47HardNegatives _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1563,6 +1591,7 @@ object Pipeline {
     "px43_exact_quantiles"    -> px43Sql,
     "px44_snapshot_diff"      -> px44Sql,
     "px45_source_caps"        -> px45Sql,
+    "px47_hard_negatives"     -> px47Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

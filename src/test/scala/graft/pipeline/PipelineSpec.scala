@@ -535,6 +535,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.select("vec_id").distinct().count() == 6)
   }
 
+  test("Similarity.hardNegatives: same-label neighbors excluded, nearest different-label first") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val corpus = Seq(
+      (1L, v(1, 0), 0),            // anchor, label 0
+      (2L, v(0.99, 0.05), 0),      // nearest of all — but same label: excluded
+      (3L, v(0.9, 0.2), 1),        // nearest different-label
+      (4L, v(0.5, 0.5), 1),
+      (5L, v(0, 1), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus.filter($"vec_id" === 1), corpus,
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(got.toSeq == Seq((1L, 3L, 1, 1), (1L, 4L, 1, 2)))
+    // k past the different-label population: everything but labels-equal rows
+    val all = Similarity.hardNegatives(corpus.filter($"vec_id" === 1), corpus,
+      "vec_id", "embedding", "label", k = 10)
+    assert(all.select("neighbor_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L, 5L))
+  }
+
   test("Tokenizer.bpeMerges: frequency order, tie-break, and chained rewrites") {
     val d = Seq(
       (1L, "a b a b c d"),   // "a b" twice (overlap-free), "c d" once

@@ -289,6 +289,42 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exact pass must shuffle once (post-CMS-filter grams), found $exchanges:\n${plan.take(3000)}")
   }
 
+  test("px45: per-source caps run as a bounded partial aggregate, never a window") {
+    val plan = executedPlan(Pipeline.px45SourceCaps(spark, dir))
+    assert(!plan.contains("Window"),
+      s"the cap must be the bounded top-k Aggregator, not a per-source window sort:\n${plan.take(3000)}")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected the typed Aggregator's partial/final pair:\n${plan.take(3000)}")
+    // partial aggregation bounds the shuffle to <= cap rows per (task, source)
+    assert(plan.contains("partial"),
+      s"expected a map-side partial aggregate before the source shuffle:\n${plan.take(3000)}")
+  }
+
+  test("px46: assignment is map-only against a broadcast centroid table") {
+    val plan = executedPlan(Pipeline.px46ClusterSample(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the nlist-row centroid table must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus must never shuffle to meet the centroids:\n${plan.take(3000)}")
+    // the only hash exchange is the per-cell top-k window
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly the per-cell window shuffle, found $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("px47: anchors broadcast; the corpus streams once with the label filter fused") {
+    val plan = executedPlan(Pipeline.px47HardNegatives(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the anchor batch must broadcast (label inequality is the join condition):\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the corpus must not partition-cross-product:\n${plan.take(3000)}")
+    // one scan of embeddings feeds the corpus side (the anchor side is the
+    // same table but filtered to the 10 anchors before broadcast)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected only the per-anchor top-k window shuffle, found $exchanges:\n${plan.take(3000)}")
+  }
+
   test("kv27: the pushed kv join plans no exchange below the aggregate") {
     val df = Connector.kv27JoinPushdown(spark, dir) // eager; plan require'd inside
     assert(df.collect().nonEmpty)
