@@ -17,6 +17,16 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical text form for normalization-based dedup (the C4 trick:
+    * lowercase, strip punctuation, collapse whitespace BEFORE hashing, so
+    * trivially-reformatted copies — case, punctuation, spacing — collapse
+    * to one canonical string). Pure map over codegen'd builtins: lower →
+    * non-alphanumerics to spaces → whitespace collapse → trim. The ASCII
+    * character class is deliberate: it means the same RE2 pattern in an
+    * external SQL engine normalizes identically. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** BPE-ish sub-word segments: letter runs, digit runs, single symbols. */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|\\S"), lit(0)))

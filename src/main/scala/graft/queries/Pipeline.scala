@@ -1497,6 +1497,28 @@ object Pipeline {
       |  WHERE q.vec_id < 10) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** px48: normalization-based dedup ([[TextOps.normalizeText]] + the px5
+    * hash-groupBy) — exact dedup AFTER canonicalizing case/punctuation/
+    * whitespace, catching the trivially-reformatted copies raw exact dedup
+    * misses (the C4 recipe). `n_variants` counts distinct raw texts per
+    * canonical form — >1 is exactly the catch. Same scale shape as px5:
+    * map-only normalize fused into the scan, one hash shuffle with
+    * map-side combine. */
+  def px48NormalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy(md5(TextOps.normalizeText(col("text"))).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_variants"))
+      .orderBy(col("content_hash"))
+  }
+
+  val px48Sql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  count(DISTINCT text) AS n_variants
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1545,6 +1567,7 @@ object Pipeline {
     "px45_source_caps"        -> (px45SourceCaps _),
     "px46_cluster_sample"     -> (px46ClusterSample _),
     "px47_hard_negatives"     -> (px47HardNegatives _),
+    "px48_normalized_dedup"   -> (px48NormalizedDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1592,6 +1615,7 @@ object Pipeline {
     "px44_snapshot_diff"      -> px44Sql,
     "px45_source_caps"        -> px45Sql,
     "px47_hard_negatives"     -> px47Sql,
+    "px48_normalized_dedup"   -> px48Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

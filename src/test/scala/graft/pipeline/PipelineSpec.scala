@@ -535,6 +535,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.select("vec_id").distinct().count() == 6)
   }
 
+  test("TextOps.normalizeText: case/punct/whitespace variants collapse to one form") {
+    val d = Seq(
+      (1L, "The quick, brown FOX!"),
+      (2L, "the quick brown fox"),
+      (3L, "  the   QUICK... brown; fox  "),
+      (4L, "an actually different document")
+    ).toDF("doc_id", "text")
+    val forms = d.select($"doc_id", TextOps.normalizeText($"text").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(forms(1) == "the quick brown fox")
+    assert(forms(2) == forms(1) && forms(3) == forms(1))
+    assert(forms(4) == "an actually different document")
+    // and the dedup built on it groups 1/2/3 together with keeper min
+    val groups = d.groupBy(md5(TextOps.normalizeText($"text")).as("h"))
+      .agg(min($"doc_id").as("keep"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 3L), (4L, 1L)))
+  }
+
   test("Similarity.hardNegatives: same-label neighbors excluded, nearest different-label first") {
     def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
     val corpus = Seq(
