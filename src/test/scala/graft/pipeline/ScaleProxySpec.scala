@@ -187,6 +187,51 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pair growth $ratio x must stay well under the fixed-nlist 16x")
   }
 
+  test("capPerGroup: a 900k-row hot domain ships bounded shuffle records") {
+    // 90% of rows in ONE domain — the skew shape per-domain caps exist for
+    val skewed = spark.range(N).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 10 < 9 THEN 'megafarm.example' ELSE concat('site', CAST(id % 997 AS STRING)) END AS source",
+      "id % 100000 AS score")
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (rows, secs) = try {
+      val (df, s) = timed {
+        Sampling.capPerGroup(skewed, "source", "doc_id", col("score"), cap = 10).collect()
+      }
+      // listener events are async; wait for the counter to go quiet
+      var last = -1L
+      var spins = 0
+      while (shuffleRecords.get() != last && spins < 20) {
+        last = shuffleRecords.get(); Thread.sleep(250); spins += 1
+      }
+      (df, s)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(f"capPerGroup over $N%d rows (90%% one domain): $secs%.1f s, " +
+      s"${shuffleRecords.get()} shuffle records")
+    // 998 groups × ≤ cap each; the hot domain contributes exactly cap
+    assert(rows.count(_.getString(0) == "megafarm.example") == 10)
+    assert(rows.length <= 998 * 10)
+    // the keeper set for the hot domain is its true top: ids scoring 99999
+    // all end in digit 9 (id ≡ 99999 mod 100000) and route to site-groups,
+    // so megafarm's true max is 99998 — ties broken by ascending id
+    val hot = rows.filter(_.getString(0) == "megafarm.example").sortBy(_.getInt(3))
+    assert(hot.forall(_.getLong(2) == 99998L))
+    assert(hot.map(_.getLong(1)).toSeq == hot.map(_.getLong(1)).toSeq.sorted)
+    // partial aggregation bounds the shuffle to ≤ cap rows per (task, group),
+    // NOT one record per input row: with 998 groups, a handful of map tasks,
+    // and an aggregate-result row per (task, group), anything near N would
+    // mean the partial combine is broken
+    assert(shuffleRecords.get() < N / 10,
+      s"shuffle carried ${shuffleRecords.get()} records — partial top-k not applied?")
+  }
+
   test("capBuckets at 1M entries in one bucket: capped, spread, drops observed") {
     val entries = spark.range(N).selectExpr("id", "0 AS band", "7L AS bh")
     val (kept, secs) = timed {
