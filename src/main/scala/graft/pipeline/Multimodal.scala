@@ -104,6 +104,55 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val dig = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new StringBuilder(32)
+    var i = 0
+    while (i < dig.length) { sb.append(f"${dig(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("out_w", IntegerType, nullable = true),
+    StructField("out_h", IntegerType, nullable = true),
+    StructField("resized_sig", StringType, nullable = true)))
+
+  /** Batched resize: aspect-fit every image into a `targetW × targetH` box
+    * — the thumbnail/model-input normalization pass. Output dims are EXACT
+    * integer arithmetic (`w·tH ≤ tW·h` picks the binding axis; the scaled
+    * dim is an integer floor-division), so an external SQL engine computes
+    * the same boxes. The pixel kernel is a STUB like [[extractFeatures]]'s:
+    * the "resized payload" is stood in for by `md5(md5(payload) || '_' ||
+    * out_w || 'x' || out_h)` — swapping in a real scaler replaces only the
+    * signature line. Same `mapPartitions` batch shape: decoder/scaler init
+    * once per partition, rows stream, no shuffle, null payloads and null
+    * dims pass through as null output (corrupt-file tolerance). */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"target box must be positive, got ${targetW}x$targetH")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload", "width", "height").rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3))
+            Row(id, null, null, null)
+          else {
+            val w = r.getInt(2); val h = r.getInt(3)
+            val (outW, outH) =
+              if (w.toLong * targetH <= targetW.toLong * h)
+                (math.max(1, (w.toLong * targetH / h).toInt), targetH)
+              else (targetW, math.max(1, (h.toLong * targetW / w).toInt))
+            val sig = md5Hex(
+              (stubDecode(r.getAs[Array[Byte]](1)) + "_" + outW + "x" + outH)
+                .getBytes("UTF-8"))
+            Row(id, outW, outH, sig)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
   /** Frame sampling stub: every `stride`-th chunk of the payload as a
     * "frame" — the row-explosion shape of video frame extraction. */
   def sampleFrames(media: DataFrame, stride: Int = 64): DataFrame =

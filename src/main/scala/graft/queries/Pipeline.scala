@@ -1519,6 +1519,32 @@ object Pipeline {
       |  count(DISTINCT text) AS n_variants
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
+  /** px49: batched media resize ([[Multimodal.resize]]) — aspect-fit every
+    * fake image into a 256×256 box. Box dims are exact integer arithmetic;
+    * the stub scaler's signature is md5-derived, so DuckDB recomputes the
+    * whole pass (the plumbing — mapPartitions batch shape, null tolerance,
+    * no shuffle — is the real deliverable, as with px12). */
+  def px49Resize(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.resize(media, targetW = 256, targetH = 256)
+      .orderBy(col("media_id"))
+  }
+
+  val px49Sql: String =
+    """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, md5(text) AS dig,
+      |    length(text) % 640 + 16 AS w, length(text) % 480 + 16 AS h
+      |  FROM documents),
+      |r AS (SELECT media_id, dig,
+      |    CASE WHEN w * 256 <= 256 * h THEN greatest(1, (w * 256) // h)
+      |         ELSE 256 END AS out_w,
+      |    CASE WHEN w * 256 <= 256 * h THEN 256
+      |         ELSE greatest(1, (h * 256) // w) END AS out_h
+      |  FROM m)
+      |SELECT media_id, CAST(out_w AS INTEGER) AS out_w,
+      |  CAST(out_h AS INTEGER) AS out_h,
+      |  md5(dig || '_' || out_w || 'x' || out_h) AS resized_sig
+      |FROM r ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1568,6 +1594,7 @@ object Pipeline {
     "px46_cluster_sample"     -> (px46ClusterSample _),
     "px47_hard_negatives"     -> (px47HardNegatives _),
     "px48_normalized_dedup"   -> (px48NormalizedDedup _),
+    "px49_media_resize"       -> (px49Resize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1616,6 +1643,7 @@ object Pipeline {
     "px45_source_caps"        -> px45Sql,
     "px47_hard_negatives"     -> px47Sql,
     "px48_normalized_dedup"   -> px48Sql,
+    "px49_media_resize"       -> px49Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

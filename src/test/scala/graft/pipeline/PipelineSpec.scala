@@ -193,6 +193,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f2(2L).nonEmpty)
   }
 
+  test("Multimodal.resize: aspect-fit boxes exact, nulls tolerated, deterministic sig") {
+    // hand-built dims: landscape 640x480 → width binds (640·256 > 256·480);
+    // portrait 100x400 → height binds; square 50x50 upscales? no — fit only
+    // caps to the box, 50·256 ≤ 256·50 picks (50·256/50, 256) = (256, 256)
+    val media = Seq(
+      (1L, "payload-a".getBytes("UTF-8"), "image/fake", 640, 480),
+      (2L, "payload-b".getBytes("UTF-8"), "image/fake", 100, 400),
+      (3L, "payload-a".getBytes("UTF-8"), "image/fake", 640, 480),
+      (4L, null.asInstanceOf[Array[Byte]], "image/fake", 10, 10)
+    ).toDF("media_id", "payload", "media_type", "width", "height")
+    val out = Multimodal.resize(media, 256, 256).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 256 && out(1L).getInt(2) == 480 * 256 / 640)
+    assert(out(2L).getInt(1) == 100 * 256 / 400 && out(2L).getInt(2) == 256)
+    // same payload + same box → same signature; null payload → null row
+    assert(out(1L).getString(3) == out(3L).getString(3))
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(3))
+  }
+
   test("Dedup.components: min-label propagation over chains and pairs") {
     // chain 5-3, 3-9 merges into one component {3,5,9}; {20,21} separate
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
