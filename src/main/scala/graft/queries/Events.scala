@@ -471,6 +471,43 @@ object Events {
       |SELECT from_type, to_type, n, n_from, (n * 1000000) // n_from AS p_micro
       |FROM s ORDER BY from_type, to_type""".stripMargin
 
+  /** ev12: OHLC bars — open/high/low/close per (event_type, 1-hour bucket),
+    * the time-series downsampling shape every monitoring/market pipeline
+    * runs. Open/close are `min_by`/`max_by` over a zero-padded
+    * `(ts_micros ‖ event_id)` string key — a total order both engines
+    * compare identically — so the WHOLE bar is ONE partial-aggregable
+    * groupBy: map-side combine keeps per-task state at one row per
+    * (type, hour), no window, no sort, one low-cardinality shuffle.
+    * Values are exact micro-units. */
+  def ev12Ohlc(s: SparkSession, dir: String): DataFrame = {
+    val vMicro = (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val ordKey = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+    Tables.events(s, dir)
+      .select(col("event_type"), window(col("ts"), "1 hour")("start").as("ws"),
+        vMicro.as("v"), ordKey.as("ord"))
+      .groupBy(col("event_type"), col("ws"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("v"), col("ord")).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max_by(col("v"), col("ord")).as("close"))
+      .orderBy(col("event_type"), col("ws"))
+  }
+
+  val ev12Sql: String =
+    """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+      |  count(*) AS n,
+      |  arg_min(v, ord) AS open, max(v) AS high, min(v) AS low,
+      |  arg_max(v, ord) AS close
+      |FROM (SELECT event_type, ts,
+      |        CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+      |        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |          || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+      |      FROM events)
+      |GROUP BY 1, 2 ORDER BY event_type, ws""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_window_agg" -> (ev1WindowAgg _),
     "ev2_sessionize" -> (ev2Sessionize _),
@@ -483,6 +520,7 @@ object Events {
     "ev9_rolling_count" -> (ev9RollingCount _),
     "ev10_retention" -> (ev10Retention _),
     "ev11_transitions" -> (ev11Transitions _),
+    "ev12_ohlc"      -> (ev12Ohlc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,5 +535,6 @@ object Events {
     "ev9_rolling_count" -> ev9Sql,
     "ev10_retention" -> ev10Sql,
     "ev11_transitions" -> ev11Sql,
+    "ev12_ohlc"      -> ev12Sql,
   )
 }

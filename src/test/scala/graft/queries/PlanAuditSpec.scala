@@ -367,6 +367,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"manifest pipeline must never cross-join:\n${plan.take(3000)}")
   }
 
+  test("ev12: OHLC bars are one partial-aggregable groupBy — no window, no sort") {
+    val plan = executedPlan(graft.queries.Events.ev12Ohlc(spark, dir))
+    assert(!plan.contains("Window"),
+      s"open/close must be min_by/max_by aggregates, not a per-bar window sort:\n${plan.take(3000)}")
+    assert(plan.contains("partial"),
+      s"expected map-side partial aggregation of the bars:\n${plan.take(3000)}")
+    // one shuffle for the (type, hour) groupBy; the final orderBy is a range
+    // exchange, not a hash one
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly the bar-key shuffle, found $exchanges:\n${plan.take(3000)}")
+  }
+
   test("ev7: rolling stats + per-user rollup pay exactly one shuffle") {
     // the three rolling stats are frames of one user_id window and the
     // groupBy rides the window's hash partitioning — a second Exchange
