@@ -448,6 +448,34 @@ object StreamBatch {
     * compaction (rewrite log → snapshot, exactly [[graft.store.KvTable
     * .compact]]'s role) bounds read amplification. Oracle = the source's
     * final state (sv11's SQL — same protocol, different sink). */
+  /** sv16: streaming OHLC bars — ev12's streaming twin
+    * ([[GraftStreaming.ohlcStream]]): the same one-aggregate bar under a
+    * 10-minute watermark, append mode emitting each (type, hour) bar
+    * exactly once when its window closes. The oracle recomputes ev12's
+    * bars restricted to watermark-closed windows (sv6's closure pattern). */
+  def sv16StreamOhlc(s: SparkSession, dir: String): DataFrame = {
+    runToMemory(GraftStreaming.ohlcStream(eventStream(s, dir)),
+      "sv16_out", "append")
+    s.table("sv16_out").orderBy(col("ws"), col("event_type"))
+  }
+
+  val sv16Sql: String =
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+      |    count(*) AS n,
+      |    arg_min(v, ord) AS open, max(v) AS high, min(v) AS low,
+      |    arg_max(v, ord) AS close
+      |  FROM (SELECT event_type, ts,
+      |          CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+      |          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |            || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+      |        FROM events)
+      |  GROUP BY 1, 2),
+      |wmk AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+      |SELECT b.ws, b.event_type, b.n, b.open, b.high, b.low, b.close
+      |FROM b, wmk WHERE b.ws + INTERVAL 1 HOUR <= wmk.wm
+      |ORDER BY b.ws, b.event_type""".stripMargin
+
   def sv15StreamCdcLakehouse(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.events(s, dir).select(
@@ -886,6 +914,7 @@ object StreamBatch {
     "sv13_stream_capped_catchup" -> (sv13StreamCappedCatchup _),
     "sv14_stream_incr_neardup"   -> (sv14StreamIncrNeardup _),
     "sv15_stream_cdc_lakehouse"  -> (sv15StreamCdcLakehouse _),
+    "sv16_stream_ohlc"           -> (sv16StreamOhlc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -904,5 +933,6 @@ object StreamBatch {
     "sv13_stream_capped_catchup" -> sv13Sql,
     "sv14_stream_incr_neardup"   -> Pipeline.px7Sql,
     "sv15_stream_cdc_lakehouse"  -> sv15Sql,
+    "sv16_stream_ohlc"           -> sv16Sql,
   )
 }

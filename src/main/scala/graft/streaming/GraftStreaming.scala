@@ -48,6 +48,29 @@ object GraftStreaming {
           .as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming OHLC bars — [[graft.queries.Events.ev12Ohlc]]'s twin: the
+    * same one-aggregate bar (open/close via min_by/max_by on the
+    * zero-padded total-order key, exact micro-units) under a watermark.
+    * State is one row per open (type, hour) bar; append mode emits each
+    * bar exactly once when the watermark closes its window. */
+  def ohlcStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val vMicro = (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val ordKey = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), vMicro.as("v"), ordKey.as("ord"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("v"), col("ord")).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max_by(col("v"), col("ord")).as("close"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("open"), col("high"), col("low"), col("close"))
+  }
+
   /** Stream-stream INTERVAL self-join: each left-type event (default
     * purchase) joins the same user's right-type events (default click) from
     * the preceding `withinSec` window. Both sides carry watermarks and the
