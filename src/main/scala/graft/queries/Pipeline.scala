@@ -1545,6 +1545,62 @@ object Pipeline {
       |  md5(dig || '_' || out_w || 'x' || out_h) AS resized_sig
       |FROM r ORDER BY media_id""".stripMargin
 
+  /** px50: corpus build v2 — the round-6 operators composed end-to-end the
+    * way a curation run chains them (px21's sibling for the new surface):
+    * normalization-dedup keepers ([[TextOps.normalizeText]] + hash-groupBy)
+    * → Gopher rule gate ([[TextOps.gopherRules]], map-only, runs on the
+    * deduped survivors) → per-source quality caps
+    * ([[Sampling.capPerGroup]], cap 8 by n_chars). One hash oracle covers
+    * the whole chain. Scale shape: two hash shuffles (dedup keepers, cap
+    * aggregator) + one broadcast-able semi-join back; the gate is fused
+    * map-side between them. */
+  def px50CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keepers = docs
+      .groupBy(md5(TextOps.normalizeText(col("text"))).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val kept = docs.join(keepers,
+      docs("doc_id") === keepers("keep_id"), "left_semi")
+    val gated = kept.join(
+      TextOps.gopherRules(kept, "doc_id", "text")
+        .filter(col("pass")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    Sampling.capPerGroup(gated, "source", "doc_id", col("n_chars"), cap = 8)
+      .withColumnsRenamed(Map("group" -> "source", "id" -> "doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val px50Sql: String =
+    """WITH nd AS (SELECT doc_id, source, n_chars, text,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+      |  FROM documents),
+      |keepers AS (SELECT h, min(doc_id) AS keep_id FROM nd GROUP BY h),
+      |kept AS (SELECT nd.* FROM nd JOIN keepers k ON nd.doc_id = k.keep_id),
+      |t AS (SELECT doc_id, source, n_chars, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |                t -> length(t) > 0) AS toks
+      |  FROM kept),
+      |p AS (SELECT doc_id, source, n_chars FROM t
+      |  WHERE CAST(len(toks) AS BIGINT) BETWEEN 30 AND 10000
+      |    AND (CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+      |           AS BIGINT) * 1000000) // greatest(len(toks), 1)
+      |        BETWEEN 2000000 AND 10000000
+      |    AND CAST(len(list_filter(toks,
+      |          t -> t IN ('the','a','an','of','and','to','in','is','it','for')))
+      |        AS BIGINT) >= 1
+      |    AND (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000)
+      |        // greatest(len(toks), 1) >= 400000
+      |    AND (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+      |           AS BIGINT) * 1000000) // greatest(length(text), 1) <= 100000)
+      |SELECT source, doc_id, CAST(score AS BIGINT) AS score,
+      |  CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT source, doc_id, n_chars AS score,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rank
+      |  FROM p) r
+      |WHERE rank <= 8 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1595,6 +1651,7 @@ object Pipeline {
     "px47_hard_negatives"     -> (px47HardNegatives _),
     "px48_normalized_dedup"   -> (px48NormalizedDedup _),
     "px49_media_resize"       -> (px49Resize _),
+    "px50_corpus_build"       -> (px50CorpusBuild _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1644,6 +1701,7 @@ object Pipeline {
     "px47_hard_negatives"     -> px47Sql,
     "px48_normalized_dedup"   -> px48Sql,
     "px49_media_resize"       -> px49Sql,
+    "px50_corpus_build"       -> px50Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )
