@@ -325,6 +325,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected only the per-anchor top-k window shuffle, found $exchanges:\n${plan.take(3000)}")
   }
 
+  test("px50: the composed corpus build stays broadcast/equi-join, no window") {
+    val plan = executedPlan(Pipeline.px50CorpusBuild(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"keeper and gate semi-joins must broadcast at this size:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"the cap must stay the bounded Aggregator through composition:\n${plan.take(3000)}")
+    assert(plan.contains("partial"),
+      s"expected map-side partials for dedup keepers and the cap:\n${plan.take(3000)}")
+  }
+
   test("kv27: the pushed kv join plans no exchange below the aggregate") {
     val df = Connector.kv27JoinPushdown(spark, dir) // eager; plan require'd inside
     assert(df.collect().nonEmpty)
