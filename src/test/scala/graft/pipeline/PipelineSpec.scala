@@ -535,6 +535,64 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       $"sc", cap = 9).count() == 3)
   }
 
+  test("capPerGroup == in-memory reference on 12 random skewed datasets") {
+    val rnd = new scala.util.Random(4242L)
+    for (round <- 0 until 12) {
+      val nGroups = 1 + rnd.nextInt(6)
+      val rows = (0 until (50 + rnd.nextInt(300))).map { i =>
+        // heavy ties (score domain 0..9) exercise the id tie-break; group g0
+        // takes ~half the rows (skew)
+        val g = if (rnd.nextBoolean()) 0 else rnd.nextInt(nGroups)
+        (i.toLong, s"g$g", rnd.nextInt(10).toLong)
+      }
+      val cap = 1 + rnd.nextInt(12)
+      val parts = 1 + rnd.nextInt(7)
+      val df = rows.toDF("id", "grp", "sc").repartition(parts)
+      val got = Sampling.capPerGroup(df, "grp", "id", $"sc", cap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).take(cap).zipWithIndex
+          .map { case ((id, _, sc), i) => (g, id, sc, i + 1) }
+      }.toSet
+      assert(got == want, s"round $round (cap=$cap, parts=$parts, groups=$nGroups)")
+    }
+  }
+
+  test("clusterBalancedSample == in-memory reference on 8 random embedding sets") {
+    val rnd = new scala.util.Random(777L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (round <- 0 until 8) {
+      val dim = 4 + rnd.nextInt(5)
+      val nlist = 2 + rnd.nextInt(4)
+      val cents = Array.fill(nlist)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+      val vecs = (0 until (30 + rnd.nextInt(100))).map { i =>
+        (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      }
+      val k = 1 + rnd.nextInt(4)
+      val got = Similarity.clusterBalancedSample(cents,
+          vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3))).toSet
+      val want = vecs.map { case (id, v) =>
+          val vd = v.map(_.toDouble)
+          // nearest centroid, ties by lower cell (matches nearestCentroids)
+          val cell = cents.zipWithIndex
+            .map { case (c, ci) => (ci, cos(vd, c)) }
+            .maxBy { case (ci, s) => (s, -ci) }._1
+          (cell, id, cos(vd, cents(cell)))
+        }.groupBy(_._1).flatMap { case (cell, rs) =>
+          rs.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+            .map { case ((c, id, _), i) => (c, id, i + 1) }
+        }.toSet
+      assert(got == want, s"round $round (dim=$dim, nlist=$nlist, k=$k)")
+    }
+  }
+
   test("Similarity.clusterBalancedSample: k most-central per cell, every cell covered") {
     // two obvious clusters on orthogonal axes plus a mid-angle point each
     def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
