@@ -285,6 +285,50 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus FUZZY decontamination: every (corpus doc, eval doc) pair
+    * with shingle-Jaccard ≥ threshold — the fuzzy complement of the exact
+    * n-gram overlap passes ([[decontaminate]], [[bloomDecontaminate]]),
+    * catching eval examples that were lightly paraphrased or truncated
+    * into the training corpus (the Llama-style fuzzy dedup against evals;
+    * exact n-grams miss single-token edits).
+    *
+    * Scale shape: BIPARTITE banding — the eval set (thousands of rows, the
+    * small side by construction) bands and BROADCASTS; the corpus bands
+    * map-only and meets it in a broadcast equi-join on (band, bucket), so
+    * the corpus never shuffles and never pairs with itself (contrast
+    * [[minhashLshPairs]], whose within-corpus buckets need caps — here the
+    * candidate fan-out is bounded by the eval side). Exact shingle-Jaccard
+    * reranks the candidates, so banding only proposes, never decides. */
+  def fuzzyDecontamPairs(corpus: DataFrame, eval: DataFrame,
+      corpusIdCol: String, corpusTextCol: String, evalIdCol: String,
+      evalTextCol: String, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val ct = corpus
+      .select(col(corpusIdCol).as("doc_id"),
+        TextOps.tokens(col(corpusTextCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val et = eval
+      .select(col(evalIdCol).as("eval_id"),
+        TextOps.tokens(col(evalTextCol)).as("etoks"))
+      .filter(size(col("etoks")) > 0)
+    val cb = ct.select(col("doc_id"),
+        posexplode(graft.functions.HashExprs.minhashBands(col("toks"), numHashes, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+    val eb = et.select(col("eval_id"),
+        posexplode(graft.functions.HashExprs.minhashBands(col("etoks"), numHashes, bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+    val cand = cb.join(broadcast(eb), Seq("band", "bh"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val csh = ct.select(col("doc_id"),
+      graft.functions.HashExprs.sortedShingles(col("toks")).as("sh_c"))
+    val esh = et.select(col("eval_id"),
+      graft.functions.HashExprs.sortedShingles(col("etoks")).as("sh_e"))
+    cand.join(csh, Seq("doc_id")).join(broadcast(esh), Seq("eval_id"))
+      .withColumn("jaccard", jaccard(col("sh_c"), col("sh_e")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("eval_id"), col("jaccard"))
+  }
+
   /** Shared MinHash+LSH machinery over exact-dup REPRESENTATIVES: returns
     * `(repPairs (ra, rb, jaccard), shingleSets (id, sh), membersOpt)`.
     * [[minhashLshPairs]] expands rep pairs to member pairs (quadratic

@@ -1601,6 +1601,42 @@ object Pipeline {
       |  FROM p) r
       |WHERE rank <= 8 ORDER BY source, rank""".stripMargin
 
+  /** px51: fuzzy decontamination ([[Dedup.fuzzyDecontamPairs]]) — the eval
+    * set is a deterministic paraphrase of every 17th doc (one token
+    * appended, so true Jaccard = S/(S+1) against its source); the bipartite
+    * LSH must link each eval doc back to its source and to the source's
+    * near-dups. The oracle recomputes the full cross shingle-Jaccard —
+    * band-ing only proposed candidates, the exact rerank decided, so the
+    * outputs agree (miss probability ≤ (1−J²)¹⁶ ≈ 10⁻⁷ at the 0.8
+    * threshold, the px7 precedent). */
+  def px51FuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val eval = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("eval_id"),
+        concat(col("text"), lit(" evalq")).as("text"))
+    Dedup.fuzzyDecontamPairs(docs, eval, "doc_id", "text", "eval_id", "text")
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  val px51Sql: String =
+    s"""WITH ${shingleCtesSql("documents")},
+      |ev AS (SELECT doc_id AS eval_id, text || ' evalq' AS text
+      |       FROM documents WHERE doc_id % 17 = 0),
+      |e0 AS (SELECT eval_id, string_split_regex(trim(text), '\\s+') AS toks FROM ev),
+      |e AS (SELECT eval_id,
+      |        CASE WHEN len(toks) = 1 THEN list_distinct(toks)
+      |             ELSE list_distinct(list_transform(range(1, len(toks)),
+      |                    i -> toks[i] || ' ' || toks[i+1]))
+      |        END AS sh
+      |      FROM e0 WHERE len(toks) > 0)
+      |SELECT c.doc_id, e.eval_id,
+      |  CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
+      |    / (len(c.sh) + len(e.sh) - len(list_intersect(c.sh, e.sh))) AS jaccard
+      |FROM t c CROSS JOIN e
+      |WHERE CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
+      |    / (len(c.sh) + len(e.sh) - len(list_intersect(c.sh, e.sh))) >= 0.8
+      |ORDER BY doc_id, eval_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1652,6 +1688,7 @@ object Pipeline {
     "px48_normalized_dedup"   -> (px48NormalizedDedup _),
     "px49_media_resize"       -> (px49Resize _),
     "px50_corpus_build"       -> (px50CorpusBuild _),
+    "px51_fuzzy_decontam"     -> (px51FuzzyDecontam _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1702,6 +1739,7 @@ object Pipeline {
     "px48_normalized_dedup"   -> px48Sql,
     "px49_media_resize"       -> px49Sql,
     "px50_corpus_build"       -> px50Sql,
+    "px51_fuzzy_decontam"     -> px51Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

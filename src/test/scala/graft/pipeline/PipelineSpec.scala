@@ -650,6 +650,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.select("neighbor_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L, 5L))
   }
 
+  test("Dedup.fuzzyDecontamPairs: paraphrased eval links to its source, not to strangers") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (3L, "completely unrelated words about something else entirely here")
+    ).toDF("doc_id", "text")
+    // eval doc = doc 1 with one token appended (the paraphrase shape)
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa omega")
+    ).toDF("eval_id", "text")
+    val got = Dedup.fuzzyDecontamPairs(corpus, eval, "doc_id", "text",
+        "eval_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1: J = 9/10 = 0.9 >= 0.8; doc 2 shares 8 of its 9 shingles with
+    // eval's 10 -> J = 8/11 < 0.8; doc 3 shares nothing
+    assert(got == Set((1L, 100L)))
+    // empty eval set -> empty result, corpus side untouched
+    assert(Dedup.fuzzyDecontamPairs(corpus, eval.limit(0), "doc_id", "text",
+      "eval_id", "text").count() == 0)
+  }
+
   test("Tokenizer.bpeMerges: frequency order, tie-break, and chained rewrites") {
     val d = Seq(
       (1L, "a b a b c d"),   // "a b" twice (overlap-free), "c d" once

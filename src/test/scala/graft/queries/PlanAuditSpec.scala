@@ -335,6 +335,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected map-side partials for dedup keepers and the cap:\n${plan.take(3000)}")
   }
 
+  test("px51: fuzzy decontam broadcasts the eval side; the corpus never sort-merge-joins") {
+    val plan = executedPlan(Pipeline.px51FuzzyDecontam(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval bands and shingles must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus must never shuffle or cross-join to meet the eval set:\n${plan.take(3000)}")
+    // candidate distinct is the only hash work; AQE broadcasts the small
+    // candidate set back onto the corpus shingles
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"expected at most the candidate-distinct shuffle, found $exchanges:\n${plan.take(3000)}")
+  }
+
   test("kv27: the pushed kv join plans no exchange below the aggregate") {
     val df = Connector.kv27JoinPushdown(spark, dir) // eager; plan require'd inside
     assert(df.collect().nonEmpty)
