@@ -232,6 +232,32 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shuffle carried ${shuffleRecords.get()} records — partial top-k not applied?")
   }
 
+  test("fuzzyDecontamPairs: 1M-doc corpus vs broadcast eval set, contamination found") {
+    // evals derived from UNIQUE docs (ids ≡ 9 mod 10): one token appended,
+    // so each should link back to exactly its source; plus one eval derived
+    // from a boilerplate template, which must link to EVERY copy
+    val uniqueEvalIds = (0 until 100).map(i => i.toLong * 10 + 9)
+    val eval = corpus
+      .filter(col("doc_id").isin(uniqueEvalIds :+ 0L: _*)) // id 0 = template copy
+      .selectExpr("doc_id AS eval_id", "concat(text, ' evalq') AS text")
+    val (rows, secs) = timed {
+      Dedup.fuzzyDecontamPairs(corpus, eval, "doc_id", "text", "eval_id", "text")
+        .collect()
+    }
+    info(f"fuzzy decontam of $N%d docs vs ${uniqueEvalIds.size + 1} evals: " +
+      f"$secs%.1f s, ${rows.length} pairs")
+    // every unique-doc eval linked back to its own source
+    uniqueEvalIds.foreach { id =>
+      assert(rows.exists(r => r.getLong(0) == id && r.getLong(1) == id),
+        s"eval $id did not link back to its source")
+    }
+    // the boilerplate eval is contaminated across every copy of template 0:
+    // ids with id%10<7 and (id DIV 10)%50 == 0 → 1M/10*7/50 = 14k copies
+    val hot = rows.count(_.getLong(1) == 0L)
+    assert(hot >= 10000, s"boilerplate eval matched only $hot copies")
+    assert(secs < 90.0, s"fuzzy decontam took $secs s")
+  }
+
   test("capBuckets at 1M entries in one bucket: capped, spread, drops observed") {
     val entries = spark.range(N).selectExpr("id", "0 AS band", "7L AS bh")
     val (kept, secs) = timed {
