@@ -71,6 +71,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming OHLC emits each bar exactly once across a checkpointed restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    // split events by time: run 1 sees the older 60%, run 2 the rest —
+    // boundary-hour bars accumulate state in run 1 and close in run 2
+    val all = graft.queries.Tables.events(spark, sfDir).orderBy(col("ts")).cache()
+    val n = all.count()
+    val cut = all.orderBy(col("ts")).limit((n * 6 / 10).toInt)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val src = Files.createTempDirectory("graft-ohlc-src")
+    val sink = Files.createTempDirectory("graft-ohlc-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ohlc-ckpt").toString
+    all.filter(col("ts") <= cut).coalesce(1).write.mode("overwrite")
+      .parquet(src.resolve("part1").toString)
+    val schema = spark.read.parquet(src.resolve("part1").toString).schema
+    def runOnce(): Unit = {
+      val stream = graft.queries.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+          .parquet(src.toString))
+      val q = GraftStreaming.ohlcStream(stream).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterRun1 = spark.read.parquet(sink).count()
+    assert(afterRun1 > 0, "run 1 closed no bars")
+    all.filter(col("ts") > cut).coalesce(1).write.mode("overwrite")
+      .parquet(src.resolve("part2").toString)
+    runOnce()
+    val emitted = spark.read.parquet(sink)
+    assert(emitted.count() > afterRun1, "run 2 closed no further bars")
+    // exactly-once: no bar key appears twice across the two runs
+    val dups = emitted.groupBy("ws", "event_type").count().filter(col("count") > 1)
+    assert(dups.isEmpty, s"duplicate bars: ${dups.collect().take(3).mkString}")
+    // every emitted bar equals the batch bar over the FULL event set —
+    // boundary bars must have merged run-1 state with run-2 events
+    val batch = graft.queries.Events.ev12Ohlc(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.toSeq.drop(2)).toMap
+    emitted.collect().foreach { r =>
+      val key = (r.getString(1), r.getTimestamp(0))
+      assert(batch.get(key).contains(Seq(r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))),
+        s"bar $key diverges from the batch twin")
+    }
+    all.unpersist()
+  }
+
   test("stateful anomaly detection matches the batch twin bit for bit") {
     val anom = GraftStreaming.anomalyStream(eventStream())
     val q = anom.writeStream.outputMode("update")
