@@ -208,6 +208,53 @@ object Sampling {
       .toDF("group", "id", "score", "rank")
   }
 
+  /** NEXT-FIT bin packing: documents never split across packs — a doc that
+    * would overflow the open bin closes it and starts a new one (oversized
+    * docs get a bin alone). The padding-free-boundaries layout instruction
+    * tuning wants, complementing [[packSequences]]' concat-and-chunk (which
+    * splits docs to eliminate padding instead).
+    *
+    * Scale shape: packing is order-dependent, so it cannot be a pure map —
+    * but like [[packSequences]] it does NOT need a global sort. Documents
+    * hash into `shards` independent streams; each shard's stream is packed
+    * by `flatMapSortedGroups` (Spark sorts within the shard shuffle by id —
+    * secondary sort, no in-memory group materialization) with O(1) state:
+    * the open bin's fill. One shuffle, bins globally unique via
+    * shard · 2⁴⁰ + index. All arithmetic integer → hash-exact cross-engine;
+    * the oracle replays the same greedy fold as a recursive CTE.
+    *
+    * Output: (doc_id, n_tokens, shard, bin_id, fill_after) — fill_after is
+    * the open bin's token count after placing the doc, which pins the
+    * whole greedy trace, not just the final assignment. */
+  def packNextFit(df: DataFrame, idCol: String, textCol: String,
+      budget: Int = 512, shards: Int = 8): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two, got $shards")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val nTok = TextOps.tokenCount(col(textCol)).cast("long")
+    val shard = graft.functions.HashExprs.md5NumberLower(
+      concat(lit("pack42|"), col(idCol).cast("string")))
+      .bitwiseAND(lit((shards - 1).toLong)).cast("int")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        nTok.as("n_tokens"), shard.as("shard"))
+      .as[(Long, Long, Int)]
+    base.groupByKey(_._3)
+      .flatMapSortedGroups(col("id")) { (sh: Int, it: Iterator[(Long, Long, Int)]) =>
+        var bin = 0L
+        var fill = 0L
+        var first = true
+        it.map { case (id, n, _) =>
+          if (first) { fill = n; first = false }
+          else if (fill + n <= budget) fill += n
+          else { bin += 1; fill = n }
+          (id, n, sh, sh.toLong * (1L << 40) + bin, fill)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard", "bin_id", "fill_after")
+  }
+
   /** Concat-and-chunk sequence packing: assign every document a (pack_id,
     * begin_offset) as if the corpus were concatenated in a deterministic
     * order and cut into fixed `budget`-token packs — the standard LLM

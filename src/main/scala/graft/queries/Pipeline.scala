@@ -1637,6 +1637,37 @@ object Pipeline {
       |    / (len(c.sh) + len(e.sh) - len(list_intersect(c.sh, e.sh))) >= 0.8
       |ORDER BY doc_id, eval_id""".stripMargin
 
+  /** px52: next-fit bin packing ([[Sampling.packNextFit]]) — the
+    * no-document-splits layout, greedy next-fit per hash shard through
+    * Spark's secondary-sorted `flatMapSortedGroups` with O(1) state. The
+    * oracle replays the identical greedy fold as a recursive CTE, so the
+    * hash check pins the whole packing trace (bin ids AND running fills),
+    * not just row counts. */
+  def px52NextFitPack(s: SparkSession, dir: String): DataFrame = {
+    Sampling.packNextFit(Tables.documents(s, dir), "doc_id", "text",
+        budget = 512, shards = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val px52Sql: String =
+    """WITH RECURSIVE s AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+      |    CAST(md5_number_lower('pack42|' || doc_id) & 7 AS INTEGER) AS shard
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+      |      FROM s),
+      |rec(shard, rn, id, n, bin, fill) AS (
+      |  SELECT shard, rn, id, n, CAST(0 AS BIGINT), n FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.shard, r.rn, r.id, r.n,
+      |    CASE WHEN rec.fill + r.n <= 512 THEN rec.bin ELSE rec.bin + 1 END,
+      |    CASE WHEN rec.fill + r.n <= 512 THEN rec.fill + r.n ELSE r.n END
+      |  FROM rec JOIN r ON r.shard = rec.shard AND r.rn = rec.rn + 1)
+      |SELECT id AS doc_id, n AS n_tokens, shard,
+      |  CAST(shard AS BIGINT) * 1099511627776 + bin AS bin_id,
+      |  fill AS fill_after
+      |FROM rec ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1689,6 +1720,7 @@ object Pipeline {
     "px49_media_resize"       -> (px49Resize _),
     "px50_corpus_build"       -> (px50CorpusBuild _),
     "px51_fuzzy_decontam"     -> (px51FuzzyDecontam _),
+    "px52_nextfit_pack"       -> (px52NextFitPack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1740,6 +1772,7 @@ object Pipeline {
     "px49_media_resize"       -> px49Sql,
     "px50_corpus_build"       -> px50Sql,
     "px51_fuzzy_decontam"     -> px51Sql,
+    "px52_nextfit_pack"       -> px52Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

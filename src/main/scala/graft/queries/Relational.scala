@@ -470,6 +470,27 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q26: UNPIVOT — q20's inverse (wide status counts back to long rows),
+    * the melt step every report/feature pipeline needs; map-only on top of
+    * the pivot's aggregate, no extra shuffle. Zero-count cells are kept
+    * (they are real observations of absence) so the pair round-trips. */
+  def q26Unpivot(s: SparkSession, dir: String): DataFrame = {
+    q20Pivot(s, dir)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "o_orderstatus", "n")
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  def q26Sql: String =
+    """WITH w AS (SELECT o_orderpriority,
+      |    count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |    count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |    count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, o_orderstatus, n
+      |FROM w UNPIVOT (n FOR o_orderstatus IN ("F", "O", "P"))
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   /** q21: GROUPING SETS — user-chosen aggregation levels in one pass (the
     * general form rollup/cube specialize); grouping_id tags each level. */
   def q21GroupingSets(s: SparkSession, dir: String): DataFrame = {
@@ -623,6 +644,7 @@ object Relational {
     "q23_lateral_explode" -> (q23LateralExplode _),
     "q24_percentiles"   -> (q24Percentiles _),
     "q25_native_sql_fn" -> (q25NativeSqlFn _),
+    "q26_unpivot" -> (q26Unpivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -651,5 +673,6 @@ object Relational {
     "q23_lateral_explode" -> q23Sql,
     "q24_percentiles"   -> q24Sql,
     "q25_native_sql_fn" -> q25Sql,
+    "q26_unpivot" -> q26Sql,
   )
 }

@@ -212,6 +212,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L).isNullAt(1) && out(4L).isNullAt(3))
   }
 
+  test("Sampling.packNextFit: greedy fold exact — boundary fit, overflow, oversized docs") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // single shard (shards=1) so the fold order is just ascending id
+    val d = Seq(
+      (1L, words(6)),   // bin 0, fill 6
+      (2L, words(4)),   // 6+4 == 10 == budget: exact fit stays — bin 0, fill 10
+      (3L, words(1)),   // overflow — bin 1, fill 1
+      (4L, words(25)),  // oversized (> budget): closes bin 1 — bin 2, fill 25
+      (5L, words(2))    // 25+2 > budget — bin 3, fill 2
+    ).toDF("doc_id", "text")
+    val got = Sampling.packNextFit(d, "doc_id", "text", budget = 10, shards = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(1L -> (0L, 6L), 2L -> (0L, 10L), 3L -> (1L, 1L),
+      4L -> (2L, 25L), 5L -> (3L, 2L)))
+    // documents never split: every doc has exactly one row, and no bin
+    // except oversized singles exceeds the budget
+    val bins = Sampling.packNextFit(d, "doc_id", "text", budget = 10, shards = 1)
+      .groupBy("bin_id").agg(sum("n_tokens").as("tot"), count(lit(1)).as("m"))
+      .collect()
+    bins.foreach { r =>
+      assert(r.getLong(1) <= 10 || r.getLong(2) == 1,
+        s"bin ${r.get(0)} holds ${r.getLong(1)} tokens across ${r.getLong(2)} docs")
+    }
+    // shard-hashed variant is partition-invariant
+    val a = Sampling.packNextFit(d.repartition(4), "doc_id", "text", 10, 4)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.packNextFit(d, "doc_id", "text", 10, 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("Dedup.components: min-label propagation over chains and pairs") {
     // chain 5-3, 3-9 merges into one component {3,5,9}; {20,21} separate
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
