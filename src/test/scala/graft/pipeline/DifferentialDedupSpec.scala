@@ -80,6 +80,35 @@ class DifferentialDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fuzzyDecontamPairs == brute-force cross Jaccard on 12 random corpus/eval splits") {
+    for (seed <- 1 to 12) {
+      val rnd = new Random(seed * 31L)
+      val docs = corpus(seed)
+      // eval set: paraphrases of random docs (one token appended / swapped)
+      // plus one stranger that should match nothing
+      val vocab = (0 until 30).map(i => s"w$i")
+      val eval = (0 until 8).map { i =>
+        val (_, t) = docs(rnd.nextInt(docs.size))
+        val mutated =
+          if (t.trim.isEmpty) "was empty"
+          else if (rnd.nextBoolean()) t + " appended"
+          else { val ts = t.split(" "); ts(rnd.nextInt(ts.length)) = vocab(rnd.nextInt(vocab.size)); ts.mkString(" ") }
+        (1000L + i, mutated)
+      } :+ (2000L, "zq zq zq completely alien tokens qz qz")
+      val expected = (for {
+        (ic, tc) <- docs; (ie, te) <- eval
+        j <- jaccard(shingleSet(tc), shingleSet(te)) if j >= 0.8
+      } yield (ic, ie)).toSet
+      val got = Dedup.fuzzyDecontamPairs(docs.toDF("doc_id", "text"),
+          eval.toDF("eval_id", "text"), "doc_id", "text", "eval_id", "text",
+          numHashes = 32, bands = 16, threshold = 0.8)
+        .select($"doc_id", $"eval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"seed=$seed missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("simhashPairs == brute-force Hamming<=3 pairs on 12 random corpora (exact pigeonhole)") {
     def md5Lower(s: String): Long = {
       val dig = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
