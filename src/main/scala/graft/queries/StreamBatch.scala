@@ -476,6 +476,76 @@ object StreamBatch {
       |FROM b, wmk WHERE b.ws + INTERVAL 1 HOUR <= wmk.wm
       |ORDER BY b.ws, b.event_type""".stripMargin
 
+  private val sv17SourceCatalog =
+    """{"table":{"namespace":"default", "name":"kv_cdc_docs"},
+      |"rowkey":"key",
+      |"columns":{
+      |"doc_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"source":{"cf":"f", "col":"src", "type":"string"},
+      |"text":{"cf":"f", "col":"text", "type":"string"}}}""".stripMargin
+
+  /** sv17: incremental corpus statistics over the native CDC source —
+    * [[GraftStreaming.mixtureDeltaStream]] run across two resumed drains:
+    * generation 1 snapshots the corpus into the kv table; generation 2
+    * rewrites every 5th doc's text, MOVES every 11th doc to a new source,
+    * and inserts 10 brand-new docs. The stateful op emits only corrective
+    * deltas into an append-only parquet log; summing the log reproduces
+    * the batch per-source (n_docs, n_tokens) over the FINAL corpus state —
+    * the incremental-materialized-view contract, with no corpus rescan. */
+  def sv17StreamMixtureStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Tables.documents(s, dir).select(
+      col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    def writeGen(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv17SourceCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val sink = Files.createTempDirectory("graft-sv17-sink").toString
+    val ckpt = Files.createTempDirectory("graft-sv17-ckpt").toString
+    def drain(): Unit = withStreamShuffle(s) {
+      val stream = s.readStream.format("graft-kv")
+        .option("catalog", sv17SourceCatalog).load()
+      val q = GraftStreaming.mixtureDeltaStream(stream).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeGen(base, ts = 1000, overwrite = true)
+    drain()
+    val gen2 = base.filter(col("doc_id") % 5 === 0 || col("doc_id") % 11 === 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" extra extra extra"))).otherwise(col("text")))
+      .withColumn("source", when(col("doc_id") % 11 === 0, lit("moved"))
+        .otherwise(col("source")))
+      .unionByName(s.range(maxId + 1, maxId + 11).select(
+        col("id").as("doc_id"), lit("newsrc").as("source"),
+        concat(lit("brand new doc "), col("id").cast("string")).as("text")))
+    writeGen(gen2, ts = 2000, overwrite = false)
+    drain()
+    s.read.parquet(sink)
+      .groupBy(col("source"))
+      .agg(sum(col("d_docs")).as("n_docs"), sum(col("d_tokens")).as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val sv17Sql: String =
+    """WITH mx AS (SELECT max(CAST(doc_id AS BIGINT)) AS m FROM documents),
+      |fin AS (
+      |  SELECT CASE WHEN doc_id % 11 = 0 THEN 'moved' ELSE source END AS source,
+      |         CASE WHEN doc_id % 5 = 0 THEN text || ' extra extra extra'
+      |              ELSE text END AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'newsrc', 'brand new doc ' || CAST(m + u AS VARCHAR)
+      |  FROM mx CROSS JOIN (SELECT unnest(range(1, 11)) AS u))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
+
   def sv15StreamCdcLakehouse(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.events(s, dir).select(
@@ -915,6 +985,7 @@ object StreamBatch {
     "sv14_stream_incr_neardup"   -> (sv14StreamIncrNeardup _),
     "sv15_stream_cdc_lakehouse"  -> (sv15StreamCdcLakehouse _),
     "sv16_stream_ohlc"           -> (sv16StreamOhlc _),
+    "sv17_stream_mixture_stats"  -> (sv17StreamMixtureStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -934,5 +1005,6 @@ object StreamBatch {
     "sv14_stream_incr_neardup"   -> Pipeline.px7Sql,
     "sv15_stream_cdc_lakehouse"  -> sv15Sql,
     "sv16_stream_ohlc"           -> sv16Sql,
+    "sv17_stream_mixture_stats"  -> sv17Sql,
   )
 }

@@ -48,6 +48,53 @@ object GraftStreaming {
           .as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Incremental mixture-statistics DELTAS over a CDC doc stream — the
+    * streaming materialized-view shape: a per-document
+    * `flatMapGroupsWithState` remembers each doc's last (source, token
+    * count) and emits the corrective deltas (±1 doc, ±Δ tokens, and a
+    * −old/+new pair when a doc changes source), so a plain SUM over the
+    * emitted delta log always equals the batch statistics over the CURRENT
+    * corpus — without ever rescanning it. A naive streaming groupBy-sum
+    * over upsert CDC would double-count every re-emitted doc; the delta
+    * state is what makes CDC aggregation correct.
+    *
+    * Scale shape: state is one (string, long) per live document, keyed by
+    * the CDC row key; deltas are append-only and O(changed docs) per batch
+    * (exactly-once through the file sink), and the final read aggregates a
+    * delta log that is tiny relative to the corpus. Input: (doc_id,
+    * source, text); output: (source, d_docs, d_tokens). */
+  def mixtureDeltaStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val typed = docs.select(col("doc_id").cast("long"), col("source"),
+        graft.pipeline.TextOps.tokenCount(col("text")).cast("long"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[(String, Long)]) => {
+          var cur: Option[(String, Long)] =
+            if (state.exists) Some(state.get) else None
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          rows.foreach { case (_, src, n) =>
+            cur match {
+              case None =>
+                out += ((src, 1L, n))
+              case Some((psrc, pn)) if psrc == src =>
+                if (n != pn) out += ((src, 0L, n - pn))
+              case Some((psrc, pn)) =>
+                out += ((psrc, -1L, -pn))
+                out += ((src, 1L, n))
+            }
+            cur = Some((src, n))
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+      .toDF("source", "d_docs", "d_tokens")
+  }
+
   /** Streaming OHLC bars — [[graft.queries.Events.ev12Ohlc]]'s twin: the
     * same one-aggregate bar (open/close via min_by/max_by on the
     * zero-padded total-order key, exact micro-units) under a watermark.
