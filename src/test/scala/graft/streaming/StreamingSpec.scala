@@ -119,6 +119,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     all.unpersist()
   }
 
+  test("mixtureDeltaStream: insert/update/move deltas are exact and sum to current state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "source", "text")
+    val sink = Files.createTempDirectory("graft-mds-sink").toString
+    val ckpt = Files.createTempDirectory("graft-mds-ckpt").toString
+    def drain(): Unit = {
+      val q = GraftStreaming.mixtureDeltaStream(docs).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: two inserts
+    in.addData((1L, "a", "one two three"), (2L, "b", "x y"))
+    drain()
+    // batch 2: doc 1 grows by a token; doc 2 MOVES to source a with new text;
+    // doc 3 inserts
+    in.addData((1L, "a", "one two three four"), (2L, "a", "x y z"), (3L, "b", "solo"))
+    drain()
+    val deltas = spark.read.parquet(sink)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = Seq(
+      ("a", 1L, 3L),   // insert doc 1
+      ("b", 1L, 2L),   // insert doc 2
+      ("a", 0L, 1L),   // doc 1: +1 token
+      ("b", -1L, -2L), // doc 2 leaves b
+      ("a", 1L, 3L),   // doc 2 arrives in a with 3 tokens
+      ("b", 1L, 1L))   // insert doc 3
+    assert(deltas.sorted.toSeq == expected.sorted.toSeq)
+    // and the log sums to the current corpus state
+    val summed = deltas.groupBy(_._1).map { case (s, ds) =>
+      s -> (ds.map(_._2).sum, ds.map(_._3).sum)
+    }
+    assert(summed == Map("a" -> (2L, 7L), "b" -> (1L, 1L)))
+  }
+
   test("stateful anomaly detection matches the batch twin bit for bit") {
     val anom = GraftStreaming.anomalyStream(eventStream())
     val q = anom.writeStream.outputMode("update")
