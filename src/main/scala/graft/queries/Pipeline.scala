@@ -1668,6 +1668,71 @@ object Pipeline {
       |  fill AS fill_after
       |FROM rec ORDER BY doc_id""".stripMargin
 
+  /** px53: unified contamination REPORT — the verdict a decontam run
+    * actually emits: one row per flagged train doc with how many eval docs
+    * it hit EXACTLY (shared 5-grams, px17's machinery) and FUZZILY
+    * (shingle-Jaccard ≥ 0.8 via the bipartite LSH, px51's machinery), and
+    * which method caught it. The two arms share one corpus scan each and
+    * meet in a full-outer join keyed by doc — both arms' shapes are the
+    * already-audited ones; the report is their union, not a third pass. */
+  def px53ContamReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val train = d.filter(col("doc_id") % 10 =!= 0)
+    val eval = d.filter(col("doc_id") % 10 === 0)
+    val exact = Dedup.contamination(train, eval, "doc_id", "text",
+        n = 5, minShared = 1)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(count(lit(1)).as("exact_hits"))
+    val fuzzy = Dedup.fuzzyDecontamPairs(train,
+        eval.select(col("doc_id").as("eval_id"), col("text")),
+        "doc_id", "text", "eval_id", "text", threshold = 0.8)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("fuzzy_hits"))
+    exact.join(fuzzy, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+        coalesce(col("fuzzy_hits"), lit(0L)).as("fuzzy_hits"))
+      .withColumn("method",
+        when(col("exact_hits") > 0 && col("fuzzy_hits") > 0, "both")
+          .when(col("exact_hits") > 0, "exact").otherwise("fuzzy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px53Sql: String =
+    """WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |            FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+      |        ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |               toks[i+3] || ' ' || toks[i+4])) END AS gs
+      |      FROM t0),
+      |u AS (SELECT doc_id, unnest(gs) AS ngram FROM g),
+      |ex AS (SELECT train_id AS doc_id, count(*) AS exact_hits FROM (
+      |    SELECT a.doc_id AS train_id, b.doc_id AS eval_id
+      |    FROM u a JOIN u b ON a.ngram = b.ngram
+      |    WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      |    GROUP BY 1, 2 HAVING count(*) >= 1) GROUP BY 1),
+      |sh AS (SELECT doc_id,
+      |        CASE WHEN len(toks) = 1 THEN list_distinct(toks)
+      |             ELSE list_distinct(list_transform(range(1, len(toks)),
+      |                    i -> toks[i] || ' ' || toks[i+1]))
+      |        END AS sh
+      |      FROM t0 WHERE len(toks) > 0),
+      |fz AS (SELECT a.doc_id, count(*) AS fuzzy_hits
+      |  FROM sh a JOIN sh b
+      |    ON CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+      |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      |  GROUP BY 1)
+      |SELECT coalesce(ex.doc_id, fz.doc_id) AS doc_id,
+      |  coalesce(exact_hits, 0) AS exact_hits,
+      |  coalesce(fuzzy_hits, 0) AS fuzzy_hits,
+      |  CASE WHEN coalesce(exact_hits, 0) > 0 AND coalesce(fuzzy_hits, 0) > 0
+      |         THEN 'both'
+      |       WHEN coalesce(exact_hits, 0) > 0 THEN 'exact'
+      |       ELSE 'fuzzy' END AS method
+      |FROM ex FULL OUTER JOIN fz ON ex.doc_id = fz.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1721,6 +1786,7 @@ object Pipeline {
     "px50_corpus_build"       -> (px50CorpusBuild _),
     "px51_fuzzy_decontam"     -> (px51FuzzyDecontam _),
     "px52_nextfit_pack"       -> (px52NextFitPack _),
+    "px53_contam_report"      -> (px53ContamReport _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1773,6 +1839,7 @@ object Pipeline {
     "px50_corpus_build"       -> px50Sql,
     "px51_fuzzy_decontam"     -> px51Sql,
     "px52_nextfit_pack"       -> px52Sql,
+    "px53_contam_report"      -> px53Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )
