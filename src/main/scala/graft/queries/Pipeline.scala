@@ -1733,6 +1733,50 @@ object Pipeline {
       |FROM ex FULL OUTER JOIN fz ON ex.doc_id = fz.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** px54: leakage-free train/val/test split — assignment is hashed on the
+    * near-dup CLUSTER id (px14's keeper label), not the doc id, so a
+    * document and its near-duplicates can NEVER straddle splits (the
+    * classic eval-leakage bug: doc in train, its 95%-identical twin in
+    * test). 80/10/10 by a seeded 8-bit hash mask (sign-safe, cross-engine
+    * exact); singletons cluster as themselves. One extra map over px14's
+    * audited clustering — no new shuffle. */
+  def px54LeakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keepers = Dedup.minhashKeepers(docs, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.8)
+      .select(col("id").as("doc_id"), col("keep_id"))
+    val bucket = graft.functions.HashExprs.md5NumberLower(
+      concat(lit("split42|"), col("cluster_id").cast("string")))
+      .bitwiseAND(lit(0xffL))
+    docs.select(col("doc_id")).join(keepers, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("keep_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        when(bucket < 204, "train").when(bucket < 230, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val px54Sql: String =
+    s"""WITH RECURSIVE ${shingleCtesSql("documents")},
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+      |),
+      |comp AS (SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src),
+      |lab AS (SELECT d.doc_id, coalesce(comp.keep_id, d.doc_id) AS cluster_id
+      |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN md5_number_lower('split42|' || cluster_id) & 255 < 204 THEN 'train'
+      |       WHEN md5_number_lower('split42|' || cluster_id) & 255 < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM lab ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1787,6 +1831,7 @@ object Pipeline {
     "px51_fuzzy_decontam"     -> (px51FuzzyDecontam _),
     "px52_nextfit_pack"       -> (px52NextFitPack _),
     "px53_contam_report"      -> (px53ContamReport _),
+    "px54_leakfree_split"     -> (px54LeakFreeSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1840,6 +1885,7 @@ object Pipeline {
     "px51_fuzzy_decontam"     -> px51Sql,
     "px52_nextfit_pack"       -> px52Sql,
     "px53_contam_report"      -> px53Sql,
+    "px54_leakfree_split"     -> px54Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -243,6 +243,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("leakage-free split: near-dup docs land in the SAME split by construction") {
+    // docs 1, 2, 5 are near/exact dups of each other (the fixture corpus);
+    // a doc-id-hashed split could separate them — the cluster-keyed split
+    // must not
+    val keepers = Dedup.minhashKeepers(docs, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.8)
+      .select($"id".as("doc_id"), $"keep_id")
+    val split = docs.select($"doc_id").join(keepers, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"keep_id", $"doc_id"))
+      .withColumn("split",
+        graft.functions.HashExprs.md5NumberLower(
+          concat(lit("split42|"), $"cluster_id".cast("string")))
+          .bitwiseAND(lit(0xffL)) < 204)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(split(1L)._1 == split(2L)._1 && split(1L)._1 == split(5L)._1,
+      "near-dups must share a cluster id")
+    assert(split(1L)._2 == split(2L)._2 && split(1L)._2 == split(5L)._2,
+      "near-dups must share a split")
+  }
+
   test("Dedup.components: min-label propagation over chains and pairs") {
     // chain 5-3, 3-9 merges into one component {3,5,9}; {20,21} separate
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
