@@ -244,23 +244,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("leakage-free split: near-dup docs land in the SAME split by construction") {
-    // docs 1, 2, 5 are near/exact dups of each other (the fixture corpus);
-    // a doc-id-hashed split could separate them — the cluster-keyed split
-    // must not
-    val keepers = Dedup.minhashKeepers(docs, "text", "doc_id",
+    // docs 1 and 5 are exact dups; 6 is a high-overlap near-dup of both
+    // (one trailing token appended → bigram Jaccard 9/10). A doc-id-hashed
+    // split could separate them — the cluster-keyed split must not.
+    val d = docs.unionByName(Seq(
+      Doc(6, "the quick brown fox jumps over the lazy dog again", "en")).toDF())
+    val keepers = Dedup.minhashKeepers(d, "text", "doc_id",
         numHashes = 32, bands = 16, threshold = 0.8)
       .select($"id".as("doc_id"), $"keep_id")
-    val split = docs.select($"doc_id").join(keepers, Seq("doc_id"), "left")
+    val split = d.select($"doc_id").join(keepers, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce($"keep_id", $"doc_id"))
       .withColumn("split",
         graft.functions.HashExprs.md5NumberLower(
           concat(lit("split42|"), $"cluster_id".cast("string")))
           .bitwiseAND(lit(0xffL)) < 204)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    assert(split(1L)._1 == split(2L)._1 && split(1L)._1 == split(5L)._1,
-      "near-dups must share a cluster id")
-    assert(split(1L)._2 == split(2L)._2 && split(1L)._2 == split(5L)._2,
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(split(1L)._1 == split(5L)._1 && split(1L)._1 == split(6L)._1,
+      s"near-dups must share a cluster id: $split")
+    assert(split(1L)._2 == split(5L)._2 && split(1L)._2 == split(6L)._2,
       "near-dups must share a split")
+    // doc 2 (J = 0.6 vs doc 1, below threshold) is its OWN cluster
+    assert(split(2L)._1 == 2L)
   }
 
   test("Dedup.components: min-label propagation over chains and pairs") {
