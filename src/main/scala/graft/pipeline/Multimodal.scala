@@ -40,14 +40,7 @@ object Multimodal {
     * this derives a deterministic content digest standing in for pixel data.
     * MD5 (lowercase hex) so an external SQL engine can recompute it:
     * DuckDB's `md5(text)` over the same UTF-8 bytes yields the same hex. */
-  private def stubDecode(payload: Array[Byte]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(payload)
-    val sb = new StringBuilder(32)
-    var i = 0
-    while (i < dig.length) { sb.append(f"${dig(i) & 0xff}%02x"); i += 1 }
-    sb.toString
-  }
+  private def stubDecode(payload: Array[Byte]): String = md5Hex(payload)
 
   /** Little-endian uint64 of MD5-digest bytes 8..15 of a string — exactly
     * DuckDB's `md5_number_lower(s)` (the convention every md5-derived sketch

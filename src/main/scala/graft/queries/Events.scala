@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -479,11 +479,26 @@ object Events {
     * groupBy: map-side combine keeps per-task state at one row per
     * (type, hour), no window, no sort, one low-cardinality shuffle.
     * Values are exact micro-units. */
+  /** Zero-padded `(ts_micros ‖ event_id)` total-order key for the OHLC
+    * open/close picks. Both Spark's and DuckDB's `lpad` silently TRUNCATE
+    * inputs wider than the pad, and a '-' sign breaks zero-pad ordering —
+    * either would collapse distinct keys and tie-break open/close
+    * arbitrarily (potentially diverging between engines). The widths are
+    * therefore guarded PER ROW: an event_id outside [0, 1e10) or a
+    * pre-epoch timestamp raises instead of silently mis-ordering. */
+  def ohlcOrdKey: Column = {
+    val widthOk = col("event_id").between(0L, 9999999999L) &&
+      unix_micros(col("ts")) >= 0L
+    when(widthOk, concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0")))
+      .otherwise(raise_error(lit("OHLC order key assumes 0 <= event_id < 1e10" +
+        " and ts >= epoch; widen the pads for this data")).cast("string"))
+  }
+
   def ev12Ohlc(s: SparkSession, dir: String): DataFrame = {
     val vMicro = (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
-    val ordKey = concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 10, "0"))
+    val ordKey = ohlcOrdKey
     Tables.events(s, dir)
       .select(col("event_type"), window(col("ts"), "1 hour")("start").as("ws"),
         vMicro.as("v"), ordKey.as("ord"))

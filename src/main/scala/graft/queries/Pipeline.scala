@@ -353,6 +353,13 @@ object Pipeline {
     * without it DuckDB types the whole VALUES list as one unified DECIMAL
     * whose shared scale can truncate mixed-magnitude centroids by an ULP. */
   private def dlit(d: Double): String = {
+    // a degenerate trained artifact (empty IVF cell, zero vector) could
+    // surface NaN/Inf; a bare d.toString would render invalid DuckDB SQL
+    // ('NaNe0') and fail the dynamic oracle with a parse error, so fail
+    // loudly at render time instead
+    require(!d.isNaN && !d.isInfinite,
+      s"non-finite double $d cannot be rendered as a DuckDB literal — " +
+        "a trained centroid/weight is degenerate (empty cell or zero vector)")
     val s = d.toString
     if (s.indexOf('E') >= 0 || s.indexOf('e') >= 0) s else s + "e0"
   }

@@ -102,9 +102,9 @@ object GraftStreaming {
     * bar exactly once when the watermark closes its window. */
   def ohlcStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
     val vMicro = (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
-    val ordKey = concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 10, "0"))
+    // width-guarded total-order key (see Events.ohlcOrdKey: lpad truncates
+    // over-wide inputs, which would tie-break open/close arbitrarily)
+    val ordKey = graft.queries.Events.ohlcOrdKey
     events
       .withWatermark("ts", watermark)
       .select(col("ts"), col("event_type"), vMicro.as("v"), ordKey.as("ord"))
