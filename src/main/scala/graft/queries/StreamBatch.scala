@@ -506,8 +506,13 @@ object StreamBatch {
     val sink = Files.createTempDirectory("graft-sv17-sink").toString
     val ckpt = Files.createTempDirectory("graft-sv17-ckpt").toString
     def drain(): Unit = withStreamShuffle(s) {
+      // tombstones=true surfaces `_cell_ts` as a real column — the CDC
+      // stamp mixtureDeltaStream uses to apply versions newest-wins,
+      // independent of within-batch arrival order (no deletes occur in
+      // this protocol; the _deleted filter is belt-and-braces)
       val stream = s.readStream.format("graft-kv")
-        .option("catalog", sv17SourceCatalog).load()
+        .option("catalog", sv17SourceCatalog).option("tombstones", "true")
+        .load().filter(!col("_deleted"))
       val q = GraftStreaming.mixtureDeltaStream(stream).writeStream
         .outputMode("append").format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
@@ -870,8 +875,38 @@ object StreamBatch {
     * pair is found exactly when its LATER document arrives — so the final
     * pair set must equal the BATCH px7 answer, and the oracle IS px7's SQL
     * (all-pairs exact Jaccard ≥ 0.8). Per batch the work is proportional to
-    * new-docs × bucket-mates — never a corpus re-scan; at 100 TB the index
-    * lookup is a (band, bh) equi-join riding the kv scan's pushdown. */
+    * new-docs × bucket-mates — never a corpus re-scan: the batch's distinct
+    * (band, bh) pairs (≤ new-docs × bands, batch-proportional by
+    * construction) compile to `ik` PREFIX ranges via [[bandIndexLookup]],
+    * so the persisted index scan plans only the matching key slivers and
+    * scanned rows scale with the batch's bucket population, never with
+    * index size (StreamingSpec pins this with the scan's rows-scanned
+    * metric). */
+  /** Past this many distinct (band, bh) prefixes the batch's buckets cover
+    * so much of the index that a full scan is the better plan (and a deeper
+    * pushed Or-tree would only slow planning) — an unselective-predicate
+    * fallback, same judgment as the index consult's cap. */
+  private[graft] val MaxPushedBandPrefixes = 4096
+
+  /** Batch-proportional band-index lookup: compile a batch's distinct
+    * `"%02d:%021d:"`-formatted (band, bh) prefixes into pushed
+    * StringStartsWith filters on the index's string row key `ik`, which
+    * [[graft.datasource.FilterCompiler]] turns into a union of key-prefix
+    * ScanRanges — regions without a matching sliver plan NO partition and
+    * scanned rows scale with the batch's bucket population, not index size.
+    * The Or-tree is balanced so predicate depth stays O(log n). Empty
+    * prefix set → empty result without touching the store. */
+  private[graft] def bandIndexLookup(s: SparkSession, idxCatalog: String,
+      prefixes: Array[String]): DataFrame = {
+    val idx = s.read.format("graft-kv").option("catalog", idxCatalog).load()
+    def orTree(lo: Int, hi: Int): org.apache.spark.sql.Column =
+      if (lo == hi) col("ik").startsWith(prefixes(lo))
+      else { val mid = (lo + hi) / 2; orTree(lo, mid) || orTree(mid + 1, hi) }
+    if (prefixes.isEmpty) idx.filter(lit(false))
+    else if (prefixes.length > MaxPushedBandPrefixes) idx
+    else idx.filter(orTree(0, prefixes.length - 1))
+  }
+
   def sv14StreamIncrNeardup(s: SparkSession, dir: String): DataFrame = {
     import graft.store.KvStore
     val base = Tables.documents(s, dir)
@@ -925,7 +960,21 @@ object StreamBatch {
             posexplode(graft.functions.HashExprs.minhashBands(col("toks"), 32, 16)))
           .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
         val fwd = s.read.format("graft-kv").option("catalog", sv14FwdCatalog).load()
-        val oldIdx = s.read.format("graft-kv").option("catalog", sv14IdxCatalog).load()
+        // Steady-state CDC batches are small: their distinct (band, bh)
+        // pairs (≤ new-docs × 16, bounded by BATCH size, never corpus
+        // size) collect cheaply and compile into pushed ik prefix ranges,
+        // so the persisted index scan reads only the batch's bucket
+        // slivers. A catch-up batch whose bucket BOUND already exceeds the
+        // push cap skips the collect outright — its buckets blanket the
+        // index, so the full scan it falls back to is the right plan and
+        // the probe costs nothing extra.
+        val oldIdxRead =
+          if (docs.count() * 16L > MaxPushedBandPrefixes)
+            s.read.format("graft-kv").option("catalog", sv14IdxCatalog).load()
+          else bandIndexLookup(s, sv14IdxCatalog, newBands
+            .select(format_string("%02d:%021d:", col("band"), col("bh")).as("p"))
+            .distinct().collect().map(_.getString(0)))
+        val oldIdx = oldIdxRead
           .select(col("band"), col("bh"), col("doc_id").as("old_id"))
         val nn = newBands.as("x").join(newBands.as("y"), Seq("band", "bh"))
           .filter(col("x.id") < col("y.id"))

@@ -58,39 +58,61 @@ object GraftStreaming {
     * over upsert CDC would double-count every re-emitted doc; the delta
     * state is what makes CDC aggregation correct.
     *
-    * Scale shape: state is one (string, long) per live document, keyed by
-    * the CDC row key; deltas are append-only and O(changed docs) per batch
-    * (exactly-once through the file sink), and the final read aggregates a
-    * delta log that is tiny relative to the corpus. Input: (doc_id,
-    * source, text); output: (source, d_docs, d_tokens). */
+    * Scale shape: state is one (string, long, long) per live document,
+    * keyed by the CDC row key; deltas are append-only and O(changed docs)
+    * per batch (exactly-once through the file sink), and the final read
+    * aggregates a delta log that is tiny relative to the corpus. Input:
+    * (doc_id, source, text[, _cell_ts]); output: (source, d_docs,
+    * d_tokens).
+    *
+    * Version ordering: Spark guarantees NO value order within a
+    * flatMapGroupsWithState group, and a catch-up batch (or a generic
+    * non-kv source) can carry several versions of one doc in a single
+    * micro-batch — so the fold must not depend on iterator order. When
+    * the input carries the CDC stamp (`_cell_ts`, a REAL column under the
+    * kv source's `tombstones=true` read option), each group reduces to
+    * its MAX-STAMP version before diffing against state, and state
+    * remembers the stamp so a stale replay (older stamp than state) is
+    * ignored instead of regressing the view — delta-sum == current corpus
+    * stats regardless of arrival order. Without a stamp column every
+    * version ties at stamp 0 and the reduction keeps an arbitrary one:
+    * callers must then deliver at most one version per key per batch. */
   def mixtureDeltaStream(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sp = docs.sparkSession
     import sp.implicits._
+    val stamp =
+      if (docs.columns.contains(graft.datasource.GraftTable.CellTsColumn))
+        col(graft.datasource.GraftTable.CellTsColumn).cast("long")
+      else lit(0L)
     val typed = docs.select(col("doc_id").cast("long"), col("source"),
-        graft.pipeline.TextOps.tokenCount(col("text")).cast("long"))
-      .as[(Long, String, Long)]
+        graft.pipeline.TextOps.tokenCount(col("text")).cast("long"),
+        coalesce(stamp, lit(0L)))
+      .as[(Long, String, Long, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Long, rows: Iterator[(Long, String, Long)],
-            state: GroupState[(String, Long)]) => {
-          var cur: Option[(String, Long)] =
-            if (state.exists) Some(state.get) else None
-          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-          rows.foreach { case (_, src, n) =>
-            cur match {
-              case None =>
-                out += ((src, 1L, n))
-              case Some((psrc, pn)) if psrc == src =>
-                if (n != pn) out += ((src, 0L, n - pn))
-              case Some((psrc, pn)) =>
-                out += ((psrc, -1L, -pn))
-                out += ((src, 1L, n))
+        (_: Long, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[(String, Long, Long)]) => {
+          // order-independent: only the batch's NEWEST version of the doc
+          // is diffed against state (intermediate versions cancel out of
+          // the delta algebra anyway)
+          val (_, src, n, ts) = rows.maxBy(_._4)
+          val out: Iterator[(String, Long, Long)] =
+            if (state.exists) {
+              val (psrc, pn, pts) = state.get
+              if (ts < pts) Iterator.empty // stale replay — never regress
+              else {
+                state.update((src, n, ts))
+                if (psrc == src) {
+                  if (n != pn) Iterator.single((src, 0L, n - pn))
+                  else Iterator.empty
+                } else Iterator((psrc, -1L, -pn), (src, 1L, n))
+              }
+            } else {
+              state.update((src, n, ts))
+              Iterator.single((src, 1L, n))
             }
-            cur = Some((src, n))
-          }
-          cur.foreach(state.update)
-          out.iterator
+          out
         })
       .toDF("source", "d_docs", "d_tokens")
   }

@@ -159,6 +159,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(summed == Map("a" -> (2L, 7L), "b" -> (1L, 1L)))
   }
 
+  test("mixtureDeltaStream: multi-version batches apply newest-stamp-wins, arrival-order independent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "source", "text", "_cell_ts")
+    val sink = Files.createTempDirectory("graft-mvs-sink").toString
+    val ckpt = Files.createTempDirectory("graft-mvs-ckpt").toString
+    def drain(): Unit = {
+      val q = GraftStreaming.mixtureDeltaStream(docs).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: TWO versions of doc 1 in one batch, NEWEST ADDED FIRST (the
+    // adversarial iterator order) — the stamp-20 version (source b, 2
+    // tokens) must win over the stamp-10 insert (source a, 3 tokens);
+    // plus a plain insert of doc 2
+    in.addData((1L, "b", "two tokens", 20L), (1L, "a", "one two three", 10L),
+      (2L, "a", "x", 5L))
+    drain()
+    val d1 = spark.read.parquet(sink)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(d1.toSeq == Seq(("a", 1L, 1L), ("b", 1L, 2L)),
+      s"newest-stamp version must win within a batch; got ${d1.toSeq}")
+    // batch 2: a STALE replay of doc 1 (stamp 15 < state's 20) must emit
+    // nothing and not regress state; doc 2 updates normally (stamp 6)
+    in.addData((1L, "a", "one two three", 15L), (2L, "a", "x y z", 6L))
+    drain()
+    val d2 = spark.read.parquet(sink)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val summed = d2.groupBy(_._1).view.mapValues(ds =>
+      (ds.map(_._2).sum, ds.map(_._3).sum)).toMap
+    // current corpus: doc 1 = (b, 2 tokens) — the stale replay ignored;
+    // doc 2 = (a, 3 tokens)
+    assert(summed == Map("a" -> (1L, 3L), "b" -> (1L, 2L)),
+      s"delta log must sum to current corpus state; got $summed")
+  }
+
   test("stateful anomaly detection matches the batch twin bit for bit") {
     val anom = GraftStreaming.anomalyStream(eventStream())
     val q = anom.writeStream.outputMode("update")
@@ -583,5 +624,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val direct = spark.read.parquet(s"$sfDir/events.parquet")
       .filter(col("event_type") === "click").count()
     assert(back.filter(col("event_type") === "click").count() == direct)
+  }
+
+  private def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allPlanNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allPlanNodes(q.plan)
+    case _ => p +: p.children.flatMap(allPlanNodes)
+  }
+
+  test("sv14 band-index lookup scans rows proportional to the batch's buckets, not index size") {
+    // an index-shaped table: 8 bands × 5 hashes × 30 docs = 1200 entries,
+    // presplit into several string-key regions — the persisted kv_nd_idx
+    // stand-in, at a size where a full per-batch read would be obvious
+    val idxCatalog =
+      """{"table":{"namespace":"default", "name":"kv_bandidx_probe"},
+        |"rowkey":"key",
+        |"columns":{
+        |"ik":{"cf":"rowkey", "col":"key", "type":"string"},
+        |"band":{"cf":"f", "col":"band", "type":"int"},
+        |"bh":{"cf":"f", "col":"bh", "type":"bigint"},
+        |"doc_id":{"cf":"f", "col":"doc", "type":"bigint"}}}""".stripMargin
+    graft.store.KvStore.drop("default:kv_bandidx_probe")
+    val entries = for {
+      band <- 0 until 8; h <- 0 until 5; d <- 0 until 30
+    } yield {
+      val bh = 1000L * band + h
+      (f"$band%02d:$bh%021d:$d%012d", band, bh, d.toLong)
+    }
+    import spark.implicits._
+    entries.toDF("ik", "band", "bh", "doc_id").write.format("graft-kv")
+      .options(Map("catalog" -> idxCatalog, "newtable" -> "8",
+        "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
+
+    // a "batch" touching 3 of the 40 buckets
+    val prefixes = Array(f"${0}%02d:${1000L * 0 + 2}%021d:",
+      f"${3}%02d:${1000L * 3 + 0}%021d:", f"${7}%02d:${1000L * 7 + 4}%021d:")
+    val df = graft.queries.StreamBatch.bandIndexLookup(spark, idxCatalog, prefixes)
+    val rows = df.collect()
+    assert(rows.length == 3 * 30, s"expected 90 bucket-mates, got ${rows.length}")
+    assert(rows.map(_.getAs[Int]("band")).toSet == Set(0, 3, 7))
+
+    val scan = allPlanNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val scanned = scan.metrics("graftRowsScanned").value
+    val total = graft.store.KvStore.table("default:kv_bandidx_probe").regions
+      .map(_.rowCount.get()).sum
+    assert(total == 1200L)
+    // the gate: scanned rows = the 3 buckets' population, NOT the index size
+    assert(scanned == 90L,
+      s"prefix-pushed index lookup scanned $scanned of $total rows — " +
+        "the lookup is not batch-proportional")
+
+    // empty batch touches nothing; an unselective batch falls back to the
+    // (correct) full scan
+    assert(graft.queries.StreamBatch
+      .bandIndexLookup(spark, idxCatalog, Array.empty).count() == 0L)
+    val wide = (0 until graft.queries.StreamBatch.MaxPushedBandPrefixes + 1)
+      .map(i => f"$i%02d:").toArray
+    assert(graft.queries.StreamBatch
+      .bandIndexLookup(spark, idxCatalog, wide).count() == 1200L)
   }
 }
