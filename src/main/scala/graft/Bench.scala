@@ -34,14 +34,30 @@ object Bench {
     // stable statistic — round-over-round comparisons stop needing manual
     // re-timing adjudication (the r3 px11 false regression).
     val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt, 1)
+    // PROVENANCE: machine load per rep — this host's timings vary up to 3x
+    // under external load, and two rounds of judging have had to re-time
+    // "regressions" that were load noise. Recording loadavg alongside each
+    // rep (and a conditional third rep when the first two disagree >1.5x)
+    // lets the record itself distinguish noise from regression.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
     val perRep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+      var times = (1 to reps).map(_ => timeOnce(fn))
+      // reps disagreeing >1.5x means at least one was load-inflated — a
+      // third rep makes the minimum trustworthy
+      if (reps >= 2 && times.max > times.min * 1.5 && times.min > 0.2)
+        times = times :+ timeOnce(fn)
       name -> times
     }
+    val loadEnd = loadavg()
     val results = perRep.map { case (name, times) => name -> times.min }.toMap
     def obj(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -53,13 +69,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val populateTotal = populate.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(json)
     // ALSO persist the full JSON to a file: the driver's pane capture
     // truncates at 2000 chars, so round-over-round per-query comparison
     // needs a complete on-disk artifact (BENCH_LOCAL_r{N}.json; bump the
     // default per round or override via SPARK_GRAFT_BENCH_OUT)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r6.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r8.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()

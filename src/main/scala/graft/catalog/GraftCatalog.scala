@@ -51,8 +51,27 @@ final case class Field(
   def byteWidth: Int = if (length > 0) length else coder.byteWidth(dataType)
 }
 
-/** One part of a (possibly composite) row key, with its byte offset. */
-final case class RowKeyPart(field: Field, offset: Int, width: Int) extends Serializable
+/** One part of a (possibly composite) row key, with its byte offset.
+  *
+  * Layout conventions (shared by every key decode/predicate path):
+  *  - `offset >= 0`: byte offset from the START of the stored key;
+  *    `offset < 0`: from the END (`keyLen + offset`) — parts that FOLLOW a
+  *    var-width part, decodable when everything after that part is fixed.
+  *  - `width >= 0`: fixed byte width; `width == -1`: to the end of the key
+  *    (var-width LAST part); `width < -1`: to the end MINUS `-width - 1`
+  *    trailing bytes (a var-width part with a fixed-width tail after it —
+  *    the secondary-index entry layout `enc(value) ‖ main key`).
+  * Main-table catalogs only ever use `offset >= 0` with at most one
+  * var-width LAST part ([[GraftCatalog.validate]]); the extended forms are
+  * synthesized for derived index catalogs
+  * ([[graft.datasource.SecondaryIndex.indexOnlyCatalog]]). */
+final case class RowKeyPart(field: Field, offset: Int, width: Int) extends Serializable {
+  /** Resolved start offset of this part within a `keyLen`-byte key. */
+  def offsetIn(keyLen: Int): Int = if (offset < 0) keyLen + offset else offset
+  /** Resolved byte length of this part within a `keyLen`-byte key. */
+  def lengthIn(keyLen: Int): Int =
+    if (width >= 0) width else keyLen - offsetIn(keyLen) - (-width - 1)
+}
 
 /** Parsed catalog: table identity + ordered column map + row key layout.
   * Reference: core/.../HBaseTableCatalog.scala:152-305.

@@ -184,7 +184,8 @@ object FilterCompiler {
             }
             val logical =
               if (exactKey || catalog.rowKeyParts.size == 1) fieldRanges.map(identity)
-              else fieldRanges.map(prefixExpand) // fixed-width first part of composite key
+              else if (part.width > 0) fieldRanges.map(prefixExpand) // fixed-width first part of composite key
+              else fieldRanges.map(varPrefixExpand) // var-width first part (index-entry layout)
             // a single-part Eq pins the WHOLE logical key, so its salt is
             // computable: one exact salted point instead of an n-way fan
             saltFan(catalog, logical,
@@ -223,7 +224,15 @@ object FilterCompiler {
     keyPart(catalog, attr) match {
       case Some(part) if part.field.dataType == org.apache.spark.sql.types.StringType =>
         val prefix = p.getBytes("UTF-8")
-        val pred = KvPredicate.KeyPartPrefix(part.offset, prefix)
+        // a raw byte-prefix test is exact for fixed-width parts and for a
+        // var-width LAST part (the part runs to the key's end), but a
+        // var-width part with a fixed tail (width < -1, the index-entry
+        // layout) could bleed into the tail's bytes when the value is
+        // shorter than the pattern — decode-then-compare there
+        val pred =
+          if (part.width < -1)
+            KvPredicate.KeyStrMatch(part.offset, part.width, p, StrMode.Prefix)
+          else KvPredicate.KeyPartPrefix(part.offset, prefix)
         val ranges =
           if (part.offset != catalog.saltLen) AllRanges
           else saltFan(catalog, Seq(ScanRange(Bound(Some(prefix), inclusive = true),
@@ -307,6 +316,24 @@ object FilterCompiler {
           }
       }
     }
+  }
+
+  /** Var-width first key part (the index-entry layout `enc(value) ‖ tail`):
+    * value byte-prefix EXTENSIONS are themselves larger values, so an
+    * exclusive start must NOT skip past the value's prefix block (that
+    * would lose "ab" < "abc"), and EVERY end must widen past it — a value
+    * that is a strict byte-prefix of the bound ("a" vs "ab") has entries
+    * whose tail bytes can reach beyond the raw bound. The widened ranges
+    * over-approximate; the typed key predicate stays exact and decides. */
+  private def varPrefixExpand(r: ScanRange[Array[Byte]]): ScanRange[Array[Byte]] = {
+    val end = r.end match {
+      case Bound(Some(b), _) => BytesUtil.prefixUpperBound(b) match {
+        case Some(up) => Bound(Some(up), false)
+        case None     => Bound.posInf[Array[Byte]]
+      }
+      case other => other
+    }
+    ScanRange(r.start, end)
   }
 
   /** Turn a closed field-value range into the matching key-prefix range:

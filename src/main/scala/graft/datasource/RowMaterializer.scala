@@ -83,9 +83,10 @@ final class RowMaterializer(
     while (i < nSlots) {
       if (slotKind(i) == KindKey) {
         val p = keyPartOf(i)
-        val len = if (p.width < 0) row.key.length - p.offset else p.width
+        val off = p.offsetIn(row.key.length)
+        val len = p.lengthIn(row.key.length)
         val v = toRequired(fieldsArr(i), reqTypes(i),
-          p.field.coder.decode(p.field.dataType, row.key, p.offset, len))
+          p.field.coder.decode(p.field.dataType, row.key, off, len))
         if (v == null) sink.putNull(i) else sink.put(i, v)
         filledBuf(i) = true
       }
@@ -115,8 +116,9 @@ final class RowMaterializer(
       val m = Map.newBuilder[String, Any]
       keyParts.foreach { p =>
         if (projection.exists(_._1.name == p.field.name)) {
-          val len = if (p.width < 0) row.key.length - p.offset else p.width
-          m += p.field.name -> p.field.coder.decode(p.field.dataType, row.key, p.offset, len)
+          val off = p.offsetIn(row.key.length)
+          val len = p.lengthIn(row.key.length)
+          m += p.field.name -> p.field.coder.decode(p.field.dataType, row.key, off, len)
         }
       }
       m.result()
@@ -135,9 +137,10 @@ final class RowMaterializer(
     while (i < nSlots) {
       if (slotKind(i) == KindKey) {
         val p = keyPartOf(i)
-        val len = if (p.width < 0) row.key.length - p.offset else p.width
+        val off = p.offsetIn(row.key.length)
+        val len = p.lengthIn(row.key.length)
         out(i) = toRequired(fieldsArr(i), reqTypes(i),
-          p.field.coder.decode(p.field.dataType, row.key, p.offset, len))
+          p.field.coder.decode(p.field.dataType, row.key, off, len))
         filled(i) = true
       }
       i += 1

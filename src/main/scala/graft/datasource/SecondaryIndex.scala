@@ -147,7 +147,13 @@ object SecondaryIndex {
       opts.tombstones) return None
     val mainName = opts.storeName(catalog)
     catalog.indexedFields.iterator.flatMap { f =>
-      if (f.byteWidth <= 0 || !f.coder.preservesOrdering(f.dataType)) None
+      // fixed-width indexed values parse as ordinary fixed-offset composite
+      // key parts; a VAR-width value (no declared length — the common
+      // string index) is still decodable when the main key is all fixed
+      // width: the value's length is the entry length minus the fixed tail
+      // (RowKeyPart's negative-offset/width conventions)
+      val decodable = f.byteWidth > 0 || catalog.rowKeyLength > 0
+      if (!decodable || !f.coder.preservesOrdering(f.dataType)) None
       else if (!KvStore.exists(indexTableName(mainName, f))) None
       else {
         val idxCat = indexOnlyCatalog(catalog, f)
@@ -158,7 +164,10 @@ object SecondaryIndex {
         // first, then main key parts, all order-preserving) — `GROUP BY
         // indexed_col` over a selective filter is the classic shape
         val idxKeyFields = idxCat.rowKeyFields
-        val groupOk = groupCols.isEmpty || (
+        // grouped pushdown slices group prefixes at FIXED byte offsets —
+        // a var-width leading value breaks prefix contiguity arithmetic,
+        // so var-width indexes keep the plain index-only scan path
+        val groupOk = groupCols.isEmpty || (f.byteWidth > 0 &&
           groupCols.length <= idxKeyFields.length &&
           groupCols.zip(idxKeyFields).forall { case (g, kf) =>
             g == kf.name && kf.coder.preservesOrdering(kf.dataType)
@@ -182,8 +191,22 @@ object SecondaryIndex {
     val keyF = f.copy(cf = graft.catalog.GraftCatalog.RowKeyFamily,
       qual = f.name, indexed = false, cover = Nil)
     val w = f.byteWidth
-    val parts = graft.catalog.RowKeyPart(keyF, 0, w) +:
-      cat.rowKeyParts.map(p => graft.catalog.RowKeyPart(p.field, w + p.offset, p.width))
+    val parts =
+      if (w > 0)
+        graft.catalog.RowKeyPart(keyF, 0, w) +:
+          cat.rowKeyParts.map(p => graft.catalog.RowKeyPart(p.field, w + p.offset, p.width))
+      else {
+        // var-width value + all-fixed main key: the value spans the entry
+        // minus the fixed tail (width = -(1 + tail)), and the main key
+        // parts anchor to the entry's END (negative offsets) — see
+        // RowKeyPart's layout conventions
+        val tail = cat.rowKeyLength
+        require(tail > 0,
+          s"var-width index ${f.name} needs an all-fixed-width main row key")
+        graft.catalog.RowKeyPart(keyF, 0, -(1 + tail)) +:
+          cat.rowKeyParts.map(p =>
+            graft.catalog.RowKeyPart(p.field, p.offset - tail, p.width))
+      }
     val coveredFields = f.cover.map(c =>
       cat.field(c).copy(indexed = false, cover = Nil))
     GraftCatalog(cat.namespace, s"${cat.table}__idx__${f.name}", cat.tableCoderName,
@@ -235,7 +258,8 @@ object SecondaryIndex {
           implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
           val valueRs = perFilter.reduce(ScanRange.and(_, _))
           if (valueRs == Seq(ScanRange.all[Array[Byte]])) None
-          else scanIndex(idxName, valueRs, opts.indexLookupCap.getOrElse(LookupCap))
+          else scanIndex(idxName, valueRs, opts.indexLookupCap.getOrElse(LookupCap),
+            fixedWidth = f.byteWidth > 0)
         }
       }
     }.nextOption()
@@ -247,10 +271,10 @@ object SecondaryIndex {
     * FULLY covered by the entry ranges (every row matches); `upper` sums
     * every INTERSECTING region (no row outside them can match). */
   private[graft] def estimateMatches(idxName: String,
-      valueRs: Seq[ScanRange[Array[Byte]]]): (Long, Long) = {
+      valueRs: Seq[ScanRange[Array[Byte]]], fixedWidth: Boolean): (Long, Long) = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     val idx = KvStore.table(idxName)
-    val entryRs = ScanRange.normalize(valueRs.map(valueToEntryRange))
+    val entryRs = ScanRange.normalize(valueRs.map(valueToEntryRange(_, fixedWidth)))
     def sameBound(a: Bound[Array[Byte]], b: Bound[Array[Byte]]): Boolean =
       a.inclusive == b.inclusive && ((a.value, b.value) match {
         case (Some(x), Some(y)) => java.util.Arrays.equals(x, y)
@@ -285,10 +309,10 @@ object SecondaryIndex {
 
   /** Read matching main keys out of the index table; None over `cap`. */
   private def scanIndex(idxName: String, valueRs: Seq[ScanRange[Array[Byte]]],
-      cap: Int): Option[Seq[ScanRange[Array[Byte]]]] = {
+      cap: Int, fixedWidth: Boolean): Option[Seq[ScanRange[Array[Byte]]]] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
     val idx = KvStore.table(idxName)
-    val entryRs = ScanRange.normalize(valueRs.map(valueToEntryRange))
+    val entryRs = ScanRange.normalize(valueRs.map(valueToEntryRange(_, fixedWidth)))
     lastConsultEntriesRead.set(0L)
     def sameBound(a: Bound[Array[Byte]], b: Bound[Array[Byte]]): Boolean =
       a.inclusive == b.inclusive && ((a.value, b.value) match {
@@ -341,20 +365,31 @@ object SecondaryIndex {
     * keys extend the value with the main key, so inclusive bounds widen to
     * just past the value prefix (exactly [[FilterCompiler]]'s prefixExpand
     * rule). May include longer-value false positives (e.g. value "ab"
-    * covers "abc" entries) — safe, the row predicate decides. */
-  private def valueToEntryRange(r: ScanRange[Array[Byte]]): ScanRange[Array[Byte]] = {
+    * covers "abc" entries) — safe, the row predicate decides.
+    *
+    * `fixedWidth=false` (var-width indexed values) changes the algebra:
+    * a value's byte-prefix EXTENSIONS are real larger values, so an
+    * exclusive start must stay AT the value (skipping to its prefix upper
+    * bound would lose `"ab" < "abc"`), and an exclusive END must still
+    * widen past the bound — a value that is a strict byte-prefix of the
+    * bound ("a" vs "ab") has entries whose appended main-key bytes can
+    * reach beyond the raw bound. Both widenings over-approximate only; the
+    * row predicate stays exact. */
+  private def valueToEntryRange(r: ScanRange[Array[Byte]], fixedWidth: Boolean):
+      ScanRange[Array[Byte]] = {
     val start = r.start match {
-      case Bound(Some(b), false) => BytesUtil.prefixUpperBound(b) match {
+      case Bound(Some(b), false) if fixedWidth => BytesUtil.prefixUpperBound(b) match {
         case Some(up) => Bound(Some(up), true)
         case None     => Bound(Some(b), false)
       }
       case other => other
     }
     val end = r.end match {
-      case Bound(Some(b), true) => BytesUtil.prefixUpperBound(b) match {
-        case Some(up) => Bound(Some(up), false)
-        case None     => Bound.posInf[Array[Byte]]
-      }
+      case Bound(Some(b), incl) if incl || !fixedWidth =>
+        BytesUtil.prefixUpperBound(b) match {
+          case Some(up) => Bound(Some(up), false)
+          case None     => Bound.posInf[Array[Byte]]
+        }
       case other => other
     }
     ScanRange(start, end)

@@ -91,11 +91,14 @@ object IndexSemiJoin extends Rule[LogicalPlan] with PredicateHelper {
     val cap = opts.indexLookupCap.getOrElse(SecondaryIndex.LookupCap)
     cat.indexedFields.iterator.flatMap { field =>
       val idxName = SecondaryIndex.indexTableName(mainName, field)
-      // fixed-width order-preserving layouts only — the join reads the
-      // index as a (value, main-key) composite relation, which needs a
-      // fixed value offset exactly like the index-only scan; var-width
-      // values keep the driver consult / plain-scan paths
-      if (!KvStore.exists(idxName) || field.byteWidth <= 0 ||
+      // order-preserving layouts whose entries PARSE as a (value, main-key)
+      // composite relation: fixed-width values always do; a var-width value
+      // (the common string index) does when the main key is all fixed
+      // width — the value's length is the entry minus the fixed tail,
+      // exactly like the index-only scan (RowKeyPart's negative
+      // offset/width conventions)
+      val decodable = field.byteWidth > 0 || cat.rowKeyLength > 0
+      if (!KvStore.exists(idxName) || !decodable ||
         !field.coder.preservesOrdering(field.dataType)) None
       else rel.output.find(_.name == field.name).flatMap { attr =>
         // conjuncts over the indexed column alone, compiled through the
@@ -113,7 +116,8 @@ object IndexSemiJoin extends Rule[LogicalPlan] with PredicateHelper {
           val valueRs = ranges.reduce(ScanRange.and(_, _))
           if (valueRs.isEmpty || valueRs == Seq(ScanRange.all[Array[Byte]])) None
           else {
-            val (_, upper) = SecondaryIndex.estimateMatches(idxName, valueRs)
+            val (_, upper) = SecondaryIndex.estimateMatches(idxName, valueRs,
+              fixedWidth = field.byteWidth > 0)
             if (upper <= cap || upper > maxKeys) None
             else Some(buildJoin(cond, rel, gt, cat, opts, field, attr, chosen))
           }

@@ -1067,6 +1067,106 @@ object Connector {
     }
   }
 
+  /** kv29: DISTRIBUTED INDEX CONSULT ([[graft.plans.IndexSemiJoin]]) — the
+    * middle selectivity band where the driver-side index consult declines
+    * (estimated matches over `indexLookupCap`) but the predicate is still
+    * far more selective than a full scan. With the rule enabled (it is OFF
+    * by default; the conf toggle is scoped to this query), the indexed
+    * `user_id` range filter rewrites into a broadcast LEFT SEMI join
+    * against the index table, whose key set reaches the main scan as a
+    * RUNTIME filter that re-plans it into point gets — the consult's whole
+    * benefit with the key set flowing executor→broadcast, never through
+    * the driver's query planning. The pushed plan shape (LeftSemi,
+    * broadcast build over the index table, dynamic-pruning runtime filter
+    * on the main scan) is `require`d on every run; IndexSemiJoinSpec
+    * differential-tests the rewrite incl. null/disjunction hazards. */
+  def kv29IndexSemijoin(s: SparkSession, dir: String): DataFrame = {
+    kv22IndexedRead(s, dir).count() // ensure the shared table+index exist
+    val prev = s.conf.getOption(graft.plans.IndexSemiJoin.EnabledKey)
+    s.conf.set(graft.plans.IndexSemiJoin.EnabledKey, "true")
+    try {
+      // indexLookupCap=10: the driver consult's estimate (hundreds of
+      // matching rows across this user range) exceeds it and declines —
+      // exactly the band the semi-join rule owns
+      val joined = s.read.format("graft-kv")
+        .options(Map("catalog" -> idxEventsCatalog, "indexLookupCap" -> "10"))
+        .load()
+        .filter(col("user_id") >= 10L && col("user_id") <= 30L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("total"))
+        .orderBy(col("event_type"))
+      val rows = joined.collect()
+      val settled = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val plan = settled.toString
+      require(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+        s"kv29 must rewrite to a broadcast left-semi index consult:\n${plan.take(2000)}")
+      require(plan.contains("kv_idx_events__idx__user_id"),
+        s"kv29's build side must scan the index table:\n${plan.take(2000)}")
+      require(plan.contains("RuntimeFilters: [dynamicpruning"),
+        s"kv29's index key set must reach the main scan as a runtime filter:\n${plan.take(2000)}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+    } finally prev match {
+      case Some(v) => s.conf.set(graft.plans.IndexSemiJoin.EnabledKey, v)
+      case None => s.conf.unset(graft.plans.IndexSemiJoin.EnabledKey)
+    }
+  }
+
+  val kv29Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total
+      |FROM events WHERE user_id BETWEEN 10 AND 30
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val idxCustCatalog =
+    """{"table":{"namespace":"default", "name":"kv_idx_cust"},
+      |"rowkey":"key",
+      |"columns":{
+      |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"c_name":{"cf":"f", "col":"n", "type":"string", "index":"true"},
+      |"c_acctbal":{"cf":"f", "col":"b", "type":"double"},
+      |"c_mktsegment":{"cf":"f", "col":"m", "type":"string"}}}""".stripMargin
+
+  /** kv30: VAR-WIDTH STRING INDEX, index-only scan — `c_name` carries a
+    * global index with NO declared length (the commonest index shape: the
+    * reference's own test corpus filters on strings throughout). Entries
+    * are `name-bytes ‖ custkey`, parsed as a var-width leading key part
+    * with a fixed bigint tail (RowKeyPart's negative-offset layout), so a
+    * {c_name, c_custkey} projection under a name-range filter is answered
+    * ENTIRELY from the index table as one ordinary range scan — no point
+    * gets, no main-table touch (`scan=index-only` require'd below). The
+    * var-width entry-range algebra (prefix-value hazards on Gt/Lt bounds)
+    * is differential-tested in IndexSpec/IndexSemiJoinSpec. */
+  def kv30StringIndex(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_idx_cust")) {
+      Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> idxCustCatalog, "newtable" -> "4"))
+        .mode("append").save()
+    }
+    val df = s.read.format("graft-kv").option("catalog", idxCustCatalog).load()
+      .filter(col("c_name") >= "Customer#000000010" &&
+        col("c_name") <= "Customer#000000099")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+    val rows = df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    require(planStr.contains("scan=index-only(default:kv_idx_cust__idx__c_name"),
+      s"kv30 must serve from the string index alone:\n${planStr.take(2000)}")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  val kv30Sql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer
+      |WHERE c_name BETWEEN 'Customer#000000010' AND 'Customer#000000099'
+      |ORDER BY c_custkey""".stripMargin
+
   val kv28Sql: String =
     """WITH stats AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
       |    count(*) AS n_lines,
@@ -1107,6 +1207,8 @@ object Connector {
     "kv26_zorder"         -> (kv26Zorder _),
     "kv27_join_pushdown"  -> (kv27JoinPushdown _),
     "kv28_spj_join"       -> (kv28SpjJoin _),
+    "kv29_index_semijoin" -> (kv29IndexSemijoin _),
+    "kv30_string_index"   -> (kv30StringIndex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1138,5 +1240,7 @@ object Connector {
     "kv26_zorder"         -> kv26Sql,
     "kv27_join_pushdown"  -> kv27Sql,
     "kv28_spj_join"       -> kv28Sql,
+    "kv29_index_semijoin" -> kv29Sql,
+    "kv30_string_index"   -> kv30Sql,
   )
 }

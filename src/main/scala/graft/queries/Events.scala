@@ -471,31 +471,38 @@ object Events {
       |SELECT from_type, to_type, n, n_from, (n * 1000000) // n_from AS p_micro
       |FROM s ORDER BY from_type, to_type""".stripMargin
 
-  /** ev12: OHLC bars — open/high/low/close per (event_type, 1-hour bucket),
-    * the time-series downsampling shape every monitoring/market pipeline
-    * runs. Open/close are `min_by`/`max_by` over a zero-padded
-    * `(ts_micros ‖ event_id)` string key — a total order both engines
-    * compare identically — so the WHOLE bar is ONE partial-aggregable
-    * groupBy: map-side combine keeps per-task state at one row per
-    * (type, hour), no window, no sort, one low-cardinality shuffle.
-    * Values are exact micro-units. */
   /** Zero-padded `(ts_micros ‖ event_id)` total-order key for the OHLC
     * open/close picks. Both Spark's and DuckDB's `lpad` silently TRUNCATE
     * inputs wider than the pad, and a '-' sign breaks zero-pad ordering —
     * either would collapse distinct keys and tie-break open/close
     * arbitrarily (potentially diverging between engines). The widths are
     * therefore guarded PER ROW: an event_id outside [0, 1e10) or a
-    * pre-epoch timestamp raises instead of silently mis-ordering. */
+    * pre-epoch timestamp raises instead of silently mis-ordering. A NULL
+    * event_id or ts passes through as a NULL key — `min_by`/`max_by` (and
+    * DuckDB's `arg_min`/`arg_max`) ignore NULL ordering keys, so such rows
+    * keep their historical "never picked" behavior instead of tripping the
+    * width guard's error. */
   def ohlcOrdKey: Column = {
+    val anyNull = col("event_id").isNull || col("ts").isNull
     val widthOk = col("event_id").between(0L, 9999999999L) &&
       unix_micros(col("ts")) >= 0L
-    when(widthOk, concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 10, "0")))
+    when(anyNull, lit(null).cast("string"))
+      .when(widthOk, concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 10, "0")))
       .otherwise(raise_error(lit("OHLC order key assumes 0 <= event_id < 1e10" +
-        " and ts >= epoch; widen the pads for this data")).cast("string"))
+        " and ts >= epoch (NULLs pass through); widen the pads for this data"))
+        .cast("string"))
   }
 
+  /** ev12: OHLC bars — open/high/low/close per (event_type, 1-hour bucket),
+    * the time-series downsampling shape every monitoring/market pipeline
+    * runs. Open/close are `min_by`/`max_by` over a zero-padded
+    * `(ts_micros ‖ event_id)` string key ([[ohlcOrdKey]]) — a total order
+    * both engines compare identically — so the WHOLE bar is ONE
+    * partial-aggregable groupBy: map-side combine keeps per-task state at
+    * one row per (type, hour), no window, no sort, one low-cardinality
+    * shuffle. Values are exact micro-units. */
   def ev12Ohlc(s: SparkSession, dir: String): DataFrame = {
     val vMicro = (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
     val ordKey = ohlcOrdKey

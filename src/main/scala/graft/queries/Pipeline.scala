@@ -1542,9 +1542,11 @@ object Pipeline {
       |    length(text) % 640 + 16 AS w, length(text) % 480 + 16 AS h
       |  FROM documents),
       |r AS (SELECT media_id, dig,
-      |    CASE WHEN w * 256 <= 256 * h THEN greatest(1, (w * 256) // h)
+      |    CASE WHEN w IS NULL OR h IS NULL THEN NULL
+      |         WHEN w * 256 <= 256 * h THEN greatest(1, (w * 256) // h)
       |         ELSE 256 END AS out_w,
-      |    CASE WHEN w * 256 <= 256 * h THEN 256
+      |    CASE WHEN w IS NULL OR h IS NULL THEN NULL
+      |         WHEN w * 256 <= 256 * h THEN 256
       |         ELSE greatest(1, (h * 256) // w) END AS out_h
       |  FROM m)
       |SELECT media_id, CAST(out_w AS INTEGER) AS out_w,
@@ -1599,7 +1601,8 @@ object Pipeline {
       |    AND (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000)
       |        // greatest(len(toks), 1) >= 400000
       |    AND (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-      |           AS BIGINT) * 1000000) // greatest(length(text), 1) <= 100000)
+      |           AS BIGINT) * 1000000) // greatest(length(text), 1) <= 100000
+      |    AND source IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL)
       |SELECT source, doc_id, CAST(score AS BIGINT) AS score,
       |  CAST(rank AS INTEGER) AS rank FROM (
       |  SELECT source, doc_id, n_chars AS score,

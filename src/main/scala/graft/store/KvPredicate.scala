@@ -106,16 +106,29 @@ object KvPredicate {
       BytesUtil.startsWith(key, prefix)
   }
 
+  /** Resolve a key-part (offset, width) against a concrete key length —
+    * [[graft.catalog.RowKeyPart]]'s layout conventions: negative offsets
+    * anchor to the END of the key; `width == -1` runs to the end;
+    * `width < -1` runs to the end minus `-width - 1` trailing bytes (a
+    * var-width part with a fixed tail — the secondary-index entry layout).
+    * Returns (-1, -1) when the key is too short for the part. */
+  private def resolvePart(offset: Int, width: Int, keyLen: Int): (Int, Int) = {
+    val off = if (offset < 0) keyLen + offset else offset
+    val len = if (width >= 0) width else keyLen - off - (-width - 1)
+    if (off < 0 || len < 0 || off + len > keyLen) (-1, -1) else (off, len)
+  }
+
   /** Typed comparison on one part of a (possibly composite) row key — lets
     * suffix-key predicates push server-side where the reference dropped them
-    * (HBaseFilter.scala:149-159). `width < 0` means "rest of the key"
-    * (variable-length last part). */
+    * (HBaseFilter.scala:149-159). Offset/width follow
+    * [[graft.catalog.RowKeyPart]]'s layout conventions (negative forms
+    * support var-width parts with fixed tails). */
   final case class KeyCmp(offset: Int, width: Int, op: Op, value: Any,
       dt: DataType, coder: FieldCoder) extends KvPredicate {
     override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = {
-      val len = if (width < 0) key.length - offset else width
-      if (offset + len > key.length) return false
-      val x = coder.decode(dt, key, offset, len)
+      val (off, len) = resolvePart(offset, width, key.length)
+      if (off < 0) return false
+      val x = coder.decode(dt, key, off, len)
       val c = compareTyped(x, value)
       op match {
         case Eq => c == 0
@@ -127,13 +140,15 @@ object KvPredicate {
     }
   }
 
-  /** endsWith/contains over a string key part. */
+  /** startsWith/endsWith/contains over a string key part (the Prefix mode
+    * serves var-width parts, where a raw byte-prefix test could bleed into
+    * the following part's bytes — see [[KeyPartPrefix]]). */
   final case class KeyStrMatch(offset: Int, width: Int, pattern: String, mode: StrMode)
       extends KvPredicate {
     override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = {
-      val len = if (width < 0) key.length - offset else width
-      if (offset + len > key.length) return false
-      val s = new String(key, offset, len, "UTF-8")
+      val (off, len) = resolvePart(offset, width, key.length)
+      if (off < 0) return false
+      val s = new String(key, off, len, "UTF-8")
       mode match {
         case StrMode.Prefix   => s.startsWith(pattern)
         case StrMode.Suffix   => s.endsWith(pattern)

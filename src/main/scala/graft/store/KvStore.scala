@@ -50,14 +50,37 @@ object KvStore {
     walRef = None
   }
 
-  /** Rebuild store state from `dir`'s log (crash/restart recovery). Clears
-    * in-memory tables first so the result is exactly the logged history —
-    * including per-region `maxStamp` marks, so streaming-source checkpoints
-    * stay valid across the restart. */
+  /** SNAPSHOT + LOG ROTATION ([[Snapshot]]): image the whole store into
+    * `dir/graft-wal.snapshot`, then truncate the log — restart cost becomes
+    * snapshot + tail instead of full history, and the log stops growing
+    * with CDC rate. Same quiesce contract as [[rename]]: the caller pauses
+    * writers for the checkpoint (a mutation racing the image could land in
+    * the truncated log's past). Crash-safe per [[Snapshot]]'s tmp + fsync +
+    * atomic-rename ordering. */
+  def checkpointWal(): Unit = synchronized {
+    val w = walRef.getOrElse(
+      throw new IllegalStateException("checkpointWal requires an enabled WAL"))
+    w.sync()
+    Snapshot.write(w.dir, tables.values.toSeq.sortBy(_.name))
+    // the snapshot now carries everything the log recorded — rotate to an
+    // empty log (close, delete, reopen)
+    w.close()
+    java.nio.file.Files.deleteIfExists(w.dir.resolve(Wal.FileName))
+    walRef = Some(new Wal(w.dir, w.groupCommitRecords))
+  }
+
+  /** Rebuild store state from `dir` (crash/restart recovery): load the
+    * latest [[Snapshot]] if one exists, then re-apply the log tail. Clears
+    * in-memory tables first so the result is exactly snapshot + logged
+    * tail — including per-region `maxStamp` marks and admission
+    * histograms, so streaming-source checkpoints stay valid across the
+    * restart. */
   def replayWal(dir: java.nio.file.Path): Unit = synchronized {
     tables.clear()
     replaying = true
-    try Wal.replay(dir,
+    try {
+      Snapshot.load(dir, (name, t) => { tables.put(name, t); () })
+      Wal.replay(dir,
       applyCreate = (name, splits, mv, byCf) =>
         createTable(name, splits, mv, dropExisting = true, byCf),
       applyPut = (name, key, cells) => tables.get(name).foreach(_.put(key, cells)),
@@ -67,7 +90,7 @@ object KvStore {
       applyRename = (oldName, newName) => tables.remove(oldName).foreach { t =>
         t.setName(newName); tables.put(newName, t)
       })
-    finally replaying = false
+    } finally replaying = false
   }
 
   def createTable(name: String, splits: Seq[Array[Byte]], maxVersions: Int = 1,
@@ -207,6 +230,10 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
   /** region i covers [bounds(i), bounds(i+1)); first/last unbounded. */
   private val sortedSplits: IndexedSeq[Array[Byte]] =
     splits.filter(_.nonEmpty).sortWith(BytesUtil.compareBytes(_, _) < 0)
+
+  /** The resolved split points — a [[Snapshot]] reconstructs the identical
+    * region layout from these. */
+  private[store] def splitPoints: IndexedSeq[Array[Byte]] = sortedSplits
 
   final class Region(val index: Int) {
     val start: Option[Array[Byte]] = if (index == 0) None else Some(sortedSplits(index - 1))

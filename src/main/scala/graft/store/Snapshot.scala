@@ -1,0 +1,142 @@
+package graft.store
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileOutputStream}
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** WAL CHECKPOINT: a point-in-time image of the whole store, paired with
+  * log rotation ([[KvStore.checkpointWal]]) so the redo log stops growing
+  * with history — HBase's memstore-flush + WAL-roll in one move, Postgres's
+  * CHECKPOINT. Without it the log is the complete mutation history and a
+  * CDC-rate workload replays (and stores) every version ever written; with
+  * it, restart cost is snapshot + tail, and the tail is bounded by the
+  * checkpoint cadence.
+  *
+  * The image is EXACT table state, not a logical re-export: per region it
+  * carries the row/version maps, the delete markers, the mutation
+  * high-water mark, and the admission histogram — so a restarted store
+  * serves identical answers AND identical streaming offsets/backlogs
+  * (the `maxStamp` vector and `mutHist` admission cuts a resumed
+  * [[graft.datasource.GraftMicroBatchStream]] checkpoint depends on).
+  * Row counters are recomputed from the restored maps.
+  *
+  * Crash safety: the image lands in a temp file, is fsynced, and renames
+  * atomically over the previous snapshot; only then is the log truncated.
+  * A crash between the rename and the truncate leaves snapshot(T) + the
+  * FULL log — replaying both converges, because creates rebuild
+  * drop-existing from the log's own complete history and puts/deletes are
+  * idempotent re-applied upserts/erases. A crash before the rename leaves
+  * the previous snapshot + full log: the state before the checkpoint. */
+private[store] object Snapshot {
+
+  val FileName = "graft-wal.snapshot"
+  private val Magic = 0x47524654 // "GRFT"
+  private val Version = 1
+
+  private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit = {
+    out.writeInt(b.length); out.write(b)
+  }
+
+  private def readBytes(in: DataInputStream): Array[Byte] = {
+    val n = in.readInt()
+    require(n >= 0 && n <= (1 << 30), s"corrupt snapshot length $n")
+    val b = new Array[Byte](n); in.readFully(b); b
+  }
+
+  /** Serialize every table to `dir/FileName` (tmp + fsync + atomic rename).
+    * Caller holds the store lock and has quiesced writers. */
+  def write(dir: Path, tables: Seq[KvTable]): Unit = {
+    val tmp = dir.resolve(FileName + ".tmp")
+    val fos = new FileOutputStream(tmp.toFile)
+    val out = new DataOutputStream(new BufferedOutputStream(fos))
+    out.writeInt(Magic); out.writeInt(Version)
+    out.writeInt(tables.size)
+    tables.foreach { t =>
+      out.writeUTF(t.name)
+      val splits = t.splitPoints
+      out.writeInt(splits.size); splits.foreach(writeBytes(out, _))
+      out.writeInt(t.maxVersions)
+      out.writeInt(t.maxVersionsByCf.size)
+      t.maxVersionsByCf.foreach { case (cf, cap) => out.writeUTF(cf); out.writeInt(cap) }
+      t.regions.foreach { r =>
+        out.writeLong(r.maxStamp.get())
+        // admission histogram: stamp → landed row-mutations
+        out.writeInt(r.mutHist.size())
+        r.mutHist.forEach((stamp, adder) => {
+          out.writeLong(stamp); out.writeLong(adder.sum())
+        })
+        // delete markers
+        out.writeInt(r.tombstones.size())
+        r.tombstones.forEach((key, stamp) => {
+          writeBytes(out, key); out.writeLong(stamp)
+        })
+        // rows: key → (cf, qual) → ts(desc) → value
+        out.writeInt(r.rows.size())
+        r.rows.forEach((key, cols) => {
+          writeBytes(out, key)
+          out.writeInt(cols.size())
+          cols.forEach((col, versions) => {
+            out.writeUTF(col._1); out.writeUTF(col._2)
+            out.writeInt(versions.size())
+            versions.forEach((ts, v) => { out.writeLong(ts); writeBytes(out, v) })
+          })
+        })
+      }
+    }
+    out.flush()
+    fos.getFD.sync()
+    out.close()
+    Files.move(tmp, dir.resolve(FileName),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Load `dir/FileName` if present, handing each rebuilt table to
+    * `register`. Absent file = no checkpoint yet (pure-log replay). */
+  def load(dir: Path, register: (String, KvTable) => Unit): Unit = {
+    val f = dir.resolve(FileName)
+    if (!Files.exists(f)) return
+    val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(f)))
+    try {
+      require(in.readInt() == Magic, "corrupt snapshot: bad magic")
+      require(in.readInt() == Version, "unsupported snapshot version")
+      val nTables = in.readInt()
+      (0 until nTables).foreach { _ =>
+        val name = in.readUTF()
+        val splits = IndexedSeq.fill(in.readInt())(readBytes(in))
+        val maxVersions = in.readInt()
+        val byCf = Seq.fill(in.readInt())(in.readUTF() -> in.readInt()).toMap
+        val t = new KvTable(name, splits, maxVersions, byCf)
+        t.regions.foreach { r =>
+          r.maxStamp.set(in.readLong())
+          (0 until in.readInt()).foreach { _ =>
+            val stamp = in.readLong()
+            val adder = new java.util.concurrent.atomic.LongAdder
+            adder.add(in.readLong())
+            r.mutHist.put(stamp, adder)
+          }
+          (0 until in.readInt()).foreach { _ =>
+            val key = readBytes(in)
+            r.tombstones.put(key, in.readLong())
+          }
+          val nRows = in.readInt()
+          (0 until nRows).foreach { _ =>
+            val key = readBytes(in)
+            val cols = new java.util.concurrent.ConcurrentHashMap[(String, String),
+              java.util.concurrent.ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
+            (0 until in.readInt()).foreach { _ =>
+              val cf = in.readUTF(); val qual = in.readUTF()
+              val versions = new java.util.concurrent.ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
+                java.util.Comparator.reverseOrder[java.lang.Long]())
+              (0 until in.readInt()).foreach { _ =>
+                val ts = in.readLong(); versions.put(ts, readBytes(in))
+              }
+              cols.put((cf, qual), versions)
+            }
+            r.rows.put(key, cols)
+          }
+          r.rowCount.set(r.rows.size().toLong)
+        }
+        register(name, t)
+      }
+    } finally in.close()
+  }
+}

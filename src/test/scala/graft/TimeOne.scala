@@ -11,6 +11,7 @@ object TimeOne {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // parity with Verify/Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }

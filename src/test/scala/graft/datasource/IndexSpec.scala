@@ -100,11 +100,18 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("range + In filters consult; residual predicates still apply") {
+    // owner is VARIABLE-width; a {key}-only projection now serves
+    // INDEX-ONLY (entries parse as var-value + fixed-key via the
+    // negative-offset layout) — no consult, no main-table touch
     val in = readBack.filter(col("owner").isin("alice", "dave")).select("key")
     assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
-    // owner is VARIABLE-width, so even a {key}-only projection stays on the
-    // consult path (index-only needs fixed entry offsets)
-    assert(scanOf(in).metrics("graftIndexKeys").value == 3L)
+    assert(scanOf(in).metrics("graftIndexOnlyScan").value == 1L)
+    assert(scanOf(in).metrics("graftIndexKeys").value == 0L)
+    // widening the projection past the index forces the point-get consult
+    val inWide = readBack.filter(col("owner").isin("alice", "dave"))
+      .select("key", "note")
+    assert(inWide.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(scanOf(inWide).metrics("graftIndexKeys").value == 3L)
 
     // numeric range on the second index; extra predicate on an unindexed
     // column is evaluated on the fetched rows
@@ -314,9 +321,11 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("indexLookupCap: a tiny cap forces consult fallback without changing results") {
+    // note in the projection keeps this off the index-only path — the
+    // consult-vs-fallback decision is what this test pins
     val capped = spark.read.format("graft-kv").option("catalog", catalogJson)
       .option("indexLookupCap", "0").load()
-      .filter(col("owner") === "erin").select("key")
+      .filter(col("owner") === "erin").select("key", "note")
     assert(capped.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L))
     val m = scanOf(capped).metrics
     assert(m("graftIndexKeys").value == 0L,
@@ -325,12 +334,28 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("string-prefix over-approximation is corrected by the row predicate") {
     write(Seq((10L, "ab", 1L, "p"), (11L, "abc", 2L, "q")), ts = 500L)
-    // eq "ab" consults a prefix range that also covers "abc" entries; the
-    // row predicate must drop key 11
+    // {key}-only: INDEX-ONLY scan whose entry ranges for eq "ab" also
+    // cover "abc" entries; the exact var-width key predicate drops key 11
     val df = readBack.filter(col("owner") === "ab").select("key")
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(10L))
-    val m = scanOf(df).metrics
+    assert(scanOf(df).metrics("graftIndexOnlyScan").value == 1L)
+    // wider projection: the point-get CONSULT sees the same prefix range
+    // ("ab" covers "abc" entries) and the row predicate corrects it
+    val wide = readBack.filter(col("owner") === "ab").select("key", "note")
+    assert(wide.collect().map(_.getLong(0)).toSeq == Seq(10L))
+    val m = scanOf(wide).metrics
     assert(m("graftIndexKeys").value == 2L, "prefix consult over-approximates by design")
+    // ordering comparisons around prefix-related values: "ab" < "abc", and
+    // a value that is a byte-prefix of the bound ("ab" vs "abc") must not
+    // be lost through entry-range under-approximation on either path
+    val gt = readBack.filter(col("owner") > "ab" && col("key").between(10L, 11L))
+      .select("key")
+    assert(gt.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L),
+      "Gt must keep longer-string extensions of the bound")
+    val lt = readBack.filter(col("owner") < "abc" && col("key").between(10L, 11L))
+      .select("key")
+    assert(lt.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L),
+      "Lt must keep values that are byte-prefixes of the bound")
   }
 
   test("selectivity pre-check: an unselective range declines off row counters, zero entry reads") {
@@ -339,9 +364,11 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every populated index region. The pre-check sums the O(1) region row
     // counters, sees the covered floor alone exceeds the cap, and declines
     // without reading a single index entry — O(regions), not O(cap).
+    // note in the projection keeps this off the index-only path — the
+    // CONSULT's pre-check is what this test pins
     val capped = spark.read.format("graft-kv").option("catalog", catalogJson)
       .option("indexLookupCap", "2").load()
-      .filter(col("owner") >= " ").select("key")
+      .filter(col("owner") >= " ").select("key", "note")
     val keys = capped.collect().map(_.getLong(0))
     assert(keys.length > 2, "the filter must be unselective (matches everything)")
     assert(scanOf(capped).metrics("graftIndexKeys").value == 0L,

@@ -137,6 +137,60 @@ class IndexSemiJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("var-width string index: semi-join rewrite stays exact incl. prefix-value hazards") {
+    // city is a VAR-WIDTH string index (no declared length): entries parse
+    // as var-value + fixed bigint key via the negative-offset layout. The
+    // value set includes prefix pairs ("c1" is a byte-prefix of "c10"),
+    // the classic var-width entry-range over-approximation hazard.
+    val vcat =
+      """{"table":{"namespace":"default", "name":"sjvtab"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"city":{"cf":"f", "col":"c", "type":"string", "index":"true"},
+        |"v":{"cf":"f", "col":"v", "type":"bigint"}}}""".stripMargin
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, s"c${i % 200}", i * 3))
+      .toDF("key", "city", "v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> vcat, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "2000", "timestamp" -> "100"))
+      .mode("overwrite").save()
+    def q(extra: Map[String, String]) = spark.read.format("graft-kv")
+      .options(Map("catalog" -> vcat) ++ extra).load()
+      .filter(col("city").isin("c1", "c10", "c150"))
+      .select(col("key"), col("city"), col("v"))
+    val capped = Map("indexLookupCap" -> "10")
+    val expected = withSemiJoin(enabled = false) {
+      q(capped).collect().map(_.toString).sorted.toSeq
+    }
+    assert(expected.size == 30) // 3 cities × 10 rows
+    withSemiJoin(enabled = true) {
+      val df = q(capped)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      assert(got == expected,
+        "var-width semi-join rewrite must not change results")
+      val plan = finalPlan(df)
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"expected a broadcast left-semi against the string index:\n${plan.take(3000)}")
+      assert(plan.contains("sjvtab__idx__city"),
+        s"the build side must be the string-index table scan:\n${plan.take(3000)}")
+      assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+        s"the key set must reach the main scan as a runtime filter:\n${plan.take(3000)}")
+    }
+    // ordering shapes across prefix boundaries stay exact under the rule
+    withSemiJoin(enabled = true) {
+      val gt = spark.read.format("graft-kv")
+        .options(Map("catalog" -> vcat) ++ capped).load()
+        .filter(col("city") > "c1" && col("city") < "c100" && col("v") >= 0L)
+        .select("city").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      // lexicographically between "c1" (exclusive) and "c100" (exclusive):
+      // "c10" only (c0x < c1; c100 excluded; c11+ > c100... no: "c11" > "c100")
+      assert(gt == Seq("c10"), s"got $gt")
+    }
+  }
+
   test("unselective predicates above maxKeys keep the plain scan") {
     if (!KvStore.exists("default:sjtab")) populate()
     withSemiJoin(enabled = true) {

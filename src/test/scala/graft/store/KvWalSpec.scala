@@ -99,6 +99,78 @@ class KvWalSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint: snapshot + log rotation replays snapshot+tail to identical state") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-wal-ckpt")
+    KvStore.enableWal(dir)
+    try {
+      val t = KvStore.createTable("wal:ck", Seq("row0300", "row0600").map(_.getBytes("UTF-8")),
+        maxVersions = 2, dropExisting = true, maxVersionsByCf = Map("f" -> 2))
+      (0 until 900).foreach(i => t.put(key(i), Seq(cell("q", 100L, s"a$i"))))
+      (0 until 900 by 4).foreach(i =>
+        t.put(key(i), Seq(cell("q", 200L, s"b$i"), cell("q2", 200L, "x"))))
+      assert(t.delete(Seq(ScanRange[Array[Byte]](
+        Bound(Some(key(50)), inclusive = true),
+        Bound(Some(key(80)), inclusive = false))), None, stamp = 300L) == 30)
+      val logBefore = Files.size(dir.resolve(Wal.FileName))
+
+      // CHECKPOINT: the image absorbs the history; the log starts over
+      KvStore.checkpointWal()
+      val logAfter = Files.size(dir.resolve(Wal.FileName))
+      assert(Files.exists(dir.resolve(Snapshot.FileName)))
+      assert(logAfter == 0L && logBefore > 10000L,
+        s"rotation must truncate the log ($logBefore -> $logAfter bytes)")
+
+      // TAIL: mutations after the checkpoint land in the fresh log only
+      (900 until 950).foreach(i => t.put(key(i), Seq(cell("q", 400L, s"c$i"))))
+      assert(t.delete(Seq(ScanRange[Array[Byte]](
+        Bound(Some(key(0)), inclusive = true),
+        Bound(Some(key(10)), inclusive = false))), None, stamp = 500L) == 10)
+      val tailSize = Files.size(dir.resolve(Wal.FileName))
+      assert(tailSize > 0L && tailSize < logBefore / 4,
+        s"the tail must be tail-sized, not history-sized ($tailSize vs $logBefore)")
+
+      val before = snapshot(t)
+      val countsBefore = t.regions.map(_.rowCount.get())
+      val stampsBefore = t.regions.map(_.maxStamp.get())
+      val histBefore = t.regions.map(_.mutHist.asScala.map {
+        case (s, n) => (s.longValue(), n.sum()) }.toMap)
+      val marksBefore = t.regions.indices.flatMap(r => t.tombstonesIn(
+        r, all, TimeRange(Long.MinValue, Long.MaxValue))).toSeq
+        .map { case (k, s) => (new String(k, "UTF-8"), s) }.sorted
+
+      // "restart": wipe memory, replay snapshot + tail
+      KvStore.disableWal()
+      KvStore.replayWal(dir)
+      val replayed = KvStore.table("wal:ck")
+      assert(snapshot(replayed) == before)
+      assert(replayed.regions.map(_.rowCount.get()) == countsBefore,
+        "row counters must survive a snapshot+tail restart")
+      assert(replayed.regions.map(_.maxStamp.get()) == stampsBefore,
+        "streaming offsets (maxStamp) must survive a snapshot+tail restart")
+      assert(replayed.regions.map(_.mutHist.asScala.map {
+        case (s, n) => (s.longValue(), n.sum()) }.toMap) == histBefore,
+        "admission histograms must survive a snapshot+tail restart")
+      assert(replayed.regions.indices.flatMap(r => replayed.tombstonesIn(
+        r, all, TimeRange(Long.MinValue, Long.MaxValue))).toSeq
+        .map { case (k, s) => (new String(k, "UTF-8"), s) }.sorted == marksBefore,
+        "delete markers (pre- and post-checkpoint) must survive the restart")
+      assert(replayed.maxVersions == 2 && replayed.versionCap("f") == 2)
+
+      // replay is repeatable and the log keeps accumulating tail records
+      // across a restart: re-open, append, wipe, replay again
+      KvStore.enableWal(dir)
+      KvStore.table("wal:ck").put(key(999), Seq(cell("q", 600L, "tail2")))
+      val fullState = snapshot(KvStore.table("wal:ck"))
+      KvStore.disableWal()
+      KvStore.replayWal(dir) // snapshot + (tail with both generations)
+      assert(snapshot(KvStore.table("wal:ck")) == fullState)
+    } finally {
+      KvStore.disableWal()
+      KvStore.drop("wal:ck")
+    }
+  }
+
   test("MVCC row-level deletes replay to the same converged state") {
     val dir = Files.createTempDirectory("graft-wal-mvcc")
     KvStore.enableWal(dir)

@@ -635,6 +635,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     case _ => p +: p.children.flatMap(allPlanNodes)
   }
 
+  test("CDC protocols (sv12/sv14) never round-trip data through the driver") {
+    // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
+    // as an oversized serialized task result. Every task of the whole
+    // sv12/sv14 pipelines (stream + foreachBatch jobs included) must return
+    // a result far below data scale — the only driver round-trips allowed
+    // are control-sized (offsets, counts, the batch's band-prefix set).
+    val maxResult = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) maxResult.accumulateAndGet(m.resultSize, math.max)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(graft.queries.StreamBatch
+        .queries("sv12_stream_cdc_index")(spark, sfDir).count() > 0)
+      assert(graft.queries.StreamBatch
+        .queries("sv14_stream_incr_neardup")(spark, sfDir).count() > 0)
+      // listener events are async; wait for the counter to go quiet
+      var last = -1L; var spins = 0
+      while (maxResult.get() != last && spins < 20) {
+        last = maxResult.get(); Thread.sleep(250); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(s"largest task result: ${maxResult.get()} bytes")
+    assert(maxResult.get() > 0L, "listener saw no tasks — harness broken")
+    assert(maxResult.get() < (1L << 20),
+      s"a task returned ${maxResult.get()} bytes to the driver — " +
+        "a CDC protocol is collecting data-scale state")
+  }
+
   test("sv14 band-index lookup scans rows proportional to the batch's buckets, not index size") {
     // an index-shaped table: 8 bands × 5 hashes × 30 docs = 1200 entries,
     // presplit into several string-key regions — the persisted kv_nd_idx
