@@ -343,6 +343,65 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Primary cell plus the RUNNER-UP when the vector sits near the Voronoi
+  * boundary — SemDeDup multi-probe: a near-duplicate pair straddling a cell
+  * boundary is invisible to cluster-local comparison, and the fix is to
+  * give BOUNDARY vectors (top-2 centroid-similarity gap < `eps`) membership
+  * in both cells. Element 0 is always the primary assignment (identical to
+  * [[NearestCentroids]] nprobe=1, same tie-break), so callers keep
+  * reporting the single-probe cell while comparisons run over the widened
+  * membership. Interior vectors stay single-membership — pair-count growth
+  * is bounded by the boundary population, not 2×n. */
+case class BoundaryProbeCells(child: Expression, centroids: Array[Array[Double]],
+    eps: Double) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"boundary_probe_cells needs array<float|double> input, got $other")
+    }
+
+  private lazy val delegate = NearestCentroids(child, centroids, nprobe = 2)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = delegate.sims(v.asInstanceOf[ArrayData])
+    if (s.length < 2) return new GenericArrayData(Array(0))
+    var best = 0; var second = -1
+    var i = 1
+    while (i < s.length) {
+      // same (-sim, index) tie-break as NearestCentroids: NaN sims (zero
+      // norm) compare last, ties pick the lower index on both engines
+      if (cmp(s(i), i, s(best), best) < 0) { second = best; best = i }
+      else if (second < 0 || cmp(s(i), i, s(second), second) < 0) second = i
+      i += 1
+    }
+    val gap = s(best) - s(second)
+    // NaN gap (zero-norm vector: all sims NaN) is not < eps — single cell
+    if (gap < eps) new GenericArrayData(Array(best, second))
+    else new GenericArrayData(Array(best))
+  }
+
+  private def cmp(sa: Double, ia: Int, sb: Double, ib: Int): Int = {
+    // exactly NearestCentroids' sortBy key (-sim, index): negation keeps
+    // NaN (zero-norm) ranked last, ties pick the lower index
+    val c = java.lang.Double.compare(-sa, -sb)
+    if (c != 0) c else Integer.compare(ia, ib)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("boundaryProbeCells", this,
+      classOf[BoundaryProbeCells].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
@@ -353,4 +412,6 @@ object VectorExprs {
     GraftShim.column(SignLshBands(GraftShim.expression(vec), bandBits, bands, dim, seed))
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftShim.column(NearestCentroids(GraftShim.expression(vec), centroids, nprobe))
+  def boundaryProbeCells(vec: Column, centroids: Array[Array[Double]], eps: Double): Column =
+    GraftShim.column(BoundaryProbeCells(GraftShim.expression(vec), centroids, eps))
 }

@@ -360,15 +360,33 @@ object Similarity {
     * zero vector duplicates nothing. An engine with NaN-total-order
     * comparisons (DuckDB) must guard with isnan to match (px37's oracle
     * does); cell assignment already agrees by tie-break (all-NaN sims pick
-    * the first centroid on both engines). */
+    * the first centroid on both engines).
+    *
+    * `probeEps > 0` turns on BOUNDARY MULTI-PROBE
+    * ([[graft.functions.BoundaryProbeCells]]): a vector whose top-2
+    * centroid-similarity gap is under `probeEps` also joins its runner-up
+    * cell for the comparison pass, so near-dup pairs that straddle a
+    * Voronoi boundary (each twin assigned to a different cell — invisible
+    * to pure cluster-local comparison) are recovered. The reported `cell`
+    * stays the primary assignment, interior vectors stay single-membership
+    * (pair growth is bounded by the boundary population), and `probeEps=0`
+    * is bit-identical to single-probe. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+      cents: Array[Array[Double]], threshold: Double,
+      probeEps: Double = 0.0): DataFrame = {
     val assigned = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"),
       element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, 1), 1)
         .as("cell"))
-    val dropped = assigned.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
-      .join(assigned.select(col("cell"), col("id").as("b_id"), col("v").as("bv")),
+    // comparison membership: primary cell only, or primary + boundary probe
+    val membership =
+      if (probeEps <= 0.0) assigned
+      else corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        explode(graft.functions.VectorExprs.boundaryProbeCells(
+          col(vecCol), cents, probeEps)).as("cell"))
+    val dropped = membership.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
+      .join(membership.select(col("cell"), col("id").as("b_id"), col("v").as("bv")),
         Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .filter(cosine(col("av"), col("bv")) > threshold)

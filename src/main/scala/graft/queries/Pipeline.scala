@@ -1178,7 +1178,10 @@ object Pipeline {
     * training run, two consumers), then drop vectors cosine-closer than
     * θ=0.3 to a lower-id cluster member. Oracle is DYNAMIC like px13's:
     * the centroid matrix rides into the SQL as double literals and DuckDB
-    * replays assignment + within-cluster pairwise cosine exactly. */
+    * replays assignment + within-cluster pairwise cosine exactly. The
+    * driver gate runs single-probe (probeEps=0, the published SemDeDup
+    * shape); the boundary multi-probe variant (straddling-pair recovery,
+    * `probeEps > 0`) is exercised by ScaleProxySpec. */
   def px37SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.semanticDedup(e, "vec_id", "embedding",

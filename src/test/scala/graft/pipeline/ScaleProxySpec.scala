@@ -187,6 +187,59 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pair growth $ratio x must stay well under the fixed-nlist 16x")
   }
 
+  test("px37 boundary multi-probe: straddling near-dups recovered, membership growth = boundary population") {
+    import spark.implicits._
+    // 16 one-hot centroids over 20 dims; 8000 interior vectors firmly in
+    // one cell; 50 planted NEAR-DUP PAIRS straddling distinct cell-pair
+    // boundaries — each twin's primary cell differs (1.01 vs 1.0 on the
+    // two centroid axes), so single-probe cluster-local comparison can
+    // NEVER see the pair, while the top-2 similarity gap (~0.007) is well
+    // inside the probe epsilon
+    val dim = 20
+    val cents = Array.tabulate(16) { c =>
+      val v = new Array[Double](dim); v(c) = 1.0; v
+    }
+    val interior = (0 until 8000).map { id =>
+      val v = new Array[Double](dim)
+      v(id % 16) = 1.0
+      v(16 + id % 4) = 0.2 + 0.1 * (id % 5)
+      (id.toLong, v.toSeq)
+    }
+    val twins = (0 until 50).flatMap { k =>
+      val c1 = k % 16
+      val c2 = (k + 1 + k / 16) % 16 // distinct (c1, c2) combos across pairs
+      val a = new Array[Double](dim); a(c1) = 1.01; a(c2) = 1.0
+      val b = new Array[Double](dim); b(c1) = 1.0; b(c2) = 1.01
+      Seq((10000L + 2 * k, a.toSeq), (10001L + 2 * k, b.toSeq))
+    }
+    val df = (interior ++ twins).toDF("id", "v")
+    val twinIds = twins.map(_._1).toSet
+    val oddTwinIds = twinIds.filter(_ % 2 == 1)
+
+    val keptSingle = Similarity.semanticDedup(df, "id", "v", cents, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(twinIds.subsetOf(keptSingle),
+      "single-probe must MISS every straddling pair (both twins kept) — " +
+        "the boundary blind spot multi-probe exists for")
+
+    val keptMulti = Similarity.semanticDedup(df, "id", "v", cents,
+      threshold = 0.95, probeEps = 0.02).collect().map(_.getLong(0)).toSet
+    assert(keptMulti == keptSingle -- oddTwinIds,
+      "multi-probe must drop exactly the higher twin of each straddling " +
+        "pair and change nothing else")
+
+    // pair-count growth is bounded by the BOUNDARY population: only the
+    // 100 twins earn a second membership; all 8000 interior vectors stay
+    // single-membership (their top-2 gap is ~0.3, far above epsilon)
+    val memberships = df.select(explode(
+        graft.functions.VectorExprs.boundaryProbeCells(col("v"), cents, 0.02)))
+      .count()
+    assert(memberships == 8100L + 100L,
+      s"expected 8200 memberships (n + boundary), got $memberships")
+    info(s"recovered ${oddTwinIds.size} straddling dups for " +
+      s"${memberships - 8100} extra memberships (${8100} vectors)")
+  }
+
   test("capPerGroup: a 900k-row hot domain ships bounded shuffle records") {
     // 90% of rows in ONE domain — the skew shape per-domain caps exist for
     val skewed = spark.range(N).selectExpr(
