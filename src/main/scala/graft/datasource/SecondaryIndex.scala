@@ -164,10 +164,14 @@ object SecondaryIndex {
         // first, then main key parts, all order-preserving) — `GROUP BY
         // indexed_col` over a selective filter is the classic shape
         val idxKeyFields = idxCat.rowKeyFields
-        // grouped pushdown slices group prefixes at FIXED byte offsets —
-        // a var-width leading value breaks prefix contiguity arithmetic,
-        // so var-width indexes keep the plain index-only scan path
-        val groupOk = groupCols.isEmpty || (f.byteWidth > 0 &&
+        // The streaming group reader compares DECODED group values, so
+        // grouping works for var-width leading values too — equal
+        // var-width values may interleave with their byte-prefix
+        // extensions in entry order ("ab‖k" sorts among "abc‖…"), which
+        // only FRAGMENTS a group into several emitted partial rows;
+        // Spark's final aggregate merges them, exactly as it merges
+        // groups spanning region boundaries.
+        val groupOk = groupCols.isEmpty || (
           groupCols.length <= idxKeyFields.length &&
           groupCols.zip(idxKeyFields).forall { case (g, kf) =>
             g == kf.name && kf.coder.preservesOrdering(kf.dataType)

@@ -320,6 +320,30 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the grouped partials must stream off the INDEX's sort order")
   }
 
+  test("GROUP BY a var-width string index streams grouped partials off the index") {
+    // prefix-related owners "ab" (key 10) and "abc" (key 11) — whose index
+    // entries INTERLEAVE byte-wise — plus erin (7, 8) and frank (20, 21)
+    // from earlier tests. Fragmented runs must still merge to exact group
+    // totals in the final aggregate. (Idempotent re-put: the same cells at
+    // the same stamp also land in the over-approximation test.)
+    write(Seq((10L, "ab", 1L, "p"), (11L, "abc", 2L, "q")), ts = 500L)
+    val grouped = readBack
+      .filter(col("owner").isin("ab", "abc", "erin", "frank"))
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("n"), min(col("key")).as("k0"), max(col("key")).as("k1"))
+      .orderBy(col("owner"))
+    val rows = grouped.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("ab", 1L, 10L, 10L), ("abc", 1L, 11L, 11L),
+      ("erin", 2L, 7L, 8L), ("frank", 2L, 20L, 21L)))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedGroupBy=[owner]"),
+      s"GROUP BY on the var-width indexed column must push grouped partials:\n${plan.take(2500)}")
+    assert(plan.contains("scan=index-only(default:idxtab__idx__owner)"),
+      s"explain output must surface the index-only decision:\n${plan.take(2500)}")
+    assert(scanOf(grouped).metrics("graftIndexOnlyScan").value == 1L)
+  }
+
   test("indexLookupCap: a tiny cap forces consult fallback without changing results") {
     // note in the projection keeps this off the index-only path — the
     // consult-vs-fallback decision is what this test pins
