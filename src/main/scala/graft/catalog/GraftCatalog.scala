@@ -67,10 +67,22 @@ final case class Field(
   * ([[graft.datasource.SecondaryIndex.indexOnlyCatalog]]). */
 final case class RowKeyPart(field: Field, offset: Int, width: Int) extends Serializable {
   /** Resolved start offset of this part within a `keyLen`-byte key. */
-  def offsetIn(keyLen: Int): Int = if (offset < 0) keyLen + offset else offset
+  def offsetIn(keyLen: Int): Int = RowKeyPart.resolve(offset, width, keyLen)._1
   /** Resolved byte length of this part within a `keyLen`-byte key. */
-  def lengthIn(keyLen: Int): Int =
-    if (width >= 0) width else keyLen - offsetIn(keyLen) - (-width - 1)
+  def lengthIn(keyLen: Int): Int = RowKeyPart.resolve(offset, width, keyLen)._2
+}
+
+object RowKeyPart {
+  /** THE single implementation of the layout conventions above — every key
+    * decode path (materializer, server-side key predicates) resolves a
+    * part's (offset, width) against a concrete key length through here, so
+    * the conventions can never diverge between decoders. Returns (-1, -1)
+    * when the key is too short for the part. */
+  def resolve(offset: Int, width: Int, keyLen: Int): (Int, Int) = {
+    val off = if (offset < 0) keyLen + offset else offset
+    val len = if (width >= 0) width else keyLen - off - (-width - 1)
+    if (off < 0 || len < 0 || off + len > keyLen) (-1, -1) else (off, len)
+  }
 }
 
 /** Parsed catalog: table identity + ordered column map + row key layout.

@@ -185,7 +185,7 @@ object FilterCompiler {
             val logical =
               if (exactKey || catalog.rowKeyParts.size == 1) fieldRanges.map(identity)
               else if (part.width > 0) fieldRanges.map(prefixExpand) // fixed-width first part of composite key
-              else fieldRanges.map(varPrefixExpand) // var-width first part (index-entry layout)
+              else fieldRanges.map(varTerminatorExpand) // var-width first part (terminated index-entry layout)
             // a single-part Eq pins the WHOLE logical key, so its salt is
             // computable: one exact salted point instead of an n-way fan
             saltFan(catalog, logical,
@@ -318,22 +318,27 @@ object FilterCompiler {
     }
   }
 
-  /** Var-width first key part (the index-entry layout `enc(value) ‖ tail`):
-    * value byte-prefix EXTENSIONS are themselves larger values, so an
-    * exclusive start must NOT skip past the value's prefix block (that
-    * would lose "ab" < "abc"), and EVERY end must widen past it — a value
-    * that is a strict byte-prefix of the bound ("a" vs "ab") has entries
-    * whose tail bytes can reach beyond the raw bound. The widened ranges
-    * over-approximate; the typed key predicate stays exact and decides. */
-  private def varPrefixExpand(r: ScanRange[Array[Byte]]): ScanRange[Array[Byte]] = {
-    val end = r.end match {
-      case Bound(Some(b), _) => BytesUtil.prefixUpperBound(b) match {
-        case Some(up) => Bound(Some(up), false)
-        case None     => Bound.posInf[Array[Byte]]
-      }
+  /** Var-width FIRST key part — the TERMINATED index-entry layout
+    * `enc(value) ‖ 0x00 ‖ fixed tail` ([[SecondaryIndex.entryKey]]): the
+    * 0x00 terminator makes value order an exact order embedding of entry
+    * order (a value sorts strictly before all its byte-extensions, and a
+    * short value's entries can never escape past a longer bound through
+    * their tail bytes), so every value bound maps to a TIGHT entry bound:
+    * start ≥ v → ≥ v‖0x00; start > v → ≥ v‖0x01 (extensions' next byte is
+    * ≥ 0x01 under the no-NUL contract); end ≤ v → < v‖0x01; end < v →
+    * < v‖0x00. The typed key predicate stays exact either way. */
+  private def varTerminatorExpand(r: ScanRange[Array[Byte]]): ScanRange[Array[Byte]] = {
+    val start = r.start match {
+      case Bound(Some(b), true)  => Bound(Some(BytesUtil.concat(b, Array(0.toByte))), true)
+      case Bound(Some(b), false) => Bound(Some(BytesUtil.concat(b, Array(1.toByte))), true)
       case other => other
     }
-    ScanRange(r.start, end)
+    val end = r.end match {
+      case Bound(Some(b), true)  => Bound(Some(BytesUtil.concat(b, Array(1.toByte))), false)
+      case Bound(Some(b), false) => Bound(Some(BytesUtil.concat(b, Array(0.toByte))), false)
+      case other => other
+    }
+    ScanRange(start, end)
   }
 
   /** Turn a closed field-value range into the matching key-prefix range:

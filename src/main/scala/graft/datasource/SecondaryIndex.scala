@@ -67,15 +67,37 @@ object SecondaryIndex {
         KvStore.createTable(idxName, splits, maxVersions = 1, dropExisting = droppedMain)
       }
       main.attachHook(idxName, new IndexMaintainer(idxName, f.cf, f.qual,
-        f.cover.map { c => val cf = catalog.field(c); (cf.cf, cf.qual) }))
+        f.cover.map { c => val cf = catalog.field(c); (cf.cf, cf.qual) },
+        varWidth = f.byteWidth <= 0))
     }
   }
 
-  /** `encode(value) ‖ main stored key` — unique per (value, row); sorts by
-    * value first, so equal values are contiguous and a value range is a key
-    * range. */
-  private[datasource] def entryKey(valueBytes: Array[Byte], mainKey: Array[Byte]): Array[Byte] =
-    BytesUtil.concat(valueBytes, mainKey)
+  /** Entry key layout — unique per (value, row), value-ordered so a value
+    * range is a key range. FIXED-width values concatenate directly:
+    * `encode(value) ‖ main stored key`. VAR-width values (strings with no
+    * declared length) insert a 0x00 TERMINATOR — `encode(value) ‖ 0x00 ‖
+    * main stored key` — which makes value order a true ORDER EMBEDDING of
+    * entry order: a value sorts strictly BEFORE every extension of itself
+    * ("a"‖0x00‖k < "ab"‖…, since 0x00 is the minimal byte), so every
+    * comparison bound on the value maps to a TIGHT entry bound with no
+    * prefix hazards (without the terminator, a short value's entries
+    * escape past any finite bound through their appended main-key bytes —
+    * e.g. value "a" with main key 0xFF… sorts above "ac"). The Phoenix
+    * VARCHAR contract follows: var-width indexed values must not CONTAIN
+    * 0x00 (enforced at entry creation). */
+  private[datasource] def entryKey(valueBytes: Array[Byte], mainKey: Array[Byte],
+      varWidth: Boolean): Array[Byte] =
+    if (!varWidth) BytesUtil.concat(valueBytes, mainKey)
+    else {
+      var i = 0
+      while (i < valueBytes.length) {
+        require(valueBytes(i) != 0,
+          "var-width indexed values must not contain a 0x00 byte (it is " +
+            "the index entry terminator — the Phoenix VARCHAR contract)")
+        i += 1
+      }
+      BytesUtil.concat(valueBytes, Array(0.toByte), mainKey)
+    }
 
   /** The store hook maintaining one column's index: on any change of the
     * observed latest state (the indexed column, or a covered column riding
@@ -85,7 +107,8 @@ object SecondaryIndex {
     * Index-table mutations go through the ordinary logged put/delete, so
     * WAL replay restores the index without re-firing hooks. */
   final class IndexMaintainer(idxName: String, cf: String, qual: String,
-      covered: Seq[(String, String)] = Nil) extends RowHook {
+      covered: Seq[(String, String)] = Nil,
+      varWidth: Boolean = false) extends RowHook {
     override val cols: Set[(String, String)] = covered.toSet + ((cf, qual))
     override def onMutate(key: Array[Byte],
         before: Map[(String, String), Array[Byte]],
@@ -101,12 +124,12 @@ object SecondaryIndex {
         // re-keys the entry (old key dies, new key born), a covered-only
         // change refreshes the SAME key (the delete at `stamp` erases the
         // stale covered cells, the put re-lands the fresh ones at `stamp`)
-        before.get((cf, qual)).foreach(v => idx.deleteRow(entryKey(v, key), stamp))
+        before.get((cf, qual)).foreach(v => idx.deleteRow(entryKey(v, key, varWidth), stamp))
         after.get((cf, qual)).foreach { v =>
           val cells = KvCell("i", "k", stamp, key) +: covered.flatMap { case (ccf, cq) =>
             after.get((ccf, cq)).map(raw => KvCell(ccf, cq, stamp, raw))
           }
-          idx.put(entryKey(v, key), cells)
+          idx.put(entryKey(v, key, varWidth), cells)
         }
       }
     }
@@ -201,13 +224,14 @@ object SecondaryIndex {
           cat.rowKeyParts.map(p => graft.catalog.RowKeyPart(p.field, w + p.offset, p.width))
       else {
         // var-width value + all-fixed main key: the value spans the entry
-        // minus the fixed tail (width = -(1 + tail)), and the main key
-        // parts anchor to the entry's END (negative offsets) — see
-        // RowKeyPart's layout conventions
+        // minus the 0x00 terminator and the fixed tail (width =
+        // -(2 + tail) — trailing = tail + 1 bytes skipped), and the main
+        // key parts anchor to the entry's END (negative offsets) — see
+        // RowKeyPart's layout conventions and [[entryKey]]
         val tail = cat.rowKeyLength
         require(tail > 0,
           s"var-width index ${f.name} needs an all-fixed-width main row key")
-        graft.catalog.RowKeyPart(keyF, 0, -(1 + tail)) +:
+        graft.catalog.RowKeyPart(keyF, 0, -(2 + tail)) +:
           cat.rowKeyParts.map(p =>
             graft.catalog.RowKeyPart(p.field, p.offset - tail, p.width))
       }
@@ -365,39 +389,53 @@ object SecondaryIndex {
     Some(sorted.map(k => ScanRange.point(k)).toSeq)
   }
 
-  /** A closed range in VALUE space → the covering index-key range: entry
-    * keys extend the value with the main key, so inclusive bounds widen to
-    * just past the value prefix (exactly [[FilterCompiler]]'s prefixExpand
-    * rule). May include longer-value false positives (e.g. value "ab"
-    * covers "abc" entries) — safe, the row predicate decides.
+  /** A closed range in VALUE space → the covering index-key range.
     *
-    * `fixedWidth=false` (var-width indexed values) changes the algebra:
-    * a value's byte-prefix EXTENSIONS are real larger values, so an
-    * exclusive start must stay AT the value (skipping to its prefix upper
-    * bound would lose `"ab" < "abc"`), and an exclusive END must still
-    * widen past the bound — a value that is a strict byte-prefix of the
-    * bound ("a" vs "ab") has entries whose appended main-key bytes can
-    * reach beyond the raw bound. Both widenings over-approximate only; the
-    * row predicate stays exact. */
+    * FIXED-width values concatenate directly with the main key, so
+    * inclusive bounds widen to just past the value prefix (exactly
+    * [[FilterCompiler]]'s prefixExpand rule) — exclusive bounds stay
+    * tight because fixed-width values have no byte-prefix relationships.
+    *
+    * VAR-width entries carry the 0x00 TERMINATOR ([[entryKey]]), which
+    * makes the mapping an exact order embedding: every value bound maps
+    * to a TIGHT entry bound —
+    *   start ≥ v  → ≥ v‖0x00 (v's own first entry);
+    *   start > v  → ≥ v‖0x01 (past v's entries; extensions of v have a
+    *                next byte ≥ 0x01, the no-NUL contract, so none skip);
+    *   end   ≤ v  → < v‖0x01;   end < v → < v‖0x00.
+    * A value that byte-prefixes the bound sorts (with its terminator)
+    * strictly below the bound's own entries, so nothing escapes. */
   private def valueToEntryRange(r: ScanRange[Array[Byte]], fixedWidth: Boolean):
-      ScanRange[Array[Byte]] = {
-    val start = r.start match {
-      case Bound(Some(b), false) if fixedWidth => BytesUtil.prefixUpperBound(b) match {
-        case Some(up) => Bound(Some(up), true)
-        case None     => Bound(Some(b), false)
+      ScanRange[Array[Byte]] =
+    if (!fixedWidth) {
+      val start = r.start match {
+        case Bound(Some(b), true)  => Bound(Some(BytesUtil.concat(b, Array(0.toByte))), true)
+        case Bound(Some(b), false) => Bound(Some(BytesUtil.concat(b, Array(1.toByte))), true)
+        case other => other
       }
-      case other => other
-    }
-    val end = r.end match {
-      case Bound(Some(b), incl) if incl || !fixedWidth =>
-        BytesUtil.prefixUpperBound(b) match {
+      val end = r.end match {
+        case Bound(Some(b), true)  => Bound(Some(BytesUtil.concat(b, Array(1.toByte))), false)
+        case Bound(Some(b), false) => Bound(Some(BytesUtil.concat(b, Array(0.toByte))), false)
+        case other => other
+      }
+      ScanRange(start, end)
+    } else {
+      val start = r.start match {
+        case Bound(Some(b), false) => BytesUtil.prefixUpperBound(b) match {
+          case Some(up) => Bound(Some(up), true)
+          case None     => Bound(Some(b), false)
+        }
+        case other => other
+      }
+      val end = r.end match {
+        case Bound(Some(b), true) => BytesUtil.prefixUpperBound(b) match {
           case Some(up) => Bound(Some(up), false)
           case None     => Bound.posInf[Array[Byte]]
         }
-      case other => other
+        case other => other
+      }
+      ScanRange(start, end)
     }
-    ScanRange(start, end)
-  }
 
   /** Value-space ranges a single filter implies for column `f`, or None if
     * this filter does not constrain `f` exactly enough to prune with.

@@ -964,16 +964,18 @@ object StreamBatch {
         // pairs (≤ new-docs × 16, bounded by BATCH size, never corpus
         // size) collect cheaply and compile into pushed ik prefix ranges,
         // so the persisted index scan reads only the batch's bucket
-        // slivers. A catch-up batch whose bucket BOUND already exceeds the
-        // push cap skips the collect outright — its buckets blanket the
-        // index, so the full scan it falls back to is the right plan and
-        // the probe costs nothing extra.
+        // slivers. ONE bounded job decides both the guard and the prefix
+        // set: limit(cap + 1) caps driver memory, and a result past the
+        // cap means the batch's buckets blanket the index — the full scan
+        // it falls back to is the right plan there.
+        val bandPrefixes = newBands
+          .select(format_string("%02d:%021d:", col("band"), col("bh")).as("p"))
+          .distinct().limit(MaxPushedBandPrefixes + 1)
+          .collect().map(_.getString(0))
         val oldIdxRead =
-          if (docs.count() * 16L > MaxPushedBandPrefixes)
+          if (bandPrefixes.length > MaxPushedBandPrefixes)
             s.read.format("graft-kv").option("catalog", sv14IdxCatalog).load()
-          else bandIndexLookup(s, sv14IdxCatalog, newBands
-            .select(format_string("%02d:%021d:", col("band"), col("bh")).as("p"))
-            .distinct().collect().map(_.getString(0)))
+          else bandIndexLookup(s, sv14IdxCatalog, bandPrefixes)
         val oldIdx = oldIdxRead
           .select(col("band"), col("bh"), col("doc_id").as("old_id"))
         val nn = newBands.as("x").join(newBands.as("y"), Seq("band", "bh"))

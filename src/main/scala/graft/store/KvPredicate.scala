@@ -112,11 +112,8 @@ object KvPredicate {
     * `width < -1` runs to the end minus `-width - 1` trailing bytes (a
     * var-width part with a fixed tail — the secondary-index entry layout).
     * Returns (-1, -1) when the key is too short for the part. */
-  private def resolvePart(offset: Int, width: Int, keyLen: Int): (Int, Int) = {
-    val off = if (offset < 0) keyLen + offset else offset
-    val len = if (width >= 0) width else keyLen - off - (-width - 1)
-    if (off < 0 || len < 0 || off + len > keyLen) (-1, -1) else (off, len)
-  }
+  private def resolvePart(offset: Int, width: Int, keyLen: Int): (Int, Int) =
+    graft.catalog.RowKeyPart.resolve(offset, width, keyLen)
 
   /** Typed comparison on one part of a (possibly composite) row key — lets
     * suffix-key predicates push server-side where the reference dropped them

@@ -28,6 +28,10 @@ object KvStore {
     * records so replay never re-logs itself. */
   @volatile private var walRef: Option[Wal] = None
   @volatile private var replaying = false
+  /** Checkpoint counter pairing each snapshot with its rotated log — see
+    * [[Snapshot]]'s crash-safety contract. Advanced by [[checkpointWal]],
+    * restored from the snapshot on [[replayWal]]. */
+  @volatile private var walGeneration: Long = 0L
   sys.props.get("graft.kv.wal").foreach(d => enableWal(java.nio.file.Paths.get(d),
     sys.props.get("graft.kv.walGroupCommit").map(_.toInt).getOrElse(1)))
 
@@ -61,12 +65,16 @@ object KvStore {
     val w = walRef.getOrElse(
       throw new IllegalStateException("checkpointWal requires an enabled WAL"))
     w.sync()
-    Snapshot.write(w.dir, tables.values.toSeq.sortBy(_.name))
+    walGeneration += 1
+    Snapshot.write(w.dir, tables.values.toSeq.sortBy(_.name), walGeneration)
     // the snapshot now carries everything the log recorded — rotate to an
-    // empty log (close, delete, reopen)
+    // empty log stamped with the snapshot's generation (close, delete,
+    // reopen, marker first); replay pairs them by that number
     w.close()
     java.nio.file.Files.deleteIfExists(w.dir.resolve(Wal.FileName))
-    walRef = Some(new Wal(w.dir, w.groupCommitRecords))
+    val fresh = new Wal(w.dir, w.groupCommitRecords)
+    fresh.logGeneration(walGeneration)
+    walRef = Some(fresh)
   }
 
   /** Rebuild store state from `dir` (crash/restart recovery): load the
@@ -79,7 +87,8 @@ object KvStore {
     tables.clear()
     replaying = true
     try {
-      Snapshot.load(dir, (name, t) => { tables.put(name, t); () })
+      val snapGen = Snapshot.load(dir, (name, t) => { tables.put(name, t); () })
+      walGeneration = snapGen
       Wal.replay(dir,
       applyCreate = (name, splits, mv, byCf) =>
         createTable(name, splits, mv, dropExisting = true, byCf),
@@ -89,7 +98,11 @@ object KvStore {
       applyClear = () => tables.clear(),
       applyRename = (oldName, newName) => tables.remove(oldName).foreach { t =>
         t.setName(newName); tables.put(newName, t)
-      })
+      },
+      // a log older than the snapshot (crash between snapshot rename and
+      // log truncate) is fully contained in the image — skip it; equal
+      // generations are the matching rotated tail and apply normally
+      applyGeneration = gen => gen >= snapGen)
     } finally replaying = false
   }
 

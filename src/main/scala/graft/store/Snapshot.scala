@@ -21,11 +21,14 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   *
   * Crash safety: the image lands in a temp file, is fsynced, and renames
   * atomically over the previous snapshot; only then is the log truncated.
-  * A crash between the rename and the truncate leaves snapshot(T) + the
-  * FULL log — replaying both converges, because creates rebuild
-  * drop-existing from the log's own complete history and puts/deletes are
-  * idempotent re-applied upserts/erases. A crash before the rename leaves
-  * the previous snapshot + full log: the state before the checkpoint. */
+  * Snapshot and log pair through a GENERATION number (the rotated log's
+  * first record is a generation marker): replay applies a log only when
+  * its generation matches the snapshot's, so the crash window between the
+  * rename and the truncate — new snapshot + STALE full log — restores
+  * exactly the image (the stale log is skipped; re-applying it would
+  * double-count the admission histograms, which `put` ticks
+  * unconditionally). A crash before the rename leaves the previous
+  * snapshot + its matching full log: the state before the checkpoint. */
 private[store] object Snapshot {
 
   val FileName = "graft-wal.snapshot"
@@ -43,12 +46,17 @@ private[store] object Snapshot {
   }
 
   /** Serialize every table to `dir/FileName` (tmp + fsync + atomic rename).
-    * Caller holds the store lock and has quiesced writers. */
-  def write(dir: Path, tables: Seq[KvTable]): Unit = {
+    * `generation` identifies the rotated log this snapshot pairs with —
+    * replay applies only a log tail of the SAME generation, so a stale
+    * pre-rotation log (crash between rename and truncate) is skipped
+    * instead of double-applied over the image. Caller holds the store lock
+    * and has quiesced writers. */
+  def write(dir: Path, tables: Seq[KvTable], generation: Long): Unit = {
     val tmp = dir.resolve(FileName + ".tmp")
     val fos = new FileOutputStream(tmp.toFile)
     val out = new DataOutputStream(new BufferedOutputStream(fos))
     out.writeInt(Magic); out.writeInt(Version)
+    out.writeLong(generation)
     out.writeInt(tables.size)
     tables.foreach { t =>
       out.writeUTF(t.name)
@@ -90,14 +98,16 @@ private[store] object Snapshot {
   }
 
   /** Load `dir/FileName` if present, handing each rebuilt table to
-    * `register`. Absent file = no checkpoint yet (pure-log replay). */
-  def load(dir: Path, register: (String, KvTable) => Unit): Unit = {
+    * `register`; returns the snapshot's log generation (0 when no
+    * checkpoint exists — pure-log replay applies everything). */
+  def load(dir: Path, register: (String, KvTable) => Unit): Long = {
     val f = dir.resolve(FileName)
-    if (!Files.exists(f)) return
+    if (!Files.exists(f)) return 0L
     val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(f)))
     try {
       require(in.readInt() == Magic, "corrupt snapshot: bad magic")
       require(in.readInt() == Version, "unsupported snapshot version")
+      val generation = in.readLong()
       val nTables = in.readInt()
       (0 until nTables).foreach { _ =>
         val name = in.readUTF()
@@ -137,6 +147,7 @@ private[store] object Snapshot {
         }
         register(name, t)
       }
+      generation
     } finally in.close()
   }
 }

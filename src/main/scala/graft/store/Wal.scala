@@ -97,6 +97,19 @@ final class Wal private[store] (val dir: Path, val groupCommitRecords: Int = 1) 
     recordDone()
   }
 
+  /** Log generation marker — the FIRST record of a freshly rotated log
+    * ([[KvStore.checkpointWal]]). Replay after a snapshot uses it to tell
+    * the rotated tail (generation == snapshot's) from a STALE pre-rotation
+    * log left behind by a crash between the snapshot rename and the log
+    * truncate: re-applying the stale log over the snapshot would
+    * double-count the admission histograms (puts tick [[KvTable]]'s
+    * mutHist unconditionally), so stale logs are skipped — the snapshot
+    * already contains everything they recorded. */
+  def logGeneration(gen: Long): Unit = synchronized {
+    out.writeByte(GenRec); out.writeLong(gen)
+    recordDone()
+  }
+
   def close(): Unit = synchronized(out.close())
 }
 
@@ -108,6 +121,7 @@ object Wal {
   private val DropRec = 4
   private val ClearRec = 5
   private val RenameRec = 6
+  private val GenRec = 7
 
   /** Re-apply every complete record in `dir`'s log through `apply*`
     * callbacks; a torn tail is silently dropped. */
@@ -117,7 +131,8 @@ object Wal {
       applyDeleteKey: (String, Array[Byte], Long) => Unit,
       applyDrop: String => Unit,
       applyClear: () => Unit,
-      applyRename: (String, String) => Unit): Unit = {
+      applyRename: (String, String) => Unit,
+      applyGeneration: Long => Boolean = _ => true): Unit = {
     val f = dir.resolve(FileName)
     if (!Files.exists(f)) return
     val in = new DataInputStream(new java.io.BufferedInputStream(Files.newInputStream(f)))
@@ -128,8 +143,14 @@ object Wal {
     }
     try {
       var done = false
+      // a log with no leading generation marker is generation 0 (written
+      // before any checkpoint) — the decision fires before the FIRST
+      // record applies, so a stale pre-rotation log is skipped whole
+      var genChecked = false
+      def admit(gen: Long): Boolean = { genChecked = true; applyGeneration(gen) }
       while (!done) {
         val tag = in.read() // -1 at clean EOF (record boundary)
+        if (tag != -1 && tag != GenRec && !genChecked && !admit(0L)) return
         tag match {
           case -1 => done = true
           case CreateRec =>
@@ -149,6 +170,8 @@ object Wal {
           case DropRec => applyDrop(in.readUTF())
           case ClearRec => applyClear()
           case RenameRec => applyRename(in.readUTF(), in.readUTF())
+          case GenRec =>
+            if (!admit(in.readLong())) done = true // stale log: stop
           case other => throw new java.io.IOException(s"corrupt WAL record tag $other")
         }
       }

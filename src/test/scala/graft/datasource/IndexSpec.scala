@@ -320,6 +320,52 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the grouped partials must stream off the INDEX's sort order")
   }
 
+  test("var-width bounds stay exact for prefix values and adversarial key bytes") {
+    // The hazard the 0x00 entry terminator exists for: a value that is a
+    // byte-PREFIX of a bound ("a" vs "ab") pairs with main-key bytes that
+    // sort arbitrarily high — key -1L encodes as 0xFF×8, so without the
+    // terminator the entry "a"‖0xFF… would sort past any widened bound
+    // ("ac") and range pruning would silently drop the row.
+    val vcat =
+      """{"table":{"namespace":"default", "name":"vbtab"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"name":{"cf":"f", "col":"n", "type":"string", "index":"true"},
+        |"note":{"cf":"f", "col":"o", "type":"string"}}}""".stripMargin
+    Seq((-1L, "a", "neg"), (10L, "ab", "x"), (11L, "abc", "y"), (12L, "b", "z"))
+      .toDF("key", "name", "note").write.format("graft-kv")
+      .options(Map("catalog" -> vcat, "newtable" -> "4", "timestamp" -> "100"))
+      .mode("append").save()
+    def q(cols: String*)(f: org.apache.spark.sql.Column) =
+      spark.read.format("graft-kv").option("catalog", vcat).load()
+        .filter(f).select(cols.head, cols.tail: _*)
+    def keysOf(f: org.apache.spark.sql.Column): Seq[Long] =
+      q("key")(f).collect().map(_.getLong(0)).sorted.toSeq
+    // INDEX-ONLY path ({name, key} projection)
+    assert(keysOf(col("name") <= "ab") == Seq(-1L, 10L),
+      "Le must keep the prefix value 'a' despite its 0xFF… key bytes")
+    assert(keysOf(col("name") < "ab") == Seq(-1L))
+    assert(keysOf(col("name") > "ab") == Seq(11L, 12L),
+      "Gt must keep extensions ('abc') and larger values")
+    assert(keysOf(col("name") >= "ab") == Seq(10L, 11L, 12L))
+    assert(keysOf(col("name") === "ab") == Seq(10L))
+    assert(keysOf(col("name").between("a", "abc")) == Seq(-1L, 10L, 11L))
+    val ixo = q("key")(col("name") <= "ab")
+    ixo.collect()
+    assert(scanOf(ixo).metrics("graftIndexOnlyScan").value == 1L)
+    // CONSULT path (note in the projection forces point gets)
+    def keysWide(f: org.apache.spark.sql.Column): Seq[Long] =
+      q("key", "note")(f).collect().map(_.getLong(0)).sorted.toSeq
+    assert(keysWide(col("name") <= "ab") == Seq(-1L, 10L))
+    assert(keysWide(col("name") > "a") == Seq(10L, 11L, 12L))
+    assert(keysWide(col("name") < "b") == Seq(-1L, 10L, 11L))
+    val consulted = q("key", "note")(col("name") <= "ab")
+    consulted.collect()
+    assert(scanOf(consulted).metrics("graftIndexKeys").value == 2L,
+      "the consult must find exactly the two matching entries")
+  }
+
   test("GROUP BY a var-width string index streams grouped partials off the index") {
     // prefix-related owners "ab" (key 10) and "abc" (key 11) — whose index
     // entries INTERLEAVE byte-wise — plus erin (7, 8) and frank (20, 21)
@@ -358,17 +404,20 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("string-prefix over-approximation is corrected by the row predicate") {
     write(Seq((10L, "ab", 1L, "p"), (11L, "abc", 2L, "q")), ts = 500L)
-    // {key}-only: INDEX-ONLY scan whose entry ranges for eq "ab" also
-    // cover "abc" entries; the exact var-width key predicate drops key 11
+    // {key}-only: INDEX-ONLY scan; the terminated entry layout keeps "abc"
+    // entries outside eq "ab"'s range, and the exact var-width key
+    // predicate backstops it either way
     val df = readBack.filter(col("owner") === "ab").select("key")
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(10L))
     assert(scanOf(df).metrics("graftIndexOnlyScan").value == 1L)
-    // wider projection: the point-get CONSULT sees the same prefix range
-    // ("ab" covers "abc" entries) and the row predicate corrects it
+    // wider projection: the point-get CONSULT. The 0x00 entry terminator
+    // makes Eq an EXACT entry range — "abc" entries sort outside
+    // ["ab"‖0x00, "ab"‖0x01) — so the consult reads only the true match
     val wide = readBack.filter(col("owner") === "ab").select("key", "note")
     assert(wide.collect().map(_.getLong(0)).toSeq == Seq(10L))
     val m = scanOf(wide).metrics
-    assert(m("graftIndexKeys").value == 2L, "prefix consult over-approximates by design")
+    assert(m("graftIndexKeys").value == 1L,
+      "the terminated entry layout must make Eq consults exact (no prefix false positives)")
     // ordering comparisons around prefix-related values: "ab" < "abc", and
     // a value that is a byte-prefix of the bound ("ab" vs "abc") must not
     // be lost through entry-range under-approximation on either path
