@@ -67,21 +67,27 @@ final case class Field(
   * ([[graft.datasource.SecondaryIndex.indexOnlyCatalog]]). */
 final case class RowKeyPart(field: Field, offset: Int, width: Int) extends Serializable {
   /** Resolved start offset of this part within a `keyLen`-byte key. */
-  def offsetIn(keyLen: Int): Int = RowKeyPart.resolve(offset, width, keyLen)._1
+  def offsetIn(keyLen: Int): Int = RowKeyPart.offsetIn(offset, width, keyLen)
   /** Resolved byte length of this part within a `keyLen`-byte key. */
-  def lengthIn(keyLen: Int): Int = RowKeyPart.resolve(offset, width, keyLen)._2
+  def lengthIn(keyLen: Int): Int = RowKeyPart.lengthIn(offset, width, keyLen)
 }
 
+/** THE single implementation of the layout conventions above — every key
+  * decode path (materializer, server-side key predicates) resolves a
+  * part's (offset, width) against a concrete key length through these, so
+  * the conventions can never diverge between decoders. Allocation-free:
+  * the callers sit on per-row scan hot paths. */
 object RowKeyPart {
-  /** THE single implementation of the layout conventions above — every key
-    * decode path (materializer, server-side key predicates) resolves a
-    * part's (offset, width) against a concrete key length through here, so
-    * the conventions can never diverge between decoders. Returns (-1, -1)
-    * when the key is too short for the part. */
-  def resolve(offset: Int, width: Int, keyLen: Int): (Int, Int) = {
-    val off = if (offset < 0) keyLen + offset else offset
-    val len = if (width >= 0) width else keyLen - off - (-width - 1)
-    if (off < 0 || len < 0 || off + len > keyLen) (-1, -1) else (off, len)
+  def offsetIn(offset: Int, width: Int, keyLen: Int): Int =
+    if (offset < 0) keyLen + offset else offset
+  def lengthIn(offset: Int, width: Int, keyLen: Int): Int =
+    if (width >= 0) width
+    else keyLen - offsetIn(offset, width, keyLen) - (-width - 1)
+  /** False when the key is too short for the part. */
+  def inBounds(offset: Int, width: Int, keyLen: Int): Boolean = {
+    val off = offsetIn(offset, width, keyLen)
+    val len = lengthIn(offset, width, keyLen)
+    off >= 0 && len >= 0 && off + len <= keyLen
   }
 }
 
@@ -160,6 +166,10 @@ final case class GraftCatalog(
       require(!f.isRowKey, s"index on ${f.name}: key parts are already the primary index")
       require(!f.isDynamic, s"index on ${f.name}: dynamic (schema-on-read) columns cannot be indexed")
       require(f.avroSchemaJson.isEmpty, s"index on ${f.name}: Avro columns cannot be indexed")
+      require(!(f.dataType == BinaryType && f.byteWidth <= 0),
+        s"index on ${f.name}: var-width binary cannot be indexed (binary " +
+          "payloads may contain the 0x00 entry terminator) — declare an " +
+          "explicit \"length\"")
       f.cover.foreach { c =>
         val cf = fields.find(_.name == c).getOrElse(
           sys.error(s"cover column $c of index ${f.name} is not in the catalog"))

@@ -306,7 +306,21 @@ final class KvRowCodec(catalog: GraftCatalog, schema: StructType) extends Serial
               cells += KvCell(f.cf, f.qual, vts.asInstanceOf[Long], f.coder.encode(vt, x))
             }
           case (dt2, _) =>
-            cells += KvCell(f.cf, f.qual, ts, f.coder.encode(dt2, v))
+            val enc = f.coder.encode(dt2, v)
+            // var-width INDEXED values become index entry keys terminated
+            // by 0x00 (SecondaryIndex.entryKey) — reject a NUL-bearing
+            // value HERE, before any table state changes, instead of
+            // letting the index hook throw mid-mutation
+            if (f.indexed && f.byteWidth <= 0) {
+              var bi = 0
+              while (bi < enc.length) {
+                require(enc(bi) != 0,
+                  s"${f.name}: var-width indexed values must not contain a " +
+                    "0x00 byte (the index entry terminator)")
+                bi += 1
+              }
+            }
+            cells += KvCell(f.cf, f.qual, ts, enc)
         }
       }
     }

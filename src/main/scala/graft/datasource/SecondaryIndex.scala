@@ -84,17 +84,23 @@ object SecondaryIndex {
     * escape past any finite bound through their appended main-key bytes —
     * e.g. value "a" with main key 0xFF… sorts above "ac"). The Phoenix
     * VARCHAR contract follows: var-width indexed values must not CONTAIN
-    * 0x00 (enforced at entry creation). */
+    * 0x00 — validated at write ENCODE time (before any state changes,
+    * [[GraftWrite]]) and re-checked here on entry INSERTION; entry
+    * RETIREMENT (`validate = false`) never throws, so a row whose old
+    * value somehow carries a NUL (an out-of-band store writer) can still
+    * be updated or deleted instead of being poisoned forever. */
   private[datasource] def entryKey(valueBytes: Array[Byte], mainKey: Array[Byte],
-      varWidth: Boolean): Array[Byte] =
+      varWidth: Boolean, validate: Boolean = true): Array[Byte] =
     if (!varWidth) BytesUtil.concat(valueBytes, mainKey)
     else {
-      var i = 0
-      while (i < valueBytes.length) {
-        require(valueBytes(i) != 0,
-          "var-width indexed values must not contain a 0x00 byte (it is " +
-            "the index entry terminator — the Phoenix VARCHAR contract)")
-        i += 1
+      if (validate) {
+        var i = 0
+        while (i < valueBytes.length) {
+          require(valueBytes(i) != 0,
+            "var-width indexed values must not contain a 0x00 byte (it is " +
+              "the index entry terminator — the Phoenix VARCHAR contract)")
+          i += 1
+        }
       }
       BytesUtil.concat(valueBytes, Array(0.toByte), mainKey)
     }
@@ -124,7 +130,8 @@ object SecondaryIndex {
         // re-keys the entry (old key dies, new key born), a covered-only
         // change refreshes the SAME key (the delete at `stamp` erases the
         // stale covered cells, the put re-lands the fresh ones at `stamp`)
-        before.get((cf, qual)).foreach(v => idx.deleteRow(entryKey(v, key, varWidth), stamp))
+        before.get((cf, qual)).foreach(v =>
+          idx.deleteRow(entryKey(v, key, varWidth, validate = false), stamp))
         after.get((cf, qual)).foreach { v =>
           val cells = KvCell("i", "k", stamp, key) +: covered.flatMap { case (ccf, cq) =>
             after.get((ccf, cq)).map(raw => KvCell(ccf, cq, stamp, raw))
@@ -188,12 +195,12 @@ object SecondaryIndex {
         // indexed_col` over a selective filter is the classic shape
         val idxKeyFields = idxCat.rowKeyFields
         // The streaming group reader compares DECODED group values, so
-        // grouping works for var-width leading values too — equal
-        // var-width values may interleave with their byte-prefix
-        // extensions in entry order ("ab‖k" sorts among "abc‖…"), which
-        // only FRAGMENTS a group into several emitted partial rows;
-        // Spark's final aggregate merges them, exactly as it merges
-        // groups spanning region boundaries.
+        // grouping works for var-width leading values too: the 0x00 entry
+        // terminator keeps each value's entries contiguous (a value sorts
+        // strictly before all its byte-extensions), and even a fragmented
+        // run would only emit extra partial rows for Spark's final
+        // aggregate to merge — exactly as it merges groups spanning
+        // region boundaries.
         val groupOk = groupCols.isEmpty || (
           groupCols.length <= idxKeyFields.length &&
           groupCols.zip(idxKeyFields).forall { case (g, kf) =>

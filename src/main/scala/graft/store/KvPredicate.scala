@@ -106,15 +106,6 @@ object KvPredicate {
       BytesUtil.startsWith(key, prefix)
   }
 
-  /** Resolve a key-part (offset, width) against a concrete key length —
-    * [[graft.catalog.RowKeyPart]]'s layout conventions: negative offsets
-    * anchor to the END of the key; `width == -1` runs to the end;
-    * `width < -1` runs to the end minus `-width - 1` trailing bytes (a
-    * var-width part with a fixed tail — the secondary-index entry layout).
-    * Returns (-1, -1) when the key is too short for the part. */
-  private def resolvePart(offset: Int, width: Int, keyLen: Int): (Int, Int) =
-    graft.catalog.RowKeyPart.resolve(offset, width, keyLen)
-
   /** Typed comparison on one part of a (possibly composite) row key — lets
     * suffix-key predicates push server-side where the reference dropped them
     * (HBaseFilter.scala:149-159). Offset/width follow
@@ -123,8 +114,10 @@ object KvPredicate {
   final case class KeyCmp(offset: Int, width: Int, op: Op, value: Any,
       dt: DataType, coder: FieldCoder) extends KvPredicate {
     override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = {
-      val (off, len) = resolvePart(offset, width, key.length)
-      if (off < 0) return false
+      import graft.catalog.RowKeyPart
+      if (!RowKeyPart.inBounds(offset, width, key.length)) return false
+      val off = RowKeyPart.offsetIn(offset, width, key.length)
+      val len = RowKeyPart.lengthIn(offset, width, key.length)
       val x = coder.decode(dt, key, off, len)
       val c = compareTyped(x, value)
       op match {
@@ -143,8 +136,10 @@ object KvPredicate {
   final case class KeyStrMatch(offset: Int, width: Int, pattern: String, mode: StrMode)
       extends KvPredicate {
     override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = {
-      val (off, len) = resolvePart(offset, width, key.length)
-      if (off < 0) return false
+      import graft.catalog.RowKeyPart
+      if (!RowKeyPart.inBounds(offset, width, key.length)) return false
+      val off = RowKeyPart.offsetIn(offset, width, key.length)
+      val len = RowKeyPart.lengthIn(offset, width, key.length)
       val s = new String(key, off, len, "UTF-8")
       mode match {
         case StrMode.Prefix   => s.startsWith(pattern)

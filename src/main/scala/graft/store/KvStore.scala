@@ -86,8 +86,10 @@ object KvStore {
   def replayWal(dir: java.nio.file.Path): Unit = synchronized {
     tables.clear()
     replaying = true
+    var staleLogSkipped = false
+    var snapGen = 0L
     try {
-      val snapGen = Snapshot.load(dir, (name, t) => { tables.put(name, t); () })
+      snapGen = Snapshot.load(dir, (name, t) => { tables.put(name, t); () })
       walGeneration = snapGen
       Wal.replay(dir,
       applyCreate = (name, splits, mv, byCf) =>
@@ -102,8 +104,19 @@ object KvStore {
       // a log older than the snapshot (crash between snapshot rename and
       // log truncate) is fully contained in the image — skip it; equal
       // generations are the matching rotated tail and apply normally
-      applyGeneration = gen => gen >= snapGen)
+      applyGeneration = gen => {
+        if (gen < snapGen) { staleLogSkipped = true; false } else true
+      })
     } finally replaying = false
+    // a SKIPPED stale log must not survive: appends would land behind its
+    // stale generation marker and the NEXT replay would discard them with
+    // it — finish the interrupted rotation now (fresh log, current marker)
+    if (staleLogSkipped) {
+      java.nio.file.Files.deleteIfExists(dir.resolve(Wal.FileName))
+      val w = new Wal(dir, 1)
+      w.logGeneration(snapGen)
+      w.close()
+    }
   }
 
   def createTable(name: String, splits: Seq[Array[Byte]], maxVersions: Int = 1,

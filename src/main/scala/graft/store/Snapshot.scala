@@ -33,7 +33,9 @@ private[store] object Snapshot {
 
   val FileName = "graft-wal.snapshot"
   private val Magic = 0x47524654 // "GRFT"
-  private val Version = 1
+  // v2 added the log-generation field; bumping makes a pre-generation
+  // snapshot fail with a clear version error instead of misparsing
+  private val Version = 2
 
   private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit = {
     out.writeInt(b.length); out.write(b)

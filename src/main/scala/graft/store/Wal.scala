@@ -25,6 +25,13 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * A torn tail (crash mid-append) is detected by EOF inside a record and
   * discarded — the mutation never acked, standard WAL semantics.
   *
+  * COMPATIBILITY: a log/snapshot dir is tied to the library build that
+  * wrote it. Derived tables (secondary indexes) replay PHYSICALLY — their
+  * entry bytes are whatever the writing build's layout produced — so a
+  * build that changes a derived layout (e.g. the index entry terminator)
+  * must start from a fresh dir; the snapshot's format version gates this
+  * for snapshots, and logs carry no cross-build promise.
+  *
   * GROUP COMMIT (opt-in, `groupCommitRecords > 1` via
   * `-Dgraft.kv.walGroupCommit=N` or [[KvStore.enableWal]]): appends stay
   * serialized but the stream flushes once per N records instead of every

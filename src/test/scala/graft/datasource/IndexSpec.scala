@@ -366,6 +366,47 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the consult must find exactly the two matching entries")
   }
 
+  test("NUL-bearing var-width indexed values are rejected at encode, before any mutation") {
+    val vcat =
+      """{"table":{"namespace":"default", "name":"nultab"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"name":{"cf":"f", "col":"n", "type":"string", "index":"true"}}}""".stripMargin
+    val e = intercept[Exception] {
+      Seq((1L, "ok"), (2L, "bad\u0000name")).toDF("key", "name")
+        .write.format("graft-kv")
+        .options(Map("catalog" -> vcat, "newtable" -> "4"))
+        .mode("append").save()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("0x00")),
+      s"expected the NUL-terminator contract error, got: ${e.getMessage}")
+    // the failing WRITE TASK must not have committed a half-indexed row:
+    // the index never gained an entry for the NUL value
+    if (graft.store.KvStore.exists("default:nultab__idx__name")) {
+      val entries = graft.store.KvStore.table("default:nultab__idx__name")
+        .regions.map(_.rowCount.get()).sum
+      assert(entries == 0L || entries == 1L,
+        s"no NUL entry may exist; index holds $entries entries")
+    }
+    graft.store.KvStore.drop("default:nultab")
+    graft.store.KvStore.drop("default:nultab__idx__name")
+  }
+
+  test("var-width binary indexes are rejected at catalog validation") {
+    val bad =
+      """{"table":{"namespace":"default", "name":"binidx"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"blob":{"cf":"f", "col":"b", "type":"binary", "index":"true"}}}""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftCatalog.parse(bad, Map.empty))
+    assert(e.getMessage.contains("var-width binary"))
+  }
+
   test("GROUP BY a var-width string index streams grouped partials off the index") {
     // prefix-related owners "ab" (key 10) and "abc" (key 11) — whose index
     // entries INTERLEAVE byte-wise — plus erin (7, 8) and frank (20, 21)
