@@ -137,7 +137,7 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
-    KvStore.table(opts.storeName(catalog)).delete(hrf.ranges, hrf.pred)
+    KvStore.table(opts.storeName(catalog)).deleteNow(hrf.ranges, hrf.pred)
   }
 
   /** ACCEPT_ANY_SCHEMA only on the options path (writers there resolve

@@ -22,9 +22,18 @@ final case class GraftStreamOffset(stamps: Map[Int, Long]) extends Offset {
 }
 
 object GraftStreamOffset {
-  def parse(json: String): GraftStreamOffset =
-    GraftStreamOffset("\"(\\d+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(json)
+  /** Strict parse: the whole string must be the `json()` shape — a
+    * truncated or foreign checkpoint offset must FAIL loudly here, not
+    * degrade to an empty stamp map that would silently restart every
+    * region from the beginning of history (re-emitting all CDC rows to
+    * downstream consumers). */
+  def parse(json: String): GraftStreamOffset = {
+    val t = json.trim
+    require(t.matches("""\{\s*\}|\{"\d+":-?\d+(,"\d+":-?\d+)*\}"""),
+      s"malformed graft-kv stream offset: $json")
+    GraftStreamOffset("\"(\\d+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(t)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+  }
 
   /** Accepts both live [[GraftStreamOffset]]s and the engine's serialized
     * checkpoint form (anything else round-trips through its json). */
@@ -50,9 +59,13 @@ object GraftStreamOffset {
   *    rest (HBase WAL replication ships changed cells, same semantics).
   *  - Writes must advance past the committed offset to be streamed: a
   *    write stamped ≤ a region's committed high-water mark is invisible to
-  *    the stream (standard CDC low-watermark caveat; the default
-  *    current-time stamps satisfy this, explicit `timestamp` writes into
-  *    the past do not).
+  *    the stream (standard CDC low-watermark caveat). Default current-time
+  *    stamps satisfy this BY CONSTRUCTION: they are assigned registered
+  *    ([[graft.store.KvTable.withWriteStamp]]) and offset capture stays
+  *    below every registered stamp and below the current millisecond — so
+  *    a writer preempted mid-put cannot be stranded behind a faster
+  *    neighbor's committed offset. Explicit `timestamp` writes into the
+  *    past remain invisible to the stream (the documented trade).
   *  - Deletes stream ONLY under the `tombstones=true` read option, which
   *    appends a `_deleted` boolean column to the schema: each delete marker
   *    in the window emits a key-only row (`_deleted=true`, value columns
@@ -86,8 +99,21 @@ class GraftMicroBatchStream(catalog: GraftCatalog, opts: GraftOptions,
 
   @volatile private var availableNowTarget: Option[GraftStreamOffset] = None
 
-  private def liveLatest: GraftStreamOffset =
-    GraftStreamOffset(table.regions.map(r => r.index -> r.maxStamp.get()).toMap)
+  /** Offset capture with the write low-watermark: each region's offset is
+    * `min(maxStamp, now − 1, min in-flight stamp − 1)`. The in-flight cap
+    * excludes registered default-stamp writes whose cells are not visible
+    * yet; the now−1 cap excludes the CURRENT millisecond, so a writer that
+    * takes this millisecond's stamp after our capture still lands above
+    * the committed offset (wall-clock monotonicity is the one assumption —
+    * the same one HBase replication makes). Writes with explicit
+    * `timestamp` options keep the class doc's low-watermark caveat. */
+  private def liveLatest: GraftStreamOffset = {
+    val nowSafe = System.currentTimeMillis() - 1
+    GraftStreamOffset(table.regions.map { r =>
+      val safe = math.min(r.maxStamp.get(), math.min(nowSafe, r.minInFlight - 1))
+      r.index -> safe
+    }.toMap)
+  }
 
   /** Before the first write every region sits at Long.MinValue — the same
     * value an empty region's high-water mark reports, so "nothing yet" and
@@ -122,15 +148,19 @@ class GraftMicroBatchStream(catalog: GraftCatalog, opts: GraftOptions,
     * stamp order, so a catch-up drains oldest-mutations-first across all
     * regions — replaying history in write order rather than letting one
     * region race ahead. Whole stamps admit atomically (every mutation at
-    * the cut stamp lands in the same batch, so a batch can overshoot by
-    * the size of its last stamp's tie group), and the first pending stamp
-    * is always admitted even when larger than the budget — the progress
-    * guarantee that keeps a stream from stalling on a burst. Cost is
+    * the cut stamp lands in the same batch) and only when they FIT the
+    * remaining budget, so a batch never exceeds `budget` — except the
+    * first pending stamp, which always admits even when larger than the
+    * budget (the progress guarantee that keeps a stream from stalling on
+    * a burst). Cost is
     * O(distinct stamps in the window): stamps are millisecond-resolution,
     * so histograms are bounded by active wall-clock ms, never row count. */
   private def admit(start: GraftStreamOffset, cap: GraftStreamOffset,
       budget: Long): GraftStreamOffset = {
     import scala.jdk.CollectionConverters._
+    // one entry per GLOBAL stamp (same-stamp mutations across regions sum):
+    // the cut applies to every region at once, so the whole global stamp is
+    // the atomic admission unit — admitting it partially is impossible
     val pending = table.regions.iterator.flatMap { r =>
       val lo = start.stamps.getOrElse(r.index, Long.MinValue)
       val hi = cap.stamps.getOrElse(r.index, Long.MinValue)
@@ -138,14 +168,17 @@ class GraftMicroBatchStream(catalog: GraftCatalog, opts: GraftOptions,
       else r.mutHist.subMap(Long.box(lo), false, Long.box(hi), true)
         .entrySet().iterator().asScala
         .map(e => (e.getKey.longValue(), e.getValue.sum()))
-    }.toArray.sortBy(_._1)
+    }.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toArray.sortBy(_._1)
     var remaining = budget
     var cut = Long.MinValue
     var admitted = 0
-    while (admitted < pending.length &&
-        (admitted == 0 || remaining > 0)) {
+    var fits = true
+    while (admitted < pending.length && fits) {
       val (stamp, n) = pending(admitted)
-      cut = stamp; remaining -= n; admitted += 1
+      // whole stamps only, within budget; the FIRST stamp always admits
+      if (admitted > 0 && n > remaining) fits = false
+      else { cut = stamp; remaining -= n; admitted += 1 }
     }
     if (admitted == pending.length) cap // whole backlog fits — drain to cap
     else GraftStreamOffset(cap.stamps.map { case (ri, hi) =>

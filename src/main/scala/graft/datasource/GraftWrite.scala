@@ -141,7 +141,7 @@ class GraftBatchWrite(catalog: GraftCatalog, opts: GraftOptions,
       val fs = deleteFirst.get
       val main = KvStore.table(opts.storeName(catalog))
       val hrf = FilterCompiler.compileAll(catalog, fs.toSeq)
-      main.delete(hrf.ranges, hrf.pred)
+      main.deleteNow(hrf.ranges, hrf.pred)
       val staging = KvStore.table(sn)
       staging.regions.foreach(_.rows.forEach { (key, row) =>
         val cells = Seq.newBuilder[KvCell]
@@ -340,10 +340,18 @@ class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: St
   private val table = KvStore.table(targetTable.getOrElse(opts.storeName(catalog)))
   private val codec = new KvRowCodec(catalog, writeSchema)
 
-  override def write(row: InternalRow): Unit = {
-    val ts = opts.timestamp.getOrElse(System.currentTimeMillis())
-    if (opts.deleteWrite) table.deleteRow(codec.key(row), ts)
-    else table.put(codec.key(row), codec.cells(row, ts))
+  override def write(row: InternalRow): Unit = opts.timestamp match {
+    // explicit timestamps keep the documented stream low-watermark caveat
+    case Some(ts) =>
+      if (opts.deleteWrite) table.deleteRow(codec.key(row), ts)
+      else table.put(codec.key(row), codec.cells(row, ts))
+    // default stamps are assigned REGISTERED (KvTable.withWriteStamp), so
+    // a concurrent CDC offset capture can never strand this row below an
+    // already-committed offset
+    case None => table.withWriteStamp { ts =>
+      if (opts.deleteWrite) table.deleteRow(codec.key(row), ts)
+      else table.put(codec.key(row), codec.cells(row, ts))
+    }
   }
 
   override def commit(): WriterCommitMessage = {

@@ -503,8 +503,15 @@ object Events {
     * partial-aggregable groupBy: map-side combine keeps per-task state at
     * one row per (type, hour), no window, no sort, one low-cardinality
     * shuffle. Values are exact micro-units. */
+  /** Exact per-row micro-unit conversion shared by ev12 and its streaming
+    * twin ([[graft.streaming.GraftStreaming.ohlcStream]]) — the HALF_UP
+    * scale-6 decimal cast both engines round identically; keeping ONE
+    * definition keeps the streamed bars hash-equal to the batch bars. */
+  def valueMicro: Column =
+    (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
+
   def ev12Ohlc(s: SparkSession, dir: String): DataFrame = {
-    val vMicro = (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val vMicro = valueMicro
     val ordKey = ohlcOrdKey
     Tables.events(s, dir)
       .select(col("event_type"), window(col("ts"), "1 hour")("start").as("ws"),

@@ -301,6 +301,27 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
       * count; the in-process analogue of reading WAL entry counts between
       * two replication positions. */
     val mutHist = new ConcurrentSkipListMap[java.lang.Long, java.util.concurrent.atomic.LongAdder]()
+    /** Stamps REGISTERED as in-flight ([[withWriteStamp]]) whose mutations
+      * may not be visible yet — the CDC offset capture excludes them
+      * ([[graft.datasource.GraftMicroBatchStream]] caps each region's
+      * offset below the minimum in-flight stamp), closing the race where
+      * writer A takes stamp 1000, writer B lands 1001 advancing maxStamp,
+      * the stream captures 1001, and A's cells then land at 1000 ≤
+      * committed — permanently invisible. Guarded by its own monitor
+      * (short critical sections, a handful of entries). */
+    val inFlight = new java.util.TreeMap[java.lang.Long, Integer]()
+    def beginWrite(s: Long): Unit = inFlight.synchronized {
+      inFlight.merge(s, 1, (a, b) => a + b); ()
+    }
+    def endWrite(s: Long): Unit = inFlight.synchronized {
+      val n = inFlight.get(s) - 1
+      if (n == 0) inFlight.remove(s) else inFlight.put(s, n)
+      ()
+    }
+    /** Smallest registered in-flight stamp, or Long.MaxValue when none. */
+    def minInFlight: Long = inFlight.synchronized {
+      if (inFlight.isEmpty) Long.MaxValue else inFlight.firstKey
+    }
   }
 
   val regions: IndexedSeq[Region] = (0 to sortedSplits.size).map(new Region(_)).toIndexedSeq
@@ -316,6 +337,27 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     }
     regions(lo)
   }
+
+  /** Assign a fresh wall-clock stamp REGISTERED in-flight across every
+    * region before `f` uses it, deregistering after `f`'s mutations are
+    * visible. The streaming source's offset capture stays below every
+    * registered stamp, so a default-stamped mutation can never land at or
+    * below an already-captured offset (the lost-update race of concurrent
+    * writers). Registration covers all regions — a row's region is not
+    * known until encode, and the conservative cap is momentary. Explicit
+    * `timestamp` writes bypass this and keep their documented
+    * low-watermark caveat. */
+  def withWriteStamp[A](f: Long => A): A = {
+    val s = System.currentTimeMillis()
+    regions.foreach(_.beginWrite(s))
+    try f(s) finally regions.foreach(_.endWrite(s))
+  }
+
+  /** [[delete]] under a registered fresh stamp ([[withWriteStamp]]) — the
+    * SQL DELETE path, so stream consumers can never miss the tombstones. */
+  def deleteNow(ranges: Seq[ScanRange[Array[Byte]]],
+      predicate: Option[KvPredicate]): Long =
+    withWriteStamp(s => delete(ranges, predicate, s))
 
   def put(key: Array[Byte], cells: Seq[KvCell]): Unit = {
     // WAL before table state (redo rule): a mutation is ack'd only after it

@@ -76,7 +76,14 @@ object GraftStreaming {
     * ignored instead of regressing the view — delta-sum == current corpus
     * stats regardless of arrival order. Without a stamp column every
     * version ties at stamp 0 and the reduction keeps an arbitrary one:
-    * callers must then deliver at most one version per key per batch. */
+    * callers must then deliver at most one version per key per batch.
+    *
+    * Deletes: a `_deleted=true` row (the `tombstones=true` option emits
+    * them with null value columns) is a RETRACTION — the doc's current
+    * contribution is withdrawn (−1 doc, −tokens) and its state keeps only
+    * a dead marker (the stamp survives, so a stale replay of an older
+    * live version cannot resurrect the doc). Without a `_deleted` column
+    * every row is an upsert. */
   def mixtureDeltaStream(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sp = docs.sparkSession
@@ -85,33 +92,48 @@ object GraftStreaming {
       if (docs.columns.contains(graft.datasource.GraftTable.CellTsColumn))
         col(graft.datasource.GraftTable.CellTsColumn).cast("long")
       else lit(0L)
+    val deleted =
+      if (docs.columns.contains(graft.datasource.GraftTable.DeletedColumn))
+        col(graft.datasource.GraftTable.DeletedColumn)
+      else lit(false)
     val typed = docs.select(col("doc_id").cast("long"), col("source"),
-        graft.pipeline.TextOps.tokenCount(col("text")).cast("long"),
-        coalesce(stamp, lit(0L)))
-      .as[(Long, String, Long, Long)]
+        // null text (a tombstone's value columns, or a null-text doc)
+        // counts 0 tokens instead of null-crashing the primitive encoder
+        coalesce(graft.pipeline.TextOps.tokenCount(col("text")).cast("long"), lit(0L)),
+        coalesce(stamp, lit(0L)), coalesce(deleted, lit(false)))
+      .as[(Long, String, Long, Long, Boolean)]
+    // state: (source, tokens, stamp, alive) — dead markers keep the stamp
+    // so late replays of pre-delete versions are ignored, the tombstone-
+    // retention analogue of the store's own delete markers
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Long, rows: Iterator[(Long, String, Long, Long)],
-            state: GroupState[(String, Long, Long)]) => {
+        (_: Long, rows: Iterator[(Long, String, Long, Long, Boolean)],
+            state: GroupState[(String, Long, Long, Boolean)]) => {
           // order-independent: only the batch's NEWEST version of the doc
           // is diffed against state (intermediate versions cancel out of
           // the delta algebra anyway)
-          val (_, src, n, ts) = rows.maxBy(_._4)
-          val out: Iterator[(String, Long, Long)] =
-            if (state.exists) {
-              val (psrc, pn, pts) = state.get
-              if (ts < pts) Iterator.empty // stale replay — never regress
-              else {
-                state.update((src, n, ts))
-                if (psrc == src) {
-                  if (n != pn) Iterator.single((src, 0L, n - pn))
-                  else Iterator.empty
-                } else Iterator((psrc, -1L, -pn), (src, 1L, n))
-              }
-            } else {
-              state.update((src, n, ts))
+          val (_, src, n, ts, dead) = rows.maxBy(_._4)
+          val prev = if (state.exists) Some(state.get) else None
+          val out: Iterator[(String, Long, Long)] = prev match {
+            case Some((_, _, pts, _)) if ts < pts =>
+              Iterator.empty // stale replay — never regress
+            case Some((psrc, pn, _, palive)) if dead =>
+              state.update((psrc, 0L, ts, false))
+              if (palive) Iterator.single((psrc, -1L, -pn)) else Iterator.empty
+            case None if dead =>
+              state.update((null, 0L, ts, false)) // delete of an unseen doc
+              Iterator.empty
+            case Some((psrc, pn, _, palive)) =>
+              state.update((src, n, ts, true))
+              if (!palive) Iterator.single((src, 1L, n)) // re-insert after delete
+              else if (psrc == src) {
+                if (n != pn) Iterator.single((src, 0L, n - pn))
+                else Iterator.empty
+              } else Iterator((psrc, -1L, -pn), (src, 1L, n))
+            case None =>
+              state.update((src, n, ts, true))
               Iterator.single((src, 1L, n))
-            }
+          }
           out
         })
       .toDF("source", "d_docs", "d_tokens")
@@ -123,7 +145,7 @@ object GraftStreaming {
     * State is one row per open (type, hour) bar; append mode emits each
     * bar exactly once when the watermark closes its window. */
   def ohlcStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
-    val vMicro = (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val vMicro = graft.queries.Events.valueMicro // ONE definition with ev12
     // width-guarded total-order key (see Events.ohlcOrdKey: lpad truncates
     // over-wide inputs, which would tie-break open/close arbitrarily)
     val ordKey = graft.queries.Events.ohlcOrdKey
@@ -380,12 +402,19 @@ object GraftStreaming {
   }
 
   /** Streaming exact deduplication — the streaming twin of Dedup.exact:
-    * watermarked `dropDuplicates` keeps the first row per key and holds one
-    * state entry per distinct key inside the watermark horizon, so state is
-    * bounded by key cardinality × horizon, not by stream length. */
+    * `dropDuplicatesWithinWatermark` keeps the first row per key and
+    * EVICTS a key's state once the watermark passes its horizon, so state
+    * is bounded by keys active within the horizon, not by stream length.
+    * (Plain `dropDuplicates(keys)` without the event-time column among the
+    * keys never evicts — Spark only cleans dedup state when the watermark
+    * column is part of the dedup key — so a high-cardinality key stream
+    * would grow state forever.) The horizon is also the dedup guarantee:
+    * duplicates farther apart than the watermark may re-emit — exact
+    * global dedup over unbounded time is the batch operator's job. */
   def dedupStream(stream: DataFrame, keyCols: Seq[String], tsCol: String,
       watermark: String = "10 minutes"): DataFrame =
-    stream.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Run a streaming query until all currently-available source data is
     * processed, then stop (test-harness helper). */

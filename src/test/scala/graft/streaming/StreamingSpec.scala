@@ -200,6 +200,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"delta log must sum to current corpus state; got $summed")
   }
 
+  test("mixtureDeltaStream: tombstones retract, dead state blocks stale resurrection") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, String, Long, Boolean)]
+    val docs = in.toDF().toDF("doc_id", "source", "text", "_cell_ts", "_deleted")
+    val sink = Files.createTempDirectory("graft-mdt-sink").toString
+    val ckpt = Files.createTempDirectory("graft-mdt-ckpt").toString
+    def drain(): Unit = {
+      val q = GraftStreaming.mixtureDeltaStream(docs).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def summed(): Map[String, (Long, Long)] = spark.read.parquet(sink)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(ds =>
+        (ds.map(_._2).sum, ds.map(_._3).sum)).toMap
+    // insert two docs
+    in.addData((1L, "a", "one two three", 10L, false), (2L, "b", "x y", 10L, false))
+    drain()
+    assert(summed() == Map("a" -> (1L, 3L), "b" -> (1L, 2L)))
+    // tombstone doc 1 (null value columns, like the CDC source emits)
+    in.addData((1L, null, null, 20L, true))
+    drain()
+    assert(summed() == Map("a" -> (0L, 0L), "b" -> (1L, 2L)),
+      "a tombstone must retract the doc's contribution exactly")
+    // a STALE pre-delete version must not resurrect the doc; a genuinely
+    // newer re-insert must
+    in.addData((1L, "a", "one two three", 15L, false))
+    drain()
+    assert(summed() == Map("a" -> (0L, 0L), "b" -> (1L, 2L)),
+      "a stale replay of a pre-delete version must stay dead")
+    in.addData((1L, "c", "fresh doc", 30L, false))
+    drain()
+    assert(summed() == Map("a" -> (0L, 0L), "b" -> (1L, 2L), "c" -> (1L, 2L)),
+      "a newer re-insert after a delete must count again")
+  }
+
+  test("stream offsets parse strictly; malformed checkpoints fail loudly") {
+    import graft.datasource.GraftStreamOffset
+    val ok = GraftStreamOffset(Map(0 -> 12L, 3 -> -5L))
+    assert(GraftStreamOffset.parse(ok.json()).stamps == ok.stamps)
+    assert(GraftStreamOffset.parse("{}").stamps.isEmpty)
+    Seq("""{"0":12""", "garbage", """{"0":12,}""", """[1,2]""", "").foreach { bad =>
+      intercept[IllegalArgumentException](GraftStreamOffset.parse(bad))
+    }
+  }
+
+  test("default write stamps register in-flight so offset capture cannot strand them") {
+    val t = graft.store.KvStore.createTable("stream:inflight", Seq.empty,
+      dropExisting = true)
+    try {
+      assert(t.regions.forall(_.minInFlight == Long.MaxValue))
+      t.withWriteStamp { s =>
+        // while a default-stamp write is in flight, every region's capture
+        // floor sits below it
+        assert(t.regions.forall(_.minInFlight == s))
+        t.withWriteStamp { s2 => // nested/concurrent writers stack
+          assert(t.regions.forall(_.minInFlight == math.min(s, s2)))
+        }
+        assert(t.regions.forall(_.minInFlight == s))
+      }
+      assert(t.regions.forall(_.minInFlight == Long.MaxValue),
+        "deregistration must clear the capture floor")
+    } finally graft.store.KvStore.drop("stream:inflight")
+  }
+
   test("stateful anomaly detection matches the batch twin bit for bit") {
     val anom = GraftStreaming.anomalyStream(eventStream())
     val q = anom.writeStream.outputMode("update")
@@ -528,15 +598,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.awaitTermination()
     }
 
-    // budget 5 admits whole stamps: 2+2+2=6 crosses 5 at the third stamp,
-    // so the 18-row backlog drains as three 6-row batches of consecutive
-    // generations — bounded catch-up instead of one 18-row batch
+    // budget 5 admits whole stamps WITHIN the budget: 2+2=4 fits, a third
+    // stamp would cross, so the 18-row backlog drains as four 4-row
+    // batches of consecutive generations plus a 2-row tail — every batch
+    // within budget, never one 18-row batch
     drain(maxRows = 5)
-    assert(batches.size == 3, s"expected 3 bounded catch-up batches, got ${batches.size}")
+    assert(batches.size == 5, s"expected 5 bounded catch-up batches, got ${batches.size}")
     batches.zipWithIndex.foreach { case (b, i) =>
-      val gens = Set(3 * i, 3 * i + 1, 3 * i + 2).map(g => s"g$g")
-      assert(b.size == 6 && b.map(_._2).toSet == gens,
-        s"batch $i must hold exactly generations $gens in stamp order: $b")
+      val gens =
+        if (i < 4) Set(2 * i, 2 * i + 1).map(g => s"g$g") else Set("g8")
+      val want = gens.size * 2
+      assert(b.size == want && b.map(_._2).toSet == gens,
+        s"batch $i must hold exactly generations $gens within budget: $b")
+      assert(b.size <= 5, s"batch $i exceeds the row budget: ${b.size}")
     }
 
     // progress guarantee: a single-stamp burst larger than the budget still
