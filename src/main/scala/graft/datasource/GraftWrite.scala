@@ -347,11 +347,14 @@ class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: St
       else table.put(codec.key(row), codec.cells(row, ts))
     // default stamps are assigned REGISTERED (KvTable.withWriteStamp), so
     // a concurrent CDC offset capture can never strand this row below an
-    // already-committed offset
-    case None => table.withWriteStamp { ts =>
-      if (opts.deleteWrite) table.deleteRow(codec.key(row), ts)
-      else table.put(codec.key(row), codec.cells(row, ts))
-    }
+    // already-committed offset; key-scoped, so only the row's region's
+    // capture floor dips
+    case None =>
+      val key = codec.key(row)
+      table.withWriteStamp(key) { ts =>
+        if (opts.deleteWrite) table.deleteRow(key, ts)
+        else table.put(key, codec.cells(row, ts))
+      }
   }
 
   override def commit(): WriterCommitMessage = {

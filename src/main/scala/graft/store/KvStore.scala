@@ -338,15 +338,23 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     regions(lo)
   }
 
-  /** Assign a fresh wall-clock stamp REGISTERED in-flight across every
-    * region before `f` uses it, deregistering after `f`'s mutations are
-    * visible. The streaming source's offset capture stays below every
-    * registered stamp, so a default-stamped mutation can never land at or
-    * below an already-captured offset (the lost-update race of concurrent
-    * writers). Registration covers all regions — a row's region is not
-    * known until encode, and the conservative cap is momentary. Explicit
-    * `timestamp` writes bypass this and keep their documented
-    * low-watermark caveat. */
+  /** Assign a fresh wall-clock stamp REGISTERED in-flight before `f` uses
+    * it, deregistering after `f`'s mutations are visible. The streaming
+    * source's offset capture stays below every registered stamp, so a
+    * default-stamped mutation can never land at or below an
+    * already-captured offset (the lost-update race of concurrent
+    * writers). `key`-scoped registration touches only the row's region —
+    * parallel writers to different regions never contend; the keyless
+    * form registers in every region (multi-region mutations like ranged
+    * deletes). Explicit `timestamp` writes bypass this and keep their
+    * documented low-watermark caveat. */
+  def withWriteStamp[A](key: Array[Byte])(f: Long => A): A = {
+    val r = regionFor(key)
+    val s = System.currentTimeMillis()
+    r.beginWrite(s)
+    try f(s) finally r.endWrite(s)
+  }
+
   def withWriteStamp[A](f: Long => A): A = {
     val s = System.currentTimeMillis()
     regions.foreach(_.beginWrite(s))
