@@ -130,13 +130,16 @@ object SecondaryIndex {
         // re-keys the entry (old key dies, new key born), a covered-only
         // change refreshes the SAME key (the delete at `stamp` erases the
         // stale covered cells, the put re-lands the fresh ones at `stamp`)
-        before.get((cf, qual)).foreach(v =>
-          idx.deleteRow(entryKey(v, key, varWidth, validate = false), stamp))
+        before.get((cf, qual)).foreach { v =>
+          val ek = entryKey(v, key, varWidth, validate = false)
+          idx.registered(ek, stamp)(idx.deleteRow(ek, stamp))
+        }
         after.get((cf, qual)).foreach { v =>
           val cells = KvCell("i", "k", stamp, key) +: covered.flatMap { case (ccf, cq) =>
             after.get((ccf, cq)).map(raw => KvCell(ccf, cq, stamp, raw))
           }
-          idx.put(entryKey(v, key, varWidth), cells)
+          val ek = entryKey(v, key, varWidth)
+          idx.registered(ek, stamp)(idx.put(ek, cells))
         }
       }
     }

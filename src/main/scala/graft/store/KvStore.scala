@@ -32,16 +32,31 @@ object KvStore {
     * [[Snapshot]]'s crash-safety contract. Advanced by [[checkpointWal]],
     * restored from the snapshot on [[replayWal]]. */
   @volatile private var walGeneration: Long = 0L
-  sys.props.get("graft.kv.wal").foreach(d => enableWal(java.nio.file.Paths.get(d),
-    sys.props.get("graft.kv.walGroupCommit").map(_.toInt).getOrElse(1)))
+  sys.props.get("graft.kv.wal").foreach { d =>
+    val gc = sys.props.get("graft.kv.walGroupCommit")
+      .map(v => v.toIntOption.getOrElse(
+        sys.error(s"graft.kv.walGroupCommit must be an int, got '$v'")))
+      .getOrElse(1)
+    enableWal(java.nio.file.Paths.get(d), gc)
+  }
 
   private[store] def wal: Option[Wal] = if (replaying) None else walRef
 
   /** `groupCommitRecords > 1` opts into batched WAL flushes (see
     * [[Wal]] group commit); the default 1 keeps per-record durability. */
   def enableWal(dir: java.nio.file.Path, groupCommitRecords: Int = 1): Unit = synchronized {
+    require(groupCommitRecords >= 1,
+      s"walGroupCommit must be >= 1, got $groupCommitRecords")
     walRef.foreach(_.close())
-    walRef = Some(new Wal(dir, groupCommitRecords))
+    val w = new Wal(dir, groupCommitRecords)
+    // a NEW/empty log under an existing snapshot must lead with the
+    // snapshot's generation marker, or the next replay would read it as
+    // generation 0 and discard every record as stale (the crash window
+    // after checkpoint truncation, before the marker is durable)
+    val snapGen = Snapshot.generationOf(dir)
+    if (snapGen > 0 && w.isEmptyLog) { w.logGeneration(snapGen); w.sync() }
+    walGeneration = math.max(walGeneration, snapGen)
+    walRef = Some(w)
   }
 
   /** Flush any group-commit-buffered WAL tail — write-task commit and
@@ -74,6 +89,7 @@ object KvStore {
     java.nio.file.Files.deleteIfExists(w.dir.resolve(Wal.FileName))
     val fresh = new Wal(w.dir, w.groupCommitRecords)
     fresh.logGeneration(walGeneration)
+    fresh.sync() // the marker must be durable before any record follows it
     walRef = Some(fresh)
   }
 
@@ -110,12 +126,18 @@ object KvStore {
     } finally replaying = false
     // a SKIPPED stale log must not survive: appends would land behind its
     // stale generation marker and the NEXT replay would discard them with
-    // it — finish the interrupted rotation now (fresh log, current marker)
+    // it — finish the interrupted rotation now (fresh log, current
+    // marker). If a live WAL is open on this dir its stream points at the
+    // unlinked inode after the delete, so it is swapped for one appending
+    // to the fresh file.
     if (staleLogSkipped) {
+      val live = walRef.filter(_.dir == dir)
+      live.foreach(_.close())
       java.nio.file.Files.deleteIfExists(dir.resolve(Wal.FileName))
-      val w = new Wal(dir, 1)
+      val w = new Wal(dir, live.map(_.groupCommitRecords).getOrElse(1))
       w.logGeneration(snapGen)
-      w.close()
+      w.sync()
+      if (live.isDefined) walRef = Some(w) else w.close()
     }
   }
 
@@ -153,12 +175,19 @@ object KvStore {
 
   def exists(name: String): Boolean = tables.contains(name)
 
-  def drop(name: String): Unit =
-    if (tables.remove(name).isDefined) wal.foreach(_.logDrop(name))
+  def drop(name: String): Unit = synchronized {
+    // same monitor as every other registry mutator — a drop racing a
+    // checkpoint must not land its DropRec in a log the checkpoint is
+    // about to truncate (the table would resurrect from the snapshot)
+    if (tables.contains(name)) {
+      wal.foreach(_.logDrop(name)) // WAL before state (redo rule)
+      tables.remove(name); ()
+    }
+  }
 
-  def dropAll(): Unit = {
+  def dropAll(): Unit = synchronized {
+    wal.foreach(_.logClear()) // WAL before state (redo rule)
     tables.clear()
-    wal.foreach(_.logClear())
   }
 }
 
@@ -361,6 +390,20 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     try f(s) finally regions.foreach(_.endWrite(s))
   }
 
+  /** Run `f` with an EXISTING stamp registered in-flight for `key`'s
+    * region — derived-table mutations (index hooks) that reuse the main
+    * write's stamp register it here so a CDC stream on the DERIVED table
+    * cannot commit an offset past a still-landing entry. (The window
+    * between the main write's stamp assignment and this registration
+    * remains — airtight capture for derived tables would need cross-table
+    * registration at assignment time; streaming an index table directly
+    * is an exotic composition and the main-table stream is unaffected.) */
+  def registered[A](key: Array[Byte], s: Long)(f: => A): A = {
+    val r = regionFor(key)
+    r.beginWrite(s)
+    try f finally r.endWrite(s)
+  }
+
   /** [[delete]] under a registered fresh stamp ([[withWriteStamp]]) — the
     * SQL DELETE path, so stream consumers can never miss the tombstones. */
   def deleteNow(ranges: Seq[ScanRange[Array[Byte]]],
@@ -378,21 +421,42 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     var row = region.rows.get(key)
     val hcols = hookCols
     val beforeState = if (hcols.isEmpty) null else hookState(row, hcols)
-    if (row == null) {
-      val fresh = new ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
-      val prev = region.rows.putIfAbsent(key, fresh)
-      if (prev == null) { region.rowCount.incrementAndGet(); row = fresh }
-      else row = prev
+    // Insert-and-verify loop: a concurrent physical row drop (delete /
+    // compaction emptied the row) can remove the map BETWEEN our get and
+    // our cell inserts — cells landing in an orphaned map would be
+    // invisible forever while maxStamp still advanced past them (the CDC
+    // stream would then never re-read the row). Cell insertion holds the
+    // row map's monitor (the drop path checks emptiness under the same
+    // monitor) and afterwards verifies the map is still the one mapped;
+    // a lost race retries against the current map.
+    var inserted = false
+    while (!inserted) {
+      if (row == null) {
+        // explicit get/putIfAbsent (not computeIfAbsent) so the row
+        // counter increments exactly once per NEW key even under
+        // concurrent writers: only the putIfAbsent winner counts the row
+        val fresh = new ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
+        val prev = region.rows.putIfAbsent(key, fresh)
+        if (prev == null) { region.rowCount.incrementAndGet(); row = fresh }
+        else row = prev
+      }
+      row.synchronized {
+        cells.foreach { c =>
+          val versions = row.computeIfAbsent((c.cf, c.qual),
+            _ => new ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
+              java.util.Comparator.reverseOrder[java.lang.Long]()))
+          versions.put(c.ts, c.value)
+          // cap stored versions at the FAMILY's retention (HBase cf
+          // semantics)
+          val cap = versionCap(c.cf)
+          while (versions.size() > cap) versions.pollLastEntry()
+        }
+      }
+      if (region.rows.get(key) eq row) inserted = true
+      else row = region.rows.get(key) // dropped concurrently — retry there
     }
     cells.foreach { c =>
-      val versions = row.computeIfAbsent((c.cf, c.qual),
-        _ => new ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
-          java.util.Comparator.reverseOrder[java.lang.Long]()))
-      versions.put(c.ts, c.value)
       region.maxStamp.accumulateAndGet(c.ts, (a, b) => math.max(a, b))
-      // cap stored versions at the FAMILY's retention (HBase cf semantics)
-      val cap = versionCap(c.cf)
-      while (versions.size() > cap) versions.pollLastEntry()
     }
     // one histogram tick per row-mutation, at the row's newest cell stamp
     // (a multi-column put is one CDC row, not cells.size of them)
@@ -496,9 +560,15 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
       while (vit.hasNext) if (vit.next().getKey <= stamp) vit.remove()
       if (versions.isEmpty) colIt.remove()
     }
-    if (row.isEmpty && region.rows.remove(key) != null) {
-      region.rowCount.decrementAndGet(); true
-    } else false
+    // the physical drop takes the row map's monitor so it cannot interleave
+    // with a writer's cell insertion (see put's insert-and-verify loop):
+    // either the writer's cells are visible here (row non-empty, no drop)
+    // or the writer will observe the removal and retry on a fresh map
+    row.synchronized {
+      if (row.isEmpty && region.rows.remove(key, row)) {
+        region.rowCount.decrementAndGet(); true
+      } else false
+    }
   }
 
   /** Delete-marker bookkeeping shared by every delete path: tombstone for
@@ -564,8 +634,13 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
           if (versions.isEmpty) colIt.remove()
         }
         cells += dropped
-        if (row.isEmpty) {
-          it.remove(); region.rowCount.decrementAndGet(); rowsDropped += 1
+        // same monitor protocol as eraseUpTo: never drop a row a
+        // concurrent writer is inserting into (put re-verifies membership
+        // and retries if it loses)
+        row.synchronized {
+          if (row.isEmpty) {
+            it.remove(); region.rowCount.decrementAndGet(); rowsDropped += 1
+          }
         }
         if (before != null && dropped > 0)
           fireHooks(e.getKey, before, hookState(row, hcols), expireBefore)

@@ -57,6 +57,18 @@ private[store] object Snapshot {
     val tmp = dir.resolve(FileName + ".tmp")
     val fos = new FileOutputStream(tmp.toFile)
     val out = new DataOutputStream(new BufferedOutputStream(fos))
+    try writeBody(out, fos, tables, generation)
+    catch { case t: Throwable =>
+      try out.close() catch { case _: Throwable => }
+      Files.deleteIfExists(tmp)
+      throw t
+    }
+    Files.move(tmp, dir.resolve(FileName),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def writeBody(out: DataOutputStream, fos: FileOutputStream,
+      tables: Seq[KvTable], generation: Long): Unit = {
     out.writeInt(Magic); out.writeInt(Version)
     out.writeLong(generation)
     out.writeInt(tables.size)
@@ -95,8 +107,19 @@ private[store] object Snapshot {
     out.flush()
     fos.getFD.sync()
     out.close()
-    Files.move(tmp, dir.resolve(FileName),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The generation recorded in `dir`'s snapshot header, 0 when absent or
+    * unreadable — [[KvStore.enableWal]]'s marker-stamping probe (a bad
+    * header will fail loudly in [[load]] where it matters). */
+  def generationOf(dir: Path): Long = {
+    val f = dir.resolve(FileName)
+    if (!Files.exists(f)) return 0L
+    val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(f)))
+    try {
+      if (in.readInt() != Magic || in.readInt() != Version) 0L
+      else in.readLong()
+    } catch { case _: java.io.IOException => 0L } finally in.close()
   }
 
   /** Load `dir/FileName` if present, handing each rebuilt table to

@@ -7,6 +7,12 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * persistence out of the driver harness, so this is OFF by default —
   * enable with `-Dgraft.kv.wal=/dir` or [[KvStore.enableWal]]).
   *
+  * Durability scope: every record is FLUSHED to the OS per `recordDone`
+  * (JVM-crash durable); [[sync]] additionally fsyncs (power-loss durable)
+  * and runs at write-task commit, streaming epoch, and checkpoint-marker
+  * boundaries — the same two-level trade HBase makes between WAL append
+  * and sync.
+  *
   * Model: physical redo logging, one append-ordered file standing in for the
   * per-region-server WALs a distributed deployment would keep (HBase's HLog;
   * the reference's cluster owns this layer, so the connector never sees it —
@@ -48,9 +54,16 @@ final class Wal private[store] (val dir: Path, val groupCommitRecords: Int = 1) 
   import Wal._
 
   Files.createDirectories(dir)
-  private val out = new DataOutputStream(new BufferedOutputStream(
-    Files.newOutputStream(dir.resolve(FileName),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)))
+  /** True when the log file holds no records yet (fresh or truncated) —
+    * [[KvStore.enableWal]] stamps such a log with the current snapshot
+    * generation before anything else lands in it. */
+  private[store] val isEmptyLog: Boolean = {
+    val f = dir.resolve(FileName)
+    !Files.exists(f) || Files.size(f) == 0L
+  }
+  private val fos = new java.io.FileOutputStream(
+    dir.resolve(FileName).toFile, /*append=*/ true)
+  private val out = new DataOutputStream(new BufferedOutputStream(fos))
 
   private var pending = 0
 
@@ -60,9 +73,17 @@ final class Wal private[store] (val dir: Path, val groupCommitRecords: Int = 1) 
     if (pending >= groupCommitRecords) { out.flush(); pending = 0 }
   }
 
-  /** Force the buffered tail out — epoch/commit boundaries under group
-    * commit; no-op cheap when nothing is pending. */
-  def sync(): Unit = synchronized { out.flush(); pending = 0 }
+  /** Force the buffered tail out AND fsync it — epoch/commit boundaries
+    * (the streaming sink's per-task commit, checkpoint markers): records
+    * synced here survive power loss, not just a JVM crash. Per-record
+    * `recordDone` flushes only to the OS page cache — per-mutation fsync
+    * would serialize every put on the disk, so the per-record durability
+    * level is JVM-crash; callers holding an ack boundary call this. */
+  def sync(): Unit = synchronized {
+    out.flush()
+    fos.getFD.sync()
+    pending = 0
+  }
 
   private def bytes(d: DataOutputStream, b: Array[Byte]): Unit = {
     d.writeInt(b.length); d.write(b)
