@@ -491,21 +491,27 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
   private type RowMap = java.util.NavigableMap[Array[Byte],
     ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]]
 
-  /** The sub-view of a region's rows covered by `range`; empty for an
-    * inverted range. */
-  private def selectRows(region: Region, range: ScanRange[Array[Byte]]): RowMap = {
+  /** The sub-view of `map` covered by `range`; empty for an inverted
+    * range. ONE implementation for every byte-keyed NavigableMap the store
+    * serves range views from (row maps AND tombstone maps) — a bounds or
+    * inclusivity fix can never diverge scan rows from tombstone feeds. */
+  private def rangeView[V](map: java.util.concurrent.ConcurrentSkipListMap[Array[Byte], V],
+      range: ScanRange[Array[Byte]]): java.util.NavigableMap[Array[Byte], V] = {
     (range.start.value, range.end.value) match {
       case (Some(s), Some(e)) if BytesUtil.compareBytes(s, e) > 0 =>
         return java.util.Collections.emptyNavigableMap()
       case _ =>
     }
     (range.start.value, range.end.value) match {
-      case (Some(s), Some(e)) => region.rows.subMap(s, range.start.inclusive, e, range.end.inclusive)
-      case (Some(s), None)    => region.rows.tailMap(s, range.start.inclusive)
-      case (None, Some(e))    => region.rows.headMap(e, range.end.inclusive)
-      case (None, None)       => region.rows
+      case (Some(s), Some(e)) => map.subMap(s, range.start.inclusive, e, range.end.inclusive)
+      case (Some(s), None)    => map.tailMap(s, range.start.inclusive)
+      case (None, Some(e))    => map.headMap(e, range.end.inclusive)
+      case (None, None)       => map
     }
   }
+
+  private def selectRows(region: Region, range: ScanRange[Array[Byte]]): RowMap =
+    rangeView(region.rows, range)
 
   /** Delete every row whose key falls in one of `ranges` AND satisfies
     * `predicate` — the store half of DSv2 `SupportsDelete`. Caller contract:
@@ -659,16 +665,7 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
   def tombstonesIn(regionIndex: Int, range: ScanRange[Array[Byte]],
       window: TimeRange): Iterator[(Array[Byte], Long)] = {
     val region = regions(regionIndex)
-    val m: java.util.NavigableMap[Array[Byte], java.lang.Long] =
-      ((range.start.value, range.end.value) match {
-        case (Some(s), Some(e)) if BytesUtil.compareBytes(s, e) > 0 =>
-          java.util.Collections.emptyNavigableMap[Array[Byte], java.lang.Long]()
-        case (Some(s), Some(e)) =>
-          region.tombstones.subMap(s, range.start.inclusive, e, range.end.inclusive)
-        case (Some(s), None) => region.tombstones.tailMap(s, range.start.inclusive)
-        case (None, Some(e)) => region.tombstones.headMap(e, range.end.inclusive)
-        case (None, None)    => region.tombstones
-      })
+    val m = rangeView(region.tombstones, range)
     m.entrySet().iterator().asScala
       .filter(e => e.getValue >= window.minStamp && e.getValue < window.maxStamp)
       .map(e => (e.getKey, e.getValue.longValue()))
@@ -690,22 +687,32 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     }
   }
 
+  /** Does ANY cell of the row fall inside the scan's time range? First
+    * in-range cell wins — THE shared existence test of the KeysOnly fast
+    * path and the empty-projection row-exists rule (one implementation,
+    * so a time-window semantics change can never diverge them). */
+  private def existsInRange(
+      row: ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]],
+      time: Option[TimeRange]): Boolean = {
+    var exists = false
+    val it = row.values().iterator()
+    while (!exists && it.hasNext) {
+      val vit = it.next().entrySet().iterator()
+      while (!exists && vit.hasNext) {
+        val ts = vit.next().getKey.longValue()
+        if (time.forall(t => ts >= t.minStamp && ts < t.maxStamp)) exists = true
+      }
+    }
+    exists
+  }
+
   private def materialize(
       key: Array[Byte],
       row: ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]],
       cols: ColumnSet, time: Option[TimeRange], versions: Int): Option[KvRow] = {
     if (cols == ColumnSet.KeysOnly) {
-      // existence-only fast path: first in-range cell wins, no cell list
-      var exists = false
-      val it = row.values().iterator()
-      while (!exists && it.hasNext) {
-        val vit = it.next().entrySet().iterator()
-        while (!exists && vit.hasNext) {
-          val ts = vit.next().getKey.longValue()
-          if (time.forall(t => ts >= t.minStamp && ts < t.maxStamp)) exists = true
-        }
-      }
-      return if (exists) Some(KvRow(key, Seq.empty)) else None
+      // existence-only fast path: no cell list
+      return if (existsInRange(row, time)) Some(KvRow(key, Seq.empty)) else None
     }
     val out = Seq.newBuilder[KvCell]
     var any = false
@@ -739,16 +746,7 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
       // restriction aside — falls inside the scan's time range; a row with
       // nothing in the time window genuinely doesn't exist there. The second
       // pass only runs when the first found no surviving cell (rare).
-      var exists = false
-      val it = row.values().iterator()
-      while (!exists && it.hasNext) {
-        val vit = it.next().entrySet().iterator()
-        while (!exists && vit.hasNext) {
-          val ts = vit.next().getKey.longValue()
-          if (time.forall(t => ts >= t.minStamp && ts < t.maxStamp)) exists = true
-        }
-      }
-      if (exists) Some(KvRow(key, Seq.empty)) else None
+      if (existsInRange(row, time)) Some(KvRow(key, Seq.empty)) else None
     }
   }
 }
