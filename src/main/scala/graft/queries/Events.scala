@@ -495,6 +495,13 @@ object Events {
         .cast("string"))
   }
 
+  /** Exact per-row micro-unit conversion shared by ev12 and its streaming
+    * twin ([[graft.streaming.GraftStreaming.ohlcStream]]) — the HALF_UP
+    * scale-6 decimal cast both engines round identically; keeping ONE
+    * definition keeps the streamed bars hash-equal to the batch bars. */
+  def valueMicro: Column =
+    (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
+
   /** ev12: OHLC bars — open/high/low/close per (event_type, 1-hour bucket),
     * the time-series downsampling shape every monitoring/market pipeline
     * runs. Open/close are `min_by`/`max_by` over a zero-padded
@@ -503,13 +510,6 @@ object Events {
     * partial-aggregable groupBy: map-side combine keeps per-task state at
     * one row per (type, hour), no window, no sort, one low-cardinality
     * shuffle. Values are exact micro-units. */
-  /** Exact per-row micro-unit conversion shared by ev12 and its streaming
-    * twin ([[graft.streaming.GraftStreaming.ohlcStream]]) — the HALF_UP
-    * scale-6 decimal cast both engines round identically; keeping ONE
-    * definition keeps the streamed bars hash-equal to the batch bars. */
-  def valueMicro: Column =
-    (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
-
   def ev12Ohlc(s: SparkSession, dir: String): DataFrame = {
     val vMicro = valueMicro
     val ordKey = ohlcOrdKey
