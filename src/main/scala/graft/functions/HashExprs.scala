@@ -27,6 +27,34 @@ import org.apache.spark.sql.graftshim.GraftShim
   * tokens (seed 42); h_i(j) = XXH64.hashInt(i, base_j).
   */
 object HashSketch {
+  /** Per-thread MD5 instance: expression objects are shared across
+    * concurrently-running tasks through the codegen reference array, so a
+    * per-expression digest would race; a per-row `getInstance` pays a JCA
+    * provider lookup plus allocation on every call. */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** The calling thread's reusable MD5 digest, already reset. */
+  def md5Digest(): java.security.MessageDigest = {
+    val md = md5Local.get()
+    md.reset()
+    md
+  }
+
+  /** Little-endian uint64 of MD5-digest bytes 8..15 — DuckDB's
+    * `md5_number_lower` convention. Every md5-derived sketch in the repo
+    * MUST route through this ONE packing (the cross-engine oracle contract
+    * hinges on the exact byte order; independent copies can drift). */
+  def leUint64(dig: Array[Byte]): Long =
+    (dig(8) & 0xffL) | ((dig(9) & 0xffL) << 8) | ((dig(10) & 0xffL) << 16) |
+      ((dig(11) & 0xffL) << 24) | ((dig(12) & 0xffL) << 32) |
+      ((dig(13) & 0xffL) << 40) | ((dig(14) & 0xffL) << 48) |
+      ((dig(15) & 0xffL) << 56)
+
+  /** `md5_number_lower` of raw bytes: MD5 then [[leUint64]]. */
+  def md5NumberLower(bytes: Array[Byte]): Long =
+    leUint64(md5Digest().digest(bytes))
+
   /** Shared one-pass minhash loop (interpreted eval path). Returns the
     * `numHashes` mins over bigram shingles of `arr` (or unigrams when the
     * array has a single token). */
@@ -85,6 +113,8 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if numHashes <= 0 => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs numHashes > 0, got $numHashes")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig needs array<string> input, got $other")
@@ -119,9 +149,11 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _ if bands <= 0 || numHashes % bands != 0 =>
+    case _ if bands <= 0 || numHashes <= 0 || numHashes % bands != 0 =>
+      // numHashes <= 0 would otherwise slip through 0 % bands == 0 and give
+      // every document the constant band hash 42 — a quadratic candidate blowup
       TypeCheckResult.TypeCheckFailure(
-        s"minhash_bands needs 0 < bands dividing numHashes, got bands=$bands numHashes=$numHashes")
+        s"minhash_bands needs 0 < bands dividing 0 < numHashes, got bands=$bands numHashes=$numHashes")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_bands needs array<string> input, got $other")
@@ -188,21 +220,13 @@ case class SimHash64(child: Expression, md5Base: Boolean = false) extends UnaryE
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val md = if (md5Base) java.security.MessageDigest.getInstance("MD5") else null
     val counts = new Array[Int](64)
     var j = 0
     while (j < arr.numElements()) {
       if (!arr.isNullAt(j)) {
         val h =
-          if (md5Base) {
-            md.reset()
-            val dig = md.digest(arr.getUTF8String(j).getBytes)
-            // little-endian uint64 of digest bytes 8..15 = md5_number_lower
-            (dig(8) & 0xffL) | ((dig(9) & 0xffL) << 8) | ((dig(10) & 0xffL) << 16) |
-              ((dig(11) & 0xffL) << 24) | ((dig(12) & 0xffL) << 32) |
-              ((dig(13) & 0xffL) << 40) | ((dig(14) & 0xffL) << 48) |
-              ((dig(15) & 0xffL) << 56)
-          } else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+          if (md5Base) HashSketch.md5NumberLower(arr.getUTF8String(j).getBytes)
+          else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -392,6 +416,10 @@ case class MinKgramMd5(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if k <= 0 => TypeCheckResult.TypeCheckFailure(
+      // k <= 0 would hash the empty substring at every position, fingerprinting
+      // EVERY document as md5("") and collapsing a dedup into one cluster
+      s"min_kgram_md5 needs k > 0, got $k")
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"min_kgram_md5 needs string input, got $other")
@@ -401,7 +429,7 @@ case class MinKgramMd5(child: Expression, k: Int) extends UnaryExpression {
     val text = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
     val len = text.numChars()
     val n = math.max(len - k + 1, 1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = HashSketch.md5Digest()
     var best: Array[Byte] = null
     var i = 1
     while (i <= n) {
@@ -460,14 +488,9 @@ case class Md5NumberLower(child: Expression) extends UnaryExpression {
       s"md5_number_lower needs string input, got $other")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
-    (dig(8) & 0xffL) | ((dig(9) & 0xffL) << 8) | ((dig(10) & 0xffL) << 16) |
-      ((dig(11) & 0xffL) << 24) | ((dig(12) & 0xffL) << 32) |
-      ((dig(13) & 0xffL) << 40) | ((dig(14) & 0xffL) << 48) |
-      ((dig(15) & 0xffL) << 56)
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashSketch.md5NumberLower(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("md5NumLower", this, classOf[Md5NumberLower].getName)

@@ -8,6 +8,64 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.graftshim.GraftShim
 
+/** Shared null-element handling for the vector expressions: each treats an
+  * array with a NULL element as a NULL result (matching the HOF/DuckDB
+  * formulations they replace), and each skips the scan entirely when the
+  * array type's `containsNull` is false. */
+private[functions] object VecNulls {
+  def containsNull(dt: DataType): Boolean = dt match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  def hasNullElem(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Codegen for expressions that delegate to their own `nullSafeEval` via a
+    * reference object: a null return (null array element) must flip
+    * `ev.isNull` — a bare cast would leave `ev.isNull` false with a null
+    * value and NPE downstream. */
+  def delegateCode(ctx: CodegenContext, ev: ExprCode, self: String, a: String): String = {
+    val tmp = ctx.freshName("delegated")
+    s"""
+       |Object $tmp = $self.nullSafeEval($a);
+       |if ($tmp == null) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp;
+       |}
+     """.stripMargin
+  }
+
+  /** Codegen prefix: sets `ev.isNull` and skips `body` when `a` holds a null
+    * element; emits `body` alone when the array type cannot hold nulls. */
+  def guardedCode(ctx: CodegenContext, ev: ExprCode, cn: Boolean, a: String,
+      body: String): String =
+    if (!cn) body
+    else {
+      val i = ctx.freshName("nullScan")
+      val bad = ctx.freshName("hasNullElem")
+      s"""
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $body
+         |}
+       """.stripMargin
+    }
+}
+
 /** Native Catalyst expression for cosine similarity over float/double array
   * columns.
   *
@@ -17,7 +75,11 @@ import org.apache.spark.sql.graftshim.GraftShim
   * EXACT same arithmetic order (sequential dot, sequential norms,
   * dot / (sqrt(na)·sqrt(nb))) so results stay bit-identical to both the
   * fold-expression formulation and DuckDB's list_cosine_similarity, while
-  * generating tight non-boxing Java through doGenCode.
+  * generating tight non-boxing Java through doGenCode. An array containing
+  * a NULL element yields NULL (the HOF fold and DuckDB both propagate
+  * element nulls; reading the slot as 0.0 would silently skew the score) —
+  * the null scan is emitted only for `containsNull` array types, so the
+  * common non-null schema pays nothing.
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -43,23 +105,29 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  // One fused loop over the common prefix plus per-side tails: each of dot,
+  // na, nb still accumulates its terms in the same sequential element order
+  // as three separate walks would, so the sums (and the final score) stay
+  // bit-identical while every vector is read once instead of twice.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (VecNulls.containsNull(left.dataType) && VecNulls.hasNullElem(a)) return null
+    if (VecNulls.containsNull(right.dataType) && VecNulls.hasNullElem(b)) return null
     val af = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val bf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(a.numElements(), b.numElements())
+    val la = a.numElements(); val lb = b.numElements()
+    val n = math.min(la, lb)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       val x = elem(a, i, af); val y = elem(b, i, bf)
-      dot += x * y
+      dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    i = 0
-    while (i < a.numElements()) { val x = elem(a, i, af); na += x * x; i += 1 }
-    i = 0
-    while (i < b.numElements()) { val y = elem(b, i, bf); nb += y * y; i += 1 }
+    while (i < la) { val x = elem(a, i, af); na += x * x; i += 1 }
+    i = n
+    while (i < lb) { val y = elem(b, i, bf); nb += y * y; i += 1 }
     if (na == 0.0 || nb == 0.0) null
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -75,26 +143,32 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
       val n = ctx.freshName("n"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      s"""
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${aGet(a, i)};
-         |  double $y = ${bGet(b, i)};
-         |  $dot += $x * $y;
-         |}
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double $x = ${aGet(a, i)}; $na += $x * $x;
-         |}
-         |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double $y = ${bGet(b, i)}; $nb += $y * $y;
-         |}
-         |if ($na == 0.0 || $nb == 0.0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-         |}
-       """.stripMargin
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+      val body =
+        s"""
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |int $la = $a.numElements(); int $lb = $b.numElements();
+           |int $n = java.lang.Math.min($la, $lb);
+           |int $i = 0;
+           |for (; $i < $n; $i++) {
+           |  double $x = ${aGet(a, i)};
+           |  double $y = ${bGet(b, i)};
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |for (; $i < $la; $i++) {
+           |  double $x = ${aGet(a, i)}; $na += $x * $x;
+           |}
+           |for ($i = $n; $i < $lb; $i++) {
+           |  double $y = ${bGet(b, i)}; $nb += $y * $y;
+           |}
+           |if ($na == 0.0 || $nb == 0.0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |}
+         """.stripMargin
+      VecNulls.guardedCode(ctx, ev, VecNulls.containsNull(left.dataType), a,
+        VecNulls.guardedCode(ctx, ev, VecNulls.containsNull(right.dataType), b, body))
     })
   }
 
@@ -117,7 +191,8 @@ object LshPlanes {
       Array.tabulate(dim) { d =>
         md.reset()
         val dig = md.digest(s"lsh${seed}_${i}_$d".getBytes("UTF-8"))
-        if ((dig(8) & 1) == 1) 1.0 else -1.0 // bit 0 of LE uint64 = bit 0 of byte 8
+        // bit 0 of the shared md5_number_lower packing (= bit 0 of byte 8)
+        if ((graft.functions.HashSketch.leUint64(dig) & 1L) == 1L) 1.0 else -1.0
       }
     }
   }
@@ -135,8 +210,19 @@ case class SignLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
 
   override def dataType: DataType = IntegerType
 
+  override def nullable: Boolean =
+    child.nullable || VecNulls.containsNull(child.dataType)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      case _ if bits <= 0 || bits > 32 =>
+        // the int accumulator holds 32 sign bits; `1 << i` wraps mod 32, so
+        // bits > 32 would silently fold extra planes onto the low bits
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_bucket needs 1 <= bits <= 32, got $bits")
+      case _ if dim <= 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_bucket needs dim > 0, got $dim")
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -150,6 +236,7 @@ case class SignLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    if (VecNulls.containsNull(child.dataType) && VecNulls.hasNullElem(a)) return null
     val n = math.min(a.numElements(), dim)
     val f = isFloat
     var acc = 0
@@ -176,19 +263,20 @@ case class SignLshBucket(child: Expression, bits: Int, dim: Int, seed: Long)
       val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       val d = ctx.freshName("d"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val p = ctx.freshName("p")
-      s"""
-         |int $acc = 0;
-         |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |for (int $i = 0; $i < $bits; $i++) {
-         |  double[] $p = $planesRef[$i];
-         |  double $dot = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $dot += ${get(a, d)} * $p[$d];
-         |  }
-         |  if ($dot >= 0) $acc |= 1 << $i;
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      VecNulls.guardedCode(ctx, ev, VecNulls.containsNull(child.dataType), a,
+        s"""
+           |int $acc = 0;
+           |int $n = java.lang.Math.min($a.numElements(), $dim);
+           |for (int $i = 0; $i < $bits; $i++) {
+           |  double[] $p = $planesRef[$i];
+           |  double $dot = 0.0;
+           |  for (int $d = 0; $d < $n; $d++) {
+           |    $dot += ${get(a, d)} * $p[$d];
+           |  }
+           |  if ($dot >= 0) $acc |= 1 << $i;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin)
     })
   }
 
@@ -209,11 +297,19 @@ case class SignLshBands(child: Expression, bandBits: Int, bands: Int, dim: Int,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  override def nullable: Boolean =
+    child.nullable || VecNulls.containsNull(child.dataType)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case _ if bandBits <= 0 || bands <= 0 =>
+      case _ if bandBits <= 0 || bandBits > 32 || bands <= 0 =>
+        // each band's bucket packs its sign bits into an int: `1 << j` wraps
+        // mod 32, so bandBits > 32 would fold extra planes onto the low bits
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"sign_lsh_bands needs positive bandBits/bands, got $bandBits/$bands")
+          s"sign_lsh_bands needs 1 <= bandBits <= 32 and bands > 0, got $bandBits/$bands")
+      case _ if dim <= 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_bands needs dim > 0, got $dim")
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -227,6 +323,7 @@ case class SignLshBands(child: Expression, bandBits: Int, bands: Int, dim: Int,
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    if (VecNulls.containsNull(child.dataType) && VecNulls.hasNullElem(a)) return null
     val n = math.min(a.numElements(), dim)
     val f = isFloat
     val out = new Array[Int](bands)
@@ -260,23 +357,24 @@ case class SignLshBands(child: Expression, bandBits: Int, bands: Int, dim: Int,
       val j = ctx.freshName("j"); val d = ctx.freshName("d")
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       val dot = ctx.freshName("dot"); val p = ctx.freshName("p")
-      s"""
-         |int[] $out = new int[$bands];
-         |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |for (int $b = 0; $b < $bands; $b++) {
-         |  int $acc = 0;
-         |  for (int $j = 0; $j < $bandBits; $j++) {
-         |    double[] $p = $planesRef[$b * $bandBits + $j];
-         |    double $dot = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
-         |      $dot += ${get(a, d)} * $p[$d];
-         |    }
-         |    if ($dot >= 0) $acc |= 1 << $j;
-         |  }
-         |  $out[$b] = $acc;
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
+      VecNulls.guardedCode(ctx, ev, VecNulls.containsNull(child.dataType), a,
+        s"""
+           |int[] $out = new int[$bands];
+           |int $n = java.lang.Math.min($a.numElements(), $dim);
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  int $acc = 0;
+           |  for (int $j = 0; $j < $bandBits; $j++) {
+           |    double[] $p = $planesRef[$b * $bandBits + $j];
+           |    double $dot = 0.0;
+           |    for (int $d = 0; $d < $n; $d++) {
+           |      $dot += ${get(a, d)} * $p[$d];
+           |    }
+           |    if ($dot >= 0) $acc |= 1 << $j;
+           |  }
+           |  $out[$b] = $acc;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin)
     })
   }
 
@@ -294,8 +392,14 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  override def nullable: Boolean =
+    child.nullable || VecNulls.containsNull(child.dataType)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      case _ if nprobe <= 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids needs nprobe > 0, got $nprobe")
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -304,29 +408,76 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
 
   private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** Cosine similarities of v against every centroid (shared by eval). */
+  /** Common length when every centroid agrees (the kmeans case), else -1. */
+  @transient private lazy val sharedLen: Int =
+    if (centroids.nonEmpty && centroids.forall(_.length == centroids(0).length))
+      centroids(0).length
+    else -1
+
+  /** Squared norms of the centroids — constants per expression, computed
+    * once instead of once per row per centroid. Same sequential
+    * accumulation order as the per-row loop they replace. */
+  @transient private lazy val centNormSq: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Cosine similarities of v against every centroid (shared by eval).
+    * Callers must have rejected null elements already. */
   def sims(a: ArrayData): Array[Double] = {
     val f = isFloat
     val out = new Array[Double](centroids.length)
-    var ci = 0
-    while (ci < centroids.length) {
-      val c = centroids(ci)
-      val n = math.min(a.numElements(), c.length)
-      var dot = 0.0; var nv = 0.0; var nc = 0.0
+    val len = sharedLen
+    if (len >= 0 && a.numElements() >= len) {
+      // fast path: every per-centroid walk would cover exactly the first
+      // `len` components, so the vector norm is ONE loop and the centroid
+      // norms are the precomputed constants — bit-identical sums, roughly
+      // a third of the FLOPs
+      var nv = 0.0
       var d = 0
-      while (d < n) {
+      while (d < len) {
         val x = if (f) a.getFloat(d).toDouble else a.getDouble(d)
-        dot += x * c(d); nv += x * x; nc += c(d) * c(d)
+        nv += x * x
         d += 1
       }
-      out(ci) = dot / (math.sqrt(nv) * math.sqrt(nc))
-      ci += 1
+      val snv = math.sqrt(nv)
+      var ci = 0
+      while (ci < centroids.length) {
+        val c = centroids(ci)
+        var dot = 0.0
+        var j = 0
+        while (j < len) {
+          dot += (if (f) a.getFloat(j).toDouble else a.getDouble(j)) * c(j)
+          j += 1
+        }
+        out(ci) = dot / (snv * math.sqrt(centNormSq(ci)))
+        ci += 1
+      }
+    } else {
+      // mixed-length fallback: truncated norms must match the walked prefix
+      var ci = 0
+      while (ci < centroids.length) {
+        val c = centroids(ci)
+        val n = math.min(a.numElements(), c.length)
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var d = 0
+        while (d < n) {
+          val x = if (f) a.getFloat(d).toDouble else a.getDouble(d)
+          dot += x * c(d); nv += x * x; nc += c(d) * c(d)
+          d += 1
+        }
+        out(ci) = dot / (math.sqrt(nv) * math.sqrt(nc))
+        ci += 1
+      }
     }
     out
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val s = sims(v.asInstanceOf[ArrayData])
+    val a = v.asInstanceOf[ArrayData]
+    if (VecNulls.containsNull(child.dataType) && VecNulls.hasNullElem(a)) return null
+    val s = sims(a)
     val idx = (0 until s.length).sortBy(i => (-s(i), i)).take(nprobe).toArray
     new GenericArrayData(idx)
   }
@@ -336,8 +487,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     // the surrounding plan in whole-stage codegen via a reference call
     val self = ctx.addReferenceObj("nearestCentroids", this,
       classOf[NearestCentroids].getName)
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($a);")
+    nullSafeCodeGen(ctx, ev, a => VecNulls.delegateCode(ctx, ev, self, a))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -365,10 +515,18 @@ case class BoundaryProbeCells(child: Expression, centroids: Array[Array[Double]]
         s"boundary_probe_cells needs array<float|double> input, got $other")
     }
 
+  override def nullable: Boolean =
+    child.nullable || VecNulls.containsNull(child.dataType)
+
   private lazy val delegate = NearestCentroids(child, centroids, nprobe = 2)
 
   override def nullSafeEval(v: Any): Any = {
-    val s = delegate.sims(v.asInstanceOf[ArrayData])
+    val a = v.asInstanceOf[ArrayData]
+    if (VecNulls.containsNull(child.dataType) && VecNulls.hasNullElem(a)) return null
+    val s = delegate.sims(a)
+    // no centroids -> no memberships, matching NearestCentroids' empty
+    // assignment (Array(0) would claim a nonexistent cell 0 for every row)
+    if (s.length == 0) return new GenericArrayData(Array.empty[Int])
     if (s.length < 2) return new GenericArrayData(Array(0))
     var best = 0; var second = -1
     var i = 1
@@ -395,8 +553,7 @@ case class BoundaryProbeCells(child: Expression, centroids: Array[Array[Double]]
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("boundaryProbeCells", this,
       classOf[BoundaryProbeCells].getName)
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($a);")
+    nullSafeCodeGen(ctx, ev, a => VecNulls.delegateCode(ctx, ev, self, a))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -42,17 +42,11 @@ object Multimodal {
     * DuckDB's `md5(text)` over the same UTF-8 bytes yields the same hex. */
   private def stubDecode(payload: Array[Byte]): String = md5Hex(payload)
 
-  /** Little-endian uint64 of MD5-digest bytes 8..15 of a string — exactly
-    * DuckDB's `md5_number_lower(s)` (the convention every md5-derived sketch
-    * in [[graft.functions.HashExprs]] uses). */
-  private def md5NumberLower(s: String): Long = {
-    val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    var h = 0L
-    var i = 15
-    while (i >= 8) { h = (h << 8) | (dig(i) & 0xffL); i -= 1 }
-    h
-  }
+  /** DuckDB's `md5_number_lower(s)` via the ONE shared packing in
+    * [[graft.functions.HashSketch.md5NumberLower]] — the cross-engine
+    * convention must not be re-rolled per file. */
+  private def md5NumberLower(s: String): Long =
+    graft.functions.HashSketch.md5NumberLower(s.getBytes("UTF-8"))
 
   /** STUB feature kernel: 8 floats derived from the decoded digest — stands
     * in for an embedding model over decoded pixels. Feature i is
@@ -98,7 +92,7 @@ object Multimodal {
   }
 
   private def md5Hex(bytes: Array[Byte]): String = {
-    val dig = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val dig = graft.functions.HashSketch.md5Digest().digest(bytes)
     val sb = new StringBuilder(32)
     var i = 0
     while (i < dig.length) { sb.append(f"${dig(i) & 0xff}%02x"); i += 1 }
