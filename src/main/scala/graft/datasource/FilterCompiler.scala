@@ -103,49 +103,73 @@ object FilterCompiler {
     case StringEndsWith(attr, p)   => leafStrMatch(catalog, attr, p, StrMode.Suffix)
     case StringContains(attr, p)   => leafStrMatch(catalog, attr, p, StrMode.Contains)
 
-    // SQL: `a NOT IN (v…, NULL)` is never true — for matching rows NOT(true)
-    // is false, for all others NOT(NULL) is not true. Our In compile drops
-    // the null (exact as a POSITIVE filter), so the generic negation below
-    // would wrongly return every non-matching row; compile the whole leaf to
-    // the exact empty result instead.
-    case Not(In(_, values)) if values.contains(null) =>
-      Hrf(Seq.empty, None, handled = true)
-
-    case Not(child) if containsNullIn(child) =>
-      // A null-bearing In anywhere deeper under Not (e.g. Not(Or(In(..null..),
-      // …))) has the same three-valued hazard without a clean closed form —
-      // hand it back to Spark for residual evaluation.
-      unhandled
-
-    case Not(child) =>
-      val c = compile(catalog, child)
-      c.pred match {
-        // Negation is exact only with a null guard on every referenced
-        // column (SQL: NOT(NULL cmp) is not true) — key-only predicates
-        // need no guard, column predicates get IsNotNull guards.
-        case Some(p) if c.handled =>
-          nullGuards(catalog, child) match {
-            case Some(guards) =>
-              Hrf(AllRanges, Some(KvPredicate.And(guards :+ KvPredicate.Not(p))), handled = true)
-            case None => unhandled
-          }
-        case _ => unhandled
-      }
+    case Not(child) => compileNot(catalog, child)
 
     case AlwaysTrue()  => Hrf(AllRanges, None, handled = true)
     case AlwaysFalse() => Hrf(Seq.empty, None, handled = true)
     case _ => unhandled
   }
 
-  /** Does this filter tree contain an In whose value list has a null? Such
-    * an In is exact as a positive filter (null matches nothing) but NOT
-    * under negation — see the Not cases above. */
-  private def containsNullIn(f: Filter): Boolean = f match {
-    case In(_, values) => values.contains(null)
-    case And(l, r)     => containsNullIn(l) || containsNullIn(r)
-    case Or(l, r)      => containsNullIn(l) || containsNullIn(r)
-    case Not(c)        => containsNullIn(c)
-    case _             => false
+  /** NOT pushed through the tree De-Morgan-style, negating at the LEAVES.
+    * Negating a composed predicate wholesale under blanket IsNotNull guards
+    * is WRONG wherever a null column makes the child definitively FALSE
+    * rather than unknown: `Not(And(IsNull(a), b = 5))` must match
+    * (a=1, b=null) — the And is false, so the negation is true — but an
+    * IsNotNull(b) guard would drop the row. At the leaves three-valued
+    * semantics ARE closed-form: a comparison leaf is unknown iff a
+    * referenced column is null ([[negLeaf]] guards exactly there), while
+    * null tests and `<=>` are never unknown and negate structurally.
+    * Spark's optimizer normalizes most of these shapes away before pushdown,
+    * but `Not(EqualNullSafe)` survives it (`!(col <=> v)` reaches the source
+    * as-is), and direct compile() callers (DELETE conditions, index plans)
+    * see arbitrary trees. */
+  private def compileNot(catalog: GraftCatalog, f: Filter): Hrf = f match {
+    case Not(c)    => compile(catalog, c)
+    case And(l, r) => orHrf(compileNot(catalog, l), compileNot(catalog, r))
+    case Or(l, r)  => andHrf(compileNot(catalog, l), compileNot(catalog, r))
+
+    case IsNull(a)    => compile(catalog, IsNotNull(a))
+    case IsNotNull(a) => compile(catalog, IsNull(a))
+
+    // <=> is never unknown: NOT(a <=> NULL) = a IS NOT NULL;
+    // NOT(a <=> v) = a IS NULL OR a != v (null rows MATCH — the blanket
+    // guard of the old generic path dropped them)
+    case EqualNullSafe(a, null) => compile(catalog, IsNotNull(a))
+    case EqualNullSafe(a, v) =>
+      orHrf(compile(catalog, IsNull(a)), negLeaf(catalog, EqualTo(a, v)))
+
+    // `a IN ()` is FALSE for every row (even a null) — its negation is
+    // everything, with no null guard
+    case In(_, values) if values.isEmpty => Hrf(AllRanges, None, handled = true)
+    // `a NOT IN (v…, NULL)` is never true: for matching rows NOT(true) is
+    // false, for all others NOT(NULL) is not true — the exact empty result
+    case In(_, values) if values.contains(null) =>
+      Hrf(Seq.empty, None, handled = true)
+
+    case AlwaysTrue()  => Hrf(Seq.empty, None, handled = true)
+    case AlwaysFalse() => Hrf(AllRanges, None, handled = true)
+
+    case leaf => negLeaf(catalog, leaf)
+  }
+
+  /** ¬leaf for a single comparison-style leaf (cmp / In / string match):
+    * IsNotNull guards on the referenced VALUE columns make the store's
+    * 2-valued evaluation match SQL (NOT of an unknown comparison is not
+    * true); key parts are never null and get no guard. */
+  private def negLeaf(catalog: GraftCatalog, leaf: Filter): Hrf = {
+    val c = compile(catalog, leaf)
+    c.pred match {
+      case Some(p) if c.handled =>
+        nullGuards(catalog, leaf) match {
+          case Some(guards) =>
+            Hrf(AllRanges, Some(KvPredicate.And(guards :+ KvPredicate.Not(p))), handled = true)
+          case None => unhandled
+        }
+      // a pred-less exact-EMPTY leaf (e.g. an over-width key prefix) matches
+      // nothing that references a nullable column — its negation is everything
+      case None if c.handled && c.ranges.isEmpty => Hrf(AllRanges, None, handled = true)
+      case _ => unhandled
+    }
   }
 
   /** IsNotNull guards for every column (non-key) referenced by a filter;
@@ -222,8 +246,19 @@ object FilterCompiler {
 
   private def leafStartsWith(catalog: GraftCatalog, attr: String, p: String): Hrf =
     keyPart(catalog, attr) match {
-      case Some(part) if part.field.dataType == org.apache.spark.sql.types.StringType =>
+      // avro-coded key bytes are NOT raw UTF-8 (varint-length-prefixed), so
+      // byte-prefix ranges/predicates over them would be silently wrong —
+      // only raw-encoded string parts take this path (Primitive and Phoenix
+      // both store strings as plain UTF-8 bytes)
+      case Some(part) if part.field.dataType == org.apache.spark.sql.types.StringType &&
+          part.field.avroSchemaJson.isEmpty =>
         val prefix = p.getBytes("UTF-8")
+        // a fixed-width part holds EXACTLY `width` bytes (KvRowCodec rejects
+        // other lengths at write), so a longer prefix can match no value —
+        // and a raw KeyPartPrefix test would read past the part into the
+        // NEXT key part's bytes, returning false positives as handled=true
+        if (part.width > 0 && prefix.length > part.width)
+          return Hrf(Seq.empty, None, handled = true)
         // a raw byte-prefix test is exact for fixed-width parts and for a
         // var-width LAST part (the part runs to the key's end), but a
         // var-width part with a fixed tail (width < -1, the index-entry
@@ -251,7 +286,10 @@ object FilterCompiler {
         Hrf(AllRanges, Some(KvPredicate.StrMatch(f.cf, f.qual, p, mode, f.dataType, f.coder)), handled = true)
       case _ =>
         keyPart(catalog, attr) match {
-          case Some(part) if part.field.dataType == org.apache.spark.sql.types.StringType =>
+          // KeyStrMatch decodes the part's bytes as raw UTF-8 — exact only
+          // for raw-encoded (non-avro) string parts, see leafStartsWith
+          case Some(part) if part.field.dataType == org.apache.spark.sql.types.StringType &&
+              part.field.avroSchemaJson.isEmpty =>
             // suffix/contains on a key part: exact via typed key predicate
             Hrf(AllRanges, Some(KvPredicate.KeyStrMatch(part.offset, part.width, p, mode)),
               handled = true)
@@ -270,6 +308,11 @@ object FilterCompiler {
     l.handled && r.handled)
 
   private def orHrf(l: Hrf, r: Hrf): Hrf = {
+    // an exact-EMPTY side is the OR identity: scan(∅) ∧ pred matches no
+    // row, so the union is exactly the other side (this keeps e.g.
+    // `NOT(key <=> v)` exact — the IsNull(key) side compiles to empty)
+    if (l.handled && l.ranges.isEmpty) return r
+    if (r.handled && r.ranges.isEmpty) return l
     // rows(l ∨ r) ⊆ ranges(l) ∪ ranges(r); pred must stay exact per side —
     // a side with no pred matches its whole range, which is only exact if
     // that side is the full range (then the union is everything).

@@ -325,6 +325,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   private var aggSchema: Option[StructType] = None
   private var pushedLimit: Option[Int] = None
   private var reverseScan: Boolean = false
+  private var topNSignSplit: Boolean = false
 
   /** Any scan can stop early — each partition emits at most `l` rows and
     * Spark's GlobalLimit picks among them (partial pushdown, so the limit
@@ -339,30 +340,53 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
   override def isPartiallyPushed(): Boolean = true
 
   /** Top-N pushes when the requested ordering is a UNIFORM-direction prefix
-    * of the row key and every prefix coder preserves byte order: ascending
-    * rides the store's native key order; descending rides a REVERSED scan
-    * (the skip list is a NavigableMap — O(1) per step, no sort). Either
-    * way the first `l` rows a partition emits ARE its top `l` under the
-    * requested ordering (full-key order is a valid tie-break), so no
-    * per-partition sort and no full-region read. Mixed directions, an Avro
-    * row key (preservesOrdering = false), or any non-key ordering decline. */
+    * of the row key and the DRAIN order (encoded-key byte order) is the
+    * value order: ascending rides the store's native key order; descending
+    * rides a REVERSED scan (the skip list is a NavigableMap — O(1) per
+    * step, no sort). Either way the first `l` rows a partition emits ARE
+    * its top `l` under the requested ordering (full-key order is a valid
+    * tie-break), so no per-partition sort and no full-region read.
+    *
+    * The gate is [[graft.types.FieldCoder.byteOrderIsValueOrder]], NOT the
+    * weaker `preservesOrdering`: Primitive-coded signed numerics physically
+    * sort negatives ABOVE positives, so a raw drain would emit 0,1,2,… and
+    * early-stop before ever reaching the true (negative) minimum — the
+    * sign-split range algebra compensates for PRUNING, not for ordering.
+    * A leading Primitive INTEGRAL key still pushes, though: two's-
+    * complement byte order is value order WITHIN each sign class, so the
+    * planner splits every region at the sign boundary into two partitions
+    * ([[GraftScan]] signSplitTopN) and each drains value-ordered; Spark's
+    * global top-N merges the per-partition candidates. Floats/doubles stay
+    * declined (negative IEEE754 values sort REVERSED within the negative
+    * class). Mixed directions, Avro keys, or any non-key ordering decline. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     if (aggSchema.isDefined || pushedJoinSpec.isDefined) return false // see pushLimit
     val keyFields = catalog.rowKeyFields
     val uniform = orders.nonEmpty && orders.forall(_.direction == orders.head.direction)
+    def integralSigned(f: graft.catalog.Field): Boolean =
+      (f.coder eq graft.types.PrimitiveCoder) && (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
     val ok = uniform && orders.length <= keyFields.length &&
-      orders.zip(keyFields).forall { case (o, kf) =>
+      orders.zipWithIndex.zip(keyFields).forall { case ((o, i), kf) =>
         (o.expression match {
           case nr: NamedReference =>
             nr.fieldNames.length == 1 && nr.fieldNames.head == kf.name
           case _ => false
-        }) && kf.coder.preservesOrdering(kf.dataType)
+        }) && kf.avroSchemaJson.isEmpty &&
+          (kf.coder.byteOrderIsValueOrder(kf.dataType) ||
+            // only the LEADING part can use the sign-split partitioning —
+            // a later sign-wrapped part would mis-order rows within ties
+            (i == 0 && integralSigned(kf)))
       }
     if (ok) {
       pushedLimit = Some(l)
       reverseScan = orders.head.direction == SortDirection.DESCENDING
+      topNSignSplit = !keyFields.head.coder.byteOrderIsValueOrder(keyFields.head.dataType)
     }
     ok
   }
@@ -520,7 +544,7 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     case Some(j) => new GraftKvJoinScan(j, joinedSchema.get)
     case None =>
       new GraftScan(catalog, opts, requiredSchema, pushed, aggOps, aggSchema,
-        pushedLimit, aggGroupCols, reverseScan)
+        pushedLimit, aggGroupCols, reverseScan, topNSignSplit)
   }
 }
 
@@ -530,7 +554,11 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     aggSchema: Option[StructType] = None,
     limit: Option[Int] = None,
     aggGroupCols: Seq[String] = Nil,
-    reverse: Boolean = false)
+    reverse: Boolean = false,
+    /** Pushed top-N over a leading sign-split INTEGRAL key part: regions
+      * must be split at the sign boundary so each partition drains in value
+      * order — see [[GraftScanBuilder.pushTopN]]. */
+    signSplitTopN: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -817,23 +845,48 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
       val regionRange = ScanRange[Array[Byte]](
         Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
       val clipped = ScanRange.and(effRanges, Seq(regionRange))
-      if (clipped.isEmpty) None
+      if (clipped.isEmpty) Seq.empty
       else {
-        // ranges ascend by start within the partition — the reader drains
-        // them sequentially, so this is what makes the reported
-        // per-partition key ordering (outputOrdering) true by construction
-        val ordered = clipped.sortWith { (a, b) =>
-          (a.start.value, b.start.value) match {
-            case (None, None) => false
-            case (None, _) => true
-            case (_, None) => false
-            case (Some(x), Some(y)) => ord.lt(x, y)
+        // A pushed top-N over a leading sign-split integral key drains in
+        // BYTE order, where negatives (first byte >= 0x80) sort above
+        // positives; split the region's ranges at the sign boundary so each
+        // partition covers ONE sign class — within a class, two's-complement
+        // byte order IS value order, so the per-partition early stop keeps
+        // the true top-l candidates and Spark's global top-N merges them.
+        val rangeSets: Seq[Seq[ScanRange[Array[Byte]]]] =
+          if (signSplitTopN && limit.isDefined && aggOps.isEmpty) {
+            // boundary = (salt byte ‖) 0x80: below it every first-part value
+            // is non-negative, at or above it negative (bare [salt, 0x80] is
+            // a strict prefix of every negative key, sorting before them)
+            val boundary =
+              if (catalog.saltBuckets == 0) Array(0x80.toByte)
+              else Array(r.start.filter(_.nonEmpty).map(_(0)).getOrElse(0.toByte),
+                0x80.toByte)
+            val neg = ScanRange.and(clipped,
+              Seq(ScanRange(Bound(Some(boundary), inclusive = true),
+                Bound.posInf[Array[Byte]])))
+            val pos = ScanRange.and(clipped,
+              Seq(ScanRange(Bound.negInf[Array[Byte]],
+                Bound(Some(boundary), inclusive = false))))
+            Seq(neg, pos).filter(_.nonEmpty)
+          } else Seq(clipped)
+        rangeSets.map { set =>
+          // ranges ascend by start within the partition — the reader drains
+          // them sequentially, so this is what makes the reported
+          // per-partition key ordering (outputOrdering) true by construction
+          val ordered = set.sortWith { (a, b) =>
+            (a.start.value, b.start.value) match {
+              case (None, None) => false
+              case (None, _) => true
+              case (_, None) => false
+              case (Some(x), Some(y)) => ord.lt(x, y)
+            }
           }
+          GraftInputPartition(catalog, resolvedOpts, r.index, r.host,
+            ordered.map(SerializableRange.from), hrf.pred,
+            partSchema, aggOps, if (aggOps.isEmpty) limit else None,
+            aggGroupCols, reverse): InputPartition
         }
-        Some(GraftInputPartition(catalog, resolvedOpts, r.index, r.host,
-          ordered.map(SerializableRange.from), hrf.pred,
-          partSchema, aggOps, if (aggOps.isEmpty) limit else None,
-          aggGroupCols, reverse): InputPartition)
       }
     }.toArray
     plannedRegions = partitions.length.toLong

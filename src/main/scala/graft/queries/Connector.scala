@@ -102,7 +102,7 @@ object Connector {
       |"rowkey":"key1:key2",
       |"columns":{
       |"o_orderstatus":{"cf":"rowkey", "col":"key1", "type":"string", "length":"1"},
-      |"o_orderkey":{"cf":"rowkey", "col":"key2", "type":"bigint"},
+      |"o_orderkey":{"cf":"rowkey", "col":"key2", "type":"bigint", "coder":"Phoenix"},
       |"o_custkey":{"cf":"f", "col":"custkey", "type":"bigint"},
       |"o_totalprice":{"cf":"f", "col":"totalprice", "type":"double"},
       |"o_orderpriority":{"cf":"f", "col":"priority", "type":"string"}}}""".stripMargin
@@ -530,7 +530,14 @@ object Connector {
     * the HBase `Scan.setReversed` analogue the reference never exposed):
     * each region emits its LAST n rows in key-DESC order and stops, no
     * per-partition sort, no full-region read. Uniform descending direction
-    * over a key prefix only; mixed directions decline. */
+    * over a key prefix only; mixed directions decline. The trailing
+    * `o_orderkey` part is Phoenix-coded (sign-flipped, byte order == value
+    * order): a TRAILING Primitive-coded signed numeric would decline the
+    * push — its negatives physically sort above positives within a status
+    * tie, so only the leading part can ride the planner's sign-boundary
+    * partition split ([[graft.datasource.GraftScanBuilder.pushTopN]]).
+    * Order-preserving key encodings are the design rule for sorted-scan
+    * optimizations at scale. */
   def kv18ReverseTopn(s: SparkSession, dir: String): DataFrame = {
     ensureOrders(s, dir)
     s.read.format("graft-kv").option("catalog", ordersCatalog).load()

@@ -127,7 +127,7 @@ class DifferentialFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def randomIdxPred(rnd: scala.util.Random, depth: Int): Column = {
-    def leaf(): Column = rnd.nextInt(10) match {
+    def leaf(): Column = rnd.nextInt(12) match {
       case 0 => col("v") === rnd.between(-17, 17)
       case 1 => col("v") > rnd.between(-17, 17)
       case 2 => col("v").isin(Seq.fill(3)(rnd.between(-17, 17)).map(Int.box): _*)
@@ -138,6 +138,11 @@ class DifferentialFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 7 => col("w") === rnd.between(-120, 120).toLong
       case 8 => col("u") === s"u${rnd.nextInt(3)}"
       case 9 => col("k") < rnd.between(-45, 45)
+      // null-safe equality: Not(EqualNullSafe) reaches pushdown UN-normalized
+      // (the optimizer keeps it), the shape that exposed the blanket-guard
+      // negation bug — random ! wrapping covers both polarities
+      case 10 => col("v") <=> rnd.between(-17, 17)
+      case 11 => col("s") <=> s"s${rnd.nextInt(6)}"
     }
     if (depth == 0) leaf()
     else rnd.nextInt(4) match {

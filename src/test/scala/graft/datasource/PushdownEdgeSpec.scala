@@ -1,0 +1,242 @@
+package graft.datasource
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentSkipListMap}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.IntegerType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.KvStore
+import graft.types.PrimitiveCoder
+
+/** Edge cases of the pushdown contract found by review — each was a
+  * handled=true wrong answer before its fix:
+  *   - top-N over a sign-split integral key drained BYTE order (0,1,2,…)
+  *     and early-stopped before the true negative minimum; now the planner
+  *     splits regions at the sign boundary so every partition drains value
+  *     order;
+  *   - NOT over composed predicates used blanket IsNotNull guards, dropping
+  *     rows where a null column makes the child definitively FALSE
+  *     (`!(a <=> v)` — which Spark pushes un-normalized — dropped every
+  *     null row); negation now pushes through the tree De-Morgan-style;
+  *   - a StartsWith prefix LONGER than a fixed-width key part compared into
+  *     the NEXT part's bytes, returning false positives. */
+class PushdownEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); KvStore.dropAll() }
+
+  // ---- top-N over signed integral keys ------------------------------------
+
+  test("top-N pushdown stays correct over negative integral keys") {
+    import spark.implicits._
+    val catalog =
+      """{"table":{"namespace":"default", "name":"negtop"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"int"}}}""".stripMargin
+    (-20L to 20L).map(k => (k, k.toInt * 3)).toDF("key", "v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4",
+        "minSplitNum" -> "-20", "maxSplitNum" -> "20"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv").option("catalog", catalog).load()
+
+    val asc = df.orderBy(col("key")).limit(5)
+    assert(asc.queryExecution.executedPlan.toString.contains("pushedLimit=5"),
+      "top-N must still push for integral keys")
+    assert(asc.collect().map(_.getLong(0)).toSeq == (-20L to -16L))
+
+    val desc = df.orderBy(col("key").desc).limit(4)
+    assert(desc.queryExecution.executedPlan.toString.contains("pushedLimit=4 (reversed)"))
+    assert(desc.collect().map(_.getLong(0)).toSeq == Seq(20L, 19L, 18L, 17L))
+
+    // offset pagination across the sign boundary
+    val page = df.orderBy(col("key")).offset(18).limit(4)
+    assert(page.collect().map(_.getLong(0)).toSeq == Seq(-2L, -1L, 0L, 1L))
+
+    // a filter whose range spans the boundary composes with the split
+    val filtered = df.filter(col("key") >= -3L && col("key") <= 6L)
+      .orderBy(col("key")).limit(3)
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(-3L, -2L, -1L))
+  }
+
+  test("top-N pushdown declines float keys (negatives are byte-reversed)") {
+    import spark.implicits._
+    val catalog =
+      """{"table":{"namespace":"default", "name":"negtopf"},
+        |"rowkey":"key",
+        |"columns":{
+        |"key":{"cf":"rowkey", "col":"key", "type":"double"},
+        |"v":{"cf":"f", "col":"v", "type":"int"}}}""".stripMargin
+    Seq(-2.5, -1.25, 0.0, 1.5, 3.75).zipWithIndex.map { case (k, i) => (k, i) }
+      .toDF("key", "v")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv").option("catalog", catalog).load()
+    val top = df.orderBy(col("key")).limit(2)
+    assert(!top.queryExecution.executedPlan.toString.contains("pushedLimit"),
+      "float keys must not push top-N")
+    assert(top.collect().map(_.getDouble(0)).toSeq == Seq(-2.5, -1.25))
+  }
+
+  // ---- NOT pushdown: three-valued semantics -------------------------------
+
+  test("!(col <=> v) keeps null rows through the connector") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val catalog =
+      """{"table":{"namespace":"default", "name":"nsafe"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"int"},
+        |"v":{"cf":"f", "col":"v", "type":"int"},
+        |"s":{"cf":"f", "col":"s", "type":"string"}}}""".stripMargin
+    // `s` is always present: a row whose every value column is null writes
+    // ZERO cells and (HBase-like) does not exist in the store at all
+    val rows = (0 until 12).map { k =>
+      Row(k, if (k % 3 == 0) null else Int.box(k % 4), s"s$k")
+    }
+    val source = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("k", IntegerType, nullable = false),
+        StructField("v", IntegerType, nullable = true),
+        StructField("s", StringType, nullable = true))))
+    source.write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4"))
+      .mode("append").save()
+    val kv = spark.read.format("graft-kv").option("catalog", catalog).load()
+
+    for (pred <- Seq(
+        !(col("v") <=> 1), !(col("v") <=> lit(null)), col("v") <=> 2,
+        !(col("s") <=> "s5"), !(col("v") <=> 1) && (col("s") <=> "s3"))) {
+      val expected = source.filter(pred).select("k").collect().map(_.getInt(0)).sorted.toSeq
+      val actual = kv.filter(pred).select("k").collect().map(_.getInt(0)).sorted.toSeq
+      assert(actual == expected, s"predicate $pred: expected $expected, got $actual")
+    }
+  }
+
+  // compile-level: trees Spark's optimizer would normally normalize away
+  // still reach compile() via DELETE conditions and index plans — their
+  // three-valued negation must be exact or unhandled, never wrong
+
+  private val notCat = graft.catalog.GraftCatalog.parse(
+    """{"table":{"namespace":"default", "name":"notsem"},
+      |"rowkey":"key",
+      |"columns":{
+      |"k":{"cf":"rowkey", "col":"key", "type":"int"},
+      |"v":{"cf":"f", "col":"v", "type":"int"},
+      |"s":{"cf":"f", "col":"s", "type":"string"}}}""".stripMargin, Map.empty)
+
+  /** Build a store row: ints under f:v, strings under f:s; None = absent. */
+  private def rowCells(v: Option[Int], s: Option[String]) = {
+    val m = new ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
+    def put(qual: String, bytes: Array[Byte]): Unit = {
+      val versions = new ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
+        java.util.Collections.reverseOrder[java.lang.Long]())
+      versions.put(1L, bytes)
+      m.put(("f", qual), versions)
+    }
+    v.foreach(x => put("v", PrimitiveCoder.encode(IntegerType, x)))
+    s.foreach(x => put("s", x.getBytes("UTF-8")))
+    m
+  }
+
+  private def evalPred(hrf: FilterCompiler.Hrf, v: Option[Int], s: Option[String]): Boolean = {
+    assert(hrf.handled, "predicate must compile exactly")
+    assert(hrf.ranges.nonEmpty, "full-range predicate expected")
+    hrf.pred.forall(_.eval(PrimitiveCoder.encode(IntegerType, 1), rowCells(v, s), None))
+  }
+
+  test("Not(And(IsNull, cmp)): a null in the OTHER conjunct must still match") {
+    val hrf = FilterCompiler.compile(notCat, Not(And(IsNull("s"), EqualTo("v", 5))))
+    // SQL: NOT(s IS NULL AND v = 5)
+    assert(!evalPred(hrf, v = Some(5), s = None))          // true  AND true  -> drop
+    assert(evalPred(hrf, v = None, s = Some("x")))         // false AND null  -> keep (old guards dropped it)
+    assert(evalPred(hrf, v = Some(3), s = None))           // true  AND false -> keep
+    assert(evalPred(hrf, v = Some(5), s = Some("x")))      // false AND true  -> keep
+  }
+
+  test("Not(Or(cmp, IsNull)): unknown OR false is not true") {
+    val hrf = FilterCompiler.compile(notCat, Not(Or(EqualTo("v", 1), IsNull("s"))))
+    // SQL: NOT(v = 1 OR s IS NULL)
+    assert(!evalPred(hrf, v = None, s = Some("x")))        // null OR false -> unknown -> drop
+    assert(evalPred(hrf, v = Some(2), s = Some("x")))      // false OR false -> keep
+    assert(!evalPred(hrf, v = Some(1), s = Some("x")))     // true -> drop
+    assert(!evalPred(hrf, v = Some(2), s = None))          // s null -> drop
+  }
+
+  test("Not(IsNotNull) is IsNull, not the empty set") {
+    val hrf = FilterCompiler.compile(notCat, Not(IsNotNull("v")))
+    assert(evalPred(hrf, v = None, s = None))
+    assert(!evalPred(hrf, v = Some(1), s = None))
+  }
+
+  test("Not(EqualNullSafe) matches nulls; double negation cancels") {
+    val hrf = FilterCompiler.compile(notCat, Not(EqualNullSafe("v", 5)))
+    assert(evalPred(hrf, v = None, s = None))              // null <=> 5 is false -> keep
+    assert(!evalPred(hrf, v = Some(5), s = None))
+    assert(evalPred(hrf, v = Some(4), s = None))
+    val dn = FilterCompiler.compile(notCat, Not(Not(EqualTo("v", 5))))
+    assert(!evalPred(dn, v = None, s = None))
+    assert(evalPred(dn, v = Some(5), s = None))
+  }
+
+  test("Not over null-bearing / empty IN lists keeps the closed forms") {
+    // NOT IN (…, NULL) is never true -> exact empty
+    val withNull = FilterCompiler.compile(notCat, Not(In("v", Array(Int.box(1), null))))
+    assert(withNull.handled && withNull.ranges.isEmpty)
+    // nested under And via De Morgan: Not(And(In-with-null, x)) = Or(empty, ¬x)
+    val nested = FilterCompiler.compile(notCat,
+      Not(And(In("v", Array(Int.box(1), null)), EqualTo("v", 3))))
+    assert(nested.handled)
+    assert(evalPred(nested, v = Some(2), s = None))        // ¬(v=3) keeps it
+    assert(!evalPred(nested, v = Some(3), s = None))
+    // NOT(v IN ()) = NOT(FALSE) = everything, including null rows
+    val emptyIn = FilterCompiler.compile(notCat, Not(In("v", Array.empty[Any])))
+    assert(emptyIn.handled && emptyIn.pred.isEmpty && emptyIn.ranges.nonEmpty)
+  }
+
+  // ---- StartsWith over fixed-width key parts ------------------------------
+
+  test("StartsWith prefix longer than a fixed-width key part matches nothing") {
+    import spark.implicits._
+    val catalog =
+      """{"table":{"namespace":"default", "name":"fixpfx"},
+        |"rowkey":"c1:c2",
+        |"columns":{
+        |"c1":{"cf":"rowkey", "col":"c1", "type":"string", "length":"2"},
+        |"c2":{"cf":"rowkey", "col":"c2", "type":"string"},
+        |"v":{"cf":"f", "col":"v", "type":"int"}}}""".stripMargin
+    val source = Seq(("ab", "cat", 1), ("ab", "dog", 2), ("ac", "ant", 3), ("zz", "zap", 4))
+      .toDF("c1", "c2", "v")
+    source.write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4"))
+      .mode("append").save()
+    val kv = spark.read.format("graft-kv").option("catalog", catalog).load()
+
+    // 'abc' is wider than c1's declared 2 bytes: no c1 value can match, and
+    // the old raw-byte test matched ('ab','cat') through c2's first byte
+    assert(kv.filter(col("c1").startsWith("abc")).count() == 0)
+    for (pred <- Seq(col("c1").startsWith("ab"), col("c1").startsWith("a"),
+        col("c2").startsWith("ca"), col("c1").startsWith("abc"))) {
+      val expected = source.filter(pred).select("v").collect().map(_.getInt(0)).sorted.toSeq
+      val actual = kv.filter(pred).select("v").collect().map(_.getInt(0)).sorted.toSeq
+      assert(actual == expected, s"predicate $pred")
+    }
+    // negation of the over-width prefix is everything (c1 is never null)
+    assert(kv.filter(!col("c1").startsWith("abc")).count() == 4)
+  }
+}
