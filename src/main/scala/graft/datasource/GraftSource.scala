@@ -39,14 +39,26 @@ class GraftSource extends TableProvider with DataSourceRegister {
     val catalog = GraftCatalog.parse(opts.catalogJson, properties.asScala.toMap)
     // Honor a user-specified schema (reference HBaseRelation.scala:313:
     // userSpecifiedschema.getOrElse(catalog.toDataType)): a read may prune
-    // or reorder the catalog's columns up front. Every named column must
-    // exist in the catalog — catalog.field throws otherwise.
+    // or reorder the catalog's columns up front — never RETYPE them. Every
+    // named column must exist in the catalog with the catalog's type; a
+    // type mismatch is rejected loudly (it used to be silently discarded
+    // when the field-name sequence happened to match the catalog's, leaving
+    // the caller with different runtime types than it declared).
+    val declared = GraftTable.tableSchema(catalog, opts)
+    Option(schema).filter(_.nonEmpty).foreach(_.fields
+      .filterNot(f => f.name == GraftTable.DeletedColumn || f.name == GraftTable.CellTsColumn)
+      .foreach { sf =>
+        catalog.field(sf.name) // unknown column: throws
+        val dt = declared.find(_.name == sf.name).map(_.dataType)
+          .getOrElse(catalog.field(sf.name).dataType)
+        // catalogString ignores nullability (callers legitimately differ on
+        // nested nullable flags) but pins every type shape
+        require(sf.dataType.catalogString == dt.catalogString,
+          s"user-specified schema retypes column ${sf.name}: ${sf.dataType.catalogString} " +
+            s"(catalog declares ${dt.catalogString}) — prune or reorder columns, never retype")
+      })
     val userSchema = Option(schema).filter(s =>
-      s.nonEmpty &&
-        s.fieldNames.toSeq != GraftTable.tableSchema(catalog, opts).fieldNames.toSeq)
-    userSchema.foreach(_.fieldNames
-      .filterNot(n => n == GraftTable.DeletedColumn || n == GraftTable.CellTsColumn)
-      .foreach(catalog.field))
+      s.nonEmpty && s.fieldNames.toSeq != declared.fieldNames.toSeq)
     new GraftTable(catalog, opts, userSchema)
   }
 }
@@ -687,14 +699,24 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     case None => requiredSchema
   }
 
+  /** Memoized compile of the STATIC pushed filters — statistics, the index
+    * consult, and partition planning all need it, and Spark consults each
+    * several times during physical planning. */
+  @transient private lazy val staticHrf: FilterCompiler.Hrf = {
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    FilterCompiler.compileAll(catalog, filters.toSeq)
+  }
+
+  /** The region's key slice as a scan range (shared clip pattern). */
+  private def regionRange(r: graft.store.RegionInfo): ScanRange[Array[Byte]] =
+    ScanRange[Array[Byte]](Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
+
   /** Memoized index consult over the STATIC pushed filters (runtime filters
     * add key ranges, which take the non-consult path anyway) — shared by
     * statistics and partition planning so the index is scanned at most once
     * per query compilation. */
   private lazy val staticIndexConsult: Option[Seq[ScanRange[Array[Byte]]]] = {
-    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
-    val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
-    if (hrf.ranges == Seq(ScanRange.all[Array[Byte]]))
+    if (staticHrf.ranges == Seq(ScanRange.all[Array[Byte]]))
       SecondaryIndex.lookup(catalog,
         opts.withTtlResolved(System.currentTimeMillis()), filters.toSeq)
     else None
@@ -702,23 +724,16 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
 
   override def estimateStatistics(): Statistics = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
-    val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
     val table = KvStore.table(opts.storeName(catalog))
+    // one pass over the regions: which survive pruning, and their row sum
+    val survivors = table.regionInfos.filter(r =>
+      ScanRange.and(staticHrf.ranges, Seq(regionRange(r))).nonEmpty)
+    val surviving = survivors.size
     val rowCount = staticIndexConsult match {
       // an index consult bounds the result exactly: ≤ 1 row per point key —
       // a selective indexed filter now auto-broadcasts in joins
       case Some(points) => points.size.toLong
-      case None => table.regionInfos.map { r =>
-        val regionRange = ScanRange[Array[Byte]](
-          Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
-        if (ScanRange.and(hrf.ranges, Seq(regionRange)).isEmpty) 0L
-        else table.regions(r.index).rowCount.get()
-      }.sum
-    }
-    val surviving = table.regionInfos.count { r =>
-      val regionRange = ScanRange[Array[Byte]](
-        Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
-      ScanRange.and(hrf.ranges, Seq(regionRange)).nonEmpty
+      case None => survivors.map(r => table.regions(r.index).rowCount.get()).sum
     }
     val rows =
       // a pushed GLOBAL aggregate emits exactly ONE partial row per
@@ -794,15 +809,16 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     * would be pure waste. Runtime (DPP) filters arrive after planning and
     * force a genuine re-plan, which also refreshes the metrics. */
   @transient private lazy val staticPlan: Array[InputPartition] =
-    planPartitions(filters.toSeq)
+    planPartitions(filters.toSeq, Some(staticHrf))
 
   override def planInputPartitions(): Array[InputPartition] =
     if (runtimeFilters.isEmpty) staticPlan
     else planPartitions((filters ++ runtimeFilters).toSeq)
 
-  private def planPartitions(allFilters: Seq[Filter]): Array[InputPartition] = {
+  private def planPartitions(allFilters: Seq[Filter],
+      precompiled: Option[FilterCompiler.Hrf] = None): Array[InputPartition] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
-    val hrf = FilterCompiler.compileAll(catalog, allFilters)
+    val hrf = precompiled.getOrElse(FilterCompiler.compileAll(catalog, allFilters))
     val table = KvStore.table(opts.storeName(catalog))
     // one `now` snapshot per query: every partition sees the same TTL
     // cutoff, folded into the ordinary stamp window (identity without ttl)
@@ -823,9 +839,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
         val idxHrf = FilterCompiler.compileAll(idxCat, allFilters)
         val idxTable = KvStore.table(resolvedOpts.storeName(idxCat))
         val partitions = idxTable.regionInfos.flatMap { r =>
-          val regionRange = ScanRange[Array[Byte]](
-            Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
-          val clipped = ScanRange.and(idxHrf.ranges, Seq(regionRange))
+          val clipped = ScanRange.and(idxHrf.ranges, Seq(regionRange(r)))
           if (clipped.isEmpty) None
           else Some(GraftInputPartition(idxCat, resolvedOpts, r.index, r.host,
             clipped.map(SerializableRange.from), idxHrf.pred,
@@ -842,9 +856,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     idxRanges.foreach(pts => indexKeys = pts.size.toLong)
     val effRanges = idxRanges.getOrElse(hrf.ranges)
     val partitions = table.regionInfos.flatMap { r =>
-      val regionRange = ScanRange[Array[Byte]](
-        Bound(r.start, inclusive = true), Bound(r.end, inclusive = false))
-      val clipped = ScanRange.and(effRanges, Seq(regionRange))
+      val clipped = ScanRange.and(effRanges, Seq(regionRange(r)))
       if (clipped.isEmpty) Seq.empty
       else {
         // A pushed top-N over a leading sign-split integral key drains in
@@ -1351,22 +1363,38 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
     * columns null) with `_deleted=true` and `_cell_ts` = the delete stamp.
     * A marker superseded by a LIVE row whose newest cell stamp is >= the
     * marker (a re-put resurrected the key) is suppressed — the upsert row
-    * carries the truth. Key-range pruning applies; value predicates don't
-    * (a deleted row has no values to test — tombstones stream whenever
-    * their KEY survives the pushed ranges, the CDC-useful contract). */
+    * carries the truth.
+    *
+    * The pushed predicate IS applied, evaluated over exactly what the
+    * materialized tombstone row will look like (key bytes + all-null value
+    * columns): key predicates test the key, `IS NULL` matches, comparisons
+    * and `IS NOT NULL` don't. Skipping it would violate the handled=true
+    * contract — Spark has already REMOVED fully-handled filters from the
+    * plan, so an unfiltered tombstone (e.g. under a suffix-key equality,
+    * which compiles to ranges=All + an exact key predicate) would emit rows
+    * that contradict the query's WHERE with nothing above to catch them.
+    *
+    * Materialization goes through [[RowMaterializer.materializeTombstone]]:
+    * the `mergeToLatest=false` explosion path emits one row per distinct
+    * cell stamp — ZERO for a cell-less synthetic row, which would silently
+    * drop every delete event from the stream. */
   def tombstoneRows: Iterator[InternalRow] =
     if (delSlots.isEmpty) Iterator.empty // projection dropped _deleted —
     // upsert rows and tombstones would be indistinguishable, so emit none
     else p.tombstoneWindow.iterator.flatMap { window =>
+      val noCells = new java.util.concurrent.ConcurrentHashMap[(String, String),
+        java.util.concurrent.ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
       p.ranges.iterator.flatMap(r =>
         table.tombstonesIn(p.regionIndex, r.toRange, window))
+        .filter { case (key, _) => p.pred.forall(_.eval(key, noCells, None)) }
         .filter { case (key, stamp) =>
           table.get(key, ColumnSet.All, None, 1)
             .forall(live => newestStamp(live) < stamp)
         }
-        .flatMap { case (key, stamp) =>
-          materializer.materialize(graft.store.KvRow(key, Seq.empty))
-            .map(assembleWithMeta(_, Long.box(stamp), deleted = true))
+        .map { case (key, stamp) =>
+          assembleWithMeta(
+            materializer.materializeTombstone(graft.store.KvRow(key, Seq.empty)),
+            Long.box(stamp), deleted = true)
         }
     }
 }

@@ -79,12 +79,16 @@ class GraftWriteBuilder(catalog: GraftCatalog, opts: GraftOptions, info: Logical
 
 /** Native DSv2 streaming sink: `df.writeStream.format("graft-kv")` — each
   * micro-batch's tasks run the SAME row→put encoder as batch writes. Epoch
-  * commit/abort are no-ops by design: puts are idempotent upserts keyed by
-  * (rowkey, cf, qual, ts), so an at-least-once epoch replay rewrites
-  * identical cells and the table converges to exactly-once contents — the
-  * store itself is the idempotency layer, no write-ahead bookkeeping
-  * needed. DDL (create + presplit) runs once, driver-side, when the query
-  * starts. */
+  * commit/abort are no-ops: the delivery guarantee is AT-LEAST-ONCE, with
+  * latest-merge reads converging to exactly-once CONTENTS (a replayed row
+  * overwrites the same logical cells, and the newest version wins).
+  * Strict cell-level idempotence additionally needs the `timestamp` option
+  * (fixed stamps make replayed puts byte-identical): on the default
+  * registered-stamp path each replay writes a NEW version, so versioned
+  * (`maxVersions>1` / `mergeToLatest=false` / `_cell_ts`) and CDC readers
+  * can observe replay duplicates after a mid-epoch failure — the standard
+  * caveat for non-transactional streaming sinks. DDL (create + presplit)
+  * runs once, driver-side, when the query starts. */
 class GraftStreamingWrite(catalog: GraftCatalog, opts: GraftOptions,
     writeSchema: StructType, truncate: Boolean)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -113,21 +117,28 @@ class GraftBatchWrite(catalog: GraftCatalog, opts: GraftOptions,
     deleteFirst: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
     extends BatchWrite {
 
-  // Conditional overwrite writes into a region-aligned STAGING table and
-  // installs at commit: delete-at-factory-creation would leave rows deleted
-  // with nothing appended if the job fails mid-write, and a self-referential
-  // `INSERT OVERWRITE t SELECT ... FROM t` would scan the already-deleted
-  // table. Staging keeps the main table untouched until the job succeeds;
-  // commit then runs delete-then-install. In a distributed store the install
-  // is a bulkload-style region handoff (metadata op, staging regions share
-  // the main table's split points); in-process it replays the staged cells.
-  private val stagingName: Option[String] = deleteFirst.map(_ =>
-    opts.storeName(catalog) + "#overwrite-staging-" + java.util.UUID.randomUUID())
+  // EVERY overwrite — truncate AND conditional — writes into a
+  // region-aligned STAGING table and installs at commit. Destroying state at
+  // factory-creation time would leave rows deleted (or the whole table
+  // dropped) with nothing appended if the job fails mid-write, and a
+  // self-referential `INSERT OVERWRITE t SELECT ... FROM t` would scan the
+  // already-emptied table. Staging keeps the main table untouched until the
+  // job succeeds; commit then runs drop-recreate (truncate) or
+  // delete-matching (conditional), followed by the install. In a
+  // distributed store the install is a bulkload-style region handoff
+  // (metadata op, staging regions share the main table's split points);
+  // in-process it replays the staged cells through `main.put`, so WAL
+  // logging and index maintenance hooks fire normally.
+  private val stagingName: Option[String] =
+    if (truncate || deleteFirst.isDefined)
+      Some(opts.storeName(catalog) + "#overwrite-staging-" + java.util.UUID.randomUUID())
+    else None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // DDL runs once, driver-side, before tasks launch (reference
-    // createTableIfNotExist, HBaseRelation.scala:124-175).
-    GraftDdl.ensureTable(catalog, opts, dropExisting = truncate)
+    // createTableIfNotExist, HBaseRelation.scala:124-175) — but never
+    // destructively: a truncate's drop-recreate is deferred to commit.
+    GraftDdl.ensureTable(catalog, opts, dropExisting = false)
     stagingName.foreach { sn =>
       val main = KvStore.table(opts.storeName(catalog))
       KvStore.createTable(sn, main.regionInfos.flatMap(_.start),
@@ -138,10 +149,12 @@ class GraftBatchWrite(catalog: GraftCatalog, opts: GraftOptions,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     stagingName.foreach { sn =>
-      val fs = deleteFirst.get
+      if (truncate) GraftDdl.ensureTable(catalog, opts, dropExisting = true)
+      else {
+        val hrf = FilterCompiler.compileAll(catalog, deleteFirst.get.toSeq)
+        KvStore.table(opts.storeName(catalog)).deleteNow(hrf.ranges, hrf.pred)
+      }
       val main = KvStore.table(opts.storeName(catalog))
-      val hrf = FilterCompiler.compileAll(catalog, fs.toSeq)
-      main.deleteNow(hrf.ranges, hrf.pred)
       val staging = KvStore.table(sn)
       staging.regions.foreach(_.rows.forEach { (key, row) =>
         val cells = Seq.newBuilder[KvCell]

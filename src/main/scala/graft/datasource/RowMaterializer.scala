@@ -108,6 +108,15 @@ final class RowMaterializer(
     }
   }
 
+  /** CDC tombstone materialization: exactly ONE key-only output row (value
+    * and dynamic slots null) REGARDLESS of mergeToLatest — the
+    * `mergeToLatest=false` explosion path iterates distinct cell stamps and
+    * would emit ZERO rows for a cell-less synthetic row, silently dropping
+    * the delete event. The fast single-pass builder is correct here for
+    * every slot kind: with no cells, versioned/dynamic/simple slots all
+    * decode to null and only the key parts fill. */
+  def materializeTombstone(row: KvRow): InternalRow = buildMergedFast(row)
+
   /** Decode the projected fields of one KvRow into 1..n InternalRows. */
   def materialize(row: KvRow): Iterator[InternalRow] = {
     if (mergeToLatest && fastPathOk) return Iterator.single(buildMergedFast(row))

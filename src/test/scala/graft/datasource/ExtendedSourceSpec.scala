@@ -505,4 +505,61 @@ class ExtendedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("id") < 10).count() == 10)
     assert(df.filter(col("id") === 42).count() == 1)
   }
+
+  test("self-referential overwrite: the source scan sees the PRE-overwrite table") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"selfovw"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"bigint"}}}""".stripMargin
+    def opts = Map("catalog" -> catalog, "newtable" -> "4",
+      "minSplitNum" -> "0", "maxSplitNum" -> "100")
+    (1L to 10L).map(k => (k, k * 10)).toDF("k", "v")
+      .write.format("graft-kv").options(opts).mode("append").save()
+    def kv = spark.read.format("graft-kv").option("catalog", catalog).load()
+
+    // INSERT OVERWRITE t SELECT ... FROM t: the truncate used to run at
+    // writer-factory creation, so the self-scan read an empty table
+    kv.select(col("k"), (col("v") + 1L).as("v"))
+      .write.format("graft-kv").options(opts).mode("overwrite").save()
+    assert(kv.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      (1L to 10L).map(k => (k, k * 10 + 1)),
+      "overwrite-from-self must transform the OLD rows, not an empty table")
+
+    // plain overwrite from external data still replaces wholesale
+    Seq((100L, 7L)).toDF("k", "v")
+      .write.format("graft-kv").options(opts).mode("overwrite").save()
+    assert(kv.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 7L)))
+  }
+
+  test("a user-specified schema may prune/reorder but never retype") {
+    val catalog =
+      """{"table":{"namespace":"default", "name":"uschema"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "4",
+        "minSplitNum" -> "0", "maxSplitNum" -> "10"))
+      .mode("append").save()
+    // prune + reorder: honored
+    val pruned = spark.read.format("graft-kv").option("catalog", catalog)
+      .schema(StructType(Seq(StructField("v", StringType), StructField("k", LongType))))
+      .load()
+    assert(pruned.schema.fieldNames.toSeq == Seq("v", "k"))
+    // same names, different type: rejected loudly (it used to be silently
+    // ignored in favor of the catalog types)
+    val e = intercept[Exception] {
+      spark.read.format("graft-kv").option("catalog", catalog)
+        .schema(StructType(Seq(StructField("k", StringType), StructField("v", StringType))))
+        .load()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null && t.getMessage.contains("retype")),
+      s"expected a retype rejection, got $e")
+  }
 }

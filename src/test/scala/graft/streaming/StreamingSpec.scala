@@ -561,6 +561,90 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plain.schema.fieldNames.contains("_deleted"))
   }
 
+  test("tombstones honor pushed predicates and survive mergeToLatest=false") {
+    import org.apache.spark.sql.streaming.Trigger
+    // composite key: a filter on the SUFFIX part k2 compiles to ranges=All
+    // plus an exact key predicate — Spark drops the residual, so tombstones
+    // must apply the predicate themselves (they used to bypass it entirely)
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"cdc_tombpred"},
+        |"rowkey":"k1:k2",
+        |"columns":{
+        |"k1":{"cf":"rowkey", "col":"k1", "type":"string", "length":"1"},
+        |"k2":{"cf":"rowkey", "col":"k2", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    import spark.implicits._
+    def write(rows: Seq[(String, Long, String)], ts: Long, mode: String = "append"): Unit =
+      rows.toDF("k1", "k2", "v").write.format("graft-kv")
+        .options(Map("catalog" -> catalogJson, "newtable" -> "4", "timestamp" -> ts.toString))
+        .mode(mode).save()
+    val parsed = graft.catalog.GraftCatalog.parse(catalogJson, Map.empty)
+    def deleteK1(k1: String, stamp: Long): Long = {
+      val hrf = graft.datasource.FilterCompiler.compileAll(parsed, Seq(
+        org.apache.spark.sql.sources.EqualTo("k1", k1)))
+      KvStore.table("default:cdc_tombpred").delete(hrf.ranges, hrf.pred, stamp)
+    }
+
+    def drainWith(filter: org.apache.spark.sql.Column, ckpt: String,
+        extraOpts: Map[String, String] = Map.empty): Seq[Set[(String, Long, Boolean)]] = {
+      val out = scala.collection.mutable.ArrayBuffer[Set[(String, Long, Boolean)]]()
+      val q = spark.readStream.format("graft-kv")
+        .option("catalog", catalogJson).option("tombstones", "true")
+        .options(extraOpts).load()
+        .where(filter)
+        .select(col("k1"), col("k2"), col("_deleted"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+          if (rows.nonEmpty) out.synchronized { out += rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      out.toSeq
+    }
+
+    write(Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 1L, "z"), ("b", 3L, "w")),
+      ts = 1000, mode = "overwrite")
+
+    // suffix-key predicate: only the k2=1 tombstones may stream
+    val ck1 = Files.createTempDirectory("graft-tp1").toString
+    val first = drainWith(col("k2") === 1L, ck1)
+    assert(first.last == Set(("a", 1L, false), ("b", 1L, false)))
+    assert(deleteK1("a", stamp = 2000) == 2) // kills (a,1) and (a,2)
+    val second = drainWith(col("k2") === 1L, ck1)
+    assert(second.last == Set(("a", 1L, true)),
+      s"only the k2=1 tombstone may pass the pushed key predicate: ${second.last}")
+
+    // value predicate: a tombstone's values are null — v = 'z' can never
+    // match a delete row, and IS NULL matches exactly the tombstones
+    write(Seq(("a", 1L, "x"), ("a", 2L, "y")), ts = 3000) // resurrect
+    val ck2 = Files.createTempDirectory("graft-tp2").toString
+    drainWith(col("v") === "z", ck2)
+    assert(deleteK1("b", stamp = 4000) == 2)
+    val eq = drainWith(col("v") === "z", ck2)
+    assert(eq.isEmpty,
+      s"a value-equality filter must not emit null-valued tombstones: $eq")
+    val ck3 = Files.createTempDirectory("graft-tp3").toString
+    write(Seq(("b", 1L, "z"), ("b", 3L, "w")), ts = 5000) // resurrect
+    drainWith(col("v").isNull, ck3)
+    assert(deleteK1("b", stamp = 6000) == 2)
+    val isNull = drainWith(col("v").isNull, ck3)
+    assert(isNull.last == Set(("b", 1L, true), ("b", 3L, true)),
+      s"IS NULL matches the all-null tombstone rows: ${isNull.last}")
+
+    // mergeToLatest=false: the explosion path must still emit ONE row per
+    // tombstone (it used to explode zero stamps and drop the delete)
+    write(Seq(("c", 9L, "c1")), ts = 7000)
+    val ck4 = Files.createTempDirectory("graft-tp4").toString
+    drainWith(lit(true), ck4, Map("mergeToLatest" -> "false"))
+    assert(deleteK1("c", stamp = 8000) == 1)
+    val exploded = drainWith(lit(true), ck4, Map("mergeToLatest" -> "false"))
+    assert(exploded.last.exists { case (k1, k2, del) => k1 == "c" && k2 == 9L && del },
+      s"mergeToLatest=false must not swallow delete events: ${exploded.last}")
+  }
+
   test("graft-kv streaming SOURCE: maxRowsPerBatch drains a backlog in stamp-ordered chunks") {
     import org.apache.spark.sql.streaming.Trigger
     val catalogJson =
