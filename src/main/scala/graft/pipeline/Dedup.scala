@@ -176,12 +176,18 @@ object Dedup {
       _ => groups.agg(coalesce(max(col("gs")), lit(0L))).first().getLong(0))
     if (maxGroup <= collapseThreshold) (rows, None)
     else {
+      // localCheckpoint, NOT persist: both frames are consumed repeatedly by
+      // the caller's joins, but this function can hand out no unpersist
+      // handle — a persist() would pin its plan in the CacheManager FOREVER
+      // (strong reference, never GC'd). Checkpoint blocks are released by
+      // the ContextCleaner once the returned frames become unreachable, so
+      // long-lived drivers looping over corpora don't accumulate them.
       val members = keyed.select(col("__ck"), col("id"))
         .join(groups.select(col("__ck"), col("rep")), Seq("__ck"))
         .select(col("id"), col("rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val repRows = rows.join(groups.select(col("rep").as("id")), Seq("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       (repRows, Some(members))
     }
   }
@@ -210,6 +216,12 @@ object Dedup {
     * CollectMetrics, zero extra jobs) reports hot-cell and dropped-entry
     * totals to the [[GraftMetrics]] listener when the consuming action
     * completes. */
+  /** Per-invocation disambiguator for observe() names: Spark requires
+    * observation names to be unique within one query, so composing the same
+    * operator twice in a single action (e.g. a union of two LSH dedups)
+    * would otherwise fail analysis with DUPLICATED_METRICS_NAME. */
+  private val capObsSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private[pipeline] def capBuckets(entries: DataFrame, keys: Seq[String],
       maxBucket: Int, tag: String): DataFrame = {
     require(maxBucket > 0, s"$tag: maxBucket must be positive, got $maxBucket")
@@ -224,7 +236,7 @@ object Dedup {
       .withColumn("__cn", row_number().over(w))
       .withColumn("__csz", count(lit(1)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .observe(s"graft.capBuckets.$tag",
+      .observe(s"graft.capBuckets.$tag.${capObsSeq.incrementAndGet()}",
         coalesce(sum(when(hot, lit(1L)).otherwise(lit(0L))), lit(0L)).as("hot_buckets"),
         coalesce(sum(when(hot, col("__csz") - cellCap).otherwise(lit(0L))), lit(0L))
           .as("dropped_entries"))
@@ -441,12 +453,23 @@ object Dedup {
       maxIters: Int = 100, reliableCheckpoints: Boolean = false): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
+    // Deterministically free a SUPERSEDED local checkpoint's executor blocks
+    // (the ContextCleaner only reclaims them after a driver GC, so a
+    // 100-round propagation would otherwise hold every round's blocks):
+    // eager localCheckpoint plans are a LogicalRDD over the checkpointed
+    // RDD — unpersist that RDD once nothing derived from it is live.
+    def release(df: DataFrame): Unit =
+      if (!reliableCheckpoints)
+        df.queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+        }.foreach(_.unpersist(blocking = false))
     // materialize the pair pipeline ONCE before mirroring: the union below
     // references it twice, and without the cut the (possibly expensive)
     // upstream pair computation would execute once per direction
     val p = cp(pairs.select(col(idA).as("a"), col(idB).as("b")))
     val edges = cp(p.union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct())
+    release(p) // folded into the edges checkpoint
     var labels = cp(edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")))
     var changed = 1L
@@ -462,9 +485,11 @@ object Dedup {
         .select(labels("id").as("id"), col("label"),
           least(col("label"), col("nmin")).as("next")))
       changed = updated.filter(col("next") < col("label")).count()
+      release(labels) // this round's checkpoint (updated) supersedes it
       labels = updated.select(col("id"), col("next").as("label"))
       iters += 1
     }
+    release(edges) // the result depends only on the final labels checkpoint
     labels.select(col("id"), col("label").as("keep_id"))
   }
 
@@ -497,15 +522,19 @@ object Dedup {
     * CHANGE volume, not the corpus. */
   def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // presence comes from explicit join-side markers, NEVER from the text
+    // column's nullability: a document with NULL text present only in
+    // `before` would otherwise read as "added" instead of "removed". The
+    // change test is null-safe for the same reason (NULL -> "x" IS a change).
     val a = before.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("__a"))
+      col(textCol).as("__a"), lit(true).as("__pa"))
     val b = after.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("__b"))
+      col(textCol).as("__b"), lit(true).as("__pb"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("__a").isNull, lit("added"))
-          .when(col("__b").isNull, lit("removed"))
-          .when(col("__a") =!= col("__b"), lit("changed"))
+        when(col("__pa").isNull, lit("added"))
+          .when(col("__pb").isNull, lit("removed"))
+          .when(!(col("__a") <=> col("__b")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .filter(col("status") =!= "unchanged")
   }

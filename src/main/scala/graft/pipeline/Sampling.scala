@@ -94,6 +94,46 @@ object Sampling {
     * stratum, the shuffle carries ≤ k rows per (partition, stratum), and
     * the merge keeps k — the classic distributed TakeOrdered-per-key.
     * Output: (stratum, id, rank) with rank 1..k by hash order. */
+  /** The ONE bounded top-k Aggregator both exact-k selectors run on —
+    * keeps the `k` first (Long, Long) pairs under `before` per group, as a
+    * partial aggregate: every map task holds ≤ k candidates per group, the
+    * shuffle carries ≤ k rows per (partition, group), and the merge keeps
+    * k. Input rows are (group, a, b); the buffer is `before`-ascending. */
+  private lazy val pairArrayEnc: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
+
+  private def boundedTopK(k: Int, before: ((Long, Long), (Long, Long)) => Boolean)
+      : org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long), Array[(Long, Long)], Array[(Long, Long)]] =
+    new org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
+      override def zero: Array[(Long, Long)] = Array.empty
+      override def reduce(buf: Array[(Long, Long)],
+          row: (String, Long, Long)): Array[(Long, Long)] = {
+        // hot path: once the buffer is full, almost every row fails the
+        // top-k cut — reject with one comparison, no allocation
+        if (buf.length == k && !before((row._2, row._3), buf(k - 1))) buf
+        else merge(buf, Array((row._2, row._3)))
+      }
+      override def merge(x: Array[(Long, Long)],
+          y: Array[(Long, Long)]): Array[(Long, Long)] = {
+        val out = new Array[(Long, Long)](math.min(x.length + y.length, k))
+        var i = 0; var j = 0; var w = 0
+        while (w < out.length) {
+          out(w) =
+            if (j >= y.length || (i < x.length && before(x(i), y(j)))) { i += 1; x(i - 1) }
+            else { j += 1; y(j - 1) }
+          w += 1
+        }
+        out
+      }
+      override def finish(b: Array[(Long, Long)]): Array[(Long, Long)] = b
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
+        pairArrayEnc
+      override def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
+        pairArrayEnc
+    }
+
   def stratifiedExactK(df: DataFrame, stratumCol: String, idCol: String,
       k: Int, seed: String = "exk42"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -109,35 +149,8 @@ object Sampling {
         hash.as("h"), col(idCol).cast("long").as("id"))
       .filter(col("stratum").isNotNull && col("id").isNotNull)
       .as[(String, Long, Long)]
-    val topK = new org.apache.spark.sql.expressions.Aggregator[
-        (String, Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
-      private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
-        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
-      // buffer: ascending (hash, id) pairs, at most k of them
-      override def zero: Array[(Long, Long)] = Array.empty
-      override def reduce(buf: Array[(Long, Long)], row: (String, Long, Long)): Array[(Long, Long)] = {
-        // hot path: once the buffer is full, almost every row fails the
-        // top-k cut — reject with one comparison, no allocation
-        if (buf.length == k && !lt((row._2, row._3), buf(k - 1))) buf
-        else merge(buf, Array((row._2, row._3)))
-      }
-      override def merge(x: Array[(Long, Long)], y: Array[(Long, Long)]): Array[(Long, Long)] = {
-        val out = new Array[(Long, Long)](math.min(x.length + y.length, k))
-        var i = 0; var j = 0; var w = 0
-        while (w < out.length) {
-          out(w) =
-            if (j >= y.length || (i < x.length && lt(x(i), y(j)))) { i += 1; x(i - 1) }
-            else { j += 1; y(j - 1) }
-          w += 1
-        }
-        out
-      }
-      override def finish(b: Array[(Long, Long)]): Array[(Long, Long)] = b
-      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
-        implicitly[org.apache.spark.sql.Encoder[Array[(Long, Long)]]]
-      override def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
-        implicitly[org.apache.spark.sql.Encoder[Array[(Long, Long)]]]
-    }
+    // keep order: ascending (hash, id)
+    val topK = boundedTopK(k, (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
     keyed.groupByKey(_._1).agg(topK.toColumn.name("top"))
       .flatMap { case (stratum, top) =>
         top.iterator.zipWithIndex.map { case ((_, id), i) => (stratum, id, i + 1) }
@@ -173,34 +186,8 @@ object Sampling {
         scoreCol.cast("long").as("score"), col(idCol).cast("long").as("id"))
       .filter(col("grp").isNotNull && col("score").isNotNull && col("id").isNotNull)
       .as[(String, Long, Long)]
-    val topK = new org.apache.spark.sql.expressions.Aggregator[
-        (String, Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
-      // buffer: (score, id) pairs in keep order — score DESC, id ASC —
-      // at most cap of them
-      private def before(a: (Long, Long), b: (Long, Long)): Boolean =
-        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-      override def zero: Array[(Long, Long)] = Array.empty
-      override def reduce(buf: Array[(Long, Long)], row: (String, Long, Long)): Array[(Long, Long)] = {
-        if (buf.length == cap && !before((row._2, row._3), buf(cap - 1))) buf
-        else merge(buf, Array((row._2, row._3)))
-      }
-      override def merge(x: Array[(Long, Long)], y: Array[(Long, Long)]): Array[(Long, Long)] = {
-        val out = new Array[(Long, Long)](math.min(x.length + y.length, cap))
-        var i = 0; var j = 0; var w = 0
-        while (w < out.length) {
-          out(w) =
-            if (j >= y.length || (i < x.length && before(x(i), y(j)))) { i += 1; x(i - 1) }
-            else { j += 1; y(j - 1) }
-          w += 1
-        }
-        out
-      }
-      override def finish(b: Array[(Long, Long)]): Array[(Long, Long)] = b
-      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
-        implicitly[org.apache.spark.sql.Encoder[Array[(Long, Long)]]]
-      override def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
-        implicitly[org.apache.spark.sql.Encoder[Array[(Long, Long)]]]
-    }
+    // keep order: score DESC, id ASC
+    val topK = boundedTopK(cap, (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
     keyed.groupByKey(_._1).agg(topK.toColumn.name("top"))
       .flatMap { case (grp, top) =>
         top.iterator.zipWithIndex.map { case ((sc, id), i) => (grp, id, sc, i + 1) }
@@ -237,8 +224,12 @@ object Sampling {
     val shard = graft.functions.HashExprs.md5NumberLower(
       concat(lit("pack42|"), col(idCol).cast("string")))
       .bitwiseAND(lit((shards - 1).toLong)).cast("int")
+    // NULL id/text rows are dropped — same contract as [[stratifiedExactK]]
+    // (and without the filter the typed encoder dies on NULL in a
+    // non-nullable Long field)
     val base = df.select(col(idCol).cast("long").as("id"),
         nTok.as("n_tokens"), shard.as("shard"))
+      .filter(col("id").isNotNull && col("n_tokens").isNotNull)
       .as[(Long, Long, Int)]
     base.groupByKey(_._3)
       .flatMapSortedGroups(col("id")) { (sh: Int, it: Iterator[(Long, Long, Int)]) =>
@@ -343,7 +334,13 @@ object Sampling {
     val ratios = occ.groupBy(col("b")).agg(
         count(lit(1)).as("cs"),
         sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct"))
-      .select(col("b"), expr("ct * 1000000 div cs").as("ratio_micro"))
+      // the product is corpus-aggregate scale: a bucket with >= ~9.2e12
+      // target-token occurrences would wrap BIGINT*1e6 negative (non-ANSI);
+      // DECIMAL(38,0) keeps it exact, and `div` still lands in BIGINT
+      // micro-units <= 1e6 (DuckDB raises on BIGINT overflow rather than
+      // wrapping, so the engines agree wherever both complete)
+      .select(col("b"),
+        expr("CAST(ct AS DECIMAL(38,0)) * 1000000 div cs").as("ratio_micro"))
     val scored = occ.join(broadcast(ratios), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_micro")).as("__sum"))

@@ -122,7 +122,13 @@ object Similarity {
     // spread), instead of the nlist lowest ids, whose vectors can be an
     // arbitrarily biased block when ids correlate with content. Ties break
     // by id; a TakeOrdered top-nlist, never a full sort.
-    val seeds: Array[Array[Double]] = corpus
+    // NULL vectors (and vectors with NULL elements, which the native
+    // expressions null out) cannot train or vote — exclude them up front;
+    // the typed encoders below would otherwise die mid-Lloyd-iteration on
+    // a NULL in a non-nullable field
+    val clean = corpus.filter(col(vecCol).isNotNull &&
+      !exists(col(vecCol), _.isNull))
+    val seeds: Array[Array[Double]] = clean
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Any](0).map {
@@ -130,10 +136,12 @@ object Similarity {
         case d: Double => d
         case n: Number => n.doubleValue()
       }.toArray)
+    require(seeds.nonEmpty,
+      s"ivfCentroids: no non-null $vecCol rows to train a quantizer on")
     val dim = seeds.head.length
     val sp = corpus.sparkSession
     import sp.implicits._
-    def assignTo(cents: Array[Array[Double]]) = corpus.select(
+    def assignTo(cents: Array[Array[Double]]) = clean.select(
       element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, 1), 1)
         .as("cell"),
       col(vecCol).cast("array<double>").as("v"))

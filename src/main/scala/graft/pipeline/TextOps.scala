@@ -110,6 +110,9 @@ object TextOps {
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      // a blank/whitespace doc tokenizes to [""] — the empty term is not a
+      // keyword (same guard every sibling term op applies)
+      .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))

@@ -436,8 +436,9 @@ object Pipeline {
   }
 
   val px15Sql: String =
-    """WITH u AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-      |           FROM documents),
+    """WITH u0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |            FROM documents),
+      |u AS (SELECT doc_id, term FROM u0 WHERE length(term) > 0),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       |n AS (SELECT count(*) AS n FROM documents)
@@ -1417,7 +1418,7 @@ object Pipeline {
       |d AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
       |        CASE WHEN b.doc_id IS NULL THEN 'added'
       |             WHEN a.doc_id IS NULL THEN 'removed'
-      |             WHEN b.text <> a.text THEN 'changed'
+      |             WHEN b.text IS DISTINCT FROM a.text THEN 'changed'
       |             ELSE 'unchanged' END AS status
       |      FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
       |SELECT doc_id, status FROM d WHERE status <> 'unchanged'

@@ -338,17 +338,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the observed metrics of THIS dataset's execution would stay empty
     val keptN = capped.collect().length
     assert(keptN <= 10)
-    val metrics = capped.queryExecution.observedMetrics
-    val row = metrics("graft.capBuckets.obs_test")
+    // metric names carry a per-invocation suffix (so one query may compose
+    // the same operator twice) — look up by prefix
+    def metricOf(qe: org.apache.spark.sql.execution.QueryExecution, tag: String) =
+      qe.observedMetrics.collectFirst {
+        case (n, r) if n.startsWith(s"graft.capBuckets.$tag.") => r
+      }.getOrElse(fail(s"no graft.capBuckets.$tag.* metric observed"))
+    val row = metricOf(capped.queryExecution, "obs_test")
     assert(row.getAs[Long]("hot_buckets") > 0L)
     assert(row.getAs[Long]("dropped_entries") == 50L - keptN)
     // a run with no overflow reports zeros, not missing metrics
     // (cellCap 800/16 = 50 ≥ any cell's size here)
     val ok = Dedup.capBuckets(entries, Seq("band", "bh"), 800, "obs_test2")
     ok.collect()
-    val okRow = ok.queryExecution.observedMetrics("graft.capBuckets.obs_test2")
+    val okRow = metricOf(ok.queryExecution, "obs_test2")
     assert(okRow.getAs[Long]("hot_buckets") == 0L &&
       okRow.getAs[Long]("dropped_entries") == 0L)
+    // the suffix is the point: the SAME operator twice in ONE action used
+    // to fail analysis with DUPLICATED_METRICS_NAME
+    val twice = Dedup.capBuckets(entries, Seq("band", "bh"), 10, "obs_dup")
+      .union(Dedup.capBuckets(entries.filter(col("id") < 25), Seq("band", "bh"), 10, "obs_dup"))
+    assert(twice.collect().length <= 20)
   }
 
   test("capBuckets salting bounds the rows any one window task sorts") {

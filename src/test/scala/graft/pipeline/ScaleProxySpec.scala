@@ -316,7 +316,9 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     val (kept, secs) = timed {
       val capped = Dedup.capBuckets(entries.toDF(), Seq("band", "bh"), 1000, "stress")
       val k = capped.collect().length.toLong
-      val m = capped.queryExecution.observedMetrics("graft.capBuckets.stress")
+      val m = capped.queryExecution.observedMetrics.collectFirst {
+        case (n, r) if n.startsWith("graft.capBuckets.stress.") => r
+      }.getOrElse(fail("no graft.capBuckets.stress.* metric observed"))
       assert(m.getAs[Long]("hot_buckets") == Dedup.CapSalts.toLong)
       assert(m.getAs[Long]("dropped_entries") == N - k)
       k
