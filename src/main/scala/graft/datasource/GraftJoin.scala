@@ -72,10 +72,20 @@ class GraftKvJoinScan(join: PushedKvJoin, schema: StructType)
 
   /** Left-side row counters bound the join output (unique right keys: INNER
     * emits ≤ left rows, LEFT OUTER exactly left rows) — so a small joined
-    * pair still auto-broadcasts in an enclosing join. */
+    * pair still auto-broadcasts in an enclosing join. The LEFT pushed
+    * filters prune the count region-wise (a filtered join side that reads
+    * two regions must not report the whole table, or the auto-broadcast
+    * this statistic exists for never fires). */
   override def estimateStatistics(): Statistics = {
+    implicit val ord: Ordering[Array[Byte]] = graft.ranges.BytesUtil.byteArrayOrdering
+    val hrfL = FilterCompiler.compileAll(join.left.catalog, join.left.filters)
     val table = KvStore.table(join.left.opts.storeName(join.left.catalog))
-    val leftRows = table.regions.map(_.rowCount.get()).sum
+    val leftRows = table.regionInfos.filter { r =>
+      val regionRange = ScanRange[Array[Byte]](
+        graft.ranges.Bound(r.start, inclusive = true),
+        graft.ranges.Bound(r.end, inclusive = false))
+      ScanRange.and(hrfL.ranges, Seq(regionRange)).nonEmpty
+    }.map(r => table.regions(r.index).rowCount.get()).sum
     val width = math.max(schema.defaultSize, 1).toLong
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -117,7 +127,12 @@ final case class KvJoinInputPartition(join: PushedKvJoin, schema: StructType,
     leftPred: Option[graft.store.KvPredicate],
     rightRanges: Seq[SerializableRange],
     rightPred: Option[graft.store.KvPredicate]) extends InputPartition {
-  override def preferredLocations(): Array[String] = Array(host)
+  // suppressed under local mode like GraftInputPartition — synthetic
+  // region hosts can starve mixed-locality stages there
+  override def preferredLocations(): Array[String] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    if (sc.isLocal) Array.empty else Array(host)
+  }
 }
 
 class KvJoinReaderFactory extends PartitionReaderFactory {

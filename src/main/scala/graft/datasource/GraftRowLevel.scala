@@ -105,18 +105,44 @@ private object StatementStamp {
 class GraftDeltaBatchWrite(catalog: GraftCatalog, opts: GraftOptions,
     rowSchema: StructType, rowIdSchema: StructType) extends DeltaBatchWrite {
 
+  private var registeredStamp: Option[Long] = None
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     // One statement stamp pair, allocated driver-side so every task agrees:
     // deletes at T, puts at T+1 (see class doc on commutativity).
     val deleteStamp = opts.timestamp.getOrElse(StatementStamp.next())
+    if (opts.timestamp.isEmpty) {
+      // Register T as IN-FLIGHT across the table for the statement's whole
+      // lifetime (released at commit/abort): the stamp is allocated HERE but
+      // tasks land mutations later, when wall clock has moved past it — a
+      // concurrent CDC capture (min(maxStamp, now-1, minInFlight-1)) would
+      // otherwise commit an offset >= T and permanently miss the statement's
+      // mutations. Explicit `timestamp` writes keep their documented
+      // low-watermark caveat. In a distributed deployment this registration
+      // is the statement-stamp registry the coordinator keeps anyway.
+      KvStore.table(opts.storeName(catalog)).regions
+        .foreach(_.beginWrite(deleteStamp))
+      registeredStamp = Some(deleteStamp)
+    }
     new GraftDeltaWriterFactory(catalog, opts, rowSchema, rowIdSchema, deleteStamp)
+  }
+
+  private def release(): Unit = {
+    registeredStamp.foreach(s =>
+      KvStore.table(opts.storeName(catalog)).regions.foreach(_.endWrite(s)))
+    registeredStamp = None
   }
 
   // Mutations apply as tasks run; puts/deletes are idempotent per
   // (key, stamp), so a retried task converges — same model as the append
   // path's writers.
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // a row-level statement is ack'd only after its WAL tail is durable —
+    // the same redo rule the append path's per-task commit enforces
+    KvStore.walSync()
+    release()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = release()
 }
 
 class GraftDeltaWriterFactory(catalog: GraftCatalog, opts: GraftOptions,
@@ -137,8 +163,21 @@ class GraftDeltaWriter(catalog: GraftCatalog, opts: GraftOptions,
   private val idCodec = new KvRowCodec(catalog, rowIdSchema)
   private val putStamp = deleteStamp + 1
 
-  override def insert(row: InternalRow): Unit =
-    table.put(rowCodec.key(row), rowCodec.cells(row, putStamp))
+  /** Does writing `row` over an EXISTING destination row risk leaking the
+    * old row's cells through a null (or a data-dependent dynamic-map
+    * qualifier) under latest-merge reads? If so the destination's visible
+    * history must be deleted first — the class-doc trade. */
+  private def needsShadowDelete(row: InternalRow): Boolean =
+    rowCodec.hasDynamicColumns || !rowCodec.coversAllValueColumns(row)
+
+  override def insert(row: InternalRow): Unit = {
+    val key = rowCodec.key(row)
+    // MERGE NOT MATCHED may still LAND on an existing key (KV upsert
+    // semantics — the key is the identity); the stale-leak guard applies
+    // to the destination exactly as it does for updates
+    if (needsShadowDelete(row)) table.deleteRow(key, deleteStamp)
+    table.put(key, rowCodec.cells(row, putStamp))
+  }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     table.deleteRow(idCodec.key(id), deleteStamp)
@@ -152,15 +191,18 @@ class GraftDeltaWriter(catalog: GraftCatalog, opts: GraftOptions,
       // (delete@T never erases a put@T+1), so `UPDATE t SET k = k + 1`
       // converges no matter which task's delete(k) meets which task's
       // put(k). Landing on an EXISTING key upserts over it — KV semantics,
-      // where the key IS the identity (no duplicate-key error to raise).
+      // where the key IS the identity (no duplicate-key error to raise) —
+      // so the DESTINATION needs the same stale-leak guard as the same-key
+      // branch: without it, `UPDATE t SET k = 2, v = NULL WHERE k = 1`
+      // would read back k=2's OLD v through the null.
       table.deleteRow(oldKey, deleteStamp)
+      if (needsShadowDelete(row)) table.deleteRow(newKey, deleteStamp)
       table.put(newKey, rowCodec.cells(row, putStamp))
     } else {
       // pure put when the new row shadows every value column (time travel
       // to pre-update versions survives); delete-then-put when a null or a
       // dynamic-map column could let a stale cell leak through (class doc)
-      if (rowCodec.hasDynamicColumns || !rowCodec.coversAllValueColumns(row))
-        table.deleteRow(oldKey, deleteStamp)
+      if (needsShadowDelete(row)) table.deleteRow(oldKey, deleteStamp)
       table.put(newKey, rowCodec.cells(row, putStamp))
     }
   }

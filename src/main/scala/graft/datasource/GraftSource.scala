@@ -295,6 +295,12 @@ class GraftScanBuilder(catalog: GraftCatalog, opts: GraftOptions,
     def pairs(cols: Array[ColumnWithAlias]): Seq[(String, String)] =
       cols.toSeq.map(c => (Option(c.alias).getOrElse(c.colName), c.colName))
     val lm = pairs(leftCols); val rm = pairs(rightCols)
+    // the hidden metadata columns are not catalog fields: a side projecting
+    // _cell_ts/_deleted must DECLINE (fall back to the unpushed join) —
+    // resolving them below would throw at planning or probe time
+    val metaCols = Set(GraftTable.CellTsColumn, GraftTable.DeletedColumn)
+    if ((lm ++ rm).exists { case (_, colName) => metaCols.contains(colName) })
+      return false
     val lByOut = lm.toMap; val rByOut = rm.toMap
     val lKeys = catalog.rowKeyFields.map(_.name)
     val rKeys = o.sideCatalog.rowKeyFields.map(_.name)
@@ -943,8 +949,19 @@ final case class GraftInputPartition(
     tombstoneWindow: Option[graft.store.TimeRange] = None) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Data locality: the region's host (reference getPreferredLocations,
-    * HBaseTableScan.scala:384-388). */
-  override def preferredLocations(): Array[String] = Array(host)
+    * HBaseTableScan.scala:384-388). SUPPRESSED under local-mode masters:
+    * every task is same-node anyway, and advertising the in-process
+    * store's synthetic region hosts can STARVE a stage that mixes scan
+    * partitions with post-shuffle partitions — the alive localhost
+    * preference keeps the TaskSetManager at NODE_LOCAL while the
+    * dead-host tasks wait for re-offers local mode never makes (observed:
+    * a MERGE whose delta-write stage unioned both kinds hung at 1/5
+    * tasks forever). A distributed deployment reports real region-server
+    * hosts here and the preference behaves as designed. */
+  override def preferredLocations(): Array[String] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    if (sc.isLocal) Array.empty else Array(host)
+  }
 
   /** Partition identity for storage-partitioned joins: on a SALTED table
     * region i holds exactly bucket i (presplits are the salt bytes), so the

@@ -92,12 +92,20 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
+  // NOT the ASOF JOIN form: ASOF only pins the greatest c.ts <= p.ts and
+  // picks an ARBITRARY row among equal-ts clicks, while the Spark side
+  // deterministically takes the larger event_id — the lateral top-1 makes
+  // the oracle's tie-break explicit so the hash compare can never flap
   val ev3Sql: String =
     """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
       |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
       |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-      |       c.ts AS click_ts, c.event_id AS click_id
-      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |       c2.ts AS click_ts, c2.event_id AS click_id
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT ts, event_id FROM c
+      |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      |  ORDER BY ts DESC, event_id DESC LIMIT 1
+      |) c2 ON TRUE
       |ORDER BY purchase_id""".stripMargin
 
   /** ev4: range (interval-overlap) join — count events per derived time
@@ -109,10 +117,14 @@ object Events {
     * filter. At 100 TB the granule key shuffles/co-locates like any
     * equi-join — pinned by a plan audit (no BroadcastNestedLoopJoin). */
   def ev4RangeJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
+    import s.implicits._
     val e = Tables.events(s, dir).select(col("ts").cast("long").as("tss"))
-    val Row(t0: Long, t1: Long) =
-      e.agg(min(col("tss")), max(col("tss"))).head
+    val bounds = e.agg(min(col("tss")), max(col("tss"))).head
+    // empty events table: min/max are NULL — zero windows, zero rows (the
+    // typed Row(t0: Long, ...) extractor used to die with a MatchError)
+    if (bounds.isNullAt(0))
+      return Seq.empty[(Long, Long)].toDF("window_id", "n")
+    val t0 = bounds.getLong(0); val t1 = bounds.getLong(1)
     val span = t1 - t0
     val g = math.max(span / 40, 1L) // granule = min window width
     // 20 derived windows [ws, we) — integer-second arithmetic, exact in SQL
@@ -122,7 +134,6 @@ object Events {
       if (we > ws) ((ws - t0) / g to (we - 1 - t0) / g).map(gr => (k, ws, we, gr))
       else Seq.empty
     }
-    import s.implicits._
     val w = windows.toDF("window_id", "ws", "we", "granule")
     e.withColumn("granule", (col("tss") - t0) / g cast "long")
       .join(w, Seq("granule"))
@@ -265,7 +276,7 @@ object Events {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val frame = byUser.rowsBetween(-20, -1)
     val dec = "decimal(38,0)"
-    val vMicro = (col("value").cast("decimal(18,6)") * lit(1000000L)).cast(dec)
+    val vMicro = valueMicroDec.cast(dec)
     val e = Tables.events(s, dir)
       .withColumn("v", when(abs(vMicro) > lit(100000000000000000L),
         expr("raise_error('ev7: |value| exceeds 1e11 — z-score intermediates " +
@@ -495,12 +506,17 @@ object Events {
         .cast("string"))
   }
 
+  /** The decimal micro-unit product every `value` consumer builds on — ONE
+    * definition of the HALF_UP scale-6 rounding convention, so ev7's
+    * anomaly arithmetic and the OHLC bars can never silently diverge. */
+  private def valueMicroDec: Column =
+    col("value").cast("decimal(18,6)") * lit(1000000L)
+
   /** Exact per-row micro-unit conversion shared by ev12 and its streaming
     * twin ([[graft.streaming.GraftStreaming.ohlcStream]]) — the HALF_UP
     * scale-6 decimal cast both engines round identically; keeping ONE
     * definition keeps the streamed bars hash-equal to the batch bars. */
-  def valueMicro: Column =
-    (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long")
+  def valueMicro: Column = valueMicroDec.cast("long")
 
   /** ev12: OHLC bars — open/high/low/close per (event_type, 1-hour bucket),
     * the time-series downsampling shape every monitoring/market pipeline

@@ -514,21 +514,29 @@ object Relational {
     * events.props payload, then a relational aggregate over the extracted
     * value. get_json_object is a codegen'd per-row projection: the JSON
     * parse never leaves the scan stage, so 100 TB of payloads decode as an
-    * embarrassingly-parallel map. */
+    * embarrassingly-parallel map. The extracted value is cast only when it
+    * is a STRICT integer string (regex-guarded on BOTH engines): a bare
+    * CAST would diverge on numeric-but-nonintegral payloads — DuckDB
+    * rounds '12.5' to 13 where Spark's ANSI cast raises. */
   def q22JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val raw = get_json_object(col("props"), "$.k")
     Tables.events(s, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        when(raw.rlike("^-?[0-9]+$"), raw.cast("int")).as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
   }
 
   def q22Sql: String =
-    """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
-      |  CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS k_max
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    """WITH e AS (SELECT event_type,
+      |    CASE WHEN regexp_matches(props->>'$.k', '^-?[0-9]+$')
+      |         THEN CAST(props->>'$.k' AS INTEGER) END AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS k_sum,
+      |  CAST(max(k) AS INTEGER) AS k_max
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q23: lateral explode — one row per (document, token position), the
     * table-generating-function surface (LATERAL VIEW posexplode). Bounded

@@ -447,6 +447,37 @@ class CatalogSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.default.updnull")
   }
 
+  test("key-changing UPDATE / MERGE insert onto an existing key: no stale-cell leak") {
+    spark.sql(
+      """CREATE TABLE graft.default.updmove (k BIGINT, a STRING, b DOUBLE)
+        |TBLPROPERTIES ('rowkey' = 'k')""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft.default.updmove VALUES (1, 'x', 1.5), (2, 'y', 2.5)")
+      // the moved row lands ON k=2 with a NULL; k=2's old a='y' must not
+      // bleed through the null under latest-merge reads
+      spark.sql("UPDATE graft.default.updmove SET k = 2, a = NULL WHERE k = 1")
+      val rows = spark.sql("SELECT k, a, b FROM graft.default.updmove ORDER BY k")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+      assert(rows == Seq((2L, None, 1.5)),
+        s"destination row must not leak its pre-update cells: $rows")
+      // MERGE NOT MATCHED upserting a null column onto an existing key has
+      // the same hazard on the DELTA path (a matched action forces
+      // WriteDelta; an insert-only merge rewrites to the plain append,
+      // whose put-over-existing upsert is the documented KV semantic)
+      spark.sql("INSERT INTO graft.default.updmove VALUES (5, 'z', 9.5)")
+      spark.sql("SELECT 5 AS k, CAST(NULL AS STRING) AS a, 7.5 AS b")
+        .createOrReplaceTempView("updmove_src")
+      spark.sql(
+        """MERGE INTO graft.default.updmove t USING updmove_src s ON t.k = s.k + 100
+          |WHEN MATCHED THEN UPDATE SET b = s.b
+          |WHEN NOT MATCHED THEN INSERT (k, a, b) VALUES (s.k, s.a, s.b)""".stripMargin)
+      val merged = spark.sql("SELECT a, b FROM graft.default.updmove WHERE k = 5")
+        .collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toSeq
+      assert(merged == Seq((None, 7.5)),
+        s"MERGE insert onto an existing key must not leak its old cells: $merged")
+    } finally spark.sql("DROP TABLE graft.default.updmove")
+  }
+
   test("DELETE plans: exact predicates go metadata-only, residuals go row-level") {
     spark.sql(
       """CREATE TABLE graft.default.delplan (k BIGINT, v DOUBLE)

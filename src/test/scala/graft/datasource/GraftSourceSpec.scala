@@ -166,7 +166,13 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.index -> r.host).toMap
     parts.foreach { p =>
       val gp = p.asInstanceOf[GraftInputPartition]
-      assert(gp.preferredLocations().toSeq == Seq(hostsByRegion(gp.regionIndex)))
+      // the partition CARRIES its region's host; the preference itself is
+      // suppressed under local-mode masters (synthetic hosts would starve
+      // stages mixing scan and post-shuffle partitions — see
+      // GraftInputPartition.preferredLocations), where it must be empty
+      assert(gp.host == hostsByRegion(gp.regionIndex))
+      assert(gp.preferredLocations().isEmpty,
+        "local mode must not advertise synthetic region hosts")
     }
   }
 
