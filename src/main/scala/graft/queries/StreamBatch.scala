@@ -951,7 +951,14 @@ object StreamBatch {
       .load()
       .writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        val docs = b.select(col("doc_id"), col("text"))
+        // The batch frames below are each consumed by SEVERAL actions /
+        // plan branches (newBands feeds the prefix collect, both sides of
+        // the new×new self-join, the new×old join, and the index append;
+        // docs feeds the sketch, the rerank union, and the mirror append;
+        // sh joins twice into the rerank). All are BATCH-proportional —
+        // ≤ new-docs × bands rows — so pinning them trades bounded memory
+        // for not re-tokenizing / re-minhashing the batch up to 5×.
+        val docs = b.select(col("doc_id"), col("text")).persist()
         val toks = docs
           .select(col("doc_id").as("id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) > 0)
@@ -959,6 +966,7 @@ object StreamBatch {
           .select(col("id"),
             posexplode(graft.functions.HashExprs.minhashBands(col("toks"), 32, 16)))
           .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+          .persist()
         val fwd = s.read.format("graft-kv").option("catalog", sv14FwdCatalog).load()
         // Steady-state CDC batches are small: their distinct (band, bh)
         // pairs (≤ new-docs × 16, bounded by BATCH size, never corpus
@@ -997,6 +1005,7 @@ object StreamBatch {
           .select(col("doc_id").as("id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) > 0)
           .select(col("id"), graft.functions.HashExprs.sortedShingles(col("toks")).as("sh"))
+          .persist()
         val accepted = cand
           .join(sh.select(col("id").as("ida"), col("sh").as("sh_a")), Seq("ida"))
           .join(sh.select(col("id").as("idb"), col("sh").as("sh_b")), Seq("idb"))
@@ -1009,6 +1018,7 @@ object StreamBatch {
           format_string("%02d:%021d:%012d", col("band"), col("bh"), col("id")).as("ik"),
           col("band"), col("bh"), col("id").as("doc_id")), sv14IdxCatalog, ts = 10 + batchId)
         kvWrite(docs, sv14FwdCatalog, ts = 10 + batchId)
+        Seq(sh, newBands, docs).foreach(_.unpersist())
         ()
       }
       .option("checkpointLocation", ckpt)
