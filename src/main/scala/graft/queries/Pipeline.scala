@@ -396,10 +396,17 @@ object Pipeline {
 
   /** Oracles that can only be rendered once a query has run (px13: trained
     * centroids become SQL literals). Merged into the static map by Verify. */
-  def dynamicOracles(s: SparkSession, dir: String): Map[String, String] =
-    Map("px13_ann_ivf" -> px13Sql(s, dir),
+  def dynamicOracles(s: SparkSession, dir: String): Map[String, String] = {
+    val ivfSql = px13Sql(s, dir)
+    Map("px13_ann_ivf" -> ivfSql,
       "px37_semantic_dedup" -> px37Sql(s, dir),
-      "px46_cluster_sample" -> px46Sql(s, dir))
+      "px46_cluster_sample" -> px46Sql(s, dir),
+      // the CDC-maintained IVF index must converge to the BATCH IVF answer
+      // (same memoized centroids, same probe parameters) — the streaming
+      // query's whole contract is that its oracle IS px13's, so both keys
+      // share the ONE rendered string
+      "sv18_stream_ann_ivf" -> ivfSql)
+  }
 
   /** px14: near-dup CLUSTER canonicalization — connected components over
     * the px7 pair graph, keeper = component min. The oracle recomputes the

@@ -379,22 +379,27 @@ object StreamBatch {
         .option("catalog", sv11SourceCatalog).option("tombstones", "true").load()
       val q = stream.writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
+          // the batch frame feeds three actions (tombstone write, isEmpty
+          // probe, upsert write); pinning it reads the source slice once
+          // per batch instead of three times — batch-proportional memory
+          val b = df.persist()
           // tombstones mirror as DISTRIBUTED delete-writes (delete=true):
           // each task drops its own region slice's keys — no driver
           // round-trip of the deleted-id set
-          df.filter(col("_deleted")).select(col("event_id"))
+          b.filter(col("_deleted")).select(col("event_id"))
             .write.format("graft-kv")
             .options(Map("catalog" -> sv11MirrorCatalog, "delete" -> "true",
               "timestamp" -> phaseStamp.toString, "newtable" -> "4",
               "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
             .mode("append").save()
-          val ups = df.filter(!col("_deleted")).drop("_deleted", "_cell_ts")
+          val ups = b.filter(!col("_deleted")).drop("_deleted", "_cell_ts")
           if (!ups.isEmpty)
             ups.write.format("graft-kv")
               .options(Map("catalog" -> sv11MirrorCatalog, "newtable" -> "4",
                 "timestamp" -> phaseStamp.toString,
                 "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
               .mode("append").save()
+          b.unpersist()
           ()
         }
         .option("checkpointLocation", ckpt)
@@ -1029,6 +1034,224 @@ object StreamBatch {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Avro schema of the embedding column in the sv18 kv tables — vectors
+    * round-trip bit-exactly as `array<float>`, so cosine scores computed
+    * against store-resident vectors equal scores against the parquet
+    * originals. */
+  private[graft] val sv18AvroVec = """{"type":"array","items":"float"}"""
+
+  private val sv18SrcCatalog =
+    """{"table":{"namespace":"default", "name":"kv_ann_src"},
+      |"rowkey":"key",
+      |"columns":{
+      |"vec_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"embedding":{"cf":"f", "col":"v", "avro":"annVec"}}}""".stripMargin
+
+  private[graft] val sv18FwdCatalog =
+    sv18SrcCatalog.replace("\"kv_ann_src\"", "\"kv_ann_fwd\"")
+
+  /** Inverted-file table: one entry per (cell, vector), keyed `cell ‖
+    * vec_id` so a cell's posting list is ONE contiguous key sliver; the
+    * vector rides as a covered column, so probes never touch another
+    * table. */
+  private[graft] val sv18IdxCatalog =
+    """{"table":{"namespace":"default", "name":"kv_ann_idx"},
+      |"rowkey":"cell:vid",
+      |"columns":{
+      |"cell":{"cf":"rowkey", "col":"cell", "type":"int"},
+      |"vec_id":{"cf":"rowkey", "col":"vid", "type":"bigint"},
+      |"v":{"cf":"f", "col":"v", "avro":"annVec"}}}""".stripMargin
+
+  /** Forward-mirror lookup for retirement: the changed-id frame (a
+    * `vec_id` column, batch-bounded by construction) compiles into In
+    * point-ranges on the `vec_id` ROWKEY, so each CDC batch point-reads
+    * exactly its touched rows instead of scanning the corpus-sized mirror
+    * — the same batch-proportionality contract as [[bandIndexLookup]].
+    * ONE bounded job decides both the guard and the id set (limit(cap+1)
+    * caps driver memory); empty batches read nothing, and past
+    * [[MaxPushedBandPrefixes]] ids (where a scan genuinely competes) the
+    * lookup keeps its touched-rows contract by falling back to a
+    * broadcast leftsemi over the full scan — never the raw mirror. */
+  private[graft] def mirrorLookup(s: SparkSession, catalog: String,
+      avroJson: String, idsDf: DataFrame): DataFrame = {
+    val mirror = s.read.format("graft-kv")
+      .options(Map("catalog" -> catalog, "annVec" -> avroJson)).load()
+    val ids = idsDf.select(col("vec_id")).distinct()
+      .limit(MaxPushedBandPrefixes + 1).collect().map(_.getLong(0))
+    if (ids.isEmpty) mirror.filter(lit(false))
+    else if (ids.length > MaxPushedBandPrefixes)
+      mirror.join(broadcast(idsDf.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "leftsemi")
+    else mirror.filter(col("vec_id").isInCollection(ids.toSeq))
+  }
+
+  /** IVF probe read over an inverted-file table keyed `cell ‖ vec_id`: the
+    * probed-cell set (≤ queries × nprobe, driver-bounded by construction)
+    * compiles into In point-ranges on the LEADING `cell` key part — each
+    * cell's posting list is one contiguous key sliver, so only probed
+    * slivers are planned and regions without a probed cell plan no
+    * partition (StreamingSpec pins scanned rows = probed-cell population).
+    * An empty set scans nothing; an oversized set falls back to the
+    * (correct) full scan rather than compiling a degenerate range union. */
+  private[graft] def annIndexProbe(s: SparkSession, idxCatalog: String,
+      avroJson: String, cells: Array[Int]): DataFrame = {
+    val idx = s.read.format("graft-kv")
+      .options(Map("catalog" -> idxCatalog, "annVec" -> avroJson)).load()
+    if (cells.isEmpty) idx.filter(lit(false))
+    else if (cells.length > MaxPushedBandPrefixes) idx
+    else idx.filter(col("cell").isInCollection(cells.toSeq))
+  }
+
+  /** sv18: INCREMENTAL ANN INDEX MAINTENANCE over CDC — the streaming twin
+    * of px13's IVF, and the "vectors keep arriving" path every
+    * embedding-backed curation pipeline needs (the Faiss/Milvus
+    * train-offline / insert-online architecture). The coarse quantizer is
+    * px13's own memoized centroid matrix (trained ONCE per dataset,
+    * batch-side — exactly how production IVF deploys); the stream maintains
+    * the inverted file: each CDC batch assigns its changed vectors to their
+    * nearest cell and upserts `cell ‖ vec_id → vector` entries, retiring
+    * every touched vector's OLD entry first by re-deriving its cell from a
+    * forward mirror (a tombstone carries no vector, and an UPDATED vector
+    * may move to a DIFFERENT cell — the re-keying case). Source phases
+    * exercise all three maintenance moves: a corrupted first generation
+    * (reversed vectors — wrong cells), a correcting overwrite wave
+    * (re-keying), a ranged DELETE (retirement), and a resurrection wave.
+    *
+    * The final probe is the IVF read path over the MAINTAINED index: each
+    * query's `nprobe` cells, collected as a bounded cell set (≤ nlist,
+    * ∝ √corpus at scale — a few hundred KB of ints at 100 TB) and pushed
+    * as an In filter on the LEADING key part, so the scan plans ONLY the
+    * probed cells' key slivers — regions without a probed cell plan no
+    * partition (StreamingSpec pins scanned rows = probed-cell population).
+    * Exact-rerank within the probed entries reproduces px13's answer
+    * bit-for-bit (same centroids, same float vectors, same tie-breaks), so
+    * the oracle IS px13's dynamically-rendered SQL. Per batch the work is
+    * proportional to CHANGED vectors (mirror retirement point-reads only
+    * the touched ids via [[mirrorLookup]] + two batch-sized writes), never
+    * to index or mirror size. */
+  def sv18StreamAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
+    import org.apache.spark.sql.expressions.Window
+    val cents = Pipeline.ivfCentroidsFor(s, dir)
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    val srcParsed = graft.catalog.GraftCatalog.parse(sv18SrcCatalog, Map.empty)
+    val fwdParsed = graft.catalog.GraftCatalog.parse(sv18FwdCatalog, Map.empty)
+    val idxParsed = graft.catalog.GraftCatalog.parse(sv18IdxCatalog, Map.empty)
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      element_at(graft.functions.VectorExprs.nearestCentroids(vec, cents, 1), 1)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv18SrcCatalog, "annVec" -> sv18AvroVec,
+          "newtable" -> "4", "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val ckpt = Files.createTempDirectory("graft-sv18-ckpt").toString
+    def applyBatch(phaseStamp: Long): Unit = {
+      val q = s.readStream.format("graft-kv")
+        .options(Map("catalog" -> sv18SrcCatalog, "annVec" -> sv18AvroVec,
+          "tombstones" -> "true"))
+        .load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          // three consumers (retirement probe, mirror writes, index
+          // insert) — pin the batch-proportional frame once
+          val changed = df.select(col("vec_id"), col("embedding"),
+            col("_deleted")).persist()
+          val haveMirror = KvStore.exists(fwdParsed.qualifiedName)
+          if (!changed.isEmpty) {
+            if (haveMirror) {
+              // retire every touched vector's OLD entry: the changed-id
+              // set (control-sized — ids only, capped like sv14's band
+              // prefixes) compiles into In POINT-RANGES on the mirror's
+              // rowkey, so retirement reads the touched rows' point-gets,
+              // never the corpus-sized mirror (oversized batches keep the
+              // touched-rows contract via mirrorLookup's leftsemi fallback)
+              val old = mirrorLookup(s, sv18FwdCatalog, sv18AvroVec, changed)
+              old.select(cellOf(col("embedding")).as("cell"), col("vec_id"))
+                .write.format("graft-kv")
+                .options(Map("catalog" -> sv18IdxCatalog, "annVec" -> sv18AvroVec,
+                  "delete" -> "true", "timestamp" -> phaseStamp.toString))
+                .mode("append").save()
+              changed.filter(col("_deleted")).select(col("vec_id"))
+                .write.format("graft-kv")
+                .options(Map("catalog" -> sv18FwdCatalog, "annVec" -> sv18AvroVec,
+                  "delete" -> "true", "timestamp" -> phaseStamp.toString))
+                .mode("append").save()
+            }
+            // inserts land at phaseStamp + 1 — the row-level writer's
+            // deletes-at-T / puts-at-T+1 convention: an updated vector
+            // whose old and new cell COINCIDE would otherwise put at the
+            // same (key, stamp) its retirement just tombstoned
+            val ups = changed.filter(!col("_deleted"))
+              .select(col("vec_id"), col("embedding"))
+            ups.write.format("graft-kv")
+              .options(Map("catalog" -> sv18FwdCatalog, "annVec" -> sv18AvroVec,
+                "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
+                "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+              .mode("append").save()
+            // the new inverted-file entries: presplit across CELL space, so
+            // cells (and their probe slivers) spread over regions
+            ups.select(cellOf(col("embedding")).as("cell"), col("vec_id"),
+              col("embedding").as("v"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> sv18IdxCatalog, "annVec" -> sv18AvroVec,
+                "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
+                "minSplitNum" -> "0", "maxSplitNum" -> cents.length.toString))
+              .mode("append").save()
+          }
+          changed.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // fresh run every invocation
+    Seq(fwdParsed, idxParsed).foreach(p => KvStore.drop(p.qualifiedName))
+    // g0: a corrupted first generation — reversed vectors land in WRONG
+    // cells, so the later correction must re-key, not just overwrite
+    writeSrc(base.filter(col("vec_id") % 3 === 0)
+      .withColumn("embedding", reverse(col("embedding"))), ts = 1000, overwrite = true)
+    applyBatch(phaseStamp = 10)
+    // g1: second generation + the corrected first generation (re-keying)
+    writeSrc(base.filter(col("vec_id") % 3 <= 1), ts = 2000, overwrite = false)
+    applyBatch(phaseStamp = 20)
+    // ranged DELETE — tombstones retire index entries
+    val hrf = FilterCompiler.compileAll(srcParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", 30L),
+      org.apache.spark.sql.sources.LessThanOrEqual("vec_id", 90L)))
+    KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
+    applyBatch(phaseStamp = 30)
+    // g2: last generation + resurrection of the deleted range
+    writeSrc(base.filter(col("vec_id") % 3 === 2 ||
+      (col("vec_id") >= 30 && col("vec_id") <= 90)), ts = 4000, overwrite = false)
+    applyBatch(phaseStamp = 40)
+    // IVF probe over the maintained index — px13's read path, but the
+    // candidate slivers come from PUSHED key ranges on the probed cells
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("long").as("query_id"), col("embedding").as("qv"))
+    val q = queries.withColumn("cell",
+      explode(graft.functions.VectorExprs.nearestCentroids(col("qv"), cents, 4)))
+    // the probed-cell set is bounded by nlist (∝ √corpus), so it collects
+    // cheaply and compiles into In point-ranges on the index's leading key
+    // part — only the probed cells' slivers are ever scanned
+    val probedCells = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val idx = annIndexProbe(s, sv18IdxCatalog, sv18AvroVec, probedCells)
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", graft.pipeline.Similarity.cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -1047,6 +1270,7 @@ object StreamBatch {
     "sv15_stream_cdc_lakehouse"  -> (sv15StreamCdcLakehouse _),
     "sv16_stream_ohlc"           -> (sv16StreamOhlc _),
     "sv17_stream_mixture_stats"  -> (sv17StreamMixtureStats _),
+    "sv18_stream_ann_ivf"        -> (sv18StreamAnnIvf _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -879,4 +879,90 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.queries.StreamBatch
       .bandIndexLookup(spark, idxCatalog, wide).count() == 1200L)
   }
+
+  test("sv18 IVF probe scans only the probed cells' slivers, not the whole index") {
+    // an inverted-file-shaped table: 16 cells × 25 vectors = 400 entries,
+    // presplit across cell space like sv18's index writes
+    val idxCatalog = graft.queries.StreamBatch.sv18IdxCatalog
+      .replace("\"kv_ann_idx\"", "\"kv_ann_probe_test\"")
+    val avro = graft.queries.StreamBatch.sv18AvroVec
+    graft.store.KvStore.drop("default:kv_ann_probe_test")
+    import spark.implicits._
+    val entries = for (cell <- 0 until 16; v <- 0 until 25)
+      yield (cell, 1000L * cell + v, Array(cell.toFloat, v.toFloat))
+    entries.toDF("cell", "vec_id", "v").write.format("graft-kv")
+      .options(Map("catalog" -> idxCatalog, "annVec" -> avro,
+        "newtable" -> "8", "minSplitNum" -> "0", "maxSplitNum" -> "16"))
+      .mode("append").save()
+
+    // a probe touching 3 of the 16 cells
+    val df = graft.queries.StreamBatch
+      .annIndexProbe(spark, idxCatalog, avro, Array(2, 7, 13))
+    val rows = df.collect()
+    assert(rows.length == 3 * 25, s"expected 75 probe candidates, got ${rows.length}")
+    assert(rows.map(_.getAs[Int]("cell")).toSet == Set(2, 7, 13))
+
+    val scan = allPlanNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val scanned = scan.metrics("graftRowsScanned").value
+    val total = graft.store.KvStore.table("default:kv_ann_probe_test").regions
+      .map(_.rowCount.get()).sum
+    assert(total == 400L)
+    // the gate: scanned rows = the 3 probed cells' population, NOT index size
+    assert(scanned == 75L,
+      s"In-pushed IVF probe scanned $scanned of $total rows — " +
+        "the probe is not sliver-proportional")
+
+    // empty probe scans nothing; an oversized cell set falls back to the
+    // (correct) full scan
+    assert(graft.queries.StreamBatch
+      .annIndexProbe(spark, idxCatalog, avro, Array.empty).count() == 0L)
+    val wideCells =
+      (0 to graft.queries.StreamBatch.MaxPushedBandPrefixes).toArray
+    assert(graft.queries.StreamBatch
+      .annIndexProbe(spark, idxCatalog, avro, wideCells).count() == 400L)
+  }
+
+  test("sv18 mirror retirement point-reads the touched ids, not the whole mirror") {
+    // a forward-mirror-shaped table keyed by vec_id: 500 vectors
+    val catalog = graft.queries.StreamBatch.sv18FwdCatalog
+      .replace("\"kv_ann_fwd\"", "\"kv_ann_mirror_test\"")
+    val avro = graft.queries.StreamBatch.sv18AvroVec
+    graft.store.KvStore.drop("default:kv_ann_mirror_test")
+    import spark.implicits._
+    (0 until 500).map(i => (i.toLong, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "annVec" -> avro,
+        "newtable" -> "8", "minSplitNum" -> "0", "maxSplitNum" -> "500"))
+      .mode("append").save()
+
+    // a "batch" touching 4 of the 500 vectors
+    val touched = Seq(3L, 77L, 210L, 499L).toDF("vec_id")
+    val df = graft.queries.StreamBatch
+      .mirrorLookup(spark, catalog, avro, touched)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == Set(3L, 77L, 210L, 499L))
+
+    val scan = allPlanNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val scanned = scan.metrics("graftRowsScanned").value
+    val total = graft.store.KvStore.table("default:kv_ann_mirror_test").regions
+      .map(_.rowCount.get()).sum
+    assert(total == 500L)
+    assert(scanned == 4L,
+      s"retirement lookup scanned $scanned of $total mirror rows — " +
+        "retirement is not batch-proportional")
+    // empty batch reads nothing; an oversized id set keeps the
+    // touched-rows contract through the leftsemi fallback
+    assert(graft.queries.StreamBatch
+      .mirrorLookup(spark, catalog, avro,
+        spark.emptyDataset[Long].toDF("vec_id")).count() == 0L)
+    val wideIds = (0L to graft.queries.StreamBatch.MaxPushedBandPrefixes + 200L)
+      .toDF("vec_id")
+    val wide = graft.queries.StreamBatch.mirrorLookup(spark, catalog, avro, wideIds)
+    assert(wide.count() == 500L)
+    assert(wide.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0) == 499L)
+  }
 }
