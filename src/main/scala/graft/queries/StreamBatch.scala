@@ -1040,7 +1040,7 @@ object StreamBatch {
     * originals. */
   private[graft] val sv18AvroVec = """{"type":"array","items":"float"}"""
 
-  private val sv18SrcCatalog =
+  private[graft] val sv18SrcCatalog =
     """{"table":{"namespace":"default", "name":"kv_ann_src"},
       |"rowkey":"key",
       |"columns":{
@@ -1129,6 +1129,79 @@ object StreamBatch {
     * proportional to CHANGED vectors (mirror retirement point-reads only
     * the touched ids via [[mirrorLookup]] + two batch-sized writes), never
     * to index or mirror size. */
+  /** One CDC drain of ANN inverted-file maintenance — the per-batch
+    * protocol of [[sv18StreamAnnIvf]], factored out so the differential
+    * spec can drive ARBITRARY insert/update/delete sequences through the
+    * exact production path: per micro-batch, retire every touched
+    * vector's OLD index entry (old cell re-derived from the forward
+    * mirror, point-read via [[mirrorLookup]]), drop tombstoned ids from
+    * the mirror, then land the new mirror rows and `cell ‖ vec_id`
+    * entries one stamp later (the deletes-at-T / puts-at-T+1 convention:
+    * an updated vector whose old and new cell COINCIDE would otherwise
+    * put at the same (key, stamp) its retirement just tombstoned). */
+  private[graft] def maintainAnnIndex(s: SparkSession, srcCatalog: String,
+      fwdCatalog: String, idxCatalog: String, cents: Array[Array[Double]],
+      maxId: Long, ckpt: String, phaseStamp: Long): Unit = {
+    import graft.store.KvStore
+    val fwdName = graft.catalog.GraftCatalog.parse(fwdCatalog, Map.empty).qualifiedName
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      element_at(graft.functions.VectorExprs.nearestCentroids(vec, cents, 1), 1)
+    val q = s.readStream.format("graft-kv")
+      .options(Map("catalog" -> srcCatalog, "annVec" -> sv18AvroVec,
+        "tombstones" -> "true"))
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // three consumers (retirement probe, mirror writes, index
+        // insert) — pin the batch-proportional frame once
+        val changed = df.select(col("vec_id"), col("embedding"),
+          col("_deleted")).persist()
+        val haveMirror = KvStore.exists(fwdName)
+        if (!changed.isEmpty) {
+          if (haveMirror) {
+            // retire every touched vector's OLD entry: the changed-id
+            // set (control-sized — ids only, capped like sv14's band
+            // prefixes) compiles into In POINT-RANGES on the mirror's
+            // rowkey, so retirement reads the touched rows' point-gets,
+            // never the corpus-sized mirror (oversized batches keep the
+            // touched-rows contract via mirrorLookup's leftsemi fallback)
+            val old = mirrorLookup(s, fwdCatalog, sv18AvroVec, changed)
+            old.select(cellOf(col("embedding")).as("cell"), col("vec_id"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> idxCatalog, "annVec" -> sv18AvroVec,
+                "delete" -> "true", "timestamp" -> phaseStamp.toString))
+              .mode("append").save()
+            changed.filter(col("_deleted")).select(col("vec_id"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> fwdCatalog, "annVec" -> sv18AvroVec,
+                "delete" -> "true", "timestamp" -> phaseStamp.toString))
+              .mode("append").save()
+          }
+          val ups = changed.filter(!col("_deleted"))
+            .select(col("vec_id"), col("embedding"))
+          ups.write.format("graft-kv")
+            .options(Map("catalog" -> fwdCatalog, "annVec" -> sv18AvroVec,
+              "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+            .mode("append").save()
+          // the new inverted-file entries: presplit across CELL space, so
+          // cells (and their probe slivers) spread over regions
+          ups.select(cellOf(col("embedding")).as("cell"), col("vec_id"),
+            col("embedding").as("v"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> idxCatalog, "annVec" -> sv18AvroVec,
+              "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> cents.length.toString))
+            .mode("append").save()
+        }
+        changed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   def sv18StreamAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import graft.datasource.FilterCompiler
     import graft.store.KvStore
@@ -1140,8 +1213,6 @@ object StreamBatch {
     val srcParsed = graft.catalog.GraftCatalog.parse(sv18SrcCatalog, Map.empty)
     val fwdParsed = graft.catalog.GraftCatalog.parse(sv18FwdCatalog, Map.empty)
     val idxParsed = graft.catalog.GraftCatalog.parse(sv18IdxCatalog, Map.empty)
-    def cellOf(vec: org.apache.spark.sql.Column) =
-      element_at(graft.functions.VectorExprs.nearestCentroids(vec, cents, 1), 1)
     def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
       df.write.format("graft-kv")
         .options(Map("catalog" -> sv18SrcCatalog, "annVec" -> sv18AvroVec,
@@ -1149,66 +1220,9 @@ object StreamBatch {
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
     val ckpt = Files.createTempDirectory("graft-sv18-ckpt").toString
-    def applyBatch(phaseStamp: Long): Unit = {
-      val q = s.readStream.format("graft-kv")
-        .options(Map("catalog" -> sv18SrcCatalog, "annVec" -> sv18AvroVec,
-          "tombstones" -> "true"))
-        .load()
-        .writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          // three consumers (retirement probe, mirror writes, index
-          // insert) — pin the batch-proportional frame once
-          val changed = df.select(col("vec_id"), col("embedding"),
-            col("_deleted")).persist()
-          val haveMirror = KvStore.exists(fwdParsed.qualifiedName)
-          if (!changed.isEmpty) {
-            if (haveMirror) {
-              // retire every touched vector's OLD entry: the changed-id
-              // set (control-sized — ids only, capped like sv14's band
-              // prefixes) compiles into In POINT-RANGES on the mirror's
-              // rowkey, so retirement reads the touched rows' point-gets,
-              // never the corpus-sized mirror (oversized batches keep the
-              // touched-rows contract via mirrorLookup's leftsemi fallback)
-              val old = mirrorLookup(s, sv18FwdCatalog, sv18AvroVec, changed)
-              old.select(cellOf(col("embedding")).as("cell"), col("vec_id"))
-                .write.format("graft-kv")
-                .options(Map("catalog" -> sv18IdxCatalog, "annVec" -> sv18AvroVec,
-                  "delete" -> "true", "timestamp" -> phaseStamp.toString))
-                .mode("append").save()
-              changed.filter(col("_deleted")).select(col("vec_id"))
-                .write.format("graft-kv")
-                .options(Map("catalog" -> sv18FwdCatalog, "annVec" -> sv18AvroVec,
-                  "delete" -> "true", "timestamp" -> phaseStamp.toString))
-                .mode("append").save()
-            }
-            // inserts land at phaseStamp + 1 — the row-level writer's
-            // deletes-at-T / puts-at-T+1 convention: an updated vector
-            // whose old and new cell COINCIDE would otherwise put at the
-            // same (key, stamp) its retirement just tombstoned
-            val ups = changed.filter(!col("_deleted"))
-              .select(col("vec_id"), col("embedding"))
-            ups.write.format("graft-kv")
-              .options(Map("catalog" -> sv18FwdCatalog, "annVec" -> sv18AvroVec,
-                "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
-                "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
-              .mode("append").save()
-            // the new inverted-file entries: presplit across CELL space, so
-            // cells (and their probe slivers) spread over regions
-            ups.select(cellOf(col("embedding")).as("cell"), col("vec_id"),
-              col("embedding").as("v"))
-              .write.format("graft-kv")
-              .options(Map("catalog" -> sv18IdxCatalog, "annVec" -> sv18AvroVec,
-                "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
-                "minSplitNum" -> "0", "maxSplitNum" -> cents.length.toString))
-              .mode("append").save()
-          }
-          changed.unpersist()
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    def applyBatch(phaseStamp: Long): Unit =
+      maintainAnnIndex(s, sv18SrcCatalog, sv18FwdCatalog, sv18IdxCatalog,
+        cents, maxId, ckpt, phaseStamp)
     // fresh run every invocation
     Seq(fwdParsed, idxParsed).foreach(p => KvStore.drop(p.qualifiedName))
     // g0: a corrupted first generation — reversed vectors land in WRONG

@@ -965,4 +965,98 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wide.count() == 500L)
     assert(wide.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0) == 499L)
   }
+
+  test("ANN maintenance protocol: random insert/update/delete sequences equal a batch rebuild") {
+    // DIFFERENTIAL sweep of the sv18 maintenance protocol beyond its fixed
+    // fixture: drive seeded-random CDC op sequences (inserts, re-keying
+    // updates, deletes, delete+reinsert, double-update-per-window) through
+    // maintainAnnIndex, track the intended live state in a plain model,
+    // and assert the MAINTAINED inverted file + mirror equal what a batch
+    // rebuild of the model would produce — entry sets AND vector bits.
+    import graft.queries.StreamBatch
+    val suf = "difftest"
+    val srcCat = StreamBatch.sv18SrcCatalog.replace("\"kv_ann_src\"", s""""kv_ann_src_$suf"""")
+    val fwdCat = StreamBatch.sv18FwdCatalog.replace("\"kv_ann_fwd\"", s""""kv_ann_fwd_$suf"""")
+    val idxCat = StreamBatch.sv18IdxCatalog.replace("\"kv_ann_idx\"", s""""kv_ann_idx_$suf"""")
+    val avro = StreamBatch.sv18AvroVec
+    Seq(s"default:kv_ann_src_$suf", s"default:kv_ann_fwd_$suf",
+      s"default:kv_ann_idx_$suf").foreach(graft.store.KvStore.drop)
+    val rnd = new scala.util.Random(20260815L)
+    val dim = 6
+    val cents: Array[Array[Double]] =
+      Array.fill(8)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val maxId = 200L
+    def vecFor(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    import spark.implicits._
+    def writeOps(puts: Seq[(Long, Array[Float])], dels: Seq[Long], ts: Long): Unit = {
+      if (puts.nonEmpty)
+        puts.toDF("vec_id", "embedding").write.format("graft-kv")
+          .options(Map("catalog" -> srcCat, "annVec" -> avro, "newtable" -> "4",
+            "timestamp" -> ts.toString,
+            "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+          .mode("append").save()
+      if (dels.nonEmpty)
+        dels.toDF("vec_id").write.format("graft-kv")
+          .options(Map("catalog" -> srcCat, "annVec" -> avro,
+            "delete" -> "true", "timestamp" -> (ts + 1).toString))
+          .mode("append").save()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-anndiff-ckpt").toString
+    val live = scala.collection.mutable.Map.empty[Long, Array[Float]]
+    var nextId = 0L
+    (1 to 6).foreach { phase =>
+      val ts = 1000L * phase
+      // inserts: fresh ids
+      val ins = (0 until 10 + rnd.nextInt(10)).map { _ =>
+        val id = nextId; nextId += 1; (id, vecFor())
+      }
+      // updates: existing ids get NEW vectors (usually a different cell);
+      // a few get updated TWICE in the window — CDC emits latest-only
+      val updIds = rnd.shuffle(live.keys.toSeq).take(live.size / 3)
+      val upd = updIds.map(id => (id, vecFor()))
+      val doubleUpd = updIds.take(2).map(id => (id, vecFor()))
+      // deletes: existing ids not updated this phase; a couple of them
+      // reinserted in the SAME window (the re-put suppresses its marker)
+      val delIds = rnd.shuffle((live.keys.toSet -- updIds).toSeq).take(live.size / 4)
+      val reins = delIds.take(2).map(id => (id, vecFor()))
+      writeOps(ins ++ upd, delIds, ts)
+      writeOps(doubleUpd ++ reins, Seq.empty, ts + 2)
+      StreamBatch.maintainAnnIndex(spark, srcCat, fwdCat, idxCat, cents,
+        maxId, ckpt, phaseStamp = 10L + 4L * phase)
+      // model: apply the same ops (double-updates and reinserts win)
+      ins.foreach { case (id, v) => live(id) = v }
+      upd.foreach { case (id, v) => live(id) = v }
+      delIds.foreach(live.remove)
+      doubleUpd.foreach { case (id, v) => live(id) = v }
+      reins.foreach { case (id, v) => live(id) = v }
+    }
+    assert(live.nonEmpty && nextId > 60)
+    // batch rebuild of the model through the SAME assignment expression
+    val model = live.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val expected = model.select(
+        element_at(graft.functions.VectorExprs
+          .nearestCentroids(col("embedding"), cents, 1), 1).as("cell"),
+        col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector))
+      .toSet
+    val got = spark.read.format("graft-kv")
+      .options(Map("catalog" -> idxCat, "annVec" -> avro)).load()
+      .collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("v").toVector))
+      .toSet
+    assert(got == expected,
+      s"maintained inverted file diverged from batch rebuild: " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the forward mirror must equal the live set too (it feeds retirement)
+    val mirror = spark.read.format("graft-kv")
+      .options(Map("catalog" -> fwdCat, "annVec" -> avro)).load()
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toVector))
+      .toSet
+    assert(mirror == live.map { case (id, v) => (id, v.toVector) }.toSet)
+  }
 }
