@@ -793,12 +793,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     case _ => p +: p.children.flatMap(allPlanNodes)
   }
 
-  test("CDC protocols (sv12/sv14) never round-trip data through the driver") {
+  test("CDC protocols (sv12/sv14/sv18) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
-    // sv12/sv14 pipelines (stream + foreachBatch jobs included) must return
-    // a result far below data scale — the only driver round-trips allowed
-    // are control-sized (offsets, counts, the batch's band-prefix set).
+    // sv12/sv14/sv18 pipelines (stream + foreachBatch jobs included) must
+    // return a result far below data scale — the only driver round-trips
+    // allowed are control-sized (offsets, counts, the batch's band-prefix
+    // set, sv18's capped changed-id and probed-cell sets).
     val maxResult = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -812,6 +813,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queries("sv12_stream_cdc_index")(spark, sfDir).count() > 0)
       assert(graft.queries.StreamBatch
         .queries("sv14_stream_incr_neardup")(spark, sfDir).count() > 0)
+      assert(graft.queries.StreamBatch
+        .queries("sv18_stream_ann_ivf")(spark, sfDir).count() > 0)
       // listener events are async; wait for the counter to go quiet
       var last = -1L; var spins = 0
       while (maxResult.get() != last && spins < 20) {
@@ -1058,5 +1061,88 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[scala.collection.Seq[Float]]("embedding").toVector))
       .toSet
     assert(mirror == live.map { case (id, v) => (id, v.toVector) }.toSet)
+  }
+
+  test("ANN maintenance survives a store crash-restart via WAL replay mid-sequence") {
+    // INTEGRATION of the two recovery layers under the maintenance
+    // protocol: the streaming checkpoint (file-backed) and the store's WAL
+    // must agree after a crash — replay reconstructs the source table, the
+    // forward mirror, the inverted file AND the per-region maxStamp marks
+    // the checkpointed CDC offsets point into, so maintenance resumed on
+    // the rebuilt store neither re-applies history nor loses the mirror
+    // state its retirement step depends on.
+    import graft.queries.StreamBatch
+    val suf = "waltest"
+    val srcCat = StreamBatch.sv18SrcCatalog.replace("\"kv_ann_src\"", s""""kv_ann_src_$suf"""")
+    val fwdCat = StreamBatch.sv18FwdCatalog.replace("\"kv_ann_fwd\"", s""""kv_ann_fwd_$suf"""")
+    val idxCat = StreamBatch.sv18IdxCatalog.replace("\"kv_ann_idx\"", s""""kv_ann_idx_$suf"""")
+    val avro = StreamBatch.sv18AvroVec
+    Seq(s"default:kv_ann_src_$suf", s"default:kv_ann_fwd_$suf",
+      s"default:kv_ann_idx_$suf").foreach(KvStore.drop)
+    val dim = 4
+    val cents: Array[Array[Double]] = Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    // unit-basis centroids: a vector's cell is just its argmax axis
+    def axisVec(axis: Int, mag: Float): Array[Float] = {
+      val v = Array.fill(dim)(0.1f); v(axis) = mag; v
+    }
+    import spark.implicits._
+    def put(rows: Seq[(Long, Array[Float])], ts: Long): Unit =
+      rows.toDF("vec_id", "embedding").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "annVec" -> avro, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save()
+    def del(ids: Seq[Long], ts: Long): Unit =
+      ids.toDF("vec_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "annVec" -> avro,
+          "delete" -> "true", "timestamp" -> ts.toString))
+        .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-annwal-ckpt").toString
+    val walDir = Files.createTempDirectory("graft-annwal-log")
+    KvStore.enableWal(walDir)
+    try {
+      // phase 1: ids 0..9 on axis id%4
+      put((0L to 9L).map(i => (i, axisVec((i % 4).toInt, 1.0f))), ts = 1000)
+      StreamBatch.maintainAnnIndex(spark, srcCat, fwdCat, idxCat, cents,
+        maxId = 100L, ckpt, phaseStamp = 10)
+      // phase 2: ids 0..3 MOVE to axis (id+1)%4 (re-keying); ids 8..9 deleted
+      put((0L to 3L).map(i => (i, axisVec(((i + 1) % 4).toInt, 1.0f))), ts = 2000)
+      del(Seq(8L, 9L), ts = 2001)
+      StreamBatch.maintainAnnIndex(spark, srcCat, fwdCat, idxCat, cents,
+        maxId = 100L, ckpt, phaseStamp = 20)
+
+      // CRASH: rebuild the whole store (src + mirror + index + offsets'
+      // maxStamp marks) from the log; the checkpoint dir survives as-is
+      KvStore.disableWal()
+      KvStore.replayWal(walDir)
+
+      // phase 3 on the REBUILT store: id 0 moves again, id 8 resurrects,
+      // id 4 deleted — retirement must read the replayed mirror correctly
+      put(Seq((0L, axisVec(3, 1.0f)), (8L, axisVec(2, 1.0f))), ts = 3000)
+      del(Seq(4L), ts = 3001)
+      StreamBatch.maintainAnnIndex(spark, srcCat, fwdCat, idxCat, cents,
+        maxId = 100L, ckpt, phaseStamp = 30)
+
+      // expected live state after all three phases
+      val live: Map[Long, Int] = Map(
+        0L -> 3, 1L -> 2, 2L -> 3, 3L -> 0, // moved in phase 2 (0 again in 3)
+        5L -> 1, 6L -> 2, 7L -> 3,          // untouched since phase 1
+        8L -> 2)                            // deleted, then resurrected
+      val got = spark.read.format("graft-kv")
+        .options(Map("catalog" -> idxCat, "annVec" -> avro)).load()
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      assert(got.length == live.size,
+        s"index has ${got.length} entries, expected ${live.size}: ${got.sortBy(_._1).mkString(",")}")
+      assert(got.toMap == live)
+      val mirrorIds = spark.read.format("graft-kv")
+        .options(Map("catalog" -> fwdCat, "annVec" -> avro)).load()
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(mirrorIds == live.keySet)
+    } finally {
+      KvStore.disableWal()
+      Seq(s"default:kv_ann_src_$suf", s"default:kv_ann_fwd_$suf",
+        s"default:kv_ann_idx_$suf").foreach(KvStore.drop)
+    }
   }
 }
