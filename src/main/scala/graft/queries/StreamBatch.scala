@@ -1207,7 +1207,13 @@ object StreamBatch {
     import graft.store.KvStore
     import org.apache.spark.sql.expressions.Window
     val cents = Pipeline.ivfCentroidsFor(s, dir)
+    // a NULL vec_id cannot key the store and a NULL vector cannot be
+    // assigned a cell — px13's read path drops both through its expression
+    // null semantics, so excluding them up front keeps the streamed corpus
+    // equal to the corpus the shared oracle sees (and keeps the row-key
+    // writer from a hard null-key error on a hostile fixture)
     val base = Tables.embeddings(s, dir)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
     val srcParsed = graft.catalog.GraftCatalog.parse(sv18SrcCatalog, Map.empty)
