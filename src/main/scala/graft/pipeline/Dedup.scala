@@ -584,6 +584,65 @@ object Dedup {
       .withColumn("keep", col("dup_frac_micro") <= keepBelowMicro)
   }
 
+  /** EXACT-SUBSTRING duplicate-SPAN extraction — the removal half of
+    * cross-document dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": train on corpora with long shared
+    * substrings CUT, not just whole near-dup docs dropped). Where
+    * [[dupNgramFraction]] scores HOW duplicated a document is, this emits
+    * the actual spans a clip pass would remove: for every document, the
+    * MAXIMAL token intervals covered by `n`-grams that also occur in at
+    * least one OTHER document. Overlapping or token-adjacent duplicated
+    * grams merge into one span (a run of shared text is one cut, not a
+    * per-gram confetti of cuts).
+    *
+    * Output: one row per span — (doc_id, span_start, span_end,
+    * span_tokens), 1-based inclusive token offsets, ordered by
+    * (doc_id, span_start). Documents with no cross-doc n-gram emit no rows.
+    *
+    * Shape at 100 TB — the paper's suffix array wants one global sorted
+    * order with random access, which a shared-nothing engine can't hold;
+    * the shuffle-native equivalent is position-carrying n-gram inversion:
+    *  1. (doc, pos, gram) occurrences: map-only explode, linear in tokens;
+    *  2. cross-doc grams: map-combined distinct on (gram, doc) then ONE
+    *     gram-keyed aggregate filtered to docFreq ≥ 2;
+    *  3. positions of duplicated grams: join back on the gram key — both
+    *     sides are already hash-partitioned by gram so the join reuses the
+    *     partitioning, and a boilerplate gram with 10⁷ occurrences is a
+    *     skewed JOIN key (AQE skew-split applies), never a single-task agg;
+    *  4. gaps-and-islands merge per doc: running max of span ends over a
+    *     doc-partitioned window — state is doc-bounded, never global.
+    * As with [[dupNgramFraction]], production would key step 2-3 by
+    * xxhash64(gram); exact strings here keep the oracle bit-replayable. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val occ = toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i, lit(n))).as("gram")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dupGrams = occ.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("gram"))
+    val dupPos = occ.join(dupGrams, Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("prev_end", max(col("pos") + (n - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (n - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
   /** Benchmark decontamination: for every training document, the eval-set
     * documents it shares ≥ `minShared` distinct word `n`-grams with — the
     * standard n-gram-overlap contamination check run before training (GPT-3

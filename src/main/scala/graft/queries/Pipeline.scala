@@ -1798,6 +1798,44 @@ object Pipeline {
       |       ELSE 'test' END AS split
       |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** px55: exact-substring duplicate-span extraction ([[Dedup.dupSpans]])
+    * — the Lee et al. 2022 ExactSubstr removal operator: maximal token
+    * spans covered by cross-document 5-grams, i.e. what a clip pass would
+    * cut, where px40 only scores how much there is to cut. */
+  def px55DupSpans(s: SparkSession, dir: String): DataFrame = {
+    Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val px55Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |o AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      |          i -> {'pos': i,
+      |                'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                        || ' ' || toks[i+3] || ' ' || toks[i+4]})) AS pg
+      |      FROM t WHERE len(toks) >= 5),
+      |occ AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM o),
+      |dg AS (SELECT gram FROM occ GROUP BY gram
+      |       HAVING count(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, pos FROM occ JOIN dg USING (gram)),
+      |m AS (SELECT doc_id, pos,
+      |        max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM dp),
+      |b AS (SELECT doc_id, pos,
+      |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM m),
+      |i AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |      FROM b)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+      |  CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
+      |FROM i GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1853,6 +1891,7 @@ object Pipeline {
     "px52_nextfit_pack"       -> (px52NextFitPack _),
     "px53_contam_report"      -> (px53ContamReport _),
     "px54_leakfree_split"     -> (px54LeakFreeSplit _),
+    "px55_dup_spans"          -> (px55DupSpans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1907,6 +1946,7 @@ object Pipeline {
     "px52_nextfit_pack"       -> px52Sql,
     "px53_contam_report"      -> px53Sql,
     "px54_leakfree_split"     -> px54Sql,
+    "px55_dup_spans"          -> px55Sql,
     // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
     // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
   )

@@ -1272,6 +1272,175 @@ object StreamBatch {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private val sv19SrcCatalog =
+    """{"table":{"namespace":"default", "name":"kv_ctm_src"},
+      |"rowkey":"key",
+      |"columns":{
+      |"doc_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"text":{"cf":"f", "col":"t", "type":"string"}}}""".stripMargin
+
+  /** Contamination-pairs mirror, keyed `train_id ‖ eval_id` — a train
+    * doc's pairs are ONE contiguous key sliver, so per-batch retirement
+    * compiles the changed-id set into leading-key-part ranges and reads
+    * exactly the touched slivers, never the mirror. */
+  private[graft] val sv19MirCatalog =
+    """{"table":{"namespace":"default", "name":"kv_ctm_mirror"},
+      |"rowkey":"tid:eid",
+      |"columns":{
+      |"train_id":{"cf":"rowkey", "col":"tid", "type":"bigint"},
+      |"eval_id":{"cf":"rowkey", "col":"eid", "type":"bigint"},
+      |"n_shared":{"cf":"f", "col":"n", "type":"bigint"}}}""".stripMargin
+
+  /** sv19: STREAMING DECONTAMINATION over CDC — the continuous-ingestion
+    * twin of px17: as crawl batches land (and get corrected or retracted),
+    * a contamination-pairs mirror `(train_id ‖ eval_id) → n_shared` stays
+    * current against a STATIC eval/benchmark set, so "is this doc
+    * benchmark-contaminated?" is a point lookup at admission time instead
+    * of a corpus-wide recheck before every training run.
+    *
+    * Per micro-batch the work is CHANGED-DOC-proportional, never
+    * corpus-proportional:
+    *  1. retire: the batch's doc ids compile into leading-key-part ranges
+    *     on the mirror (each train doc's pairs are one contiguous sliver —
+    *     see [[sv19MirCatalog]]); the touched pairs die through the
+    *     delete-mode writer (oversized batches keep the touched-rows
+    *     contract via a broadcast leftsemi, the [[mirrorLookup]] shape);
+    *  2. recompute: [[graft.pipeline.Dedup.contamination]] runs batch ×
+    *     eval — the eval gram frame is STATIC, computed once and persisted
+    *     outside the stream, so each batch pays only its own explode;
+    *  3. upsert the fresh pairs one stamp later (the deletes-at-T /
+    *     puts-at-T+1 convention: an updated doc that KEEPS a contamination
+    *     pair re-puts the very key its retirement just tombstoned).
+    *
+    * Source phases: full train corpus; a ranged DELETE (docs 100-199 —
+    * their pairs must vanish); a final wave with resurrections (even ids
+    * of the deleted range), an append-marker update (`zzznewterm` — every
+    * new n-gram contains the marker token, so provably contamination-
+    * neutral: the mirror machinery must churn without the answer moving),
+    * and a quarantine wave (text replaced entirely — those docs' pairs
+    * must vanish without a tombstone). The final answer reads the mirror;
+    * the oracle is px17's SQL over the corpus's FINAL state. */
+  def sv19StreamDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val train = base.filter(col("doc_id") % 10 =!= 0)
+    val evalDocs = base.filter(col("doc_id") % 10 === 0).persist()
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    val srcParsed = graft.catalog.GraftCatalog.parse(sv19SrcCatalog, Map.empty)
+    val mirParsed = graft.catalog.GraftCatalog.parse(sv19MirCatalog, Map.empty)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv19SrcCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val ckpt = Files.createTempDirectory("graft-sv19-ckpt").toString
+    def applyBatch(phaseStamp: Long): Unit = {
+      val q = s.readStream.format("graft-kv")
+        .option("catalog", sv19SrcCatalog).option("tombstones", "true").load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val changed = df.select(col("doc_id"), col("text"), col("_deleted"))
+            .persist()
+          if (!changed.isEmpty) {
+            if (KvStore.exists(mirParsed.qualifiedName)) {
+              // 1. retire the touched docs' OLD pairs: changed ids → In
+              //    ranges on the LEADING key part (capped, leftsemi
+              //    fallback past the cap) — batch-sized point slivers
+              val mirror = s.read.format("graft-kv")
+                .option("catalog", sv19MirCatalog).load()
+              val ids = changed.select(col("doc_id")).distinct()
+                .limit(MaxPushedBandPrefixes + 1).collect().map(_.getLong(0))
+              val oldPairs =
+                if (ids.length > MaxPushedBandPrefixes)
+                  mirror.join(broadcast(changed.select(
+                    col("doc_id").as("train_id")).distinct()),
+                    Seq("train_id"), "leftsemi")
+                else mirror.filter(col("train_id").isInCollection(ids.toSeq))
+              oldPairs.select(col("train_id"), col("eval_id"))
+                .write.format("graft-kv")
+                .options(Map("catalog" -> sv19MirCatalog, "delete" -> "true",
+                  "timestamp" -> phaseStamp.toString))
+                .mode("append").save()
+            }
+            // 2. fresh pairs for the upserted docs, against the static
+            //    eval set — batch × eval, never corpus × eval
+            val ups = changed.filter(!col("_deleted"))
+              .select(col("doc_id"), col("text"))
+            graft.pipeline.Dedup.contamination(ups, evalDocs,
+              "doc_id", "text", n = 5, minShared = 1)
+              .write.format("graft-kv")
+              .options(Map("catalog" -> sv19MirCatalog, "newtable" -> "4",
+                "timestamp" -> (phaseStamp + 1).toString,
+                "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+              .mode("append").save()
+          }
+          changed.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // fresh run every invocation
+    KvStore.drop(mirParsed.qualifiedName)
+    writeSrc(train, ts = 1000, overwrite = true)
+    applyBatch(phaseStamp = 10)
+    val hrf = FilterCompiler.compileAll(srcParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
+      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 199L)))
+    KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 2000)
+    applyBatch(phaseStamp = 20)
+    val inDel = col("doc_id").between(100, 199)
+    writeSrc(
+      train.filter(inDel && col("doc_id") % 2 === 0)
+        .unionAll(train.filter(!inDel && col("doc_id") % 9 === 0)
+          .withColumn("text", concat(col("text"), lit(" zzznewterm"))))
+        .unionAll(train.filter(!inDel && col("doc_id") % 9 =!= 0 &&
+            col("doc_id") % 50 === 7)
+          .withColumn("text", lit("quarantine removed"))),
+      ts = 3000, overwrite = false)
+    applyBatch(phaseStamp = 30)
+    s.read.format("graft-kv").option("catalog", sv19MirCatalog).load()
+      .select(col("train_id"), col("eval_id"), col("n_shared"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** px17 over the corpus's FINAL state (resurrected evens of the deleted
+    * range; append-marker and quarantine waves applied outside it). */
+  val sv19Sql: String =
+    """WITH final AS (
+      |  SELECT doc_id, CASE
+      |      WHEN doc_id NOT BETWEEN 100 AND 199 AND doc_id % 9 = 0
+      |        THEN text || ' zzznewterm'
+      |      WHEN doc_id NOT BETWEEN 100 AND 199 AND doc_id % 50 = 7
+      |        THEN 'quarantine removed'
+      |      ELSE text END AS text
+      |  FROM documents
+      |  WHERE doc_id % 10 <> 0
+      |    AND (doc_id NOT BETWEEN 100 AND 199 OR doc_id % 2 = 0)),
+      |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |ta AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM final),
+      |tb AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM ev),
+      |ga AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+      |        ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |               toks[i+3] || ' ' || toks[i+4])) END AS gs
+      |      FROM ta),
+      |gb AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+      |        ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |               toks[i+3] || ' ' || toks[i+4])) END AS gs
+      |      FROM tb),
+      |ua AS (SELECT doc_id, unnest(gs) AS ngram FROM ga),
+      |ub AS (SELECT doc_id, unnest(gs) AS ngram FROM gb)
+      |SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS n_shared
+      |FROM ua a JOIN ub b ON a.ngram = b.ngram
+      |GROUP BY 1, 2 HAVING count(*) >= 1
+      |ORDER BY train_id, eval_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -1291,6 +1460,7 @@ object StreamBatch {
     "sv16_stream_ohlc"           -> (sv16StreamOhlc _),
     "sv17_stream_mixture_stats"  -> (sv17StreamMixtureStats _),
     "sv18_stream_ann_ivf"        -> (sv18StreamAnnIvf _),
+    "sv19_stream_decontam"       -> (sv19StreamDecontam _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1311,5 +1481,6 @@ object StreamBatch {
     "sv15_stream_cdc_lakehouse"  -> sv15Sql,
     "sv16_stream_ohlc"           -> sv16Sql,
     "sv17_stream_mixture_stats"  -> sv17Sql,
+    "sv19_stream_decontam"       -> sv19Sql,
   )
 }

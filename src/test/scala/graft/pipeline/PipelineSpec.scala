@@ -87,6 +87,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs((1L, 5L)) == 0)
   }
 
+  test("Dedup.dupSpans: overlapping and adjacent cross-doc grams merge to maximal spans") {
+    val d = Seq(
+      Doc(1, "a b c d e f g h", "en"),      // shares [1,4] with 2, [6,8] with 3
+      Doc(2, "a b c d x y z w q", "en"),    // "a b c"(1), "b c d"(2) -> one span
+      Doc(3, "f g h p q r s t", "en"),      // "f g h"(1)
+      Doc(4, "u v w j k l", "en"),          // grams at 1 and 4: ADJACENT -> merge
+      Doc(5, "u v w z z1 z2 j k l", "en")   // grams at 1 and 7: gap -> two spans
+    ).toDF()
+    val spans = Dedup.dupSpans(d, "doc_id", "text", n = 3)
+      .orderBy($"doc_id", $"span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 1L, 4L, 4L), (1L, 6L, 8L, 3L),
+      (2L, 1L, 4L, 4L),
+      (3L, 1L, 3L, 3L),
+      (4L, 1L, 6L, 6L),                     // [1,3] and [4,6] touch: one cut
+      (5L, 1L, 3L, 3L), (5L, 7L, 9L, 3L)))
+  }
+
   lazy val vecs = Seq(
     Vec(0, Seq(1f, 0f, 0f, 0f)),
     Vec(1, Seq(0f, 1f, 0f, 0f)),   // orthogonal to 0

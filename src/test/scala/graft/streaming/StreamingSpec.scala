@@ -793,13 +793,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     case _ => p +: p.children.flatMap(allPlanNodes)
   }
 
-  test("CDC protocols (sv12/sv14/sv18) never round-trip data through the driver") {
+  test("CDC protocols (sv12/sv14/sv18/sv19) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
-    // sv12/sv14/sv18 pipelines (stream + foreachBatch jobs included) must
-    // return a result far below data scale — the only driver round-trips
-    // allowed are control-sized (offsets, counts, the batch's band-prefix
-    // set, sv18's capped changed-id and probed-cell sets).
+    // sv12/sv14/sv18/sv19 pipelines (stream + foreachBatch jobs included)
+    // must return a result far below data scale — the only driver
+    // round-trips allowed are control-sized (offsets, counts, the batch's
+    // band-prefix set, sv18/sv19's capped changed-id and probed-cell sets).
     val maxResult = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -815,6 +815,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queries("sv14_stream_incr_neardup")(spark, sfDir).count() > 0)
       assert(graft.queries.StreamBatch
         .queries("sv18_stream_ann_ivf")(spark, sfDir).count() > 0)
+      assert(graft.queries.StreamBatch
+        .queries("sv19_stream_decontam")(spark, sfDir).count() > 0)
       // listener events are async; wait for the counter to go quiet
       var last = -1L; var spins = 0
       while (maxResult.get() != last && spins < 20) {
@@ -925,6 +927,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 to graft.queries.StreamBatch.MaxPushedBandPrefixes).toArray
     assert(graft.queries.StreamBatch
       .annIndexProbe(spark, idxCatalog, avro, wideCells).count() == 400L)
+  }
+
+  test("sv19 retirement reads only the touched train docs' pair slivers") {
+    // a contamination-mirror-shaped table: composite key train_id ‖
+    // eval_id, 50 train docs × 10 pairs each = 500 entries. The retirement
+    // read filters In on the LEADING key part only — the gate is that the
+    // composite-key compiler turns that into per-doc prefix slivers.
+    val catalog = graft.queries.StreamBatch.sv19MirCatalog
+      .replace("\"kv_ctm_mirror\"", "\"kv_ctm_mirror_test\"")
+    graft.store.KvStore.drop("default:kv_ctm_mirror_test")
+    import spark.implicits._
+    val entries = for (t <- 0 until 50; e <- 0 until 10)
+      yield (t.toLong, e.toLong * 10, 3L)
+    entries.toDF("train_id", "eval_id", "n_shared").write.format("graft-kv")
+      .options(Map("catalog" -> catalog, "newtable" -> "8",
+        "minSplitNum" -> "0", "maxSplitNum" -> "50"))
+      .mode("append").save()
+
+    // a "batch" touching 3 of the 50 train docs
+    val df = spark.read.format("graft-kv").option("catalog", catalog).load()
+      .filter(col("train_id").isInCollection(Seq(3L, 17L, 42L)))
+    val rows = df.collect()
+    assert(rows.length == 30, s"expected 30 pair rows, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("train_id")).toSet == Set(3L, 17L, 42L))
+
+    val scan = allPlanNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val scanned = scan.metrics("graftRowsScanned").value
+    val total = graft.store.KvStore.table("default:kv_ctm_mirror_test").regions
+      .map(_.rowCount.get()).sum
+    assert(total == 500L)
+    assert(scanned == 30L,
+      s"retirement read scanned $scanned of $total mirror rows — " +
+        "leading-key-part In is not compiling to prefix slivers")
   }
 
   test("sv18 mirror retirement point-reads the touched ids, not the whole mirror") {
