@@ -275,6 +275,75 @@ object Similarity {
   def l2Norm(vec: Column): Column =
     sqrt(aggregate(vec.cast("array<double>"), lit(0.0), (acc, x) => acc + x * x))
 
+  /** Train PRODUCT-QUANTIZATION codebooks (Jégou et al. 2011): the vector
+    * splits into `m` contiguous subspaces of `dim/m` dims, each with its
+    * own `k`-centroid quantizer (one [[ivfCentroids]] run over the sliced
+    * corpus — same hash-spread seeding and Lloyd refinement). A vector
+    * then stores as `m` small codes (m bytes at k ≤ 256) instead of
+    * `4·dim` bytes — the 32× compression that keeps a 100 TB embedding
+    * corpus's ANN structure memory-resident, where [[quantizeInt8]] only
+    * buys 4×. Returns `m` matrices of `k × dim/m`. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dim: Int, iters: Int = 5): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0,
+      s"PQ needs dim divisible by m, got dim=$dim m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      ivfCentroids(corpus.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as("sv")), idCol, "sv", k, iters)
+    }.toArray
+  }
+
+  /** PQ codes of a vector column: per subspace, the nearest codebook
+    * centroid (cosine, ties to the lowest cell — the [[ivfCentroids]]
+    * assignment rule). Map-only against broadcast codebooks. */
+  def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val sub = books(0)(0).length
+    array(books.indices.map { j =>
+      element_at(graft.functions.VectorExprs.nearestCentroids(
+        slice(vec, j * sub + 1, sub), books(j), 1), 1)
+    }: _*)
+  }
+
+  /** PQ reconstruction: the concatenation of each subspace's chosen
+    * centroid — the decompressed stand-in a PQ search scores against.
+    * Pure projection over broadcast codebook literals. */
+  def pqReconstruct(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val sub = books(0)(0).length
+    concat(books.indices.map { j =>
+      val code = element_at(graft.functions.VectorExprs.nearestCentroids(
+        slice(vec, j * sub + 1, sub), books(j), 1), 1)
+      element_at(typedLit(books(j).map(_.toSeq).toSeq), code + 1)
+    }: _*)
+  }
+
+  /** PQ ANN top-k with PRE-TRAINED codebooks: every corpus vector scores
+    * through its RECONSTRUCTION (asymmetric distance — the query side
+    * stays exact, only the corpus side is quantized), so the scan reads
+    * the m-byte codes' worth of information, never the full vectors. Same
+    * single-corpus-pass shape as [[bruteForceTopK]]; at production scale
+    * the scan input would be the materialized code table (m bytes/vector)
+    * with reconstruction as a map over broadcast codebooks, and
+    * [[ivfTopKWithCentroids]]'s cell probing composes in front to cut the
+    * scan itself (IVF-PQ). Codebooks are passed pre-trained so an external
+    * oracle can embed bit-identical literals ([[ivfTopKWithCentroids]]'s
+    * contract). */
+  def pqTopKWithCodebooks(books: Array[Array[Array[Double]]],
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      pqReconstruct(col(vecCol), books).as("rv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("rv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold.
     *
     * The default (scale) path is BANDED sign-LSH blocking: each vector gets

@@ -401,6 +401,7 @@ object Pipeline {
     Map("px13_ann_ivf" -> ivfSql,
       "px37_semantic_dedup" -> px37Sql(s, dir),
       "px46_cluster_sample" -> px46Sql(s, dir),
+      "px56_pq_ann" -> px56Sql(s, dir),
       // the CDC-maintained IVF index must converge to the BATCH IVF answer
       // (same memoized centroids, same probe parameters) — the streaming
       // query's whole contract is that its oracle IS px13's, so both keys
@@ -1836,6 +1837,65 @@ object Pipeline {
       |FROM i GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** px56's codebooks, memoized per dataset dir like [[ivfCentroidsFor]]
+    * so the query and its dynamically-rendered oracle share ONE training
+    * run (m=8 subspaces × k=16 centroids over the corpus dim). */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  def pqCodebooksFor(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(dir, d => {
+      val e = Tables.embeddings(s, d)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, k = 16, dim = dim)
+    })
+
+  /** px56: product-quantization ANN ([[Similarity.pqTopKWithCodebooks]]) —
+    * asymmetric search over PQ-compressed vectors (m=8 byte codes per
+    * vector, 32× smaller than float32): exact queries score against each
+    * corpus vector's codebook reconstruction. Oracle-checked end to end
+    * like px13: the 8 × 16 × dim/8 codebook tensor embeds into dynamic SQL
+    * as double literals, and DuckDB recomputes subspace assignment,
+    * reconstruction, and the cosine rerank bit-for-bit. */
+  def px56PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopKWithCodebooks(pqCodebooksFor(s, dir),
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def px56Sql(s: SparkSession, dir: String): String = {
+    val books = pqCodebooksFor(s, dir)
+    val sub = books(0)(0).length
+    val values = books.zipWithIndex.flatMap { case (b, j) =>
+      b.zipWithIndex.map { case (c, i) =>
+        s"($j, $i, [${c.map(dlit).mkString(", ")}])"
+      }
+    }.mkString(",\n")
+    s"""WITH books AS (SELECT * FROM (VALUES
+       |$values) AS t(sub, cell, cv)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (SELECT unnest(range(0, ${books.length})) AS sub),
+       |sv AS (SELECT e.vec_id, s.sub, e.v[s.sub*$sub+1 : s.sub*$sub+$sub] AS x
+       |       FROM e CROSS JOIN subs s),
+       |asg AS (SELECT vec_id, sub, cell FROM (
+       |    SELECT s.vec_id, s.sub, b.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY list_cosine_similarity(s.x, b.cv) DESC, b.cell ASC) AS rn
+       |    FROM sv s JOIN books b ON b.sub = s.sub) t WHERE rn = 1),
+       |recon AS (SELECT a.vec_id, flatten(list(b.cv ORDER BY a.sub)) AS rv
+       |          FROM asg a JOIN books b ON b.sub = a.sub AND b.cell = a.cell
+       |          GROUP BY a.vec_id)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.v, r.rv) AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.v, r.rv) DESC, r.vec_id ASC) AS rank
+       |  FROM e q CROSS JOIN recon r
+       |  WHERE q.vec_id < 10 AND q.vec_id <> r.vec_id) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -1892,6 +1952,7 @@ object Pipeline {
     "px53_contam_report"      -> (px53ContamReport _),
     "px54_leakfree_split"     -> (px54LeakFreeSplit _),
     "px55_dup_spans"          -> (px55DupSpans _),
+    "px56_pq_ann"             -> (px56PqAnn _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -1403,6 +1403,7 @@ object StreamBatch {
           .withColumn("text", lit("quarantine removed"))),
       ts = 3000, overwrite = false)
     applyBatch(phaseStamp = 30)
+    evalDocs.unpersist()
     s.read.format("graft-kv").option("catalog", sv19MirCatalog).load()
       .select(col("train_id"), col("eval_id"), col("n_shared"))
       .orderBy(col("train_id"), col("eval_id"))

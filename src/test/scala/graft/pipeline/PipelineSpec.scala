@@ -106,6 +106,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 1L, 3L, 3L), (5L, 7L, 9L, 3L)))
   }
 
+  test("Similarity PQ: codebook shape, code bounds, exact reconstruction, ranked search") {
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 40L)
+      .map(i => Vec(i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF()
+    val books = Similarity.pqCodebooks(data, "vec_id", "embedding", m = 4, k = 4, dim = 8)
+    assert(books.length == 4 &&
+      books.forall(b => b.length == 4 && b.forall(_.length == 2)))
+    val rec = data.select($"vec_id",
+      Similarity.pqCodes($"embedding", books).as("c"),
+      Similarity.pqReconstruct($"embedding", books).as("r")).collect()
+    rec.foreach { row =>
+      val cs = row.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 4))
+      // reconstruction IS the coded centroids, bit-for-bit
+      val expect = cs.zipWithIndex.flatMap { case (c, j) => books(j)(c).toSeq }
+      assert(row.getSeq[Double](2) == expect)
+    }
+    val top = Similarity.pqTopKWithCodebooks(books,
+      data.filter($"vec_id" < 3), data, "vec_id", "embedding", k = 5).collect()
+    val byQ = top.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L) && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2)
+        case _ => true
+      })
+      assert(rows.forall(_.getLong(1) != rows.head.getLong(0))) // no self-match
+    }
+  }
+
   lazy val vecs = Seq(
     Vec(0, Seq(1f, 0f, 0f, 0f)),
     Vec(1, Seq(0f, 1f, 0f, 0f)),   // orthogonal to 0
