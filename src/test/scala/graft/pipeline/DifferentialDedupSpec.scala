@@ -233,4 +233,40 @@ class DifferentialDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         (expected.toSet -- got.toSet).take(3)} / ${(got.toSet -- expected.toSet).take(3)}")
     }
   }
+
+  /** Brute-force maximal duplicated-span merge (mirrors [[Dedup.dupSpans]]
+    * semantics: cross-doc n-grams, overlap-or-adjacent intervals merge). */
+  private def refDupSpans(docs: Seq[(Long, String)], n: Int): Seq[(Long, Long, Long, Long)] = {
+    val occ = docs.flatMap { case (id, t) =>
+      val tk = t.trim.split("\\s+").toSeq
+      if (tk.size >= n) (0 to tk.size - n).map(i => (id, i + 1, tk.slice(i, i + n).mkString(" ")))
+      else Nil
+    }
+    val dupG = occ.map(o => (o._3, o._1)).distinct.groupBy(_._1)
+      .collect { case (g, xs) if xs.size >= 2 => g }.toSet
+    occ.filter(o => dupG(o._3)).groupBy(_._1).toSeq.flatMap { case (id, os) =>
+      var spans = List.empty[(Int, Int)]
+      os.map(_._2).sorted.foreach { p =>
+        spans match {
+          case (s, e) :: rest if p <= e + 1 =>
+            spans = (s, math.max(e, p + n - 1)) :: rest
+          case _ => spans = (p, p + n - 1) :: spans
+        }
+      }
+      spans.reverse.map { case (s, e) => (id, s.toLong, e.toLong, (e - s + 1).toLong) }
+    }.sortBy(x => (x._1, x._2))
+  }
+
+  test("dupSpans == brute-force span merge on random corpora (n=5 and the denser n=3)") {
+    for (seed <- 1 to 6; n <- Seq(3, 5)) {
+      val docs = corpus(seed)
+      val expected = refDupSpans(docs, n)
+      val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .orderBy($"doc_id", $"span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expected, s"seed=$seed n=$n diff=${
+        (expected.toSet -- got.toSet).take(3)} / ${(got.toSet -- expected.toSet).take(3)}")
+      assert(expected.nonEmpty, s"seed=$seed n=$n produced no spans — fixture too weak")
+    }
+  }
 }
