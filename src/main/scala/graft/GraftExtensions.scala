@@ -27,9 +27,10 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
-    // distributed index consult (OFF unless spark.graft.index.semiJoin
-    // .enabled): PreCBO = runs once, after filters settle onto relations,
-    // before join reordering — see [[graft.plans.IndexSemiJoin]]
+    // distributed index consult (ON by default; opt out with
+    // spark.graft.index.semiJoin.enabled=false): PreCBO = runs once, after
+    // filters settle onto relations, before join reordering — see
+    // [[graft.plans.IndexSemiJoin]]
     ext.injectPreCBORule(_ => graft.plans.IndexSemiJoin)
   }
 }

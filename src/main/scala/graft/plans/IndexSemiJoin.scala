@@ -53,8 +53,14 @@ import graft.store.KvStore
   * counters): rewrite only when the estimated match upper bound exceeds
   * the consult cap (below it, the plan-time consult is strictly better —
   * point gets with zero join machinery) and stays under `maxKeys`
-  * (above it, the predicate is unselective and the full scan wins).
-  * OFF by default; enable with `spark.graft.index.semiJoin.enabled=true`.
+  * (above it, the predicate is unselective and the full scan wins). With
+  * the consult's own gate this is one automatic THREE-WAY policy, no conf
+  * required: estimate ≤ `indexLookupCap` → plan-time point gets;
+  * cap < estimate ≤ `maxKeys` → distributed semi-join consult;
+  * estimate > `maxKeys` → plain full scan. ON by default; opt out with
+  * `spark.graft.index.semiJoin.enabled=false`. Band edges are
+  * differential-tested in IndexSemiJoinSpec (exact-cap decline / cap−1
+  * accept, exact-maxKeys accept / maxKeys−1 decline).
   * Injected as a PreCBO rule (runs ONCE, after filters have settled onto
   * relations, before join reordering). */
 object IndexSemiJoin extends Rule[LogicalPlan] with PredicateHelper {
@@ -63,7 +69,7 @@ object IndexSemiJoin extends Rule[LogicalPlan] with PredicateHelper {
   val MaxKeysKey = "spark.graft.index.semiJoin.maxKeys"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
     val maxKeys = conf.getConfString(MaxKeysKey, "5000000").toLong
     plan.transformUp {
       case f @ Filter(cond, rel: DataSourceV2Relation) =>

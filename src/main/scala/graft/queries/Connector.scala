@@ -1077,50 +1077,46 @@ object Connector {
   /** kv29: DISTRIBUTED INDEX CONSULT ([[graft.plans.IndexSemiJoin]]) — the
     * middle selectivity band where the driver-side index consult declines
     * (estimated matches over `indexLookupCap`) but the predicate is still
-    * far more selective than a full scan. With the rule enabled (it is OFF
-    * by default; the conf toggle is scoped to this query), the indexed
-    * `user_id` range filter rewrites into a broadcast LEFT SEMI join
-    * against the index table, whose key set reaches the main scan as a
-    * RUNTIME filter that re-plans it into point gets — the consult's whole
-    * benefit with the key set flowing executor→broadcast, never through
-    * the driver's query planning. The pushed plan shape (LeftSemi,
-    * broadcast build over the index table, dynamic-pruning runtime filter
-    * on the main scan) is `require`d on every run; IndexSemiJoinSpec
-    * differential-tests the rewrite incl. null/disjunction hazards. */
+    * far more selective than a full scan. The rule is SELF-DECIDING (on by
+    * default, no conf set here): the estimate that gates the plan-time
+    * consult also drives one automatic three-way policy — under the cap,
+    * plan-time point gets; in the middle band, the indexed `user_id` range
+    * filter rewrites into a broadcast LEFT SEMI join against the index
+    * table, whose key set reaches the main scan as a RUNTIME filter that
+    * re-plans it into point gets; past `maxKeys`, the plain full scan. The
+    * key set flows executor→broadcast, never through the driver's query
+    * planning. The pushed plan shape (LeftSemi, broadcast build over the
+    * index table, dynamic-pruning runtime filter on the main scan) is
+    * `require`d on every run; IndexSemiJoinSpec differential-tests the
+    * rewrite incl. null/disjunction hazards and the exact decline/accept
+    * band edges. */
   def kv29IndexSemijoin(s: SparkSession, dir: String): DataFrame = {
     kv22IndexedRead(s, dir).count() // ensure the shared table+index exist
-    val prev = s.conf.getOption(graft.plans.IndexSemiJoin.EnabledKey)
-    s.conf.set(graft.plans.IndexSemiJoin.EnabledKey, "true")
-    try {
-      // indexLookupCap=10: the driver consult's estimate (hundreds of
-      // matching rows across this user range) exceeds it and declines —
-      // exactly the band the semi-join rule owns
-      val joined = s.read.format("graft-kv")
-        .options(Map("catalog" -> idxEventsCatalog, "indexLookupCap" -> "10"))
-        .load()
-        .filter(col("user_id") >= 10L && col("user_id") <= 30L)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("total"))
-        .orderBy(col("event_type"))
-      val rows = joined.collect()
-      val settled = joined.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
-      }
-      val plan = settled.toString
-      require(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
-        s"kv29 must rewrite to a broadcast left-semi index consult:\n${plan.take(2000)}")
-      require(plan.contains("kv_idx_events__idx__user_id"),
-        s"kv29's build side must scan the index table:\n${plan.take(2000)}")
-      require(plan.contains("RuntimeFilters: [dynamicpruning"),
-        s"kv29's index key set must reach the main scan as a runtime filter:\n${plan.take(2000)}")
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
-    } finally prev match {
-      case Some(v) => s.conf.set(graft.plans.IndexSemiJoin.EnabledKey, v)
-      case None => s.conf.unset(graft.plans.IndexSemiJoin.EnabledKey)
+    // indexLookupCap=10: the driver consult's estimate (hundreds of
+    // matching rows across this user range) exceeds it and declines —
+    // exactly the band the semi-join rule owns, with NO enabling conf
+    val joined = s.read.format("graft-kv")
+      .options(Map("catalog" -> idxEventsCatalog, "indexLookupCap" -> "10"))
+      .load()
+      .filter(col("user_id") >= 10L && col("user_id") <= 30L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Relational.microUnits(sum(col("value").cast("decimal(18,6)"))).as("total"))
+      .orderBy(col("event_type"))
+    val rows = joined.collect()
+    val settled = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
     }
+    val plan = settled.toString
+    require(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      s"kv29 must rewrite to a broadcast left-semi index consult:\n${plan.take(2000)}")
+    require(plan.contains("kv_idx_events__idx__user_id"),
+      s"kv29's build side must scan the index table:\n${plan.take(2000)}")
+    require(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"kv29's index key set must reach the main scan as a runtime filter:\n${plan.take(2000)}")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
   }
 
   val kv29Sql: String =

@@ -11,7 +11,11 @@ import graft.store.KvStore
   * consult would decline (estimated matches over `indexLookupCap`), an
   * indexed-column filter rewrites into a broadcast LEFT SEMI join against
   * the index table, whose key set reaches the main scan as a RUNTIME filter
-  * — selectivity-proportional index I/O with no driver materialization. */
+  * — selectivity-proportional index I/O with no driver materialization.
+  * The rule is ON BY DEFAULT (self-deciding three-way policy: consult /
+  * semi-join / full scan off the same O(regions) estimate); the first test
+  * pins that no conf is required, and the band-edge test differential-pins
+  * the exact decline/accept boundaries at both the cap and maxKeys edges. */
 class IndexSemiJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -64,7 +68,7 @@ class IndexSemiJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }).toString
   }
 
-  test("over-cap indexed filter rewrites to a broadcast semi-join; results differential-equal") {
+  test("over-cap indexed filter rewrites to a broadcast semi-join BY DEFAULT; results differential-equal") {
     populate()
     def q(extra: Map[String, String]) = read(extra)
       .filter(col("grade") >= "g010" && col("grade") <= "g019")
@@ -76,7 +80,9 @@ class IndexSemiJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       q(capped).collect().map(_.toString).sorted.toSeq
     }
     assert(expected.size == 100) // grades g010..g019, 10 rows each
-    withSemiJoin(enabled = true) {
+    // NO conf set: the self-deciding default must engage the middle band
+    assert(spark.conf.getOption(IndexSemiJoin.EnabledKey).isEmpty)
+    locally {
       val df = q(capped)
       val got = df.collect().map(_.toString).sorted.toSeq
       assert(got == expected, "semi-join rewrite must not change results")
@@ -204,5 +210,50 @@ class IndexSemiJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"an unselective predicate must not pay join machinery:\n${plan.take(3000)}")
       } finally spark.conf.unset(IndexSemiJoin.MaxKeysKey)
     }
+  }
+
+  test("band edges are exact: decline at estimate==cap / accept at cap−1; decline at maxKeys==estimate−1 / accept at estimate") {
+    if (!KvStore.exists("default:sjtab")) populate()
+    import org.apache.spark.sql.sources
+    import graft.datasource.SecondaryIndex
+    import graft.ranges.{BytesUtil, ScanRange}
+    // compute the EXACT estimate upper bound the rule will see for this
+    // predicate, through the same machinery the rule uses
+    val cat = graft.catalog.GraftCatalog.parse(catalogJson)
+    val field = cat.indexedFields.find(_.name == "grade").get
+    val idxName = SecondaryIndex.indexTableName("default:sjtab", field)
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    val lo = SecondaryIndex.valueRanges(field,
+      sources.GreaterThanOrEqual("grade", "g010")).get
+    val hi = SecondaryIndex.valueRanges(field,
+      sources.LessThanOrEqual("grade", "g019")).get
+    val (_, upper) = SecondaryIndex.estimateMatches(idxName,
+      ScanRange.and(lo, hi), fixedWidth = field.byteWidth > 0)
+    assert(upper >= 100L, s"estimate must cover the 100 true matches, got $upper")
+    def q(cap: Long) = read(Map("indexLookupCap" -> cap.toString))
+      .filter(col("grade") >= "g010" && col("grade") <= "g019")
+      .select("key")
+    def hasSemi(df: org.apache.spark.sql.DataFrame): Boolean =
+      finalPlan(df).contains("LeftSemi")
+    // cap edge: estimate <= cap → the plan-time consult owns it (decline);
+    // one below → the middle band opens (accept)
+    val atCap = q(upper)
+    assert(atCap.collect().length == 100)
+    assert(!hasSemi(atCap), s"estimate==cap must stay with the plan-time consult")
+    val belowCap = q(upper - 1)
+    assert(belowCap.collect().length == 100)
+    assert(hasSemi(belowCap), "estimate==cap+1 band must engage the semi-join")
+    // maxKeys edge: estimate > maxKeys → full scan (decline); estimate ==
+    // maxKeys → still selective enough (accept)
+    try {
+      spark.conf.set(IndexSemiJoin.MaxKeysKey, (upper - 1).toString)
+      val overMax = q(10)
+      assert(overMax.collect().length == 100)
+      assert(!hasSemi(overMax), "estimate>maxKeys must fall back to the full scan")
+      spark.conf.set(IndexSemiJoin.MaxKeysKey, upper.toString)
+      val atMax = q(10)
+      assert(atMax.collect().length == 100)
+      assert(hasSemi(atMax), "estimate==maxKeys must accept the semi-join")
+    } finally spark.conf.unset(IndexSemiJoin.MaxKeysKey)
   }
 }
