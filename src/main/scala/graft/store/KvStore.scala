@@ -42,6 +42,75 @@ object KvStore {
 
   private[store] def wal: Option[Wal] = if (replaying) None else walRef
 
+  /** Rotation fence: row mutations (WAL append + table-state apply) hold
+    * the READ side, [[checkpointWal]]'s snapshot+rotation holds the WRITE
+    * side — so a mutation can never log to a file the checkpoint is about
+    * to truncate without also being visible to the snapshot image. This is
+    * what makes automatic rotation ([[maybeAutoCheckpoint]]) safe under
+    * concurrent writers: before it, checkpointing required the caller to
+    * quiesce every writer by hand. Registry DDL (create/drop/rename/clear)
+    * shares the KvStore monitor with [[checkpointWal]] instead, which
+    * already serializes them. WRITE-lock acquisition only ever happens
+    * while holding the monitor, so monitor-then-readLock (DDL appending
+    * its own record) can never deadlock against monitor-then-writeLock. */
+  private val rotationLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
+  /** Run one row mutation atomically w.r.t. a concurrent checkpoint: the
+    * WAL record and the table-state change land on the same side of the
+    * snapshot+rotation. No-WAL stores skip the lock — the fence only
+    * matters when there is a log to rotate. Reentrant (index hooks mutate
+    * derived tables inside the main table's mutation). */
+  private[store] def logged[A](f: => A): A = {
+    if (walRef.isEmpty) f
+    else {
+      val l = rotationLock.readLock(); l.lock()
+      try f finally l.unlock()
+    }
+  }
+
+  /** Auto-checkpoint thresholds (0 disables a gate; both 0 disables the
+    * policy): rotate when the live log reaches this many records / bytes,
+    * so a CDC-rate writer bounds its own recovery time (snapshot + a
+    * threshold-sized tail) with no application code. Overridable via
+    * `-Dgraft.kv.walAutoCheckpointRecords` / `...Bytes` or
+    * [[setWalAutoCheckpoint]]. */
+  val DefaultAutoCheckpointRecords: Long = 1000000L
+  val DefaultAutoCheckpointBytes: Long = 256L << 20
+  @volatile private var autoCkptRecords: Long =
+    sys.props.get("graft.kv.walAutoCheckpointRecords").map(_.toLong)
+      .getOrElse(DefaultAutoCheckpointRecords)
+  @volatile private var autoCkptBytes: Long =
+    sys.props.get("graft.kv.walAutoCheckpointBytes").map(_.toLong)
+      .getOrElse(DefaultAutoCheckpointBytes)
+
+  def setWalAutoCheckpoint(records: Long, bytes: Long): Unit = {
+    require(records >= 0 && bytes >= 0, "auto-checkpoint thresholds must be >= 0")
+    autoCkptRecords = records
+    autoCkptBytes = bytes
+  }
+
+  /** Rotate if the live log crossed an auto-checkpoint gate. Mutation
+    * paths call this AFTER releasing the rotation read lock (taking the
+    * write lock while holding the read side would self-deadlock); the
+    * double-check under the monitor collapses the thundering herd of
+    * writers that crossed the threshold together into one rotation. */
+  private[store] def maybeAutoCheckpoint(): Unit = {
+    if (replaying) return
+    // a nested mutation (index hook firing inside the main table's fenced
+    // put/delete) still holds this thread's READ lock — taking the write
+    // lock here would be a read→write upgrade, i.e. self-deadlock. Skip;
+    // the OUTERMOST mutation re-checks after releasing the fence.
+    if (rotationLock.getReadHoldCount > 0) return
+    def due(w: Wal): Boolean = {
+      val recGate = autoCkptRecords; val byteGate = autoCkptBytes
+      (recGate > 0 && w.recordsLogged >= recGate) ||
+        (byteGate > 0 && w.bytesLogged >= byteGate)
+    }
+    if (walRef.exists(due)) synchronized {
+      if (walRef.exists(due)) checkpointWal()
+    }
+  }
+
   /** `groupCommitRecords > 1` opts into batched WAL flushes (see
     * [[Wal]] group commit); the default 1 keeps per-record durability. */
   def enableWal(dir: java.nio.file.Path, groupCommitRecords: Int = 1): Unit = synchronized {
@@ -72,25 +141,32 @@ object KvStore {
   /** SNAPSHOT + LOG ROTATION ([[Snapshot]]): image the whole store into
     * `dir/graft-wal.snapshot`, then truncate the log — restart cost becomes
     * snapshot + tail instead of full history, and the log stops growing
-    * with CDC rate. Same quiesce contract as [[rename]]: the caller pauses
-    * writers for the checkpoint (a mutation racing the image could land in
-    * the truncated log's past). Crash-safe per [[Snapshot]]'s tmp + fsync +
-    * atomic-rename ordering. */
+    * with CDC rate. Safe under concurrent row mutators: the rotation WRITE
+    * lock excludes every [[logged]] mutation for the image+rotate window,
+    * so a racing put/delete lands wholly before the image (in it) or
+    * wholly after (in the fresh log) — never in the truncated log's past.
+    * Fires automatically at the [[setWalAutoCheckpoint]] thresholds via
+    * [[maybeAutoCheckpoint]]; callable directly for an explicit rotation
+    * point. Crash-safe per [[Snapshot]]'s tmp + fsync + atomic-rename
+    * ordering. */
   def checkpointWal(): Unit = synchronized {
     val w = walRef.getOrElse(
       throw new IllegalStateException("checkpointWal requires an enabled WAL"))
-    w.sync()
-    walGeneration += 1
-    Snapshot.write(w.dir, tables.values.toSeq.sortBy(_.name), walGeneration)
-    // the snapshot now carries everything the log recorded — rotate to an
-    // empty log stamped with the snapshot's generation (close, delete,
-    // reopen, marker first); replay pairs them by that number
-    w.close()
-    java.nio.file.Files.deleteIfExists(w.dir.resolve(Wal.FileName))
-    val fresh = new Wal(w.dir, w.groupCommitRecords)
-    fresh.logGeneration(walGeneration)
-    fresh.sync() // the marker must be durable before any record follows it
-    walRef = Some(fresh)
+    val wl = rotationLock.writeLock(); wl.lock()
+    try {
+      w.sync()
+      walGeneration += 1
+      Snapshot.write(w.dir, tables.values.toSeq.sortBy(_.name), walGeneration)
+      // the snapshot now carries everything the log recorded — rotate to an
+      // empty log stamped with the snapshot's generation (close, delete,
+      // reopen, marker first); replay pairs them by that number
+      w.close()
+      java.nio.file.Files.deleteIfExists(w.dir.resolve(Wal.FileName))
+      val fresh = new Wal(w.dir, w.groupCommitRecords)
+      fresh.logGeneration(walGeneration)
+      fresh.sync() // the marker must be durable before any record follows it
+      walRef = Some(fresh)
+    } finally wl.unlock()
   }
 
   /** Rebuild store state from `dir` (crash/restart recovery): load the
@@ -175,6 +251,21 @@ object KvStore {
 
   def exists(name: String): Boolean = tables.contains(name)
 
+  /** Open scan leases across every registered table — the leak counter a
+    * resource-management test asserts returns to zero after a query (the
+    * in-process analogue of the reference's RDD-release of table/scanner
+    * handles at task end). */
+  def openScanCount: Long = tables.values.map(_.openScanCount).sum
+
+  /** Rows the store has served to scans and point gets since JVM start —
+    * the observable the streaming scale-proxy specs assert against: a
+    * batch-proportional CDC protocol's per-drain delta must grow with the
+    * WAVE, not with the persisted index/mirror size. A LongAdder tick per
+    * served row; negligible next to the skip-list walk it accounts. */
+  private val servedRows = new java.util.concurrent.atomic.LongAdder()
+  def rowsServed: Long = servedRows.sum()
+  private[store] def tickServed(): Unit = servedRows.increment()
+
   def drop(name: String): Unit = synchronized {
     // same monitor as every other registry mutator — a drop racing a
     // checkpoint must not land its DropRec in a log the checkpoint is
@@ -253,6 +344,21 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
 
   /** retention cap for a family: its descriptor override, else the default */
   def versionCap(cf: String): Int = maxVersionsByCf.getOrElse(cf, maxVersions)
+
+  /** Scan-lease accounting — the store half of the connector's reader
+    * `close()` contract. Live views need no physical release in-process,
+    * but the lease ledger (a) makes a leaked reader observable (the leak
+    * counter in KvStoreSpec) and (b) is the seam where a spill-to-disk or
+    * remote store would pin/unpin snapshot and iterator handles. Acquired
+    * by every executor-side scan setup, released exactly once by the
+    * reader's task-completion `close()`. */
+  private val openScans = new java.util.concurrent.atomic.AtomicLong()
+  def openScanCount: Long = openScans.get()
+  private[graft] def acquireScanLease(): Unit = { openScans.incrementAndGet(); () }
+  private[graft] def releaseScanLease(): Unit = {
+    val n = openScans.decrementAndGet()
+    assert(n >= 0, s"scan lease double-released on table $name")
+  }
 
   /** Attached mutation hooks, keyed for idempotent re-attach (the connector
     * re-runs DDL per query; attaching the same index twice must not
@@ -411,6 +517,12 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     withWriteStamp(s => delete(ranges, predicate, s))
 
   def put(key: Array[Byte], cells: Seq[KvCell]): Unit = {
+    // rotation fence: log + state-apply land on one side of any checkpoint
+    KvStore.logged(putLogged(key, cells))
+    KvStore.maybeAutoCheckpoint()
+  }
+
+  private def putLogged(key: Array[Byte], cells: Seq[KvCell]): Unit = {
     // WAL before table state (redo rule): a mutation is ack'd only after it
     // is on the log, so replay can never miss an acknowledged write
     KvStore.wal.foreach(_.logPut(name, key, cells))
@@ -479,9 +591,12 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
   def get(key: Array[Byte], cols: ColumnSet, time: Option[TimeRange], versions: Int,
       pred: Option[graft.store.KvPredicate] = None): Option[KvRow] = {
     val row = regionFor(key).rows.get(key)
-    if (row == null) None
-    else if (!pred.forall(_.eval(key, row, time))) None
-    else materialize(key, row, cols, time, versions)
+    val out =
+      if (row == null) None
+      else if (!pred.forall(_.eval(key, row, time))) None
+      else materialize(key, row, cols, time, versions)
+    if (out.isDefined) KvStore.tickServed()
+    out
   }
 
   /** Range scan over one region; [start,end) semantics come from the caller
@@ -533,19 +648,26 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
         while (it.hasNext) {
           val e = it.next()
           if (predicate.forall(_.eval(e.getKey, e.getValue, None))) {
-            // physical logging: the key actually matched, post-resolution —
-            // replay re-deletes exact keys, no predicate re-evaluation
-            KvStore.wal.foreach(_.logDeleteKey(name, e.getKey, stamp))
-            val before = if (hcols.isEmpty) null else hookState(e.getValue, hcols)
-            eraseUpTo(region, e.getKey, e.getValue, stamp)
-            markDeleted(region, e.getKey, stamp)
-            if (before != null)
-              fireHooks(e.getKey, before, hookState(e.getValue, hcols), stamp)
+            // per-row rotation fence: each removed row's log record and
+            // state change sit on one side of any concurrent checkpoint
+            // (a checkpoint MAY interleave between rows — each row is then
+            // either in the image or in the fresh log, both replay-exact)
+            KvStore.logged {
+              // physical logging: the key actually matched, post-resolution —
+              // replay re-deletes exact keys, no predicate re-evaluation
+              KvStore.wal.foreach(_.logDeleteKey(name, e.getKey, stamp))
+              val before = if (hcols.isEmpty) null else hookState(e.getValue, hcols)
+              eraseUpTo(region, e.getKey, e.getValue, stamp)
+              markDeleted(region, e.getKey, stamp)
+              if (before != null)
+                fireHooks(e.getKey, before, hookState(e.getValue, hcols), stamp)
+            }
             removed += 1
           }
         }
       }
     }
+    KvStore.maybeAutoCheckpoint()
     removed
   }
 
@@ -591,8 +713,11 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     * MVCC rule), marker-recorded. One exact key — the caller already knows
     * WHICH row dies; no range resolution. */
   def deleteRow(key: Array[Byte], stamp: Long): Unit = {
-    KvStore.wal.foreach(_.logDeleteKey(name, key, stamp))
-    deleteKey(key, stamp)
+    KvStore.logged {
+      KvStore.wal.foreach(_.logDeleteKey(name, key, stamp))
+      deleteKey(key, stamp)
+    }
+    KvStore.maybeAutoCheckpoint()
   }
 
   /** Remove one exact key (WAL replay's delete primitive — [[delete]] logs
@@ -681,9 +806,11 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     val it = if (reverse) m.descendingMap().entrySet().iterator()
              else m.entrySet().iterator()
     it.asScala.flatMap { e =>
-      if (predicate.forall(_.eval(e.getKey, e.getValue, time)))
-        materialize(e.getKey, e.getValue, cols, time, versions)
-      else None
+      if (predicate.forall(_.eval(e.getKey, e.getValue, time))) {
+        val m = materialize(e.getKey, e.getValue, cols, time, versions)
+        if (m.isDefined) KvStore.tickServed()
+        m
+      } else None
     }
   }
 

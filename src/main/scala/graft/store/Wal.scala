@@ -54,21 +54,37 @@ final class Wal private[store] (val dir: Path, val groupCommitRecords: Int = 1) 
   import Wal._
 
   Files.createDirectories(dir)
+  /** Bytes already in the log file when this handle opened (append mode) —
+    * [[bytesLogged]] adds the bytes written through this handle on top. */
+  private val openBytes: Long = {
+    val f = dir.resolve(FileName)
+    if (Files.exists(f)) Files.size(f) else 0L
+  }
   /** True when the log file holds no records yet (fresh or truncated) —
     * [[KvStore.enableWal]] stamps such a log with the current snapshot
     * generation before anything else lands in it. */
-  private[store] val isEmptyLog: Boolean = {
-    val f = dir.resolve(FileName)
-    !Files.exists(f) || Files.size(f) == 0L
-  }
+  private[store] val isEmptyLog: Boolean = openBytes == 0L
   private val fos = new java.io.FileOutputStream(
     dir.resolve(FileName).toFile, /*append=*/ true)
   private val out = new DataOutputStream(new BufferedOutputStream(fos))
 
   private var pending = 0
+  @volatile private var records = 0L
+
+  /** Records appended through this handle — one of the two gates of
+    * [[KvStore.maybeAutoCheckpoint]]'s rotation policy. Resets naturally
+    * when rotation swaps in a fresh handle. */
+  private[store] def recordsLogged: Long = records
+
+  /** Total log size this handle accounts for: bytes present at open plus
+    * bytes appended since (DataOutputStream's written counter saturates at
+    * Int.MaxValue, which only under-counts far past any sane rotation
+    * threshold). The other rotation gate. */
+  private[store] def bytesLogged: Long = openBytes + out.size().toLong
 
   /** Record boundary: flush when the group-commit budget is exhausted. */
   private def recordDone(): Unit = {
+    records += 1
     pending += 1
     if (pending >= groupCommitRecords) { out.flush(); pending = 0 }
   }

@@ -67,6 +67,20 @@ class KvStoreSpec extends AnyFunSuite {
     assert(marks == Set(5000L, 100L))
   }
 
+  test("scan leases: acquire/release balance, double-release trips the assert") {
+    val t = KvStore.createTable("spec:leases", Seq.empty, dropExisting = true)
+    assert(t.openScanCount == 0L)
+    t.acquireScanLease(); t.acquireScanLease()
+    assert(t.openScanCount == 2L)
+    assert(KvStore.openScanCount >= 2L) // global ledger sees this table
+    t.releaseScanLease(); t.releaseScanLease()
+    assert(t.openScanCount == 0L)
+    // an unbalanced release is a reader bug — it must fail loudly, not
+    // drift the ledger negative and mask a real leak elsewhere
+    intercept[AssertionError](t.releaseScanLease())
+    KvStore.drop("spec:leases")
+  }
+
   test("deletes are MVCC: only versions <= the delete stamp are erased") {
     val t = KvStore.createTable("spec:mvccdel", Seq("row0500").map(_.getBytes("UTF-8")),
       maxVersions = 3, dropExisting = true)

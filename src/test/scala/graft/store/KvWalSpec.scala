@@ -292,6 +292,91 @@ class KvWalSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-checkpoint: sustained writes rotate the log themselves; restart replays snapshot + bounded tail") {
+    val dir = Files.createTempDirectory("graft-wal-auto")
+    KvStore.enableWal(dir)
+    KvStore.setWalAutoCheckpoint(records = 100, bytes = 0)
+    try {
+      val t = KvStore.createTable("wal:auto", Seq.empty, dropExisting = true)
+      (0 until 1000).foreach(i => t.put(key(i), Seq(cell("q", 100L + i, s"v$i"))))
+      // ~1000 records at a 100-record gate: rotation fired ~10 times with
+      // NO application checkpoint call — generation is the witness
+      val gen = Snapshot.generationOf(dir)
+      assert(gen >= 8, s"sustained writes must auto-rotate (generation $gen)")
+      // recovery cost is bounded by the CADENCE, not the history: the live
+      // log holds at most ~one gate's worth of records
+      val tail = Files.size(dir.resolve(Wal.FileName))
+      assert(tail < 110L * 40, s"tail must be gate-sized, got $tail bytes")
+      val before = snapshot(t)
+      KvStore.disableWal()
+      KvStore.replayWal(dir) // snapshot + bounded tail
+      assert(snapshot(KvStore.table("wal:auto")) == before)
+    } finally {
+      KvStore.setWalAutoCheckpoint(
+        KvStore.DefaultAutoCheckpointRecords, KvStore.DefaultAutoCheckpointBytes)
+      KvStore.disableWal()
+      KvStore.drop("wal:auto")
+    }
+  }
+
+  test("auto-checkpoint byte gate: log size alone triggers rotation") {
+    val dir = Files.createTempDirectory("graft-wal-autob")
+    KvStore.enableWal(dir)
+    KvStore.setWalAutoCheckpoint(records = 0, bytes = 4096)
+    try {
+      val t = KvStore.createTable("wal:autob", Seq.empty, dropExisting = true)
+      val fat = "x" * 200
+      (0 until 200).foreach(i => t.put(key(i), Seq(cell("q", 100L + i, fat))))
+      assert(Snapshot.generationOf(dir) >= 2,
+        "crossing the byte gate repeatedly must rotate repeatedly")
+      assert(Files.size(dir.resolve(Wal.FileName)) < 4096L + 300L,
+        "live log must stay near the byte gate")
+      val before = snapshot(t)
+      KvStore.disableWal()
+      KvStore.replayWal(dir)
+      assert(snapshot(KvStore.table("wal:autob")) == before)
+    } finally {
+      KvStore.setWalAutoCheckpoint(
+        KvStore.DefaultAutoCheckpointRecords, KvStore.DefaultAutoCheckpointBytes)
+      KvStore.disableWal()
+      KvStore.drop("wal:autob")
+    }
+  }
+
+  test("auto-checkpoint under concurrent writers: the rotation fence loses no acknowledged write") {
+    // 8 writers × 250 puts racing ~20 auto-rotations: the rotation fence
+    // (KvStore.logged read side vs checkpointWal's write side) must place
+    // every mutation wholly in the image or wholly in the fresh log —
+    // replay losing even one row means a record landed in a truncated
+    // log's past. This was UNSAFE before the fence (manual checkpoints
+    // required caller quiesce); automatic rotation makes it load-bearing.
+    val dir = Files.createTempDirectory("graft-wal-autoc")
+    KvStore.enableWal(dir)
+    KvStore.setWalAutoCheckpoint(records = 100, bytes = 0)
+    try {
+      val t = KvStore.createTable("wal:autoc", Seq.empty, dropExisting = true)
+      val threads = (0 until 8).map { w =>
+        new Thread(() => (0 until 250).foreach { i =>
+          t.put(key(w * 1000 + i), Seq(cell("q", 100L, s"w$w-$i")))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(Snapshot.generationOf(dir) >= 2, "rotation must have fired mid-race")
+      KvStore.disableWal()
+      KvStore.replayWal(dir)
+      val replayed = KvStore.table("wal:autoc")
+      val rows = snapshot(replayed)
+      assert(rows.size == 2000,
+        s"every acknowledged write must survive the racing rotations, got ${rows.size}")
+      assert(replayed.regions.map(_.rowCount.get()).sum == 2000L)
+    } finally {
+      KvStore.setWalAutoCheckpoint(
+        KvStore.DefaultAutoCheckpointRecords, KvStore.DefaultAutoCheckpointBytes)
+      KvStore.disableWal()
+      KvStore.drop("wal:autoc")
+    }
+  }
+
   test("group commit: batched flush keeps torn-tail semantics; sync makes the tail durable") {
     val dir = Files.createTempDirectory("graft-wal-group")
     KvStore.enableWal(dir, groupCommitRecords = 8)
