@@ -249,7 +249,7 @@ class KvJoinPartitionReader(p: KvJoinInputPartition)
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = ()
+  override def close(): Unit = { leftSetup.close(); rightSetup.close() }
 
   override def currentMetricsValues():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =

@@ -43,6 +43,18 @@ final case class GraftOptions(
       * writer task deletes against its own region slice — no driver
       * round-trip of the key set, unlike collect + `In`-filter delete. */
     deleteWrite: Boolean = false,
+    /** Expert batch-read option (`keyPrefixes`, '\\u0001'-joined UTF-8
+      * strings): restrict the scan to rows whose ENCODED row key starts
+      * with one of the prefixes, compiled STRAIGHT to ScanRanges at plan
+      * time — no Catalyst predicate tree. This is the large-fan-out sliver
+      * read ([[graft.queries.StreamBatch.bandIndexLookup]]): a CDC batch's
+      * tens of thousands of bucket prefixes as a pushed filter tree would
+      * cost tens of seconds of analyzer/optimizer walks per micro-batch,
+      * while the same set as ranges is an O(n log n) sort+sweep. Exact for
+      * unsalted tables whose key starts with a raw-encoded (non-avro)
+      * string part; ignored (full scan, still correct — callers re-join)
+      * on salted tables. */
+    keyPrefixes: Option[Seq[String]] = None,
     /** Table-level time-to-live (ms): cells stamped before `now - ttl` are
       * invisible to batch reads (HBase TTL semantics, table-wide rather than
       * per-family). Implemented exactly by folding the TTL window into the
@@ -128,6 +140,7 @@ object GraftOptions {
       maxRowsPerBatch = get("maxRowsPerBatch").map(_.toLong),
       indexLookupCap = get("indexLookupCap").map(_.toInt),
       deleteWrite = get("delete").exists(_.toBoolean),
+      keyPrefixes = get("keyPrefixes").map(_.split('\u0001').toSeq.filter(_.nonEmpty)),
       ttl = get("ttl").map(_.toLong))
   }
 }

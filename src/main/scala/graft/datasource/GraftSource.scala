@@ -705,13 +705,44 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     case None => requiredSchema
   }
 
+  /** The `keyPrefixes` option as normalized encoded-key ranges — the
+    * large-fan-out sliver read: tens of thousands of prefixes compile to
+    * ranges in one O(n log n) sort+sweep, where the same set as a pushed
+    * Catalyst Or-tree costs tens of seconds of per-rule tree walks per
+    * planning. Applied only to unsalted tables (a salt byte precedes the
+    * logical key, so a raw byte prefix would never match) — elsewhere the
+    * option is ignored and the scan stays a correct superset. */
+  @transient private lazy val optionPrefixRanges: Option[Seq[ScanRange[Array[Byte]]]] = {
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    opts.keyPrefixes.filter(_ => catalog.saltBuckets == 0).map { ps =>
+      ScanRange.or(ps.map { p =>
+        val b = p.getBytes("UTF-8")
+        ScanRange(Bound(Some(b), inclusive = true),
+          BytesUtil.prefixUpperBound(b) match {
+            case Some(up) => Bound(Some(up), inclusive = false)
+            case None     => Bound.posInf[Array[Byte]]
+          })
+      }, Seq.empty)
+    }
+  }
+
+  /** [[FilterCompiler.compileAll]] plus the `keyPrefixes` range
+    * restriction — EVERY compile (static, runtime-filter re-plan) goes
+    * through here so the option survives a DPP re-plan. */
+  private def compileWithPrefixes(allFilters: Seq[Filter]): FilterCompiler.Hrf = {
+    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
+    val base = FilterCompiler.compileAll(catalog, allFilters)
+    optionPrefixRanges match {
+      case Some(pr) => base.copy(ranges = ScanRange.and(base.ranges, pr))
+      case None => base
+    }
+  }
+
   /** Memoized compile of the STATIC pushed filters — statistics, the index
     * consult, and partition planning all need it, and Spark consults each
     * several times during physical planning. */
-  @transient private lazy val staticHrf: FilterCompiler.Hrf = {
-    implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
-    FilterCompiler.compileAll(catalog, filters.toSeq)
-  }
+  @transient private lazy val staticHrf: FilterCompiler.Hrf =
+    compileWithPrefixes(filters.toSeq)
 
   /** The region's key slice as a scan range (shared clip pattern). */
   private def regionRange(r: graft.store.RegionInfo): ScanRange[Array[Byte]] =
@@ -785,7 +816,8 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     * cheap (gate checks only, no store scan), so `explain()` output shows
     * where the scan will actually read from. */
   private lazy val indexOnlyTarget: Option[String] =
-    SecondaryIndex.indexOnlyPlan(catalog,
+    if (optionPrefixRanges.isDefined) None
+    else SecondaryIndex.indexOnlyPlan(catalog,
       opts.withTtlResolved(System.currentTimeMillis()), filters.toSeq,
       partSchema.fieldNames.toSeq, groupCols = aggGroupCols,
       limited = limit.isDefined || reverse).map(_.qualifiedName)
@@ -824,7 +856,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
   private def planPartitions(allFilters: Seq[Filter],
       precompiled: Option[FilterCompiler.Hrf] = None): Array[InputPartition] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
-    val hrf = precompiled.getOrElse(FilterCompiler.compileAll(catalog, allFilters))
+    val hrf = precompiled.getOrElse(compileWithPrefixes(allFilters))
     val table = KvStore.table(opts.storeName(catalog))
     // one `now` snapshot per query: every partition sees the same TTL
     // cutoff, folded into the ordinary stamp window (identity without ttl)
@@ -837,9 +869,14 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     // INDEX-ONLY scan first (the strongest rewrite: the index table IS the
     // scan, an ordinary range scan over a re-keyed catalog), then the
     // point-get consult, then the plain region scan.
-    SecondaryIndex.indexOnlyPlan(catalog, resolvedOpts, allFilters,
-      partSchema.fieldNames.toSeq, groupCols = aggGroupCols,
-      limited = limit.isDefined || reverse) match {
+    // a keyPrefixes restriction binds to the MAIN table's encoded keys — an
+    // index-only rewrite would silently drop it (the index table re-keys)
+    val indexOnlyPlanned =
+      if (optionPrefixRanges.isDefined) None
+      else SecondaryIndex.indexOnlyPlan(catalog, resolvedOpts, allFilters,
+        partSchema.fieldNames.toSeq, groupCols = aggGroupCols,
+        limited = limit.isDefined || reverse)
+    indexOnlyPlanned match {
       case Some(idxCat) =>
         indexOnlyScan = 1L
         val idxHrf = FilterCompiler.compileAll(idxCat, allFilters)
@@ -1273,6 +1310,15 @@ private[datasource] final class GraftScanSetup(p: GraftInputPartition) {
   private val catalog = p.catalog
   private val table = KvStore.table(p.opts.storeName(catalog))
 
+  // resource contract (reference HBaseResources.scala:33-89 releases
+  // table/scanner handles at task end): a setup holds one scan lease from
+  // construction until the owning reader's close() — idempotent, so a
+  // reader wrapped by another reader (agg over row) closes safely twice
+  table.acquireScanLease()
+  private val leaseReleased = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def close(): Unit =
+    if (leaseReleased.compareAndSet(false, true)) table.releaseScanLease()
+
   // the _cell_ts and _deleted metadata columns are not catalog fields:
   // carve their slots out, materialize the DATA slots normally, and splice
   // the metadata values back in at assembly time
@@ -1448,7 +1494,7 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = ()
+  override def close(): Unit = setup.close()
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(GraftMetricsDefs.task("graftRowsScanned", rowsScanned))
@@ -1477,12 +1523,40 @@ private[datasource] object VectorSlotSink {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.types._
 
-  /** Atomic types the columnar path writes; anything else reads as rows. */
+  /** Atomic types the columnar path writes — plus arrays of fixed-width
+    * primitives (the Avro-coded embedding columns: `array<float>` vectors
+    * decode into the batch's child element vector, so ANN probes over
+    * kv-resident inverted files ride the vectorized path instead of
+    * falling back to rows). Anything else reads as rows. */
   def supports(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | DateType |
          LongType | TimestampType | FloatType | DoubleType |
          StringType | BinaryType => true
+    case ArrayType(et, _) => supportsArrayElem(et)
     case _ => false
+  }
+
+  /** Array element types with a direct child-vector append (fixed-width
+    * primitives only — nested arrays/strings keep the row path). */
+  private def supportsArrayElem(et: DataType): Boolean = et match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | FloatType | DoubleType => true
+    case _ => false
+  }
+
+  private type ElemAppender =
+    (org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+     org.apache.spark.sql.catalyst.util.ArrayData, Int) => Unit
+
+  private def elemAppenderFor(et: DataType): ElemAppender = et match {
+    case BooleanType => (c, a, i) => { c.appendBoolean(a.getBoolean(i)); () }
+    case ByteType => (c, a, i) => { c.appendByte(a.getByte(i)); () }
+    case ShortType => (c, a, i) => { c.appendShort(a.getShort(i)); () }
+    case IntegerType | DateType => (c, a, i) => { c.appendInt(a.getInt(i)); () }
+    case LongType | TimestampType => (c, a, i) => { c.appendLong(a.getLong(i)); () }
+    case FloatType => (c, a, i) => { c.appendFloat(a.getFloat(i)); () }
+    case DoubleType => (c, a, i) => { c.appendDouble(a.getDouble(i)); () }
+    case other => throw new UnsupportedOperationException(s"array element $other")
   }
 
   def setterFor(dt: DataType): (OnHeapColumnVector, Int, Any) => Unit = dt match {
@@ -1501,6 +1575,22 @@ private[datasource] object VectorSlotSink {
       val b = x.asInstanceOf[Array[Byte]]
       v.putByteArray(r, b, 0, b.length)
     }
+    case ArrayType(et, _) if supportsArrayElem(et) =>
+      val appendElem = elemAppenderFor(et)
+      (v, r, x) => {
+        // elements append to the vector's child; the parent row records the
+        // (offset, length) window — Spark's standard array vector layout
+        val a = x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val child = v.arrayData()
+        val start = child.getElementsAppended
+        val n = a.numElements()
+        var i = 0
+        while (i < n) {
+          if (a.isNullAt(i)) { child.appendNull(); () } else appendElem(child, a, i)
+          i += 1
+        }
+        v.putArray(r, start, n)
+      }
     case other => throw new UnsupportedOperationException(s"columnar write of $other")
   }
 }
@@ -1561,7 +1651,7 @@ class GraftColumnarPartitionReader(p: GraftInputPartition)
 
   override def get(): ColumnarBatch = batch
 
-  override def close(): Unit = batch.close()
+  override def close(): Unit = { batch.close(); setup.close() }
 
   private var rowsScanned = 0L
 

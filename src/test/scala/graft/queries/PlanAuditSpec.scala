@@ -121,6 +121,64 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"_cell_ts projection should stay columnar:\n${tsPlan.take(3000)}")
   }
 
+  test("scan leases release at task end: no reader leaks across row, columnar, agg, and join paths") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    Connector.kv1ScanProject(spark, dir).collect() // build kv_customer
+    val baseline = KvStore.openScanCount
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"kv_customer"},
+        |"rowkey":"key",
+        |"columns":{
+        |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"c_name":{"cf":"f", "col":"name", "type":"string"}}}""".stripMargin
+    val df = spark.read.format("graft-kv").option("catalog", catalogJson).load()
+    df.collect()                                  // columnar reader
+    df.filter(col("c_custkey") < 0L).collect()    // empty result still closes
+    df.agg(count(lit(1))).collect()               // pushed-agg reader
+    Connector.kv27JoinPushdown(spark, dir).collect() // kv×kv join reader
+    assert(KvStore.openScanCount == baseline,
+      s"scan leases leaked: ${KvStore.openScanCount - baseline} still open " +
+        "after collect — a reader path is missing its close()")
+  }
+
+  test("avro vector columns read columnar: array<float> decodes into batch child vectors") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the sv18 inverted-file shape: leading int cell, bigint vec_id, and an
+    // Avro-coded float-vector payload — the ANN probe's hot read path
+    val avro = """{"type":"array","items":"float"}"""
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"kv_vecplan"},
+        |"rowkey":"cell:vid",
+        |"columns":{
+        |"cell":{"cf":"rowkey", "col":"cell", "type":"int"},
+        |"vec_id":{"cf":"rowkey", "col":"vid", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "avro":"annVec"},
+        |"tag":{"cf":"f", "col":"tag", "type":"string"}}}""".stripMargin
+    KvStore.drop("default:kv_vecplan")
+    // row 7's vector is NULL (null-skip writes no v cell; the non-null tag
+    // keeps the row alive) — it must come back with a null array through
+    // the vector putNull path, not vanish or corrupt neighbors
+    val rows = (0 until 64).map(i =>
+      (i % 4, i.toLong, if (i == 7) null else Array(i.toFloat, i + 0.5f, -i.toFloat), s"t$i"))
+    rows.toDF("cell", "vec_id", "v", "tag").write.format("graft-kv")
+      .options(Map("catalog" -> catalogJson, "annVec" -> avro, "newtable" -> "4"))
+      .mode("append").save()
+    val df = spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalogJson, "annVec" -> avro)).load()
+    val plan = executedPlan(df)
+    assert(plan.contains("ColumnarToRow"),
+      s"avro float-vector scan must ride the columnar path:\n${plan.take(3000)}")
+    // and the vectors round-trip bit-exactly through the child-vector writes
+    val got = df.select(col("cell"), col("vec_id"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.getSeq[Float](2)).map(_.toList).orNull)).sortBy(_._2)
+    val want = rows.map { case (c, id, v, _) =>
+      (c, id, Option(v).map(_.toList).orNull) }.sortBy(_._2)
+    assert(got.toSeq == want.toSeq)
+    KvStore.drop("default:kv_vecplan")
+  }
+
   test("px9: query side is broadcast (corpus never shuffles for the join)") {
     val plan = executedPlan(Pipeline.px9AnnBrute(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
