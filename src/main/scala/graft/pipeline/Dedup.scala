@@ -447,10 +447,17 @@ object Dedup {
     * each round then survives executor loss. `maxIters` guards against a
     * pathological long-path graph (label propagation needs O(diameter)
     * rounds); exceeding it throws rather than looping unbounded.
-    * Output: (id, keep_id = component minimum), one row per node that
-    * appears in ≥1 pair. */
+    * `checkpointEvery` amortizes the eager per-round materialization: only
+    * every k-th round (and the final one) checkpoints; in between, rounds
+    * stay lazy and the convergence count recomputes up to k−1 joins of
+    * lineage from the last checkpoint — the standard iteration-vs-
+    * materialization trade (Pregel's checkpoint interval). k=1 restores
+    * checkpoint-every-round. Output: (id, keep_id = component minimum),
+    * one row per node that appears in ≥1 pair. */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 100, reliableCheckpoints: Boolean = false): DataFrame = {
+      maxIters: Int = 100, reliableCheckpoints: Boolean = false,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     // Deterministically free a SUPERSEDED local checkpoint's executor blocks
@@ -470,8 +477,10 @@ object Dedup {
     val edges = cp(p.union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct())
     release(p) // folded into the edges checkpoint
-    var labels = cp(edges.select(col("a").as("id")).distinct()
+    var lastCkpt = cp(edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")))
+    var labels = lastCkpt
+    var sinceCkpt = 0
     var changed = 1L
     var iters = 0
     while (changed > 0) {
@@ -481,13 +490,34 @@ object Dedup {
           "needs O(diameter) rounds); raise maxIters or pre-cluster the input")
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      val updated = cp(labels.join(neighborMin, labels("id") === neighborMin("a"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("a"))
         .select(labels("id").as("id"), col("label"),
-          least(col("label"), col("nmin")).as("next")))
-      changed = updated.filter(col("next") < col("label")).count()
-      release(labels) // this round's checkpoint (updated) supersedes it
-      labels = updated.select(col("id"), col("next").as("label"))
+          least(col("label"), col("nmin")).as("next"))
+      sinceCkpt += 1
+      if (sinceCkpt >= checkpointEvery) {
+        // cadence round: pin this round's state, retire the previous pin
+        // (everything derived from it is folded into the fresh checkpoint)
+        val fresh = cp(updated)
+        changed = fresh.filter(col("next") < col("label")).count()
+        release(lastCkpt)
+        lastCkpt = fresh
+        labels = fresh.select(col("id"), col("next").as("label"))
+        sinceCkpt = 0
+      } else {
+        // lazy round: the convergence count re-executes ≤ k−1 joins of
+        // lineage from lastCkpt — cheaper than a block write per round
+        changed = updated.filter(col("next") < col("label")).count()
+        labels = updated.select(col("id"), col("next").as("label"))
+      }
       iters += 1
+    }
+    // the returned frame must not reach through `edges` (released next):
+    // pin the final labels if the last round didn't land on the cadence
+    if (sinceCkpt > 0) {
+      val fin = cp(labels)
+      release(lastCkpt)
+      lastCkpt = fin
+      labels = fin
     }
     release(edges) // the result depends only on the final labels checkpoint
     labels.select(col("id"), col("label").as("keep_id"))
@@ -671,6 +701,27 @@ object Dedup {
     * unobservable in any test-sized corpus). */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5, minShared: Int = 1,
+      candidateHashBits: Int = 64): DataFrame =
+    contaminationWithEvalGrams(train,
+      evalGrams(eval, idCol, textCol, n), idCol, textCol, n, minShared,
+      candidateHashBits)
+
+  /** The exploded `(eval_id, ngram)` frame [[contamination]] probes —
+    * exposed so a long-lived caller (the sv19 streaming decontamination
+    * protocol) can compute it ONCE, persist/checkpoint it, and reuse it
+    * across micro-batches via [[contaminationWithEvalGrams]] instead of
+    * paying the eval-corpus tokenize + explode on every batch. */
+  def evalGrams(eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = eval
+    .select(col(idCol).as("eval_id"), TextOps.tokens(col(textCol)).as("toks"))
+    .select(col("eval_id"), explode(tokenNgramsOf(col("toks"), n)).as("ngram"))
+
+  /** [[contamination]] with the eval side already exploded to
+    * `(eval_id, ngram)` (the [[evalGrams]] shape) — byte-identical output;
+    * the variant exists so streaming callers hoist the static eval work
+    * out of the per-batch loop. */
+  def contaminationWithEvalGrams(train: DataFrame, evalG: DataFrame,
+      idCol: String, textCol: String, n: Int = 5, minShared: Int = 1,
       candidateHashBits: Int = 64): DataFrame = {
     def grams(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("toks"))
@@ -679,7 +730,6 @@ object Dedup {
       if (candidateHashBits >= 64) xxhash64(c)
       else pmod(xxhash64(c), lit(1L << candidateHashBits))
     val trainG = grams(train, "train_id")
-    val evalG = grams(eval, "eval_id")
     val candTrain = trainG.select(col("train_id"), h(col("ngram")).as("h"))
       .join(evalG.select(h(col("ngram")).as("h")), Seq("h"), "leftsemi")
       .select(col("train_id")).distinct()

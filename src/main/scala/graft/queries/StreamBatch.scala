@@ -841,15 +841,15 @@ object StreamBatch {
       |FROM base
       |ORDER BY event_id""".stripMargin
 
-  private val sv14SrcCatalog =
+  private[graft] val sv14SrcCatalog =
     """{"table":{"namespace":"default", "name":"kv_nd_src"},
       |"rowkey":"key",
       |"columns":{
       |"doc_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
       |"text":{"cf":"f", "col":"t", "type":"string"}}}""".stripMargin
-  private val sv14FwdCatalog = sv14SrcCatalog
+  private[graft] val sv14FwdCatalog = sv14SrcCatalog
     .replace("\"kv_nd_src\"", "\"kv_nd_fwd\"")
-  private val sv14IdxCatalog =
+  private[graft] val sv14IdxCatalog =
     """{"table":{"namespace":"default", "name":"kv_nd_idx"},
       |"rowkey":"key",
       |"columns":{
@@ -857,7 +857,7 @@ object StreamBatch {
       |"band":{"cf":"f", "col":"band", "type":"int"},
       |"bh":{"cf":"f", "col":"bh", "type":"bigint"},
       |"doc_id":{"cf":"f", "col":"doc", "type":"bigint"}}}""".stripMargin
-  private val sv14PairsCatalog =
+  private[graft] val sv14PairsCatalog =
     """{"table":{"namespace":"default", "name":"kv_nd_pairs"},
       |"rowkey":"key",
       |"columns":{
@@ -890,26 +890,159 @@ object StreamBatch {
   /** Past this many distinct (band, bh) prefixes the batch's buckets cover
     * so much of the index that a full scan is the better plan (and a deeper
     * pushed Or-tree would only slow planning) — an unselective-predicate
-    * fallback, same judgment as the index consult's cap. */
-  private[graft] val MaxPushedBandPrefixes = 4096
+    * fallback, same judgment as the index consult's cap. Sized for
+    * steady-state CDC batches: a W-doc wave emits ≤ W × 16 prefixes, so
+    * 32768 keeps waves up to ~2k docs on the pushed-sliver path (the
+    * 100k-state proxy showed a 500-doc wave's 8000 prefixes overflowing
+    * the old 4096 cap straight into per-batch full index scans — the
+    * silent degradation this constant exists to prevent). The collect this
+    * caps stays control-sized (≈1 MB of prefix strings at the cap). */
+  private[graft] val MaxPushedBandPrefixes = 32768
 
-  /** Batch-proportional band-index lookup: compile a batch's distinct
-    * `"%02d:%021d:"`-formatted (band, bh) prefixes into pushed
-    * StringStartsWith filters on the index's string row key `ik`, which
-    * [[graft.datasource.FilterCompiler]] turns into a union of key-prefix
-    * ScanRanges — regions without a matching sliver plan NO partition and
-    * scanned rows scale with the batch's bucket population, not index size.
-    * The Or-tree is balanced so predicate depth stays O(log n). Empty
-    * prefix set → empty result without touching the store. */
+  /** Batch-proportional band-index lookup: a batch's distinct
+    * `"%02d:%021d:"`-formatted (band, bh) prefixes ship as the
+    * `keyPrefixes` read option, which the scan compiles STRAIGHT to a
+    * union of key-prefix ScanRanges (one O(n log n) sort+sweep) — regions
+    * without a matching sliver plan NO partition and scanned rows scale
+    * with the batch's bucket population, not index size. The option path
+    * exists because the same set as a pushed Catalyst Or-tree does not
+    * scale: a 26k-prefix predicate tree cost ~60 s of analyzer/optimizer
+    * walks PER MICRO-BATCH at sf0.1 (caught by the round-9 bench). Two
+    * fallbacks return the plain full scan, which callers re-join on
+    * (band, bh) anyway: past [[MaxPushedBandPrefixes]], and when the
+    * sliver union would not be materially smaller than the index itself
+    * (prefixes × 4 ≥ index rows — an O(regions) row-count consult, the
+    * same judgment as the secondary-index consult's cap). Empty prefix
+    * set → empty result without touching the store. */
   private[graft] def bandIndexLookup(s: SparkSession, idxCatalog: String,
       prefixes: Array[String]): DataFrame = {
-    val idx = s.read.format("graft-kv").option("catalog", idxCatalog).load()
-    def orTree(lo: Int, hi: Int): org.apache.spark.sql.Column =
-      if (lo == hi) col("ik").startsWith(prefixes(lo))
-      else { val mid = (lo + hi) / 2; orTree(lo, mid) || orTree(mid + 1, hi) }
-    if (prefixes.isEmpty) idx.filter(lit(false))
-    else if (prefixes.length > MaxPushedBandPrefixes) idx
-    else idx.filter(orTree(0, prefixes.length - 1))
+    import graft.store.KvStore
+    def idx(extra: Map[String, String]) = s.read.format("graft-kv")
+      .options(Map("catalog" -> idxCatalog) ++ extra).load()
+    if (prefixes.isEmpty) return idx(Map.empty).filter(lit(false))
+    val idxName = graft.catalog.GraftCatalog.parse(idxCatalog, Map.empty).qualifiedName
+    val idxRows =
+      if (KvStore.exists(idxName))
+        KvStore.table(idxName).regions.map(_.rowCount.get()).sum
+      else 0L
+    if (prefixes.length > MaxPushedBandPrefixes ||
+        prefixes.length.toLong * 4 >= idxRows) idx(Map.empty)
+    else idx(Map("keyPrefixes" -> prefixes.mkString("\u0001")))
+  }
+
+  /** One CDC drain of incremental near-dup maintenance — the per-batch
+    * protocol of [[sv14StreamIncrNeardup]], factored out so the proxy-scale
+    * spec can drive arbitrary corpora through the exact production path.
+    * Per micro-batch (one stamp generation each, `maxRowsPerBatch=1`):
+    * LSH-index ONLY the new documents; bucket mates come from the
+    * persisted index as pushed `ik` prefix slivers ([[bandIndexLookup]]);
+    * the exact-Jaccard rerank pulls OLD candidate text from the forward
+    * mirror as a capped-In point sliver on the `doc_id` rowkey
+    * ([[mirrorLookup]] — batch-proportional, never a mirror scan, with the
+    * broadcast-leftsemi fallback past the cap); accepted pairs, index
+    * entries, and mirror rows upsert per batch. */
+  private[graft] def maintainNearDupIndex(s: SparkSession, srcCatalog: String,
+      fwdCatalog: String, idxCatalog: String, pairsCatalog: String,
+      maxId: Long, ckpt: String): Unit = {
+    def kvWrite(df: DataFrame, cat: String, ts: Long): Unit = {
+      // numeric presplits for the doc_id-keyed mirror; byte-interpolated
+      // string presplits ('0'..'z' covers the digit-formatted keys) for the
+      // string-keyed index and pairs tables
+      val splits =
+        if (cat == fwdCatalog) Map("minSplitNum" -> "0", "maxSplitNum" -> maxId.toString)
+        else Map("minSplit" -> "0", "maxSplit" -> "z")
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> cat, "newtable" -> "4",
+          "timestamp" -> ts.toString) ++ splits)
+        .mode("append").save()
+    }
+    val q = s.readStream.format("graft-kv")
+      .option("catalog", srcCatalog)
+      .option("maxRowsPerBatch", "1") // one stamp generation per micro-batch
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // The batch frames below are each consumed by SEVERAL actions /
+        // plan branches (newBands feeds the prefix collect, both sides of
+        // the new×new self-join, the new×old join, and the index append;
+        // docs feeds the sketch, the rerank union, and the mirror append;
+        // sh joins twice into the rerank; candIds gates the mirror sliver
+        // and the rerank semi-join). All are BATCH-proportional —
+        // ≤ new-docs × bands rows — so pinning them trades bounded memory
+        // for not re-tokenizing / re-minhashing the batch up to 5×.
+        val docs = b.select(col("doc_id"), col("text")).persist()
+        val toks = docs
+          .select(col("doc_id").as("id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        val newBands = toks
+          .select(col("id"),
+            posexplode(graft.functions.HashExprs.minhashBands(col("toks"), 32, 16)))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+          .persist()
+        // Steady-state CDC batches are small: their distinct (band, bh)
+        // pairs (≤ new-docs × 16, bounded by BATCH size, never corpus
+        // size) collect cheaply and compile into pushed ik prefix ranges,
+        // so the persisted index scan reads only the batch's bucket
+        // slivers. ONE bounded job decides both the guard and the prefix
+        // set: limit(cap + 1) caps driver memory, and a result past the
+        // cap means the batch's buckets blanket the index — the full scan
+        // it falls back to is the right plan there.
+        val bandPrefixes = newBands
+          .select(format_string("%02d:%021d:", col("band"), col("bh")).as("p"))
+          .distinct().limit(MaxPushedBandPrefixes + 1)
+          .collect().map(_.getString(0))
+        // the lookup self-decides sliver-vs-full-scan (cap + index-size
+        // ratio) — callers re-join on (band, bh) either way
+        val oldIdx = bandIndexLookup(s, idxCatalog, bandPrefixes)
+          .select(col("band"), col("bh"), col("doc_id").as("old_id"))
+        val nn = newBands.as("x").join(newBands.as("y"), Seq("band", "bh"))
+          .filter(col("x.id") < col("y.id"))
+          .select(col("x.id").as("ida"), col("y.id").as("idb"))
+        val no = newBands.join(oldIdx, Seq("band", "bh"))
+          .select(least(col("id"), col("old_id")).as("ida"),
+            greatest(col("id"), col("old_id")).as("idb"))
+        // cand feeds candIds AND the accepted-pair join — pinned so the
+        // index-sliver read and the bucket joins run once per batch
+        val cand = nn.union(no).distinct().persist()
+        // rerank shingles ONLY for candidate docs — a semi-join restriction
+        // before the sketch, not after: at scale the corpus+mirror union is
+        // everything ever ingested, and sketching it per batch would be a
+        // full re-read; the candidate sliver is what the LSH stage exists
+        // to produce
+        val candIds = cand.select(col("ida").as("doc_id"))
+          .union(cand.select(col("idb").as("doc_id"))).distinct().persist()
+        // OLD candidates' text comes from the mirror as a capped-In POINT
+        // sliver on its doc_id rowkey — the mirror is everything ever
+        // ingested, and scanning it per batch would be the one
+        // corpus-proportional term left in the protocol
+        val oldCandIds = candIds
+          .join(docs.select(col("doc_id")), Seq("doc_id"), "leftanti")
+        val fwdSliver = mirrorLookup(s, fwdCatalog, "", oldCandIds,
+          idCol = "doc_id").select(col("doc_id"), col("text"))
+        val sh = docs.unionByName(fwdSliver)
+          .join(candIds, Seq("doc_id"), "leftsemi")
+          .select(col("doc_id").as("id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("id"), graft.functions.HashExprs.sortedShingles(col("toks")).as("sh"))
+          .persist()
+        val accepted = cand
+          .join(sh.select(col("id").as("ida"), col("sh").as("sh_a")), Seq("ida"))
+          .join(sh.select(col("id").as("idb"), col("sh").as("sh_b")), Seq("idb"))
+          .withColumn("jaccard", graft.pipeline.Dedup.jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.8)
+          .select(format_string("%012d:%012d", col("ida"), col("idb")).as("pk"),
+            col("ida").as("id_a"), col("idb").as("id_b"), col("jaccard"))
+        kvWrite(accepted, pairsCatalog, ts = 10 + batchId)
+        kvWrite(newBands.select(
+          format_string("%02d:%021d:%012d", col("band"), col("bh"), col("id")).as("ik"),
+          col("band"), col("bh"), col("id").as("doc_id")), idxCatalog, ts = 10 + batchId)
+        kvWrite(docs, fwdCatalog, ts = 10 + batchId)
+        Seq(sh, newBands, docs, cand, candIds).foreach(_.unpersist())
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
   }
 
   def sv14StreamIncrNeardup(s: SparkSession, dir: String): DataFrame = {
@@ -930,105 +1063,24 @@ object StreamBatch {
       writeSrc(base.filter(col("doc_id") % 3 === g), ts = 1000L * (g + 1),
         overwrite = g == 0)
     }
-    def kvWrite(df: DataFrame, cat: String, ts: Long): Unit = {
-      // numeric presplits for the doc_id-keyed mirror; byte-interpolated
-      // string presplits ('0'..'z' covers the digit-formatted keys) for the
-      // string-keyed index and pairs tables
+    def kvInit(df: DataFrame, cat: String): Unit = {
       val splits =
-        if (cat eq sv14FwdCatalog) Map("minSplitNum" -> "0", "maxSplitNum" -> maxId.toString)
+        if (cat == sv14FwdCatalog) Map("minSplitNum" -> "0", "maxSplitNum" -> maxId.toString)
         else Map("minSplit" -> "0", "maxSplit" -> "z")
       df.write.format("graft-kv")
-        .options(Map("catalog" -> cat, "newtable" -> "4",
-          "timestamp" -> ts.toString) ++ splits)
+        .options(Map("catalog" -> cat, "newtable" -> "4", "timestamp" -> "1") ++ splits)
         .mode("append").save()
     }
     // pre-create the mirror/index/pairs tables (empty): the FIRST batch
     // already reads them for its index lookup
-    kvWrite(base.limit(0), sv14FwdCatalog, ts = 1)
-    kvWrite(s.range(0).select(lit("").as("ik"), lit(0).as("band"),
-      lit(0L).as("bh"), lit(0L).as("doc_id")), sv14IdxCatalog, ts = 1)
-    kvWrite(s.range(0).select(lit("").as("pk"), lit(0L).as("id_a"),
-      lit(0L).as("id_b"), lit(0.0d).as("jaccard")), sv14PairsCatalog, ts = 1)
+    kvInit(base.limit(0), sv14FwdCatalog)
+    kvInit(s.range(0).select(lit("").as("ik"), lit(0).as("band"),
+      lit(0L).as("bh"), lit(0L).as("doc_id")), sv14IdxCatalog)
+    kvInit(s.range(0).select(lit("").as("pk"), lit(0L).as("id_a"),
+      lit(0L).as("id_b"), lit(0.0d).as("jaccard")), sv14PairsCatalog)
     val ckpt = Files.createTempDirectory("graft-sv14-ckpt").toString
-    val q = s.readStream.format("graft-kv")
-      .option("catalog", sv14SrcCatalog)
-      .option("maxRowsPerBatch", "1") // one stamp generation per micro-batch
-      .load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        // The batch frames below are each consumed by SEVERAL actions /
-        // plan branches (newBands feeds the prefix collect, both sides of
-        // the new×new self-join, the new×old join, and the index append;
-        // docs feeds the sketch, the rerank union, and the mirror append;
-        // sh joins twice into the rerank). All are BATCH-proportional —
-        // ≤ new-docs × bands rows — so pinning them trades bounded memory
-        // for not re-tokenizing / re-minhashing the batch up to 5×.
-        val docs = b.select(col("doc_id"), col("text")).persist()
-        val toks = docs
-          .select(col("doc_id").as("id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) > 0)
-        val newBands = toks
-          .select(col("id"),
-            posexplode(graft.functions.HashExprs.minhashBands(col("toks"), 32, 16)))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-          .persist()
-        val fwd = s.read.format("graft-kv").option("catalog", sv14FwdCatalog).load()
-        // Steady-state CDC batches are small: their distinct (band, bh)
-        // pairs (≤ new-docs × 16, bounded by BATCH size, never corpus
-        // size) collect cheaply and compile into pushed ik prefix ranges,
-        // so the persisted index scan reads only the batch's bucket
-        // slivers. ONE bounded job decides both the guard and the prefix
-        // set: limit(cap + 1) caps driver memory, and a result past the
-        // cap means the batch's buckets blanket the index — the full scan
-        // it falls back to is the right plan there.
-        val bandPrefixes = newBands
-          .select(format_string("%02d:%021d:", col("band"), col("bh")).as("p"))
-          .distinct().limit(MaxPushedBandPrefixes + 1)
-          .collect().map(_.getString(0))
-        val oldIdxRead =
-          if (bandPrefixes.length > MaxPushedBandPrefixes)
-            s.read.format("graft-kv").option("catalog", sv14IdxCatalog).load()
-          else bandIndexLookup(s, sv14IdxCatalog, bandPrefixes)
-        val oldIdx = oldIdxRead
-          .select(col("band"), col("bh"), col("doc_id").as("old_id"))
-        val nn = newBands.as("x").join(newBands.as("y"), Seq("band", "bh"))
-          .filter(col("x.id") < col("y.id"))
-          .select(col("x.id").as("ida"), col("y.id").as("idb"))
-        val no = newBands.join(oldIdx, Seq("band", "bh"))
-          .select(least(col("id"), col("old_id")).as("ida"),
-            greatest(col("id"), col("old_id")).as("idb"))
-        val cand = nn.union(no).distinct()
-        // rerank shingles ONLY for candidate docs — a semi-join restriction
-        // before the sketch, not after: at scale the corpus+mirror union is
-        // everything ever ingested, and sketching it per batch would be a
-        // full re-read; the candidate sliver is what the LSH stage exists
-        // to produce
-        val candIds = cand.select(col("ida").as("doc_id"))
-          .union(cand.select(col("idb").as("doc_id"))).distinct()
-        val sh = docs.unionByName(fwd)
-          .join(candIds, Seq("doc_id"), "leftsemi")
-          .select(col("doc_id").as("id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) > 0)
-          .select(col("id"), graft.functions.HashExprs.sortedShingles(col("toks")).as("sh"))
-          .persist()
-        val accepted = cand
-          .join(sh.select(col("id").as("ida"), col("sh").as("sh_a")), Seq("ida"))
-          .join(sh.select(col("id").as("idb"), col("sh").as("sh_b")), Seq("idb"))
-          .withColumn("jaccard", graft.pipeline.Dedup.jaccard(col("sh_a"), col("sh_b")))
-          .filter(col("jaccard") >= 0.8)
-          .select(format_string("%012d:%012d", col("ida"), col("idb")).as("pk"),
-            col("ida").as("id_a"), col("idb").as("id_b"), col("jaccard"))
-        kvWrite(accepted, sv14PairsCatalog, ts = 10 + batchId)
-        kvWrite(newBands.select(
-          format_string("%02d:%021d:%012d", col("band"), col("bh"), col("id")).as("ik"),
-          col("band"), col("bh"), col("id").as("doc_id")), sv14IdxCatalog, ts = 10 + batchId)
-        kvWrite(docs, sv14FwdCatalog, ts = 10 + batchId)
-        Seq(sh, newBands, docs).foreach(_.unpersist())
-        ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    maintainNearDupIndex(s, sv14SrcCatalog, sv14FwdCatalog, sv14IdxCatalog,
+      sv14PairsCatalog, maxId, ckpt)
     s.read.format("graft-kv").option("catalog", sv14PairsCatalog).load()
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -1073,16 +1125,28 @@ object StreamBatch {
     * lookup keeps its touched-rows contract by falling back to a
     * broadcast leftsemi over the full scan — never the raw mirror. */
   private[graft] def mirrorLookup(s: SparkSession, catalog: String,
-      avroJson: String, idsDf: DataFrame): DataFrame = {
-    val mirror = s.read.format("graft-kv")
-      .options(Map("catalog" -> catalog, "annVec" -> avroJson)).load()
-    val ids = idsDf.select(col("vec_id")).distinct()
+      avroJson: String, idsDf: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    import graft.store.KvStore
+    val opts = Map("catalog" -> catalog) ++
+      (if (avroJson.nonEmpty) Map("annVec" -> avroJson) else Map.empty)
+    val mirror = s.read.format("graft-kv").options(opts).load()
+    val mirName = graft.catalog.GraftCatalog.parse(catalog, Map.empty).qualifiedName
+    val mirRows =
+      if (KvStore.exists(mirName))
+        KvStore.table(mirName).regions.map(_.rowCount.get()).sum
+      else 0L
+    val ids = idsDf.select(col(idCol)).distinct()
       .limit(MaxPushedBandPrefixes + 1).collect().map(_.getLong(0))
+    // same cost model as [[bandIndexLookup]]: pushed point-gets pay an
+    // O(ids) plan cost, which only wins when the batch is much smaller
+    // than the mirror — a catch-up batch rivaling the corpus takes the
+    // scan + broadcast leftsemi instead (touched-rows contract either way)
     if (ids.isEmpty) mirror.filter(lit(false))
-    else if (ids.length > MaxPushedBandPrefixes)
-      mirror.join(broadcast(idsDf.select(col("vec_id")).distinct()),
-        Seq("vec_id"), "leftsemi")
-    else mirror.filter(col("vec_id").isInCollection(ids.toSeq))
+    else if (ids.length > MaxPushedBandPrefixes ||
+        ids.length.toLong * 4 >= mirRows)
+      mirror.join(broadcast(idsDf.select(col(idCol)).distinct()),
+        Seq(idCol), "leftsemi")
+    else mirror.filter(col(idCol).isInCollection(ids.toSeq))
   }
 
   /** IVF probe read over an inverted-file table keyed `cell ‖ vec_id`: the
@@ -1272,7 +1336,7 @@ object StreamBatch {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val sv19SrcCatalog =
+  private[graft] val sv19SrcCatalog =
     """{"table":{"namespace":"default", "name":"kv_ctm_src"},
       |"rowkey":"key",
       |"columns":{
@@ -1305,9 +1369,13 @@ object StreamBatch {
     *     see [[sv19MirCatalog]]); the touched pairs die through the
     *     delete-mode writer (oversized batches keep the touched-rows
     *     contract via a broadcast leftsemi, the [[mirrorLookup]] shape);
-    *  2. recompute: [[graft.pipeline.Dedup.contamination]] runs batch ×
-    *     eval — the eval gram frame is STATIC, computed once and persisted
-    *     outside the stream, so each batch pays only its own explode;
+    *  2. recompute: [[graft.pipeline.Dedup.contaminationWithEvalGrams]]
+    *     runs batch × eval — the eval GRAM frame is STATIC, tokenized and
+    *     exploded exactly once via [[contamEvalGrams]] (an eager
+    *     localCheckpoint truncates its lineage, so a micro-batch
+    *     physically cannot re-derive it), and each batch pays only its own
+    *     explode (StreamingSpec pins eval-side tokenization at one pass
+    *     across a multi-wave stream);
     *  3. upsert the fresh pairs one stamp later (the deletes-at-T /
     *     puts-at-T+1 convention: an updated doc that KEEPS a contamination
     *     pair re-puts the very key its retirement just tombstoned).
@@ -1320,13 +1388,91 @@ object StreamBatch {
     * and a quarantine wave (text replaced entirely — those docs' pairs
     * must vanish without a tombstone). The final answer reads the mirror;
     * the oracle is px17's SQL over the corpus's FINAL state. */
+  /** The STATIC eval-side gram frame of the decontamination protocol,
+    * tokenized + exploded ONCE and pinned by an eager localCheckpoint —
+    * lineage truncation makes per-batch re-derivation impossible by
+    * construction, which is what lets [[maintainContamMirror]] promise
+    * batch-×-eval-GRAMS work per drain with zero eval re-tokenization.
+    * Callers release the blocks with `unpersist()` when the stream ends. */
+  private[graft] def contamEvalGrams(evalDocs: DataFrame, n: Int): DataFrame =
+    graft.pipeline.Dedup.evalGrams(evalDocs, "doc_id", "text", n)
+      .localCheckpoint(true)
+
+  /** One CDC drain of contamination-mirror maintenance — the per-batch
+    * protocol of [[sv19StreamDecontam]], factored out so the differential
+    * and crash-recovery specs can drive arbitrary put/delete sequences
+    * (and checkpoint-resumed restarts at the deletes-at-T / puts-at-T+1
+    * boundary) through the exact production path. `evalG` is the
+    * [[contamEvalGrams]] frame: already exploded, already materialized —
+    * this function never tokenizes the eval side. `crashPoint` is a
+    * fault-injection seam invoked between the retirement (deletes-at-T)
+    * and the fresh-pair upsert (puts-at-T+1): a throwing hook simulates a
+    * mid-batch crash exactly at the convention's hazard window, and the
+    * recovery spec asserts a checkpoint-resumed replay converges. */
+  private[graft] def maintainContamMirror(s: SparkSession, srcCatalog: String,
+      mirCatalog: String, evalG: DataFrame, maxId: Long, ckpt: String,
+      phaseStamp: Long, n: Int = 5, crashPoint: () => Unit = () => ()): Unit = {
+    import graft.store.KvStore
+    val mirName = graft.catalog.GraftCatalog.parse(mirCatalog, Map.empty).qualifiedName
+    val q = s.readStream.format("graft-kv")
+      .option("catalog", srcCatalog).option("tombstones", "true").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val changed = df.select(col("doc_id"), col("text"), col("_deleted"))
+          .persist()
+        if (!changed.isEmpty) {
+          if (KvStore.exists(mirName)) {
+            // 1. retire the touched docs' OLD pairs: changed ids → In
+            //    ranges on the LEADING key part (capped, leftsemi
+            //    fallback past the cap) — batch-sized point slivers
+            val mirror = s.read.format("graft-kv")
+              .option("catalog", mirCatalog).load()
+            val ids = changed.select(col("doc_id")).distinct()
+              .limit(MaxPushedBandPrefixes + 1).collect().map(_.getLong(0))
+            val oldPairs =
+              if (ids.length > MaxPushedBandPrefixes)
+                mirror.join(broadcast(changed.select(
+                  col("doc_id").as("train_id")).distinct()),
+                  Seq("train_id"), "leftsemi")
+              else mirror.filter(col("train_id").isInCollection(ids.toSeq))
+            oldPairs.select(col("train_id"), col("eval_id"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> mirCatalog, "delete" -> "true",
+                "timestamp" -> phaseStamp.toString))
+              .mode("append").save()
+          }
+          crashPoint() // fault-injection seam: deletes-at-T landed, puts-at-T+1 have not
+          // 2. fresh pairs for the upserted docs, against the static
+          //    PRE-EXPLODED eval grams — batch × eval, never corpus × eval,
+          //    and never a repeat of the eval-side tokenize
+          val ups = changed.filter(!col("_deleted"))
+            .select(col("doc_id"), col("text"))
+          graft.pipeline.Dedup.contaminationWithEvalGrams(ups, evalG,
+            "doc_id", "text", n = n, minShared = 1)
+            .write.format("graft-kv")
+            .options(Map("catalog" -> mirCatalog, "newtable" -> "4",
+              "timestamp" -> (phaseStamp + 1).toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+            .mode("append").save()
+        }
+        changed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   def sv19StreamDecontam(s: SparkSession, dir: String): DataFrame = {
     import graft.datasource.FilterCompiler
     import graft.store.KvStore
     val base = Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val train = base.filter(col("doc_id") % 10 =!= 0)
-    val evalDocs = base.filter(col("doc_id") % 10 === 0).persist()
+    val evalDocs = base.filter(col("doc_id") % 10 === 0)
+    // the static eval work happens HERE, once — the drains below reuse the
+    // materialized gram frame
+    val evalG = contamEvalGrams(evalDocs, n = 5)
     val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
     val srcParsed = graft.catalog.GraftCatalog.parse(sv19SrcCatalog, Map.empty)
     val mirParsed = graft.catalog.GraftCatalog.parse(sv19MirCatalog, Map.empty)
@@ -1337,53 +1483,9 @@ object StreamBatch {
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
     val ckpt = Files.createTempDirectory("graft-sv19-ckpt").toString
-    def applyBatch(phaseStamp: Long): Unit = {
-      val q = s.readStream.format("graft-kv")
-        .option("catalog", sv19SrcCatalog).option("tombstones", "true").load()
-        .writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          val changed = df.select(col("doc_id"), col("text"), col("_deleted"))
-            .persist()
-          if (!changed.isEmpty) {
-            if (KvStore.exists(mirParsed.qualifiedName)) {
-              // 1. retire the touched docs' OLD pairs: changed ids → In
-              //    ranges on the LEADING key part (capped, leftsemi
-              //    fallback past the cap) — batch-sized point slivers
-              val mirror = s.read.format("graft-kv")
-                .option("catalog", sv19MirCatalog).load()
-              val ids = changed.select(col("doc_id")).distinct()
-                .limit(MaxPushedBandPrefixes + 1).collect().map(_.getLong(0))
-              val oldPairs =
-                if (ids.length > MaxPushedBandPrefixes)
-                  mirror.join(broadcast(changed.select(
-                    col("doc_id").as("train_id")).distinct()),
-                    Seq("train_id"), "leftsemi")
-                else mirror.filter(col("train_id").isInCollection(ids.toSeq))
-              oldPairs.select(col("train_id"), col("eval_id"))
-                .write.format("graft-kv")
-                .options(Map("catalog" -> sv19MirCatalog, "delete" -> "true",
-                  "timestamp" -> phaseStamp.toString))
-                .mode("append").save()
-            }
-            // 2. fresh pairs for the upserted docs, against the static
-            //    eval set — batch × eval, never corpus × eval
-            val ups = changed.filter(!col("_deleted"))
-              .select(col("doc_id"), col("text"))
-            graft.pipeline.Dedup.contamination(ups, evalDocs,
-              "doc_id", "text", n = 5, minShared = 1)
-              .write.format("graft-kv")
-              .options(Map("catalog" -> sv19MirCatalog, "newtable" -> "4",
-                "timestamp" -> (phaseStamp + 1).toString,
-                "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
-              .mode("append").save()
-          }
-          changed.unpersist()
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    def applyBatch(phaseStamp: Long): Unit =
+      maintainContamMirror(s, sv19SrcCatalog, sv19MirCatalog, evalG,
+        maxId, ckpt, phaseStamp)
     // fresh run every invocation
     KvStore.drop(mirParsed.qualifiedName)
     writeSrc(train, ts = 1000, overwrite = true)
@@ -1403,7 +1505,7 @@ object StreamBatch {
           .withColumn("text", lit("quarantine removed"))),
       ts = 3000, overwrite = false)
     applyBatch(phaseStamp = 30)
-    evalDocs.unpersist()
+    evalG.unpersist()
     s.read.format("graft-kv").option("catalog", sv19MirCatalog).load()
       .select(col("train_id"), col("eval_id"), col("n_shared"))
       .orderBy(col("train_id"), col("eval_id"))

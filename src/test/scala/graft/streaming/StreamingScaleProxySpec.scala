@@ -1,0 +1,218 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.StreamBatch
+import graft.store.KvStore
+
+/** Streaming scale proxy: the CDC maintenance protocols'
+  * batch-proportionality claim demonstrated at proxy size, not just pinned
+  * at toy size. A 100k-row persisted state (near-dup band index / ANN
+  * inverted file) absorbs small CDC waves through the EXACT production
+  * protocols ([[StreamBatch.maintainNearDupIndex]],
+  * [[StreamBatch.maintainAnnIndex]]), and each drain's observed cost —
+  * rows the store served ([[KvStore.rowsServed]]) and shuffle records
+  * written (task-metrics listener) — must track the WAVE size, never the
+  * corpus/index size. Bounds are generous (constant-factor slop for plan
+  * re-execution and write repartitioning) but orders of magnitude below
+  * corpus scale, so a reintroduced per-batch index scan, mirror scan, or
+  * corpus re-tokenize blows them immediately. */
+class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Shuffle records written across every job inside `f` (the listener bus
+    * is async — spin until the counter goes quiet). */
+  private def measureShuffle[A](f: => A): (A, Long) = {
+    val recs = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) { recs.addAndGet(m.shuffleWriteMetrics.recordsWritten); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = f
+      var last = -1L; var spins = 0
+      while (recs.get() != last && spins < 20) {
+        last = recs.get(); Thread.sleep(200); spins += 1
+      }
+      (r, recs.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def tableRows(name: String): Long =
+    KvStore.table(name).regions.map(_.rowCount.get()).sum
+
+  test("sv14 protocol at 100k docs: a 500-doc wave's store reads and shuffles track the wave, not the index") {
+    val src = StreamBatch.sv14SrcCatalog.replace("\"kv_nd_src\"", "\"kv_nd_src_sxp\"")
+    val fwd = StreamBatch.sv14FwdCatalog.replace("\"kv_nd_fwd\"", "\"kv_nd_fwd_sxp\"")
+    val idx = StreamBatch.sv14IdxCatalog.replace("\"kv_nd_idx\"", "\"kv_nd_idx_sxp\"")
+    val pairs = StreamBatch.sv14PairsCatalog.replace("\"kv_nd_pairs\"", "\"kv_nd_pairs_sxp\"")
+    Seq("kv_nd_src_sxp", "kv_nd_fwd_sxp", "kv_nd_idx_sxp", "kv_nd_pairs_sxp")
+      .foreach(t => KvStore.drop(s"default:$t"))
+    val N = 100000L; val W = 500L
+    val maxId = N + 2 * W
+    // six tokens per doc, all derived from the seed id — cross-doc token
+    // overlap ~0, so LSH buckets hold only genuine copies (shared static
+    // tokens would make every band bucket corpus-sized and the self-join
+    // quadratic — the exact pathology the protocol must not have)
+    def textOf(seed: Column): Column = concat_ws(" ",
+      (1 to 6).map(k => concat(lit("w"), xxhash64(seed.cast("string"), lit(k)))): _*)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> src, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    // pre-create mirror/index/pairs (the first batch reads them) — the
+    // same empty-table bootstrap sv14StreamIncrNeardup performs
+    def kvInit(df: DataFrame, cat: String, numeric: Boolean): Unit = {
+      val splits =
+        if (numeric) Map("minSplitNum" -> "0", "maxSplitNum" -> maxId.toString)
+        else Map("minSplit" -> "0", "maxSplit" -> "z")
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> cat, "newtable" -> "4", "timestamp" -> "1") ++ splits)
+        .mode("append").save()
+    }
+    kvInit(spark.range(0).select(col("id").as("doc_id"),
+      lit("").as("text")), fwd, numeric = true)
+    kvInit(spark.range(0).select(lit("").as("ik"), lit(0).as("band"),
+      lit(0L).as("bh"), lit(0L).as("doc_id")), idx, numeric = false)
+    kvInit(spark.range(0).select(lit("").as("pk"), lit(0L).as("id_a"),
+      lit(0L).as("id_b"), lit(0.0d).as("jaccard")), pairs, numeric = false)
+    val ckpt = Files.createTempDirectory("graft-sxp14-ckpt").toString
+    def drain(): Unit =
+      StreamBatch.maintainNearDupIndex(spark, src, fwd, idx, pairs, maxId, ckpt)
+
+    // wave 1: the 100k-doc corpus (unique texts) builds the persisted state
+    writeSrc(spark.range(N).select(col("id").as("doc_id"),
+      textOf(col("id")).as("text")), ts = 1000, overwrite = true)
+    val (_, shuf1) = measureShuffle(drain())
+    val idxRows = tableRows("default:kv_nd_idx_sxp")
+    val fwdRows = tableRows("default:kv_nd_fwd_sxp")
+    assert(fwdRows == N)
+    assert(idxRows >= 15L * N, s"index must hold ~16 band entries per doc, got $idxRows")
+
+    // wave 2: 500 new docs, the first 100 exact copies of corpus docs 0..99
+    // (their pairs must be found via index slivers + mirror point-gets)
+    writeSrc(spark.range(W).select((col("id") + N).as("doc_id"),
+      textOf(when(col("id") < 100, col("id")).otherwise(col("id") + N)).as("text")),
+      ts = 2000, overwrite = false)
+    val base2 = KvStore.rowsServed
+    val (_, shuf2) = measureShuffle(drain())
+    val served2 = KvStore.rowsServed - base2
+    info(s"wave2: served=$served2 shuffle=$shuf2 (index=$idxRows, wave1 shuffle=$shuf1)")
+    assert(served2 < 30000L,
+      s"wave-2 drain served $served2 store rows for a $W-doc wave — " +
+        "a per-batch index or mirror scan crept back in")
+    assert(served2 * 50 < idxRows + fwdRows,
+      s"wave-2 reads ($served2) must be orders below state size (${idxRows + fwdRows})")
+    assert(shuf2 < 300000L && shuf2 * 10 < shuf1,
+      s"wave-2 shuffled $shuf2 records (wave-1: $shuf1) — batch work is not wave-proportional")
+
+    // wave 3 (drift check — the state grew, the bound must not): copies of
+    // corpus docs 200..299, disjoint from wave 2's
+    writeSrc(spark.range(W).select((col("id") + N + W).as("doc_id"),
+      textOf(when(col("id") < 100, col("id") + 200).otherwise(col("id") + N + W)).as("text")),
+      ts = 3000, overwrite = false)
+    val base3 = KvStore.rowsServed
+    val (_, shuf3) = measureShuffle(drain())
+    val served3 = KvStore.rowsServed - base3
+    info(s"wave3: served=$served3 shuffle=$shuf3")
+    assert(served3 < 30000L && shuf3 < 300000L,
+      s"wave-3 cost grew past the wave bound (served=$served3, shuffle=$shuf3)")
+
+    // correctness spot-check: the incremental drains discovered exactly the
+    // cross-wave copy pairs
+    val got = spark.read.format("graft-kv").option("catalog", pairs).load()
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 100).foreach { i =>
+      assert(got.contains((i.toLong, N + i)), s"missing wave-2 pair ($i, ${N + i})")
+      assert(got.contains((200L + i, N + W + i)), s"missing wave-3 pair (${200 + i}, ${N + W + i})")
+    }
+    assert(got.size == 200, s"expected exactly the 200 copy pairs, got ${got.size}")
+    Seq("kv_nd_src_sxp", "kv_nd_fwd_sxp", "kv_nd_idx_sxp", "kv_nd_pairs_sxp")
+      .foreach(t => KvStore.drop(s"default:$t"))
+  }
+
+  test("sv18 ANN maintenance at 100k vectors: a 500-vector update wave point-reads only its touched rows") {
+    val src = StreamBatch.sv18SrcCatalog.replace("\"kv_ann_src\"", "\"kv_ann_src_sxp\"")
+    val fwd = StreamBatch.sv18FwdCatalog.replace("\"kv_ann_fwd\"", "\"kv_ann_fwd_sxp\"")
+    val idx = StreamBatch.sv18IdxCatalog.replace("\"kv_ann_idx\"", "\"kv_ann_idx_sxp\"")
+    val avro = StreamBatch.sv18AvroVec
+    Seq("kv_ann_src_sxp", "kv_ann_fwd_sxp", "kv_ann_idx_sxp")
+      .foreach(t => KvStore.drop(s"default:$t"))
+    val N = 100000L; val W = 500L
+    // 16 coarse cells on a 4×4 grid over the first two coordinates
+    val cents: Array[Array[Double]] =
+      (0 until 16).map(c => Array((c % 4).toDouble, (c / 4).toDouble, 0.0, 0.0)).toArray
+    def vecOf(id: Column, shift: Double): Column = array(
+      ((id % 4) + lit(shift)).cast("float"),
+      (floor(id / 4) % 4).cast("float"),
+      ((id % 7) * lit(0.01)).cast("float"),
+      lit(0.0f))
+    def writeSrc(df: DataFrame, ts: Long): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> src, "annVec" -> avro, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> N.toString))
+        .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-sxp18-ckpt").toString
+    def drain(stamp: Long): Unit =
+      StreamBatch.maintainAnnIndex(spark, src, fwd, idx, cents, N, ckpt, stamp)
+
+    // wave 1: the 100k-vector corpus builds mirror + inverted file
+    writeSrc(spark.range(N).select(col("id").as("vec_id"),
+      vecOf(col("id"), 0.0).as("embedding")), ts = 1000)
+    drain(stamp = 10)
+    assert(tableRows("default:kv_ann_fwd_sxp") == N)
+    assert(tableRows("default:kv_ann_idx_sxp") == N,
+      "one inverted-file entry per live vector")
+
+    // wave 2: 500 spread-out vectors UPDATE (moved to a different cell) —
+    // retirement must point-read exactly the touched mirror rows
+    writeSrc(spark.range(W).select((col("id") * 200 + 3).as("vec_id"),
+      vecOf(col("id") * 200 + 3, 2.0).as("embedding")), ts = 2000)
+    val base2 = KvStore.rowsServed
+    val (_, shuf2) = measureShuffle(drain(stamp = 20))
+    val served2 = KvStore.rowsServed - base2
+    info(s"wave2: served=$served2 shuffle=$shuf2")
+    assert(served2 < 10000L,
+      s"update wave served $served2 rows for $W changed vectors — " +
+        "retirement is reading corpus-scale state")
+    assert(served2 * 50 < 2 * N, "wave reads must be orders below mirror+index size")
+    assert(tableRows("default:kv_ann_idx_sxp") == N,
+      "updates must RE-KEY entries (retire old cell, insert new), not duplicate them")
+    assert(tableRows("default:kv_ann_fwd_sxp") == N)
+
+    // wave 3: a 200-id tombstone wave retires mirror + index entries
+    import spark.implicits._
+    (0L until 200L).map(_ * 400 + 7).toDF("vec_id").write.format("graft-kv")
+      .options(Map("catalog" -> src, "annVec" -> avro,
+        "delete" -> "true", "timestamp" -> "3000"))
+      .mode("append").save()
+    val base3 = KvStore.rowsServed
+    drain(stamp = 30)
+    val served3 = KvStore.rowsServed - base3
+    info(s"wave3: served=$served3")
+    assert(served3 < 10000L, s"tombstone wave served $served3 rows for 200 deletes")
+    assert(tableRows("default:kv_ann_idx_sxp") == N - 200)
+    assert(tableRows("default:kv_ann_fwd_sxp") == N - 200)
+    Seq("kv_ann_src_sxp", "kv_ann_fwd_sxp", "kv_ann_idx_sxp")
+      .foreach(t => KvStore.drop(s"default:$t"))
+  }
+}

@@ -1182,4 +1182,128 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"default:kv_ann_idx_$suf").foreach(KvStore.drop)
     }
   }
+
+  test("decontamination protocol tokenizes the eval side ONCE per stream, not per batch") {
+    // the sv19 cost-model pin: contamEvalGrams materializes the exploded
+    // eval gram frame eagerly (lineage-truncating localCheckpoint), so a
+    // multi-wave drain sequence must never re-run the eval-side tokenize.
+    // A counting UDF on the eval text column is the witness: its
+    // accumulator moves during the one materialization and stays frozen
+    // across every subsequent micro-batch.
+    import graft.queries.StreamBatch
+    val suf = "tokonce"
+    val srcCat = StreamBatch.sv19SrcCatalog.replace("\"kv_ctm_src\"", s""""kv_ctm_src_$suf"""")
+    val mirCat = StreamBatch.sv19MirCatalog.replace("\"kv_ctm_mirror\"", s""""kv_ctm_mirror_$suf"""")
+    Seq(s"default:kv_ctm_src_$suf", s"default:kv_ctm_mirror_$suf").foreach(KvStore.drop)
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("evalTokenizePasses")
+    val counted = udf { (t: String) => acc.add(1L); t }.asNondeterministic()
+    val evalDocs = Seq(
+      (1000L, "red green blue"), (1001L, "cat dog chased the mouse"))
+      .toDF("doc_id", "text").withColumn("text", counted(col("text")))
+    val evalG = StreamBatch.contamEvalGrams(evalDocs, n = 2)
+    val passesAfterHoist = acc.value.longValue
+    assert(passesAfterHoist > 0L, "the hoist must materialize the gram frame eagerly")
+    def putDocs(rows: Seq[(Long, String)], ts: Long): Unit =
+      rows.toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-ctmtok-ckpt").toString
+    (1 to 3).foreach { wave =>
+      putDocs(Seq((wave.toLong, s"red green wave$wave"),
+        (10L + wave, s"cat dog wave$wave")), ts = 1000L * wave)
+      StreamBatch.maintainContamMirror(spark, srcCat, mirCat, evalG,
+        maxId = 100L, ckpt, phaseStamp = 10L * wave, n = 2)
+    }
+    assert(acc.value.longValue == passesAfterHoist,
+      s"eval side re-tokenized inside the micro-batch loop: " +
+        s"$passesAfterHoist passes before the stream, ${acc.value} after")
+    // and the mirror is actually maintained (the frozen counter is not a
+    // sign the protocol silently did nothing)
+    val pairs = spark.read.format("graft-kv").option("catalog", mirCat).load()
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id")))
+      .toSet
+    assert(pairs == (1 to 3).flatMap(w =>
+      Seq((w.toLong, 1000L), (10L + w, 1001L))).toSet, s"got $pairs")
+    evalG.unpersist()
+    Seq(s"default:kv_ctm_src_$suf", s"default:kv_ctm_mirror_$suf").foreach(KvStore.drop)
+  }
+
+  test("decontamination crash between deletes-at-T and puts-at-T+1 converges on checkpoint resume") {
+    // the deletes-at-T / puts-at-T+1 stamp convention's hazard window: a
+    // batch that crashed AFTER retiring a doc's old pairs but BEFORE
+    // landing its fresh ones replays wholesale on resume. The replayed
+    // retirement re-reads a mirror whose touched pairs are already
+    // tombstoned (it must not double-retire into a later stamp), and the
+    // re-put of a KEPT pair must land above its own tombstone. Includes
+    // the exact re-put case: doc 1's update keeps pair (1,1000).
+    import graft.queries.StreamBatch
+    val suf = "crash"
+    val srcCat = StreamBatch.sv19SrcCatalog.replace("\"kv_ctm_src\"", s""""kv_ctm_src_$suf"""")
+    val mirCat = StreamBatch.sv19MirCatalog.replace("\"kv_ctm_mirror\"", s""""kv_ctm_mirror_$suf"""")
+    Seq(s"default:kv_ctm_src_$suf", s"default:kv_ctm_mirror_$suf").foreach(KvStore.drop)
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1000L, "red green blue"), (1001L, "cat dog chased the mouse"))
+      .toDF("doc_id", "text")
+    val evalG = StreamBatch.contamEvalGrams(evalDocs, n = 2)
+    def putDocs(rows: Seq[(Long, String)], ts: Long): Unit =
+      rows.toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save()
+    def delDocs(ids: Seq[Long], ts: Long): Unit =
+      ids.toDF("doc_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "delete" -> "true",
+          "timestamp" -> ts.toString))
+        .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-ctmcrash-ckpt").toString
+    // wave 1: three docs; (1,1000) and (2,1001) become mirror pairs
+    putDocs(Seq((1L, "red green yellow"), (2L, "cat dog bird"),
+      (3L, "nothing shared here")), ts = 1000)
+    StreamBatch.maintainContamMirror(spark, srcCat, mirCat, evalG,
+      maxId = 100L, ckpt, phaseStamp = 10, n = 2)
+    // wave 2: doc 1 updates and KEEPS its pair (stronger overlap), doc 2
+    // dies, doc 4 arrives with a fresh pair
+    putDocs(Seq((1L, "red green blue"), (4L, "cat dog")), ts = 2000)
+    delDocs(Seq(2L), ts = 2001)
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamBatch.maintainContamMirror(spark, srcCat, mirCat, evalG,
+        maxId = 100L, ckpt, phaseStamp = 20, n = 2,
+        crashPoint = () => throw new RuntimeException("injected crash"))
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      Option(crashed.getCause).exists(_.getMessage.contains("injected crash")))
+    // mid-crash state: the touched docs' old pairs are retired, nothing
+    // fresh landed — the exact torn write the convention must absorb
+    val torn = spark.read.format("graft-kv").option("catalog", mirCat).load()
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id")))
+      .toSet
+    assert(!torn.contains((1L, 1000L)) && !torn.contains((2L, 1001L)),
+      s"retirement must have landed before the crash, got $torn")
+    // resume from the SAME checkpoint: the batch replays wholesale
+    StreamBatch.maintainContamMirror(spark, srcCat, mirCat, evalG,
+      maxId = 100L, ckpt, phaseStamp = 20, n = 2)
+    val got = spark.read.format("graft-kv").option("catalog", mirCat).load()
+      .collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("n_shared")))
+      .toSet
+    // oracle: batch contamination over the live corpus's final state
+    val live = Seq((1L, "red green blue"), (3L, "nothing shared here"),
+      (4L, "cat dog")).toDF("doc_id", "text")
+    val expected = graft.pipeline.Dedup.contamination(live,
+        evalDocs, "doc_id", "text", n = 2, minShared = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("n_shared")))
+      .toSet
+    assert(got == expected,
+      s"resumed mirror diverged from the batch oracle: got $got, want $expected")
+    assert(got.contains((1L, 1000L, 2L)),
+      "the kept pair must survive its own retirement tombstone (re-put at T+1)")
+    evalG.unpersist()
+    Seq(s"default:kv_ctm_src_$suf", s"default:kv_ctm_mirror_$suf").foreach(KvStore.drop)
+  }
 }
