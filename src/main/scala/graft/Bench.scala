@@ -75,7 +75,7 @@ object Bench {
     // truncates at 2000 chars, so round-over-round per-query comparison
     // needs a complete on-disk artifact (BENCH_LOCAL_r{N}.json; bump the
     // default per round or override via SPARK_GRAFT_BENCH_OUT)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r8.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r9.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
