@@ -344,6 +344,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** PQ ANN over a MATERIALIZED code table — the production shape
+    * [[pqTopKWithCodebooks]]'s scaladoc prescribes: the corpus side
+    * carries only `(id, m codes)` (m bytes/vector at k ≤ 256 — the 32×
+    * scan-size win), and reconstruction is m broadcast-literal lookups
+    * per row (O(m); the proxy variant re-derives each code with an m·k·sub
+    * NearestCentroids scan of the full float vector). Scoring is the same
+    * asymmetric cosine over the same reconstruction values, so the two
+    * variants agree bit-for-bit and share one oracle. `codeTable` must
+    * hold `idCol` and a `codes` array column (the [[pqCodes]] shape). */
+  def pqTopKFromCodes(books: Array[Array[Array[Double]]],
+      queries: DataFrame, codeTable: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val rv = concat(books.indices.map { j =>
+      element_at(typedLit(books(j).map(_.toSeq).toSeq),
+        element_at(col("codes"), j + 1) + 1)
+    }: _*)
+    val c = codeTable.select(col(idCol).as("neighbor_id"), rv.as("rv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("rv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold.
     *
     * The default (scale) path is BANDED sign-LSH blocking: each vector gets

@@ -1170,6 +1170,66 @@ object Connector {
       |WHERE c_name BETWEEN 'Customer#000000010' AND 'Customer#000000099'
       |ORDER BY c_custkey""".stripMargin
 
+  /** kv31's catalog: the embeddings corpus resident in the store, vectors
+    * as the Avro `array<float>` payload (bit-exact round-trip — the sv18
+    * contract), keyed by vec_id with numeric presplits. */
+  private val kv31Catalog =
+    """{"table":{"namespace":"default", "name":"kv_vec_corpus"},
+      |"rowkey":"key",
+      |"columns":{
+      |"vec_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"embedding":{"cf":"f", "col":"v", "avro":"annVec"}}}""".stripMargin
+  private val kv31Avro = """{"type":"array","items":"float"}"""
+
+  /** kv31: COLUMNAR VECTOR SCAN — px9's exact brute-force cosine top-5,
+    * but over a STORE-RESIDENT corpus: the Avro float vectors decode
+    * straight into `ColumnarBatch` array vectors (the columnar fast path's
+    * array support), so the ANN scan rides whole-stage codegen instead of
+    * the row materializer — the plan shape is `require`d on every run.
+    * Vectors round-trip bit-exactly through the store, and the scoring is
+    * [[graft.pipeline.Similarity.bruteForceTopK]] (px9's fold arithmetic),
+    * so the oracle recomputes the identical answer from the parquet
+    * originals. Null ids/vectors are excluded on BOTH sides (a null id
+    * cannot key the store; a null-skip row with no other column would
+    * vanish), keeping the streamed corpus equal to the oracle's. */
+  def kv31VectorTopk(s: SparkSession, dir: String): DataFrame = {
+    if (!graft.store.KvStore.exists("default:kv_vec_corpus")) {
+      val base = Tables.embeddings(s, dir)
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+      base.write.format("graft-kv")
+        .options(Map("catalog" -> kv31Catalog, "annVec" -> kv31Avro,
+          "newtable" -> "8", "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode("append").save()
+    }
+    val kv = s.read.format("graft-kv")
+      .options(Map("catalog" -> kv31Catalog, "annVec" -> kv31Avro)).load()
+    val df = graft.pipeline.Similarity.bruteForceTopK(
+      kv.filter(col("vec_id") < 10L), kv, "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+    val rows = df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    require(planStr.contains("ColumnarToRow"),
+      s"kv31's vector scan must ride the columnar path:\n${planStr.take(2000)}")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** px9's SQL over the parquet originals, restricted to the non-null rows
+    * the store holds — the store read is bit-exact, so the scores hash-match. */
+  val kv31Sql: String =
+    """WITH nn AS (SELECT vec_id, embedding FROM embeddings
+      |            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      |     q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM nn WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM nn)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
+      |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val kv28Sql: String =
     """WITH stats AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
       |    count(*) AS n_lines,
@@ -1212,6 +1272,7 @@ object Connector {
     "kv28_spj_join"       -> (kv28SpjJoin _),
     "kv29_index_semijoin" -> (kv29IndexSemijoin _),
     "kv30_string_index"   -> (kv30StringIndex _),
+    "kv31_vector_topk"    -> (kv31VectorTopk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1245,5 +1306,6 @@ object Connector {
     "kv28_spj_join"       -> kv28Sql,
     "kv29_index_semijoin" -> kv29Sql,
     "kv30_string_index"   -> kv30Sql,
+    "kv31_vector_topk"    -> kv31Sql,
   )
 }

@@ -398,10 +398,16 @@ object Pipeline {
     * centroids become SQL literals). Merged into the static map by Verify. */
   def dynamicOracles(s: SparkSession, dir: String): Map[String, String] = {
     val ivfSql = px13Sql(s, dir)
+    val pqSql = px56Sql(s, dir)
     Map("px13_ann_ivf" -> ivfSql,
       "px37_semantic_dedup" -> px37Sql(s, dir),
       "px46_cluster_sample" -> px46Sql(s, dir),
-      "px56_pq_ann" -> px56Sql(s, dir),
+      // px57 searches the code-table compression of the SAME corpus with
+      // the same codebooks and reconstruction arithmetic — its contract is
+      // that compression does not change the answer, so its oracle IS
+      // px56's rendered SQL (one shared string, like sv18/px13)
+      "px56_pq_ann" -> pqSql,
+      "px57_pq_adc" -> pqSql,
       // the CDC-maintained IVF index must converge to the BATCH IVF answer
       // (same memoized centroids, same probe parameters) — the streaming
       // query's whole contract is that its oracle IS px13's, so both keys
@@ -1869,6 +1875,25 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** px57: PQ ANN from a MATERIALIZED code table
+    * ([[Similarity.pqTopKFromCodes]]) — the scale deployment of px56: the
+    * corpus compresses ONCE into m-byte codes (the 32× structure that stays
+    * memory-resident at 100 TB), and every search scans codes +
+    * reconstructs via m literal lookups instead of re-deriving codes from
+    * the full float vectors. Same codebooks, same reconstruction values,
+    * same asymmetric-cosine arithmetic ⇒ the answer — and the oracle — IS
+    * px56's, which is the whole contract: compressing the corpus must not
+    * change what the search returns. */
+  def px57PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooksFor(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val codeTable = e.select(col("vec_id"),
+      Similarity.pqCodes(col("embedding"), books).as("codes"))
+    Similarity.pqTopKFromCodes(books, e.filter(col("vec_id") < 10),
+      codeTable, "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def px56Sql(s: SparkSession, dir: String): String = {
     val books = pqCodebooksFor(s, dir)
     val sub = books(0)(0).length
@@ -1958,6 +1983,7 @@ object Pipeline {
     "px54_leakfree_split"     -> (px54LeakFreeSplit _),
     "px55_dup_spans"          -> (px55DupSpans _),
     "px56_pq_ann"             -> (px56PqAnn _),
+    "px57_pq_adc"             -> (px57PqAdc _),
   )
 
   val oracles: Map[String, String] = Map(

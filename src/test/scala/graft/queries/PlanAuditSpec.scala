@@ -179,6 +179,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     KvStore.drop("default:kv_vecplan")
   }
 
+  test("keyPrefixes option: slivers are exact, scan-bounded, and compose with pushed filters") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"kv_prefopt"},
+        |"rowkey":"key",
+        |"columns":{
+        |"ik":{"cf":"rowkey", "col":"key", "type":"string"},
+        |"n":{"cf":"f", "col":"n", "type":"bigint"}}}""".stripMargin
+    KvStore.drop("default:kv_prefopt")
+    val rows = for (b <- 0 until 20; i <- 0 until 40)
+      yield (f"$b%02d:$i%04d", b * 10000L + i)
+    rows.toDF("ik", "n").write.format("graft-kv")
+      .options(Map("catalog" -> catalogJson, "newtable" -> "8",
+        "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
+    def read(prefixes: Seq[String]) = spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalogJson,
+        "keyPrefixes" -> prefixes.mkString("\u0001"))).load()
+    // exact slivers: only the named buckets come back, and the SCAN itself
+    // reads only them (option → ranges, no Spark-side residual filter)
+    val df = read(Seq("03:", "07:", "11:"))
+    df.collect() // settle metrics
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val want = rows.filter(r => Seq("03:", "07:", "11:").exists(r._1.startsWith))
+      .sorted
+    assert(got.toSeq == want, s"got ${got.length} rows, want ${want.length}")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.metrics("graftRowsScanned").value == want.length.toLong,
+      "the option must restrict the SCAN, not rely on a downstream filter")
+    // composes with an ordinary pushed filter: intersection semantics
+    val composed = read(Seq("03:", "07:", "11:")).filter(col("ik") >= "07:")
+    val gotC = composed.collect().map(_.getString(0)).sorted
+    assert(gotC.toSeq == want.map(_._1).filter(_ >= "07:").toSeq)
+    KvStore.drop("default:kv_prefopt")
+  }
+
   test("px9: query side is broadcast (corpus never shuffles for the join)") {
     val plan = executedPlan(Pipeline.px9AnnBrute(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
