@@ -218,6 +218,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     KvStore.drop("default:kv_prefopt")
   }
 
+  test("keyPrefixes survives a runtime-filter re-plan (broadcast-join probe)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val catalogJson =
+      """{"table":{"namespace":"default", "name":"kv_prefdpp"},
+        |"rowkey":"key",
+        |"columns":{
+        |"ik":{"cf":"rowkey", "col":"key", "type":"string"},
+        |"n":{"cf":"f", "col":"n", "type":"bigint"}}}""".stripMargin
+    KvStore.drop("default:kv_prefdpp")
+    val rows = for (b <- 0 until 20; i <- 0 until 40)
+      yield (f"$b%02d:$i%04d", b * 10000L + i)
+    rows.toDF("ik", "n").write.format("graft-kv")
+      .options(Map("catalog" -> catalogJson, "newtable" -> "8",
+        "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
+    // the scan advertises runtime filtering on its key; probing it through
+    // a broadcast join hands over the build side's keys and forces a
+    // RE-PLAN — which must recompile WITH the prefix restriction. If the
+    // re-plan dropped it, "12:0001" (in the table, in the build side, NOT
+    // in the prefixes) would leak into the join output.
+    val restricted = spark.read.format("graft-kv")
+      .options(Map("catalog" -> catalogJson,
+        "keyPrefixes" -> Seq("03:", "07:", "11:").mkString("\u0001"))).load()
+    val dim = Seq("03:0005", "07:0007", "12:0001").toDF("ik")
+    val got = restricted.join(org.apache.spark.sql.functions.broadcast(dim), Seq("ik"))
+      .select(col("ik")).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("03:0005", "07:0007"),
+      s"the prefix restriction must survive the runtime-filter re-plan, got ${got.toSeq}")
+    KvStore.drop("default:kv_prefdpp")
+  }
+
   test("px9: query side is broadcast (corpus never shuffles for the join)") {
     val plan = executedPlan(Pipeline.px9AnnBrute(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
