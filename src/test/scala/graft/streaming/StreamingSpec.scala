@@ -737,15 +737,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     KvStore.enableWal(walDir)
+    // tight auto-checkpoint gate: the CDC traffic below must trigger at
+    // least one snapshot+rotation ON ITS OWN, and a restart over
+    // snapshot+tail (not a pure log) must keep the offset vector valid
+    KvStore.setWalAutoCheckpoint(records = 20, bytes = 0)
     try {
       write(Seq((1L, "a"), (600L, "b")), ts = 1000, mode = "overwrite")
+      (0 until 30).foreach(i => write(Seq((100L + i, s"fill$i")), ts = 1000))
       drain()
-      assert(batches.last == Set((1L, "a"), (600L, "b")))
+      assert(batches.last.contains((1L, "a")) && batches.last.contains((600L, "b")))
+      assert(Files.exists(walDir.resolve("graft-wal.snapshot")),
+        "sustained CDC writes must have auto-rotated the WAL")
 
-      // "crash": wipe the in-memory store, then rebuild from the log. The
-      // checkpoint's offset vector must stay valid — replay reconstructs
-      // per-region maxStamp marks, so the resumed stream sees only what
-      // lands AFTER the committed offsets, never a re-emission of history
+      // "crash": wipe the in-memory store, then rebuild from snapshot +
+      // tail. The checkpoint's offset vector must stay valid — the
+      // snapshot carries per-region maxStamp marks exactly, so the
+      // resumed stream sees only what lands AFTER the committed offsets,
+      // never a re-emission of history
       KvStore.disableWal()
       KvStore.replayWal(walDir)
 
@@ -754,6 +762,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(batches.last == Set((300L, "c"), (1L, "a2")),
         s"resumed stream after restart must emit only post-restart writes: ${batches.last}")
     } finally {
+      KvStore.setWalAutoCheckpoint(
+        KvStore.DefaultAutoCheckpointRecords, KvStore.DefaultAutoCheckpointBytes)
       KvStore.disableWal()
       KvStore.drop("default:cdc_wal")
     }
