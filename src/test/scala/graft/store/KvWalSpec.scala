@@ -355,20 +355,31 @@ class KvWalSpec extends AnyFunSuite {
     KvStore.setWalAutoCheckpoint(records = 100, bytes = 0)
     try {
       val t = KvStore.createTable("wal:autoc", Seq.empty, dropExisting = true)
-      val threads = (0 until 8).map { w =>
+      // phase 1: 8 putters race the auto-rotations; phase 2: 2 deleters
+      // race them too (phases are sequential because a delete only erases
+      // cells PRESENT at delete time — racing a put with a later-stamped
+      // delete of the same key is nondeterministic by design)
+      val putters = (0 until 8).map { w =>
         new Thread(() => (0 until 250).foreach { i =>
           t.put(key(w * 1000 + i), Seq(cell("q", 100L, s"w$w-$i")))
         })
       }
-      threads.foreach(_.start()); threads.foreach(_.join())
+      putters.foreach(_.start()); putters.foreach(_.join())
+      val deleters = (0 until 2).map { d =>
+        new Thread(() => (0 until 250 by 5).foreach { i =>
+          t.deleteRow(key(d * 1000 + i), stamp = 200L)
+        })
+      }
+      deleters.foreach(_.start()); deleters.foreach(_.join())
       assert(Snapshot.generationOf(dir) >= 2, "rotation must have fired mid-race")
+      val expected = 2000 - 2 * 50 // two slices lose every 5th key
       KvStore.disableWal()
       KvStore.replayWal(dir)
       val replayed = KvStore.table("wal:autoc")
       val rows = snapshot(replayed)
-      assert(rows.size == 2000,
-        s"every acknowledged write must survive the racing rotations, got ${rows.size}")
-      assert(replayed.regions.map(_.rowCount.get()).sum == 2000L)
+      assert(rows.size == expected,
+        s"acknowledged puts+deletes must survive the racing rotations, got ${rows.size}")
+      assert(replayed.regions.map(_.rowCount.get()).sum == expected.toLong)
     } finally {
       KvStore.setWalAutoCheckpoint(
         KvStore.DefaultAutoCheckpointRecords, KvStore.DefaultAutoCheckpointBytes)
