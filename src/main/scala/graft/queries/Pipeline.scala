@@ -408,6 +408,10 @@ object Pipeline {
       // px56's rendered SQL (one shared string, like sv18/px13)
       "px56_pq_ann" -> pqSql,
       "px57_pq_adc" -> pqSql,
+      // sv20's CDC-maintained code table must answer exactly like the
+      // batch PQ search — same codebooks, same reconstruction — so its
+      // oracle is the same rendered string too
+      "sv20_stream_pq_codes" -> pqSql,
       // the CDC-maintained IVF index must converge to the BATCH IVF answer
       // (same memoized centroids, same probe parameters) — the streaming
       // query's whole contract is that its oracle IS px13's, so both keys

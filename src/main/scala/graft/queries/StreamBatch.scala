@@ -1544,6 +1544,120 @@ object StreamBatch {
       |GROUP BY 1, 2 HAVING count(*) >= 1
       |ORDER BY train_id, eval_id""".stripMargin
 
+  /** Avro schema of the PQ code column: m small ints per vector. */
+  private[graft] val sv20AvroCodes = """{"type":"array","items":"int"}"""
+
+  private[graft] val sv20SrcCatalog =
+    """{"table":{"namespace":"default", "name":"kv_pq_src"},
+      |"rowkey":"key",
+      |"columns":{
+      |"vec_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"embedding":{"cf":"f", "col":"v", "avro":"annVec"}}}""".stripMargin
+
+  private[graft] val sv20CodesCatalog =
+    """{"table":{"namespace":"default", "name":"kv_pq_codes"},
+      |"rowkey":"key",
+      |"columns":{
+      |"vec_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"codes":{"cf":"f", "col":"c", "avro":"pqCodes"}}}""".stripMargin
+
+  /** sv20: INCREMENTAL PQ CODE-TABLE MAINTENANCE over CDC — the streaming
+    * twin of px57, completing the compression story: sv18 keeps the IVF
+    * structure current as vectors arrive; this keeps the PQ COMPRESSION
+    * current (the m-byte-per-vector structure a 100 TB deployment actually
+    * serves searches from). Each micro-batch is MAP-ONLY plus two
+    * batch-sized writes: tombstoned ids die through the delete-mode
+    * writer, and upserted vectors re-encode to m codes against the
+    * broadcast codebooks and overwrite in place (the table is keyed by
+    * vec_id — no re-keying, and the batch never READS the code table at
+    * all: the strictest batch-proportionality of the sv protocols).
+    * Source phases exercise the maintenance moves: a corrupted first
+    * generation (reversed vectors → wrong codes), a correcting overwrite,
+    * a ranged DELETE, and a resurrection wave. The final answer searches
+    * the MAINTAINED code table via [[graft.pipeline.Similarity
+    * .pqTopKFromCodes]] and must equal px56's answer bit-for-bit — the
+    * oracle IS px56's rendered SQL: neither compressing the corpus nor
+    * maintaining the compression incrementally may change what the
+    * search returns. */
+  def sv20StreamPqCodes(s: SparkSession, dir: String): DataFrame = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
+    val books = Pipeline.pqCodebooksFor(s, dir)
+    val base = Tables.embeddings(s, dir)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    val srcParsed = graft.catalog.GraftCatalog.parse(sv20SrcCatalog, Map.empty)
+    val codesParsed = graft.catalog.GraftCatalog.parse(sv20CodesCatalog, Map.empty)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv20SrcCatalog, "annVec" -> sv18AvroVec,
+          "newtable" -> "4", "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val ckpt = Files.createTempDirectory("graft-sv20-ckpt").toString
+    def drain(phaseStamp: Long): Unit = {
+      val q = s.readStream.format("graft-kv")
+        .options(Map("catalog" -> sv20SrcCatalog, "annVec" -> sv18AvroVec,
+          "tombstones" -> "true")).load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val changed = df.select(col("vec_id"), col("embedding"), col("_deleted"))
+            .persist()
+          if (!changed.isEmpty) {
+            // retirement: tombstoned ids die by key through the
+            // delete-mode writer — distributed, batch-sized, no reads
+            if (KvStore.exists(codesParsed.qualifiedName))
+              changed.filter(col("_deleted")).select(col("vec_id"))
+                .write.format("graft-kv")
+                .options(Map("catalog" -> sv20CodesCatalog,
+                  "pqCodes" -> sv20AvroCodes,
+                  "delete" -> "true", "timestamp" -> phaseStamp.toString))
+                .mode("append").save()
+            // re-encode + overwrite: updates re-code in place one stamp
+            // later (key = vec_id, version cap 1 keeps the latest)
+            changed.filter(!col("_deleted"))
+              .select(col("vec_id"),
+                graft.pipeline.Similarity.pqCodes(col("embedding"), books).as("codes"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> sv20CodesCatalog,
+                "pqCodes" -> sv20AvroCodes,
+                "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
+                "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+              .mode("append").save()
+          }
+          changed.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // fresh run every invocation
+    KvStore.drop(codesParsed.qualifiedName)
+    writeSrc(base.filter(col("vec_id") % 3 === 0)
+      .withColumn("embedding", reverse(col("embedding"))), ts = 1000, overwrite = true)
+    drain(phaseStamp = 10)
+    writeSrc(base.filter(col("vec_id") % 3 <= 1), ts = 2000, overwrite = false)
+    drain(phaseStamp = 20)
+    val hrf = FilterCompiler.compileAll(srcParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", 30L),
+      org.apache.spark.sql.sources.LessThanOrEqual("vec_id", 90L)))
+    KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
+    drain(phaseStamp = 30)
+    writeSrc(base.filter(col("vec_id") % 3 === 2 ||
+      (col("vec_id") >= 30 && col("vec_id") <= 90)), ts = 4000, overwrite = false)
+    drain(phaseStamp = 40)
+    // search the MAINTAINED code table — px56's answer, served from codes
+    val codeTable = s.read.format("graft-kv")
+      .options(Map("catalog" -> sv20CodesCatalog, "pqCodes" -> sv20AvroCodes)).load()
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    graft.pipeline.Similarity.pqTopKFromCodes(books, queries, codeTable,
+      "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
@@ -1564,6 +1678,7 @@ object StreamBatch {
     "sv17_stream_mixture_stats"  -> (sv17StreamMixtureStats _),
     "sv18_stream_ann_ivf"        -> (sv18StreamAnnIvf _),
     "sv19_stream_decontam"       -> (sv19StreamDecontam _),
+    "sv20_stream_pq_codes"       -> (sv20StreamPqCodes _),
   )
 
   val oracles: Map[String, String] = Map(

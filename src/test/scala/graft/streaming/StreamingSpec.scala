@@ -1193,6 +1193,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sv20 maintained PQ code table answers exactly like the batch PQ search") {
+    // the whole contract: streaming maintenance of the compression must
+    // not change what the search returns — same codebooks, same
+    // reconstruction values, bit-for-bit equal rows (px56 and sv20 also
+    // share one rendered oracle in the driver gate)
+    val streamed = graft.queries.StreamBatch
+      .queries("sv20_stream_pq_codes")(spark, sfDir).collect().map(_.toString).toSeq
+    val batch = graft.queries.Pipeline
+      .queries("px56_pq_ann")(spark, sfDir).collect().map(_.toString).toSeq
+    assert(streamed == batch,
+      s"maintained-code search diverged from the batch PQ search: " +
+        s"${streamed.take(2)} vs ${batch.take(2)}")
+  }
+
   test("decontamination protocol tokenizes the eval side ONCE per stream, not per batch") {
     // the sv19 cost-model pin: contamEvalGrams materializes the exploded
     // eval gram frame eagerly (lineage-truncating localCheckpoint), so a
