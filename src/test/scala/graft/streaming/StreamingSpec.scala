@@ -803,7 +803,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     case _ => p +: p.children.flatMap(allPlanNodes)
   }
 
-  test("CDC protocols (sv12/sv14/sv18/sv19) never round-trip data through the driver") {
+  test("CDC protocols (sv12/sv14/sv18/sv19/sv20) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
     // sv12/sv14/sv18/sv19 pipelines (stream + foreachBatch jobs included)
@@ -827,6 +827,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queries("sv18_stream_ann_ivf")(spark, sfDir).count() > 0)
       assert(graft.queries.StreamBatch
         .queries("sv19_stream_decontam")(spark, sfDir).count() > 0)
+      assert(graft.queries.StreamBatch
+        .queries("sv20_stream_pq_codes")(spark, sfDir).count() > 0)
       // listener events are async; wait for the counter to go quiet
       var last = -1L; var spins = 0
       while (maxResult.get() != last && spins < 20) {
