@@ -899,6 +899,33 @@ object StreamBatch {
     * caps stays control-sized (≈1 MB of prefix strings at the cap). */
   private[graft] val MaxPushedBandPrefixes = 32768
 
+  /** Below this many persisted-state rows the sliver machinery LOSES to a
+    * plain full scan, so the lookups skip it entirely — including the
+    * driver-side `distinct().limit().collect()` that derives the
+    * prefix/id set, which is itself a Spark job. Measured at sf0.1
+    * (round 10, warm, local[32]): the prefix-set collect costs ~0.25 s
+    * per micro-batch and the ids collect ~0.2 s, while a full scan of a
+    * ≤64k-row in-memory table is <0.05 s — the sliver path only pays for
+    * itself once the state it avoids reading is materially larger than
+    * that. 2 × [[MaxPushedBandPrefixes]] keeps the constant in the same
+    * family as the per-call ratio gate (`slivers × 4 ≥ rows` → scan),
+    * and sits BELOW the 100k-row proxy state
+    * ([[streaming.StreamingScaleProxySpec]]'s mirrors) — proxy scale and
+    * above keep the sliver path and its wave-proportional bounds, while
+    * sf0.1's ≤8k-row mirrors and early index generations take the plain
+    * scan without paying the driver round-trip. */
+  private[graft] val SmallStateRows: Long = 2L * MaxPushedBandPrefixes
+
+  /** Total live rows of a store table by catalog json (an O(regions)
+    * region-counter sum — the same consult the reference's region-size
+    * heuristics make), 0 if absent. */
+  private def storeRows(catalogJson: String): Long = {
+    import graft.store.KvStore
+    val name = graft.catalog.GraftCatalog.parse(catalogJson, Map.empty).qualifiedName
+    if (KvStore.exists(name)) KvStore.table(name).regions.map(_.rowCount.get()).sum
+    else 0L
+  }
+
   /** Batch-proportional band-index lookup: a batch's distinct
     * `"%02d:%021d:"`-formatted (band, bh) prefixes ship as the
     * `keyPrefixes` read option, which the scan compiles STRAIGHT to a
@@ -907,27 +934,32 @@ object StreamBatch {
     * with the batch's bucket population, not index size. The option path
     * exists because the same set as a pushed Catalyst Or-tree does not
     * scale: a 26k-prefix predicate tree cost ~60 s of analyzer/optimizer
-    * walks PER MICRO-BATCH at sf0.1 (caught by the round-9 bench). Two
-    * fallbacks return the plain full scan, which callers re-join on
-    * (band, bh) anyway: past [[MaxPushedBandPrefixes]], and when the
-    * sliver union would not be materially smaller than the index itself
-    * (prefixes × 4 ≥ index rows — an O(regions) row-count consult, the
-    * same judgment as the secondary-index consult's cap). Empty prefix
-    * set → empty result without touching the store. */
+    * walks PER MICRO-BATCH at sf0.1 (caught by the round-9 bench).
+    *
+    * `prefixes` is BY-NAME because deriving it is itself a Spark job (the
+    * batch's `distinct().limit().collect()`): at or below `smallStateRows`
+    * live index rows the lookup returns the plain full scan WITHOUT
+    * evaluating the prefix set at all — at that size the collect job
+    * costs more wall than the scan it would avoid (see [[SmallStateRows]]'s
+    * measured cost model), and callers re-join on (band, bh) either way.
+    * Two further fallbacks also return the full scan: past
+    * [[MaxPushedBandPrefixes]], and when the sliver union would not be
+    * materially smaller than the index itself (prefixes × 4 ≥ index
+    * rows — an O(regions) row-count consult, the same judgment as the
+    * secondary-index consult's cap). Empty prefix set → empty result
+    * without touching the store. */
   private[graft] def bandIndexLookup(s: SparkSession, idxCatalog: String,
-      prefixes: Array[String]): DataFrame = {
-    import graft.store.KvStore
+      prefixes: => Array[String],
+      smallStateRows: Long = SmallStateRows): DataFrame = {
     def idx(extra: Map[String, String]) = s.read.format("graft-kv")
       .options(Map("catalog" -> idxCatalog) ++ extra).load()
-    if (prefixes.isEmpty) return idx(Map.empty).filter(lit(false))
-    val idxName = graft.catalog.GraftCatalog.parse(idxCatalog, Map.empty).qualifiedName
-    val idxRows =
-      if (KvStore.exists(idxName))
-        KvStore.table(idxName).regions.map(_.rowCount.get()).sum
-      else 0L
-    if (prefixes.length > MaxPushedBandPrefixes ||
-        prefixes.length.toLong * 4 >= idxRows) idx(Map.empty)
-    else idx(Map("keyPrefixes" -> prefixes.mkString("\u0001")))
+    val idxRows = storeRows(idxCatalog)
+    if (idxRows <= smallStateRows) return idx(Map.empty)
+    val p = prefixes
+    if (p.isEmpty) idx(Map.empty).filter(lit(false))
+    else if (p.length > MaxPushedBandPrefixes ||
+        p.length.toLong * 4 >= idxRows) idx(Map.empty)
+    else idx(Map("keyPrefixes" -> p.mkString("\u0001")))
   }
 
   /** One CDC drain of incremental near-dup maintenance — the per-batch
@@ -983,17 +1015,19 @@ object StreamBatch {
         // pairs (≤ new-docs × 16, bounded by BATCH size, never corpus
         // size) collect cheaply and compile into pushed ik prefix ranges,
         // so the persisted index scan reads only the batch's bucket
-        // slivers. ONE bounded job decides both the guard and the prefix
-        // set: limit(cap + 1) caps driver memory, and a result past the
-        // cap means the batch's buckets blanket the index — the full scan
-        // it falls back to is the right plan there.
-        val bandPrefixes = newBands
-          .select(format_string("%02d:%021d:", col("band"), col("bh")).as("p"))
-          .distinct().limit(MaxPushedBandPrefixes + 1)
-          .collect().map(_.getString(0))
-        // the lookup self-decides sliver-vs-full-scan (cap + index-size
-        // ratio) — callers re-join on (band, bh) either way
-        val oldIdx = bandIndexLookup(s, idxCatalog, bandPrefixes)
+        // slivers. The prefix set is BY-NAME: for a small index the
+        // lookup answers with the full scan without even running the
+        // prefix job. When it does run, ONE bounded job decides both the
+        // guard and the prefix set: limit(cap + 1) caps driver memory,
+        // and a result past the cap means the batch's buckets blanket
+        // the index — the full scan it falls back to is the right plan
+        // there. The lookup self-decides sliver-vs-full-scan (state
+        // size + cap + index-size ratio) — callers re-join on (band, bh)
+        // either way.
+        val oldIdx = bandIndexLookup(s, idxCatalog, newBands
+            .select(format_string("%02d:%021d:", col("band"), col("bh")).as("p"))
+            .distinct().limit(MaxPushedBandPrefixes + 1)
+            .collect().map(_.getString(0)))
           .select(col("band"), col("bh"), col("doc_id").as("old_id"))
         val nn = newBands.as("x").join(newBands.as("y"), Seq("band", "bh"))
           .filter(col("x.id") < col("y.id"))
@@ -1125,16 +1159,19 @@ object StreamBatch {
     * lookup keeps its touched-rows contract by falling back to a
     * broadcast leftsemi over the full scan — never the raw mirror. */
   private[graft] def mirrorLookup(s: SparkSession, catalog: String,
-      avroJson: String, idsDf: DataFrame, idCol: String = "vec_id"): DataFrame = {
-    import graft.store.KvStore
+      avroJson: String, idsDf: DataFrame, idCol: String = "vec_id",
+      smallStateRows: Long = SmallStateRows): DataFrame = {
     val opts = Map("catalog" -> catalog) ++
       (if (avroJson.nonEmpty) Map("annVec" -> avroJson) else Map.empty)
     val mirror = s.read.format("graft-kv").options(opts).load()
-    val mirName = graft.catalog.GraftCatalog.parse(catalog, Map.empty).qualifiedName
-    val mirRows =
-      if (KvStore.exists(mirName))
-        KvStore.table(mirName).regions.map(_.rowCount.get()).sum
-      else 0L
+    val mirRows = storeRows(catalog)
+    // below the measured small-state threshold the ids collect (a Spark
+    // job) costs more wall than scanning the whole mirror — skip straight
+    // to the broadcast-leftsemi shape, which keeps the touched-rows
+    // answer without the driver round-trip (see [[SmallStateRows]])
+    if (mirRows <= smallStateRows)
+      return mirror.join(broadcast(idsDf.select(col(idCol)).distinct()),
+        Seq(idCol), "leftsemi")
     val ids = idsDf.select(col(idCol)).distinct()
       .limit(MaxPushedBandPrefixes + 1).collect().map(_.getLong(0))
     // same cost model as [[bandIndexLookup]]: pushed point-gets pay an
@@ -1424,17 +1461,23 @@ object StreamBatch {
           if (KvStore.exists(mirName)) {
             // 1. retire the touched docs' OLD pairs: changed ids → In
             //    ranges on the LEADING key part (capped, leftsemi
-            //    fallback past the cap) — batch-sized point slivers
+            //    fallback past the cap) — batch-sized point slivers.
+            //    Same small-state gate as [[mirrorLookup]]: below
+            //    [[SmallStateRows]] the ids collect costs more than
+            //    scanning the mirror, so skip straight to the leftsemi.
             val mirror = s.read.format("graft-kv")
               .option("catalog", mirCatalog).load()
-            val ids = changed.select(col("doc_id")).distinct()
-              .limit(MaxPushedBandPrefixes + 1).collect().map(_.getLong(0))
+            def idsLeftsemi = mirror.join(broadcast(changed.select(
+                col("doc_id").as("train_id")).distinct()),
+              Seq("train_id"), "leftsemi")
             val oldPairs =
-              if (ids.length > MaxPushedBandPrefixes)
-                mirror.join(broadcast(changed.select(
-                  col("doc_id").as("train_id")).distinct()),
-                  Seq("train_id"), "leftsemi")
-              else mirror.filter(col("train_id").isInCollection(ids.toSeq))
+              if (storeRows(mirCatalog) <= SmallStateRows) idsLeftsemi
+              else {
+                val ids = changed.select(col("doc_id")).distinct()
+                  .limit(MaxPushedBandPrefixes + 1).collect().map(_.getLong(0))
+                if (ids.length > MaxPushedBandPrefixes) idsLeftsemi
+                else mirror.filter(col("train_id").isInCollection(ids.toSeq))
+              }
             oldPairs.select(col("train_id"), col("eval_id"))
               .write.format("graft-kv")
               .options(Map("catalog" -> mirCatalog, "delete" -> "true",
@@ -1658,7 +1701,32 @@ object StreamBatch {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Run `body` with adaptive query execution OFF, restoring the prior
+    * setting after. Streaming micro-batches are WAVE-sized by admission
+    * control (`maxRowsPerBatch` caps what a batch can hold), and the CDC
+    * protocols' plans are already hand-shaped (broadcast semi-joins,
+    * sliver reads); at that scale AQE's per-shuffle QueryStage
+    * materialization barriers cost more scheduling wall than its
+    * re-planning saves. Measured at sf0.1 (round 10, warm, local[32]):
+    * sv14 11.9 s → 8.2 s (116 → 75 stages), sv4 4.1 → 3.0 s, sv6
+    * 2.7 → 1.9 s. Batch analytics keep AQE (skew joins, coalescing
+    * genuinely help at corpus scale); this wrapper scopes the trade to
+    * the streaming entries only. */
+  private def withoutAqe(
+      f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val k = "spark.sql.adaptive.enabled"
+      val prev = s.conf.getOption(k)
+      s.conf.set(k, "false")
+      try f(s, dir)
+      finally prev match {
+        case Some(v) => s.conf.set(k, v)
+        case None => s.conf.unset(k)
+      }
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map[
+      String, (SparkSession, String) => DataFrame](
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
     "sv2_stream_sessionize" -> (sv2StreamSessionize _),
     "sv3_stream_kv_sink"    -> (sv3StreamKvSink _),
@@ -1679,7 +1747,7 @@ object StreamBatch {
     "sv18_stream_ann_ivf"        -> (sv18StreamAnnIvf _),
     "sv19_stream_decontam"       -> (sv19StreamDecontam _),
     "sv20_stream_pq_codes"       -> (sv20StreamPqCodes _),
-  )
+  ).view.mapValues(withoutAqe).toMap
 
   val oracles: Map[String, String] = Map(
     "sv1_stream_dedup"      -> sv1Sql,

@@ -7,19 +7,40 @@ import org.apache.spark.sql.SparkSession
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // parity with Verify/Bench
-      .getOrCreate()
+    // ad-hoc conf overrides for profiling experiments: GRAFT_CONF="k=v;k=v"
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries("q9_count")(spark, sfDir).count() catch { case _: Throwable => }
+    val stageProf = sys.env.contains("GRAFT_STAGE_PROF")
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    if (stageProf) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = e.stageInfo
+          val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(0L)
+          stages.put(i.stageId, (i.name.takeWhile(_ != '\n').take(90), ms))
+        }
+      })
     args.tail.foreach { name =>
+      stages.clear()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      if (stageProf) {
+        import scala.jdk.CollectionConverters._
+        val top = stages.asScala.toSeq.sortBy(-_._2._2).take(20)
+        top.foreach { case (id, (nm, ms)) => println(f"STAGE $ms%6dms #$id $nm") }
+        println(f"STAGECOUNT ${stages.size()} totalMs=${stages.asScala.values.map(_._2).sum}")
+      }
     }
     spark.stop()
   }

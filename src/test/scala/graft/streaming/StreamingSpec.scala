@@ -870,7 +870,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a "batch" touching 3 of the 40 buckets
     val prefixes = Array(f"${0}%02d:${1000L * 0 + 2}%021d:",
       f"${3}%02d:${1000L * 3 + 0}%021d:", f"${7}%02d:${1000L * 7 + 4}%021d:")
-    val df = graft.queries.StreamBatch.bandIndexLookup(spark, idxCatalog, prefixes)
+    // smallStateRows = 0 pins the SLIVER path at this deliberately tiny
+    // index; the default small-state short-circuit is asserted below
+    val df = graft.queries.StreamBatch
+      .bandIndexLookup(spark, idxCatalog, prefixes, smallStateRows = 0L)
     val rows = df.collect()
     assert(rows.length == 3 * 30, s"expected 90 bucket-mates, got ${rows.length}")
     assert(rows.map(_.getAs[Int]("band")).toSet == Set(0, 3, 7))
@@ -890,11 +893,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty batch touches nothing; an unselective batch falls back to the
     // (correct) full scan
     assert(graft.queries.StreamBatch
-      .bandIndexLookup(spark, idxCatalog, Array.empty).count() == 0L)
+      .bandIndexLookup(spark, idxCatalog, Array.empty, smallStateRows = 0L)
+      .count() == 0L)
     val wide = (0 until graft.queries.StreamBatch.MaxPushedBandPrefixes + 1)
       .map(i => f"$i%02d:").toArray
     assert(graft.queries.StreamBatch
-      .bandIndexLookup(spark, idxCatalog, wide).count() == 1200L)
+      .bandIndexLookup(spark, idxCatalog, wide, smallStateRows = 0L)
+      .count() == 1200L)
+
+    // DEFAULT gate: an index this small short-circuits to the full scan
+    // WITHOUT evaluating the prefix set — deriving the prefixes is itself
+    // a Spark job, and below SmallStateRows that job costs more than the
+    // scan it would save (the measured cost model the by-name parameter
+    // exists for)
+    assert(1200L <= graft.queries.StreamBatch.SmallStateRows)
+    var prefixJobRan = false
+    val small = graft.queries.StreamBatch.bandIndexLookup(spark, idxCatalog,
+      { prefixJobRan = true; prefixes })
+    assert(small.count() == 1200L, "small-state lookup must be the full scan")
+    assert(!prefixJobRan,
+      "small-state short-circuit must not evaluate the prefix thunk")
   }
 
   test("sv18 IVF probe scans only the probed cells' slivers, not the whole index") {
@@ -989,10 +1007,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "newtable" -> "8", "minSplitNum" -> "0", "maxSplitNum" -> "500"))
       .mode("append").save()
 
-    // a "batch" touching 4 of the 500 vectors
+    // a "batch" touching 4 of the 500 vectors. smallStateRows = 0 pins
+    // the POINT-GET path at this deliberately tiny mirror; the default
+    // small-state broadcast-leftsemi shape is asserted below.
     val touched = Seq(3L, 77L, 210L, 499L).toDF("vec_id")
     val df = graft.queries.StreamBatch
-      .mirrorLookup(spark, catalog, avro, touched)
+      .mirrorLookup(spark, catalog, avro, touched, smallStateRows = 0L)
     val rows = df.collect()
     assert(rows.map(_.getAs[Long]("vec_id")).toSet == Set(3L, 77L, 210L, 499L))
 
@@ -1010,12 +1030,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // touched-rows contract through the leftsemi fallback
     assert(graft.queries.StreamBatch
       .mirrorLookup(spark, catalog, avro,
-        spark.emptyDataset[Long].toDF("vec_id")).count() == 0L)
+        spark.emptyDataset[Long].toDF("vec_id"), smallStateRows = 0L)
+      .count() == 0L)
     val wideIds = (0L to graft.queries.StreamBatch.MaxPushedBandPrefixes + 200L)
       .toDF("vec_id")
-    val wide = graft.queries.StreamBatch.mirrorLookup(spark, catalog, avro, wideIds)
+    val wide = graft.queries.StreamBatch
+      .mirrorLookup(spark, catalog, avro, wideIds, smallStateRows = 0L)
     assert(wide.count() == 500L)
     assert(wide.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0) == 499L)
+
+    // DEFAULT gate: a mirror this small skips the ids-collect job (itself
+    // a Spark job costing more than scanning 500 in-memory rows) and takes
+    // the broadcast-leftsemi shape — same touched-rows ANSWER, no driver
+    // round-trip, and no point-get sliver planning
+    assert(500L <= graft.queries.StreamBatch.SmallStateRows)
+    val small = graft.queries.StreamBatch.mirrorLookup(spark, catalog, avro, touched)
+    assert(small.collect().map(_.getAs[Long]("vec_id")).toSet ==
+      Set(3L, 77L, 210L, 499L))
+    val semi = allPlanNodes(small.queryExecution.executedPlan).exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }
+    assert(semi, "small-state mirror lookup must be a broadcast leftsemi")
+    // empty ids stay empty through the leftsemi shape too
+    assert(graft.queries.StreamBatch
+      .mirrorLookup(spark, catalog, avro,
+        spark.emptyDataset[Long].toDF("vec_id")).count() == 0L)
   }
 
   test("ANN maintenance protocol: random insert/update/delete sequences equal a batch rebuild") {
