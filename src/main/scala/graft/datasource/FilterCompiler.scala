@@ -332,7 +332,11 @@ object FilterCompiler {
     * each bucket region scans only its slice of the logical range, never
     * the whole bucket. When `fullKey` and the range is one point, the salt
     * is computed from the key itself — a single exact salted get. */
-  private def saltFan(catalog: GraftCatalog, logical: Seq[ScanRange[Array[Byte]]],
+  /** Fan logical-key ranges across a salted table's bucket bytes (exact:
+    * a logical key can land in any bucket, so each range repeats per
+    * bucket with the salt byte prepended). Shared with the `keyPrefixes`
+    * read option, which must stay exact on salted tables. */
+  private[datasource] def saltFan(catalog: GraftCatalog, logical: Seq[ScanRange[Array[Byte]]],
       fullKey: Boolean): Seq[ScanRange[Array[Byte]]] = {
     val n = catalog.saltBuckets
     if (n == 0) return logical

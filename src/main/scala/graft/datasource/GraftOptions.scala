@@ -50,10 +50,15 @@ final case class GraftOptions(
       * read ([[graft.queries.StreamBatch.bandIndexLookup]]): a CDC batch's
       * tens of thousands of bucket prefixes as a pushed filter tree would
       * cost tens of seconds of analyzer/optimizer walks per micro-batch,
-      * while the same set as ranges is an O(n log n) sort+sweep. Exact for
-      * unsalted tables whose key starts with a raw-encoded (non-avro)
-      * string part; ignored (full scan, still correct — callers re-join)
-      * on salted tables. */
+      * while the same set as ranges is an O(n log n) sort+sweep. Exact
+      * EVERYWHERE it is accepted: on salted tables each prefix fans
+      * across every salt bucket (bucket byte + prefix ranges). Rejected
+      * loudly at plan time when the leading row-key part is not a
+      * raw-encoded (non-avro) string — byte prefixes over other
+      * encodings would silently select the wrong rows — and when a
+      * non-empty value parses to zero prefixes (a silent zero-row scan;
+      * a bare empty value falls under the uniform empty-option-= -absent
+      * rule instead). */
     keyPrefixes: Option[Seq[String]] = None,
     /** Table-level time-to-live (ms): cells stamped before `now - ttl` are
       * invisible to batch reads (HBase TTL semantics, table-wide rather than
@@ -140,7 +145,17 @@ object GraftOptions {
       maxRowsPerBatch = get("maxRowsPerBatch").map(_.toLong),
       indexLookupCap = get("indexLookupCap").map(_.toInt),
       deleteWrite = get("delete").exists(_.toBoolean),
-      keyPrefixes = get("keyPrefixes").map(_.split('\u0001').toSeq.filter(_.nonEmpty)),
+      keyPrefixes = get("keyPrefixes").map { v =>
+        // blank entries (a trailing separator) are tolerated, but an
+        // ALL-empty set is rejected: it would AND an empty range union
+        // into the scan and silently return zero rows where the caller
+        // plausibly meant "no restriction"
+        val ps = v.split('\u0001').toSeq.filter(_.nonEmpty)
+        require(ps.nonEmpty,
+          "keyPrefixes is set but contains no non-empty prefix — omit the " +
+            "option entirely for an unrestricted scan")
+        ps
+      },
       ttl = get("ttl").map(_.toLong))
   }
 }

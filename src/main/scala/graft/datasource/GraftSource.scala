@@ -709,13 +709,28 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
     * large-fan-out sliver read: tens of thousands of prefixes compile to
     * ranges in one O(n log n) sort+sweep, where the same set as a pushed
     * Catalyst Or-tree costs tens of seconds of per-rule tree walks per
-    * planning. Applied only to unsalted tables (a salt byte precedes the
-    * logical key, so a raw byte prefix would never match) — elsewhere the
-    * option is ignored and the scan stays a correct superset. */
+    * planning. EXACT everywhere it is accepted, LOUD where it cannot be:
+    * on a salted table each prefix fans across every salt bucket (the
+    * bucket byte precedes the logical key and a prefix does not determine
+    * the bucket — buckets × prefixes ranges, still one sort+sweep); a
+    * table whose leading row-key part is not a raw-encoded string REJECTS
+    * the option at plan time, because UTF-8 prefix bytes compared against
+    * sign-split numeric or varint-length avro key encodings would silently
+    * select the wrong rows — a correctness footgun a public read option
+    * must not have. */
   @transient private lazy val optionPrefixRanges: Option[Seq[ScanRange[Array[Byte]]]] = {
     implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
-    opts.keyPrefixes.filter(_ => catalog.saltBuckets == 0).map { ps =>
-      ScanRange.or(ps.map { p =>
+    opts.keyPrefixes.map { ps =>
+      val first = catalog.rowKeyParts.head.field
+      require(first.dataType == org.apache.spark.sql.types.StringType &&
+          first.avroSchemaJson.isEmpty,
+        s"keyPrefixes requires the leading row-key part to be a raw-encoded " +
+          s"string; ${catalog.qualifiedName}'s leading part '${first.name}' is " +
+          (if (first.avroSchemaJson.isDefined) "avro-coded"
+           else first.dataType.simpleString) +
+          " — raw UTF-8 prefix bytes over that encoding would silently " +
+          "select the wrong rows")
+      val logical = ScanRange.or(ps.map { p =>
         val b = p.getBytes("UTF-8")
         ScanRange(Bound(Some(b), inclusive = true),
           BytesUtil.prefixUpperBound(b) match {
@@ -723,6 +738,7 @@ class GraftScan(catalog: GraftCatalog, opts: GraftOptions,
             case None     => Bound.posInf[Array[Byte]]
           })
       }, Seq.empty)
+      FilterCompiler.saltFan(catalog, logical, fullKey = false)
     }
   }
 
