@@ -57,6 +57,26 @@ class GraftWriteBuilder(catalog: GraftCatalog, opts: GraftOptions, info: Logical
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
 
+    // WAL rotation observability (SQL UI): the write node reports how many
+    // auto-checkpoints THIS write triggered and the wall they cost — the
+    // feedback a CDC operator tuning setWalAutoCheckpoint needs, next to
+    // the scan-side graftRowsScanned family. Deltas against construction
+    // time (the store counters are JVM-monotonic).
+    private val rotationsAtStart = KvStore.walRotations
+    private val rotationNanosAtStart = KvStore.walRotationNanos
+
+    override def supportedCustomMetrics():
+        Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      Array(new GraftWriteMetrics.WalRotations, new GraftWriteMetrics.WalRotationMs)
+
+    override def reportDriverMetrics():
+        Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(
+        GraftMetricsDefs.task("graftWalRotations",
+          KvStore.walRotations - rotationsAtStart),
+        GraftMetricsDefs.task("graftWalRotationMs",
+          (KvStore.walRotationNanos - rotationNanosAtStart) / 1000000L))
+
     private def keyOrder: Array[SortOrder] =
       catalog.rowKeyParts.map(p => Expressions.sort(
         Expressions.column(p.field.name), SortDirection.ASCENDING,
@@ -383,3 +403,19 @@ class GraftDataWriter(catalog: GraftCatalog, opts: GraftOptions, writeSchema: St
 }
 
 case object GraftCommit extends WriterCommitMessage
+
+/** Write-side custom metrics ([[GraftWriteBuilder]]): WAL auto-checkpoint
+  * rotations attributable to a batch write, surfaced in the SQL UI beside
+  * the scan-side [[GraftMetricsDefs]] family. */
+private[datasource] object GraftWriteMetrics {
+  import org.apache.spark.sql.connector.metric.CustomSumMetric
+
+  final class WalRotations extends CustomSumMetric {
+    override def name(): String = "graftWalRotations"
+    override def description(): String = "WAL auto-checkpoint rotations during write"
+  }
+  final class WalRotationMs extends CustomSumMetric {
+    override def name(): String = "graftWalRotationMs"
+    override def description(): String = "wall ms spent in WAL snapshot+rotation"
+  }
+}

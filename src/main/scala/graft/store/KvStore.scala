@@ -59,12 +59,34 @@ object KvStore {
     * WAL record and the table-state change land on the same side of the
     * snapshot+rotation. No-WAL stores skip the lock — the fence only
     * matters when there is a log to rotate. Reentrant (index hooks mutate
-    * derived tables inside the main table's mutation). */
-  private[store] def logged[A](f: => A): A = {
-    if (walRef.isEmpty) f
+    * derived tables inside the main table's mutation).
+    *
+    * The handle `f` appends to is resolved ONCE, and the resolution point
+    * matters twice over:
+    *
+    *  - it must be read UNDER the read lock, not before: rotation
+    *    ([[checkpointWal]]) closes the old log, truncates the file, and
+    *    swaps in a fresh handle while holding the WRITE side, so a
+    *    pre-lock capture could block on the fence and then append to a
+    *    closed stream over an unlinked inode — an acknowledged write
+    *    silently lost (this exact failure showed as ~25% row loss in the
+    *    concurrent-rotation spec when the capture was moved before the
+    *    lock);
+    *  - it must be passed to `f`, not re-read inside it: a mutation
+    *    racing [[enableWal]] could otherwise decide "no WAL, skip the
+    *    fence" and then append to the newly-installed log OUTSIDE the
+    *    fence, letting a concurrent auto-checkpoint truncate an
+    *    acknowledged write (the round-9 advice TOCTOU).
+    *
+    * The no-WAL fast path keeps its single volatile read; a mutation that
+    * sees None is linearized before any racing [[enableWal]] and simply
+    * is not logged. [[disableWal]] still requires quiesced writers (it
+    * swaps the handle without the write lock). */
+  private[store] def logged[A](f: Option[Wal] => A): A = {
+    if (wal.isEmpty) f(None)
     else {
       val l = rotationLock.readLock(); l.lock()
-      try f finally l.unlock()
+      try f(wal) finally l.unlock()
     }
   }
 
@@ -149,9 +171,23 @@ object KvStore {
     * [[maybeAutoCheckpoint]]; callable directly for an explicit rotation
     * point. Crash-safe per [[Snapshot]]'s tmp + fsync + atomic-rename
     * ordering. */
+  /** WAL rotation observability: how often the log rotated and how long
+    * the write-locked image+rotate window held writers out — the two
+    * numbers a CDC operator tuning [[setWalAutoCheckpoint]] for recovery
+    * time actually needs (rotations too rare ⇒ long replay tails;
+    * rotation latency too high ⇒ per-wave write stalls). Monotonic since
+    * JVM start, like [[rowsServed]]; batch writes additionally surface
+    * the per-write delta in the SQL UI as driver metrics
+    * ([[graft.datasource.GraftWriteBuilder]]). */
+  private val rotationCount = new java.util.concurrent.atomic.LongAdder()
+  private val rotationNanosTotal = new java.util.concurrent.atomic.LongAdder()
+  def walRotations: Long = rotationCount.sum()
+  def walRotationNanos: Long = rotationNanosTotal.sum()
+
   def checkpointWal(): Unit = synchronized {
     val w = walRef.getOrElse(
       throw new IllegalStateException("checkpointWal requires an enabled WAL"))
+    val t0 = System.nanoTime()
     val wl = rotationLock.writeLock(); wl.lock()
     try {
       w.sync()
@@ -166,6 +202,8 @@ object KvStore {
       fresh.logGeneration(walGeneration)
       fresh.sync() // the marker must be durable before any record follows it
       walRef = Some(fresh)
+      rotationCount.increment()
+      rotationNanosTotal.add(System.nanoTime() - t0)
     } finally wl.unlock()
   }
 
@@ -518,14 +556,15 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
 
   def put(key: Array[Byte], cells: Seq[KvCell]): Unit = {
     // rotation fence: log + state-apply land on one side of any checkpoint
-    KvStore.logged(putLogged(key, cells))
+    KvStore.logged(w => putLogged(w, key, cells))
     KvStore.maybeAutoCheckpoint()
   }
 
-  private def putLogged(key: Array[Byte], cells: Seq[KvCell]): Unit = {
+  private def putLogged(w: Option[Wal], key: Array[Byte], cells: Seq[KvCell]): Unit = {
     // WAL before table state (redo rule): a mutation is ack'd only after it
-    // is on the log, so replay can never miss an acknowledged write
-    KvStore.wal.foreach(_.logPut(name, key, cells))
+    // is on the log, so replay can never miss an acknowledged write.
+    // `w` is the handle the fence decision saw — never re-read here.
+    w.foreach(_.logPut(name, key, cells))
     val region = regionFor(key)
     // explicit get/putIfAbsent (not computeIfAbsent) so the row counter
     // increments exactly once per NEW key even under concurrent writers:
@@ -652,10 +691,10 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
             // state change sit on one side of any concurrent checkpoint
             // (a checkpoint MAY interleave between rows — each row is then
             // either in the image or in the fresh log, both replay-exact)
-            KvStore.logged {
+            KvStore.logged { w =>
               // physical logging: the key actually matched, post-resolution —
               // replay re-deletes exact keys, no predicate re-evaluation
-              KvStore.wal.foreach(_.logDeleteKey(name, e.getKey, stamp))
+              w.foreach(_.logDeleteKey(name, e.getKey, stamp))
               val before = if (hcols.isEmpty) null else hookState(e.getValue, hcols)
               eraseUpTo(region, e.getKey, e.getValue, stamp)
               markDeleted(region, e.getKey, stamp)
@@ -713,8 +752,8 @@ final class KvTable(initialName: String, splits: IndexedSeq[Array[Byte]],
     * MVCC rule), marker-recorded. One exact key — the caller already knows
     * WHICH row dies; no range resolution. */
   def deleteRow(key: Array[Byte], stamp: Long): Unit = {
-    KvStore.logged {
-      KvStore.wal.foreach(_.logDeleteKey(name, key, stamp))
+    KvStore.logged { w =>
+      w.foreach(_.logDeleteKey(name, key, stamp))
       deleteKey(key, stamp)
     }
     KvStore.maybeAutoCheckpoint()

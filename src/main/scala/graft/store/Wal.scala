@@ -66,7 +66,23 @@ final class Wal private[store] (val dir: Path, val groupCommitRecords: Int = 1) 
   private[store] val isEmptyLog: Boolean = openBytes == 0L
   private val fos = new java.io.FileOutputStream(
     dir.resolve(FileName).toFile, /*append=*/ true)
-  private val out = new DataOutputStream(new BufferedOutputStream(fos))
+  /** Long-range append counter between the Data- and Buffered- layers:
+    * DataOutputStream's own `written`/`size()` saturates at Int.MaxValue,
+    * which with the record gate disabled and a byte threshold past ~2 GiB
+    * would make auto-rotation silently never fire — the counter must have
+    * the same range as the threshold it gates. Volatile write under the
+    * Wal monitor (every log* is synchronized), volatile read from
+    * [[KvStore.maybeAutoCheckpoint]] without it. */
+  @volatile private var appended = 0L
+  private val out = new DataOutputStream(new java.io.OutputStream {
+    private val buf = new BufferedOutputStream(fos)
+    override def write(b: Int): Unit = { buf.write(b); appended += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      buf.write(b, off, len); appended += len
+    }
+    override def flush(): Unit = buf.flush()
+    override def close(): Unit = buf.close()
+  })
 
   private var pending = 0
   @volatile private var records = 0L
@@ -77,10 +93,10 @@ final class Wal private[store] (val dir: Path, val groupCommitRecords: Int = 1) 
   private[store] def recordsLogged: Long = records
 
   /** Total log size this handle accounts for: bytes present at open plus
-    * bytes appended since (DataOutputStream's written counter saturates at
-    * Int.MaxValue, which only under-counts far past any sane rotation
-    * threshold). The other rotation gate. */
-  private[store] def bytesLogged: Long = openBytes + out.size().toLong
+    * bytes appended since (the dedicated long counter above — NOT
+    * DataOutputStream.size(), whose Int saturation would disable the byte
+    * gate past 2 GiB). The other rotation gate. */
+  private[store] def bytesLogged: Long = openBytes + appended
 
   /** Record boundary: flush when the group-commit budget is exhausted. */
   private def recordDone(): Unit = {

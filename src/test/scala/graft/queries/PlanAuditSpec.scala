@@ -762,4 +762,66 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("cosinesim")),
       "cosinesim should sit inside a codegen stage")
   }
+
+  test("WAL rotation metrics surface on the batch-write node (SQL UI path)") {
+    // a batch write that crosses the auto-checkpoint gate must report the
+    // rotations it triggered as DRIVER metrics on its own write node —
+    // the SQL-UI observable beside the scan-side graftRowsScanned family
+    import graft.store.KvStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-walmetrics")
+    KvStore.enableWal(dir)
+    KvStore.setWalAutoCheckpoint(records = 50, bytes = 0)
+    val cat =
+      """{"table":{"namespace":"default", "name":"walmetrics_t"},
+        |"rowkey":"key",
+        |"columns":{
+        |"id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"string"}}}""".stripMargin
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        { plans.add(qe.executedPlan); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v")
+        .write.format("graft-kv")
+        .options(Map("catalog" -> cat, "newtable" -> "4",
+          "minSplitNum" -> "0", "maxSplitNum" -> "500"))
+        .mode("overwrite").save()
+      // QueryExecutionListener rides the async listener bus
+      var spins = 0
+      while (plans.isEmpty && spins < 50) { Thread.sleep(100); spins += 1 }
+      Thread.sleep(300)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      import scala.jdk.CollectionConverters._
+      val allNodes = plans.asScala.toSeq.flatMap(nodes)
+      val writeNode: Option[org.apache.spark.sql.execution.SparkPlan] =
+        allNodes.find(_.metrics.contains("graftWalRotations"))
+      info(s"captured ${plans.size} plans; node classes: " +
+        allNodes.map(_.getClass.getSimpleName).distinct.mkString(","))
+      assert(writeNode.isDefined,
+        "the v2 write node must expose the graftWalRotations custom metric")
+      assert(writeNode.get.metrics("graftWalRotations").value >= 1L,
+        "a 500-row write over a 50-record gate must report its rotations")
+      assert(writeNode.get.metrics.contains("graftWalRotationMs"),
+        "rotation wall-clock must be reported beside the count")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      KvStore.setWalAutoCheckpoint(
+        KvStore.DefaultAutoCheckpointRecords, KvStore.DefaultAutoCheckpointBytes)
+      KvStore.disableWal()
+      KvStore.drop("default:walmetrics_t")
+    }
+  }
 }

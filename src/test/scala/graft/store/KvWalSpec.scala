@@ -326,9 +326,17 @@ class KvWalSpec extends AnyFunSuite {
     try {
       val t = KvStore.createTable("wal:autob", Seq.empty, dropExisting = true)
       val fat = "x" * 200
+      val rotBefore = KvStore.walRotations
+      val rotNsBefore = KvStore.walRotationNanos
       (0 until 200).foreach(i => t.put(key(i), Seq(cell("q", 100L + i, fat))))
       assert(Snapshot.generationOf(dir) >= 2,
         "crossing the byte gate repeatedly must rotate repeatedly")
+      // rotation observability: the counters a CDC operator tunes
+      // setWalAutoCheckpoint against must record each firing and its wall
+      val rotations = KvStore.walRotations - rotBefore
+      assert(rotations >= 2, s"rotation counter must track firings, got $rotations")
+      assert(KvStore.walRotationNanos - rotNsBefore > 0L,
+        "rotation latency must accumulate")
       assert(Files.size(dir.resolve(Wal.FileName)) < 4096L + 300L,
         "live log must stay near the byte gate")
       val before = snapshot(t)
