@@ -1604,6 +1604,55 @@ object StreamBatch {
       |"vec_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
       |"codes":{"cf":"f", "col":"c", "avro":"pqCodes"}}}""".stripMargin
 
+  /** One CDC drain of PQ code-table maintenance — the per-batch protocol
+    * of [[sv20StreamPqCodes]], factored out so the proxy-scale spec can
+    * drive arbitrary corpora through the exact production path. MAP-ONLY
+    * plus two batch-sized writes per micro-batch: tombstoned ids die by
+    * key through the distributed delete-mode writer, upserts re-encode
+    * against the broadcast codebooks and overwrite in place — the batch
+    * never READS the code table at all. */
+  private[graft] def maintainPqCodes(s: SparkSession, srcCatalog: String,
+      codesCatalog: String, books: Array[Array[Array[Double]]], maxId: Long,
+      ckpt: String, phaseStamp: Long): Unit = {
+    import graft.store.KvStore
+    val codesName = graft.catalog.GraftCatalog.parse(codesCatalog, Map.empty).qualifiedName
+    val q = s.readStream.format("graft-kv")
+      .options(Map("catalog" -> srcCatalog, "annVec" -> sv18AvroVec,
+        "tombstones" -> "true")).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val changed = df.select(col("vec_id"), col("embedding"), col("_deleted"))
+          .persist()
+        if (!changed.isEmpty) {
+          // retirement: tombstoned ids die by key through the
+          // delete-mode writer — distributed, batch-sized, no reads
+          if (KvStore.exists(codesName))
+            changed.filter(col("_deleted")).select(col("vec_id"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> codesCatalog,
+                "pqCodes" -> sv20AvroCodes,
+                "delete" -> "true", "timestamp" -> phaseStamp.toString))
+              .mode("append").save()
+          // re-encode + overwrite: updates re-code in place one stamp
+          // later (key = vec_id, version cap 1 keeps the latest)
+          changed.filter(!col("_deleted"))
+            .select(col("vec_id"),
+              graft.pipeline.Similarity.pqCodes(col("embedding"), books).as("codes"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> codesCatalog,
+              "pqCodes" -> sv20AvroCodes,
+              "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+            .mode("append").save()
+        }
+        changed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** sv20: INCREMENTAL PQ CODE-TABLE MAINTENANCE over CDC — the streaming
     * twin of px57, completing the compression story: sv18 keeps the IVF
     * structure current as vectors arrive; this keeps the PQ COMPRESSION
@@ -1639,43 +1688,9 @@ object StreamBatch {
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
     val ckpt = Files.createTempDirectory("graft-sv20-ckpt").toString
-    def drain(phaseStamp: Long): Unit = {
-      val q = s.readStream.format("graft-kv")
-        .options(Map("catalog" -> sv20SrcCatalog, "annVec" -> sv18AvroVec,
-          "tombstones" -> "true")).load()
-        .writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          val changed = df.select(col("vec_id"), col("embedding"), col("_deleted"))
-            .persist()
-          if (!changed.isEmpty) {
-            // retirement: tombstoned ids die by key through the
-            // delete-mode writer — distributed, batch-sized, no reads
-            if (KvStore.exists(codesParsed.qualifiedName))
-              changed.filter(col("_deleted")).select(col("vec_id"))
-                .write.format("graft-kv")
-                .options(Map("catalog" -> sv20CodesCatalog,
-                  "pqCodes" -> sv20AvroCodes,
-                  "delete" -> "true", "timestamp" -> phaseStamp.toString))
-                .mode("append").save()
-            // re-encode + overwrite: updates re-code in place one stamp
-            // later (key = vec_id, version cap 1 keeps the latest)
-            changed.filter(!col("_deleted"))
-              .select(col("vec_id"),
-                graft.pipeline.Similarity.pqCodes(col("embedding"), books).as("codes"))
-              .write.format("graft-kv")
-              .options(Map("catalog" -> sv20CodesCatalog,
-                "pqCodes" -> sv20AvroCodes,
-                "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
-                "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
-              .mode("append").save()
-          }
-          changed.unpersist()
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    def drain(phaseStamp: Long): Unit =
+      maintainPqCodes(s, sv20SrcCatalog, sv20CodesCatalog, books, maxId,
+        ckpt, phaseStamp)
     // fresh run every invocation
     KvStore.drop(codesParsed.qualifiedName)
     writeSrc(base.filter(col("vec_id") % 3 === 0)

@@ -10,6 +10,7 @@ object TimeOne {
     val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k") // parity with Bench/Verify
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // parity with Verify/Bench
     // ad-hoc conf overrides for profiling experiments: GRAFT_CONF="k=v;k=v"

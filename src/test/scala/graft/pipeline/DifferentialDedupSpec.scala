@@ -234,6 +234,34 @@ class DifferentialDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("components(reliableCheckpoints=true): the cluster durability branch converges identically") {
+    // the branch a REAL cluster uses (df.checkpoint(true) to the
+    // checkpoint dir instead of executor-block localCheckpoint) was never
+    // executed by any spec before round 10 — local runs always took the
+    // local branch. A 12-node path graph needs ~11 propagation rounds, so
+    // with the default checkpointEvery=3 this exercises >= 3 reliable
+    // cadence pins plus the final pin.
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt")
+    val prev = Option(spark.sparkContext.getCheckpointDir).flatten
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      import spark.implicits._
+      val path = (0L until 11L).map(i => (i, i + 1))
+      val got = Dedup.components(path.toDF("id_a", "id_b"),
+          reliableCheckpoints = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L to 11L).map(_ -> 0L).toMap,
+        "reliable-checkpoint propagation must converge to the path minimum")
+      assert(java.nio.file.Files.list(dir).count() > 0,
+        "reliable checkpoints must actually land in the checkpoint dir")
+      // the local-branch block-release guard is asserted by the existing
+      // specs; here the point is the RELIABLE branch runs end-to-end
+    } finally {
+      prev.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   /** Brute-force maximal duplicated-span merge (mirrors [[Dedup.dupSpans]]
     * semantics: cross-doc n-grams, overlap-or-adjacent intervals merge). */
   private def refDupSpans(docs: Seq[(Long, String)], n: Int): Seq[(Long, Long, Long, Long)] = {

@@ -215,4 +215,109 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("kv_ann_src_sxp", "kv_ann_fwd_sxp", "kv_ann_idx_sxp")
       .foreach(t => KvStore.drop(s"default:$t"))
   }
+
+  test("sv19 decontamination at a 100k-pair mirror: a 500-doc wave touches only its slivers") {
+    val src = StreamBatch.sv19SrcCatalog.replace("\"kv_ctm_src\"", "\"kv_ctm_src_sxp\"")
+    val mir = StreamBatch.sv19MirCatalog.replace("\"kv_ctm_mirror\"", "\"kv_ctm_mirror_sxp\"")
+    Seq("kv_ctm_src_sxp", "kv_ctm_mirror_sxp").foreach(t => KvStore.drop(s"default:$t"))
+    val N = 100000L; val W = 500L; val E = 200L
+    // eval docs: five distinct tokens derived from the eval id — a
+    // contaminated train doc carries exactly its eval doc's one 5-gram
+    def evalText(id: Column): Column = concat_ws(" ",
+      (1 to 5).map(k => concat(lit("e"), id, lit("t"), lit(k))): _*)
+    // clean text: six tokens unique to the doc id (zero eval overlap)
+    def cleanText(seed: Column): Column = concat_ws(" ",
+      (1 to 6).map(k => concat(lit("w"), xxhash64(seed.cast("string"), lit(k)))): _*)
+    val evalDocs = spark.range(E).select(col("id").as("doc_id"),
+      evalText(col("id")).as("text"))
+    val evalG = StreamBatch.contamEvalGrams(evalDocs, 5)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> src, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> N.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val ckpt = Files.createTempDirectory("graft-sxp19-ckpt").toString
+    def drain(stamp: Long): Unit =
+      StreamBatch.maintainContamMirror(spark, src, mir, evalG, N, ckpt, stamp)
+    try {
+      // wave 1: 100k train docs, every one contaminated with eval (id % E)
+      // — the mirror lands at 100k pairs, well past the small-state gate
+      writeSrc(spark.range(N).select(col("id").as("doc_id"),
+        evalText(col("id") % E).as("text")), ts = 1000, overwrite = true)
+      val (_, shuf1) = measureShuffle(drain(stamp = 10))
+      assert(tableRows("default:kv_ctm_mirror_sxp") == N,
+        "every corpus doc must pair with its eval doc")
+
+      // wave 2: 500 spread-out docs are REWRITTEN clean — retirement must
+      // read only their 500 key slivers, never the 100k-pair mirror, and
+      // the eval side must not re-tokenize (it is pre-exploded)
+      writeSrc(spark.range(W).select((col("id") * 200 + 3).as("doc_id"))
+        .withColumn("text", cleanText(col("doc_id"))), ts = 2000, overwrite = false)
+      val base2 = KvStore.rowsServed
+      val (_, shuf2) = measureShuffle(drain(stamp = 20))
+      val served2 = KvStore.rowsServed - base2
+      info(s"wave2: served=$served2 shuffle=$shuf2 (wave1 shuffle=$shuf1)")
+      assert(served2 < 30000L,
+        s"wave-2 drain served $served2 store rows for a $W-doc wave — " +
+          "a per-batch mirror scan or eval re-read crept back in")
+      assert(shuf2 * 10 < shuf1,
+        s"wave-2 shuffled $shuf2 records (wave-1: $shuf1) — work is not wave-proportional")
+      assert(tableRows("default:kv_ctm_mirror_sxp") == N - W,
+        "the cleaned docs' pairs must be retired, all others untouched")
+    } finally {
+      evalG.unpersist()
+      Seq("kv_ctm_src_sxp", "kv_ctm_mirror_sxp").foreach(t => KvStore.drop(s"default:$t"))
+    }
+  }
+
+  test("sv20 PQ code maintenance at 100k vectors: a CDC wave never reads the code table") {
+    val src = StreamBatch.sv20SrcCatalog.replace("\"kv_pq_src\"", "\"kv_pq_src_sxp\"")
+    val codes = StreamBatch.sv20CodesCatalog.replace("\"kv_pq_codes\"", "\"kv_pq_codes_sxp\"")
+    Seq("kv_pq_src_sxp", "kv_pq_codes_sxp").foreach(t => KvStore.drop(s"default:$t"))
+    val N = 100000L
+    // 2 sub-quantizers x 4 centroids over a 4-dim space
+    val books: Array[Array[Array[Double]]] = Array(
+      (0 until 4).map(c => Array(c.toDouble, 0.0)).toArray,
+      (0 until 4).map(c => Array(0.0, c.toDouble)).toArray)
+    def vecOf(id: Column, shift: Double): Column = array(
+      ((id % 4) + lit(shift)).cast("float"), (floor(id / 4) % 4).cast("float"),
+      ((id % 3) + lit(shift)).cast("float"), (floor(id / 3) % 4).cast("float"))
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> src, "annVec" -> StreamBatch.sv18AvroVec,
+          "newtable" -> "4", "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> N.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val ckpt = Files.createTempDirectory("graft-sxp20-ckpt").toString
+    def drain(stamp: Long): Unit =
+      StreamBatch.maintainPqCodes(spark, src, codes, books, N, ckpt, stamp)
+
+    // wave 1: 100k vectors encode into the code table
+    writeSrc(spark.range(N).select(col("id").as("vec_id"),
+      vecOf(col("id"), 0.0).as("embedding")), ts = 1000, overwrite = true)
+    drain(stamp = 10)
+    assert(tableRows("default:kv_pq_codes_sxp") == N)
+
+    // wave 2: 300 updates + 200 tombstones. The protocol is MAP-ONLY —
+    // the only store rows served may be the CDC source read of the wave
+    // itself; the 100k-row code table must never be read
+    writeSrc(spark.range(300L).select((col("id") * 300 + 1).as("vec_id"),
+      vecOf(col("id") * 300 + 1, 1.0).as("embedding")), ts = 2000, overwrite = false)
+    import spark.implicits._
+    (0L until 200L).map(_ * 450 + 2).toDF("vec_id").write.format("graft-kv")
+      .options(Map("catalog" -> src, "annVec" -> StreamBatch.sv18AvroVec,
+        "delete" -> "true", "timestamp" -> "2500"))
+      .mode("append").save()
+    val base2 = KvStore.rowsServed
+    val (_, shuf2) = measureShuffle(drain(stamp = 20))
+    val served2 = KvStore.rowsServed - base2
+    info(s"wave2: served=$served2 shuffle=$shuf2")
+    assert(served2 < 5000L,
+      s"wave-2 drain served $served2 store rows for a 500-row wave — " +
+        "the map-only protocol must read nothing but the CDC wave itself")
+    assert(tableRows("default:kv_pq_codes_sxp") == N - 200,
+      "tombstoned ids must die; updates must overwrite in place")
+    Seq("kv_pq_src_sxp", "kv_pq_codes_sxp").foreach(t => KvStore.drop(s"default:$t"))
+  }
 }
