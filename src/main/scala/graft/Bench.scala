@@ -52,38 +52,66 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Per-rep CPU-utilization: the JVM's own cpu-seconds over wall x cores.
+    // loadavg DURING the run mostly measures our own work, but a rep whose
+    // utilization is far below its sibling's was starved by EXTERNAL load —
+    // the per-rep noise signal loadavg cannot give (round-9 judging had to
+    // hand-re-time px23/px43 spikes that this field now explains in-place).
+    def jvmCpuNanos(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = jvmCpuNanos()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = if (c0 < 0) -1.0 else (jvmCpuNanos() - c0) / 1e9
+      val util = if (cpu < 0 || wall <= 0) -1.0
+        else cpu / (wall * cpus.toDouble)
+      (wall, util)
     }
     val perRep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var times = (1 to reps).map(_ => timeOnce(fn))
       // reps disagreeing >1.5x means at least one was load-inflated — a
       // third rep makes the minimum trustworthy
-      if (reps >= 2 && times.max > times.min * 1.5 && times.min > 0.2)
+      if (reps >= 2 && times.map(_._1).max > times.map(_._1).min * 1.5 &&
+          times.map(_._1).min > 0.2)
         times = times :+ timeOnce(fn)
       name -> times
     }
     val loadEnd = loadavg()
-    val results = perRep.map { case (name, times) => name -> times.min }.toMap
+    // loadHigh: the record itself says "taken on a loaded host" — the trend
+    // script annotates these rounds instead of judges re-timing by hand.
+    // Start load is external by construction (our executors are idle); an
+    // end load far above start means something ran alongside the suite.
+    val loadHigh = loadStart > 1.5 || (loadEnd > 0 && loadStart > 0 &&
+      loadEnd > loadStart + cpus.toDouble / 4)
+    val results = perRep.map { case (name, times) => name -> times.map(_._1).min }.toMap
     def obj(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // every rep per query rides along ("query_reps") so a judge can tell
     // machine-load noise (reps disagree wildly) from a real regression
     // (reps agree and both moved) without re-running the suite
     val repsObj = perRep.map { case (k, ts) =>
-      s"\"" + k + "\":[" + ts.mkString(",") + "]"
+      s"\"" + k + "\":[" + ts.map(_._1).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // cpu-utilization per rep (fraction of the 32 cores the JVM actually
+    // held): a slow rep at LOW util was starved, at comparable util it
+    // genuinely did more work
+    val utilObj = perRep.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.map(t => f"${t._2}%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val populateTotal = populate.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"loadHigh":$loadHigh,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(json)
     // ALSO persist the full JSON to a file: the driver's pane capture
     // truncates at 2000 chars, so round-over-round per-query comparison
     // needs a complete on-disk artifact (BENCH_LOCAL_r{N}.json; bump the
     // default per round or override via SPARK_GRAFT_BENCH_OUT)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r9.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r10.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
