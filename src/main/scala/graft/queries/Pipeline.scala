@@ -446,6 +446,60 @@ object Pipeline {
       |SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src
       |ORDER BY doc_id""".stripMargin
 
+  /** px58: QUALITY-AWARE near-dup canonicalization — what a production
+    * dedup pass actually keeps. px14's min-id keeper is the textbook
+    * answer, but a curation pipeline keeps the BEST member of each
+    * near-dup cluster, not the lowest-numbered one: the cluster's keeper
+    * is its member with the highest heuristic quality score (px3's
+    * formula), ties broken by lowest id. Spark shape: the clusters come
+    * from the same rep-collapsed label propagation as px14
+    * ([[graft.pipeline.Dedup.minhashKeepers]] — bucketed LSH, no
+    * all-pairs); the arg-max per cluster is ONE groupBy over a
+    * lexicographic struct max (quality, -id) plus one keep_id-partitioned
+    * join — both shuffles on the same key, so the exchange is reused. At
+    * 100 TB this adds one cluster-count-sized aggregate to px14's cost —
+    * no corpus re-scan beyond the quality projection. */
+  def px58QualityKeepers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labels = graft.pipeline.Dedup.minhashKeepers(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.8)
+    val q = docs.select(col("doc_id").as("id"),
+      TextOps.qualityScore(col("text")).as("q"))
+    // arg-max by (quality DESC, id ASC): struct max is lexicographic, so
+    // (q, -id) picks the highest quality and breaks ties on LOWEST id
+    val best = labels.join(q, Seq("id"))
+      .groupBy(col("keep_id"))
+      .agg(max(struct(col("q"), (-col("id")).as("nid"))).as("m"))
+      .select(col("keep_id"), (-col("m.nid")).as("keep_best"))
+    labels.join(best, Seq("keep_id"))
+      .select(col("id").as("doc_id"), col("keep_best"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** px14's component reach, re-ranked by quality: row_number over
+    * (quality DESC, node ASC) per source doc picks the same keeper the
+    * struct arg-max does — px3's rounded quality formula is interpolated
+    * from the shared constant, so the two oracles cannot drift apart. */
+  val px58Sql: String =
+    s"""WITH RECURSIVE ${shingleCtesSql("documents")},
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+      |),
+      |q AS (SELECT doc_id, ${qualityExprSql.replace("\n", " ")} AS q FROM documents),
+      |ranked AS (
+      |  SELECT r.src, r.node,
+      |         row_number() OVER (PARTITION BY r.src ORDER BY q.q DESC, r.node ASC) AS rn
+      |  FROM reach r JOIN q ON q.doc_id = r.node)
+      |SELECT src AS doc_id, node AS keep_best FROM ranked WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** px15: tf·idf keyword extraction — top-3 characteristic terms per doc,
     * rational idf (tf·N/df) so the score hashes identically in DuckDB. */
   def px15Keywords(s: SparkSession, dir: String): DataFrame = {
@@ -1988,6 +2042,7 @@ object Pipeline {
     "px55_dup_spans"          -> (px55DupSpans _),
     "px56_pq_ann"             -> (px56PqAnn _),
     "px57_pq_adc"             -> (px57PqAdc _),
+    "px58_quality_keepers"    -> (px58QualityKeepers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2004,6 +2059,7 @@ object Pipeline {
     "px11_embedding_neardup" -> px11Sql,
     "px12_multimodal"      -> px12Sql,
     "px14_dedup_clusters"  -> px14Sql,
+    "px58_quality_keepers" -> px58Sql,
     "px15_keywords"        -> px15Sql,
     "px16_repetition"      -> px16Sql,
     "px17_decontam"        -> px17Sql,

@@ -326,6 +326,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("px58 keeper semantics: highest quality wins its cluster, ties break to lowest id") {
+    // three exact copies (one near-dup cluster) where the HIGHEST id has
+    // the longest text (=> the highest length-term quality): min-id
+    // canonicalization (px14) would keep 10, quality-aware keeps 30
+    val long = ("the quick brown fox jumps over the lazy dog and " * 8).trim
+    val short = "the quick brown fox jumps over the lazy dog and " +
+      "the quick brown fox jumps over the lazy dog"
+    // shared shingle structure => jaccard 1.0 within {10,30}; 30's text is
+    // longer only through repetition of the same bigrams
+    val docs = Seq(
+      (10L, short), (30L, long + " " + short.take(0)),
+      // an isolated pair with EQUAL text (equal quality): tie must break
+      // to the lowest id even though 41 < 44 arrival order differs
+      (44L, "alpha beta gamma delta epsilon zeta"),
+      (41L, "alpha beta gamma delta epsilon zeta"),
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = Files.createTempDirectory("graft-px58")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val got = graft.queries.Pipeline.px58QualityKeepers(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(30L) > q(10L), s"fixture must give 30 the higher quality, got $q")
+    assert(got(10L) == 30L && got(30L) == 30L,
+      s"cluster {10,30} must keep the higher-quality 30, got $got")
+    assert(got(41L) == 41L && got(44L) == 41L,
+      s"equal-quality cluster {41,44} must tie-break to the lowest id, got $got")
+  }
+
   test("SortedShingles equals the HOF shingle formulation") {
     import graft.functions.HashExprs
     val hof = docs.select($"doc_id",
