@@ -500,6 +500,60 @@ object Pipeline {
       |SELECT src AS doc_id, node AS keep_best FROM ranked WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** px59: SEMANTIC DECONTAMINATION — the embedding-space complement of
+    * px17's exact n-gram decontam: a corpus document is contaminated when
+    * its embedding sits too close to ANY benchmark/eval embedding, which
+    * catches paraphrases and translations that share no 5-gram. Report =
+    * each corpus vector's nearest eval vector and the cosine, kept above
+    * the threshold.
+    *
+    * Scale shape: the eval set is benchmark-sized (thousands), the corpus
+    * is the 100 TB side — so the eval embeddings ride as ONE broadcast
+    * row of structs and the whole scoring is MAP-ONLY over the corpus
+    * scan: `transform` computes the per-eval cosines, `aggregate` folds
+    * the arg-max, no corpus shuffle and no N×E pair materialization
+    * (bruteForceTopK's crossJoin+window would shuffle corpus×eval rows —
+    * right for top-k reports, wrong for a boolean-ish admission gate).
+    * Ties break to the lowest eval id, matching the oracle's
+    * (score DESC, eval_id ASC) ranking. */
+  def px59SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val evs = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+      .agg(collect_list(struct(col("eval_id"), col("ev"))).as("evs"))
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(evs)) // one broadcast row: map-only scoring
+      .withColumn("scored", transform(col("evs"), e => struct(
+        Similarity.cosine(col("embedding"), e.getField("ev")).as("score"),
+        e.getField("eval_id").as("eval_id"))))
+      .withColumn("best", aggregate(col("scored"),
+        struct(lit(-2.0d).as("score"), lit(Long.MaxValue).as("eval_id")),
+        (acc, x) => when(x.getField("score") > acc.getField("score") ||
+            (x.getField("score") === acc.getField("score") &&
+              x.getField("eval_id") < acc.getField("eval_id")), x)
+          .otherwise(acc)))
+      .filter(col("best.score") >= 0.35)
+      .select(col("vec_id"), col("best.eval_id").as("eval_id"),
+        col("best.score").as("score"))
+      .orderBy(col("vec_id"))
+  }
+
+  val px59Sql: String =
+    """WITH e AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+      |           FROM embeddings WHERE vec_id % 10 = 0
+      |             AND embedding IS NOT NULL AND vec_id IS NOT NULL),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings WHERE vec_id % 10 <> 0
+      |        AND embedding IS NOT NULL AND vec_id IS NOT NULL),
+      |ranked AS (
+      |  SELECT c.vec_id, e.eval_id, list_cosine_similarity(cv, ev) AS score,
+      |         row_number() OVER (PARTITION BY c.vec_id
+      |           ORDER BY list_cosine_similarity(cv, ev) DESC, e.eval_id ASC) AS rn
+      |  FROM c CROSS JOIN e)
+      |SELECT vec_id, eval_id, score FROM ranked WHERE rn = 1 AND score >= 0.35
+      |ORDER BY vec_id""".stripMargin
+
   /** px15: tf·idf keyword extraction — top-3 characteristic terms per doc,
     * rational idf (tf·N/df) so the score hashes identically in DuckDB. */
   def px15Keywords(s: SparkSession, dir: String): DataFrame = {
@@ -2043,6 +2097,7 @@ object Pipeline {
     "px56_pq_ann"             -> (px56PqAnn _),
     "px57_pq_adc"             -> (px57PqAdc _),
     "px58_quality_keepers"    -> (px58QualityKeepers _),
+    "px59_semantic_decontam"  -> (px59SemanticDecontam _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2060,6 +2115,7 @@ object Pipeline {
     "px12_multimodal"      -> px12Sql,
     "px14_dedup_clusters"  -> px14Sql,
     "px58_quality_keepers" -> px58Sql,
+    "px59_semantic_decontam" -> px59Sql,
     "px15_keywords"        -> px15Sql,
     "px16_repetition"      -> px16Sql,
     "px17_decontam"        -> px17Sql,

@@ -763,6 +763,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cosinesim should sit inside a codegen stage")
   }
 
+  test("px59 semantic decontam is map-only over the corpus (broadcast eval, no corpus shuffle)") {
+    val df = graft.queries.Pipeline.px59SemanticDecontam(spark, dir)
+    val plan = executedPlan(df)
+    // the eval set rides as ONE broadcast row; scoring must not shuffle
+    // the corpus — at 100 TB a corpus x eval pair shuffle is the failure
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle against the eval set:\n${plan.take(3000)}")
+    // exactly the aggregate's and the final ORDER BY's exchanges — no
+    // exchange between the corpus scan and the scoring
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"expected only the eval-agg + sort exchanges, found $exchanges:\n${plan.take(3000)}")
+  }
+
   test("WAL rotation metrics surface on the batch-write node (SQL UI path)") {
     // a batch write that crosses the auto-checkpoint gate must report the
     // rotations it triggered as DRIVER metrics on its own write node —
