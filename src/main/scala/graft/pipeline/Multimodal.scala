@@ -144,8 +144,13 @@ object Multimodal {
     * "frame" — the row-explosion shape of video frame extraction. */
   def sampleFrames(media: DataFrame, stride: Int = 64): DataFrame =
     media
+      .filter(col("payload").isNotNull)
+      // one frame per full stride of payload bytes, minimum one — integer
+      // floor division (Column./ is double division; the cast truncates,
+      // which equals floor for the non-negative length)
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(length(col("payload")) / stride - 1, lit(0)))))
-      .select(col("media_id"), col("frame_idx"),
+        explode(sequence(lit(0),
+          greatest((length(col("payload")) / stride).cast("int") - 1, lit(0)))))
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
         substring(base64(col("payload")), 1, 16).as("frame_sig"))
 }

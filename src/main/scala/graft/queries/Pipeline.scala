@@ -554,6 +554,31 @@ object Pipeline {
       |SELECT vec_id, eval_id, score FROM ranked WHERE rn = 1 AND score >= 0.35
       |ORDER BY vec_id""".stripMargin
 
+  /** px60: VIDEO FRAME SAMPLING over opaque media payloads — the third
+    * multimodal kernel beside px12's decode/feature-extract and px49's
+    * resize: one frame row per `stride` bytes of payload (a real decoder
+    * would seek keyframes; the stub signs the payload), minimum one frame
+    * per asset. Map-only + generator over the media scan — the 100 TB
+    * shape is a pure per-partition explode, no shuffle before the final
+    * ORDER BY. */
+  def px60FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.pipeline.Multimodal.asMedia(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.pipeline.Multimodal.sampleFrames(media, stride = 64)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val px60Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, encode(text) AS payload
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT media_id,
+      |        unnest(range(0, greatest(octet_length(payload) // 64, 1))) AS fi,
+      |        substring(to_base64(payload), 1, 16) AS frame_sig
+      |      FROM media)
+      |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx, frame_sig FROM f
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   /** px15: tf·idf keyword extraction — top-3 characteristic terms per doc,
     * rational idf (tf·N/df) so the score hashes identically in DuckDB. */
   def px15Keywords(s: SparkSession, dir: String): DataFrame = {
@@ -2098,6 +2123,7 @@ object Pipeline {
     "px57_pq_adc"             -> (px57PqAdc _),
     "px58_quality_keepers"    -> (px58QualityKeepers _),
     "px59_semantic_decontam"  -> (px59SemanticDecontam _),
+    "px60_frame_sample"       -> (px60FrameSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2116,6 +2142,7 @@ object Pipeline {
     "px14_dedup_clusters"  -> px14Sql,
     "px58_quality_keepers" -> px58Sql,
     "px59_semantic_decontam" -> px59Sql,
+    "px60_frame_sample"    -> px60Sql,
     "px15_keywords"        -> px15Sql,
     "px16_repetition"      -> px16Sql,
     "px17_decontam"        -> px17Sql,
