@@ -57,7 +57,7 @@ final case class GraftOptions(
       * raw-encoded (non-avro) string — byte prefixes over other
       * encodings would silently select the wrong rows — and when a
       * non-empty value parses to zero prefixes (a silent zero-row scan;
-      * a bare empty value falls under the uniform empty-option-= -absent
+      * a bare empty value falls under the uniform empty-option-means-absent
       * rule instead). */
     keyPrefixes: Option[Seq[String]] = None,
     /** Table-level time-to-live (ms): cells stamped before `now - ttl` are
