@@ -2,13 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    // Sample ambient load at PROCESS ENTRY, before our own JVM warm-up,
-    // populate, and warm queries drive the 1-minute average up — the r10
-    // record initially sampled after warm-up and flagged its own work.
-    val loadAtEntry =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    // Ambient load: prefer the launcher's own pre-launch sample
+    // (SPARK_GRAFT_AMBIENT_LOAD — an sbt-forked JVM cannot observe the
+    // machine before sbt itself spiked the 1-minute average), else sample
+    // at process entry, which at least precedes our warm-up and populate.
+    val loadAtEntry = sys.env.get("SPARK_GRAFT_AMBIENT_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse {
+        try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+          .split("\\s+")(0).toDouble
+        catch { case _: Throwable => -1.0 }
+      }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
