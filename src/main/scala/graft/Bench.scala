@@ -113,7 +113,11 @@ object Bench {
     // held): a slow rep at LOW util was starved, at comparable util it
     // genuinely did more work
     val utilObj = perRep.map { case (k, ts) =>
-      s"\"" + k + "\":[" + ts.map(t => f"${t._2}%.2f").mkString(",") + "]"
+      // Locale.ROOT: the default-locale f"" interpolator would emit comma
+      // decimals (0,42) on some JVMs and corrupt the JSON record
+      s"\"" + k + "\":[" + ts.map(t =>
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(t._2)))
+        .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val populateTotal = populate.values.sum
@@ -123,7 +127,7 @@ object Bench {
     // truncates at 2000 chars, so round-over-round per-query comparison
     // needs a complete on-disk artifact (BENCH_LOCAL_r{N}.json; bump the
     // default per round or override via SPARK_GRAFT_BENCH_OUT)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r10.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r11.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()

@@ -61,7 +61,13 @@ class GraftWriteBuilder(catalog: GraftCatalog, opts: GraftOptions, info: Logical
     // auto-checkpoints THIS write triggered and the wall they cost — the
     // feedback a CDC operator tuning setWalAutoCheckpoint needs, next to
     // the scan-side graftRowsScanned family. Deltas against construction
-    // time (the store counters are JVM-monotonic).
+    // time (the store counters are JVM-monotonic) — which assumes ONE
+    // writer at a time: rotations triggered by a concurrent write (or by
+    // anything else between planning and commit) land in this node's delta
+    // and would double-count across concurrent writers. That matches how
+    // the store is driven here (Verify/Bench run queries sequentially;
+    // streaming sinks commit micro-batches one at a time); per-trigger
+    // attribution would need the rotation path to tag its caller.
     private val rotationsAtStart = KvStore.walRotations
     private val rotationNanosAtStart = KvStore.walRotationNanos
 

@@ -946,8 +946,12 @@ object StreamBatch {
     * [[MaxPushedBandPrefixes]], and when the sliver union would not be
     * materially smaller than the index itself (prefixes × 4 ≥ index
     * rows — an O(regions) row-count consult, the same judgment as the
-    * secondary-index consult's cap). Empty prefix set → empty result
-    * without touching the store. */
+    * secondary-index consult's cap). Above the small-state gate an empty
+    * prefix set returns an empty result without touching the store; at or
+    * below it the gate wins and the FULL scan is returned before the
+    * prefix thunk is ever forced, so callers must not count the result
+    * directly — they re-join on (band, bh), which keeps the answer
+    * identical either way. */
   private[graft] def bandIndexLookup(s: SparkSession, idxCatalog: String,
       prefixes: => Array[String],
       smallStateRows: Long = SmallStateRows): DataFrame = {
@@ -1726,7 +1730,15 @@ object StreamBatch {
     * sv14 11.9 s → 8.2 s (116 → 75 stages), sv4 4.1 → 3.0 s, sv6
     * 2.7 → 1.9 s. Batch analytics keep AQE (skew joins, coalescing
     * genuinely help at corpus scale); this wrapper scopes the trade to
-    * the streaming entries only. */
+    * the streaming entries only.
+    *
+    * Scope: only work that executes INSIDE `f` — the stream drains, which
+    * are where all the micro-batch planning happens — runs AQE-off. The
+    * returned DataFrame is the post-stream batch readback; when the caller
+    * later executes it (Verify's write, Bench's count) AQE is back on,
+    * which is the setting batch reads want anyway. The restore mutates
+    * session conf, so entries must not run concurrently on one session —
+    * Verify and Bench both run queries sequentially. */
   private def withoutAqe(
       f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

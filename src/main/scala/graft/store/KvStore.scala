@@ -187,8 +187,11 @@ object KvStore {
   def checkpointWal(): Unit = synchronized {
     val w = walRef.getOrElse(
       throw new IllegalStateException("checkpointWal requires an enabled WAL"))
-    val t0 = System.nanoTime()
     val wl = rotationLock.writeLock(); wl.lock()
+    // timer starts AFTER lock acquisition so walRotationNanos measures only
+    // the write-locked image+rotate window it documents, not time spent
+    // waiting for in-flight writers to drain the read side
+    val t0 = System.nanoTime()
     try {
       w.sync()
       walGeneration += 1
