@@ -122,14 +122,34 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val populateTotal = populate.values.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"loadHigh":$loadHigh,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
-    println(json)
-    // ALSO persist the full JSON to a file: the driver's pane capture
-    // truncates at 2000 chars, so round-over-round per-query comparison
-    // needs a complete on-disk artifact (BENCH_LOCAL_r{N}.json; bump the
-    // default per round or override via SPARK_GRAFT_BENCH_OUT)
+    // Persist the FULL record to a file (BENCH_LOCAL_r{N}.json; bump the
+    // default per round or override via SPARK_GRAFT_BENCH_OUT): the full
+    // per-query/per-rep map for 149 queries is ~15 KB and the harness that
+    // collects stdout keeps only the last 2000 characters.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r11.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
+    // STDOUT gets a COMPACT line that fits the 2000-char capture window:
+    // the contract fields (metric/value/unit/queries/sf) with `queries`
+    // restricted to a fixed headline subset spanning every query family
+    // (scan, pushdown, relational, events, dedup, ANN, streaming CDC).
+    // Totals cover ALL queries; `queries_file` points at the full record.
+    val headline = Seq(
+      "q1_agg", "q3_join", "q8_window_topk",
+      "kv1_scan_project", "kv2_range_pushdown", "kv17_groupby_pushdown",
+      "kv28_spj_join", "kv31_vector_topk",
+      "ev1_window_agg", "ev12_ohlc",
+      "px5_dedup_exact", "px7_minhash_lsh", "px11_embedding_neardup",
+      "px13_ann_ivf", "px14_dedup_clusters", "px17_decontam",
+      "px37_semantic_dedup", "px56_pq_ann",
+      "sv1_stream_dedup", "sv12_stream_cdc_index",
+      "sv14_stream_incr_neardup", "sv18_stream_ann_ivf")
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val headObj = headline.flatMap(k => results.get(k).map(v =>
+      s"\"" + k + "\":" + num(v))).mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headObj,"queries_total":${results.size},"queries_file":"$out","populate_total":${num(populateTotal)},"reps":$reps,"loadHigh":$loadHigh,"loadavg_start":$loadStart,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

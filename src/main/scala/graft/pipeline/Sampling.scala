@@ -53,6 +53,35 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Epoch-reproducible global shuffle + shard assignment — the step that
+    * turns a curated corpus into the TRAINING ORDER a data loader consumes.
+    * Each row gets a deterministic shuffle key (the md5-derived hash of
+    * `seed|id`, masked to 62 bits so signed/unsigned engines order it
+    * identically), a shard = key mod `shards`, and its position within the
+    * shard (ordered by key, id). Changing the seed is a fresh epoch
+    * permutation; re-running with the same seed reproduces the exact order
+    * — invariant under partitioning, cluster size, and engine (contrast
+    * `orderBy(rand())`, which is none of these).
+    *
+    * Shape: the key is a per-row projection (map-only); the only shuffle is
+    * the shard-keyed exchange, and each shard's position sort is an
+    * in-task (disk-backed) sort of corpus/`shards` rows — `shards` is the
+    * parallelism knob a 100 TB run raises so no single sort dominates.
+    * There is NO global total order (that would funnel one task); the
+    * (shard, pos) pair IS the epoch order a loader reads shard-by-shard. */
+  def shardShuffle(df: DataFrame, idCol: String, seed: String = "epoch0",
+      shards: Int = 64): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val key = graft.functions.HashExprs.md5NumberLower(
+      concat(lit(seed), lit("|"), col(idCol).cast("string")))
+      .bitwiseAND(lit(0x3fffffffffffffffL))
+    df.select(col(idCol), key.as("skey"))
+      .withColumn("shard", (col("skey") % shards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))))
+  }
+
   /** Source-mixture statistics + temperature re-weighting — the pass that
     * decides how hard to up/down-sample each source (domain) before
     * training. Per source: exact doc/token counts, the natural token share
@@ -78,6 +107,42 @@ object Sampling {
         (col("n_tokens").cast("double") / col("total").cast("double")).as("p"),
         sqrt(col("total").cast("double") / col("n_tokens").cast("double"))
           .as("boost"))
+  }
+
+  /** Token-budget MIXTURE PLAN — the data-constrained-scaling decision
+    * ("how many tokens do we draw from each source, and how many epochs of
+    * each source is that?") made hash-exact. Per source: exact doc/token
+    * counts, the natural token share, the α = 1/2 temperature-flattened
+    * target allocation of `budgetTokens`, and the resulting repeat factor
+    * (epochs) — `epochs_micro > 1 000 000` is the data-constrained signal
+    * (that source repeats during training; Muennighoff et al. 2023 put the
+    * useful-repeat knee near 4 epochs).
+    *
+    * Arithmetic is INTEGER end-to-end so any engine reproduces it
+    * bit-for-bit: the α = 1/2 weight uses the integer square root
+    * `s = ⌊√n_tokens⌋` (p^α ∝ √n_tokens; floor(IEEE sqrt) is exact here —
+    * for n < 2^52 the true √n of a non-square sits ≳ 1/(2√n) from the
+    * nearest integer, orders of magnitude past double rounding error),
+    * the allocation is `budget·s div Σs`, and shares/epochs are micro-unit
+    * integer divisions. No cross-row FLOAT sum anywhere — those depend on
+    * addition order, which engines do not promise.
+    *
+    * Shape: one low-cardinality groupBy (sources), ONE 1-row total
+    * broadcast back — same plan as [[mixtureWeights]]. */
+  def mixturePlan(docs: DataFrame, stratumCol: String, tokenCount: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val s = docs.groupBy(col(stratumCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("n_tokens"))
+      .withColumn("s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val t = s.agg(sum(col("n_tokens")).as("total"), sum(col("s")).as("s_total"))
+    s.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div total").as("p_micro"),
+        expr(s"CAST($budgetTokens AS DECIMAL(38,0)) * s div s_total")
+          .as("planned_tokens"))
+      .withColumn("epochs_micro",
+        expr("CAST(planned_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens"))
   }
 
   /** Exact-k deterministic sample per stratum: the k rows with the

@@ -372,6 +372,60 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** The IVF-PQ CODE TABLE: each corpus vector's coarse cell (nearest
+    * centroid of the cell quantizer — [[ivfTopKWithCentroids]]'s assignment
+    * rule) plus its m PQ codes ([[pqCodes]]). This is the structure a
+    * production ANN service materializes ONCE per corpus snapshot: `(id,
+    * cell, m bytes)` per vector — small enough at k ≤ 256 to stay
+    * memory-resident at 100 TB corpus scale. Map-only against broadcast
+    * centroid/codebook literals (no shuffle at any corpus size). */
+  def ivfPqCodeTable(cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol),
+      element_at(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, 1), 1)
+        .as("cell"),
+      pqCodes(col(vecCol), books).as("codes"))
+
+  /** IVF-PQ ANN search — the composed serving architecture of Jégou et al.
+    * 2011 (what FAISS calls `IVFxPQy`, the standard billion-scale shape):
+    * [[ivfTopKWithCentroids]]'s coarse cell probing in FRONT of
+    * [[pqTopKFromCodes]]'s asymmetric scoring. A query probes its `nprobe`
+    * nearest coarse cells, scans ONLY those cells' rows of the materialized
+    * [[ivfPqCodeTable]], reconstructs each candidate from its m codes via
+    * broadcast codebook lookups (O(m) per row), and ranks by exact-query ×
+    * reconstructed-corpus cosine.
+    *
+    * Scale shape: the probe turns the scan into nprobe/nlist of the corpus
+    * and PQ turns bytes-per-scanned-row into m bytes (32× under float32) —
+    * multiplying to the structure that keeps trillion-row ANN interactive.
+    * The only joins are a broadcast of the (small) query side against the
+    * cell-keyed code table and a per-query top-k window; the corpus never
+    * shuffles and full float vectors are never read. Queries/corpus share
+    * PRE-TRAINED artifacts so an external oracle can embed bit-identical
+    * centroid + codebook literals ([[ivfTopKWithCentroids]]'s contract). */
+  def ivfPqTopK(cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      queries: DataFrame, codeTable: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val rv = concat(books.indices.map { j =>
+      element_at(typedLit(books(j).map(_.toSeq).toSeq),
+        element_at(col("codes"), j + 1) + 1)
+    }: _*)
+    val c = codeTable.select(col(idCol).as("neighbor_id"), col("cell"), rv.as("rv"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, nprobe))
+          .as("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("rv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold.
     *
     * The default (scale) path is BANDED sign-LSH blocking: each vector gets

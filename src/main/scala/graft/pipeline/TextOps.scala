@@ -457,6 +457,49 @@ object TextOps {
         expr("CAST(c12 AS DECIMAL(38,0)) * 1000000 div c1").as("p_micro"))
   }
 
+  /** PMI-ranked collocations — the corpus-analysis pass that surfaces
+    * multi-word expressions ("new york", "machine learning") for tokenizer
+    * vocabulary decisions and phrase-aware dedup. For every adjacent token
+    * pair: c12 (pair count), c1 (count of w1 in FIRST position), c2 (count
+    * of w2 in SECOND position), and the PMI association strength. PMI =
+    * log(c12·N / (c1·c2)) is reported as its argument — the LIFT ratio in
+    * exact integer micro-units (c12·N·10⁶ div c1·c2): log is monotone, so
+    * lift ranks identically, and integer division hash-matches any SQL
+    * engine bit-for-bit where cross-engine libm `log` would not.
+    *
+    * Shape: same map-side tail-zip explode as [[bigramLm]] (no positional
+    * shuffle), one (w1,w2) count shuffle with map-side partials, two keyed
+    * window re-sums for the marginals, and a broadcast 1-row total for N —
+    * never an unkeyed window (an `over ()` would funnel the whole pair
+    * vocabulary through one task at 100 TB). The final top-N is a
+    * TakeOrderedAndProject, not a global sort. */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5L, topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val counts = docs
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val total = counts.agg(sum(col("c12")).as("n"))
+    counts
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c2", sum(col("c12")).over(Window.partitionBy(col("w2"))))
+      .filter(col("c12") >= minCount)
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        expr("CAST(c12 AS DECIMAL(38,0)) * n * 1000000 div (CAST(c1 AS DECIMAL(38,0)) * c2)")
+          .as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Gopher-style quality-rule bundle: the battery of cheap heuristic
     * filters a training-data pipeline runs over every document BEFORE any
     * expensive processing (Rae et al. 2021 "Scaling Language Models",

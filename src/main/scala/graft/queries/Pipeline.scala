@@ -402,6 +402,10 @@ object Pipeline {
     Map("px13_ann_ivf" -> ivfSql,
       "px37_semantic_dedup" -> px37Sql(s, dir),
       "px46_cluster_sample" -> px46Sql(s, dir),
+      // px61 composes px13's coarse quantizer with px56's codebooks; its
+      // oracle embeds BOTH memoized artifacts so all three queries train
+      // exactly once per dataset dir
+      "px61_ivfpq_ann" -> px61Sql(s, dir),
       // px57 searches the code-table compression of the SAME corpus with
       // the same codebooks and reconstruction arithmetic — its contract is
       // that compression does not change the answer, so its oracle IS
@@ -2063,6 +2067,145 @@ object Pipeline {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** px61: IVF-PQ ANN ([[Similarity.ivfPqTopK]]) — the COMPOSED serving
+    * architecture (FAISS `IVFxPQy`): px13's coarse cell probing in front of
+    * px57's code-table ADC scoring. The corpus materializes once into
+    * `(id, cell, m codes)` ([[Similarity.ivfPqCodeTable]]); a query scans
+    * only its 4 probed cells' codes and scores reconstructions — the probe
+    * cuts the scan nprobe/nlist and PQ cuts bytes/row 32×, multiplying to
+    * the trillion-vector-interactive shape. Shares px13's memoized centroid
+    * matrix and px56's memoized codebooks, so its dynamic oracle embeds
+    * bit-identical literals for BOTH artifacts. */
+  def px61IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroidsFor(s, dir)
+    val books = pqCodebooksFor(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val codeTable = Similarity.ivfPqCodeTable(cents, books, e, "vec_id", "embedding")
+    Similarity.ivfPqTopK(cents, books, e.filter(col("vec_id") < 10), codeTable,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DYNAMIC oracle for px61: px13's cell-assignment/probe CTEs composed
+    * with px56's subspace-assignment/reconstruction CTEs — DuckDB recomputes
+    * the coarse probe lists AND the ADC reconstruction from the same
+    * centroid + codebook literals, then ranks candidates drawn only from
+    * probed cells. */
+  def px61Sql(s: SparkSession, dir: String): String = {
+    val cents = centroidValuesSql(ivfCentroidsFor(s, dir))
+    val books = pqCodebooksFor(s, dir)
+    val sub = books(0)(0).length
+    val bookValues = books.zipWithIndex.flatMap { case (b, j) =>
+      b.zipWithIndex.map { case (c, i) =>
+        s"($j, $i, [${c.map(dlit).mkString(", ")}])"
+      }
+    }.mkString(",\n")
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |$cents) AS t(cell, cv)),
+       |books AS (SELECT * FROM (VALUES
+       |$bookValues) AS t(sub, cell, cv)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |csims AS (SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.cv) AS sim
+       |          FROM e CROSS JOIN cents c),
+       |cranked AS (SELECT vec_id, cell,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+       |            FROM csims),
+       |cassign AS (SELECT vec_id, cell FROM cranked WHERE rn = 1),
+       |probes AS (SELECT vec_id, cell FROM cranked WHERE rn <= 4 AND vec_id < 10),
+       |subs AS (SELECT unnest(range(0, ${books.length})) AS sub),
+       |sv AS (SELECT e.vec_id, s.sub, e.v[s.sub*$sub+1 : s.sub*$sub+$sub] AS x
+       |       FROM e CROSS JOIN subs s),
+       |asg AS (SELECT vec_id, sub, cell FROM (
+       |    SELECT s.vec_id, s.sub, b.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY list_cosine_similarity(s.x, b.cv) DESC, b.cell ASC) AS rn
+       |    FROM sv s JOIN books b ON b.sub = s.sub) t WHERE rn = 1),
+       |recon AS (SELECT a.vec_id, flatten(list(b.cv ORDER BY a.sub)) AS rv
+       |          FROM asg a JOIN books b ON b.sub = a.sub AND b.cell = a.cell
+       |          GROUP BY a.vec_id)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(qe.v, r.rv) AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(qe.v, r.rv) DESC, a.vec_id ASC) AS rank
+       |  FROM probes q JOIN cassign a ON q.cell = a.cell AND q.vec_id <> a.vec_id
+       |  JOIN e qe ON qe.vec_id = q.vec_id
+       |  JOIN recon r ON r.vec_id = a.vec_id) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** px62: PMI-ranked collocations ([[TextOps.pmiCollocations]]) — the
+    * top-20 adjacent-pair associations by exact-integer lift (the PMI
+    * argument), min pair count 5. */
+  def px62Collocations(s: SparkSession, dir: String): DataFrame =
+    TextOps.pmiCollocations(Tables.documents(s, dir), "text",
+      minCount = 5L, topN = 20)
+
+  val px62Sql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+      |                     t -> length(t) > 0) AS l
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+      |  FROM toks WHERE len(l) >= 2),
+      |c AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      |m AS (SELECT w1, w2, c12,
+      |        CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+      |        CAST(sum(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+      |        CAST(sum(c12) OVER () AS BIGINT) AS n
+      |      FROM c)
+      |SELECT w1, w2, c12, c1, c2,
+      |  CAST((CAST(c12 AS HUGEINT) * n * 1000000)
+      |       // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS lift_micro
+      |FROM m WHERE c12 >= 5
+      |ORDER BY lift_micro DESC, w1, w2 LIMIT 20""".stripMargin
+
+  /** px63: epoch-reproducible shard shuffle ([[Sampling.shardShuffle]]) —
+    * the deterministic training-order manifest: md5-keyed permutation,
+    * shard = key mod 64, in-shard position. Same seed ⇒ same order on any
+    * engine/cluster; new seed ⇒ fresh epoch. */
+  def px63ShardShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardShuffle(Tables.documents(s, dir), "doc_id",
+      seed = "epoch0", shards = 64)
+      .orderBy(col("shard"), col("pos"))
+
+  val px63Sql: String =
+    """WITH k AS (SELECT doc_id,
+      |    CAST(md5_number_lower('epoch0|' || CAST(doc_id AS VARCHAR))
+      |         & 4611686018427387903 AS BIGINT) AS skey
+      |  FROM documents)
+      |SELECT doc_id, skey, CAST(skey % 64 AS INTEGER) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY skey % 64
+      |    ORDER BY skey, doc_id) AS INTEGER) AS pos
+      |FROM k ORDER BY shard, pos""".stripMargin
+
+  /** px64: token-budget mixture plan ([[Sampling.mixturePlan]]) — the
+    * data-constrained allocation: per source, how many of the 10M budget
+    * tokens the α = 1/2 flattened mixture draws, and how many EPOCHS of
+    * that source the draw implies (`epochs_micro` > 1 000 000 = repeats).
+    * Integer end-to-end (isqrt weights, `div` allocations), so the plan
+    * itself hash-matches any engine. */
+  def px64MixturePlan(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixturePlan(Tables.documents(s, dir), "source",
+      TextOps.tokenCount(col("text")), budgetTokens = 10000000L)
+      .orderBy(col("source"))
+
+  val px64Sql: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |           FROM documents GROUP BY source),
+      |s2 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sq
+      |       FROM s),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+      |             CAST(sum(sq) AS BIGINT) AS s_total FROM s2)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // total AS BIGINT) AS p_micro,
+      |  CAST(CAST(10000000 AS HUGEINT) * sq // s_total AS BIGINT) AS planned_tokens,
+      |  CAST(CAST(CAST(10000000 AS HUGEINT) * sq // s_total AS HUGEINT)
+      |       * 1000000 // n_tokens AS BIGINT) AS epochs_micro
+      |FROM s2, t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -2124,6 +2267,10 @@ object Pipeline {
     "px58_quality_keepers"    -> (px58QualityKeepers _),
     "px59_semantic_decontam"  -> (px59SemanticDecontam _),
     "px60_frame_sample"       -> (px60FrameSample _),
+    "px61_ivfpq_ann"          -> (px61IvfPqAnn _),
+    "px62_collocations"       -> (px62Collocations _),
+    "px63_shard_shuffle"      -> (px63ShardShuffle _),
+    "px64_mixture_plan"       -> (px64MixturePlan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2182,7 +2329,11 @@ object Pipeline {
     "px53_contam_report"      -> px53Sql,
     "px54_leakfree_split"     -> px54Sql,
     "px55_dup_spans"          -> px55Sql,
-    // px13: IVF quantizer — oracle is DYNAMIC (trained centroids embedded as
-    // SQL literals), emitted via SparkEntry.dynamicOracleSql at Verify time
+    "px62_collocations"       -> px62Sql,
+    "px63_shard_shuffle"      -> px63Sql,
+    "px64_mixture_plan"       -> px64Sql,
+    // px13/px61: IVF/PQ quantizers — oracles are DYNAMIC (trained centroids
+    // and codebooks embedded as SQL literals), emitted via
+    // SparkEntry.dynamicOracleSql at Verify time
   )
 }

@@ -1064,6 +1064,93 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1).getAs[Long]("score_micro") == 500000L)
   }
 
+  test("Similarity.ivfPqTopK: full probe equals PQ brute force; 1-probe stays in the query's cell") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.0f, 0.2f)),
+      (5L, Array(0.1f, 0.0f, 1.0f, 0.0f)),
+      (6L, Array(0.0f, 0.1f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 2, k = 4, dim = 4)
+    val codeTable = Similarity.ivfPqCodeTable(cents, books, vecs, "vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" <= 2)
+    // probing every cell must reproduce the un-probed ADC answer exactly
+    val full = Similarity.ivfPqTopK(cents, books, queries, codeTable,
+      "vec_id", "embedding", k = 3, nprobe = cents.length)
+      .orderBy($"query_id", $"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = Similarity.pqTopKWithCodebooks(books, queries, vecs,
+      "vec_id", "embedding", k = 3)
+      .orderBy($"query_id", $"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.toSeq == brute.toSeq,
+      "nprobe = nlist must degrade IVF-PQ to plain ADC over the whole corpus")
+    // nprobe = 1: every candidate must come from the query's own top cell
+    val cellOf = codeTable.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val one = Similarity.ivfPqTopK(cents, books, queries, codeTable,
+      "vec_id", "embedding", k = 3, nprobe = 1).collect()
+    assert(one.nonEmpty)
+    one.foreach { r =>
+      assert(cellOf(r.getAs[Long]("neighbor_id")) == cellOf(r.getAs[Long]("query_id")),
+        s"1-probe candidate ${r.getAs[Long]("neighbor_id")} outside the query's cell")
+    }
+  }
+
+  test("TextOps.pmiCollocations: hand-computed lift, marginals, and tie order") {
+    val corpus = Seq((1L, "x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    // bigrams: (x,y)x2, (y,x)x1, (x,z)x1 -> N=4; c1: x=3, y=1;
+    // c2: y=2, x=1, z=1. lift_micro = c12*N*1e6 div (c1*c2).
+    val r = TextOps.pmiCollocations(corpus, "text", minCount = 1L, topN = 10)
+      .collect().map(row => (row.getString(0), row.getString(1),
+        row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5)))
+    assert(r.toSeq == Seq(
+      ("y", "x", 1L, 1L, 1L, 4000000L),
+      ("x", "y", 2L, 3L, 2L, 1333333L),   // ties with (x,z): (w1,w2) breaks
+      ("x", "z", 1L, 3L, 1L, 1333333L)))
+  }
+
+  test("Sampling.mixturePlan: hand-computed isqrt allocation and epochs") {
+    // source a: 8 tokens (sq=2); source b: 9 tokens (sq=3); budget 100.
+    // total=17, s_total=5 -> a: planned=100*2 div 5=40, epochs=40e6 div 8
+    // =5_000_000; b: planned=60, epochs=60e6 div 9=6_666_666.
+    val docs = Seq(
+      ("a", "t1 t2 t3 t4"), ("a", "t1 t2 t3 t4"),
+      ("b", "u1 u2 u3 u4 u5 u6 u7 u8 u9")).toDF("source", "text")
+    val r = Sampling.mixturePlan(docs, "source",
+        graft.pipeline.TextOps.tokenCount(col("text")), budgetTokens = 100L)
+      .orderBy($"source")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      ("a", 2L, 8L, 470588L, 40L, 5000000L),
+      ("b", 1L, 9L, 529411L, 60L, 6666666L)))
+  }
+
+  test("Sampling.shardShuffle: deterministic, seed-sensitive, partition-invariant") {
+    val corpus = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.shardShuffle(df, "doc_id", seed, shards = 8)
+        .orderBy($"shard", $"pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val a = run(corpus, "epoch0")
+    assert(run(corpus, "epoch0").toSeq == a.toSeq, "same seed must reproduce the order")
+    assert(run(corpus.repartition(7), "epoch0").toSeq == a.toSeq,
+      "the epoch order must be invariant under input partitioning")
+    assert(run(corpus, "epoch1").map(_._1).toSeq != a.map(_._1).toSeq,
+      "a new seed must be a fresh permutation")
+    // shard/pos integrity: shard = skey mod 8, pos contiguous from 1 per shard
+    a.foreach { case (_, skey, shard, _) => assert(shard == (skey % 8).toInt) }
+    a.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).toSeq == (1 to rows.length).toSeq)
+    }
+    // within a shard, positions follow ascending shuffle key
+    a.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.sortBy(_._4).map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    }
+  }
+
   test("Similarity.semanticDedup: within-cluster lower-id drop, exact threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)),            // cell 0, kept (lowest id)
