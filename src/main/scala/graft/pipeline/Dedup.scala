@@ -470,13 +470,17 @@ object Dedup {
         df.queryExecution.analyzed.collectFirst {
           case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
         }.foreach(_.unpersist(blocking = false))
-    // materialize the pair pipeline ONCE before mirroring: the union below
-    // references it twice, and without the cut the (possibly expensive)
-    // upstream pair computation would execute once per direction
-    val p = cp(pairs.select(col(idA).as("a"), col(idB).as("b")))
-    val edges = cp(p.union(p.select(col("b").as("a"), col("a").as("b")))
+    // symmetric closure in ONE pass: each pair row explodes into both
+    // directions, so the (possibly expensive) upstream pair pipeline
+    // executes exactly once with NO eager pre-checkpoint of a mirror (a
+    // self-union would reference `pairs` twice and need one — measured a
+    // full extra materialization per call at sf0.1)
+    val edges = cp(pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct())
-    release(p) // folded into the edges checkpoint
     var lastCkpt = cp(edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")))
     var labels = lastCkpt

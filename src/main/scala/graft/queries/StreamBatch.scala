@@ -1720,6 +1720,217 @@ object StreamBatch {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private[graft] val sv21SrcCatalog = sv14SrcCatalog
+    .replace("\"kv_nd_src\"", "\"kv_lm_src\"")
+  private[graft] val sv21MirrorCatalog = sv14SrcCatalog
+    .replace("\"kv_nd_src\"", "\"kv_lm_mirror\"")
+  /** Bigram count table, keyed by the gram string `"w1 w2"` (tokens are
+    * whitespace-split, so the single-space join is unambiguous); w1/w2 ride
+    * as covered columns so the LM readback never re-splits keys. */
+  private[graft] val sv21CountsCatalog =
+    """{"table":{"namespace":"default", "name":"kv_lm_counts"},
+      |"rowkey":"key",
+      |"columns":{
+      |"gram":{"cf":"rowkey", "col":"key", "type":"string"},
+      |"w1":{"cf":"f", "col":"w1", "type":"string"},
+      |"w2":{"cf":"f", "col":"w2", "type":"string"},
+      |"cnt":{"cf":"f", "col":"c", "type":"bigint"}}}""".stripMargin
+
+  /** Exact-key lookup into a STRING-rowkey table — [[mirrorLookup]]'s
+    * contract (batch-proportional point-gets, ratio-gated broadcast-leftsemi
+    * fallback, small-state full-scan gate) for string keys: the key frame
+    * (batch-bounded by construction) compiles into In point-ranges on the
+    * rowkey, so each CDC batch point-reads exactly its touched rows instead
+    * of scanning the (vocabulary²-scale) table. Same cost model, same
+    * bounded `limit(cap+1)` driver job deciding guard + key set at once. */
+  private[graft] def stringKeyLookup(s: SparkSession, catalog: String,
+      keysDf: DataFrame, keyCol: String,
+      smallStateRows: Long = SmallStateRows): DataFrame = {
+    val tbl = s.read.format("graft-kv").option("catalog", catalog).load()
+    val rows = storeRows(catalog)
+    if (rows <= smallStateRows)
+      return tbl.join(broadcast(keysDf.select(col(keyCol)).distinct()),
+        Seq(keyCol), "leftsemi")
+    val keys = keysDf.select(col(keyCol)).distinct()
+      .limit(MaxPushedBandPrefixes + 1).collect().map(_.getString(0))
+    if (keys.isEmpty) tbl.filter(lit(false))
+    else if (keys.length > MaxPushedBandPrefixes ||
+        keys.length.toLong * 4 >= rows)
+      tbl.join(broadcast(keysDf.select(col(keyCol)).distinct()),
+        Seq(keyCol), "leftsemi")
+    else tbl.filter(col(keyCol).isInCollection(keys.toSeq))
+  }
+
+  /** Signed per-document bigram multiset — [[graft.pipeline.TextOps
+    * .bigramLm]]'s exact tokenization and pairing (empty tokens dropped,
+    * docs under 2 tokens contribute nothing), each pair carrying weight
+    * `w` so old text (−1) and new text (+1) cancel in one aggregation. */
+  private def signedBigrams(docs: DataFrame, w: Int): DataFrame = {
+    val toks = filter(graft.pipeline.TextOps.tokens(col("text")),
+      t => length(t) > 0)
+    docs.select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"),
+        lit(w.toLong).as("w"))
+  }
+
+  /** One CDC drain of incremental bigram-count maintenance — the per-batch
+    * protocol of [[sv21StreamBigramLm]], factored out for proxy-scale
+    * reuse. This is the first AGGREGATE incremental-view-maintenance
+    * protocol of the sv family: the maintained state is not per-row (codes,
+    * index entries) but a COUNT a deletion must *decrement* — so each batch
+    * (1) point-reads the OLD text of every changed id from the forward
+    * mirror ([[mirrorLookup]] — the batch-proportional sliver, never a
+    * mirror scan), (2) folds old text at −1 and new text at +1 into one
+    * signed gram aggregation (cancellation makes unchanged-text rewrites
+    * free), (3) point-reads ONLY the affected grams' current counts
+    * ([[stringKeyLookup]] — ≤ the batch's token count, never the
+    * vocabulary), and (4) writes counts back: zero-crossers die by key
+    * through the delete-mode writer, the rest overwrite in place. Reads
+    * and writes are both batch-proportional; the corpus and the gram
+    * vocabulary are never re-scanned. */
+  private[graft] def maintainBigramCounts(s: SparkSession, srcCatalog: String,
+      mirrorCatalog: String, countsCatalog: String, maxId: Long,
+      ckpt: String, phaseStamp: Long): Unit = {
+    val q = s.readStream.format("graft-kv")
+      .options(Map("catalog" -> srcCatalog, "tombstones" -> "true")).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val changed = b.select(col("doc_id"), col("text"), col("_deleted"))
+          .persist()
+        if (!changed.isEmpty) {
+          // OLD text of every changed id (upsert OR tombstone): the mirror
+          // still holds pre-batch state — its own maintenance runs last
+          val olds = mirrorLookup(s, mirrorCatalog, "",
+            changed.select(col("doc_id")), idCol = "doc_id")
+            .select(col("doc_id"), col("text"))
+          val delta = signedBigrams(olds, -1)
+            .unionByName(signedBigrams(changed.filter(!col("_deleted")), 1))
+            .groupBy(col("w1"), col("w2"))
+            .agg(sum(col("w")).as("d"))
+            .filter(col("d") =!= 0)
+            .withColumn("gram", concat(col("w1"), lit(" "), col("w2")))
+            .persist()
+          val current = stringKeyLookup(s, countsCatalog,
+            delta.select(col("gram")), "gram")
+            .select(col("gram"), col("cnt").as("old_cnt"))
+          // merged feeds BOTH count writes — pinned so the gram sliver
+          // read and the signed aggregation run once per batch
+          val merged = delta
+            .join(current, Seq("gram"), "left")
+            .select(col("gram"), col("w1"), col("w2"),
+              (coalesce(col("old_cnt"), lit(0L)) + col("d")).as("cnt"))
+            .persist()
+          merged.filter(col("cnt") <= 0).select(col("gram"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> countsCatalog,
+              "delete" -> "true", "timestamp" -> phaseStamp.toString))
+            .mode("append").save()
+          merged.filter(col("cnt") > 0)
+            .write.format("graft-kv")
+            .options(Map("catalog" -> countsCatalog, "newtable" -> "4",
+              "timestamp" -> (phaseStamp + 1).toString,
+              "minSplit" -> "0", "maxSplit" -> "z"))
+            .mode("append").save()
+          // mirror maintenance LAST — the old-text read above must see
+          // pre-batch state
+          changed.filter(col("_deleted")).select(col("doc_id"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> mirrorCatalog,
+              "delete" -> "true", "timestamp" -> phaseStamp.toString))
+            .mode("append").save()
+          changed.filter(!col("_deleted")).select(col("doc_id"), col("text"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> mirrorCatalog, "newtable" -> "4",
+              "timestamp" -> (phaseStamp + 1).toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+            .mode("append").save()
+          Seq(merged, delta).foreach(_.unpersist())
+        }
+        changed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** sv21: INCREMENTAL BIGRAM-LM MAINTENANCE over CDC — the streaming twin
+    * of px30, and the family's first incrementally-maintained AGGREGATE: a
+    * (w1, w2) → count table kept current as documents arrive, change, and
+    * die, with deletions *decrementing* counts via mirror-sourced old text
+    * (see [[maintainBigramCounts]] for the per-batch shape). Source phases
+    * exercise every maintenance move: a corrupted first generation (extra
+    * trailing grams that must later VANISH — the zero-crossing delete
+    * path), a correcting overwrite, a ranged DELETE, and a resurrection
+    * wave restoring the original corpus. The final answer renders px30's
+    * LM (c12 ≥ 3, per-w1 conditional probability in exact micro-units)
+    * from the MAINTAINED counts and must equal the batch recomputation
+    * bit-for-bit — the oracle IS px30's SQL. */
+  def sv21StreamBigramLm(s: SparkSession, dir: String): DataFrame = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    val srcParsed = graft.catalog.GraftCatalog.parse(sv21SrcCatalog, Map.empty)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv21SrcCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    // fresh run every invocation; pre-create mirror + counts (the FIRST
+    // batch already point-reads both)
+    Seq("default:kv_lm_mirror", "default:kv_lm_counts").foreach(KvStore.drop)
+    base.limit(0).write.format("graft-kv")
+      .options(Map("catalog" -> sv21MirrorCatalog, "newtable" -> "4",
+        "timestamp" -> "1", "minSplitNum" -> "0",
+        "maxSplitNum" -> maxId.toString))
+      .mode("append").save()
+    s.range(0).select(lit("").as("gram"), lit("").as("w1"),
+        lit("").as("w2"), lit(0L).as("cnt"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> sv21CountsCatalog, "newtable" -> "4",
+        "timestamp" -> "1", "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-sv21-ckpt").toString
+    def drain(phaseStamp: Long): Unit =
+      maintainBigramCounts(s, sv21SrcCatalog, sv21MirrorCatalog,
+        sv21CountsCatalog, maxId, ckpt, phaseStamp)
+    // phase 1: a corrupted first generation — grams that must later vanish
+    writeSrc(base.filter(col("doc_id") % 3 === 0)
+      .withColumn("text", concat(col("text"), lit(" zzcorrupt zzcorrupt"))),
+      ts = 1000, overwrite = true)
+    drain(phaseStamp = 10)
+    // phase 2: correcting overwrite (%3==0 back to original) + new docs
+    writeSrc(base.filter(col("doc_id") % 3 <= 1), ts = 2000, overwrite = false)
+    drain(phaseStamp = 20)
+    // phase 3: ranged DELETE — counts of [100,300]'s grams must decrement
+    val hrf = FilterCompiler.compileAll(srcParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
+      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L)))
+    KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
+    drain(phaseStamp = 30)
+    // phase 4: resurrection + the last generation — final corpus = original
+    writeSrc(base.filter(col("doc_id") % 3 === 2 ||
+      (col("doc_id") >= 100 && col("doc_id") <= 300)), ts = 4000, overwrite = false)
+    drain(phaseStamp = 40)
+    // px30's LM rendered from the MAINTAINED counts
+    s.read.format("graft-kv").option("catalog", sv21CountsCatalog).load()
+      .select(col("w1"), col("w2"), col("cnt").as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .filter(col("c12") >= 3)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        expr("CAST(c12 AS DECIMAL(38,0)) * 1000000 div c1").as("p_micro"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** Run `body` with adaptive query execution OFF, restoring the prior
     * setting after. Streaming micro-batches are WAVE-sized by admission
     * control (`maxRowsPerBatch` caps what a batch can hold), and the CDC
@@ -1774,6 +1985,7 @@ object StreamBatch {
     "sv18_stream_ann_ivf"        -> (sv18StreamAnnIvf _),
     "sv19_stream_decontam"       -> (sv19StreamDecontam _),
     "sv20_stream_pq_codes"       -> (sv20StreamPqCodes _),
+    "sv21_stream_bigram_lm"      -> (sv21StreamBigramLm _),
   ).view.mapValues(withoutAqe).toMap
 
   val oracles: Map[String, String] = Map(
@@ -1795,5 +2007,9 @@ object StreamBatch {
     "sv16_stream_ohlc"           -> sv16Sql,
     "sv17_stream_mixture_stats"  -> sv17Sql,
     "sv19_stream_decontam"       -> sv19Sql,
+    // sv21's phases converge to the ORIGINAL corpus, so incremental
+    // maintenance must reproduce the batch LM exactly — px30's SQL is
+    // the oracle, same pattern as sv14 → px7
+    "sv21_stream_bigram_lm"      -> Pipeline.px30Sql,
   )
 }

@@ -803,7 +803,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     case _ => p +: p.children.flatMap(allPlanNodes)
   }
 
-  test("CDC protocols (sv12/sv14/sv18/sv19/sv20) never round-trip data through the driver") {
+  test("sv21: maintained bigram counts equal the batch LM after all CDC phases") {
+    // end-to-end differential: corrupt generation -> correcting overwrite ->
+    // ranged delete -> resurrection must converge to the ORIGINAL corpus,
+    // so the maintained counts must render px30's LM bit-for-bit (every
+    // decrement path — zero-crossers included — has to fire for this to
+    // hold; leftover "zzcorrupt" grams or stale [100,300] counts fail it)
+    val maintained = graft.queries.StreamBatch
+      .queries("sv21_stream_bigram_lm")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = graft.pipeline.TextOps.bigramLm(
+        graft.queries.Tables.documents(spark, sfDir), "text", minCount = 3L)
+      .orderBy(col("w1"), col("w2"))
+      .collect().map(_.toSeq)
+    assert(maintained.length == batch.length,
+      s"row counts differ: ${maintained.length} vs ${batch.length}")
+    assert(maintained.toSeq == batch.toSeq)
+    // the corrupted grams must have fully zero-crossed out of the table
+    val leftovers = spark.read.format("graft-kv")
+      .option("catalog", graft.queries.StreamBatch.sv21CountsCatalog).load()
+      .filter(col("w2") === "zzcorrupt" || col("w1") === "zzcorrupt")
+    assert(leftovers.isEmpty,
+      "zero-crossing deletes did not retire the corrupted generation's grams")
+  }
+
+  test("CDC protocols (sv12/sv14/sv18/sv19/sv20/sv21) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
     // sv12/sv14/sv18/sv19 pipelines (stream + foreachBatch jobs included)
@@ -829,6 +853,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queries("sv19_stream_decontam")(spark, sfDir).count() > 0)
       assert(graft.queries.StreamBatch
         .queries("sv20_stream_pq_codes")(spark, sfDir).count() > 0)
+      assert(graft.queries.StreamBatch
+        .queries("sv21_stream_bigram_lm")(spark, sfDir).count() > 0)
       // listener events are async; wait for the counter to go quiet
       var last = -1L; var spins = 0
       while (maxResult.get() != last && spins < 20) {
