@@ -320,4 +320,89 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       "tombstoned ids must die; updates must overwrite in place")
     Seq("kv_pq_src_sxp", "kv_pq_codes_sxp").foreach(t => KvStore.drop(s"default:$t"))
   }
+
+  test("sv21 bigram maintenance at 100k docs (500k counts): a 400-doc wave point-reads only its grams") {
+    val src = StreamBatch.sv21SrcCatalog.replace("\"kv_lm_src\"", "\"kv_lm_src_sxp\"")
+    val mir = StreamBatch.sv21MirrorCatalog.replace("\"kv_lm_mirror\"", "\"kv_lm_mirror_sxp\"")
+    val cnt = StreamBatch.sv21CountsCatalog.replace("\"kv_lm_counts\"", "\"kv_lm_counts_sxp\"")
+    Seq("kv_lm_src_sxp", "kv_lm_mirror_sxp", "kv_lm_counts_sxp")
+      .foreach(t => KvStore.drop(s"default:$t"))
+    val N = 100000L; val W = 400L
+    val maxId = N + 2 * W
+    // six tokens per doc, all derived from the seed — every doc's 5 bigrams
+    // are globally unique, so the counts table is exactly 5 rows per live
+    // doc and every arithmetic invariant below is exact
+    def textOf(seed: Column): Column = concat_ws(" ",
+      (1 to 6).map(k => concat(lit("w"), xxhash64(seed.cast("string"), lit(k)))): _*)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> src, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    // the empty-table bootstrap sv21StreamBigramLm performs
+    spark.range(0).select(col("id").as("doc_id"), lit("").as("text"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> mir, "newtable" -> "4", "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+      .mode("append").save()
+    spark.range(0).select(lit("").as("gram"), lit("").as("w1"),
+        lit("").as("w2"), lit(0L).as("cnt"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cnt, "newtable" -> "4", "timestamp" -> "1",
+        "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-sxp21-ckpt").toString
+    def drain(stamp: Long): Unit =
+      StreamBatch.maintainBigramCounts(spark, src, mir, cnt, maxId, ckpt, stamp)
+
+    // wave 1: the 100k-doc corpus builds the 500k-gram count state
+    writeSrc(spark.range(N).select(col("id").as("doc_id"),
+      textOf(col("id")).as("text")), ts = 1000, overwrite = true)
+    val (_, shuf1) = measureShuffle(drain(stamp = 10))
+    val cntRows = tableRows("default:kv_lm_counts_sxp")
+    assert(cntRows == 5L * N, s"expected 5 unique bigrams per doc, got $cntRows")
+    assert(tableRows("default:kv_lm_mirror_sxp") == N)
+
+    // wave 2: 200 text UPDATES (old grams must decrement to zero and die,
+    // new grams insert) + 200 new docs. Reads allowed: the CDC wave, the
+    // 200 touched mirror rows, and the affected grams' current counts
+    // (≤ 2000 live rows) — never the 500k-row count table or 100k mirror
+    writeSrc(spark.range(200L).select((col("id") * 450).as("doc_id"),
+      textOf(col("id") * 450 + 7000000).as("text")), ts = 2000, overwrite = false)
+    writeSrc(spark.range(200L).select((col("id") + N).as("doc_id"),
+      textOf(col("id") + N).as("text")), ts = 2100, overwrite = false)
+    val base2 = KvStore.rowsServed
+    val (_, shuf2) = measureShuffle(drain(stamp = 20))
+    val served2 = KvStore.rowsServed - base2
+    info(s"wave2: served=$served2 shuffle=$shuf2 (counts=$cntRows, wave1 shuffle=$shuf1)")
+    assert(served2 < 20000L,
+      s"wave-2 drain served $served2 store rows for a $W-doc wave — " +
+        "a counts or mirror scan crept back in")
+    assert(served2 * 50 < cntRows + N,
+      s"wave-2 reads ($served2) must be orders below state size (${cntRows + N})")
+    assert(shuf2 < 200000L && shuf2 * 10 < shuf1,
+      s"wave-2 shuffled $shuf2 records (wave-1: $shuf1) — batch work is not wave-proportional")
+    assert(tableRows("default:kv_lm_counts_sxp") == 5L * N + 1000,
+      "updates must be count-neutral (decrement old, insert new); 200 new docs add 1000")
+    assert(tableRows("default:kv_lm_mirror_sxp") == N + 200)
+
+    // wave 3: 100 tombstones — a decrement-only wave; the zero-crossing
+    // grams must die by key with the same wave-proportional cost
+    import spark.implicits._
+    (0L until 100L).map(_ * 450 + 1).toDF("doc_id").write.format("graft-kv")
+      .options(Map("catalog" -> src, "delete" -> "true", "timestamp" -> "3000"))
+      .mode("append").save()
+    val base3 = KvStore.rowsServed
+    val (_, shuf3) = measureShuffle(drain(stamp = 30))
+    val served3 = KvStore.rowsServed - base3
+    info(s"wave3: served=$served3 shuffle=$shuf3")
+    assert(served3 < 10000L && shuf3 < 100000L,
+      s"tombstone wave cost grew past the wave bound (served=$served3, shuffle=$shuf3)")
+    assert(tableRows("default:kv_lm_counts_sxp") == 5L * N + 1000 - 500,
+      "each tombstoned doc's 5 unique grams must zero-cross out of the table")
+    assert(tableRows("default:kv_lm_mirror_sxp") == N + 100)
+    Seq("kv_lm_src_sxp", "kv_lm_mirror_sxp", "kv_lm_counts_sxp")
+      .foreach(t => KvStore.drop(s"default:$t"))
+  }
 }
