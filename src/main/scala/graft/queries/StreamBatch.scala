@@ -1931,6 +1931,187 @@ object StreamBatch {
       .orderBy(col("w1"), col("w2"))
   }
 
+  private[graft] val sv22SrcCatalog = sv14SrcCatalog
+    .replace("\"kv_nd_src\"", "\"kv_sh_src\"")
+  /** Epoch-shard manifest: doc_id → (shuffle key, shard, position). The
+    * training-order structure a data loader reads shard-by-shard
+    * ([[graft.pipeline.Sampling.shardShuffle]]'s batch output), here
+    * MAINTAINED as docs arrive and die. */
+  private[graft] val sv22ManifestCatalog =
+    """{"table":{"namespace":"default", "name":"kv_sh_manifest"},
+      |"rowkey":"key",
+      |"columns":{
+      |"doc_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"skey":{"cf":"f", "col":"s", "type":"bigint"},
+      |"shard":{"cf":"f", "col":"h", "type":"int"},
+      |"pos":{"cf":"f", "col":"p", "type":"bigint"}}}""".stripMargin
+  /** Per-shard high-water counters — `shards` rows TOTAL (constant-size at
+    * any corpus scale), read whole and broadcast each batch. Positions are
+    * monotone per shard: deletions leave holes, never shift survivors. */
+  private[graft] val sv22CountersCatalog =
+    """{"table":{"namespace":"default", "name":"kv_sh_counters"},
+      |"rowkey":"key",
+      |"columns":{
+      |"shard":{"cf":"rowkey", "col":"key", "type":"int"},
+      |"n":{"cf":"f", "col":"n", "type":"bigint"}}}""".stripMargin
+
+  /** One CDC drain of epoch-shard manifest maintenance — the per-batch
+    * protocol of [[sv22StreamShardManifest]]. The manifest is APPEND-ONLY
+    * in position space: a new/updated doc is assigned `pos = shard
+    * high-water + its (skey, doc_id) rank within the batch` and the
+    * high-water advances; a deleted/re-put doc's old manifest row dies by
+    * key but its position slot is never reused and survivors never shift —
+    * the stability contract that lets a resumable data loader keep its
+    * (shard, pos) cursors across corpus edits. Per batch: one wave-sized
+    * rank window, one broadcast of the `shards`-row counter table
+    * (constant at any corpus scale), and batch-sized writes — the
+    * manifest itself is never read, let alone re-ranked. */
+  private[graft] def maintainShardManifest(s: SparkSession, srcCatalog: String,
+      manifestCatalog: String, countersCatalog: String, shards: Int,
+      maxId: Long, ckpt: String, phaseStamp: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val q = s.readStream.format("graft-kv")
+      .options(Map("catalog" -> srcCatalog, "tombstones" -> "true")).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val changed = b.select(col("doc_id"), col("_deleted")).persist()
+        if (!changed.isEmpty) {
+          // retire every changed id's row — an update re-appends at the
+          // tail below; a tombstone just dies (position slot stays burned)
+          changed.select(col("doc_id"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> manifestCatalog,
+              "delete" -> "true", "timestamp" -> phaseStamp.toString))
+            .mode("append").save()
+          val ins = changed.filter(!col("_deleted"))
+            .select(col("doc_id"),
+              graft.functions.HashExprs.md5NumberLower(
+                concat(lit("epoch0|"), col("doc_id").cast("string")))
+                .bitwiseAND(lit(0x3fffffffffffffffL)).as("skey"))
+            .withColumn("shard", (col("skey") % shards).cast("int"))
+          // counter table: <= `shards` live rows — read whole, broadcast
+          val ctr = s.read.format("graft-kv")
+            .option("catalog", countersCatalog).load()
+            .select(col("shard"), col("n"))
+          // ranked feeds the manifest append AND the counter advance
+          val ranked = ins
+            .withColumn("r", row_number().over(
+              Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
+            .join(broadcast(ctr), Seq("shard"), "left")
+            .select(col("doc_id"), col("skey"), col("shard"),
+              (coalesce(col("n"), lit(0L)) + col("r")).as("pos"))
+            .persist()
+          ranked.write.format("graft-kv")
+            .options(Map("catalog" -> manifestCatalog, "newtable" -> "4",
+              "timestamp" -> (phaseStamp + 1).toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+            .mode("append").save()
+          ranked.groupBy(col("shard")).agg(max(col("pos")).as("n"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> countersCatalog, "newtable" -> "4",
+              "timestamp" -> (phaseStamp + 1).toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> (shards - 1).toString))
+            .mode("append").save()
+          ranked.unpersist()
+        }
+        changed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** sv22: STREAMING EPOCH-SHARD MANIFEST over CDC — px63's loader-facing
+    * twin: the deterministic training order, maintained as the corpus
+    * changes instead of recomputed per epoch build. New docs append at
+    * their shard's tail in (skey, doc_id) order; updates retire the old
+    * row and re-append; deletions burn their position slot (holes, never
+    * shifts — a loader's (shard, pos) cursor stays valid across edits).
+    * Phases: %3==0 docs, then %3==1, a ranged delete of [100, 300], and a
+    * final wave (%3==2 + resurrection of the deleted range). Every
+    * assignment is deterministic — the md5 shuffle key, the per-phase
+    * batch membership, and the within-batch rank — so a static SQL oracle
+    * replays the WHOLE history: it unions the append events per phase,
+    * ranks each shard's events by (phase, skey, doc_id) — burned slots
+    * included — and keeps each doc's LAST event's position. */
+  def sv22StreamShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
+    val shards = 16
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    val srcParsed = graft.catalog.GraftCatalog.parse(sv22SrcCatalog, Map.empty)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv22SrcCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    Seq("default:kv_sh_manifest", "default:kv_sh_counters").foreach(KvStore.drop)
+    // pre-create manifest + counters (the first batch reads the counters)
+    s.range(0).select(col("id").as("doc_id"), col("id").as("skey"),
+        lit(0).as("shard"), col("id").as("pos"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> sv22ManifestCatalog, "newtable" -> "4",
+        "timestamp" -> "1", "minSplitNum" -> "0",
+        "maxSplitNum" -> maxId.toString))
+      .mode("append").save()
+    s.range(0).select(col("id").cast("int").as("shard"), col("id").as("n"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> sv22CountersCatalog, "newtable" -> "4",
+        "timestamp" -> "1", "minSplitNum" -> "0",
+        "maxSplitNum" -> (shards - 1).toString))
+      .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-sv22-ckpt").toString
+    def drain(phaseStamp: Long): Unit =
+      maintainShardManifest(s, sv22SrcCatalog, sv22ManifestCatalog,
+        sv22CountersCatalog, shards, maxId, ckpt, phaseStamp)
+    writeSrc(base.filter(col("doc_id") % 3 === 0), ts = 1000, overwrite = true)
+    drain(phaseStamp = 10)
+    writeSrc(base.filter(col("doc_id") % 3 === 1), ts = 2000, overwrite = false)
+    drain(phaseStamp = 20)
+    val hrf = FilterCompiler.compileAll(srcParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
+      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L)))
+    KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
+    drain(phaseStamp = 30)
+    writeSrc(base.filter(col("doc_id") % 3 === 2 ||
+      (col("doc_id") >= 100 && col("doc_id") <= 300)), ts = 4000, overwrite = false)
+    drain(phaseStamp = 40)
+    s.read.format("graft-kv").option("catalog", sv22ManifestCatalog).load()
+      .select(col("doc_id"), col("skey"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** The whole maintained-manifest history replayed in SQL: append events
+    * per phase (the ranged delete burns [100,300]'s slots — their P1/P2
+    * events still rank, their docs just re-appear as phase-4 events),
+    * per-shard rank over (phase, skey, doc_id), last event per doc wins. */
+  val sv22Sql: String =
+    """WITH k AS (SELECT doc_id,
+      |    CAST(md5_number_lower('epoch0|' || CAST(doc_id AS VARCHAR))
+      |         & 4611686018427387903 AS BIGINT) AS skey
+      |  FROM documents),
+      |ev AS (
+      |  SELECT doc_id, skey, 1 AS ph FROM k WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, skey, 2 FROM k WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id, skey, 4 FROM k
+      |  WHERE doc_id % 3 = 2
+      |     OR (doc_id BETWEEN 100 AND 300 AND doc_id % 3 <= 1)),
+      |r AS (SELECT doc_id, skey, ph,
+      |        CAST(skey % 16 AS INTEGER) AS shard,
+      |        row_number() OVER (PARTITION BY skey % 16
+      |          ORDER BY ph, skey, doc_id) AS pos
+      |      FROM ev),
+      |last AS (SELECT doc_id, max(ph) AS ph FROM ev GROUP BY doc_id)
+      |SELECT r.doc_id, r.skey, r.shard, CAST(r.pos AS BIGINT) AS pos
+      |FROM r JOIN last ON r.doc_id = last.doc_id AND r.ph = last.ph
+      |ORDER BY shard, pos""".stripMargin
+
   /** Run `body` with adaptive query execution OFF, restoring the prior
     * setting after. Streaming micro-batches are WAVE-sized by admission
     * control (`maxRowsPerBatch` caps what a batch can hold), and the CDC
@@ -1986,6 +2167,7 @@ object StreamBatch {
     "sv19_stream_decontam"       -> (sv19StreamDecontam _),
     "sv20_stream_pq_codes"       -> (sv20StreamPqCodes _),
     "sv21_stream_bigram_lm"      -> (sv21StreamBigramLm _),
+    "sv22_stream_shard_manifest" -> (sv22StreamShardManifest _),
   ).view.mapValues(withoutAqe).toMap
 
   val oracles: Map[String, String] = Map(
@@ -2011,5 +2193,6 @@ object StreamBatch {
     // maintenance must reproduce the batch LM exactly — px30's SQL is
     // the oracle, same pattern as sv14 → px7
     "sv21_stream_bigram_lm"      -> Pipeline.px30Sql,
+    "sv22_stream_shard_manifest" -> sv22Sql,
   )
 }

@@ -827,6 +827,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "zero-crossing deletes did not retire the corrupted generation's grams")
   }
 
+  test("sv22: manifest positions are append-only stable across updates and deletes") {
+    val out = graft.queries.StreamBatch
+      .queries("sv22_stream_shard_manifest")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val docs = graft.queries.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    // every live doc exactly once
+    assert(out.map(_._1).toSet == docs)
+    assert(out.length == docs.size)
+    out.foreach { case (_, skey, shard, _) => assert(shard == (skey % 16).toInt) }
+    // positions unique per shard; holes allowed (deletes burn slots), but
+    // never duplicated or shifted
+    out.groupBy(_._3).foreach { case (sh, rows) =>
+      val ps = rows.map(_._4)
+      assert(ps.distinct.length == ps.length, s"duplicate positions in shard $sh")
+    }
+    // STABILITY: a doc appended in phase 1 and never touched again keeps a
+    // position BELOW every phase-2/4 append in its shard — later waves and
+    // the [100,300] delete must not re-rank survivors
+    val phaseOf = (id: Long) =>
+      if (id >= 100 && id <= 300 && id % 3 <= 1) 4
+      else if (id % 3 == 0) 1 else if (id % 3 == 1) 2 else 4
+    out.groupBy(_._3).foreach { case (sh, rows) =>
+      val maxP1 = rows.filter(r => phaseOf(r._1) == 1).map(_._4)
+      val minP2 = rows.filter(r => phaseOf(r._1) == 2).map(_._4)
+      val minP4 = rows.filter(r => phaseOf(r._1) == 4).map(_._4)
+      if (maxP1.nonEmpty && minP2.nonEmpty)
+        assert(maxP1.max < minP2.min, s"shard $sh: phase-2 appends re-ranked phase-1 rows")
+      if (minP2.nonEmpty && minP4.nonEmpty)
+        assert(minP2.max < minP4.min, s"shard $sh: phase-4 appends re-ranked phase-2 rows")
+    }
+  }
+
   test("CDC protocols (sv12/sv14/sv18/sv19/sv20/sv21) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
