@@ -1164,8 +1164,9 @@ object StreamBatch {
     * broadcast leftsemi over the full scan — never the raw mirror. */
   private[graft] def mirrorLookup(s: SparkSession, catalog: String,
       avroJson: String, idsDf: DataFrame, idCol: String = "vec_id",
-      smallStateRows: Long = SmallStateRows): DataFrame = {
-    val opts = Map("catalog" -> catalog) ++
+      smallStateRows: Long = SmallStateRows,
+      extraOpts: Map[String, String] = Map.empty): DataFrame = {
+    val opts = Map("catalog" -> catalog) ++ extraOpts ++
       (if (avroJson.nonEmpty) Map("annVec" -> avroJson) else Map.empty)
     val mirror = s.read.format("graft-kv").options(opts).load()
     val mirRows = storeRows(catalog)
@@ -1745,8 +1746,10 @@ object StreamBatch {
     * bounded `limit(cap+1)` driver job deciding guard + key set at once. */
   private[graft] def stringKeyLookup(s: SparkSession, catalog: String,
       keysDf: DataFrame, keyCol: String,
-      smallStateRows: Long = SmallStateRows): DataFrame = {
-    val tbl = s.read.format("graft-kv").option("catalog", catalog).load()
+      smallStateRows: Long = SmallStateRows,
+      extraOpts: Map[String, String] = Map.empty): DataFrame = {
+    val tbl = s.read.format("graft-kv")
+      .options(Map("catalog" -> catalog) ++ extraOpts).load()
     val rows = storeRows(catalog)
     if (rows <= smallStateRows)
       return tbl.join(broadcast(keysDf.select(col(keyCol)).distinct()),
@@ -1789,13 +1792,37 @@ object StreamBatch {
     * signed gram aggregation (cancellation makes unchanged-text rewrites
     * free), (3) point-reads ONLY the affected grams' current counts
     * ([[stringKeyLookup]] — ≤ the batch's token count, never the
-    * vocabulary), and (4) writes counts back: zero-crossers die by key
-    * through the delete-mode writer, the rest overwrite in place. Reads
-    * and writes are both batch-proportional; the corpus and the gram
-    * vocabulary are never re-scanned. */
+    * vocabulary), and (4) writes counts back: zero-crossers become
+    * LOGICAL zeros, the rest overwrite in place. Reads and writes are
+    * both batch-proportional; the corpus and the gram vocabulary are
+    * never re-scanned.
+    *
+    * REPLAY SAFETY: foreachBatch is at-least-once, and a read-modify-write
+    * aggregate is the one protocol shape where naive replay CORRUPTS
+    * (counts written, crash before the mirror lands, replay adds the
+    * delta again). Three rules make any replay idempotent: (a) both state
+    * reads are AS-OF `maxStamp = phaseStamp`, strictly below everything
+    * this batch writes (all puts land at `phaseStamp + 1`); (b) both
+    * state tables retain TWO versions, so the crashed attempt's write
+    * never evicts the pre-batch cell the as-of read needs; (c) the
+    * protocol never physically deletes — a dead gram is a cnt=0 cell and
+    * a dead doc is empty mirror text (both logically dead to every
+    * reader, both leaving the prior version readable below the window;
+    * physical reclamation belongs to an explicit compaction, the LSM
+    * discipline). A replayed batch therefore recomputes the identical
+    * delta against pre-batch state and re-writes identical cells at
+    * identical stamps, whatever the torn point. One drain = one phase
+    * stamp (AvailableNow over stamp-contiguous generations lands as one
+    * batch — the sv20 convention). `crashPoint` runs between the counts
+    * write and the mirror write — the worst torn window — for the replay
+    * spec. A NEGATIVE merged count can only mean the decrement stream
+    * diverged from what was ever added (a protocol bug, or state edited
+    * behind the maintainer's back) — fail loudly, never persist it. */
   private[graft] def maintainBigramCounts(s: SparkSession, srcCatalog: String,
       mirrorCatalog: String, countsCatalog: String, maxId: Long,
-      ckpt: String, phaseStamp: Long): Unit = {
+      ckpt: String, phaseStamp: Long,
+      crashPoint: () => Unit = () => ()): Unit = {
+    val asOf = Map("maxStamp" -> phaseStamp.toString)
     val q = s.readStream.format("graft-kv")
       .options(Map("catalog" -> srcCatalog, "tombstones" -> "true")).load()
       .writeStream
@@ -1803,10 +1830,12 @@ object StreamBatch {
         val changed = b.select(col("doc_id"), col("text"), col("_deleted"))
           .persist()
         if (!changed.isEmpty) {
-          // OLD text of every changed id (upsert OR tombstone): the mirror
-          // still holds pre-batch state — its own maintenance runs last
+          // OLD text of every changed id (upsert OR tombstone), as of
+          // pre-batch state — stable even if this batch's own mirror
+          // writes landed before a crash-and-replay
           val olds = mirrorLookup(s, mirrorCatalog, "",
-            changed.select(col("doc_id")), idCol = "doc_id")
+            changed.select(col("doc_id")), idCol = "doc_id",
+            extraOpts = asOf)
             .select(col("doc_id"), col("text"))
           val delta = signedBigrams(olds, -1)
             .unionByName(signedBigrams(changed.filter(!col("_deleted")), 1))
@@ -1816,7 +1845,7 @@ object StreamBatch {
             .withColumn("gram", concat(col("w1"), lit(" "), col("w2")))
             .persist()
           val current = stringKeyLookup(s, countsCatalog,
-            delta.select(col("gram")), "gram")
+            delta.select(col("gram")), "gram", extraOpts = asOf)
             .select(col("gram"), col("cnt").as("old_cnt"))
           // merged feeds BOTH count writes — pinned so the gram sliver
           // read and the signed aggregation run once per batch
@@ -1825,27 +1854,36 @@ object StreamBatch {
             .select(col("gram"), col("w1"), col("w2"),
               (coalesce(col("old_cnt"), lit(0L)) + col("d")).as("cnt"))
             .persist()
-          merged.filter(col("cnt") <= 0).select(col("gram"))
-            .write.format("graft-kv")
-            .options(Map("catalog" -> countsCatalog,
-              "delete" -> "true", "timestamp" -> phaseStamp.toString))
-            .mode("append").save()
-          merged.filter(col("cnt") > 0)
+          if (!merged.filter(col("cnt") < 0).isEmpty)
+            throw new IllegalStateException(
+              "maintainBigramCounts: a merged count went NEGATIVE — the " +
+                "decrement stream no longer matches what was added " +
+                "(protocol bug or out-of-band state edit); refusing to " +
+                "persist corrupted counts")
+          // zero-crossers write a LOGICAL zero (a regular versioned cell),
+          // never the physical delete-mode writer: a physical delete is
+          // unrecoverable under the as-of replay read, while a cnt=0 cell
+          // leaves the previous version visible below `phaseStamp` (the
+          // LSM discipline — logical death now, physical reclamation by
+          // an explicit compaction). Readers treat cnt=0 as dead: it adds
+          // nothing to any marginal and never passes a minCount filter.
+          merged
             .write.format("graft-kv")
             .options(Map("catalog" -> countsCatalog, "newtable" -> "4",
+              "maxVersions" -> "2",
               "timestamp" -> (phaseStamp + 1).toString,
               "minSplit" -> "0", "maxSplit" -> "z"))
             .mode("append").save()
-          // mirror maintenance LAST — the old-text read above must see
-          // pre-batch state
-          changed.filter(col("_deleted")).select(col("doc_id"))
-            .write.format("graft-kv")
-            .options(Map("catalog" -> mirrorCatalog,
-              "delete" -> "true", "timestamp" -> phaseStamp.toString))
-            .mode("append").save()
-          changed.filter(!col("_deleted")).select(col("doc_id"), col("text"))
+          crashPoint()
+          // mirror maintenance LAST, by the same logical-tombstone rule:
+          // a dead doc becomes EMPTY text (bigram-identical to deletion —
+          // no gram survives tokenization) so its previous version stays
+          // readable below `phaseStamp` for the replay's decrements
+          changed.select(col("doc_id"),
+              when(col("_deleted"), lit("")).otherwise(col("text")).as("text"))
             .write.format("graft-kv")
             .options(Map("catalog" -> mirrorCatalog, "newtable" -> "4",
+              "maxVersions" -> "2",
               "timestamp" -> (phaseStamp + 1).toString,
               "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
             .mode("append").save()
@@ -1865,7 +1903,7 @@ object StreamBatch {
     * die, with deletions *decrementing* counts via mirror-sourced old text
     * (see [[maintainBigramCounts]] for the per-batch shape). Source phases
     * exercise every maintenance move: a corrupted first generation (extra
-    * trailing grams that must later VANISH — the zero-crossing delete
+    * trailing grams that must later go logically DEAD — the zero-crossing
     * path), a correcting overwrite, a ranged DELETE, and a resurrection
     * wave restoring the original corpus. The final answer renders px30's
     * LM (c12 ≥ 3, per-w1 conditional probability in exact micro-units)
@@ -1890,14 +1928,15 @@ object StreamBatch {
     Seq("default:kv_lm_mirror", "default:kv_lm_counts").foreach(KvStore.drop)
     base.limit(0).write.format("graft-kv")
       .options(Map("catalog" -> sv21MirrorCatalog, "newtable" -> "4",
-        "timestamp" -> "1", "minSplitNum" -> "0",
+        "maxVersions" -> "2", "timestamp" -> "1", "minSplitNum" -> "0",
         "maxSplitNum" -> maxId.toString))
       .mode("append").save()
     s.range(0).select(lit("").as("gram"), lit("").as("w1"),
         lit("").as("w2"), lit(0L).as("cnt"))
       .write.format("graft-kv")
       .options(Map("catalog" -> sv21CountsCatalog, "newtable" -> "4",
-        "timestamp" -> "1", "minSplit" -> "0", "maxSplit" -> "z"))
+        "maxVersions" -> "2", "timestamp" -> "1",
+        "minSplit" -> "0", "maxSplit" -> "z"))
       .mode("append").save()
     val ckpt = Files.createTempDirectory("graft-sv21-ckpt").toString
     def drain(phaseStamp: Long): Unit =
@@ -1924,6 +1963,7 @@ object StreamBatch {
     // px30's LM rendered from the MAINTAINED counts
     s.read.format("graft-kv").option("catalog", sv21CountsCatalog).load()
       .select(col("w1"), col("w2"), col("cnt").as("c12"))
+      .filter(col("c12") > 0) // logical zeros are dead rows
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
       .filter(col("c12") >= 3)
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
@@ -1965,10 +2005,23 @@ object StreamBatch {
     * (shard, pos) cursors across corpus edits. Per batch: one wave-sized
     * rank window, one broadcast of the `shards`-row counter table
     * (constant at any corpus scale), and batch-sized writes — the
-    * manifest itself is never read, let alone re-ranked. */
+    * manifest itself is never read, let alone re-ranked.
+    *
+    * REPLAY SAFETY: the counter advance is a read-modify-write, so the
+    * counters are read AS-OF `maxStamp = phaseStamp` (below this batch's
+    * writes at `phaseStamp`/`phaseStamp + 1`) and the counter table
+    * retains TWO versions (a crashed attempt's advance must not evict the
+    * pre-batch cell the as-of read needs): a replayed batch sees the
+    * pre-batch high-waters, assigns the identical positions, and
+    * re-writes identical cells at identical stamps — idempotent whatever
+    * the torn point. The manifest needs no such care: the protocol never
+    * READS it, so its physical retire/re-put replays verbatim.
+    * `crashPoint` runs between the manifest append and the counter
+    * advance — the worst torn window — for the replay spec. */
   private[graft] def maintainShardManifest(s: SparkSession, srcCatalog: String,
       manifestCatalog: String, countersCatalog: String, shards: Int,
-      maxId: Long, ckpt: String, phaseStamp: Long): Unit = {
+      maxId: Long, ckpt: String, phaseStamp: Long,
+      crashPoint: () => Unit = () => ()): Unit = {
     import org.apache.spark.sql.expressions.Window
     val q = s.readStream.format("graft-kv")
       .options(Map("catalog" -> srcCatalog, "tombstones" -> "true")).load()
@@ -1989,9 +2042,11 @@ object StreamBatch {
                 concat(lit("epoch0|"), col("doc_id").cast("string")))
                 .bitwiseAND(lit(0x3fffffffffffffffL)).as("skey"))
             .withColumn("shard", (col("skey") % shards).cast("int"))
-          // counter table: <= `shards` live rows — read whole, broadcast
+          // counter table: <= `shards` live rows — read whole (as of
+          // pre-batch state, see REPLAY SAFETY above) and broadcast
           val ctr = s.read.format("graft-kv")
-            .option("catalog", countersCatalog).load()
+            .options(Map("catalog" -> countersCatalog,
+              "maxStamp" -> phaseStamp.toString)).load()
             .select(col("shard"), col("n"))
           // ranked feeds the manifest append AND the counter advance
           val ranked = ins
@@ -2006,9 +2061,13 @@ object StreamBatch {
               "timestamp" -> (phaseStamp + 1).toString,
               "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
             .mode("append").save()
+          crashPoint()
+          // two retained versions: a crash AFTER this write must leave the
+          // pre-batch high-water readable below the as-of window on replay
           ranked.groupBy(col("shard")).agg(max(col("pos")).as("n"))
             .write.format("graft-kv")
             .options(Map("catalog" -> countersCatalog, "newtable" -> "4",
+              "maxVersions" -> "2",
               "timestamp" -> (phaseStamp + 1).toString,
               "minSplitNum" -> "0", "maxSplitNum" -> (shards - 1).toString))
             .mode("append").save()
@@ -2061,7 +2120,7 @@ object StreamBatch {
     s.range(0).select(col("id").cast("int").as("shard"), col("id").as("n"))
       .write.format("graft-kv")
       .options(Map("catalog" -> sv22CountersCatalog, "newtable" -> "4",
-        "timestamp" -> "1", "minSplitNum" -> "0",
+        "maxVersions" -> "2", "timestamp" -> "1", "minSplitNum" -> "0",
         "maxSplitNum" -> (shards - 1).toString))
       .mode("append").save()
     val ckpt = Files.createTempDirectory("graft-sv22-ckpt").toString

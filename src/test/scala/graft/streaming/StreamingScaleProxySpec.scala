@@ -343,13 +343,15 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     // the empty-table bootstrap sv21StreamBigramLm performs
     spark.range(0).select(col("id").as("doc_id"), lit("").as("text"))
       .write.format("graft-kv")
-      .options(Map("catalog" -> mir, "newtable" -> "4", "timestamp" -> "1",
+      .options(Map("catalog" -> mir, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
         "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
       .mode("append").save()
     spark.range(0).select(lit("").as("gram"), lit("").as("w1"),
         lit("").as("w2"), lit(0L).as("cnt"))
       .write.format("graft-kv")
-      .options(Map("catalog" -> cnt, "newtable" -> "4", "timestamp" -> "1",
+      .options(Map("catalog" -> cnt, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
         "minSplit" -> "0", "maxSplit" -> "z"))
       .mode("append").save()
     val ckpt = Files.createTempDirectory("graft-sxp21-ckpt").toString
@@ -383,8 +385,12 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wave-2 reads ($served2) must be orders below state size (${cntRows + N})")
     assert(shuf2 < 200000L && shuf2 * 10 < shuf1,
       s"wave-2 shuffled $shuf2 records (wave-1: $shuf1) — batch work is not wave-proportional")
-    assert(tableRows("default:kv_lm_counts_sxp") == 5L * N + 1000,
-      "updates must be count-neutral (decrement old, insert new); 200 new docs add 1000")
+    def liveCounts(): Long = spark.read.format("graft-kv")
+      .option("catalog", cnt).load().filter(col("cnt") > 0).count()
+    assert(liveCounts() == 5L * N + 1000,
+      "updates must be count-neutral (old grams to zero, new grams born); 200 new docs add 1000")
+    assert(tableRows("default:kv_lm_counts_sxp") == 5L * N + 2000,
+      "updated docs' old grams stay as logical-zero rows until compaction")
     assert(tableRows("default:kv_lm_mirror_sxp") == N + 200)
 
     // wave 3: 100 tombstones — a decrement-only wave; the zero-crossing
@@ -399,9 +405,10 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"wave3: served=$served3 shuffle=$shuf3")
     assert(served3 < 10000L && shuf3 < 100000L,
       s"tombstone wave cost grew past the wave bound (served=$served3, shuffle=$shuf3)")
-    assert(tableRows("default:kv_lm_counts_sxp") == 5L * N + 1000 - 500,
-      "each tombstoned doc's 5 unique grams must zero-cross out of the table")
-    assert(tableRows("default:kv_lm_mirror_sxp") == N + 100)
+    assert(liveCounts() == 5L * N + 1000 - 500,
+      "each tombstoned doc's 5 unique grams must zero-cross to logical death")
+    assert(tableRows("default:kv_lm_mirror_sxp") == N + 200,
+      "tombstoned docs stay as empty-text mirror rows until compaction")
     Seq("kv_lm_src_sxp", "kv_lm_mirror_sxp", "kv_lm_counts_sxp")
       .foreach(t => KvStore.drop(s"default:$t"))
   }

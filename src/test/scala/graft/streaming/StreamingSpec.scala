@@ -819,12 +819,171 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maintained.length == batch.length,
       s"row counts differ: ${maintained.length} vs ${batch.length}")
     assert(maintained.toSeq == batch.toSeq)
-    // the corrupted grams must have fully zero-crossed out of the table
+    // the corrupted grams must have fully zero-crossed to LOGICAL death
+    // (cnt=0 cells — the replay-safe tombstone; physical reclamation is
+    // compaction's job)
     val leftovers = spark.read.format("graft-kv")
       .option("catalog", graft.queries.StreamBatch.sv21CountsCatalog).load()
-      .filter(col("w2") === "zzcorrupt" || col("w1") === "zzcorrupt")
+      .filter((col("w2") === "zzcorrupt" || col("w1") === "zzcorrupt") &&
+        col("cnt") =!= 0L)
     assert(leftovers.isEmpty,
-      "zero-crossing deletes did not retire the corrupted generation's grams")
+      "zero-crossing did not retire the corrupted generation's grams")
+  }
+
+  test("sv21: a batch torn between the counts write and the mirror write replays idempotently") {
+    // the read-modify-write hazard: counts landed, crash before the mirror
+    // — a naive replay would re-read updated counts and add the delta
+    // AGAIN. The as-of (maxStamp = phaseStamp) reads must make the replay
+    // recompute the identical delta against pre-batch state.
+    import graft.queries.StreamBatch
+    val suf = "crz"
+    val srcCat = StreamBatch.sv21SrcCatalog.replace("\"kv_lm_src\"", s""""kv_lm_src_$suf"""")
+    val mirCat = StreamBatch.sv21MirrorCatalog.replace("\"kv_lm_mirror\"", s""""kv_lm_mirror_$suf"""")
+    val cntCat = StreamBatch.sv21CountsCatalog.replace("\"kv_lm_counts\"", s""""kv_lm_counts_$suf"""")
+    Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
+      s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
+    import spark.implicits._
+    def putDocs(rows: Seq[(Long, String)], ts: Long): Unit =
+      rows.toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save()
+    def delDocs(ids: Seq[Long], ts: Long): Unit =
+      ids.toDF("doc_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "delete" -> "true",
+          "timestamp" -> ts.toString))
+        .mode("append").save()
+    // empty-table bootstrap
+    Seq.empty[(Long, String)].toDF("doc_id", "text").write.format("graft-kv")
+      .options(Map("catalog" -> mirCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> "100")).mode("append").save()
+    spark.range(0).select(lit("").as("gram"), lit("").as("w1"),
+        lit("").as("w2"), lit(0L).as("cnt"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cntCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
+        "minSplit" -> "0", "maxSplit" -> "z")).mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-lmcrash-ckpt").toString
+    // wave 1: counts a_b:1, b_c:2, c_d:1, x_y:1
+    putDocs(Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y")), ts = 1000)
+    StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+      maxId = 100L, ckpt, phaseStamp = 10)
+    // wave 2: doc 1 updates (b_c -1, b_e +1), doc 2 dies (b_c -1, c_d -1),
+    // doc 4 arrives (b_c +1, c_f +1) — net: b_c -1, c_d dies, b_e/c_f born
+    putDocs(Seq((1L, "a b e"), (4L, "b c f")), ts = 2000)
+    delDocs(Seq(2L), ts = 2001)
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+        maxId = 100L, ckpt, phaseStamp = 20,
+        crashPoint = () => throw new RuntimeException("injected crash"))
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      Option(crashed.getCause).exists(_.getMessage.contains("injected crash")))
+    // mid-crash: counts already updated, mirror still pre-batch — the
+    // exact torn window the as-of reads must absorb
+    def counts(): Map[String, Long] = spark.read.format("graft-kv")
+      .option("catalog", cntCat).load()
+      .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
+    val torn = counts()
+    assert(torn.get("b e").contains(1L) && torn.get("c d").contains(0L),
+      s"counts writes must have landed before the crash, got $torn")
+    def liveMirror(): Set[Long] = spark.read.format("graft-kv")
+      .option("catalog", mirCat).load()
+      .filter(length(col("text")) > 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(liveMirror() == Set(1L, 2L, 3L),
+      s"mirror must still be pre-batch, got ${liveMirror()}")
+    // resume from the SAME checkpoint: wholesale replay must be a no-op
+    // on the counts (identical cells at identical stamps), then finish
+    // the mirror maintenance
+    StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+      maxId = 100L, ckpt, phaseStamp = 20)
+    val got = counts()
+    assert(got == Map("a b" -> 1L, "b e" -> 1L, "b c" -> 1L,
+      "c f" -> 1L, "x y" -> 1L, "c d" -> 0L),
+      s"replayed counts diverged (double-applied delta?): $got")
+    assert(liveMirror() == Set(1L, 3L, 4L),
+      s"mirror after resume: ${liveMirror()}")
+    // the doc-1 update's old text must survive one version below: replay
+    // of a LATER batch can never need it, but the CURRENT batch's can
+    val asOf = spark.read.format("graft-kv")
+      .options(Map("catalog" -> mirCat, "maxStamp" -> "20")).load()
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(asOf(1L) == "a b c" && asOf(2L) == "b c d",
+      s"as-of mirror must show pre-batch text, got $asOf")
+    Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
+      s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
+  }
+
+  test("sv22: a batch torn between the manifest append and the counter advance replays idempotently") {
+    import graft.queries.StreamBatch
+    val suf = "crz"
+    val srcCat = StreamBatch.sv22SrcCatalog.replace("\"kv_sh_src\"", s""""kv_sh_src_$suf"""")
+    val manCat = StreamBatch.sv22ManifestCatalog.replace("\"kv_sh_manifest\"", s""""kv_sh_manifest_$suf"""")
+    val ctrCat = StreamBatch.sv22CountersCatalog.replace("\"kv_sh_counters\"", s""""kv_sh_counters_$suf"""")
+    Seq(s"default:kv_sh_src_$suf", s"default:kv_sh_manifest_$suf",
+      s"default:kv_sh_counters_$suf").foreach(KvStore.drop)
+    import spark.implicits._
+    def putDocs(ids: Seq[Long], ts: Long): Unit =
+      ids.map(i => (i, s"doc $i")).toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save()
+    // bootstrap manifest + counters empty
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("skey"),
+        lit(0).as("shard"), col("id").as("pos"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> manCat, "newtable" -> "4", "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> "100")).mode("append").save()
+    spark.range(0).select(col("id").cast("int").as("shard"), col("id").as("n"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> ctrCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> "3")).mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-shcrash-ckpt").toString
+    def manifest(): Map[Long, (Int, Long)] = spark.read.format("graft-kv")
+      .option("catalog", manCat).load()
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toMap
+    // wave 1
+    putDocs(1L to 6L, ts = 1000)
+    StreamBatch.maintainShardManifest(spark, srcCat, manCat, ctrCat,
+      shards = 4, maxId = 100L, ckpt, phaseStamp = 10)
+    val after1 = manifest()
+    assert(after1.keySet == (1L to 6L).toSet)
+    // wave 2 crashes between the manifest append and the counter advance
+    putDocs(7L to 9L, ts = 2000)
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamBatch.maintainShardManifest(spark, srcCat, manCat, ctrCat,
+        shards = 4, maxId = 100L, ckpt, phaseStamp = 20,
+        crashPoint = () => throw new RuntimeException("injected crash"))
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      Option(crashed.getCause).exists(_.getMessage.contains("injected crash")))
+    val torn = manifest()
+    assert(torn.keySet == (1L to 9L).toSet,
+      s"manifest append must have landed before the crash, got ${torn.keySet}")
+    // resume: the replay must assign the SAME positions (as-of counter
+    // read), not stack a second batch on top of the torn append
+    StreamBatch.maintainShardManifest(spark, srcCat, manCat, ctrCat,
+      shards = 4, maxId = 100L, ckpt, phaseStamp = 20)
+    val got = manifest()
+    assert(got == torn, s"replay re-ranked the torn append: $got vs $torn")
+    (1L to 6L).foreach(i => assert(got(i) == after1(i),
+      s"wave-1 position of doc $i shifted"))
+    // a third wave lands ABOVE wave 2 in every shard it touches — the
+    // counter advance did complete on resume
+    putDocs(Seq(10L), ts = 3000)
+    StreamBatch.maintainShardManifest(spark, srcCat, manCat, ctrCat,
+      shards = 4, maxId = 100L, ckpt, phaseStamp = 30)
+    val fin = manifest()
+    val (sh10, pos10) = fin(10L)
+    fin.filter { case (id, (sh, _)) => id != 10L && sh == sh10 }.values
+      .foreach { case (_, p) => assert(p < pos10,
+        s"doc 10 (pos $pos10) must append above every earlier row in shard $sh10") }
+    Seq(s"default:kv_sh_src_$suf", s"default:kv_sh_manifest_$suf",
+      s"default:kv_sh_counters_$suf").foreach(KvStore.drop)
   }
 
   test("sv22: manifest positions are append-only stable across updates and deletes") {
