@@ -1897,6 +1897,45 @@ object StreamBatch {
     q.awaitTermination()
   }
 
+  /** Physical reclamation of LOGICAL tombstones — the compaction half of
+    * the replay-safe maintenance discipline (sv21 writes cnt=0 cells and
+    * empty mirror text instead of physical deletes so torn batches can
+    * replay against as-of state; those dead rows then accumulate until
+    * THIS pass). Scans the table for rows that are logically dead
+    * (`isDead`) and whose newest cell is older than `horizon`, and kills
+    * exactly those keys through the distributed delete-mode writer.
+    *
+    * `horizon` is a SAFETY FENCE, not a tuning knob: it must be ≤ every
+    * phase stamp that could still replay (i.e., at or below the stream's
+    * committed watermark). Under that fence, no future as-of read can
+    * need a reclaimed row's history — a replaying batch has
+    * `phaseStamp ≥ horizon`, its as-of window still sees the tombstone's
+    * absence as cnt-missing, and `coalesce(old_cnt, 0)` makes missing and
+    * zero indistinguishable, which is exactly why cnt=0 was the logical
+    * tombstone in the first place. A row resurrected after reclamation
+    * starts from scratch with a put above `horizon`.
+    *
+    * Cost shape: ONE full scan of the state table (value predicates don't
+    * prune key ranges) + a dead-set-sized delete write. That is inherent
+    * to compaction — it runs on a schedule and amortizes over thousands
+    * of wave-proportional batches, never inside one. */
+  private[graft] def reclaimLogicalDead(s: SparkSession, catalog: String,
+      keyCol: String, isDead: org.apache.spark.sql.Column,
+      horizon: Long): Long = {
+    val dead = s.read.format("graft-kv").option("catalog", catalog).load()
+      .filter(isDead && col("_cell_ts") < horizon)
+      .select(col(keyCol))
+      .persist()
+    val n = dead.count()
+    if (n > 0)
+      dead.write.format("graft-kv")
+        .options(Map("catalog" -> catalog, "delete" -> "true",
+          "timestamp" -> horizon.toString))
+        .mode("append").save()
+    dead.unpersist()
+    n
+  }
+
   /** sv21: INCREMENTAL BIGRAM-LM MAINTENANCE over CDC — the streaming twin
     * of px30, and the family's first incrementally-maintained AGGREGATE: a
     * (w1, w2) → count table kept current as documents arrive, change, and

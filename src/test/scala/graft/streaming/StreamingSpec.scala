@@ -916,6 +916,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
   }
 
+  test("sv21: reclamation kills exactly the dead rows, and a reclaimed gram resurrects from scratch") {
+    // continues from the torn-batch test's shape: build state with logical
+    // zeros, reclaim behind the committed watermark, then resurrect
+    import graft.queries.StreamBatch
+    val suf = "rcl"
+    val srcCat = StreamBatch.sv21SrcCatalog.replace("\"kv_lm_src\"", s""""kv_lm_src_$suf"""")
+    val mirCat = StreamBatch.sv21MirrorCatalog.replace("\"kv_lm_mirror\"", s""""kv_lm_mirror_$suf"""")
+    val cntCat = StreamBatch.sv21CountsCatalog.replace("\"kv_lm_counts\"", s""""kv_lm_counts_$suf"""")
+    Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
+      s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
+    import spark.implicits._
+    def putDocs(rows: Seq[(Long, String)], ts: Long): Unit =
+      rows.toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save()
+    Seq.empty[(Long, String)].toDF("doc_id", "text").write.format("graft-kv")
+      .options(Map("catalog" -> mirCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> "100")).mode("append").save()
+    spark.range(0).select(lit("").as("gram"), lit("").as("w1"),
+        lit("").as("w2"), lit(0L).as("cnt"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cntCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
+        "minSplit" -> "0", "maxSplit" -> "z")).mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-lmreclaim-ckpt").toString
+    putDocs(Seq((1L, "a b c")), ts = 1000)
+    StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+      maxId = 100L, ckpt, phaseStamp = 10)
+    // update kills gram "b c" logically (cnt=0) and births "b d"
+    putDocs(Seq((1L, "a b d")), ts = 2000)
+    StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+      maxId = 100L, ckpt, phaseStamp = 20)
+    def counts(): Map[String, Long] = spark.read.format("graft-kv")
+      .option("catalog", cntCat).load()
+      .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
+    assert(counts() == Map("a b" -> 1L, "b c" -> 0L, "b d" -> 1L))
+    // reclaim behind the committed watermark (everything ≤ stamp 21 is
+    // committed; horizon 30 is the next phase's floor)
+    val reclaimed = StreamBatch.reclaimLogicalDead(spark, cntCat,
+      "gram", col("cnt") === 0L, horizon = 30)
+    assert(reclaimed == 1L, s"expected exactly the dead gram, got $reclaimed")
+    assert(counts() == Map("a b" -> 1L, "b d" -> 1L),
+      "reclamation must kill exactly the logical zeros")
+    // resurrection after reclamation: the gram restarts from scratch
+    putDocs(Seq((2L, "b c")), ts = 3000)
+    StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+      maxId = 100L, ckpt, phaseStamp = 30)
+    assert(counts() == Map("a b" -> 1L, "b c" -> 1L, "b d" -> 1L),
+      "a reclaimed gram must resurrect with coalesce(missing, 0) + 1")
+    Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
+      s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
+  }
+
   test("sv22: a batch torn between the manifest append and the counter advance replays idempotently") {
     import graft.queries.StreamBatch
     val suf = "crz"
