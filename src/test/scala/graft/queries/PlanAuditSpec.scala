@@ -779,6 +779,53 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected only the eval-agg + sort exchanges, found $exchanges:\n${plan.take(3000)}")
   }
 
+  test("px61 IVF-PQ: queries broadcast into the cell join; the code table never shuffles") {
+    val plan = executedPlan(graft.queries.Pipeline.px61IvfPqAnn(spark, dir))
+    // the (small) probe side must broadcast against the cell-keyed code
+    // table — at 100 TB a corpus-side shuffle on cell is the failure
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the code table must not shuffle into the join:\n${plan.take(3000)}")
+    // remaining exchanges: the per-query top-k window + the final ORDER BY
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"expected only the window + sort exchanges, found $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("px62 collocations: partial counts, keyed-window marginals, top-N never global-sorts") {
+    val plan = executedPlan(graft.queries.Pipeline.px62Collocations(spark, dir))
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"pair counting must map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-N must not be a global sort:\n${plan.take(3000)}")
+    // the 1-row total rides as a broadcast, never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the N total must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("px63 shard shuffle: one shard-keyed exchange, no single-task funnel") {
+    val plan = executedPlan(graft.queries.Pipeline.px63ShardShuffle(spark, dir))
+    // the epoch order must come from a shard-keyed window — a global
+    // row_number (empty partition spec) would funnel the corpus through
+    // ONE task at 100 TB
+    assert(plan.contains("hashpartitioning(shard"),
+      s"position window must partition by shard:\n${plan.take(3000)}")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to a single partition:\n${plan.take(3000)}")
+  }
+
+  test("px64 mixture plan: one low-cardinality groupBy + a broadcast 1-row total") {
+    val plan = executedPlan(graft.queries.Pipeline.px64MixturePlan(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the totals row must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    assert(plan.contains("partial"),
+      s"source aggregation must map-side combine:\n${plan.take(3000)}")
+  }
+
   test("WAL rotation metrics surface on the batch-write node (SQL UI path)") {
     // a batch write that crosses the auto-checkpoint gate must report the
     // rotations it triggered as DRIVER metrics on its own write node —
