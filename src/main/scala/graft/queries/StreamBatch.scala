@@ -1995,6 +1995,17 @@ object StreamBatch {
       org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L)))
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
     drain(phaseStamp = 30)
+    // scheduled compaction mid-stream: reclaim logical tombstones behind
+    // the committed watermark (phase 1/2's zero-crossers — the corrupted
+    // generation's grams — die physically here; phase 3's zeros at stamp
+    // 31 sit AT the horizon and survive until the next pass). The pass
+    // runs INSIDE the driver's hash-gate: the final LM must be untouched
+    // by when compaction fires (from-scratch resurrection of a reclaimed
+    // key is pinned separately in StreamingSpec's reclamation case).
+    reclaimLogicalDead(s, sv21CountsCatalog, "gram", col("cnt") === 0L,
+      horizon = 31)
+    reclaimLogicalDead(s, sv21MirrorCatalog, "doc_id",
+      length(col("text")) === 0, horizon = 31)
     // phase 4: resurrection + the last generation — final corpus = original
     writeSrc(base.filter(col("doc_id") % 3 === 2 ||
       (col("doc_id") >= 100 && col("doc_id") <= 300)), ts = 4000, overwrite = false)

@@ -819,15 +819,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maintained.length == batch.length,
       s"row counts differ: ${maintained.length} vs ${batch.length}")
     assert(maintained.toSeq == batch.toSeq)
-    // the corrupted grams must have fully zero-crossed to LOGICAL death
-    // (cnt=0 cells — the replay-safe tombstone; physical reclamation is
-    // compaction's job)
+    // the corrupted grams must have zero-crossed to logical death AND been
+    // physically reclaimed by the in-query compaction pass (sv21 reclaims
+    // behind the committed watermark between phases 3 and 4)
     val leftovers = spark.read.format("graft-kv")
       .option("catalog", graft.queries.StreamBatch.sv21CountsCatalog).load()
-      .filter((col("w2") === "zzcorrupt" || col("w1") === "zzcorrupt") &&
-        col("cnt") =!= 0L)
+      .filter(col("w2") === "zzcorrupt" || col("w1") === "zzcorrupt")
     assert(leftovers.isEmpty,
-      "zero-crossing did not retire the corrupted generation's grams")
+      "zero-cross + reclamation did not retire the corrupted generation's grams")
   }
 
   test("sv21: a batch torn between the counts write and the mirror write replays idempotently") {
