@@ -1787,15 +1787,17 @@ object StreamBatch {
     * protocol of the sv family: the maintained state is not per-row (codes,
     * index entries) but a COUNT a deletion must *decrement* — so each batch
     * (1) point-reads the OLD text of every changed id from the forward
-    * mirror ([[mirrorLookup]] — the batch-proportional sliver, never a
-    * mirror scan), (2) folds old text at −1 and new text at +1 into one
-    * signed gram aggregation (cancellation makes unchanged-text rewrites
-    * free), (3) point-reads ONLY the affected grams' current counts
-    * ([[stringKeyLookup]] — ≤ the batch's token count, never the
-    * vocabulary), and (4) writes counts back: zero-crossers become
-    * LOGICAL zeros, the rest overwrite in place. Reads and writes are
-    * both batch-proportional; the corpus and the gram vocabulary are
-    * never re-scanned.
+    * mirror ([[mirrorLookup]] — the batch-proportional sliver; its gates
+    * may answer with a scan-plus-semi-join below the small-state
+    * threshold or past the cap, where that IS the cheaper plan), (2)
+    * folds old text at −1 and new text at +1 into one signed gram
+    * aggregation (cancellation makes unchanged-text rewrites free), (3)
+    * reads ONLY the affected grams' current counts ([[stringKeyLookup]]
+    * — keyed by ≤ the batch's token count, never the vocabulary, same
+    * gate caveat), and (4) writes counts back: zero-crossers become
+    * LOGICAL zeros, the rest overwrite in place. Touched rows and writes
+    * are batch-proportional at every state size the gates route to the
+    * sliver path — which is every size where it matters.
     *
     * REPLAY SAFETY: foreachBatch is at-least-once, and a read-modify-write
     * aggregate is the one protocol shape where naive replay CORRUPTS
@@ -2080,7 +2082,11 @@ object StreamBatch {
         val changed = b.select(col("doc_id"), col("_deleted")).persist()
         if (!changed.isEmpty) {
           // retire every changed id's row — an update re-appends at the
-          // tail below; a tombstone just dies (position slot stays burned)
+          // tail below; a tombstone just dies (position slot stays burned).
+          // Pure inserts leave a no-op tombstone cell here: telling an
+          // insert from an update apart would take a manifest point-read
+          // the protocol otherwise never makes, and a marker cell is
+          // cheaper than a read — compaction reclaims them wholesale.
           changed.select(col("doc_id"))
             .write.format("graft-kv")
             .options(Map("catalog" -> manifestCatalog,
