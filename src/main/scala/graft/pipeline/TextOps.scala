@@ -500,6 +500,42 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Token-distribution DRIFT between two corpus snapshots — the
+    * monitoring pass a training-data pipeline runs on every corpus
+    * rebuild: a token whose smoothed frequency ratio spikes flags
+    * contamination, genre shift, a broken extractor, or over-aggressive
+    * dedup long before a model trains on it. Per token: before/after
+    * counts and the add-1-smoothed relative-rate LIFT in exact integer
+    * micro-units, `((ca+1)·(nb+V)·10⁶) div ((cb+1)·(na+V))` — the
+    * argument of the log-likelihood drift score (log is monotone, so
+    * ranking matches, and integer division hash-matches any engine where
+    * float log would not); V (joint vocabulary) is the add-1 mass.
+    *
+    * Shape: the two snapshots UNION with a snapshot tag and count in ONE
+    * (token)-keyed shuffle with map-side partials — no token join at all
+    * (a per-snapshot count + full-outer join would shuffle twice and join
+    * once); totals ride back as a broadcast 1-row frame, and the top-N is
+    * a TakeOrderedAndProject, never a global sort. */
+  def tokenDrift(before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val c = before.select(toks.as("toks"), lit(0).as("snap"))
+      .unionByName(after.select(toks.as("toks"), lit(1).as("snap")))
+      .select(explode(col("toks")).as("token"), col("snap"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("cb"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("ca"))
+    val t = c.agg(sum(col("cb")).as("nb"), sum(col("ca")).as("na"),
+      count(lit(1)).as("v"))
+    c.crossJoin(broadcast(t))
+      .select(col("token"), col("cb"), col("ca"),
+        expr("CAST(ca + 1 AS DECIMAL(38,0)) * (nb + v) * 1000000 div " +
+          "(CAST(cb + 1 AS DECIMAL(38,0)) * (na + v))").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("token"))
+      .limit(topN)
+  }
+
   /** Gopher-style quality-rule bundle: the battery of cheap heuristic
     * filters a training-data pipeline runs over every document BEFORE any
     * expensive processing (Rae et al. 2021 "Scaling Language Models",

@@ -1544,20 +1544,27 @@ object Pipeline {
       |FROM r JOIN cdf ON cum >= rnk
       |GROUP BY p_micro, rnk, n ORDER BY p_micro""".stripMargin
 
+  /** The shared "after" snapshot of the px44/px65 story: drops
+    * doc_id%10==3, rewrites doc_id%7==0 (appends " v2"), and adds 20 new
+    * ids past the max — the same corpus edit seen doc-by-doc (px44) and
+    * distribution-wide (px65). */
+  private def snapshotAfter(s: SparkSession, before: DataFrame): DataFrame = {
+    val maxId = before.agg(max(col("doc_id"))).head().getLong(0)
+    before
+      .filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(s.range(maxId + 1, maxId + 21)
+        .selectExpr("id AS doc_id", "concat('new doc ', CAST(id AS STRING)) AS text"))
+  }
+
   /** px44: corpus snapshot diff ([[Dedup.snapshotDiff]]) — the "after"
     * snapshot drops doc_id%10==3, rewrites doc_id%7==0, and appends 20 new
     * ids past the max; the diff emits exactly those deltas. */
   def px44SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val before = Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val maxId = before.agg(max(col("doc_id"))).head().getLong(0)
-    val after = before
-      .filter(col("doc_id") % 10 =!= 3)
-      .withColumn("text", when(col("doc_id") % 7 === 0,
-        concat(col("text"), lit(" v2"))).otherwise(col("text")))
-      .unionByName(s.range(maxId + 1, maxId + 21)
-        .selectExpr("id AS doc_id", "concat('new doc ', CAST(id AS STRING)) AS text"))
-    Dedup.snapshotDiff(before, after, "doc_id", "text")
+    Dedup.snapshotDiff(before, snapshotAfter(s, before), "doc_id", "text")
       .orderBy(col("doc_id"))
   }
 
@@ -2206,6 +2213,44 @@ object Pipeline {
       |       * 1000000 // n_tokens AS BIGINT) AS epochs_micro
       |FROM s2, t ORDER BY source""".stripMargin
 
+  /** px65: token-distribution drift between corpus snapshots
+    * ([[TextOps.tokenDrift]]) — px44's doc-level diff seen
+    * DISTRIBUTION-wide: the top-20 tokens by smoothed frequency-ratio
+    * lift across the same before/after edit. "v2" and the new docs'
+    * tokens must top the list; a token that merely rode along stays
+    * near 10⁶. */
+  def px65TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val before = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    TextOps.tokenDrift(before, snapshotAfter(s, before), "text", topN = 20)
+  }
+
+  val px65Sql: String =
+    """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+      |mx AS (SELECT max(doc_id) AS m FROM b),
+      |a AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |      FROM b WHERE doc_id % 10 <> 3
+      |      UNION ALL
+      |      SELECT m + u AS doc_id, 'new doc ' || CAST(m + u AS VARCHAR) AS text
+      |      FROM mx CROSS JOIN (SELECT unnest(range(1, 21)) AS u)),
+      |u AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |           t -> length(t) > 0)) AS token, 0 AS snap FROM b
+      |  UNION ALL
+      |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |           t -> length(t) > 0)) AS token, 1 AS snap FROM a),
+      |c AS (SELECT token,
+      |        CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+      |        CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+      |      FROM u GROUP BY token),
+      |t AS (SELECT sum(cb) AS nb, sum(ca) AS na, count(*) AS v FROM c)
+      |SELECT token, cb, ca,
+      |  CAST(CAST(ca + 1 AS HUGEINT) * (nb + v) * 1000000
+      |       // (CAST(cb + 1 AS HUGEINT) * (na + v)) AS BIGINT) AS lift_micro
+      |FROM c CROSS JOIN t
+      |ORDER BY lift_micro DESC, token LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -2271,6 +2316,7 @@ object Pipeline {
     "px62_collocations"       -> (px62Collocations _),
     "px63_shard_shuffle"      -> (px63ShardShuffle _),
     "px64_mixture_plan"       -> (px64MixturePlan _),
+    "px65_token_drift"        -> (px65TokenDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2332,6 +2378,7 @@ object Pipeline {
     "px62_collocations"       -> px62Sql,
     "px63_shard_shuffle"      -> px63Sql,
     "px64_mixture_plan"       -> px64Sql,
+    "px65_token_drift"        -> px65Sql,
     // px13/px61: IVF/PQ quantizers — oracles are DYNAMIC (trained centroids
     // and codebooks embedded as SQL literals), emitted via
     // SparkEntry.dynamicOracleSql at Verify time

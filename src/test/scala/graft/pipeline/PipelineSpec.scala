@@ -1111,6 +1111,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("x", "z", 1L, 3L, 1L, 1333333L)))
   }
 
+  test("TextOps.tokenDrift: hand-computed smoothed lift and ordering") {
+    // before: x x y -> cb x=2,y=1; after: x z z -> ca x=1,z=2.
+    // V=3, nb=3, na=3. lift = (ca+1)(nb+V)1e6 div ((cb+1)(na+V)):
+    // z: 3*6e6/(1*6)=3_000_000; x: 2*6e6/(3*6)=666_666; y: 1*6e6/(2*6)=500_000
+    val before = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val after = Seq((1L, "x z z")).toDF("doc_id", "text")
+    val r = TextOps.tokenDrift(before, after, "text", topN = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("z", 0L, 2L, 3000000L),
+      ("x", 2L, 1L, 666666L),
+      ("y", 1L, 0L, 500000L)))
+  }
+
   test("Sampling.mixturePlan: hand-computed isqrt allocation and epochs") {
     // source a: 8 tokens (sq=2); source b: 9 tokens (sq=3); budget 100.
     // total=17, s_total=5 -> a: planned=100*2 div 5=40, epochs=40e6 div 8
