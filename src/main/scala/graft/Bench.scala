@@ -17,14 +17,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE's post-shuffle coalescing targets BYTES, but several pipeline
-      // stages are CPU-per-row bound with tiny rows (shingle-set jaccard,
-      // minhash sketching): at small SF their few-MB shuffles coalesce to
-      // 1-2 partitions and serialize on 1-2 of the 32 cores (px7 measured
-      // 4.6 s -> 2.3 s warm with this floor lowered). 16k keeps those
-      // stages parallel at bench scale; production corpora shuffle enough
-      // bytes that this floor never binds there.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // NO global minPartitionSize floor: r10's 16k floor kept the CPU-bound
+      // dedup reranks parallel but taxed every OTHER query with extra tasks
+      // (px31 1.11 -> 1.61 s warm, q3/px55/sv12 similar — the r11 "drift").
+      // The CPU-per-row-bound stages now pin their own parallelism with an
+      // explicit-N repartition (Dedup.minhashRepPairs), which AQE's
+      // coalescing is required to respect, so the fix is local to the
+      // queries that need it.
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // the spark.sql.extensions path
       .getOrCreate()

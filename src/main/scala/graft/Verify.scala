@@ -13,14 +13,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE's post-shuffle coalescing targets BYTES, but several pipeline
-      // stages are CPU-per-row bound with tiny rows (shingle-set jaccard,
-      // minhash sketching): at small SF their few-MB shuffles coalesce to
-      // 1-2 partitions and serialize on 1-2 of the 32 cores (px7 measured
-      // 4.6 s -> 2.3 s warm with this floor lowered). 16k keeps those
-      // stages parallel at bench scale; production corpora shuffle enough
-      // bytes that this floor never binds there.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // No global minPartitionSize floor (see Bench.scala): the CPU-bound
+      // dedup reranks pin their own parallelism via an explicit-N
+      // repartition in Dedup.minhashRepPairs instead.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // the spark.sql.extensions path

@@ -231,8 +231,21 @@ object Dedup {
     val cellCap = maxBucket / s
     val w = Window.partitionBy((keys.map(col) :+ col("__salt")): _*).orderBy(col("id"))
     val hot = col("__cn") === 1 && col("__csz") > cellCap
+    // The explicit-N repartition REPLACES the exchange the window would
+    // force (EnsureRequirements inserts none on top: hash on the same key
+    // SET satisfies the window's clustered distribution) while pinning the
+    // stage's parallelism — the cell sort + the downstream bucket join are
+    // CPU-per-row bound with tiny rows, and AQE's byte-targeted coalescing
+    // would serialize them at small shuffle sizes. The salt leads the key
+    // list so the partitioning is NOT semantically equal to the ENSURE
+    // exchange it replaces (an equal one is elided, dropping the pin) —
+    // and salt-first hashing is also what spreads a degenerate hot
+    // bucket's cells across tasks.
     entries
       .withColumn("__salt", pmod(xxhash64(col("id")), lit(s.toLong)))
+      .repartition(
+        entries.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("__salt") +: keys.map(col): _*)
       .withColumn("__cn", row_number().over(w))
       .withColumn("__csz", count(lit(1)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -368,10 +381,29 @@ object Dedup {
         posexplode(graft.functions.HashExprs.minhashBands(col("toks"), numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
     val capped = capBuckets(buckets, Seq("band", "bh"), maxBucket, "minhashLshPairs")
+    // The explicit-N repartition after the distinct pins the RERANK's
+    // parallelism: each candidate row costs a full shingle-set intersection
+    // (CPU-per-row-bound, tiny bytes), so AQE's byte-targeted coalescing
+    // would fold the few-MB pair frame onto 1-2 cores and serialize the most
+    // expensive stage of the whole pass. A user-specified partition count is
+    // exempt from AQE coalescing (REPARTITION_BY_NUM origin), so the pin
+    // holds without a global minPartitionSize floor taxing every other
+    // query. Cost: one extra exchange of the DEDUPED (ra, rb) id pairs —
+    // 16 bytes/row, far below the band shuffle that produced them — and at
+    // production scale (where the pair frame exceeds the coalescing target
+    // anyway) it is a no-op-sized safety net, not a bottleneck.
+    // NOTE the pin partitions on ra ALONE: a repartition on (ra, rb) — the
+    // distinct's own keys — is provably redundant with the exchange the
+    // aggregate already requires, and Catalyst elides it (verified: the
+    // plan kept only the ENSURE_REQUIREMENTS exchange and the rerank
+    // re-serialized). Hashing the pin on a strict subset keeps it a real,
+    // AQE-exempt exchange.
     val cand = capped.as("x").join(capped.as("y"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("ra"), col("y.id").as("rb"))
       .distinct()
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("ra"))
     // the shingle sets feed both rerank join branches, but are deliberately
     // NOT persisted: the nested array<string> column caches row-serialized,
     // and re-reading it was MEASURED slower than recomputing through the

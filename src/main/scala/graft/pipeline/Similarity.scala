@@ -391,10 +391,16 @@ object Similarity {
     * 2011 (what FAISS calls `IVFxPQy`, the standard billion-scale shape):
     * [[ivfTopKWithCentroids]]'s coarse cell probing in FRONT of
     * [[pqTopKFromCodes]]'s asymmetric scoring. A query probes its `nprobe`
-    * nearest coarse cells, scans ONLY those cells' rows of the materialized
-    * [[ivfPqCodeTable]], reconstructs each candidate from its m codes via
-    * broadcast codebook lookups (O(m) per row), and ranks by exact-query ×
-    * reconstructed-corpus cosine.
+    * nearest coarse cells, keeps only those cells' rows of the
+    * [[ivfPqCodeTable]], reconstructs each SURVIVING candidate from its m
+    * codes via broadcast codebook lookups (O(m) per row — the
+    * reconstruction is projected ABOVE the cell join, so the ~(1 −
+    * nprobe/nlist) of the corpus whose cell never matched pays nothing),
+    * and ranks by exact-query × reconstructed-corpus cosine. Against this
+    * DataFrame-shaped code table the probe prunes per-row WORK, not I/O —
+    * every row's (id, cell, codes) is still read; store the table keyed by
+    * cell (the kv source's layout, sv18's shape) and the same probe prunes
+    * the SCAN to nprobe/nlist of the corpus.
     *
     * Scale shape: the probe turns the scan into nprobe/nlist of the corpus
     * and PQ turns bytes-per-scanned-row into m bytes (32× under float32) —
@@ -407,18 +413,23 @@ object Similarity {
   def ivfPqTopK(cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
       queries: DataFrame, codeTable: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
+    // raw codes go THROUGH the cell join; reconstruction happens above it,
+    // so only rows whose cell a query probed pay the m codebook lookups
+    // (below the join, every corpus row would pay them — ~94% wasted at
+    // nlist=64/nprobe=4). Catalyst does not push expression evaluation
+    // back down through a join, so the placement holds (plan-audited).
     val rv = concat(books.indices.map { j =>
       element_at(typedLit(books(j).map(_.toSeq).toSeq),
         element_at(col("codes"), j + 1) + 1)
     }: _*)
-    val c = codeTable.select(col(idCol).as("neighbor_id"), col("cell"), rv.as("rv"))
+    val c = codeTable.select(col(idCol).as("neighbor_id"), col("cell"), col("codes"))
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(graft.functions.VectorExprs.nearestCentroids(col(vecCol), cents, nprobe))
           .as("cell")))
     val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("rv")))
+      .withColumn("score", cosine(col("qv"), rv))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

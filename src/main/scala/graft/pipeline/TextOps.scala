@@ -645,7 +645,14 @@ object TextOps {
     * terms are a TakeOrderedAndProject top-`nQueryTerms` broadcast back as
     * a semi-join, so the candidate set shrinks to matching postings before
     * any scoring work. Per-term ranking partitions by term — fine, query
-    * terms are few by construction. */
+    * terms are few by construction.
+    *
+    * The totals aggregate IS a second tokenize pass over the corpus. A
+    * marker-row fusion (a NULL-term row per doc riding the tf shuffle) was
+    * tried and reverted: the isnull/isnotnull split pushes below the shared
+    * aggregate (filters on a group key), forking the subtree into THREE
+    * non-reusable explodes — measurably slower than the extra size-only
+    * pass, which never explodes. */
   def bm25Search(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, nQueryTerms: Int = 3, k: Int = 10): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

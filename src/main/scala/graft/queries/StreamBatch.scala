@@ -1920,11 +1920,33 @@ object StreamBatch {
     * Cost shape: ONE full scan of the state table (value predicates don't
     * prune key ranges) + a dead-set-sized delete write. That is inherent
     * to compaction — it runs on a schedule and amortizes over thousands
-    * of wave-proportional batches, never inside one. */
+    * of wave-proportional batches, never inside one.
+    *
+    * The fence is ENFORCED, not caller-trusted: the pass reads the state
+    * table's committed high-water (its max `_cell_ts` — every committed
+    * batch's writes land at `phaseStamp + 1`, so the high-water bounds
+    * every stamp a fully-committed phase wrote) and refuses a horizon
+    * above `high-water + 1`. A horizon past that provably exceeds every
+    * write the table has seen and could reclaim rows a not-yet-run phase
+    * still needs under its as-of read — the exact silent corruption the
+    * fence exists to stop. The residual caller obligation (don't reclaim
+    * between a TORN batch's partial write and its replay with a horizon
+    * inside that batch's stamp window) is unreachable through the
+    * maintenance entries, which only compact between successfully
+    * completed drains. */
   private[graft] def reclaimLogicalDead(s: SparkSession, catalog: String,
       keyCol: String, isDead: org.apache.spark.sql.Column,
       horizon: Long): Long = {
-    val dead = s.read.format("graft-kv").option("catalog", catalog).load()
+    val state = s.read.format("graft-kv").option("catalog", catalog).load()
+    val highWater = Option(state.agg(max(col("_cell_ts"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+    require(highWater == Long.MinValue || horizon <= highWater + 1,
+      s"reclaimLogicalDead($catalog): horizon $horizon exceeds the state " +
+        s"table's committed high-water $highWater + 1 — a horizon above " +
+        "every committed write can reclaim rows an un-run phase still " +
+        "needs under its as-of read; pass a fence at or below the last " +
+        "successfully drained phase stamp + 1")
+    val dead = state
       .filter(isDead && col("_cell_ts") < horizon)
       .select(col(keyCol))
       .persist()
@@ -1980,9 +2002,15 @@ object StreamBatch {
         "minSplit" -> "0", "maxSplit" -> "z"))
       .mode("append").save()
     val ckpt = Files.createTempDirectory("graft-sv21-ckpt").toString
-    def drain(phaseStamp: Long): Unit =
+    // the compaction fence derives from the drain schedule: after drain(P)
+    // returns, every batch through phase P is committed and its writes sit
+    // at P + 1, so P + 1 is the highest safe horizon (never hard-code it)
+    var committedPhase = 0L
+    def drain(phaseStamp: Long): Unit = {
       maintainBigramCounts(s, sv21SrcCatalog, sv21MirrorCatalog,
         sv21CountsCatalog, maxId, ckpt, phaseStamp)
+      committedPhase = phaseStamp
+    }
     // phase 1: a corrupted first generation — grams that must later vanish
     writeSrc(base.filter(col("doc_id") % 3 === 0)
       .withColumn("text", concat(col("text"), lit(" zzcorrupt zzcorrupt"))),
@@ -2004,10 +2032,13 @@ object StreamBatch {
     // runs INSIDE the driver's hash-gate: the final LM must be untouched
     // by when compaction fires (from-scratch resurrection of a reclaimed
     // key is pinned separately in StreamingSpec's reclamation case).
+    // The fence is DERIVED from the drain schedule (last committed phase
+    // + 1 = 31 here) and re-checked against the state table's high-water
+    // inside reclaimLogicalDead — never a hard-coded literal.
     reclaimLogicalDead(s, sv21CountsCatalog, "gram", col("cnt") === 0L,
-      horizon = 31)
+      horizon = committedPhase + 1)
     reclaimLogicalDead(s, sv21MirrorCatalog, "doc_id",
-      length(col("text")) === 0, horizon = 31)
+      length(col("text")) === 0, horizon = committedPhase + 1)
     // phase 4: resurrection + the last generation — final corpus = original
     writeSrc(base.filter(col("doc_id") % 3 === 2 ||
       (col("doc_id") >= 100 && col("doc_id") <= 300)), ts = 4000, overwrite = false)
@@ -2180,9 +2211,12 @@ object StreamBatch {
         "maxSplitNum" -> (shards - 1).toString))
       .mode("append").save()
     val ckpt = Files.createTempDirectory("graft-sv22-ckpt").toString
-    def drain(phaseStamp: Long): Unit =
+    var committedPhase = 0L
+    def drain(phaseStamp: Long): Unit = {
       maintainShardManifest(s, sv22SrcCatalog, sv22ManifestCatalog,
         sv22CountersCatalog, shards, maxId, ckpt, phaseStamp)
+      committedPhase = phaseStamp
+    }
     writeSrc(base.filter(col("doc_id") % 3 === 0), ts = 1000, overwrite = true)
     drain(phaseStamp = 10)
     writeSrc(base.filter(col("doc_id") % 3 === 1), ts = 2000, overwrite = false)
@@ -2192,6 +2226,17 @@ object StreamBatch {
       org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L)))
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
     drain(phaseStamp = 30)
+    // scheduled compaction mid-stream (sv21's discipline, manifest flavor):
+    // the retire-first write burns a no-op delete MARKER per pure insert
+    // (cheaper than the manifest point-read that would tell inserts from
+    // updates — see maintainShardManifest); markers live outside the row
+    // space, so reclaiming those behind the committed watermark can never
+    // move a position. expireBefore stays MinValue — manifest row cells
+    // are current state, not versions to expire. Runs inside the driver's
+    // hash gate: the final manifest must be byte-identical either way.
+    KvStore.table(graft.catalog.GraftCatalog.parse(sv22ManifestCatalog,
+        Map.empty).qualifiedName)
+      .compact(expireBefore = Long.MinValue, cdcHorizon = committedPhase + 1)
     writeSrc(base.filter(col("doc_id") % 3 === 2 ||
       (col("doc_id") >= 100 && col("doc_id") <= 300)), ts = 4000, overwrite = false)
     drain(phaseStamp = 40)

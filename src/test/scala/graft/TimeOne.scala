@@ -10,7 +10,6 @@ object TimeOne {
     val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k") // parity with Bench/Verify
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // parity with Verify/Bench
     // ad-hoc conf overrides for profiling experiments: GRAFT_CONF="k=v;k=v"
@@ -21,25 +20,28 @@ object TimeOne {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries("q9_count")(spark, sfDir).count() catch { case _: Throwable => }
     val stageProf = sys.env.contains("GRAFT_STAGE_PROF")
-    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]()
     if (stageProf) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = e.stageInfo
           val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(0L)
-          stages.put(i.stageId, (i.name.takeWhile(_ != '\n').take(90), ms))
+          stages.put(i.stageId, (i.name.takeWhile(_ != '\n').take(90), ms, i.numTasks))
         }
       })
     args.tail.foreach { name =>
       stages.clear()
+      if (sys.env.contains("GRAFT_EXPLAIN"))
+        println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExtendedMode))
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       if (stageProf) {
         import scala.jdk.CollectionConverters._
         val top = stages.asScala.toSeq.sortBy(-_._2._2).take(20)
-        top.foreach { case (id, (nm, ms)) => println(f"STAGE $ms%6dms #$id $nm") }
+        top.foreach { case (id, (nm, ms, nt)) => println(f"STAGE $ms%6dms tasks=$nt%-3d #$id $nm") }
         println(f"STAGECOUNT ${stages.size()} totalMs=${stages.asScala.values.map(_._2).sum}")
       }
     }

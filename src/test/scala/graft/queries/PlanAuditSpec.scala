@@ -791,6 +791,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 3,
       s"expected only the window + sort exchanges, found $exchanges:\n${plan.take(3000)}")
+    // PQ reconstruction (the m codebook element_at lookups) must sit ABOVE
+    // the cell join: below it, EVERY corpus row pays O(m) lookups whether
+    // or not its cell was probed (~94% wasted at nlist=64/nprobe=4). Plans
+    // print top-down, so every reconstruction line must precede the join.
+    // marker: the reconstruction is concat(element_at(<codebook>..), ..);
+    // plain element_at also appears BELOW the join in the code table's
+    // cell assignment (element_at(nearestcentroids..)), so match the
+    // concat-wrapped form specifically.
+    val lines = plan.linesIterator.toVector
+    val joinAt = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val reconAt = lines.zipWithIndex.filter(_._1.contains("concat(element_at")).map(_._2)
+    assert(joinAt >= 0 && reconAt.nonEmpty, s"expected a join and a reconstruction:\n$plan")
+    assert(reconAt.forall(_ < joinAt),
+      s"codebook reconstruction must be projected above the cell join " +
+        s"(join at line $joinAt, element_at at $reconAt):\n${plan.take(3000)}")
   }
 
   test("px62 collocations: partial counts, keyed-window marginals, top-N never global-sorts") {

@@ -412,4 +412,94 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("kv_lm_src_sxp", "kv_lm_mirror_sxp", "kv_lm_counts_sxp")
       .foreach(t => KvStore.drop(s"default:$t"))
   }
+
+  test("sv22 manifest maintenance at 100k docs: a 500-doc wave reads only the wave + the constant counter table") {
+    val src = StreamBatch.sv22SrcCatalog.replace("\"kv_sh_src\"", "\"kv_sh_src_sxp\"")
+    val man = StreamBatch.sv22ManifestCatalog.replace("\"kv_sh_manifest\"", "\"kv_sh_manifest_sxp\"")
+    val ctr = StreamBatch.sv22CountersCatalog.replace("\"kv_sh_counters\"", "\"kv_sh_counters_sxp\"")
+    Seq("kv_sh_src_sxp", "kv_sh_manifest_sxp", "kv_sh_counters_sxp")
+      .foreach(t => KvStore.drop(s"default:$t"))
+    val shards = 16
+    val N = 100000L; val W = 500L
+    val maxId = N + 2 * W
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> src, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    // the empty-table bootstrap sv22StreamShardManifest performs
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("skey"),
+        lit(0).as("shard"), col("id").as("pos"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> man, "newtable" -> "4", "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+      .mode("append").save()
+    spark.range(0).select(col("id").cast("int").as("shard"), col("id").as("n"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> ctr, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0",
+        "maxSplitNum" -> (shards - 1).toString))
+      .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-sxp22-ckpt").toString
+    def drain(stamp: Long): Unit =
+      StreamBatch.maintainShardManifest(spark, src, man, ctr, shards, maxId,
+        ckpt, stamp)
+    def manifest(): DataFrame = spark.read.format("graft-kv")
+      .option("catalog", man).load()
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+    // wave 1: the 100k-doc corpus builds the manifest
+    writeSrc(spark.range(N).select(col("id").as("doc_id"),
+      lit("t").as("text")), ts = 1000, overwrite = true)
+    val (_, shuf1) = measureShuffle(drain(stamp = 10))
+    assert(tableRows("default:kv_sh_manifest_sxp") == N)
+    // the counter table is CONSTANT-size at any corpus scale — that is
+    // what the per-batch whole-read-and-broadcast rests on
+    assert(tableRows("default:kv_sh_counters_sxp") == shards.toLong,
+      "counter table must hold exactly one row per shard")
+
+    // snapshot some never-again-touched docs' positions before wave 2
+    val stableIds = Seq(1L, 3L, 7L, 99L, 54321L)
+    val before = manifest().filter(col("doc_id").isin(stableIds: _*))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+
+    // wave 2: 300 updates (retire + re-append at the tail) + 200 new docs.
+    // Reads allowed: the CDC wave and the `shards`-row counter table —
+    // NEVER the 100k-row manifest (the protocol writes it blind)
+    writeSrc(spark.range(300L).select((col("id") * 300).as("doc_id"),
+      lit("u").as("text")), ts = 2000, overwrite = false)
+    writeSrc(spark.range(200L).select((col("id") + N).as("doc_id"),
+      lit("n").as("text")), ts = 2100, overwrite = false)
+    val base2 = KvStore.rowsServed
+    val (_, shuf2) = measureShuffle(drain(stamp = 20))
+    val served2 = KvStore.rowsServed - base2
+    info(s"wave2: served=$served2 shuffle=$shuf2 (wave1 shuffle=$shuf1)")
+    assert(served2 < 5000L,
+      s"wave-2 drain served $served2 store rows for a $W-doc wave — " +
+        "a manifest scan crept back in (the protocol must never read it)")
+    assert(shuf2 < 20000L && shuf2 * 10 < shuf1,
+      s"wave-2 shuffled $shuf2 records (wave-1: $shuf1) — batch work is not wave-proportional")
+    assert(tableRows("default:kv_sh_manifest_sxp") == N + 200)
+    assert(tableRows("default:kv_sh_counters_sxp") == shards.toLong)
+
+    // STABILITY: untouched docs keep their exact (shard, pos); updated
+    // docs re-appended ABOVE their shard's wave-1 high-water
+    val after = manifest().filter(col("doc_id").isin(stableIds: _*))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(after == before, s"survivor positions moved: $before -> $after")
+    // the update wave covered ids 0, 300, ..., 89700 — multiples of 300
+    // at or above 300*300 were NEVER touched and legitimately keep wave-1
+    // positions (the first draft of this filter included them and
+    // "found" 34 spliced docs that were simply untouched)
+    val updated = col("doc_id") % 300 === 0 && col("doc_id") < 300L * 300
+    val hw1 = manifest().filter(col("doc_id") < N && !updated)
+      .groupBy(col("shard")).agg(max(col("pos")).as("hw"))
+    val moved = manifest().filter(updated)
+      .join(hw1, Seq("shard"))
+      .filter(col("pos") <= col("hw")).count()
+    assert(moved == 0L, "updated docs must re-append above the shard tail, never splice")
+    Seq("kv_sh_src_sxp", "kv_sh_manifest_sxp", "kv_sh_counters_sxp")
+      .foreach(t => KvStore.drop(s"default:$t"))
+  }
 }

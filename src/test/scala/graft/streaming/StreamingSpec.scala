@@ -953,13 +953,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("catalog", cntCat).load()
       .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
     assert(counts() == Map("a b" -> 1L, "b c" -> 0L, "b d" -> 1L))
-    // reclaim behind the committed watermark (everything ≤ stamp 21 is
-    // committed; horizon 30 is the next phase's floor)
+    // reclaim behind the committed watermark: the fence is the last
+    // committed WRITE stamp + 1 (phase 20 wrote at 21 → horizon 22) —
+    // reclaimLogicalDead refuses anything above the table's high-water + 1
     val reclaimed = StreamBatch.reclaimLogicalDead(spark, cntCat,
-      "gram", col("cnt") === 0L, horizon = 30)
+      "gram", col("cnt") === 0L, horizon = 22)
     assert(reclaimed == 1L, s"expected exactly the dead gram, got $reclaimed")
     assert(counts() == Map("a b" -> 1L, "b d" -> 1L),
       "reclamation must kill exactly the logical zeros")
+    // an over-high horizon — above every committed write — is refused
+    // LOUDLY before any row is touched (the fence is enforced, not
+    // caller-trusted): 99 > high-water(21) + 1
+    val overHigh = intercept[IllegalArgumentException] {
+      StreamBatch.reclaimLogicalDead(spark, cntCat,
+        "gram", col("cnt") === 0L, horizon = 99)
+    }
+    assert(overHigh.getMessage.contains("high-water"),
+      s"refusal must name the fence: ${overHigh.getMessage}")
+    assert(counts() == Map("a b" -> 1L, "b d" -> 1L),
+      "a refused reclamation must not have deleted anything")
     // resurrection after reclamation: the gram restarts from scratch
     putDocs(Seq((2L, "b c")), ts = 3000)
     StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
@@ -1073,7 +1085,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("CDC protocols (sv12/sv14/sv18/sv19/sv20/sv21) never round-trip data through the driver") {
+  test("CDC protocols (sv12/sv14/sv18/sv19/sv20/sv21/sv22) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
     // sv12/sv14/sv18/sv19 pipelines (stream + foreachBatch jobs included)
@@ -1101,6 +1113,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queries("sv20_stream_pq_codes")(spark, sfDir).count() > 0)
       assert(graft.queries.StreamBatch
         .queries("sv21_stream_bigram_lm")(spark, sfDir).count() > 0)
+      assert(graft.queries.StreamBatch
+        .queries("sv22_stream_shard_manifest")(spark, sfDir).count() > 0)
       // listener events are async; wait for the counter to go quiet
       var last = -1L; var spins = 0
       while (maxResult.get() != last && spins < 20) {
