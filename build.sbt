@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW instead of re-logging each
+// line behind an "[info] " prefix: Bench prints ONE machine-readable
+// JSON line that downstream tooling parses from captured stdout, and the
+// sbt logger prefix has kept that record unparseable for two rounds.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

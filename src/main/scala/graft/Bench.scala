@@ -125,9 +125,12 @@ object Bench {
     // default per round or override via SPARK_GRAFT_BENCH_OUT): the full
     // per-query/per-rep map for 149 queries is ~15 KB and the harness that
     // collects stdout keeps only the last 2000 characters.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r11.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r12.json")
+    // track write success: the compact stdout line must not point readers
+    // at a stale or missing record when this write throws
+    val outWritten =
+      try { java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n"); true }
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e"); false }
     // STDOUT gets a COMPACT line that fits the 2000-char capture window:
     // the contract fields (metric/value/unit/queries/sf) with `queries`
     // restricted to a fixed headline subset spanning every query family
@@ -147,7 +150,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val headObj = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + num(v))).mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headObj,"queries_total":${results.size},"queries_file":"$out","populate_total":${num(populateTotal)},"reps":$reps,"loadHigh":$loadHigh,"loadavg_start":$loadStart,"sf":"$sfDir"}"""
+    val queriesFile = if (outWritten) s""""$out"""" else "null"
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headObj,"queries_total":${results.size},"queries_file":$queriesFile,"populate_total":${num(populateTotal)},"reps":$reps,"loadHigh":$loadHigh,"loadavg_start":$loadStart,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

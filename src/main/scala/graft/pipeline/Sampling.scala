@@ -78,8 +78,15 @@ object Sampling {
       .bitwiseAND(lit(0x3fffffffffffffffL))
     df.select(col(idCol), key.as("skey"))
       .withColumn("shard", (col("skey") % shards).cast("int"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))))
+      // pos is LONG, computed as a 64-bit running count rather than
+      // row_number() (whose IntegerType wraps past ~2.1B rows — a real
+      // bound for one shard of a 100 TB corpus). The (skey, id) ordering
+      // is total (md5 key ties broken by the unique id), so the running
+      // count IS the row number, in the bigint domain sv22's manifest
+      // schema already declares for the same concept.
+      .withColumn("pos", count(lit(1)).over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   /** Source-mixture statistics + temperature re-weighting — the pass that

@@ -2184,7 +2184,7 @@ object Pipeline {
       |  FROM documents)
       |SELECT doc_id, skey, CAST(skey % 64 AS INTEGER) AS shard,
       |  CAST(row_number() OVER (PARTITION BY skey % 64
-      |    ORDER BY skey, doc_id) AS INTEGER) AS pos
+      |    ORDER BY skey, doc_id) AS BIGINT) AS pos
       |FROM k ORDER BY shard, pos""".stripMargin
 
   /** px64: token-budget mixture plan ([[Sampling.mixturePlan]]) — the

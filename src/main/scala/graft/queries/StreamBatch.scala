@@ -1815,23 +1815,44 @@ object StreamBatch {
     * delta against pre-batch state and re-writes identical cells at
     * identical stamps, whatever the torn point. One drain = one phase
     * stamp (AvailableNow over stamp-contiguous generations lands as one
-    * batch — the sv20 convention). `crashPoint` runs between the counts
-    * write and the mirror write — the worst torn window — for the replay
-    * spec. A NEGATIVE merged count can only mean the decrement stream
-    * diverged from what was ever added (a protocol bug, or state edited
-    * behind the maintainer's back) — fail loudly, never persist it. */
+    * batch — the sv20 convention), and that convention is ENFORCED: a
+    * second non-empty micro-batch in one drain would repeat the as-of
+    * read against pre-DRAIN state and double-apply the first batch's
+    * deltas, so the maintainer refuses it loudly (split the drain per
+    * generation, or drain with a fresh phase stamp per batch) instead of
+    * corrupting counts. Within the one batch, the CDC window is a
+    * latest-merge read: at most ONE row per doc_id reaches the fold (an
+    * upsert superseded by a newer in-window delete arrives only as the
+    * tombstone; stacked upserts arrive as the newest), so the +1 side
+    * can never count a superseded generation. `crashPoint` runs between
+    * the counts write and the mirror write — the worst torn window — for
+    * the replay spec. A NEGATIVE merged count can only mean the decrement
+    * stream diverged from what was ever added (a protocol bug, or state
+    * edited behind the maintainer's back) — fail loudly, never persist
+    * it (the guard rides inside the write's cnt expression — no extra
+    * job). */
   private[graft] def maintainBigramCounts(s: SparkSession, srcCatalog: String,
       mirrorCatalog: String, countsCatalog: String, maxId: Long,
       ckpt: String, phaseStamp: Long,
       crashPoint: () => Unit = () => ()): Unit = {
     val asOf = Map("maxStamp" -> phaseStamp.toString)
+    // one-drain-one-batch enforcement (see REPLAY SAFETY): -1 = none yet
+    val drainedBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = s.readStream.format("graft-kv")
       .options(Map("catalog" -> srcCatalog, "tombstones" -> "true")).load()
       .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         val changed = b.select(col("doc_id"), col("text"), col("_deleted"))
           .persist()
         if (!changed.isEmpty) {
+          if (!drainedBatch.compareAndSet(-1L, batchId) &&
+              drainedBatch.get() != batchId)
+            throw new IllegalStateException(
+              "maintainBigramCounts: a second non-empty micro-batch " +
+                s"(id $batchId after ${drainedBatch.get()}) arrived in one " +
+                "drain — its as-of read would see pre-DRAIN state and " +
+                "double-apply the first batch's deltas; drain one stamp " +
+                "generation per phase stamp")
           // OLD text of every changed id (upsert OR tombstone), as of
           // pre-batch state — stable even if this batch's own mirror
           // writes landed before a crash-and-replay
@@ -1850,18 +1871,24 @@ object StreamBatch {
             delta.select(col("gram")), "gram", extraOpts = asOf)
             .select(col("gram"), col("cnt").as("old_cnt"))
           // merged feeds BOTH count writes — pinned so the gram sliver
-          // read and the signed aggregation run once per batch
+          // read and the signed aggregation run once per batch. The
+          // negative-count guard rides INSIDE the cnt expression (a
+          // conditional raise_error evaluated by the write tasks) instead
+          // of a separate driver-blocking filter+isEmpty job per batch:
+          // a count going negative means the decrement stream no longer
+          // matches what was added (protocol bug or out-of-band state
+          // edit) and the write job fails loudly BEFORE any row of the
+          // corrupted batch commits — same refusal, one fewer Spark job
+          // per drain batch.
+          val rawCnt = coalesce(col("old_cnt"), lit(0L)) + col("d")
           val merged = delta
             .join(current, Seq("gram"), "left")
             .select(col("gram"), col("w1"), col("w2"),
-              (coalesce(col("old_cnt"), lit(0L)) + col("d")).as("cnt"))
+              when(rawCnt < 0, raise_error(concat(
+                lit("maintainBigramCounts: merged count went NEGATIVE for gram '"),
+                col("gram"), lit("' — refusing to persist corrupted counts"))))
+                .otherwise(rawCnt).as("cnt"))
             .persist()
-          if (!merged.filter(col("cnt") < 0).isEmpty)
-            throw new IllegalStateException(
-              "maintainBigramCounts: a merged count went NEGATIVE — the " +
-                "decrement stream no longer matches what was added " +
-                "(protocol bug or out-of-band state edit); refusing to " +
-                "persist corrupted counts")
           // zero-crossers write a LOGICAL zero (a regular versioned cell),
           // never the physical delete-mode writer: a physical delete is
           // unrecoverable under the as-of replay read, while a cnt=0 cell
@@ -2099,6 +2126,9 @@ object StreamBatch {
     * re-writes identical cells at identical stamps — idempotent whatever
     * the torn point. The manifest needs no such care: the protocol never
     * READS it, so its physical retire/re-put replays verbatim.
+    * One drain = one phase stamp, ENFORCED like [[maintainBigramCounts]]:
+    * a second non-empty batch in one drain would read pre-DRAIN counters
+    * and assign colliding positions — refused loudly, never spliced.
     * `crashPoint` runs between the manifest append and the counter
     * advance — the worst torn window — for the replay spec. */
   private[graft] def maintainShardManifest(s: SparkSession, srcCatalog: String,
@@ -2106,12 +2136,21 @@ object StreamBatch {
       maxId: Long, ckpt: String, phaseStamp: Long,
       crashPoint: () => Unit = () => ()): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val drainedBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = s.readStream.format("graft-kv")
       .options(Map("catalog" -> srcCatalog, "tombstones" -> "true")).load()
       .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         val changed = b.select(col("doc_id"), col("_deleted")).persist()
         if (!changed.isEmpty) {
+          if (!drainedBatch.compareAndSet(-1L, batchId) &&
+              drainedBatch.get() != batchId)
+            throw new IllegalStateException(
+              "maintainShardManifest: a second non-empty micro-batch " +
+                s"(id $batchId after ${drainedBatch.get()}) arrived in one " +
+                "drain — its counter read would see pre-DRAIN high-waters " +
+                "and assign colliding positions; drain one stamp " +
+                "generation per phase stamp")
           // retire every changed id's row — an update re-appends at the
           // tail below; a tombstone just dies (position slot stays burned).
           // Pure inserts leave a no-op tombstone cell here: telling an

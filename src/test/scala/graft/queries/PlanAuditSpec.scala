@@ -818,6 +818,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"the N total must broadcast:\n${plan.take(3000)}")
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // the totals branch re-derives from the same pair-count subtree; the
+    // docstring's "ONE (w1,w2) count shuffle" claim rests on AQE's
+    // runtime stage reuse actually deduplicating it — pin that here
+    // (explode shows once: the reused stage replaces the second subtree)
+    assert(plan.contains("ReusedExchange"),
+      s"the totals branch must REUSE the pair-count exchange:\n${plan.take(3000)}")
+    assert(plan.linesIterator.count(_.contains("Generate explode")) == 1,
+      s"the bigram explode must run once, not per branch:\n${plan.take(3000)}")
   }
 
   test("px63 shard shuffle: one shard-keyed exchange, no single-task funnel") {
@@ -839,6 +847,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(3000))
     assert(plan.contains("partial"),
       s"source aggregation must map-side combine:\n${plan.take(3000)}")
+  }
+
+  test("px65 token drift: one keyed count shuffle, totals branch reuses it, top-N never global-sorts") {
+    val plan = executedPlan(graft.queries.Pipeline.px65TokenDrift(spark, dir))
+    assert(plan.contains("partial"),
+      s"token counting must map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-N must not be a global sort:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"snapshot totals must broadcast, never shuffle-join:\n${plan.take(3000)}")
+    // the per-snapshot totals re-derive from the same union+count subtree;
+    // the "ONE union+keyed count shuffle" docstring claim rests on AQE's
+    // runtime stage reuse — pin it
+    assert(plan.contains("ReusedExchange"),
+      s"the totals branch must REUSE the token-count exchange:\n${plan.take(3000)}")
   }
 
   test("WAL rotation metrics surface on the batch-write node (SQL UI path)") {

@@ -982,6 +982,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
   }
 
+  test("sv21: a decrement driving a count negative fails the batch loudly before anything commits") {
+    // the guard rides inside the write's cnt expression (raise_error), so
+    // corruption must surface as a failed STREAM, not a silent bad write
+    import graft.queries.StreamBatch
+    val suf = "neg"
+    val srcCat = StreamBatch.sv21SrcCatalog.replace("\"kv_lm_src\"", s""""kv_lm_src_$suf"""")
+    val mirCat = StreamBatch.sv21MirrorCatalog.replace("\"kv_lm_mirror\"", s""""kv_lm_mirror_$suf"""")
+    val cntCat = StreamBatch.sv21CountsCatalog.replace("\"kv_lm_counts\"", s""""kv_lm_counts_$suf"""")
+    Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
+      s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
+    import spark.implicits._
+    def putDocs(rows: Seq[(Long, String)], ts: Long): Unit =
+      rows.toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save()
+    Seq.empty[(Long, String)].toDF("doc_id", "text").write.format("graft-kv")
+      .options(Map("catalog" -> mirCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> "100")).mode("append").save()
+    spark.range(0).select(lit("").as("gram"), lit("").as("w1"),
+        lit("").as("w2"), lit(0L).as("cnt"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cntCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
+        "minSplit" -> "0", "maxSplit" -> "z")).mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-lmneg-ckpt").toString
+    putDocs(Seq((1L, "a b c")), ts = 1000)
+    StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+      maxId = 100L, ckpt, phaseStamp = 10)
+    // OUT-OF-BAND corruption: zero "a b" behind the protocol's back, so
+    // the upcoming tombstone's decrement drives it to -1
+    Seq(("a b", "a", "b", 0L)).toDF("gram", "w1", "w2", "cnt")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cntCat, "maxVersions" -> "2",
+        "timestamp" -> "15"))
+      .mode("append").save()
+    Seq(1L).toDF("doc_id").write.format("graft-kv")
+      .options(Map("catalog" -> srcCat, "delete" -> "true", "timestamp" -> "2000"))
+      .mode("append").save()
+    val e = intercept[Throwable] {
+      StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+        maxId = 100L, ckpt, phaseStamp = 20)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("NEGATIVE")),
+      s"expected the loud negative-count refusal, got: ${messages(e).mkString(" | ")}")
+    Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
+      s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
+  }
+
   test("sv22: a batch torn between the manifest append and the counter advance replays idempotently") {
     import graft.queries.StreamBatch
     val suf = "crz"
