@@ -400,6 +400,9 @@ object Pipeline {
     val ivfSql = px13Sql(s, dir)
     val pqSql = px56Sql(s, dir)
     Map("px13_ann_ivf" -> ivfSql,
+      // px66 audits px13's index (same memoized centroids) at nprobe=1
+      // against the exact ranking — its oracle embeds the same literals
+      "px66_ann_recall" -> px66Sql(s, dir),
       "px37_semantic_dedup" -> px37Sql(s, dir),
       "px46_cluster_sample" -> px46Sql(s, dir),
       // px61 composes px13's coarse quantizer with px56's codebooks; its
@@ -2251,6 +2254,116 @@ object Pipeline {
       |FROM c CROSS JOIN t
       |ORDER BY lift_micro DESC, token LIMIT 20""".stripMargin
 
+  /** px66: ANN RECALL AUDIT — recall@5 of the 1-probe IVF path
+    * ([[Similarity.ivfTopKWithCentroids]], px13's index) against the exact
+    * brute-force ranking ([[Similarity.bruteForceTopK]], px9's arithmetic),
+    * per query. This is the index-quality gate an ANN deployment runs per
+    * corpus snapshot: probe-parameter changes trade recall for scan
+    * fraction, and the audit is what makes that trade measurable instead
+    * of assumed. nprobe=1 (vs px13's 4) deliberately exercises the lossy
+    * regime so the recall column carries signal.
+    *
+    * Scale shape: the exact side is brute-force BY DESIGN but only over
+    * the audit's query SAMPLE (the standard methodology — recall is
+    * estimated from a handful of queries, never all of them), so its cost
+    * is corpus × sample, the same bound px9 carries; the IVF side is the
+    * serving path itself. The comparison joins two k-row-per-query sets —
+    * negligible. All-integer output (hits, micro-recall) hash-matches
+    * cross-engine. */
+  def px66AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopKWithCentroids(ivfCentroidsFor(s, dir),
+        q, e, "vec_id", "embedding", k = 5, nprobe = 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        expr("hits * 1000000 div 5").as("recall_micro"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DYNAMIC oracle for px66 (embeds the trained centroid literals like
+    * px13's): DuckDB replays the exact ranking, the 1-probe IVF ranking,
+    * and the per-query intersection count. */
+  def px66Sql(s: SparkSession, dir: String): String = {
+    val values = centroidValuesSql(ivfCentroidsFor(s, dir))
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |$values) AS t(cell, cv)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sims AS (SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.cv) AS sim
+       |         FROM e CROSS JOIN cents c),
+       |ranked AS (SELECT vec_id, cell,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+       |           FROM sims),
+       |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= 1 AND vec_id < 10),
+       |ivf AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, a.vec_id ASC) AS rank
+       |  FROM probes q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id
+       |  JOIN e qe ON qe.vec_id = q.vec_id
+       |  JOIN e ce ON ce.vec_id = a.vec_id) t WHERE rank <= 5),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, c.vec_id ASC) AS rank
+       |  FROM e c JOIN e q ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  JOIN e qe ON qe.vec_id = q.vec_id
+       |  JOIN e ce ON ce.vec_id = c.vec_id) t WHERE rank <= 5)
+       |SELECT x.query_id,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |       * 1000000 // 5 AS BIGINT) AS recall_micro
+       |FROM exact x LEFT JOIN ivf i
+       |  ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+  }
+
+  /** px67: NEAR-DUP CLUSTER SIZE HISTOGRAM — the dataset-card dedup
+    * report: how many near-dup clusters of size 2, 3-4, 5-8, ... the
+    * corpus carries and how many documents they absorb (power-of-two
+    * buckets, px32's exact-integer `length(bin(n))` trick — no float
+    * log). Composes [[Dedup.minhashKeepers]] (px14's clustering, the
+    * audited scale path) with two tiny aggregations: cluster sizes
+    * (bounded by cluster count), then buckets (≤ ~60 rows at any corpus
+    * size). */
+  def px67DupSizeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val keepers = graft.pipeline.Dedup.minhashKeepers(
+      Tables.documents(s, dir), "text", "doc_id")
+    keepers.groupBy(col("keep_id")).agg(count(lit(1)).as("sz"))
+      .withColumn("bucket", length(bin(col("sz"))).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .withColumn("lo", expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"))
+      .select(col("bucket"), col("lo"), col("n_clusters"), col("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  val px67Sql: String =
+    s"""WITH RECURSIVE ${shingleCtesSql("documents")},
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+      |),
+      |k AS (SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src),
+      |sz AS (SELECT keep_id, CAST(count(*) AS BIGINT) AS sz FROM k GROUP BY keep_id)
+      |SELECT CAST(length(bin(sz)) AS INTEGER) AS bucket,
+      |  CAST(1 << (CAST(length(bin(sz)) AS INTEGER) - 1) AS BIGINT) AS lo,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(sz) AS BIGINT) AS n_docs
+      |FROM sz GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -2317,6 +2430,8 @@ object Pipeline {
     "px63_shard_shuffle"      -> (px63ShardShuffle _),
     "px64_mixture_plan"       -> (px64MixturePlan _),
     "px65_token_drift"        -> (px65TokenDrift _),
+    "px66_ann_recall"         -> (px66AnnRecall _),
+    "px67_dup_size_histogram" -> (px67DupSizeHistogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2379,8 +2494,9 @@ object Pipeline {
     "px63_shard_shuffle"      -> px63Sql,
     "px64_mixture_plan"       -> px64Sql,
     "px65_token_drift"        -> px65Sql,
-    // px13/px61: IVF/PQ quantizers — oracles are DYNAMIC (trained centroids
-    // and codebooks embedded as SQL literals), emitted via
+    "px67_dup_size_histogram" -> px67Sql,
+    // px13/px61/px66: IVF/PQ quantizers — oracles are DYNAMIC (trained
+    // centroids and codebooks embedded as SQL literals), emitted via
     // SparkEntry.dynamicOracleSql at Verify time
   )
 }

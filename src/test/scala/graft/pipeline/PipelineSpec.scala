@@ -1147,7 +1147,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     def run(df: org.apache.spark.sql.DataFrame, seed: String) =
       Sampling.shardShuffle(df, "doc_id", seed, shards = 8)
         .orderBy($"shard", $"pos")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     val a = run(corpus, "epoch0")
     assert(run(corpus, "epoch0").toSeq == a.toSeq, "same seed must reproduce the order")
     assert(run(corpus.repartition(7), "epoch0").toSeq == a.toSeq,
@@ -1157,7 +1157,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shard/pos integrity: shard = skey mod 8, pos contiguous from 1 per shard
     a.foreach { case (_, skey, shard, _) => assert(shard == (skey % 8).toInt) }
     a.groupBy(_._3).foreach { case (_, rows) =>
-      assert(rows.map(_._4).toSeq == (1 to rows.length).toSeq)
+      assert(rows.map(_._4).toSeq == (1L to rows.length.toLong).toSeq)
     }
     // within a shard, positions follow ascending shuffle key
     a.groupBy(_._3).foreach { case (_, rows) =>

@@ -865,6 +865,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the totals branch must REUSE the token-count exchange:\n${plan.take(3000)}")
   }
 
+  test("px66 ANN recall audit: query sample broadcasts on both branches, corpus never shuffles") {
+    val plan = executedPlan(graft.queries.Pipeline.px66AnnRecall(spark, dir))
+    // exact branch = px9's broadcast nested loop over the sampled queries;
+    // IVF branch = px13's broadcast cell join. The corpus side must never
+    // sort-merge against either — at 100 TB that shuffle is the failure.
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("BroadcastHashJoin"),
+      s"both ranking branches must broadcast the query sample:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus must not shuffle into either ranking:\n${plan.take(3000)}")
+  }
+
+  test("px67 dup-size histogram: composes the clustering with two tiny partial aggs, no new corpus shuffle") {
+    val plan = executedPlan(graft.queries.Pipeline.px67DupSizeHistogram(spark, dir))
+    assert(plan.contains("partial"),
+      s"histogram aggregation must map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("WAL rotation metrics surface on the batch-write node (SQL UI path)") {
     // a batch write that crosses the auto-checkpoint gate must report the
     // rotations it triggered as DRIVER metrics on its own write node —

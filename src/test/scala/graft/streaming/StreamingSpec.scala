@@ -809,9 +809,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // so the maintained counts must render px30's LM bit-for-bit (every
     // decrement path — zero-crossers included — has to fire for this to
     // hold; leftover "zzcorrupt" grams or stale [100,300] counts fail it)
-    val maintained = graft.queries.StreamBatch
+    val maintainedDf = graft.queries.StreamBatch
       .queries("sv21_stream_bigram_lm")(spark, sfDir)
-      .collect().map(_.toSeq)
+    val maintained = maintainedDf.collect().map(_.toSeq)
+    // the post-stream LM render is a plain latest-merge scan of the counts
+    // table (string key + atomic columns) — it must ride the COLUMNAR kv
+    // read path, not the row materializer (the r11 stretch item)
+    assert(allPlanNodes(maintainedDf.queryExecution.executedPlan).exists {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.supportsColumnar
+      case _ => false
+    }, "the sv21 readback scan fell off the columnar path")
     val batch = graft.pipeline.TextOps.bigramLm(
         graft.queries.Tables.documents(spark, sfDir), "text", minCount = 3L)
       .orderBy(col("w1"), col("w2"))
@@ -1106,9 +1114,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("sv22: manifest positions are append-only stable across updates and deletes") {
-    val out = graft.queries.StreamBatch
+    val outDf = graft.queries.StreamBatch
       .queries("sv22_stream_shard_manifest")(spark, sfDir)
+    val out = outDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // the post-stream manifest read is a plain latest-merge scan (bigint
+    // key + atomic columns) — it must ride the COLUMNAR kv read path
+    assert(allPlanNodes(outDf.queryExecution.executedPlan).exists {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.supportsColumnar
+      case _ => false
+    }, "the sv22 manifest readback scan fell off the columnar path")
     val docs = graft.queries.Tables.documents(spark, sfDir)
       .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
     // every live doc exactly once
