@@ -1813,46 +1813,49 @@ object StreamBatch {
     * physical reclamation belongs to an explicit compaction, the LSM
     * discipline). A replayed batch therefore recomputes the identical
     * delta against pre-batch state and re-writes identical cells at
-    * identical stamps, whatever the torn point. One drain = one phase
-    * stamp (AvailableNow over stamp-contiguous generations lands as one
-    * batch — the sv20 convention), and that convention is ENFORCED: a
-    * second non-empty micro-batch in one drain would repeat the as-of
-    * read against pre-DRAIN state and double-apply the first batch's
-    * deltas, so the maintainer refuses it loudly (split the drain per
-    * generation, or drain with a fresh phase stamp per batch) instead of
-    * corrupting counts. Within the one batch, the CDC window is a
-    * latest-merge read: at most ONE row per doc_id reaches the fold (an
-    * upsert superseded by a newer in-window delete arrives only as the
-    * tombstone; stacked upserts arrive as the newest), so the +1 side
-    * can never count a superseded generation. `crashPoint` runs between
-    * the counts write and the mirror write — the worst torn window — for
-    * the replay spec. A NEGATIVE merged count can only mean the decrement
-    * stream diverged from what was ever added (a protocol bug, or state
-    * edited behind the maintainer's back) — fail loudly, never persist
-    * it (the guard rides inside the write's cnt expression — no extra
-    * job). */
+    * identical stamps, whatever the torn point.
+    *
+    * STAMPS ARE PER-BATCH, derived from the micro-batch id:
+    * `stamp(b) = (b + 1) × 10`, reads as-of `stamp(b)`, writes at
+    * `stamp(b) + 1`. The batch id is checkpoint-stable (a replayed batch
+    * keeps its id, so the replay re-derives the identical stamp), and
+    * per-batch stamps are what make MULTI-batch drains correct: a
+    * capped catch-up (`maxRowsPerBatch`) chunks a backlog into batches
+    * b, b+1, ... whose as-of reads each see every PRIOR batch's writes
+    * (`stamp(b) ≥ stamp(b−1) + 2 > ` the prior write stamp) while still
+    * excluding their own crashed attempt's. A fixed per-drain stamp —
+    * the previous design — silently double-applied the first batch's
+    * deltas in exactly that scenario. Single-batch drains derive the
+    * same 10/20/30... stamps the per-drain design produced, so existing
+    * state layouts replay unchanged. Within one batch, the CDC window is
+    * a latest-merge read: at most ONE row per doc_id reaches the fold
+    * (an upsert superseded by a newer in-window delete arrives only as
+    * the tombstone; stacked upserts arrive as the newest), so the +1
+    * side can never count a superseded generation. `crashPoint` runs
+    * between the counts write and the mirror write — the worst torn
+    * window — for the replay spec. A NEGATIVE merged count can only mean
+    * the decrement stream diverged from what was ever added (a protocol
+    * bug, or state edited behind the maintainer's back) — fail loudly,
+    * never persist it (the guard rides inside the write's cnt
+    * expression — no extra job).
+    *
+    * Returns the highest stamp written (the compaction fence input), or
+    * Long.MinValue when the drain admitted nothing. */
   private[graft] def maintainBigramCounts(s: SparkSession, srcCatalog: String,
       mirrorCatalog: String, countsCatalog: String, maxId: Long,
-      ckpt: String, phaseStamp: Long,
-      crashPoint: () => Unit = () => ()): Unit = {
-    val asOf = Map("maxStamp" -> phaseStamp.toString)
-    // one-drain-one-batch enforcement (see REPLAY SAFETY): -1 = none yet
-    val drainedBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val q = s.readStream.format("graft-kv")
-      .options(Map("catalog" -> srcCatalog, "tombstones" -> "true")).load()
+      ckpt: String, maxRowsPerBatch: Option[Long] = None,
+      crashPoint: () => Unit = () => ()): Long = {
+    val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val srcOpts = Map("catalog" -> srcCatalog, "tombstones" -> "true") ++
+      maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
+    val q = s.readStream.format("graft-kv").options(srcOpts).load()
       .writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val stamp = (batchId + 1) * 10
+        val asOf = Map("maxStamp" -> stamp.toString)
         val changed = b.select(col("doc_id"), col("text"), col("_deleted"))
           .persist()
         if (!changed.isEmpty) {
-          if (!drainedBatch.compareAndSet(-1L, batchId) &&
-              drainedBatch.get() != batchId)
-            throw new IllegalStateException(
-              "maintainBigramCounts: a second non-empty micro-batch " +
-                s"(id $batchId after ${drainedBatch.get()}) arrived in one " +
-                "drain — its as-of read would see pre-DRAIN state and " +
-                "double-apply the first batch's deltas; drain one stamp " +
-                "generation per phase stamp")
           // OLD text of every changed id (upsert OR tombstone), as of
           // pre-batch state — stable even if this batch's own mirror
           // writes landed before a crash-and-replay
@@ -1892,7 +1895,7 @@ object StreamBatch {
           // zero-crossers write a LOGICAL zero (a regular versioned cell),
           // never the physical delete-mode writer: a physical delete is
           // unrecoverable under the as-of replay read, while a cnt=0 cell
-          // leaves the previous version visible below `phaseStamp` (the
+          // leaves the previous version visible below the batch stamp (the
           // LSM discipline — logical death now, physical reclamation by
           // an explicit compaction). Readers treat cnt=0 as dead: it adds
           // nothing to any marginal and never passes a minCount filter.
@@ -1900,22 +1903,23 @@ object StreamBatch {
             .write.format("graft-kv")
             .options(Map("catalog" -> countsCatalog, "newtable" -> "4",
               "maxVersions" -> "2",
-              "timestamp" -> (phaseStamp + 1).toString,
+              "timestamp" -> (stamp + 1).toString,
               "minSplit" -> "0", "maxSplit" -> "z"))
             .mode("append").save()
           crashPoint()
           // mirror maintenance LAST, by the same logical-tombstone rule:
           // a dead doc becomes EMPTY text (bigram-identical to deletion —
           // no gram survives tokenization) so its previous version stays
-          // readable below `phaseStamp` for the replay's decrements
+          // readable below the batch stamp for the replay's decrements
           changed.select(col("doc_id"),
               when(col("_deleted"), lit("")).otherwise(col("text")).as("text"))
             .write.format("graft-kv")
             .options(Map("catalog" -> mirrorCatalog, "newtable" -> "4",
               "maxVersions" -> "2",
-              "timestamp" -> (phaseStamp + 1).toString,
+              "timestamp" -> (stamp + 1).toString,
               "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
             .mode("append").save()
+          highWrite.accumulateAndGet(stamp + 1, math.max)
           Seq(merged, delta).foreach(_.unpersist())
         }
         changed.unpersist()
@@ -1924,6 +1928,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    highWrite.get()
   }
 
   /** Physical reclamation of LOGICAL tombstones — the compaction half of
@@ -2029,29 +2034,30 @@ object StreamBatch {
         "minSplit" -> "0", "maxSplit" -> "z"))
       .mode("append").save()
     val ckpt = Files.createTempDirectory("graft-sv21-ckpt").toString
-    // the compaction fence derives from the drain schedule: after drain(P)
-    // returns, every batch through phase P is committed and its writes sit
-    // at P + 1, so P + 1 is the highest safe horizon (never hard-code it)
-    var committedPhase = 0L
-    def drain(phaseStamp: Long): Unit = {
-      maintainBigramCounts(s, sv21SrcCatalog, sv21MirrorCatalog,
-        sv21CountsCatalog, maxId, ckpt, phaseStamp)
-      committedPhase = phaseStamp
+    // the compaction fence derives from the drain schedule: each drain
+    // returns the highest stamp it wrote (per-batch stamps, see
+    // maintainBigramCounts), and everything at or below the last returned
+    // stamp is committed — never hard-code the fence
+    var committedWrite = 0L
+    def drain(): Unit = {
+      val w = maintainBigramCounts(s, sv21SrcCatalog, sv21MirrorCatalog,
+        sv21CountsCatalog, maxId, ckpt)
+      if (w != Long.MinValue) committedWrite = math.max(committedWrite, w)
     }
     // phase 1: a corrupted first generation — grams that must later vanish
     writeSrc(base.filter(col("doc_id") % 3 === 0)
       .withColumn("text", concat(col("text"), lit(" zzcorrupt zzcorrupt"))),
       ts = 1000, overwrite = true)
-    drain(phaseStamp = 10)
+    drain()
     // phase 2: correcting overwrite (%3==0 back to original) + new docs
     writeSrc(base.filter(col("doc_id") % 3 <= 1), ts = 2000, overwrite = false)
-    drain(phaseStamp = 20)
+    drain()
     // phase 3: ranged DELETE — counts of [100,300]'s grams must decrement
     val hrf = FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
       org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L)))
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
-    drain(phaseStamp = 30)
+    drain()
     // scheduled compaction mid-stream: reclaim logical tombstones behind
     // the committed watermark (phase 1/2's zero-crossers — the corrupted
     // generation's grams — die physically here; phase 3's zeros at stamp
@@ -2059,17 +2065,17 @@ object StreamBatch {
     // runs INSIDE the driver's hash-gate: the final LM must be untouched
     // by when compaction fires (from-scratch resurrection of a reclaimed
     // key is pinned separately in StreamingSpec's reclamation case).
-    // The fence is DERIVED from the drain schedule (last committed phase
-    // + 1 = 31 here) and re-checked against the state table's high-water
-    // inside reclaimLogicalDead — never a hard-coded literal.
+    // The fence is DERIVED from the drain schedule (the last drain's
+    // returned write stamp — 31 here) and re-checked against the state
+    // table's high-water inside reclaimLogicalDead — never a literal.
     reclaimLogicalDead(s, sv21CountsCatalog, "gram", col("cnt") === 0L,
-      horizon = committedPhase + 1)
+      horizon = committedWrite)
     reclaimLogicalDead(s, sv21MirrorCatalog, "doc_id",
-      length(col("text")) === 0, horizon = committedPhase + 1)
+      length(col("text")) === 0, horizon = committedWrite)
     // phase 4: resurrection + the last generation — final corpus = original
     writeSrc(base.filter(col("doc_id") % 3 === 2 ||
       (col("doc_id") >= 100 && col("doc_id") <= 300)), ts = 4000, overwrite = false)
-    drain(phaseStamp = 40)
+    drain()
     // px30's LM rendered from the MAINTAINED counts
     s.read.format("graft-kv").option("catalog", sv21CountsCatalog).load()
       .select(col("w1"), col("w2"), col("cnt").as("c12"))
@@ -2126,31 +2132,28 @@ object StreamBatch {
     * re-writes identical cells at identical stamps — idempotent whatever
     * the torn point. The manifest needs no such care: the protocol never
     * READS it, so its physical retire/re-put replays verbatim.
-    * One drain = one phase stamp, ENFORCED like [[maintainBigramCounts]]:
-    * a second non-empty batch in one drain would read pre-DRAIN counters
-    * and assign colliding positions — refused loudly, never spliced.
+    * Stamps are PER-BATCH, derived from the checkpoint-stable micro-batch
+    * id exactly as in [[maintainBigramCounts]] — that is what makes a
+    * capped multi-batch catch-up assign non-colliding positions: each
+    * batch's counter read (as-of its own stamp) sees every prior batch's
+    * advance, while a replayed batch re-derives its identical stamp.
     * `crashPoint` runs between the manifest append and the counter
-    * advance — the worst torn window — for the replay spec. */
+    * advance — the worst torn window — for the replay spec. Returns the
+    * highest stamp written, or Long.MinValue when nothing was admitted. */
   private[graft] def maintainShardManifest(s: SparkSession, srcCatalog: String,
       manifestCatalog: String, countersCatalog: String, shards: Int,
-      maxId: Long, ckpt: String, phaseStamp: Long,
-      crashPoint: () => Unit = () => ()): Unit = {
+      maxId: Long, ckpt: String, maxRowsPerBatch: Option[Long] = None,
+      crashPoint: () => Unit = () => ()): Long = {
     import org.apache.spark.sql.expressions.Window
-    val drainedBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val q = s.readStream.format("graft-kv")
-      .options(Map("catalog" -> srcCatalog, "tombstones" -> "true")).load()
+    val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val srcOpts = Map("catalog" -> srcCatalog, "tombstones" -> "true") ++
+      maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
+    val q = s.readStream.format("graft-kv").options(srcOpts).load()
       .writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val stamp = (batchId + 1) * 10
         val changed = b.select(col("doc_id"), col("_deleted")).persist()
         if (!changed.isEmpty) {
-          if (!drainedBatch.compareAndSet(-1L, batchId) &&
-              drainedBatch.get() != batchId)
-            throw new IllegalStateException(
-              "maintainShardManifest: a second non-empty micro-batch " +
-                s"(id $batchId after ${drainedBatch.get()}) arrived in one " +
-                "drain — its counter read would see pre-DRAIN high-waters " +
-                "and assign colliding positions; drain one stamp " +
-                "generation per phase stamp")
           // retire every changed id's row — an update re-appends at the
           // tail below; a tombstone just dies (position slot stays burned).
           // Pure inserts leave a no-op tombstone cell here: telling an
@@ -2160,7 +2163,7 @@ object StreamBatch {
           changed.select(col("doc_id"))
             .write.format("graft-kv")
             .options(Map("catalog" -> manifestCatalog,
-              "delete" -> "true", "timestamp" -> phaseStamp.toString))
+              "delete" -> "true", "timestamp" -> stamp.toString))
             .mode("append").save()
           val ins = changed.filter(!col("_deleted"))
             .select(col("doc_id"),
@@ -2172,7 +2175,7 @@ object StreamBatch {
           // pre-batch state, see REPLAY SAFETY above) and broadcast
           val ctr = s.read.format("graft-kv")
             .options(Map("catalog" -> countersCatalog,
-              "maxStamp" -> phaseStamp.toString)).load()
+              "maxStamp" -> stamp.toString)).load()
             .select(col("shard"), col("n"))
           // ranked feeds the manifest append AND the counter advance
           val ranked = ins
@@ -2184,7 +2187,7 @@ object StreamBatch {
             .persist()
           ranked.write.format("graft-kv")
             .options(Map("catalog" -> manifestCatalog, "newtable" -> "4",
-              "timestamp" -> (phaseStamp + 1).toString,
+              "timestamp" -> (stamp + 1).toString,
               "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
             .mode("append").save()
           crashPoint()
@@ -2194,9 +2197,10 @@ object StreamBatch {
             .write.format("graft-kv")
             .options(Map("catalog" -> countersCatalog, "newtable" -> "4",
               "maxVersions" -> "2",
-              "timestamp" -> (phaseStamp + 1).toString,
+              "timestamp" -> (stamp + 1).toString,
               "minSplitNum" -> "0", "maxSplitNum" -> (shards - 1).toString))
             .mode("append").save()
+          highWrite.accumulateAndGet(stamp + 1, math.max)
           ranked.unpersist()
         }
         changed.unpersist()
@@ -2205,6 +2209,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    highWrite.get()
   }
 
   /** sv22: STREAMING EPOCH-SHARD MANIFEST over CDC — px63's loader-facing
@@ -2250,21 +2255,21 @@ object StreamBatch {
         "maxSplitNum" -> (shards - 1).toString))
       .mode("append").save()
     val ckpt = Files.createTempDirectory("graft-sv22-ckpt").toString
-    var committedPhase = 0L
-    def drain(phaseStamp: Long): Unit = {
-      maintainShardManifest(s, sv22SrcCatalog, sv22ManifestCatalog,
-        sv22CountersCatalog, shards, maxId, ckpt, phaseStamp)
-      committedPhase = phaseStamp
+    var committedWrite = 0L
+    def drain(): Unit = {
+      val w = maintainShardManifest(s, sv22SrcCatalog, sv22ManifestCatalog,
+        sv22CountersCatalog, shards, maxId, ckpt)
+      if (w != Long.MinValue) committedWrite = math.max(committedWrite, w)
     }
     writeSrc(base.filter(col("doc_id") % 3 === 0), ts = 1000, overwrite = true)
-    drain(phaseStamp = 10)
+    drain()
     writeSrc(base.filter(col("doc_id") % 3 === 1), ts = 2000, overwrite = false)
-    drain(phaseStamp = 20)
+    drain()
     val hrf = FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
       org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L)))
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
-    drain(phaseStamp = 30)
+    drain()
     // scheduled compaction mid-stream (sv21's discipline, manifest flavor):
     // the retire-first write burns a no-op delete MARKER per pure insert
     // (cheaper than the manifest point-read that would tell inserts from
@@ -2275,10 +2280,10 @@ object StreamBatch {
     // hash gate: the final manifest must be byte-identical either way.
     KvStore.table(graft.catalog.GraftCatalog.parse(sv22ManifestCatalog,
         Map.empty).qualifiedName)
-      .compact(expireBefore = Long.MinValue, cdcHorizon = committedPhase + 1)
+      .compact(expireBefore = Long.MinValue, cdcHorizon = committedWrite)
     writeSrc(base.filter(col("doc_id") % 3 === 2 ||
       (col("doc_id") >= 100 && col("doc_id") <= 300)), ts = 4000, overwrite = false)
-    drain(phaseStamp = 40)
+    drain()
     s.read.format("graft-kv").option("catalog", sv22ManifestCatalog).load()
       .select(col("doc_id"), col("skey"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))

@@ -355,13 +355,14 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
         "minSplit" -> "0", "maxSplit" -> "z"))
       .mode("append").save()
     val ckpt = Files.createTempDirectory("graft-sxp21-ckpt").toString
-    def drain(stamp: Long): Unit =
-      StreamBatch.maintainBigramCounts(spark, src, mir, cnt, maxId, ckpt, stamp)
+    def drain(): Unit = {
+      StreamBatch.maintainBigramCounts(spark, src, mir, cnt, maxId, ckpt); ()
+    }
 
     // wave 1: the 100k-doc corpus builds the 500k-gram count state
     writeSrc(spark.range(N).select(col("id").as("doc_id"),
       textOf(col("id")).as("text")), ts = 1000, overwrite = true)
-    val (_, shuf1) = measureShuffle(drain(stamp = 10))
+    val (_, shuf1) = measureShuffle(drain())
     val cntRows = tableRows("default:kv_lm_counts_sxp")
     assert(cntRows == 5L * N, s"expected 5 unique bigrams per doc, got $cntRows")
     assert(tableRows("default:kv_lm_mirror_sxp") == N)
@@ -375,7 +376,7 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     writeSrc(spark.range(200L).select((col("id") + N).as("doc_id"),
       textOf(col("id") + N).as("text")), ts = 2100, overwrite = false)
     val base2 = KvStore.rowsServed
-    val (_, shuf2) = measureShuffle(drain(stamp = 20))
+    val (_, shuf2) = measureShuffle(drain())
     val served2 = KvStore.rowsServed - base2
     info(s"wave2: served=$served2 shuffle=$shuf2 (counts=$cntRows, wave1 shuffle=$shuf1)")
     assert(served2 < 20000L,
@@ -400,7 +401,7 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       .options(Map("catalog" -> src, "delete" -> "true", "timestamp" -> "3000"))
       .mode("append").save()
     val base3 = KvStore.rowsServed
-    val (_, shuf3) = measureShuffle(drain(stamp = 30))
+    val (_, shuf3) = measureShuffle(drain())
     val served3 = KvStore.rowsServed - base3
     info(s"wave3: served=$served3 shuffle=$shuf3")
     assert(served3 < 10000L && shuf3 < 100000L,
@@ -442,9 +443,10 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
         "maxSplitNum" -> (shards - 1).toString))
       .mode("append").save()
     val ckpt = Files.createTempDirectory("graft-sxp22-ckpt").toString
-    def drain(stamp: Long): Unit =
+    def drain(): Unit = {
       StreamBatch.maintainShardManifest(spark, src, man, ctr, shards, maxId,
-        ckpt, stamp)
+        ckpt); ()
+    }
     def manifest(): DataFrame = spark.read.format("graft-kv")
       .option("catalog", man).load()
       .select(col("doc_id"), col("shard"), col("pos"))
@@ -452,7 +454,7 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     // wave 1: the 100k-doc corpus builds the manifest
     writeSrc(spark.range(N).select(col("id").as("doc_id"),
       lit("t").as("text")), ts = 1000, overwrite = true)
-    val (_, shuf1) = measureShuffle(drain(stamp = 10))
+    val (_, shuf1) = measureShuffle(drain())
     assert(tableRows("default:kv_sh_manifest_sxp") == N)
     // the counter table is CONSTANT-size at any corpus scale — that is
     // what the per-batch whole-read-and-broadcast rests on
@@ -472,7 +474,7 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     writeSrc(spark.range(200L).select((col("id") + N).as("doc_id"),
       lit("n").as("text")), ts = 2100, overwrite = false)
     val base2 = KvStore.rowsServed
-    val (_, shuf2) = measureShuffle(drain(stamp = 20))
+    val (_, shuf2) = measureShuffle(drain())
     val served2 = KvStore.rowsServed - base2
     info(s"wave2: served=$served2 shuffle=$shuf2 (wave1 shuffle=$shuf1)")
     assert(served2 < 5000L,
@@ -500,6 +502,134 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("pos") <= col("hw")).count()
     assert(moved == 0L, "updated docs must re-append above the shard tail, never splice")
     Seq("kv_sh_src_sxp", "kv_sh_manifest_sxp", "kv_sh_counters_sxp")
+      .foreach(t => KvStore.drop(s"default:$t"))
+  }
+
+  test("sv22 capped catch-up: a backlog drains in admission-sized batches with collision-free positions") {
+    // THE multi-batch scenario a restarted maintainer faces at scale: a
+    // backlog accumulated over many stamp generations, drained under a
+    // maxRowsPerBatch budget — several micro-batches in ONE AvailableNow
+    // run. Each batch's counter read (as-of its own batchId-derived stamp)
+    // must see the PREVIOUS batch's advance; with the old fixed per-drain
+    // stamp every batch read pre-drain counters and positions collided.
+    val src = StreamBatch.sv22SrcCatalog.replace("\"kv_sh_src\"", "\"kv_sh_src_ccu\"")
+    val man = StreamBatch.sv22ManifestCatalog.replace("\"kv_sh_manifest\"", "\"kv_sh_manifest_ccu\"")
+    val ctr = StreamBatch.sv22CountersCatalog.replace("\"kv_sh_counters\"", "\"kv_sh_counters_ccu\"")
+    Seq("kv_sh_src_ccu", "kv_sh_manifest_ccu", "kv_sh_counters_ccu")
+      .foreach(t => KvStore.drop(s"default:$t"))
+    val shards = 16
+    val N = 50000L
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("skey"),
+        lit(0).as("shard"), col("id").as("pos"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> man, "newtable" -> "4", "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> N.toString))
+      .mode("append").save()
+    spark.range(0).select(col("id").cast("int").as("shard"), col("id").as("n"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> ctr, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0",
+        "maxSplitNum" -> (shards - 1).toString))
+      .mode("append").save()
+    // the backlog: 10 stamp generations of 5k docs each (admission cuts at
+    // stamp granularity, so the budget below yields ~5 batches)
+    (0 until 10).foreach { g =>
+      spark.range(g * 5000L, (g + 1) * 5000L)
+        .select(col("id").as("doc_id"), lit("t").as("text"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> src, "newtable" -> "4",
+          "timestamp" -> (1000 + g).toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> N.toString))
+        .mode(if (g == 0) "overwrite" else "append").save()
+    }
+    val ckpt = Files.createTempDirectory("graft-ccu22-ckpt").toString
+    val lastWrite = StreamBatch.maintainShardManifest(spark, src, man, ctr,
+      shards, N, ckpt, maxRowsPerBatch = Some(12000L))
+    // several batches ran: the last write stamp is (batchId+1)*10 + 1, so
+    // > 21 proves at least three micro-batches drained the backlog
+    assert(lastWrite > 21L,
+      s"expected a multi-batch drain, last write stamp $lastWrite says otherwise")
+    val out = spark.read.format("graft-kv").option("catalog", man).load()
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == N, s"manifest must hold every backlog doc, got ${out.length}")
+    // the collision check: NO deletes ran, so each shard's positions must
+    // be EXACTLY 1..count — any cross-batch counter miss leaves duplicates
+    // and holes here
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (1L to rows.length.toLong).toSeq,
+        s"shard $sh positions are not contiguous 1..${rows.length} — " +
+          "a batch read stale counters")
+    }
+    // counters converge to the per-shard high-water
+    val ctrs = spark.read.format("graft-kv").option("catalog", ctr).load()
+      .collect().map(r => r.getAs[Int]("shard") -> r.getAs[Long]("n")).toMap
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(ctrs(sh) == rows.length.toLong,
+        s"shard $sh counter ${ctrs(sh)} != ${rows.length}")
+    }
+    Seq("kv_sh_src_ccu", "kv_sh_manifest_ccu", "kv_sh_counters_ccu")
+      .foreach(t => KvStore.drop(s"default:$t"))
+  }
+
+  test("sv21 capped catch-up: a gram shared across batches ACCUMULATES through the chunked drain") {
+    // the sv21 multi-batch hazard: two docs in DIFFERENT micro-batches of
+    // one capped drain share a bigram. Batch b+1's count read (as-of its
+    // own batchId-derived stamp) must see batch b's write, so the shared
+    // gram accumulates 1-per-doc across the whole backlog. Under the old
+    // fixed per-drain stamp, every batch read the PRE-DRAIN count (zero)
+    // and overwrote its predecessor — the final count collapsed to the
+    // last batch's contribution alone.
+    val src = StreamBatch.sv21SrcCatalog.replace("\"kv_lm_src\"", "\"kv_lm_src_ccu\"")
+    val mir = StreamBatch.sv21MirrorCatalog.replace("\"kv_lm_mirror\"", "\"kv_lm_mirror_ccu\"")
+    val cnt = StreamBatch.sv21CountsCatalog.replace("\"kv_lm_counts\"", "\"kv_lm_counts_ccu\"")
+    Seq("kv_lm_src_ccu", "kv_lm_mirror_ccu", "kv_lm_counts_ccu")
+      .foreach(t => KvStore.drop(s"default:$t"))
+    val N = 50000L
+    // "zz qq" is shared by EVERY doc; the remaining tokens are seed-unique
+    // (so only the one shared gram crosses batch boundaries)
+    def textOf(seed: Column): Column = concat(lit("zz qq "), concat_ws(" ",
+      (1 to 4).map(k => concat(lit("w"), xxhash64(seed.cast("string"), lit(k)))): _*))
+    spark.range(0).select(col("id").as("doc_id"), lit("").as("text"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> mir, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0", "maxSplitNum" -> N.toString))
+      .mode("append").save()
+    spark.range(0).select(lit("").as("gram"), lit("").as("w1"),
+        lit("").as("w2"), lit(0L).as("cnt"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cnt, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
+    // the backlog: 10 stamp generations of 5k docs each
+    (0 until 10).foreach { g =>
+      spark.range(g * 5000L, (g + 1) * 5000L)
+        .select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> src, "newtable" -> "4",
+          "timestamp" -> (1000 + g).toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> N.toString))
+        .mode(if (g == 0) "overwrite" else "append").save()
+    }
+    val ckpt = Files.createTempDirectory("graft-ccu21-ckpt").toString
+    val lastWrite = StreamBatch.maintainBigramCounts(spark, src, mir, cnt,
+      N, ckpt, maxRowsPerBatch = Some(12000L))
+    assert(lastWrite > 21L,
+      s"expected a multi-batch drain, last write stamp $lastWrite says otherwise")
+    val shared = spark.read.format("graft-kv").option("catalog", cnt).load()
+      .filter(col("gram") === "zz qq").select(col("cnt"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(shared == Seq(N),
+      s"the shared gram must accumulate one count per doc across ALL batches " +
+        s"of the chunked drain, got $shared (a per-drain count collapses to " +
+        "the last batch's contribution)")
+    // every doc's 5 grams: "zz qq" + "qq w1" + 3 unique pairs — total rows
+    // = 1 shared + 4N doc-unique, all live
+    val total = spark.read.format("graft-kv").option("catalog", cnt).load()
+      .filter(col("cnt") > 0).count()
+    assert(total == 4L * N + 1, s"expected ${4L * N + 1} live grams, got $total")
+    Seq("kv_lm_src_ccu", "kv_lm_mirror_ccu", "kv_lm_counts_ccu")
       .foreach(t => KvStore.drop(s"default:$t"))
   }
 }

@@ -875,14 +875,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // wave 1: counts a_b:1, b_c:2, c_d:1, x_y:1
     putDocs(Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y")), ts = 1000)
     StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
-      maxId = 100L, ckpt, phaseStamp = 10)
+      maxId = 100L, ckpt)
     // wave 2: doc 1 updates (b_c -1, b_e +1), doc 2 dies (b_c -1, c_d -1),
     // doc 4 arrives (b_c +1, c_f +1) — net: b_c -1, c_d dies, b_e/c_f born
     putDocs(Seq((1L, "a b e"), (4L, "b c f")), ts = 2000)
     delDocs(Seq(2L), ts = 2001)
     val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
-        maxId = 100L, ckpt, phaseStamp = 20,
+        maxId = 100L, ckpt,
         crashPoint = () => throw new RuntimeException("injected crash"))
     }
     assert(crashed.getMessage.contains("injected crash") ||
@@ -905,7 +905,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // on the counts (identical cells at identical stamps), then finish
     // the mirror maintenance
     StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
-      maxId = 100L, ckpt, phaseStamp = 20)
+      maxId = 100L, ckpt)
     val got = counts()
     assert(got == Map("a b" -> 1L, "b e" -> 1L, "b c" -> 1L,
       "c f" -> 1L, "x y" -> 1L, "c d" -> 0L),
@@ -952,11 +952,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ckpt = Files.createTempDirectory("graft-lmreclaim-ckpt").toString
     putDocs(Seq((1L, "a b c")), ts = 1000)
     StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
-      maxId = 100L, ckpt, phaseStamp = 10)
+      maxId = 100L, ckpt)
     // update kills gram "b c" logically (cnt=0) and births "b d"
     putDocs(Seq((1L, "a b d")), ts = 2000)
     StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
-      maxId = 100L, ckpt, phaseStamp = 20)
+      maxId = 100L, ckpt)
     def counts(): Map[String, Long] = spark.read.format("graft-kv")
       .option("catalog", cntCat).load()
       .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
@@ -983,7 +983,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // resurrection after reclamation: the gram restarts from scratch
     putDocs(Seq((2L, "b c")), ts = 3000)
     StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
-      maxId = 100L, ckpt, phaseStamp = 30)
+      maxId = 100L, ckpt)
     assert(counts() == Map("a b" -> 1L, "b c" -> 1L, "b d" -> 1L),
       "a reclaimed gram must resurrect with coalesce(missing, 0) + 1")
     Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
@@ -1019,7 +1019,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ckpt = Files.createTempDirectory("graft-lmneg-ckpt").toString
     putDocs(Seq((1L, "a b c")), ts = 1000)
     StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
-      maxId = 100L, ckpt, phaseStamp = 10)
+      maxId = 100L, ckpt)
     // OUT-OF-BAND corruption: zero "a b" behind the protocol's back, so
     // the upcoming tombstone's decrement drives it to -1
     Seq(("a b", "a", "b", 0L)).toDF("gram", "w1", "w2", "cnt")
@@ -1032,7 +1032,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .mode("append").save()
     val e = intercept[Throwable] {
       StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
-        maxId = 100L, ckpt, phaseStamp = 20)
+        maxId = 100L, ckpt)
     }
     def messages(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
@@ -1076,14 +1076,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // wave 1
     putDocs(1L to 6L, ts = 1000)
     StreamBatch.maintainShardManifest(spark, srcCat, manCat, ctrCat,
-      shards = 4, maxId = 100L, ckpt, phaseStamp = 10)
+      shards = 4, maxId = 100L, ckpt)
     val after1 = manifest()
     assert(after1.keySet == (1L to 6L).toSet)
     // wave 2 crashes between the manifest append and the counter advance
     putDocs(7L to 9L, ts = 2000)
     val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       StreamBatch.maintainShardManifest(spark, srcCat, manCat, ctrCat,
-        shards = 4, maxId = 100L, ckpt, phaseStamp = 20,
+        shards = 4, maxId = 100L, ckpt,
         crashPoint = () => throw new RuntimeException("injected crash"))
     }
     assert(crashed.getMessage.contains("injected crash") ||
@@ -1094,7 +1094,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // resume: the replay must assign the SAME positions (as-of counter
     // read), not stack a second batch on top of the torn append
     StreamBatch.maintainShardManifest(spark, srcCat, manCat, ctrCat,
-      shards = 4, maxId = 100L, ckpt, phaseStamp = 20)
+      shards = 4, maxId = 100L, ckpt)
     val got = manifest()
     assert(got == torn, s"replay re-ranked the torn append: $got vs $torn")
     (1L to 6L).foreach(i => assert(got(i) == after1(i),
@@ -1103,7 +1103,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // counter advance did complete on resume
     putDocs(Seq(10L), ts = 3000)
     StreamBatch.maintainShardManifest(spark, srcCat, manCat, ctrCat,
-      shards = 4, maxId = 100L, ckpt, phaseStamp = 30)
+      shards = 4, maxId = 100L, ckpt)
     val fin = manifest()
     val (sh10, pos10) = fin(10L)
     fin.filter { case (id, (sh, _)) => id != 10L && sh == sh10 }.values
