@@ -532,9 +532,16 @@ object Dedup {
       sinceCkpt += 1
       if (sinceCkpt >= checkpointEvery) {
         // cadence round: pin this round's state, retire the previous pin
-        // (everything derived from it is folded into the fresh checkpoint)
-        val fresh = cp(updated)
-        changed = fresh.filter(col("next") < col("label")).count()
+        // (everything derived from it is folded into the fresh checkpoint).
+        // The convergence count rides the checkpoint's own materialization
+        // job as an observe() metric — a separate count() here was one
+        // extra driver-blocking job per cadence round, measurable across
+        // the five pipelines that call this in sequence (px14/21/54/58/67).
+        val obs = org.apache.spark.sql.Observation()
+        val fresh = cp(updated.observe(obs,
+          coalesce(sum(when(col("next") < col("label"), lit(1L))
+            .otherwise(lit(0L))), lit(0L)).as("changed")))
+        changed = obs.get("changed").asInstanceOf[Long]
         release(lastCkpt)
         lastCkpt = fresh
         labels = fresh.select(col("id"), col("next").as("label"))

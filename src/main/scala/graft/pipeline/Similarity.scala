@@ -163,10 +163,17 @@ object Similarity {
       }
       override def finish(b: (Array[Double], Long)): Array[Double] =
         b._1.map(_ / b._2) // every group has >= 1 member by construction
+      // SESSION-FREE encoders (ExpressionEncoder from TypeTags), NOT the
+      // sp.implicits ones: resolving implicits here makes this anonymous
+      // class capture the enclosing SparkSession, and the Aggregator ships
+      // to tasks — serialization then fails the moment anything has
+      // initialized the session's lazy (non-serializable)
+      // ObservationManager, i.e. the first observe() anywhere breaks every
+      // later ivfCentroids call.
       override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
-        implicitly[org.apache.spark.sql.Encoder[(Array[Double], Long)]]
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
       override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
-        implicitly[org.apache.spark.sql.Encoder[Array[Double]]]
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
     // each Lloyd round: one corpus pass, shuffle ≤ nlist×(dim+1) doubles
     // per partition; empty cells keep their previous centroid
