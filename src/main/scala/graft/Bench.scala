@@ -123,7 +123,7 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"loadHigh":$loadHigh,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     // Persist the FULL record to a file (BENCH_LOCAL_r{N}.json; bump the
     // default per round or override via SPARK_GRAFT_BENCH_OUT): the full
-    // per-query/per-rep map for 149 queries is ~15 KB and the harness that
+    // per-query/per-rep map for 150+ queries is ~15 KB and the harness that
     // collects stdout keeps only the last 2000 characters.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r12.json")
     // track write success: the compact stdout line must not point readers

@@ -166,6 +166,20 @@ object Dedup {
     * direct path is allowed to enumerate. */
   val DefaultCollapseThreshold: Int = 1024
 
+  /** An observe() metric with a BOUNDED wait and a loud-job fallback.
+    * Observation values arrive over the async listener bus, whose events
+    * Spark drops (logged, non-fatal) under saturation — a bare `obs.get`
+    * after the action would then block forever. The caller must have
+    * already run the observed action; 10 s is orders beyond listener-bus
+    * latency, so the fallback only fires on a genuinely dropped event. */
+  private[graft] def observedLongOr(obs: org.apache.spark.sql.Observation,
+      key: String)(fallback: => Long): Long =
+    try {
+      import scala.concurrent.duration._
+      val row = scala.concurrent.Await.result(obs.future, 10.seconds)
+      row.getAs[Long](row.fieldIndex(key))
+    } catch { case _: java.util.concurrent.TimeoutException => fallback }
+
   private[pipeline] def exactGroupReps(rows: DataFrame, contentKey: Column,
       collapseThreshold: Int = DefaultCollapseThreshold): (DataFrame, Option[DataFrame]) = {
     val keyed = rows.withColumn("__ck", contentKey)
@@ -537,11 +551,17 @@ object Dedup {
         // job as an observe() metric — a separate count() here was one
         // extra driver-blocking job per cadence round, measurable across
         // the five pipelines that call this in sequence (px14/21/54/58/67).
+        // The wait is BOUNDED: observation values arrive via the async
+        // listener bus, whose events Spark drops (non-fatally) under
+        // saturation — a bare obs.get would then hang this loop forever,
+        // so a dropped event falls back to the explicit count instead.
         val obs = org.apache.spark.sql.Observation()
         val fresh = cp(updated.observe(obs,
           coalesce(sum(when(col("next") < col("label"), lit(1L))
             .otherwise(lit(0L))), lit(0L)).as("changed")))
-        changed = obs.get("changed").asInstanceOf[Long]
+        changed = observedLongOr(obs, "changed") {
+          fresh.filter(col("next") < col("label")).count()
+        }
         release(lastCkpt)
         lastCkpt = fresh
         labels = fresh.select(col("id"), col("next").as("label"))

@@ -1836,8 +1836,11 @@ object StreamBatch {
     * window — for the replay spec. A NEGATIVE merged count can only mean
     * the decrement stream diverged from what was ever added (a protocol
     * bug, or state edited behind the maintainer's back) — fail loudly,
-    * never persist it (the guard rides inside the write's cnt
-    * expression — no extra job).
+    * never COMMIT it: the guard rides inside the write's cnt expression
+    * (no extra job), so the refused batch is a permanently torn batch —
+    * partial sibling-task puts may land, the checkpoint never commits,
+    * and once the corruption is repaired a re-drain replays against the
+    * same as-of state and overwrites them (the recovery spec pins this).
     *
     * Returns the highest stamp written (the compaction fence input), or
     * Long.MinValue when the drain admitted nothing. */
@@ -1873,16 +1876,20 @@ object StreamBatch {
           val current = stringKeyLookup(s, countsCatalog,
             delta.select(col("gram")), "gram", extraOpts = asOf)
             .select(col("gram"), col("cnt").as("old_cnt"))
-          // merged feeds BOTH count writes — pinned so the gram sliver
-          // read and the signed aggregation run once per batch. The
-          // negative-count guard rides INSIDE the cnt expression (a
+          // The negative-count guard rides INSIDE the cnt expression (a
           // conditional raise_error evaluated by the write tasks) instead
-          // of a separate driver-blocking filter+isEmpty job per batch:
-          // a count going negative means the decrement stream no longer
+          // of a separate driver-blocking filter+isEmpty job per batch: a
+          // count going negative means the decrement stream no longer
           // matches what was added (protocol bug or out-of-band state
-          // edit) and the write job fails loudly BEFORE any row of the
-          // corrupted batch commits — same refusal, one fewer Spark job
-          // per drain batch.
+          // edit). The failing write makes the refused batch a
+          // PERMANENTLY TORN batch — sibling tasks' puts may have landed
+          // (the kv writer appends eagerly, there is no staging), but the
+          // checkpoint never commits, so once the out-of-band corruption
+          // is repaired a re-drain replays the batch against the same
+          // as-of state and overwrites the partial cells at the same
+          // stamps — the exact discipline every torn window here already
+          // rests on (the recovery spec pins it end to end). merged is
+          // NOT persisted: the counts write is its only consumer.
           val rawCnt = coalesce(col("old_cnt"), lit(0L)) + col("d")
           val merged = delta
             .join(current, Seq("gram"), "left")
@@ -1891,7 +1898,6 @@ object StreamBatch {
                 lit("maintainBigramCounts: merged count went NEGATIVE for gram '"),
                 col("gram"), lit("' — refusing to persist corrupted counts"))))
                 .otherwise(rawCnt).as("cnt"))
-            .persist()
           // zero-crossers write a LOGICAL zero (a regular versioned cell),
           // never the physical delete-mode writer: a physical delete is
           // unrecoverable under the as-of replay read, while a cnt=0 cell
@@ -1920,7 +1926,7 @@ object StreamBatch {
               "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
             .mode("append").save()
           highWrite.accumulateAndGet(stamp + 1, math.max)
-          Seq(merged, delta).foreach(_.unpersist())
+          delta.unpersist(); ()
         }
         changed.unpersist()
         ()
@@ -1950,46 +1956,61 @@ object StreamBatch {
     * starts from scratch with a put above `horizon`.
     *
     * Cost shape: ONE full scan of the state table (value predicates don't
-    * prune key ranges) + a dead-set-sized delete write. That is inherent
-    * to compaction — it runs on a schedule and amortizes over thousands
-    * of wave-proportional batches, never inside one.
+    * prune key ranges) + a dead-set-sized delete write; the fence's
+    * high-water consult rides the same scan as an observe() metric, so
+    * enforcement costs no second pass. That is inherent to compaction —
+    * it runs on a schedule and amortizes over thousands of
+    * wave-proportional batches, never inside one.
     *
-    * The fence is ENFORCED, not caller-trusted: the pass reads the state
-    * table's committed high-water (its max `_cell_ts` — every committed
-    * batch's writes land at `phaseStamp + 1`, so the high-water bounds
-    * every stamp a fully-committed phase wrote) and refuses a horizon
-    * above `high-water + 1`. A horizon past that provably exceeds every
-    * write the table has seen and could reclaim rows a not-yet-run phase
-    * still needs under its as-of read — the exact silent corruption the
-    * fence exists to stop. The residual caller obligation (don't reclaim
+    * The fence is ENFORCED, not caller-trusted: the pass refuses a
+    * horizon above the committed watermark's best available evidence —
+    * the table's own max `_cell_ts` (every committed batch's writes land
+    * at `stamp + 1`, so the high-water bounds every stamp a committed
+    * phase wrote to THIS table) raised by `committedStamp` when the
+    * caller tracks the drain schedule (a committed batch may legitimately
+    * write NOTHING to this table — empty delta, delete-only wave — and
+    * the table high-water alone would then falsely refuse the
+    * drain-derived fence). A horizon past both exceeds every write any
+    * committed phase made and could reclaim rows an un-run phase still
+    * needs under its as-of read — the silent corruption the fence exists
+    * to stop. The refusal fires BEFORE the delete write, so a refused
+    * pass deletes nothing. The residual caller obligation (don't reclaim
     * between a TORN batch's partial write and its replay with a horizon
     * inside that batch's stamp window) is unreachable through the
     * maintenance entries, which only compact between successfully
     * completed drains. */
   private[graft] def reclaimLogicalDead(s: SparkSession, catalog: String,
       keyCol: String, isDead: org.apache.spark.sql.Column,
-      horizon: Long): Long = {
+      horizon: Long, committedStamp: Option[Long] = None): Long = {
     val state = s.read.format("graft-kv").option("catalog", catalog).load()
-    val highWater = Option(state.agg(max(col("_cell_ts"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-    require(highWater == Long.MinValue || horizon <= highWater + 1,
-      s"reclaimLogicalDead($catalog): horizon $horizon exceeds the state " +
-        s"table's committed high-water $highWater + 1 — a horizon above " +
-        "every committed write can reclaim rows an un-run phase still " +
-        "needs under its as-of read; pass a fence at or below the last " +
-        "successfully drained phase stamp + 1")
+    val obs = org.apache.spark.sql.Observation()
     val dead = state
+      .observe(obs,
+        coalesce(max(col("_cell_ts")), lit(Long.MinValue)).as("hw"))
       .filter(isDead && col("_cell_ts") < horizon)
       .select(col(keyCol))
       .persist()
-    val n = dead.count()
-    if (n > 0)
-      dead.write.format("graft-kv")
-        .options(Map("catalog" -> catalog, "delete" -> "true",
-          "timestamp" -> horizon.toString))
-        .mode("append").save()
-    dead.unpersist()
-    n
+    try {
+      val n = dead.count() // the one scan: the high-water metric rides it
+      val highWater = graft.pipeline.Dedup.observedLongOr(obs, "hw") {
+        Option(state.agg(max(col("_cell_ts"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+      }
+      val fence = math.max(highWater, committedStamp.getOrElse(Long.MinValue))
+      require(fence == Long.MinValue || horizon <= fence + 1,
+        s"reclaimLogicalDead($catalog): horizon $horizon exceeds the " +
+          s"committed watermark's evidence (table high-water $highWater, " +
+          s"caller-committed ${committedStamp.getOrElse("none")}) + 1 — a " +
+          "horizon above every committed write can reclaim rows an un-run " +
+          "phase still needs under its as-of read; pass a fence at or " +
+          "below the last successfully drained write stamp")
+      if (n > 0)
+        dead.write.format("graft-kv")
+          .options(Map("catalog" -> catalog, "delete" -> "true",
+            "timestamp" -> horizon.toString))
+          .mode("append").save()
+      n
+    } finally dead.unpersist()
   }
 
   /** sv21: INCREMENTAL BIGRAM-LM MAINTENANCE over CDC — the streaming twin
@@ -2069,9 +2090,10 @@ object StreamBatch {
     // returned write stamp — 31 here) and re-checked against the state
     // table's high-water inside reclaimLogicalDead — never a literal.
     reclaimLogicalDead(s, sv21CountsCatalog, "gram", col("cnt") === 0L,
-      horizon = committedWrite)
+      horizon = committedWrite, committedStamp = Some(committedWrite))
     reclaimLogicalDead(s, sv21MirrorCatalog, "doc_id",
-      length(col("text")) === 0, horizon = committedWrite)
+      length(col("text")) === 0, horizon = committedWrite,
+      committedStamp = Some(committedWrite))
     // phase 4: resurrection + the last generation — final corpus = original
     writeSrc(base.filter(col("doc_id") % 3 === 2 ||
       (col("doc_id") >= 100 && col("doc_id") <= 300)), ts = 4000, overwrite = false)

@@ -986,6 +986,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxId = 100L, ckpt)
     assert(counts() == Map("a b" -> 1L, "b c" -> 1L, "b d" -> 1L),
       "a reclaimed gram must resurrect with coalesce(missing, 0) + 1")
+    // caller-committed evidence raises the fence past the table's own
+    // high-water: a committed batch may write NOTHING to this table
+    // (empty delta / delete-only wave), and without the evidence the
+    // drain-derived fence would be falsely refused
+    val above = StreamBatch.reclaimLogicalDead(spark, cntCat,
+      "gram", col("cnt") === 0L, horizon = 35, committedStamp = Some(34))
+    assert(above == 0L, "no logical zeros exist after resurrection")
+    // but the evidence does not unbound the fence — still refused past it
+    val stillHigh = intercept[IllegalArgumentException] {
+      StreamBatch.reclaimLogicalDead(spark, cntCat,
+        "gram", col("cnt") === 0L, horizon = 99, committedStamp = Some(34))
+    }
+    assert(stillHigh.getMessage.contains("watermark"),
+      s"refusal must name the fence: ${stillHigh.getMessage}")
     Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
       s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
   }
@@ -1039,6 +1053,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(messages(e).exists(_.contains("NEGATIVE")),
       s"expected the loud negative-count refusal, got: ${messages(e).mkString(" | ")}")
+    // RECOVERY: the refused batch is a permanently torn batch — the
+    // checkpoint never committed, sibling-task puts may have landed.
+    // Repair the out-of-band corruption (restore the true pre-batch
+    // value below the batch's as-of window) and re-drain: the replay
+    // recomputes against the same as-of state and overwrites whatever
+    // partial cells the refused attempt left, converging exactly.
+    Seq(("a b", "a", "b", 1L)).toDF("gram", "w1", "w2", "cnt")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cntCat, "maxVersions" -> "2",
+        "timestamp" -> "16"))
+      .mode("append").save()
+    StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+      maxId = 100L, ckpt)
+    val finalCounts = spark.read.format("graft-kv").option("catalog", cntCat)
+      .load().collect()
+      .map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
+    assert(finalCounts == Map("a b" -> 0L, "b c" -> 0L),
+      s"repair + re-drain must converge to the tombstoned state, got $finalCounts")
     Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
       s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
   }
