@@ -1245,9 +1245,21 @@ object StreamBatch {
     * entries one stamp later (the deletes-at-T / puts-at-T+1 convention:
     * an updated vector whose old and new cell COINCIDE would otherwise
     * put at the same (key, stamp) its retirement just tombstoned). */
+  /** REPLAY SAFETY (why this protocol needs no as-of reads, unlike
+    * sv21/sv22): the retirement runs FIRST, against the pre-batch mirror,
+    * and both mirror mutations come after it. Whatever the torn point, a
+    * replay converges: torn before/inside the retire — the mirror is
+    * still pristine, the replay recomputes the identical retire
+    * (idempotent deletes); torn after the mirror writes — the FIRST
+    * attempt's retire already removed the old index entries, so the
+    * replay's retire (now reading post-batch vectors) probes cells whose
+    * entries either were already retired or were never inserted — no-ops
+    * both — and the re-writes land identically. The crash spec pins the
+    * worst window (mirror overwritten, index insert missing). */
   private[graft] def maintainAnnIndex(s: SparkSession, srcCatalog: String,
       fwdCatalog: String, idxCatalog: String, cents: Array[Array[Double]],
-      maxId: Long, ckpt: String, phaseStamp: Long): Unit = {
+      maxId: Long, ckpt: String, phaseStamp: Long,
+      crashPoint: () => Unit = () => ()): Unit = {
     import graft.store.KvStore
     val fwdName = graft.catalog.GraftCatalog.parse(fwdCatalog, Map.empty).qualifiedName
     def cellOf(vec: org.apache.spark.sql.Column) =
@@ -1290,6 +1302,7 @@ object StreamBatch {
               "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
               "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
             .mode("append").save()
+          crashPoint() // worst torn window: mirror overwritten, index insert missing
           // the new inverted-file entries: presplit across CELL space, so
           // cells (and their probe slivers) spread over regions
           ups.select(cellOf(col("embedding")).as("cell"), col("vec_id"),

@@ -1540,6 +1540,87 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mirror == live.map { case (id, v) => (id, v.toVector) }.toSet)
   }
 
+  test("sv18: a batch torn between the mirror overwrite and the index insert replays to convergence") {
+    // the worst torn window for the retire-BEFORE-mutate discipline: the
+    // old index entries are retired and the mirror already holds the new
+    // vectors, but the new index entries never landed. The replay's
+    // retire probes cells computed from POST-batch vectors — which must
+    // all be no-ops — and the re-writes must converge to the batch
+    // rebuild (this is the protocol's claim that it needs no as-of reads).
+    import graft.queries.StreamBatch
+    val suf = "torn18"
+    val srcCat = StreamBatch.sv18SrcCatalog.replace("\"kv_ann_src\"", s""""kv_ann_src_$suf"""")
+    val fwdCat = StreamBatch.sv18FwdCatalog.replace("\"kv_ann_fwd\"", s""""kv_ann_fwd_$suf"""")
+    val idxCat = StreamBatch.sv18IdxCatalog.replace("\"kv_ann_idx\"", s""""kv_ann_idx_$suf"""")
+    val avro = StreamBatch.sv18AvroVec
+    Seq(s"default:kv_ann_src_$suf", s"default:kv_ann_fwd_$suf",
+      s"default:kv_ann_idx_$suf").foreach(graft.store.KvStore.drop)
+    val rnd = new scala.util.Random(20260816L)
+    val dim = 4
+    val cents: Array[Array[Double]] =
+      Array.fill(4)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    def vecFor(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    import spark.implicits._
+    def put(rows: Seq[(Long, Array[Float])], ts: Long): Unit =
+      rows.toDF("vec_id", "embedding").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "annVec" -> avro, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "50"))
+        .mode("append").save()
+    def del(ids: Seq[Long], ts: Long): Unit =
+      ids.toDF("vec_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "annVec" -> avro,
+          "delete" -> "true", "timestamp" -> ts.toString))
+        .mode("append").save()
+    def idxSet(): Set[(Int, Long, Vector[Float])] = spark.read.format("graft-kv")
+      .options(Map("catalog" -> idxCat, "annVec" -> avro)).load().collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("v").toVector)).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-torn18-ckpt").toString
+    val v = (1L to 6L).map(i => i -> vecFor()).toMap
+    val v1b = vecFor()
+    // phase 1: vecs 1..5
+    put((1L to 5L).map(i => (i, v(i))), ts = 1000)
+    StreamBatch.maintainAnnIndex(spark, srcCat, fwdCat, idxCat, cents,
+      maxId = 50L, ckpt, phaseStamp = 10)
+    // phase 2 (torn): update 1, delete 2, insert 6 — crash at the window
+    put(Seq((1L, v1b), (6L, v(6L))), ts = 2000)
+    del(Seq(2L), ts = 2001)
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamBatch.maintainAnnIndex(spark, srcCat, fwdCat, idxCat, cents,
+        maxId = 50L, ckpt, phaseStamp = 20,
+        crashPoint = () => throw new RuntimeException("injected crash"))
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      Option(crashed.getCause).exists(_.getMessage.contains("injected crash")))
+    // TORN state: old entries for 1/2 retired, new entries for 1/6 missing,
+    // and the mirror already overwritten — the replay must not trust it
+    // for retirement correctness
+    val torn = idxSet()
+    assert(!torn.exists(_._2 == 2L), "vec 2's old entry must be retired")
+    assert(!torn.exists(e => e._2 == 1L && e._3 == v1b.toVector),
+      "vec 1's NEW entry must be missing in the torn window")
+    val tornMirror = spark.read.format("graft-kv")
+      .options(Map("catalog" -> fwdCat, "annVec" -> avro)).load()
+      .filter(col("vec_id") === 1L).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toVector)
+    assert(tornMirror.toSeq == Seq(v1b.toVector),
+      "the mirror must already hold vec 1's new vector (the worst window)")
+    // replay: re-drain without the crash — must converge to the rebuild
+    StreamBatch.maintainAnnIndex(spark, srcCat, fwdCat, idxCat, cents,
+      maxId = 50L, ckpt, phaseStamp = 20)
+    val expected = Seq((1L, v1b), (3L, v(3L)), (4L, v(4L)), (5L, v(5L)), (6L, v(6L)))
+      .toDF("vec_id", "embedding")
+      .select(element_at(graft.functions.VectorExprs
+          .nearestCentroids(col("embedding"), cents, 1), 1).as("cell"),
+        col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector)).toSet
+    assert(idxSet() == expected,
+      "the replayed batch must converge the inverted file to the batch rebuild")
+    Seq(s"default:kv_ann_src_$suf", s"default:kv_ann_fwd_$suf",
+      s"default:kv_ann_idx_$suf").foreach(graft.store.KvStore.drop)
+  }
+
   test("ANN maintenance survives a store crash-restart via WAL replay mid-sequence") {
     // INTEGRATION of the two recovery layers under the maintenance
     // protocol: the streaming checkpoint (file-backed) and the store's WAL
