@@ -2364,6 +2364,57 @@ object Pipeline {
       |  CAST(sum(sz) AS BIGINT) AS n_docs
       |FROM sz GROUP BY 1, 2 ORDER BY bucket""".stripMargin
 
+  /** px68: PER-SOURCE DEDUP RATES — the dataset-card metric corpus
+    * releases report per domain: of each source's documents, how many sit
+    * in a near-dup cluster and how many a cluster-canonical dedup pass
+    * would DROP (cluster member whose keeper is another doc). Composes
+    * [[graft.pipeline.Dedup.minhashKeepers]] (px14's clustering, the
+    * audited scale path) with one doc_id equi-join against the corpus's
+    * (doc_id, source) projection and a low-cardinality groupBy — the join
+    * is corpus × cluster-members on the corpus's own key, a standard
+    * shuffle join at any scale (cluster membership is not broadcastable
+    * by construction), and the rate is exact integer micro-units. */
+  def px68SourceDedupRates(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keepers = graft.pipeline.Dedup.minhashKeepers(docs, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("keep_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(keepers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_id").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_clustered"),
+        sum(when(col("keep_id").isNotNull && col("keep_id") =!= col("doc_id"),
+          lit(1L)).otherwise(lit(0L))).as("n_dropped"))
+      .withColumn("dup_rate_micro", expr("n_dropped * 1000000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val px68Sql: String =
+    s"""WITH RECURSIVE ${shingleCtesSql("documents")},
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+      |),
+      |k AS (SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src)
+      |SELECT d.source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clustered,
+      |  CAST(sum(CASE WHEN k.keep_id IS NOT NULL AND k.keep_id <> d.doc_id
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(CAST(sum(CASE WHEN k.keep_id IS NOT NULL AND k.keep_id <> d.doc_id
+      |                     THEN 1 ELSE 0 END) AS HUGEINT)
+      |       * 1000000 // count(*) AS BIGINT) AS dup_rate_micro
+      |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -2432,6 +2483,7 @@ object Pipeline {
     "px65_token_drift"        -> (px65TokenDrift _),
     "px66_ann_recall"         -> (px66AnnRecall _),
     "px67_dup_size_histogram" -> (px67DupSizeHistogram _),
+    "px68_source_dedup_rates" -> (px68SourceDedupRates _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2495,6 +2547,7 @@ object Pipeline {
     "px64_mixture_plan"       -> px64Sql,
     "px65_token_drift"        -> px65Sql,
     "px67_dup_size_histogram" -> px67Sql,
+    "px68_source_dedup_rates" -> px68Sql,
     // px13/px61/px66: IVF/PQ quantizers — oracles are DYNAMIC (trained
     // centroids and codebooks embedded as SQL literals), emitted via
     // SparkEntry.dynamicOracleSql at Verify time

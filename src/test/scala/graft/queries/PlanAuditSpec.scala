@@ -883,6 +883,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("px68 source dedup rates: low-card partial agg over one doc_id join, no cartesian") {
+    val plan = executedPlan(graft.queries.Pipeline.px68SourceDedupRates(spark, dir))
+    assert(plan.contains("partial"),
+      s"per-source aggregation must map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("WAL rotation metrics surface on the batch-write node (SQL UI path)") {
     // a batch write that crosses the auto-checkpoint gate must report the
     // rotations it triggered as DRIVER metrics on its own write node —
