@@ -708,14 +708,7 @@ object Dedup {
     * xxhash64(gram); exact strings here keep the oracle bit-replayable. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      TextOps.tokens(col(textCol)).as("toks"))
-    val occ = toks.filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("toks"), i, lit(n))).as("gram")))).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val occ = gramOccurrences(docs, idCol, textCol, n)
     val dupGrams = occ.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("gram"))
@@ -913,5 +906,125 @@ object Dedup {
             bit_count(col("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
         expandGroupPairs(repPairs.union(selfPairs), members)
     }
+  }
+
+  /** Positioned word-`n`-gram occurrences: one row per gram START position
+    * (1-based, token index) — `(doc_id, pos, gram)`. Null text reads as
+    * empty; docs shorter than `n` tokens emit nothing. Shared by the span
+    * detector ([[dupSpans]]), the span REMOVER ([[exactSubstrDedup]]) and
+    * the corpus-order novelty metric ([[noveltyRate]]). */
+  private def gramOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => struct(i.cast("long").as("pos"),
+            concat_ws(" ", slice(col("toks"), i, lit(n))).as("gram")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+
+  /** Exact-substring deduplication with REMOVAL (the ExactSubstr pass of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", at word-token grain): every corpus-wide duplicated token
+    * `n`-gram occurrence EXCEPT the canonical first one (min `(doc_id,
+    * pos)`) is cut out of its document, overlapping cuts merged into
+    * spans, and the surviving tokens re-joined into `clean_text`. Unlike
+    * [[dupSpans]] (the detector this completes, which only *reports*
+    * cross-document spans at distinct-doc df ≥ 2), the remover counts
+    * WITHIN-document repeats too — a gram occurring twice in one doc is
+    * duplicated text — and emits the cleaned corpus, not a report.
+    *
+    * Output per input document: `(doc_id, n_tokens, removed_tokens,
+    * kept_tokens, clean_text)`.
+    *
+    * Scale shape, in corpus-sized pieces only:
+    *  1. positioned-gram explode (map-side, no shuffle);
+    *  2. ONE gram-keyed aggregation — `count ≥ 2` plus the canonical
+    *     occurrence as `min(doc_id·10⁹ + pos)` (partial aggs apply; the
+    *     encoded min keeps the agg a plain `long` min instead of a struct
+    *     ordering);
+    *  3. the occurrence→stats join back on the SAME gram key (AQE reuses
+    *     the co-partitioning; only grams that survived `cnt ≥ 2` flow);
+    *  4. everything after is doc-keyed: the island merge window and the
+    *     spans⋈tokens rebuild partition on `doc_id`, so per-task state is
+    *     bounded by DOCUMENT length, never corpus size.
+    * No broadcast of anything corpus-sized, no collect, no cross join;
+    * the only data that grows super-linearly with dup rate is the dup
+    * positions sliver itself. */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val occ = gramOccurrences(docs, idCol, textCol, n)
+    val key = col("doc_id") * lit(1000000000L) + col("pos")
+    val stats = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"), min(key).as("canon"))
+      .filter(col("cnt") >= 2)
+      .select(col("gram"), col("canon"))
+    val dupPos = occ.join(stats, Seq("gram"))
+      .filter(key =!= col("canon"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("prev_end", max(col("pos") + (n - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:long,e:long>>")))
+      .withColumn("kept_idx",
+        filter(sequence(lit(1L), size(col("toks")).cast("long")),
+          i => !exists(col("spans"),
+            sp => i >= sp.getField("s") && i <= sp.getField("e"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept_idx"))).cast("long")
+          .as("removed_tokens"),
+        size(col("kept_idx")).cast("long").as("kept_tokens"),
+        array_join(transform(col("kept_idx"),
+          i => element_at(col("toks"), i.cast("int"))), " ").as("clean_text"))
+  }
+
+  /** Corpus-order novelty rate — for each document, the fraction of its
+    * DISTINCT word `n`-grams never seen in any EARLIER document (by
+    * `doc_id` order, the ingestion order in this corpus). The running
+    * novelty curve is the standard crawl-saturation diagnostic: when
+    * marginal novelty collapses, more of the same crawl stops buying
+    * training signal. Order-aware, unlike [[dupNgramFraction]]'s
+    * symmetric df ≥ 2 boilerplate fraction.
+    *
+    * Output: `(doc_id, n_grams, novel_grams, novelty_micro)` — micro-unit
+    * integer rate (null for docs too short to have a gram).
+    *
+    * Shape: per-doc distinct (map-side `array_distinct`, no shuffle) →
+    * ONE gram-keyed `min(doc_id)` aggregation → join back on the same
+    * gram key → one doc-keyed count. First-occurrence attribution via
+    * `min` is exactly parallel: no sort, no sequential scan over the
+    * corpus order. */
+  def noveltyRate(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val pd = gramOccurrences(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("gram")).distinct()
+    val first = pd.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = pd.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L)).otherwise(lit(0L)))
+          .as("novel_grams"))
+    ids.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_micro",
+        expr("novel_grams * 1000000 div n_grams"))
   }
 }

@@ -2415,6 +2415,91 @@ object Pipeline {
       |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** px69: EXACT-SUBSTRING DEDUP REMOVAL ([[graft.pipeline.Dedup.exactSubstrDedup]])
+    * — the ExactSubstr pass of Lee et al. 2022 at word grain: every
+    * corpus-wide duplicated 5-gram occurrence except the canonical first
+    * one is cut, overlapping cuts merge, and the cleaned corpus text is
+    * emitted. Completes px55 (which only *detects* cross-doc spans). */
+  def px69ExactSubstrDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Dedup.exactSubstrDedup(
+        Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val px69Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+      |           FROM documents),
+      |o AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      |          i -> {'pos': i,
+      |                'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                        || ' ' || toks[i+3] || ' ' || toks[i+4]})) AS pg
+      |      FROM t WHERE len(toks) >= 5),
+      |occ AS (SELECT doc_id, CAST(pg.pos AS BIGINT) AS pos, pg.gram AS gram
+      |        FROM o),
+      |g AS (SELECT gram, min(doc_id * 1000000000 + pos) AS canon
+      |      FROM occ GROUP BY gram HAVING count(*) >= 2),
+      |dp AS (SELECT occ.doc_id, occ.pos FROM occ JOIN g USING (gram)
+      |       WHERE occ.doc_id * 1000000000 + occ.pos <> g.canon),
+      |m AS (SELECT doc_id, pos,
+      |        max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM dp),
+      |b AS (SELECT doc_id, pos,
+      |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM m),
+      |i AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |      FROM b),
+      |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+      |       FROM i GROUP BY doc_id, island),
+      |spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
+      |        FROM sp GROUP BY doc_id),
+      |k AS (SELECT t.doc_id, t.toks,
+      |        list_filter(range(1, len(t.toks) + 1),
+      |          ki -> len(list_filter(coalesce(spl.spans, []),
+      |                  sp2 -> ki >= sp2.s AND ki <= sp2.e)) = 0) AS kept
+      |      FROM t LEFT JOIN spl USING (doc_id))
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(toks) - len(kept) AS BIGINT) AS removed_tokens,
+      |  CAST(len(kept) AS BIGINT) AS kept_tokens,
+      |  coalesce(array_to_string(list_transform(kept, ki -> toks[ki]), ' '), '')
+      |    AS clean_text
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  /** px70: corpus-order novelty rate ([[graft.pipeline.Dedup.noveltyRate]])
+    * — per document, the fraction of its distinct 5-grams unseen in any
+    * earlier document; the crawl-saturation diagnostic. */
+  def px70NoveltyRate(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Dedup.noveltyRate(
+        Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val px70Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+      |           FROM documents),
+      |o AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |               || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+      |      FROM t WHERE len(toks) >= 5),
+      |pd AS (SELECT DISTINCT doc_id, gram FROM o),
+      |f AS (SELECT gram, min(doc_id) AS first_doc FROM pd GROUP BY gram),
+      |a AS (SELECT pd.doc_id, count(*) AS n_grams,
+      |        sum(CASE WHEN f.first_doc = pd.doc_id THEN 1 ELSE 0 END)
+      |          AS novel_grams
+      |      FROM pd JOIN f USING (gram) GROUP BY pd.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(a.novel_grams, 0) AS BIGINT) AS novel_grams,
+      |  CASE WHEN coalesce(a.n_grams, 0) = 0 THEN NULL
+      |       ELSE CAST(coalesce(a.novel_grams, 0) * 1000000 // a.n_grams
+      |                 AS BIGINT) END AS novelty_micro
+      |FROM documents d LEFT JOIN a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -2484,6 +2569,8 @@ object Pipeline {
     "px66_ann_recall"         -> (px66AnnRecall _),
     "px67_dup_size_histogram" -> (px67DupSizeHistogram _),
     "px68_source_dedup_rates" -> (px68SourceDedupRates _),
+    "px69_exact_substr_dedup" -> (px69ExactSubstrDedup _),
+    "px70_novelty_rate"       -> (px70NoveltyRate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2548,6 +2635,8 @@ object Pipeline {
     "px65_token_drift"        -> px65Sql,
     "px67_dup_size_histogram" -> px67Sql,
     "px68_source_dedup_rates" -> px68Sql,
+    "px69_exact_substr_dedup" -> px69Sql,
+    "px70_novelty_rate"       -> px70Sql,
     // px13/px61/px66: IVF/PQ quantizers — oracles are DYNAMIC (trained
     // centroids and codebooks embedded as SQL literals), emitted via
     // SparkEntry.dynamicOracleSql at Verify time

@@ -1994,14 +1994,17 @@ object StreamBatch {
     * completed drains. */
   private[graft] def reclaimLogicalDead(s: SparkSession, catalog: String,
       keyCol: String, isDead: org.apache.spark.sql.Column,
-      horizon: Long, committedStamp: Option[Long] = None): Long = {
+      horizon: Long, committedStamp: Option[Long] = None,
+      extraKeyCols: Seq[String] = Nil): Long = {
     val state = s.read.format("graft-kv").option("catalog", catalog).load()
     val obs = org.apache.spark.sql.Observation()
     val dead = state
       .observe(obs,
         coalesce(max(col("_cell_ts")), lit(Long.MinValue)).as("hw"))
       .filter(isDead && col("_cell_ts") < horizon)
-      .select(col(keyCol))
+      // composite-keyed tables (extraKeyCols) must carry EVERY key part —
+      // the delete-mode writer re-derives the rowkey from them
+      .select((keyCol +: extraKeyCols).map(col): _*)
       .persist()
     try {
       val n = dead.count() // the one scan: the high-water metric rides it
@@ -2383,6 +2386,354 @@ object StreamBatch {
       }
     }
 
+  private[graft] val sv23OrdSrcCatalog =
+    """{"table":{"namespace":"default", "name":"kv_jv_ord_src"},
+      |"rowkey":"key",
+      |"columns":{
+      |"o_orderkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"o_custkey":{"cf":"f", "col":"c", "type":"bigint"},
+      |"price_c":{"cf":"f", "col":"p", "type":"bigint"}}}""".stripMargin
+  private[graft] val sv23CustSrcCatalog =
+    """{"table":{"namespace":"default", "name":"kv_jv_cust_src"},
+      |"rowkey":"key",
+      |"columns":{
+      |"c_custkey":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"seg":{"cf":"f", "col":"s", "type":"string"}}}""".stripMargin
+  /** Orders forward mirror: orderkey → custkey, the "which view row does
+    * this order live under" lookup a tombstone (no payload) and a
+    * custkey MOVE (old key unknowable from the new row) both need.
+    * Logical death = custkey −1 (real custkeys are ≥ 0). */
+  private[graft] val sv23OrdMirrorCatalog = sv23OrdSrcCatalog
+    .replace("\"kv_jv_ord_src\"", "\"kv_jv_ord_mirror\"")
+  /** Customer forward mirror: custkey → segment, the enrich lookup for
+    * arriving orders. Logical death = empty segment. */
+  private[graft] val sv23CustMirrorCatalog = sv23CustSrcCatalog
+    .replace("\"kv_jv_cust_src\"", "\"kv_jv_cust_mirror\"")
+  /** THE MAINTAINED VIEW — `orders ⋈ customer`, keyed `custkey ‖ orderkey`
+    * (both Phoenix-coded, order-preserving). The key order is the
+    * protocol's load-bearing decision: every customer-side delta touches
+    * exactly its custkeys' PREFIX SLIVERS (an In pushdown on the leading
+    * key part plans only those ranges), and every orders-side delta
+    * addresses single rows by full key — so BOTH maintenance directions
+    * are key-addressable and no delta ever scans the view. `seg` uses ''
+    * as the logical NULL (the kv writer skips null cells, so a real null
+    * could never overwrite a stale segment); `alive` 0 marks logically
+    * dead rows (replay-safe retirement — physical deletes are
+    * unrecoverable under as-of replay reads; compaction reclaims). */
+  private[graft] val sv23ViewCatalog =
+    """{"table":{"namespace":"default", "name":"kv_jv_view"},
+      |"rowkey":"key1:key2",
+      |"columns":{
+      |"c_custkey":{"cf":"rowkey", "col":"key1", "type":"bigint", "coder":"Phoenix"},
+      |"o_orderkey":{"cf":"rowkey", "col":"key2", "type":"bigint", "coder":"Phoenix"},
+      |"price_c":{"cf":"f", "col":"p", "type":"bigint"},
+      |"seg":{"cf":"f", "col":"s", "type":"string"},
+      |"alive":{"cf":"f", "col":"a", "type":"int"}}}""".stripMargin
+
+  /** One CDC drain of the ORDERS side of join-view maintenance — half of
+    * [[sv23StreamJoinView]]'s protocol (see there for the view design).
+    * Per batch, everything is batch-proportional:
+    *  1. the touched orders' OLD custkeys point-read from the orders
+    *     mirror ([[mirrorLookup]] gates — never a corpus scan);
+    *  2. rows whose view ADDRESS died (tombstone) or MOVED (custkey
+    *     changed) retire as `alive = 0` cells at the old
+    *     `(old_custkey, orderkey)` key;
+    *  3. upserts enrich from the customer mirror (same gated point-read;
+    *     an absent/dead customer enriches to the '' logical null — the
+    *     LEFT-join semantics that let a later customer arrival repair
+    *     the row in place) and land at `(custkey, orderkey)`;
+    *  4. the orders mirror advances (tombstones become custkey −1).
+    *
+    * REPLAY SAFETY is [[maintainBigramCounts]]'s discipline verbatim:
+    * state reads as-of `stamp`, writes at `stamp + 1`, two retained
+    * versions on every read-back table, logical tombstones only. STAMPS
+    * span TWO streams here, so per-batch ids alone cannot order them:
+    * each drain gets a caller-allocated `drainBase` (monotone across the
+    * interleaved schedule, constant across replays of the same drain —
+    * the coordinator's epoch contract) and `stamp = drainBase +
+    * (batchId + 1) × 10` keeps multi-batch catch-ups ordered within it.
+    * `crashPoint` fires between the view write and the mirror advance —
+    * the worst torn window (view already shows the new world, mirror
+    * still claims the old). Returns the highest stamp written, or
+    * Long.MinValue if nothing was admitted. */
+  private[graft] def maintainJoinViewOrders(s: SparkSession, drainBase: Long,
+      ckpt: String, maxRowsPerBatch: Option[Long] = None,
+      crashPoint: () => Unit = () => ()): Long = {
+    val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val srcOpts = Map("catalog" -> sv23OrdSrcCatalog, "tombstones" -> "true") ++
+      maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
+    val q = s.readStream.format("graft-kv").options(srcOpts).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val stamp = drainBase + (batchId + 1) * 10
+        val asOf = Map("maxStamp" -> stamp.toString)
+        val changed = b.select(col("o_orderkey"), col("o_custkey"),
+          col("price_c"), col("_deleted")).persist()
+        if (!changed.isEmpty) {
+          val olds = mirrorLookup(s, sv23OrdMirrorCatalog, "",
+            changed.select(col("o_orderkey")), idCol = "o_orderkey",
+            extraOpts = asOf)
+            .filter(col("o_custkey") >= 0) // −1 = logically dead (no view row)
+            .select(col("o_orderkey"), col("o_custkey").as("old_custkey"))
+          val j = changed.join(olds, Seq("o_orderkey"), "left").persist()
+          // retire rows whose view ADDRESS vanished: deletes, and moves
+          // (old address ≠ new — the re-keying case)
+          val retire = j.filter(col("old_custkey").isNotNull &&
+              (col("_deleted") || col("old_custkey") =!= col("o_custkey")))
+            .select(col("old_custkey").as("c_custkey"), col("o_orderkey"),
+              lit(0L).as("price_c"), lit("").as("seg"), lit(0).as("alive"))
+          val ups = j.filter(!col("_deleted"))
+          val segs = mirrorLookup(s, sv23CustMirrorCatalog, "",
+            ups.select(col("o_custkey").as("c_custkey")), idCol = "c_custkey",
+            extraOpts = asOf)
+            .filter(length(col("seg")) > 0) // '' = logically dead customer
+            .select(col("c_custkey").as("o_custkey"), col("seg"))
+          val inserts = ups.join(segs, Seq("o_custkey"), "left")
+            .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+              col("price_c"), coalesce(col("seg"), lit("")).as("seg"),
+              lit(1).as("alive"))
+          retire.unionByName(inserts)
+            .write.format("graft-kv")
+            .options(Map("catalog" -> sv23ViewCatalog, "newtable" -> "4",
+              "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
+            .mode("append").save()
+          crashPoint()
+          changed.select(col("o_orderkey"),
+              when(col("_deleted"), lit(-1L)).otherwise(col("o_custkey"))
+                .as("o_custkey"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> sv23OrdMirrorCatalog, "newtable" -> "4",
+              "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
+            .mode("append").save()
+          highWrite.accumulateAndGet(stamp + 1, math.max)
+          j.unpersist()
+        }
+        changed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    highWrite.get()
+  }
+
+  /** One CDC drain of the CUSTOMER side of join-view maintenance — the
+    * other half of [[sv23StreamJoinView]]. A customer delta must repair
+    * every view row under its custkey, and the view's `custkey ‖
+    * orderkey` key makes that a PREFIX SLIVER read, not a scan: the
+    * batch's custkeys push down as In point-ranges on the leading key
+    * part ([[mirrorLookup]] gates), the affected rows rewrite in place
+    * with the new segment, and a customer DEATH rewrites them to the ''
+    * logical null (LEFT-join semantics — the orders survive their
+    * customer, exactly what a later resurrection needs to repair). The
+    * customer mirror advances last ([[maintainJoinViewOrders]]'s torn
+    * window, same discipline, same `drainBase` stamp contract). */
+  private[graft] def maintainJoinViewCustomer(s: SparkSession, drainBase: Long,
+      ckpt: String, maxRowsPerBatch: Option[Long] = None,
+      crashPoint: () => Unit = () => ()): Long = {
+    val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val srcOpts = Map("catalog" -> sv23CustSrcCatalog, "tombstones" -> "true") ++
+      maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
+    val q = s.readStream.format("graft-kv").options(srcOpts).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val stamp = drainBase + (batchId + 1) * 10
+        val asOf = Map("maxStamp" -> stamp.toString)
+        val changed = b.select(col("c_custkey"), col("seg"), col("_deleted"))
+          .persist()
+        if (!changed.isEmpty) {
+          // the affected view rows: THIS batch's custkey prefix slivers,
+          // as-of pre-batch state (alive only — dead rows stay dead)
+          val aff = mirrorLookup(s, sv23ViewCatalog, "",
+            changed.select(col("c_custkey")), idCol = "c_custkey",
+            extraOpts = asOf)
+            .filter(col("alive") === 1)
+            .select(col("c_custkey"), col("o_orderkey"), col("price_c"))
+          val segs = changed.select(col("c_custkey"),
+            when(col("_deleted"), lit("")).otherwise(col("seg")).as("seg"))
+          aff.join(segs, Seq("c_custkey"))
+            .select(col("c_custkey"), col("o_orderkey"), col("price_c"),
+              col("seg"), lit(1).as("alive"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> sv23ViewCatalog, "newtable" -> "4",
+              "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
+            .mode("append").save()
+          crashPoint()
+          segs.write.format("graft-kv")
+            .options(Map("catalog" -> sv23CustMirrorCatalog, "newtable" -> "4",
+              "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
+            .mode("append").save()
+          highWrite.accumulateAndGet(stamp + 1, math.max)
+        }
+        changed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    highWrite.get()
+  }
+
+  /** sv23: INCREMENTALLY-MAINTAINED JOIN VIEW over TWO CDC streams — the
+    * classic IVM problem (Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB, with deletes), as
+    * a kv-backed materialized `orders ⋈ customer` view no delta ever
+    * scans. Every prior sv protocol maintains state from ONE stream;
+    * this is the two-stream class, and its whole design hangs on the
+    * view key `custkey ‖ orderkey`: the orders side addresses single
+    * rows by full key (old address from the orders mirror — the ΔA ⋈ B
+    * direction enriches from the customer mirror's point-reads), while
+    * the customer side repairs whole custkey PREFIX SLIVERS in place
+    * (the A ⋈ ΔB direction — its "A" probe is the view itself, already
+    * co-keyed, so no orders scan and no secondary index). LEFT-join
+    * semantics (orders survive their customer as ''-segment rows) are
+    * what make customer deletion and resurrection key-addressable too.
+    *
+    * Phases exercise every IVM move: customer load → orders load (enrich
+    * on arrival) → an orders wave that MOVES %7 orders to new custkeys
+    * (+1¢ — the re-keying case: retire old address, insert new) → a
+    * ranged orders DELETE → a customer wave (segment updates + a ranged
+    * customer DELETE orphaning its orders) → a partial customer
+    * RESURRECTION (repairing orphans in place; custkeys 25–29 stay dead,
+    * so the final answer keeps real orphans). Mid-schedule, compaction
+    * ([[reclaimLogicalDead]]) reclaims retired view rows and dead mirror
+    * rows behind the drain-derived fence. The final render reads the
+    * alive view rows — the oracle recomputes the join from each table's
+    * FINAL state, so maintenance must equal recomputation bit-for-bit. */
+  def sv23StreamJoinView(s: SparkSession, dir: String): DataFrame = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
+    val ordBase = Tables.orders(s, dir).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val custBase = Tables.customer(s, dir).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_mktsegment").as("seg"))
+    val maxOrd = ordBase.agg(max(col("o_orderkey"))).head().getLong(0)
+    val maxCust = custBase.agg(max(col("c_custkey"))).head().getLong(0)
+    val ordParsed = graft.catalog.GraftCatalog.parse(sv23OrdSrcCatalog, Map.empty)
+    val custParsed = graft.catalog.GraftCatalog.parse(sv23CustSrcCatalog, Map.empty)
+    def writeOrd(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv23OrdSrcCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxOrd.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    def writeCust(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv23CustSrcCatalog, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxCust.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    // fresh run; pre-create the three state tables (first batches read all)
+    Seq("default:kv_jv_ord_src", "default:kv_jv_cust_src",
+      "default:kv_jv_ord_mirror", "default:kv_jv_cust_mirror",
+      "default:kv_jv_view").foreach(KvStore.drop)
+    ordBase.limit(0).select(col("o_orderkey"), col("o_custkey"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> sv23OrdMirrorCatalog, "newtable" -> "4",
+        "maxVersions" -> "2", "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> maxOrd.toString))
+      .mode("append").save()
+    custBase.limit(0)
+      .write.format("graft-kv")
+      .options(Map("catalog" -> sv23CustMirrorCatalog, "newtable" -> "4",
+        "maxVersions" -> "2", "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> maxCust.toString))
+      .mode("append").save()
+    s.range(0).select(lit(0L).as("c_custkey"), lit(0L).as("o_orderkey"),
+        lit(0L).as("price_c"), lit("").as("seg"), lit(1).as("alive"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> sv23ViewCatalog, "newtable" -> "4",
+        "maxVersions" -> "2", "timestamp" -> "1"))
+      .mode("append").save()
+    val ckptO = Files.createTempDirectory("graft-sv23-ord-ckpt").toString
+    val ckptC = Files.createTempDirectory("graft-sv23-cust-ckpt").toString
+    // the coordinator's epoch contract: each drain (either stream) gets a
+    // monotone base; a replayed drain re-runs with ITS base
+    var nextBase = 0L
+    var committedWrite = 0L
+    def drainO(): Unit = {
+      nextBase += 100000L
+      val w = maintainJoinViewOrders(s, nextBase, ckptO)
+      if (w != Long.MinValue) committedWrite = math.max(committedWrite, w)
+    }
+    def drainC(): Unit = {
+      nextBase += 100000L
+      val w = maintainJoinViewCustomer(s, nextBase, ckptC)
+      if (w != Long.MinValue) committedWrite = math.max(committedWrite, w)
+    }
+    // phase 1: customer dimension loads first
+    writeCust(custBase, ts = 1000, overwrite = true)
+    drainC()
+    // phase 2: orders arrive, enriching from the customer mirror
+    writeOrd(ordBase, ts = 2000, overwrite = true)
+    drainO()
+    // phase 3: %7 orders MOVE custkey (re-key: retire + insert) and gain 1¢
+    writeOrd(ordBase.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), ((col("o_custkey") % 50) + 1).as("o_custkey"),
+        (col("price_c") + 1).as("price_c")), ts = 3000, overwrite = false)
+    drainO()
+    // phase 4: ranged orders DELETE — view rows [100, 299] retire
+    val hrfO = FilterCompiler.compileAll(ordParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", 100L),
+      org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 299L)))
+    KvStore.table(ordParsed.qualifiedName).delete(hrfO.ranges, hrfO.pred, stamp = 4000)
+    drainO()
+    // phase 5: customer wave — %5 segments change; custkeys [10, 29] DIE
+    // (their orders orphan to ''-segment rows, LEFT-join style)
+    writeCust(custBase.filter(col("c_custkey") % 5 === 0)
+      .withColumn("seg", lit("MOVED")), ts = 5000, overwrite = false)
+    val hrfC = FilterCompiler.compileAll(custParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("c_custkey", 10L),
+      org.apache.spark.sql.sources.LessThanOrEqual("c_custkey", 29L)))
+    KvStore.table(custParsed.qualifiedName).delete(hrfC.ranges, hrfC.pred, stamp = 5100)
+    drainC()
+    // mid-schedule compaction behind the drain-derived fence: retired view
+    // rows and dead mirror rows die physically; [25, 29]'s orphan rows are
+    // ALIVE ''-segment rows — compaction must not touch them
+    reclaimLogicalDead(s, sv23ViewCatalog, "c_custkey", col("alive") === 0,
+      horizon = committedWrite, committedStamp = Some(committedWrite),
+      extraKeyCols = Seq("o_orderkey"))
+    reclaimLogicalDead(s, sv23OrdMirrorCatalog, "o_orderkey",
+      col("o_custkey") < 0, horizon = committedWrite,
+      committedStamp = Some(committedWrite))
+    reclaimLogicalDead(s, sv23CustMirrorCatalog, "c_custkey",
+      length(col("seg")) === 0, horizon = committedWrite,
+      committedStamp = Some(committedWrite))
+    // phase 6: partial resurrection — [10, 24] return with their original
+    // segments and repair their orphaned orders in place; [25, 29] stay
+    // dead, so the final answer keeps real LEFT-join orphans
+    writeCust(custBase.filter(col("c_custkey") >= 10 && col("c_custkey") <= 24),
+      ts = 6000, overwrite = false)
+    drainC()
+    // the maintained view, rendered: '' is the logical NULL segment
+    s.read.format("graft-kv").option("catalog", sv23ViewCatalog).load()
+      .filter(col("alive") === 1)
+      .select(col("c_custkey"), col("o_orderkey"), col("price_c"),
+        nullif(col("seg"), lit("")).as("segment"))
+      .orderBy(col("c_custkey"), col("o_orderkey"))
+  }
+
+  /** The final join recomputed from each table's FINAL state — maintenance
+    * must equal recomputation bit-for-bit. */
+  val sv23Sql: String =
+    """WITH fo AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN (o_custkey % 50) + 1
+      |         ELSE o_custkey END AS c_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS price_c
+      |  FROM orders WHERE o_orderkey NOT BETWEEN 100 AND 299),
+      |fc AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 5 = 0 AND c_custkey NOT BETWEEN 10 AND 24
+      |         THEN 'MOVED' ELSE c_mktsegment END AS seg
+      |  FROM customer WHERE c_custkey NOT BETWEEN 25 AND 29)
+      |SELECT fo.c_custkey, fo.o_orderkey, fo.price_c, fc.seg AS segment
+      |FROM fo LEFT JOIN fc USING (c_custkey)
+      |ORDER BY fo.c_custkey, fo.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map[
       String, (SparkSession, String) => DataFrame](
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
@@ -2407,6 +2758,7 @@ object StreamBatch {
     "sv20_stream_pq_codes"       -> (sv20StreamPqCodes _),
     "sv21_stream_bigram_lm"      -> (sv21StreamBigramLm _),
     "sv22_stream_shard_manifest" -> (sv22StreamShardManifest _),
+    "sv23_stream_join_view"      -> (sv23StreamJoinView _),
   ).view.mapValues(withoutAqe).toMap
 
   val oracles: Map[String, String] = Map(
@@ -2433,5 +2785,6 @@ object StreamBatch {
     // the oracle, same pattern as sv14 → px7
     "sv21_stream_bigram_lm"      -> Pipeline.px30Sql,
     "sv22_stream_shard_manifest" -> sv22Sql,
+    "sv23_stream_join_view"      -> sv23Sql,
   )
 }
