@@ -2457,10 +2457,15 @@ object StreamBatch {
     * still claims the old). Returns the highest stamp written, or
     * Long.MinValue if nothing was admitted. */
   private[graft] def maintainJoinViewOrders(s: SparkSession, drainBase: Long,
-      ckpt: String, maxRowsPerBatch: Option[Long] = None,
+      ckpt: String,
+      srcCatalog: String = sv23OrdSrcCatalog,
+      ordMirrorCatalog: String = sv23OrdMirrorCatalog,
+      custMirrorCatalog: String = sv23CustMirrorCatalog,
+      viewCatalog: String = sv23ViewCatalog,
+      maxRowsPerBatch: Option[Long] = None,
       crashPoint: () => Unit = () => ()): Long = {
     val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    val srcOpts = Map("catalog" -> sv23OrdSrcCatalog, "tombstones" -> "true") ++
+    val srcOpts = Map("catalog" -> srcCatalog, "tombstones" -> "true") ++
       maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
     val q = s.readStream.format("graft-kv").options(srcOpts).load()
       .writeStream
@@ -2470,7 +2475,7 @@ object StreamBatch {
         val changed = b.select(col("o_orderkey"), col("o_custkey"),
           col("price_c"), col("_deleted")).persist()
         if (!changed.isEmpty) {
-          val olds = mirrorLookup(s, sv23OrdMirrorCatalog, "",
+          val olds = mirrorLookup(s, ordMirrorCatalog, "",
             changed.select(col("o_orderkey")), idCol = "o_orderkey",
             extraOpts = asOf)
             .filter(col("o_custkey") >= 0) // −1 = logically dead (no view row)
@@ -2483,7 +2488,7 @@ object StreamBatch {
             .select(col("old_custkey").as("c_custkey"), col("o_orderkey"),
               lit(0L).as("price_c"), lit("").as("seg"), lit(0).as("alive"))
           val ups = j.filter(!col("_deleted"))
-          val segs = mirrorLookup(s, sv23CustMirrorCatalog, "",
+          val segs = mirrorLookup(s, custMirrorCatalog, "",
             ups.select(col("o_custkey").as("c_custkey")), idCol = "c_custkey",
             extraOpts = asOf)
             .filter(length(col("seg")) > 0) // '' = logically dead customer
@@ -2494,7 +2499,7 @@ object StreamBatch {
               lit(1).as("alive"))
           retire.unionByName(inserts)
             .write.format("graft-kv")
-            .options(Map("catalog" -> sv23ViewCatalog, "newtable" -> "4",
+            .options(Map("catalog" -> viewCatalog, "newtable" -> "4",
               "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
             .mode("append").save()
           crashPoint()
@@ -2502,7 +2507,7 @@ object StreamBatch {
               when(col("_deleted"), lit(-1L)).otherwise(col("o_custkey"))
                 .as("o_custkey"))
             .write.format("graft-kv")
-            .options(Map("catalog" -> sv23OrdMirrorCatalog, "newtable" -> "4",
+            .options(Map("catalog" -> ordMirrorCatalog, "newtable" -> "4",
               "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
             .mode("append").save()
           highWrite.accumulateAndGet(stamp + 1, math.max)
@@ -2529,10 +2534,14 @@ object StreamBatch {
     * customer mirror advances last ([[maintainJoinViewOrders]]'s torn
     * window, same discipline, same `drainBase` stamp contract). */
   private[graft] def maintainJoinViewCustomer(s: SparkSession, drainBase: Long,
-      ckpt: String, maxRowsPerBatch: Option[Long] = None,
+      ckpt: String,
+      srcCatalog: String = sv23CustSrcCatalog,
+      custMirrorCatalog: String = sv23CustMirrorCatalog,
+      viewCatalog: String = sv23ViewCatalog,
+      maxRowsPerBatch: Option[Long] = None,
       crashPoint: () => Unit = () => ()): Long = {
     val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    val srcOpts = Map("catalog" -> sv23CustSrcCatalog, "tombstones" -> "true") ++
+    val srcOpts = Map("catalog" -> srcCatalog, "tombstones" -> "true") ++
       maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
     val q = s.readStream.format("graft-kv").options(srcOpts).load()
       .writeStream
@@ -2544,7 +2553,7 @@ object StreamBatch {
         if (!changed.isEmpty) {
           // the affected view rows: THIS batch's custkey prefix slivers,
           // as-of pre-batch state (alive only — dead rows stay dead)
-          val aff = mirrorLookup(s, sv23ViewCatalog, "",
+          val aff = mirrorLookup(s, viewCatalog, "",
             changed.select(col("c_custkey")), idCol = "c_custkey",
             extraOpts = asOf)
             .filter(col("alive") === 1)
@@ -2555,12 +2564,12 @@ object StreamBatch {
             .select(col("c_custkey"), col("o_orderkey"), col("price_c"),
               col("seg"), lit(1).as("alive"))
             .write.format("graft-kv")
-            .options(Map("catalog" -> sv23ViewCatalog, "newtable" -> "4",
+            .options(Map("catalog" -> viewCatalog, "newtable" -> "4",
               "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
             .mode("append").save()
           crashPoint()
           segs.write.format("graft-kv")
-            .options(Map("catalog" -> sv23CustMirrorCatalog, "newtable" -> "4",
+            .options(Map("catalog" -> custMirrorCatalog, "newtable" -> "4",
               "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
             .mode("append").save()
           highWrite.accumulateAndGet(stamp + 1, math.max)

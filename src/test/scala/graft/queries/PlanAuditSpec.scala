@@ -890,6 +890,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("px69 exact-substring removal: gram agg combines map-side, rebuild stays doc-keyed") {
+    val plan = executedPlan(graft.queries.Pipeline.px69ExactSubstrDedup(spark, dir))
+    // the one corpus-sized aggregation (cnt + canonical min per gram)
+    // must apply partial aggs before the gram shuffle
+    assert(plan.contains("partial"),
+      s"gram stats must map-side combine:\n${plan.take(3000)}")
+    // everything after the dup-position sliver is doc-keyed: the island
+    // window and the spans⋈tokens rebuild partition on doc_id, so no
+    // per-task state exceeds a document
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"span merge must partition by doc_id:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // a window over an EMPTY partition spec would funnel the corpus
+    // through one task
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to a single partition:\n${plan.take(3000)}")
+  }
+
+  test("px70 novelty rate: one gram-keyed min + join back, per-doc agg combines map-side") {
+    val plan = executedPlan(graft.queries.Pipeline.px70NoveltyRate(spark, dir))
+    assert(plan.contains("partial"),
+      s"first-doc attribution must map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("hashpartitioning(gram"),
+      s"attribution must shuffle on the gram key:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to a single partition:\n${plan.take(3000)}")
+  }
+
   test("WAL rotation metrics surface on the batch-write node (SQL UI path)") {
     // a batch write that crosses the auto-checkpoint gate must report the
     // rotations it triggered as DRIVER metrics on its own write node —

@@ -632,4 +632,120 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("kv_lm_src_ccu", "kv_lm_mirror_ccu", "kv_lm_counts_ccu")
       .foreach(t => KvStore.drop(s"default:$t"))
   }
+
+  test("sv23 join-view maintenance at 100k orders: each delta direction reads slivers, never the view or fact table") {
+    // the IVM proportionality claim, both directions: an orders wave reads
+    // the wave's mirror point-gets + the (dimension-sized) customer
+    // mirror; a customer wave reads ONLY its custkeys' view PREFIX
+    // slivers — never the 100k-row view, never the orders
+    val ordCat = StreamBatch.sv23OrdSrcCatalog
+      .replace("\"kv_jv_ord_src\"", "\"kv_jv_ord_src_sxp\"")
+    val custCat = StreamBatch.sv23CustSrcCatalog
+      .replace("\"kv_jv_cust_src\"", "\"kv_jv_cust_src_sxp\"")
+    val ordMir = StreamBatch.sv23OrdMirrorCatalog
+      .replace("\"kv_jv_ord_mirror\"", "\"kv_jv_ord_mirror_sxp\"")
+    val custMir = StreamBatch.sv23CustMirrorCatalog
+      .replace("\"kv_jv_cust_mirror\"", "\"kv_jv_cust_mirror_sxp\"")
+    val viewCat = StreamBatch.sv23ViewCatalog
+      .replace("\"kv_jv_view\"", "\"kv_jv_view_sxp\"")
+    val tables = Seq("kv_jv_ord_src_sxp", "kv_jv_cust_src_sxp",
+      "kv_jv_ord_mirror_sxp", "kv_jv_cust_mirror_sxp", "kv_jv_view_sxp")
+    tables.foreach(t => KvStore.drop(s"default:$t"))
+    val N = 100000L   // orders
+    val C = 1000L     // customers (dimension)
+    val W = 500L      // orders wave
+    val WC = 20L      // customer wave
+    def writeOrd(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> ordCat, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> N.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    def writeCust(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> custCat, "newtable" -> "4",
+          "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> C.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    // bootstrap the three state tables
+    spark.range(0).select(col("id").as("o_orderkey"), col("id").as("o_custkey"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> ordMir, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0", "maxSplitNum" -> N.toString))
+      .mode("append").save()
+    spark.range(0).select(col("id").as("c_custkey"), lit("").as("seg"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> custMir, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0", "maxSplitNum" -> C.toString))
+      .mode("append").save()
+    spark.range(0).select(col("id").as("c_custkey"), col("id").as("o_orderkey"),
+        col("id").as("price_c"), lit("").as("seg"), lit(1).as("alive"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> viewCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1")).mode("append").save()
+    val ckptO = Files.createTempDirectory("graft-sxp23-ord").toString
+    val ckptC = Files.createTempDirectory("graft-sxp23-cust").toString
+    // dimension load, then the 100k fact build (the expensive one-time pass)
+    writeCust(spark.range(C).select(col("id").as("c_custkey"),
+      concat(lit("S"), (col("id") % 5).cast("string")).as("seg")),
+      ts = 1000, overwrite = true)
+    StreamBatch.maintainJoinViewCustomer(spark, 100000L, ckptC,
+      custCat, custMir, viewCat)
+    writeOrd(spark.range(N).select(col("id").as("o_orderkey"),
+      (col("id") % C).as("o_custkey"), (col("id") * 7).as("price_c")),
+      ts = 2000, overwrite = true)
+    val (_, shufBuild) = measureShuffle {
+      StreamBatch.maintainJoinViewOrders(spark, 200000L, ckptO,
+        ordCat, ordMir, custMir, viewCat)
+    }
+    assert(tableRows("default:kv_jv_view_sxp") == N)
+
+    // ORDERS wave: 500 changes (300 custkey moves + 200 new orders).
+    // Allowed reads: the wave's ord-mirror point-gets + the C-row customer
+    // mirror (dimension-sized — below the small-state gate it scans whole)
+    writeOrd(spark.range(300L).select((col("id") * 300).as("o_orderkey"),
+      ((col("id") + 7) % C).as("o_custkey"), lit(1L).as("price_c")),
+      ts = 3000, overwrite = false)
+    writeOrd(spark.range(200L).select((col("id") + N).as("o_orderkey"),
+      (col("id") % C).as("o_custkey"), lit(2L).as("price_c")),
+      ts = 3100, overwrite = false)
+    val baseA = KvStore.rowsServed
+    val (_, shufA) = measureShuffle {
+      StreamBatch.maintainJoinViewOrders(spark, 300000L, ckptO,
+        ordCat, ordMir, custMir, viewCat)
+    }
+    val servedA = KvStore.rowsServed - baseA
+    info(s"orders wave: served=$servedA shuffle=$shufA (build shuffle=$shufBuild)")
+    assert(servedA < 8000L,
+      s"a $W-order wave served $servedA store rows — the orders side is " +
+        "scanning the view, the fact mirror, or the corpus")
+    assert(shufA < 20000L && shufA * 10 < shufBuild,
+      s"orders wave shuffled $shufA records (build: $shufBuild) — not wave-proportional")
+
+    // CUSTOMER wave: 20 re-segmentations. Allowed reads: those custkeys'
+    // view prefix slivers (~100 orders each) — the In pushdown on the
+    // LEADING key part must plan only those ranges, never the 100k view
+    writeCust(spark.range(WC).select((col("id") * 40).as("c_custkey"),
+      lit("ZZ").as("seg")), ts = 4000, overwrite = false)
+    val baseB = KvStore.rowsServed
+    val (_, shufB) = measureShuffle {
+      StreamBatch.maintainJoinViewCustomer(spark, 400000L, ckptC,
+        custCat, custMir, viewCat)
+    }
+    val servedB = KvStore.rowsServed - baseB
+    info(s"customer wave: served=$servedB shuffle=$shufB")
+    assert(servedB < 10000L,
+      s"a $WC-customer wave served $servedB store rows — the prefix-sliver " +
+        "read fell back to a view scan")
+    assert(shufB < 20000L,
+      s"customer wave shuffled $shufB records — not wave-proportional")
+    // the repair landed: every order of a re-segmented customer shows ZZ
+    val zz = spark.read.format("graft-kv").option("catalog", viewCat).load()
+      .filter(col("alive") === 1 && col("seg") === "ZZ").count()
+    val expected = spark.read.format("graft-kv").option("catalog", viewCat).load()
+      .filter(col("alive") === 1 &&
+        col("c_custkey") % 40 === 0 && col("c_custkey") < WC * 40).count()
+    assert(zz == expected, s"repaired $zz rows, expected $expected")
+    tables.foreach(t => KvStore.drop(s"default:$t"))
+  }
 }

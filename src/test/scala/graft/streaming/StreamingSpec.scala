@@ -1186,7 +1186,132 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("CDC protocols (sv12/sv14/sv18/sv19/sv20/sv21/sv22) never round-trip data through the driver") {
+  test("sv23: an orders batch torn between the view write and the mirror advance replays idempotently") {
+    // the join-view's worst window: the view already shows the new world
+    // (a MOVED order re-keyed, a dead order retired) but the orders mirror
+    // still claims the old addresses. A naive replay would retire the NEW
+    // address (reading the half-advanced mirror) or double-apply the move.
+    // The as-of (maxStamp = stamp) reads + two retained versions must make
+    // the replay recompute the identical delta against pre-batch state.
+    import graft.queries.StreamBatch
+    val suf = "jvc"
+    val ordCat = StreamBatch.sv23OrdSrcCatalog
+      .replace("\"kv_jv_ord_src\"", s""""kv_jv_ord_src_$suf"""")
+    val custCat = StreamBatch.sv23CustSrcCatalog
+      .replace("\"kv_jv_cust_src\"", s""""kv_jv_cust_src_$suf"""")
+    val ordMir = StreamBatch.sv23OrdMirrorCatalog
+      .replace("\"kv_jv_ord_mirror\"", s""""kv_jv_ord_mirror_$suf"""")
+    val custMir = StreamBatch.sv23CustMirrorCatalog
+      .replace("\"kv_jv_cust_mirror\"", s""""kv_jv_cust_mirror_$suf"""")
+    val viewCat = StreamBatch.sv23ViewCatalog
+      .replace("\"kv_jv_view\"", s""""kv_jv_view_$suf"""")
+    val tables = Seq(s"default:kv_jv_ord_src_$suf", s"default:kv_jv_cust_src_$suf",
+      s"default:kv_jv_ord_mirror_$suf", s"default:kv_jv_cust_mirror_$suf",
+      s"default:kv_jv_view_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    def putOrd(rows: Seq[(Long, Long, Long)], ts: Long): Unit =
+      rows.toDF("o_orderkey", "o_custkey", "price_c").write.format("graft-kv")
+        .options(Map("catalog" -> ordCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save()
+    def delOrd(ids: Seq[Long], ts: Long): Unit =
+      ids.toDF("o_orderkey").write.format("graft-kv")
+        .options(Map("catalog" -> ordCat, "delete" -> "true",
+          "timestamp" -> ts.toString)).mode("append").save()
+    def putCust(rows: Seq[(Long, String)], ts: Long): Unit =
+      rows.toDF("c_custkey", "seg").write.format("graft-kv")
+        .options(Map("catalog" -> custCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save()
+    // bootstrap state tables (the first batch reads all three)
+    Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> ordMir, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+      .mode("append").save()
+    Seq.empty[(Long, String)].toDF("c_custkey", "seg")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> custMir, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+      .mode("append").save()
+    spark.range(0).select(lit(0L).as("c_custkey"), lit(0L).as("o_orderkey"),
+        lit(0L).as("price_c"), lit("").as("seg"), lit(1).as("alive"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> viewCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1")).mode("append").save()
+    val ckptO = Files.createTempDirectory("graft-jvcrash-ord").toString
+    val ckptC = Files.createTempDirectory("graft-jvcrash-cust").toString
+    def view(): Map[(Long, Long), (Long, String, Int)] =
+      spark.read.format("graft-kv").option("catalog", viewCat).load()
+        .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("o_orderkey")) ->
+          ((r.getAs[Long]("price_c"), r.getAs[String]("seg"), r.getAs[Int]("alive")))).toMap
+    def ordMirror(): Map[Long, Long] =
+      spark.read.format("graft-kv").option("catalog", ordMir).load()
+        .collect().map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    // load: two customers, two orders
+    putCust(Seq((1L, "A"), (2L, "B")), ts = 1000)
+    StreamBatch.maintainJoinViewCustomer(spark, 100000L, ckptC, custCat, custMir, viewCat)
+    putOrd(Seq((1L, 1L, 100L), (2L, 2L, 200L)), ts = 2000)
+    StreamBatch.maintainJoinViewOrders(spark, 200000L, ckptO, ordCat, ordMir, custMir, viewCat)
+    assert(view() == Map((1L, 1L) -> ((100L, "A", 1)), (2L, 2L) -> ((200L, "B", 1))))
+    // the wave: order 1 MOVES cust 1 → 2 (re-key, +1¢), order 2 dies
+    putOrd(Seq((1L, 2L, 101L)), ts = 3000)
+    delOrd(Seq(2L), ts = 3001)
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamBatch.maintainJoinViewOrders(spark, 300000L, ckptO,
+        ordCat, ordMir, custMir, viewCat,
+        crashPoint = () => throw new RuntimeException("injected crash"))
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      Option(crashed.getCause).exists(_.getMessage.contains("injected crash")))
+    // mid-crash: view already re-keyed, mirror still pre-batch
+    val torn = view()
+    assert(torn == Map(
+      (1L, 1L) -> ((0L, "", 0)),    // old address retired
+      (2L, 1L) -> ((101L, "B", 1)), // new address live, enriched
+      (2L, 2L) -> ((0L, "", 0))),   // dead order retired
+      s"view writes must have landed before the crash, got $torn")
+    assert(ordMirror() == Map(1L -> 1L, 2L -> 2L),
+      s"orders mirror must still be pre-batch, got ${ordMirror()}")
+    // two retained versions: the crashed write must NOT have evicted the
+    // pre-batch view cells the replay's as-of read needs (stamp = 300020)
+    val asOf = spark.read.format("graft-kv")
+      .options(Map("catalog" -> viewCat, "maxStamp" -> "300020")).load()
+      .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("o_orderkey")) ->
+        r.getAs[Int]("alive")).toMap
+    assert(asOf == Map((1L, 1L) -> 1, (2L, 2L) -> 1),
+      s"as-of view must show the pre-batch world, got $asOf")
+    // resume from the SAME checkpoint with the SAME drain base: the replay
+    // must re-derive identical cells (no double-retire, no re-enrich drift),
+    // then finish the mirror advance
+    StreamBatch.maintainJoinViewOrders(spark, 300000L, ckptO,
+      ordCat, ordMir, custMir, viewCat)
+    assert(view() == torn, s"replay diverged: ${view()} vs $torn")
+    assert(ordMirror() == Map(1L -> 2L, 2L -> -1L),
+      s"mirror after resume: ${ordMirror()}")
+    // customer-side torn window: cust 2 re-segments; crash lands the view
+    // repair but not the customer-mirror advance
+    putCust(Seq((2L, "Z")), ts = 4000)
+    val crashed2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamBatch.maintainJoinViewCustomer(spark, 400000L, ckptC,
+        custCat, custMir, viewCat,
+        crashPoint = () => throw new RuntimeException("injected crash"))
+    }
+    assert(crashed2.getMessage.contains("injected crash") ||
+      Option(crashed2.getCause).exists(_.getMessage.contains("injected crash")))
+    assert(view()((2L, 1L)) == ((101L, "Z", 1)),
+      "the view repair must have landed before the crash")
+    StreamBatch.maintainJoinViewCustomer(spark, 400000L, ckptC,
+      custCat, custMir, viewCat)
+    assert(view()((2L, 1L)) == ((101L, "Z", 1)), "replay drifted the repaired row")
+    val segs = spark.read.format("graft-kv").option("catalog", custMir).load()
+      .collect().map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("seg")).toMap
+    assert(segs == Map(1L -> "A", 2L -> "Z"), s"customer mirror after resume: $segs")
+    tables.foreach(KvStore.drop)
+  }
+
+  test("CDC protocols (sv12/sv14/sv18/sv19/sv20/sv21/sv22/sv23) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
     // sv12/sv14/sv18/sv19 pipelines (stream + foreachBatch jobs included)
@@ -1216,6 +1341,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queries("sv21_stream_bigram_lm")(spark, sfDir).count() > 0)
       assert(graft.queries.StreamBatch
         .queries("sv22_stream_shard_manifest")(spark, sfDir).count() > 0)
+      assert(graft.queries.StreamBatch
+        .queries("sv23_stream_join_view")(spark, sfDir).count() > 0)
       // listener events are async; wait for the counter to go quiet
       var last = -1L; var spins = 0
       while (maxResult.get() != last && spins < 20) {
