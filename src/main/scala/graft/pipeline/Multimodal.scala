@@ -140,6 +140,56 @@ object Multimodal {
     spark.createDataFrame(rdd, resizedSchema)
   }
 
+  /** Voice-activity segmentation over opaque audio payloads — the pass
+    * that cuts raw audio into speech segments before transcription (the
+    * standard audio-corpus curation front door). The payload is windowed
+    * into fixed `window`-byte frames (the 10 ms-hop stand-in); each
+    * frame's ENERGY is a STUB like [[stubDecode]] — `md5_number_lower`
+    * of the frame bytes masked to 10 bits, a deterministic fake both
+    * engines recompute exactly; a real implementation would swap in the
+    * RMS of decoded PCM samples — and frames at or above `threshold`
+    * are voiced. Adjacent voiced frames merge into segments (the same
+    * island pattern as the dedup span merge, partitioned by media id).
+    *
+    * Output: `(media_id, seg_start, seg_end, n_frames, start_ms)` — one
+    * row per voiced segment, frame indices 0-based, 10 ms/frame.
+    *
+    * Scale shape: the frame explode is a pure map (no shuffle); the only
+    * exchange is the per-media island window, keyed by `media_id`, so
+    * per-task state is bounded by one recording's frame count — a 100 TB
+    * audio corpus segments as one map + one media-keyed window. */
+  def audioSegments(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, threshold: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window > 0, s"window must be positive, got $window")
+    val framed = docs
+      .select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .withColumn("n_win",
+        ((length(col("__t")) + (window - 1)) / window).cast("int"))
+      .withColumn("win_idx", explode(sequence(lit(0), col("n_win") - 1)))
+      .withColumn("frame",
+        expr(s"substring(__t, win_idx * $window + 1, $window)"))
+      .withColumn("energy",
+        graft.functions.HashExprs.md5NumberLower(col("frame"))
+          .bitwiseAND(lit(1023L)))
+    val voiced = framed.filter(col("energy") >= threshold)
+      .select(col("media_id"), col("win_idx").cast("long").as("pos"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("pos"))
+    voiced
+      .withColumn("prev", max(col("pos")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("media_id"), col("island"))
+      .agg(min(col("pos")).as("seg_start"), max(col("pos")).as("seg_end"))
+      .select(col("media_id"), col("seg_start"), col("seg_end"),
+        (col("seg_end") - col("seg_start") + 1L).as("n_frames"),
+        (col("seg_start") * 10L).as("start_ms"))
+  }
+
   /** Frame sampling stub: every `stride`-th chunk of the payload as a
     * "frame" — the row-explosion shape of video frame extraction. */
   def sampleFrames(media: DataFrame, stride: Int = 64): DataFrame =

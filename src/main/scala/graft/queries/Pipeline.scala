@@ -2500,6 +2500,44 @@ object Pipeline {
       |FROM documents d LEFT JOIN a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** px71: AUDIO VAD SEGMENTATION ([[graft.pipeline.Multimodal.audioSegments]])
+    * — voice-activity segments over opaque audio payloads (stubbed energy
+    * kernel, real windowing + per-media island merge), completing the
+    * multimodal trio: image (px12/px49), video (px60), audio (px71). */
+  def px71AudioSegments(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Multimodal.audioSegments(
+        Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("media_id"), col("seg_start"))
+  }
+
+  val px71Sql: String =
+    """WITH t AS (SELECT doc_id AS media_id, coalesce(text, '') AS tx
+      |           FROM documents WHERE length(coalesce(text, '')) >= 1),
+      |f AS (SELECT media_id, tx,
+      |        unnest(range(0, CAST((length(tx) + 31) // 32 AS INTEGER))) AS wi
+      |      FROM t),
+      |e AS (SELECT media_id, CAST(wi AS BIGINT) AS pos,
+      |        md5_number_lower(substring(tx, CAST(wi * 32 + 1 AS INTEGER), 32))
+      |          & 1023 AS energy
+      |      FROM f),
+      |v AS (SELECT media_id, pos FROM e WHERE energy >= 512),
+      |m AS (SELECT media_id, pos,
+      |        max(pos) OVER (PARTITION BY media_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      |      FROM v),
+      |b AS (SELECT media_id, pos,
+      |        CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END AS brk
+      |      FROM m),
+      |i AS (SELECT media_id, pos,
+      |        sum(brk) OVER (PARTITION BY media_id ORDER BY pos) AS island
+      |      FROM b)
+      |SELECT media_id, CAST(min(pos) AS BIGINT) AS seg_start,
+      |  CAST(max(pos) AS BIGINT) AS seg_end,
+      |  CAST(max(pos) - min(pos) + 1 AS BIGINT) AS n_frames,
+      |  CAST(min(pos) * 10 AS BIGINT) AS start_ms
+      |FROM i GROUP BY media_id, island
+      |ORDER BY media_id, seg_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -2571,6 +2609,7 @@ object Pipeline {
     "px68_source_dedup_rates" -> (px68SourceDedupRates _),
     "px69_exact_substr_dedup" -> (px69ExactSubstrDedup _),
     "px70_novelty_rate"       -> (px70NoveltyRate _),
+    "px71_audio_segments"     -> (px71AudioSegments _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2637,6 +2676,7 @@ object Pipeline {
     "px68_source_dedup_rates" -> px68Sql,
     "px69_exact_substr_dedup" -> px69Sql,
     "px70_novelty_rate"       -> px70Sql,
+    "px71_audio_segments"     -> px71Sql,
     // px13/px61/px66: IVF/PQ quantizers — oracles are DYNAMIC (trained
     // centroids and codebooks embedded as SQL literals), emitted via
     // SparkEntry.dynamicOracleSql at Verify time
