@@ -831,4 +831,40 @@ object TextOps {
         coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
         coalesce(col("oov_micro"), lit(0L)).as("oov_micro"))
   }
+
+  /** Source-to-source n-gram CONTAINMENT matrix — the dataset-card
+    * cross-overlap number ("X % of source A's distinct 5-grams appear in
+    * source B"), directional (containment, not Jaccard — a small corpus
+    * fully inside a big one reads 100 % one way and small the other),
+    * diagonal rows included as the self-check (always 10⁶).
+    * Complements [[vocabOverlap]] (unigram vocabulary, KMV-estimated
+    * union) with exact phrase-level containment.
+    *
+    * Scale shape: per-source distinct grams (map-side `array_distinct`
+    * then one (source, gram) distinct — the only corpus-sized shuffle);
+    * each gram then carries its source SET (`collect_set`, bounded by
+    * #sources — a dataset card has tens of sources, not millions) and
+    * the pair fan-out is |set|² per gram, aggregated with partial
+    * combine. NO gram-keyed self-join: the matrix falls out of one
+    * aggregation, and the per-source denominators broadcast. */
+  def sourceContainment(docs: org.apache.spark.sql.DataFrame,
+      stratumCol: String, textCol: String, n: Int = 5):
+      org.apache.spark.sql.DataFrame = {
+    val pd = docs
+      .select(col(stratumCol).as("src"),
+        explode(Dedup.tokenNgramsOf(tokens(coalesce(col(textCol), lit(""))), n))
+          .as("gram"))
+      .distinct()
+    val perSrc = pd.groupBy(col("src")).agg(count(lit(1)).as("a_grams"))
+    val inter = pd.groupBy(col("gram")).agg(collect_set(col("src")).as("ss"))
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter_grams"))
+    inter
+      .join(broadcast(perSrc.withColumnRenamed("src", "source_a")), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("inter_grams"),
+        col("a_grams"),
+        expr("inter_grams * 1000000 div a_grams").as("containment_micro"))
+  }
 }

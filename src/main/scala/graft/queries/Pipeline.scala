@@ -2538,6 +2538,38 @@ object Pipeline {
       |FROM i GROUP BY media_id, island
       |ORDER BY media_id, seg_start""".stripMargin
 
+  /** px72: source-to-source 5-gram CONTAINMENT matrix
+    * ([[graft.pipeline.TextOps.sourceContainment]]) — the dataset-card
+    * cross-overlap report, directional and exact at phrase level
+    * (px36 covers unigram vocabulary with KMV estimates). */
+  def px72SourceContainment(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.TextOps.sourceContainment(
+        Tables.documents(s, dir), "source", "text")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val px72Sql: String =
+    """WITH t AS (SELECT source,
+      |        unnest(list_distinct(list_transform(
+      |          range(1, len(toks) - 3),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |               || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+      |      FROM (SELECT source,
+      |              string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+      |            FROM documents)
+      |      WHERE len(toks) >= 5),
+      |pd AS (SELECT DISTINCT source, gram FROM t),
+      |per AS (SELECT source, count(*) AS a_grams FROM pd GROUP BY source),
+      |i AS (SELECT a.source AS source_a, b.source AS source_b,
+      |        count(*) AS inter_grams
+      |      FROM pd a JOIN pd b USING (gram) GROUP BY 1, 2)
+      |SELECT i.source_a, i.source_b,
+      |  CAST(i.inter_grams AS BIGINT) AS inter_grams,
+      |  CAST(p.a_grams AS BIGINT) AS a_grams,
+      |  CAST(i.inter_grams * 1000000 // p.a_grams AS BIGINT) AS containment_micro
+      |FROM i JOIN per p ON p.source = i.source_a
+      |ORDER BY i.source_a, i.source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "px1_text_stats"       -> (px1TextStats _),
     "px2_langid"           -> (px2LangId _),
@@ -2610,6 +2642,7 @@ object Pipeline {
     "px69_exact_substr_dedup" -> (px69ExactSubstrDedup _),
     "px70_novelty_rate"       -> (px70NoveltyRate _),
     "px71_audio_segments"     -> (px71AudioSegments _),
+    "px72_source_containment" -> (px72SourceContainment _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2677,6 +2710,7 @@ object Pipeline {
     "px69_exact_substr_dedup" -> px69Sql,
     "px70_novelty_rate"       -> px70Sql,
     "px71_audio_segments"     -> px71Sql,
+    "px72_source_containment" -> px72Sql,
     // px13/px61/px66: IVF/PQ quantizers — oracles are DYNAMIC (trained
     // centroids and codebooks embedded as SQL literals), emitted via
     // SparkEntry.dynamicOracleSql at Verify time

@@ -2430,6 +2430,61 @@ object StreamBatch {
       |"seg":{"cf":"f", "col":"s", "type":"string"},
       |"alive":{"cf":"f", "col":"a", "type":"int"}}}""".stripMargin
 
+  /** Per-segment rollup of the maintained join — sv24's state: segment →
+    * (n_orders, revenue_c), '' mapped to the `(none)` null bucket (an
+    * empty rowkey is a region-boundary hazard, and the render wants a
+    * printable bucket anyway). Two versions + logical zeros, like every
+    * read-modify-write table here. */
+  private[graft] val sv24AggCatalog =
+    """{"table":{"namespace":"default", "name":"kv_jv_agg"},
+      |"rowkey":"key",
+      |"columns":{
+      |"segment":{"cf":"rowkey", "col":"key", "type":"string"},
+      |"n_orders":{"cf":"f", "col":"n", "type":"bigint"},
+      |"revenue_c":{"cf":"f", "col":"r", "type":"bigint"}}}""".stripMargin
+
+  /** Fold a batch's SIGNED per-segment deltas (`seg`, `dn` order count,
+    * `dr` revenue cents) into the rollup table — sv21's count-merge
+    * discipline applied to the join's GROUP BY: read current values
+    * as-of `stamp` (≤ #segments rows, [[stringKeyLookup]] gates), add,
+    * refuse NEGATIVE results inside the write expression (a negative
+    * count or revenue means the decrement stream diverged from what was
+    * added — the refused batch stays torn and replays after repair),
+    * write zero-crossers as LOGICAL zeros at `stamp + 1`. */
+  private def mergeSegDeltas(s: SparkSession, aggCatalog: String,
+      deltas: DataFrame, stamp: Long): Unit = {
+    val keyed = deltas
+      .withColumn("segment",
+        when(col("seg") === "", lit("(none)")).otherwise(col("seg")))
+      .groupBy(col("segment"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dr")).as("dr"))
+      .filter(col("dn") =!= 0 || col("dr") =!= 0)
+      .persist()
+    if (!keyed.isEmpty) {
+      val current = stringKeyLookup(s, aggCatalog,
+        keyed.select(col("segment")), "segment",
+        extraOpts = Map("maxStamp" -> stamp.toString))
+        .select(col("segment"), col("n_orders").as("cur_n"),
+          col("revenue_c").as("cur_r"))
+      val n = coalesce(col("cur_n"), lit(0L)) + col("dn")
+      val r = coalesce(col("cur_r"), lit(0L)) + col("dr")
+      keyed.join(current, Seq("segment"), "left")
+        .select(col("segment"),
+          when(n < 0 || r < 0, raise_error(concat(
+            lit("mergeSegDeltas: rollup went NEGATIVE for segment '"),
+            col("segment"),
+            lit("' — refusing to persist corrupted aggregates"))))
+            .otherwise(n).as("n_orders"),
+          r.as("revenue_c"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> aggCatalog, "newtable" -> "4",
+          "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString,
+          "minSplit" -> "0", "maxSplit" -> "z"))
+        .mode("append").save()
+    }
+    keyed.unpersist(); ()
+  }
+
   /** One CDC drain of the ORDERS side of join-view maintenance — half of
     * [[sv23StreamJoinView]]'s protocol (see there for the view design).
     * Per batch, everything is batch-proportional:
@@ -2462,6 +2517,7 @@ object StreamBatch {
       ordMirrorCatalog: String = sv23OrdMirrorCatalog,
       custMirrorCatalog: String = sv23CustMirrorCatalog,
       viewCatalog: String = sv23ViewCatalog,
+      aggCatalog: Option[String] = None,
       maxRowsPerBatch: Option[Long] = None,
       crashPoint: () => Unit = () => ()): Long = {
     val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
@@ -2502,6 +2558,28 @@ object StreamBatch {
             .options(Map("catalog" -> viewCatalog, "newtable" -> "4",
               "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
             .mode("append").save()
+          // sv24's rollup delta: every touched order's OLD (price, seg)
+          // decrements, every upsert's NEW increments. The old values'
+          // only current truth is the VIEW row at the old address — read
+          // as-of (so this batch's own view write above is invisible),
+          // custkey prefix slivers pruned to the exact rows by the
+          // address semi-join; cost is bounded by the wave's customers'
+          // order fan-in, the inherent decrement cost of aggregate IVM
+          // over a join
+          aggCatalog.foreach { aggCat =>
+            val oldAddr = j.filter(col("old_custkey").isNotNull)
+              .select(col("old_custkey").as("c_custkey"), col("o_orderkey"))
+            val oldRows = mirrorLookup(s, viewCatalog, "",
+              oldAddr.select(col("c_custkey")), idCol = "c_custkey",
+              extraOpts = asOf)
+              .filter(col("alive") === 1)
+              .join(oldAddr, Seq("c_custkey", "o_orderkey"), "leftsemi")
+              .select(col("seg"), lit(-1L).as("dn"),
+                (-col("price_c")).as("dr"))
+            val newRows = inserts.select(col("seg"), lit(1L).as("dn"),
+              col("price_c").as("dr"))
+            mergeSegDeltas(s, aggCat, oldRows.unionByName(newRows), stamp)
+          }
           crashPoint()
           changed.select(col("o_orderkey"),
               when(col("_deleted"), lit(-1L)).otherwise(col("o_custkey"))
@@ -2538,6 +2616,7 @@ object StreamBatch {
       srcCatalog: String = sv23CustSrcCatalog,
       custMirrorCatalog: String = sv23CustMirrorCatalog,
       viewCatalog: String = sv23ViewCatalog,
+      aggCatalog: Option[String] = None,
       maxRowsPerBatch: Option[Long] = None,
       crashPoint: () => Unit = () => ()): Long = {
     val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
@@ -2552,27 +2631,41 @@ object StreamBatch {
           .persist()
         if (!changed.isEmpty) {
           // the affected view rows: THIS batch's custkey prefix slivers,
-          // as-of pre-batch state (alive only — dead rows stay dead)
+          // as-of pre-batch state (alive only — dead rows stay dead).
+          // The rows carry their OLD segment — sv24's decrement side
+          // comes for free from the repair read.
           val aff = mirrorLookup(s, viewCatalog, "",
             changed.select(col("c_custkey")), idCol = "c_custkey",
             extraOpts = asOf)
             .filter(col("alive") === 1)
-            .select(col("c_custkey"), col("o_orderkey"), col("price_c"))
+            .select(col("c_custkey"), col("o_orderkey"), col("price_c"),
+              col("seg").as("old_seg"))
           val segs = changed.select(col("c_custkey"),
             when(col("_deleted"), lit("")).otherwise(col("seg")).as("seg"))
-          aff.join(segs, Seq("c_custkey"))
-            .select(col("c_custkey"), col("o_orderkey"), col("price_c"),
+          val rep = aff.join(segs, Seq("c_custkey")).persist()
+          rep.select(col("c_custkey"), col("o_orderkey"), col("price_c"),
               col("seg"), lit(1).as("alive"))
             .write.format("graft-kv")
             .options(Map("catalog" -> viewCatalog, "newtable" -> "4",
               "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
             .mode("append").save()
+          // sv24's rollup: a segment change MOVES each repaired row's
+          // contribution old_seg → seg; rows whose segment didn't change
+          // cancel inside the merge's per-segment sum
+          aggCatalog.foreach { aggCat =>
+            mergeSegDeltas(s, aggCat,
+              rep.select(col("old_seg").as("seg"), lit(-1L).as("dn"),
+                  (-col("price_c")).as("dr"))
+                .unionByName(rep.select(col("seg"), lit(1L).as("dn"),
+                  col("price_c").as("dr"))), stamp)
+          }
           crashPoint()
           segs.write.format("graft-kv")
             .options(Map("catalog" -> custMirrorCatalog, "newtable" -> "4",
               "maxVersions" -> "2", "timestamp" -> (stamp + 1).toString))
             .mode("append").save()
           highWrite.accumulateAndGet(stamp + 1, math.max)
+          rep.unpersist()
         }
         changed.unpersist()
         ()
@@ -2608,7 +2701,16 @@ object StreamBatch {
     * rows behind the drain-derived fence. The final render reads the
     * alive view rows — the oracle recomputes the join from each table's
     * FINAL state, so maintenance must equal recomputation bit-for-bit. */
-  def sv23StreamJoinView(s: SparkSession, dir: String): DataFrame = {
+  /** The shared phase schedule of the join-view family (sv23's view,
+    * sv24's rollup): customer load -> orders load -> %7 custkey MOVES
+    * (+1 cent) -> ranged orders DELETE [100, 299] -> customer wave (%5
+    * re-segmentations + custkey [10, 29] deaths) -> mid-schedule
+    * compaction behind the drain-derived fence -> partial resurrection
+    * ([10, 24] return; [25, 29] stay dead, keeping real LEFT-join
+    * orphans). Tables are caller-named so sv23 and sv24 run isolated. */
+  private def runJoinViewPhases(s: SparkSession, dir: String,
+      ordCat: String, custCat: String, ordMir: String, custMir: String,
+      viewCat: String, aggCat: Option[String]): Unit = {
     import graft.datasource.FilterCompiler
     import graft.store.KvStore
     val ordBase = Tables.orders(s, dir).select(
@@ -2620,56 +2722,67 @@ object StreamBatch {
       col("c_mktsegment").as("seg"))
     val maxOrd = ordBase.agg(max(col("o_orderkey"))).head().getLong(0)
     val maxCust = custBase.agg(max(col("c_custkey"))).head().getLong(0)
-    val ordParsed = graft.catalog.GraftCatalog.parse(sv23OrdSrcCatalog, Map.empty)
-    val custParsed = graft.catalog.GraftCatalog.parse(sv23CustSrcCatalog, Map.empty)
+    val ordParsed = graft.catalog.GraftCatalog.parse(ordCat, Map.empty)
+    val custParsed = graft.catalog.GraftCatalog.parse(custCat, Map.empty)
     def writeOrd(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
       df.write.format("graft-kv")
-        .options(Map("catalog" -> sv23OrdSrcCatalog, "newtable" -> "4",
+        .options(Map("catalog" -> ordCat, "newtable" -> "4",
           "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxOrd.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
     def writeCust(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
       df.write.format("graft-kv")
-        .options(Map("catalog" -> sv23CustSrcCatalog, "newtable" -> "4",
+        .options(Map("catalog" -> custCat, "newtable" -> "4",
           "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxCust.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    // fresh run; pre-create the three state tables (first batches read all)
-    Seq("default:kv_jv_ord_src", "default:kv_jv_cust_src",
-      "default:kv_jv_ord_mirror", "default:kv_jv_cust_mirror",
-      "default:kv_jv_view").foreach(KvStore.drop)
+    // fresh run; pre-create the state tables (first batches read all)
+    (Seq(ordCat, custCat, ordMir, custMir, viewCat) ++ aggCat)
+      .foreach(c => KvStore.drop(
+        graft.catalog.GraftCatalog.parse(c, Map.empty).qualifiedName))
     ordBase.limit(0).select(col("o_orderkey"), col("o_custkey"))
       .write.format("graft-kv")
-      .options(Map("catalog" -> sv23OrdMirrorCatalog, "newtable" -> "4",
+      .options(Map("catalog" -> ordMir, "newtable" -> "4",
         "maxVersions" -> "2", "timestamp" -> "1",
         "minSplitNum" -> "0", "maxSplitNum" -> maxOrd.toString))
       .mode("append").save()
     custBase.limit(0)
       .write.format("graft-kv")
-      .options(Map("catalog" -> sv23CustMirrorCatalog, "newtable" -> "4",
+      .options(Map("catalog" -> custMir, "newtable" -> "4",
         "maxVersions" -> "2", "timestamp" -> "1",
         "minSplitNum" -> "0", "maxSplitNum" -> maxCust.toString))
       .mode("append").save()
     s.range(0).select(lit(0L).as("c_custkey"), lit(0L).as("o_orderkey"),
         lit(0L).as("price_c"), lit("").as("seg"), lit(1).as("alive"))
       .write.format("graft-kv")
-      .options(Map("catalog" -> sv23ViewCatalog, "newtable" -> "4",
+      .options(Map("catalog" -> viewCat, "newtable" -> "4",
         "maxVersions" -> "2", "timestamp" -> "1"))
       .mode("append").save()
-    val ckptO = Files.createTempDirectory("graft-sv23-ord-ckpt").toString
-    val ckptC = Files.createTempDirectory("graft-sv23-cust-ckpt").toString
+    aggCat.foreach { ac =>
+      s.range(0).select(lit("").as("segment"), lit(0L).as("n_orders"),
+          lit(0L).as("revenue_c"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> ac, "newtable" -> "4",
+          "maxVersions" -> "2", "timestamp" -> "1",
+          "minSplit" -> "0", "maxSplit" -> "z"))
+        .mode("append").save()
+    }
+    val ckptO = Files.createTempDirectory("graft-jv-ord-ckpt").toString
+    val ckptC = Files.createTempDirectory("graft-jv-cust-ckpt").toString
     // the coordinator's epoch contract: each drain (either stream) gets a
     // monotone base; a replayed drain re-runs with ITS base
     var nextBase = 0L
     var committedWrite = 0L
     def drainO(): Unit = {
       nextBase += 100000L
-      val w = maintainJoinViewOrders(s, nextBase, ckptO)
+      val w = maintainJoinViewOrders(s, nextBase, ckptO,
+        ordCat, ordMir, custMir, viewCat, aggCat)
       if (w != Long.MinValue) committedWrite = math.max(committedWrite, w)
     }
     def drainC(): Unit = {
       nextBase += 100000L
-      val w = maintainJoinViewCustomer(s, nextBase, ckptC)
+      val w = maintainJoinViewCustomer(s, nextBase, ckptC,
+        custCat, custMir, viewCat, aggCat)
       if (w != Long.MinValue) committedWrite = math.max(committedWrite, w)
     }
     // phase 1: customer dimension loads first
@@ -2678,7 +2791,7 @@ object StreamBatch {
     // phase 2: orders arrive, enriching from the customer mirror
     writeOrd(ordBase, ts = 2000, overwrite = true)
     drainO()
-    // phase 3: %7 orders MOVE custkey (re-key: retire + insert) and gain 1¢
+    // phase 3: %7 orders MOVE custkey (re-key: retire + insert) and gain 1 cent
     writeOrd(ordBase.filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey"), ((col("o_custkey") % 50) + 1).as("o_custkey"),
         (col("price_c") + 1).as("price_c")), ts = 3000, overwrite = false)
@@ -2699,23 +2812,34 @@ object StreamBatch {
     KvStore.table(custParsed.qualifiedName).delete(hrfC.ranges, hrfC.pred, stamp = 5100)
     drainC()
     // mid-schedule compaction behind the drain-derived fence: retired view
-    // rows and dead mirror rows die physically; [25, 29]'s orphan rows are
-    // ALIVE ''-segment rows — compaction must not touch them
-    reclaimLogicalDead(s, sv23ViewCatalog, "c_custkey", col("alive") === 0,
+    // rows, dead mirror rows, and zero-crossed rollup rows die physically;
+    // [25, 29]'s orphan rows are ALIVE ''-segment rows — compaction must
+    // not touch them
+    reclaimLogicalDead(s, viewCat, "c_custkey", col("alive") === 0,
       horizon = committedWrite, committedStamp = Some(committedWrite),
       extraKeyCols = Seq("o_orderkey"))
-    reclaimLogicalDead(s, sv23OrdMirrorCatalog, "o_orderkey",
+    reclaimLogicalDead(s, ordMir, "o_orderkey",
       col("o_custkey") < 0, horizon = committedWrite,
       committedStamp = Some(committedWrite))
-    reclaimLogicalDead(s, sv23CustMirrorCatalog, "c_custkey",
+    reclaimLogicalDead(s, custMir, "c_custkey",
       length(col("seg")) === 0, horizon = committedWrite,
       committedStamp = Some(committedWrite))
+    aggCat.foreach { ac =>
+      reclaimLogicalDead(s, ac, "segment", col("n_orders") === 0L,
+        horizon = committedWrite, committedStamp = Some(committedWrite)); ()
+    }
     // phase 6: partial resurrection — [10, 24] return with their original
     // segments and repair their orphaned orders in place; [25, 29] stay
     // dead, so the final answer keeps real LEFT-join orphans
     writeCust(custBase.filter(col("c_custkey") >= 10 && col("c_custkey") <= 24),
       ts = 6000, overwrite = false)
     drainC()
+  }
+
+  def sv23StreamJoinView(s: SparkSession, dir: String): DataFrame = {
+    runJoinViewPhases(s, dir, sv23OrdSrcCatalog, sv23CustSrcCatalog,
+      sv23OrdMirrorCatalog, sv23CustMirrorCatalog, sv23ViewCatalog,
+      aggCat = None)
     // the maintained view, rendered: '' is the logical NULL segment
     s.read.format("graft-kv").option("catalog", sv23ViewCatalog).load()
       .filter(col("alive") === 1)
@@ -2723,6 +2847,55 @@ object StreamBatch {
         nullif(col("seg"), lit("")).as("segment"))
       .orderBy(col("c_custkey"), col("o_orderkey"))
   }
+
+  /** sv24: INCREMENTALLY-MAINTAINED AGGREGATE over the maintained JOIN —
+    * the full IVM stack: sv21 introduced the signed-delta aggregate, sv23
+    * the two-stream join view; sv24 composes them into the rollup every
+    * revenue dashboard actually serves (segment -> n_orders, revenue),
+    * kept current as BOTH base tables change. Each orders batch
+    * decrements the OLD (price, segment) — point-read from the view at
+    * the old address, the only current truth once customers move — and
+    * increments the new; each customer batch MOVES its repaired rows'
+    * contributions between segments (the decrement rides the same prefix
+    * sliver the repair already reads). Same phases as sv23 over its own
+    * tables ([[runJoinViewPhases]]); the oracle recomputes the rollup
+    * from final state, so maintenance must equal recomputation
+    * bit-for-bit — including the `(none)` bucket of orders whose
+    * customer stayed dead. */
+  def sv24StreamJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val suf = "_rg"
+    runJoinViewPhases(s, dir,
+      sv23OrdSrcCatalog.replace("\"kv_jv_ord_src\"", s""""kv_jv_ord_src$suf""""),
+      sv23CustSrcCatalog.replace("\"kv_jv_cust_src\"", s""""kv_jv_cust_src$suf""""),
+      sv23OrdMirrorCatalog.replace("\"kv_jv_ord_mirror\"", s""""kv_jv_ord_mirror$suf""""),
+      sv23CustMirrorCatalog.replace("\"kv_jv_cust_mirror\"", s""""kv_jv_cust_mirror$suf""""),
+      sv23ViewCatalog.replace("\"kv_jv_view\"", s""""kv_jv_view$suf""""),
+      aggCat = Some(sv24AggCatalog))
+    s.read.format("graft-kv").option("catalog", sv24AggCatalog).load()
+      .filter(col("n_orders") > 0)
+      .select(col("segment"), col("n_orders"), col("revenue_c"))
+      .orderBy(col("segment"))
+  }
+
+  /** sv24's oracle: the rollup recomputed from final state. */
+  val sv24Sql: String =
+    """WITH fo AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN (o_custkey % 50) + 1
+      |         ELSE o_custkey END AS c_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS price_c
+      |  FROM orders WHERE o_orderkey NOT BETWEEN 100 AND 299),
+      |fc AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 5 = 0 AND c_custkey NOT BETWEEN 10 AND 24
+      |         THEN 'MOVED' ELSE c_mktsegment END AS seg
+      |  FROM customer WHERE c_custkey NOT BETWEEN 25 AND 29)
+      |SELECT coalesce(fc.seg, '(none)') AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(fo.price_c) AS BIGINT) AS revenue_c
+      |FROM fo LEFT JOIN fc USING (c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The final join recomputed from each table's FINAL state — maintenance
     * must equal recomputation bit-for-bit. */
@@ -2768,6 +2941,7 @@ object StreamBatch {
     "sv21_stream_bigram_lm"      -> (sv21StreamBigramLm _),
     "sv22_stream_shard_manifest" -> (sv22StreamShardManifest _),
     "sv23_stream_join_view"      -> (sv23StreamJoinView _),
+    "sv24_stream_join_agg"       -> (sv24StreamJoinAgg _),
   ).view.mapValues(withoutAqe).toMap
 
   val oracles: Map[String, String] = Map(
@@ -2795,5 +2969,6 @@ object StreamBatch {
     "sv21_stream_bigram_lm"      -> Pipeline.px30Sql,
     "sv22_stream_shard_manifest" -> sv22Sql,
     "sv23_stream_join_view"      -> sv23Sql,
+    "sv24_stream_join_agg"       -> sv24Sql,
   )
 }
