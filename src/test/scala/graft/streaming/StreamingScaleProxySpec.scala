@@ -633,7 +633,7 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => KvStore.drop(s"default:$t"))
   }
 
-  test("sv23 join-view maintenance at 100k orders: each delta direction reads slivers, never the view or fact table") {
+  test("sv23/sv24 join-view + rollup maintenance at 100k orders: each delta direction reads slivers, never the view or fact table") {
     // the IVM proportionality claim, both directions: an orders wave reads
     // the wave's mirror point-gets + the (dimension-sized) customer
     // mirror; a customer wave reads ONLY its custkeys' view PREFIX
@@ -648,8 +648,11 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       .replace("\"kv_jv_cust_mirror\"", "\"kv_jv_cust_mirror_sxp\"")
     val viewCat = StreamBatch.sv23ViewCatalog
       .replace("\"kv_jv_view\"", "\"kv_jv_view_sxp\"")
+    val aggCat = StreamBatch.sv24AggCatalog
+      .replace("\"kv_jv_agg\"", "\"kv_jv_agg_sxp\"")
     val tables = Seq("kv_jv_ord_src_sxp", "kv_jv_cust_src_sxp",
-      "kv_jv_ord_mirror_sxp", "kv_jv_cust_mirror_sxp", "kv_jv_view_sxp")
+      "kv_jv_ord_mirror_sxp", "kv_jv_cust_mirror_sxp", "kv_jv_view_sxp",
+      "kv_jv_agg_sxp")
     tables.foreach(t => KvStore.drop(s"default:$t"))
     val N = 100000L   // orders
     val C = 1000L     // customers (dimension)
@@ -683,6 +686,12 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.format("graft-kv")
       .options(Map("catalog" -> viewCat, "newtable" -> "4", "maxVersions" -> "2",
         "timestamp" -> "1")).mode("append").save()
+    spark.range(0).select(lit("").as("segment"), lit(0L).as("n_orders"),
+        lit(0L).as("revenue_c"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> aggCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
     val ckptO = Files.createTempDirectory("graft-sxp23-ord").toString
     val ckptC = Files.createTempDirectory("graft-sxp23-cust").toString
     // dimension load, then the 100k fact build (the expensive one-time pass)
@@ -690,13 +699,13 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       concat(lit("S"), (col("id") % 5).cast("string")).as("seg")),
       ts = 1000, overwrite = true)
     StreamBatch.maintainJoinViewCustomer(spark, 100000L, ckptC,
-      custCat, custMir, viewCat)
+      custCat, custMir, viewCat, Some(aggCat))
     writeOrd(spark.range(N).select(col("id").as("o_orderkey"),
       (col("id") % C).as("o_custkey"), (col("id") * 7).as("price_c")),
       ts = 2000, overwrite = true)
     val (_, shufBuild) = measureShuffle {
       StreamBatch.maintainJoinViewOrders(spark, 200000L, ckptO,
-        ordCat, ordMir, custMir, viewCat)
+        ordCat, ordMir, custMir, viewCat, Some(aggCat))
     }
     assert(tableRows("default:kv_jv_view_sxp") == N)
 
@@ -712,7 +721,7 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     val baseA = KvStore.rowsServed
     val (_, shufA) = measureShuffle {
       StreamBatch.maintainJoinViewOrders(spark, 300000L, ckptO,
-        ordCat, ordMir, custMir, viewCat)
+        ordCat, ordMir, custMir, viewCat, Some(aggCat))
     }
     val servedA = KvStore.rowsServed - baseA
     info(s"orders wave: served=$servedA shuffle=$shufA (build shuffle=$shufBuild)")
@@ -730,7 +739,7 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     val baseB = KvStore.rowsServed
     val (_, shufB) = measureShuffle {
       StreamBatch.maintainJoinViewCustomer(spark, 400000L, ckptC,
-        custCat, custMir, viewCat)
+        custCat, custMir, viewCat, Some(aggCat))
     }
     val servedB = KvStore.rowsServed - baseB
     info(s"customer wave: served=$servedB shuffle=$shufB")
@@ -746,6 +755,21 @@ class StreamingScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("alive") === 1 &&
         col("c_custkey") % 40 === 0 && col("c_custkey") < WC * 40).count()
     assert(zz == expected, s"repaired $zz rows, expected $expected")
+    // rollup CONSERVATION at 100k: the maintained totals must equal the
+    // view's own aggregation bit-for-bit after every wave
+    val fromView = spark.read.format("graft-kv").option("catalog", viewCat).load()
+      .filter(col("alive") === 1)
+      .groupBy(when(col("seg") === "", lit("(none)")).otherwise(col("seg"))
+        .as("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("price_c")).as("r"))
+      .collect().map(x => x.getAs[String]("segment") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("r")))).toMap
+    val fromAgg = spark.read.format("graft-kv").option("catalog", aggCat).load()
+      .filter(col("n_orders") > 0)
+      .collect().map(x => x.getAs[String]("segment") ->
+        ((x.getAs[Long]("n_orders"), x.getAs[Long]("revenue_c")))).toMap
+    assert(fromAgg == fromView,
+      s"maintained rollup diverged from the view's recomputation")
     tables.foreach(t => KvStore.drop(s"default:$t"))
   }
 }

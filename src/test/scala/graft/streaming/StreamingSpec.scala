@@ -1205,9 +1205,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .replace("\"kv_jv_cust_mirror\"", s""""kv_jv_cust_mirror_$suf"""")
     val viewCat = StreamBatch.sv23ViewCatalog
       .replace("\"kv_jv_view\"", s""""kv_jv_view_$suf"""")
+    val aggCat = StreamBatch.sv24AggCatalog
+      .replace("\"kv_jv_agg\"", s""""kv_jv_agg_$suf"""")
     val tables = Seq(s"default:kv_jv_ord_src_$suf", s"default:kv_jv_cust_src_$suf",
       s"default:kv_jv_ord_mirror_$suf", s"default:kv_jv_cust_mirror_$suf",
-      s"default:kv_jv_view_$suf")
+      s"default:kv_jv_view_$suf", s"default:kv_jv_agg_$suf")
     tables.foreach(KvStore.drop)
     import spark.implicits._
     def putOrd(rows: Seq[(Long, Long, Long)], ts: Long): Unit =
@@ -1240,6 +1242,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.format("graft-kv")
       .options(Map("catalog" -> viewCat, "newtable" -> "4", "maxVersions" -> "2",
         "timestamp" -> "1")).mode("append").save()
+    spark.range(0).select(lit("").as("segment"), lit(0L).as("n_orders"),
+        lit(0L).as("revenue_c"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> aggCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
+    def agg(): Map[String, (Long, Long)] =
+      spark.read.format("graft-kv").option("catalog", aggCat).load()
+        .collect().map(r => r.getAs[String]("segment") ->
+          ((r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_c")))).toMap
     val ckptO = Files.createTempDirectory("graft-jvcrash-ord").toString
     val ckptC = Files.createTempDirectory("graft-jvcrash-cust").toString
     def view(): Map[(Long, Long), (Long, String, Int)] =
@@ -1251,16 +1263,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
     // load: two customers, two orders
     putCust(Seq((1L, "A"), (2L, "B")), ts = 1000)
-    StreamBatch.maintainJoinViewCustomer(spark, 100000L, ckptC, custCat, custMir, viewCat)
+    StreamBatch.maintainJoinViewCustomer(spark, 100000L, ckptC, custCat, custMir,
+      viewCat, Some(aggCat))
     putOrd(Seq((1L, 1L, 100L), (2L, 2L, 200L)), ts = 2000)
-    StreamBatch.maintainJoinViewOrders(spark, 200000L, ckptO, ordCat, ordMir, custMir, viewCat)
+    StreamBatch.maintainJoinViewOrders(spark, 200000L, ckptO, ordCat, ordMir,
+      custMir, viewCat, Some(aggCat))
     assert(view() == Map((1L, 1L) -> ((100L, "A", 1)), (2L, 2L) -> ((200L, "B", 1))))
+    assert(agg() == Map("A" -> ((1L, 100L)), "B" -> ((1L, 200L))),
+      s"rollup after load: ${agg()}")
     // the wave: order 1 MOVES cust 1 → 2 (re-key, +1¢), order 2 dies
     putOrd(Seq((1L, 2L, 101L)), ts = 3000)
     delOrd(Seq(2L), ts = 3001)
     val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       StreamBatch.maintainJoinViewOrders(spark, 300000L, ckptO,
-        ordCat, ordMir, custMir, viewCat,
+        ordCat, ordMir, custMir, viewCat, Some(aggCat),
         crashPoint = () => throw new RuntimeException("injected crash"))
     }
     assert(crashed.getMessage.contains("injected crash") ||
@@ -1282,12 +1298,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Int]("alive")).toMap
     assert(asOf == Map((1L, 1L) -> 1, (2L, 2L) -> 1),
       s"as-of view must show the pre-batch world, got $asOf")
+    // the rollup write landed before the crash too: the move already
+    // shifted o1's cent-bumped price A -> B, and o2's death decremented B
+    val tornAgg = agg()
+    assert(tornAgg == Map("A" -> ((0L, 0L)), "B" -> ((1L, 101L))),
+      s"rollup must show the torn batch's deltas once: $tornAgg")
     // resume from the SAME checkpoint with the SAME drain base: the replay
-    // must re-derive identical cells (no double-retire, no re-enrich drift),
-    // then finish the mirror advance
+    // must re-derive identical cells (no double-retire, no re-enrich drift,
+    // NO DOUBLE-DECREMENT of the rollup), then finish the mirror advance
     StreamBatch.maintainJoinViewOrders(spark, 300000L, ckptO,
-      ordCat, ordMir, custMir, viewCat)
+      ordCat, ordMir, custMir, viewCat, Some(aggCat))
     assert(view() == torn, s"replay diverged: ${view()} vs $torn")
+    assert(agg() == tornAgg, s"replay double-applied the rollup delta: ${agg()}")
     assert(ordMirror() == Map(1L -> 2L, 2L -> -1L),
       s"mirror after resume: ${ordMirror()}")
     // customer-side torn window: cust 2 re-segments; crash lands the view
@@ -1295,7 +1317,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     putCust(Seq((2L, "Z")), ts = 4000)
     val crashed2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       StreamBatch.maintainJoinViewCustomer(spark, 400000L, ckptC,
-        custCat, custMir, viewCat,
+        custCat, custMir, viewCat, Some(aggCat),
         crashPoint = () => throw new RuntimeException("injected crash"))
     }
     assert(crashed2.getMessage.contains("injected crash") ||
@@ -1303,15 +1325,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(view()((2L, 1L)) == ((101L, "Z", 1)),
       "the view repair must have landed before the crash")
     StreamBatch.maintainJoinViewCustomer(spark, 400000L, ckptC,
-      custCat, custMir, viewCat)
+      custCat, custMir, viewCat, Some(aggCat))
     assert(view()((2L, 1L)) == ((101L, "Z", 1)), "replay drifted the repaired row")
+    // the re-segmentation MOVED o1's contribution B -> Z exactly once
+    assert(agg().filter(_._2._1 > 0) == Map("Z" -> ((1L, 101L))),
+      s"rollup after the segment move: ${agg()}")
     val segs = spark.read.format("graft-kv").option("catalog", custMir).load()
       .collect().map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("seg")).toMap
     assert(segs == Map(1L -> "A", 2L -> "Z"), s"customer mirror after resume: $segs")
     tables.foreach(KvStore.drop)
   }
 
-  test("CDC protocols (sv12/sv14/sv18/sv19/sv20/sv21/sv22/sv23) never round-trip data through the driver") {
+  test("CDC protocols (sv12/sv14/sv18-sv24) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
     // sv12/sv14/sv18/sv19 pipelines (stream + foreachBatch jobs included)
@@ -1343,6 +1368,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queries("sv22_stream_shard_manifest")(spark, sfDir).count() > 0)
       assert(graft.queries.StreamBatch
         .queries("sv23_stream_join_view")(spark, sfDir).count() > 0)
+      assert(graft.queries.StreamBatch
+        .queries("sv24_stream_join_agg")(spark, sfDir).count() > 0)
       // listener events are async; wait for the counter to go quiet
       var last = -1L; var spins = 0
       while (maxResult.get() != last && spins < 20) {
