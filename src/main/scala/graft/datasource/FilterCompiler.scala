@@ -92,8 +92,16 @@ object FilterCompiler {
         // (DefaultSourceSuite.scala:156-194); this stays O(n log n).
         val leaves = nonNull.map(v => leafCmp(catalog, attr, Eq, v))
         if (leaves.exists(l => !l.handled || l.pred.isEmpty)) unhandled
-        else Hrf(ScanRange.normalize(leaves.toSeq.flatMap(_.ranges)),
-          Some(KvPredicate.Or(leaves.toSeq.flatMap(_.pred))), handled = true)
+        else {
+          // same-shaped equality leaves collapse to ONE set predicate
+          // (O(1) per row); a generic Or walks every branch per row —
+          // quadratic in practice for the large-IN lookups the CDC
+          // protocols push (measured 80+ s at 15k keys × 150k rows)
+          val preds = leaves.toSeq.flatMap(_.pred)
+          val pred = KvPredicate.inOf(preds).getOrElse(KvPredicate.Or(preds))
+          Hrf(ScanRange.normalize(leaves.toSeq.flatMap(_.ranges)),
+            Some(pred), handled = true)
+        }
       }
 
     case IsNull(attr)    => leafIsNull(catalog, attr)

@@ -2713,6 +2713,27 @@ object StreamBatch {
       viewCat: String, aggCat: Option[String]): Unit = {
     import graft.datasource.FilterCompiler
     import graft.store.KvStore
+    // the drains' shuffles are WAVE-sized (changed-order joins, per-batch
+    // seg rollups) — 32 near-empty shuffle partitions per stage cost more
+    // task-scheduling wall than they buy across 5 drains × ~30 jobs; 8 is
+    // the same pin the memory-sink streams use. A production deployment
+    // sizes this to its wave volume, not its corpus.
+    val shufK = "spark.sql.shuffle.partitions"
+    val shufPrev = s.conf.getOption(shufK)
+    s.conf.set(shufK, "8")
+    try runJoinViewPhasesInner(s, dir, ordCat, custCat, ordMir, custMir,
+      viewCat, aggCat)
+    finally shufPrev match {
+      case Some(v) => s.conf.set(shufK, v)
+      case None => s.conf.unset(shufK)
+    }
+  }
+
+  private def runJoinViewPhasesInner(s: SparkSession, dir: String,
+      ordCat: String, custCat: String, ordMir: String, custMir: String,
+      viewCat: String, aggCat: Option[String]): Unit = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
     val ordBase = Tables.orders(s, dir).select(
       col("o_orderkey").cast("long").as("o_orderkey"),
       col("o_custkey").cast("long").as("o_custkey"),
@@ -2791,12 +2812,15 @@ object StreamBatch {
     // phase 2: orders arrive, enriching from the customer mirror
     writeOrd(ordBase, ts = 2000, overwrite = true)
     drainO()
-    // phase 3: %7 orders MOVE custkey (re-key: retire + insert) and gain 1 cent
+    // phase 3: %7 orders MOVE custkey (re-key: retire + insert) and gain
+    // 1 cent; then a ranged orders DELETE [100, 299]. BOTH waves ride ONE
+    // drain: the CDC window latest-merges per key, so a moved order inside
+    // the deleted range arrives only as its tombstone (delete wins — the
+    // exact mixed-batch path a real change feed produces), and the batch
+    // carries moves, plain updates, and deletes at once
     writeOrd(ordBase.filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey"), ((col("o_custkey") % 50) + 1).as("o_custkey"),
         (col("price_c") + 1).as("price_c")), ts = 3000, overwrite = false)
-    drainO()
-    // phase 4: ranged orders DELETE — view rows [100, 299] retire
     val hrfO = FilterCompiler.compileAll(ordParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", 100L),
       org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 299L)))

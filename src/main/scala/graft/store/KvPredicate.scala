@@ -162,6 +162,70 @@ object KvPredicate {
     }
   }
 
+  /** Set membership on a column's latest version — the O(1) evaluation of
+    * a large IN. A naive `Or(ValueCmp(Eq)...)` walks every branch per row:
+    * at a 15k-key IN over a 150k-row table that is ~2×10⁹ comparisons in
+    * ONE scan (measured 80+ s in sv24's decrement read before this
+    * existed). Equality is the decoded value's own `equals`, which agrees
+    * with [[compareTyped]] == 0 for every coder-decoded type; byte arrays
+    * are canonicalized so contains() is by content. */
+  final case class ValueIn(cf: String, qual: String, values: Set[Any],
+      dt: DataType, coder: FieldCoder) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean =
+      latest(row, cf, qual, time).exists { bytes =>
+        values.contains(canonical(coder.decode(dt, bytes)))
+      }
+  }
+
+  /** Set membership on one part of a (possibly composite) row key — the
+    * O(1) twin of [[KeyCmp]]`(Eq)` for large INs on key columns. */
+  final case class KeyIn(offset: Int, width: Int, values: Set[Any],
+      dt: DataType, coder: FieldCoder) extends KvPredicate {
+    override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = {
+      import graft.catalog.RowKeyPart
+      if (!RowKeyPart.inBounds(offset, width, key.length)) return false
+      val off = RowKeyPart.offsetIn(offset, width, key.length)
+      val len = RowKeyPart.lengthIn(offset, width, key.length)
+      values.contains(canonical(coder.decode(dt, key, off, len)))
+    }
+  }
+
+  /** Canonical form for set membership: byte arrays compare by reference
+    * under `equals`, so wrap them content-wise; everything else decoded by
+    * a [[FieldCoder]] already has value equality. */
+  def canonical(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case x => x
+  }
+
+  /** Collapse N same-shaped equality leaves into one set predicate —
+    * [[ValueIn]] / [[KeyIn]] — or None when the leaves are heterogeneous
+    * (the caller keeps the generic Or). */
+  def inOf(children: Seq[KvPredicate]): Option[KvPredicate] = {
+    if (children.isEmpty) return None
+    children.head match {
+      case ValueCmp(cf, qual, Eq, _, dt, coder)
+          if children.forall {
+            case ValueCmp(c, q, Eq, _, d, co) =>
+              c == cf && q == qual && d == dt && co == coder
+            case _ => false
+          } =>
+        Some(ValueIn(cf, qual,
+          children.map { case ValueCmp(_, _, _, v, _, _) => canonical(v) }.toSet,
+          dt, coder))
+      case KeyCmp(off, w, Eq, _, dt, coder)
+          if children.forall {
+            case KeyCmp(o, wd, Eq, _, d, co) =>
+              o == off && wd == w && d == dt && co == coder
+            case _ => false
+          } =>
+        Some(KeyIn(off, w,
+          children.map { case KeyCmp(_, _, _, v, _, _) => canonical(v) }.toSet,
+          dt, coder))
+      case _ => None
+    }
+  }
+
   final case class And(children: Seq[KvPredicate]) extends KvPredicate {
     override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean = children.forall(_.eval(key, row, time))
   }

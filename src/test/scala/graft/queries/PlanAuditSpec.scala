@@ -909,6 +909,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no stage may collapse to a single partition:\n${plan.take(3000)}")
   }
 
+  test("px72 source containment: one gram agg carrying source sets, no gram self-join") {
+    val plan = executedPlan(graft.queries.Pipeline.px72SourceContainment(spark, dir))
+    assert(plan.contains("partial"),
+      s"the gram aggregation must map-side combine:\n${plan.take(3000)}")
+    // the matrix falls out of the collect_set fan-out — a gram-keyed
+    // SELF-join would shuffle the corpus twice and amplify
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no gram self-join allowed:\n${plan.take(3000)}")
+    // the per-source denominators are a #sources-row frame — broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"denominators must broadcast:\n${plan.take(3000)}")
+  }
+
   test("px70 novelty rate: one gram-keyed min + join back, per-doc agg combines map-side") {
     val plan = executedPlan(graft.queries.Pipeline.px70NoveltyRate(spark, dir))
     assert(plan.contains("partial"),
