@@ -850,19 +850,28 @@ object TextOps {
   def sourceContainment(docs: org.apache.spark.sql.DataFrame,
       stratumCol: String, textCol: String, n: Int = 5):
       org.apache.spark.sql.DataFrame = {
+    // the gram explode is the expensive map — spread the (tiny) doc rows
+    // first so it parallelizes even when the input arrives as one split
+    // (a 100 TB corpus has thousands of splits; a test parquet has one),
+    // and compute the whole matrix from ONE subtree: the denominators ARE
+    // the diagonal (|A ∩ A| = |A|), so no second gram pass exists to
+    // re-run or re-shuffle
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val pd = docs
+      .repartition(parallelism)
       .select(col(stratumCol).as("src"),
         explode(Dedup.tokenNgramsOf(tokens(coalesce(col(textCol), lit(""))), n))
           .as("gram"))
       .distinct()
-    val perSrc = pd.groupBy(col("src")).agg(count(lit(1)).as("a_grams"))
     val inter = pd.groupBy(col("gram")).agg(collect_set(col("src")).as("ss"))
       .select(explode(col("ss")).as("source_a"), col("ss"))
       .select(col("source_a"), explode(col("ss")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("inter_grams"))
+    val diag = inter.filter(col("source_a") === col("source_b"))
+      .select(col("source_a"), col("inter_grams").as("a_grams"))
     inter
-      .join(broadcast(perSrc.withColumnRenamed("src", "source_a")), Seq("source_a"))
+      .join(broadcast(diag), Seq("source_a"))
       .select(col("source_a"), col("source_b"), col("inter_grams"),
         col("a_grams"),
         expr("inter_grams * 1000000 div a_grams").as("containment_micro"))
