@@ -209,6 +209,35 @@ class PushdownEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emptyIn.handled && emptyIn.pred.isEmpty && emptyIn.ranges.nonEmpty)
   }
 
+  test("a large IN collapses to set predicates (value and key columns), evaluating exactly") {
+    import graft.store.KvPredicate
+    // value column: N same-shaped Eq leaves must become ONE ValueIn —
+    // the generic Or walks every branch per served row, which measured
+    // 80+ s at 15k keys × 150k rows in sv24's decrement read
+    val vals: Array[Any] = (0 until 5000).map(i => Int.box(i * 2)).toArray
+    val vIn = FilterCompiler.compile(notCat, In("v", vals))
+    assert(vIn.handled)
+    assert(vIn.pred.exists(_.isInstanceOf[KvPredicate.ValueIn]),
+      s"value IN must collapse to ValueIn, got ${vIn.pred}")
+    assert(evalPred(vIn, v = Some(4998), s = None))
+    assert(!evalPred(vIn, v = Some(4999), s = None)) // odd: not in set
+    assert(!evalPred(vIn, v = None, s = None))       // null never matches IN
+    // key column: same collapse on the KeyCmp shape, and the point ranges
+    // still plan (the scan seeks; the set predicate is the exact residual)
+    val kIn = FilterCompiler.compile(notCat, In("k", vals))
+    assert(kIn.handled && kIn.ranges.nonEmpty)
+    assert(kIn.pred.exists(_.isInstanceOf[KvPredicate.KeyIn]),
+      s"key IN must collapse to KeyIn, got ${kIn.pred}")
+    assert(kIn.pred.get.eval(
+      PrimitiveCoder.encode(IntegerType, 4998), rowCells(None, None), None))
+    assert(!kIn.pred.get.eval(
+      PrimitiveCoder.encode(IntegerType, 3), rowCells(None, None), None))
+    // heterogeneous leaves keep the generic Or (no silent misfold)
+    val mixed = FilterCompiler.compile(notCat,
+      Or(In("v", Array(Int.box(1))), EqualTo("k", 7)))
+    assert(mixed.handled)
+  }
+
   // ---- StartsWith over fixed-width key parts ------------------------------
 
   test("StartsWith prefix longer than a fixed-width key part matches nothing") {
