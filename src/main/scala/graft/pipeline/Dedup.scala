@@ -943,7 +943,9 @@ object Dedup {
     *  2. ONE gram-keyed aggregation — `count ≥ 2` plus the canonical
     *     occurrence as `min(doc_id·10⁹ + pos)` (partial aggs apply; the
     *     encoded min keeps the agg a plain `long` min instead of a struct
-    *     ordering);
+    *     ordering — exact for doc_ids below ~9.2×10⁹ and docs below 10⁹
+    *     tokens, the packing's stated domain; a corpus past either bound
+    *     switches the agg to `min_by(struct(doc_id, pos))`);
     *  3. the occurrence→stats join back on the SAME gram key (AQE reuses
     *     the co-partitioning; only grams that survived `cnt ≥ 2` flow);
     *  4. everything after is doc-keyed: the island merge window and the
