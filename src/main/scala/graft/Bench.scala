@@ -33,6 +33,30 @@ object Bench {
     // Warm on the BENCH scale factor so footer/schema caches match.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries("q9_count")(spark, sfDir).count() catch { case _: Throwable => }
+    // CPU CALIBRATION: a fixed single-threaded mixing loop (min of 3)
+    // whose wall time depends only on effective single-core speed — the
+    // record's own host-speed normalizer. Two records' query times are
+    // comparable when their calib_ms agree; a round where calib drifts
+    // 1.5x explains a UNIFORM query-time drift as host slowdown
+    // (thermal / noisy neighbor / cgroup throttling), not code — the
+    // class of "unattributed warm-time drift" rounds 11-12 had to chase
+    // by hand (pure-parquet queries with unchanged code moving 1.6x
+    // together while loadavg read 0.14).
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var h = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 40000000) {
+          h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 29)
+          i += 1
+        }
+        if (h == 42L) System.err.println("") // keep the loop live
+        (System.nanoTime() - t0) / 1e6
+      }
+      (1 to 3).map(_ => once()).min
+    }
+    val calibMs = calibrate()
     // POPULATE phase, timed separately: store loads + DDL (kv*), the
     // streaming kv sink run (sv3), and the bucketed layout write (q15) all
     // happen eagerly on first invocation and are idempotent afterwards —
@@ -120,7 +144,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val populateTotal = populate.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"loadHigh":$loadHigh,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"loadHigh":$loadHigh,"calib_ms":$calibMs,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     // Persist the FULL record to a file (BENCH_LOCAL_r{N}.json; bump the
     // default per round or override via SPARK_GRAFT_BENCH_OUT): the full
     // per-query/per-rep map for 150+ queries is ~15 KB and the harness that
@@ -151,7 +175,7 @@ object Bench {
     val headObj = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + num(v))).mkString("{", ",", "}")
     val queriesFile = if (outWritten) s""""$out"""" else "null"
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headObj,"queries_total":${results.size},"queries_file":$queriesFile,"populate_total":${num(populateTotal)},"reps":$reps,"loadHigh":$loadHigh,"loadavg_start":$loadStart,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headObj,"queries_total":${results.size},"queries_file":$queriesFile,"populate_total":${num(populateTotal)},"reps":$reps,"loadHigh":$loadHigh,"calib_ms":${num(calibMs)},"loadavg_start":$loadStart,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }
