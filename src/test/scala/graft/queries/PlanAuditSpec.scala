@@ -909,6 +909,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no stage may collapse to a single partition:\n${plan.take(3000)}")
   }
 
+  test("px71 audio segments: map-only framing, the one exchange is media-keyed") {
+    val plan = executedPlan(graft.queries.Pipeline.px71AudioSegments(spark, dir))
+    // the island merge must partition by media_id — per-task state is one
+    // recording's frames, never the corpus
+    assert(plan.contains("hashpartitioning(media_id"),
+      s"segment merge must partition by media_id:\n${plan.take(3000)}")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to a single partition:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
   test("px72 source containment: one gram agg carrying source sets, no gram self-join") {
     val plan = executedPlan(graft.queries.Pipeline.px72SourceContainment(spark, dir))
     assert(plan.contains("partial"),
