@@ -49,7 +49,7 @@ class DifferentialFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Random predicate over (k, v, s), depth-bounded. */
   private def randomPred(rnd: scala.util.Random, depth: Int): Column = {
-    def leaf(): Column = rnd.nextInt(8) match {
+    def leaf(): Column = rnd.nextInt(10) match {
       case 0 => col("k") < rnd.between(-45, 45)
       case 1 => col("k") >= rnd.between(-45, 45)
       case 2 => col("k") === rnd.between(-45, 45)
@@ -58,6 +58,11 @@ class DifferentialFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 5 => col("s").startsWith("str" + rnd.nextInt(8))
       case 6 => col("s").contains(rnd.nextInt(10).toString)
       case 7 => col("k").isin(Seq.fill(3)(rnd.between(-45, 45)).map(Int.box): _*)
+      // LARGE INs exercise the set-predicate collapse (KeyIn/ValueIn) on
+      // both the key and a value column — the fast path the CDC sliver
+      // lookups push — against the same differential oracle
+      case 8 => col("k").isin(Seq.fill(40)(rnd.between(-45, 45)).map(Int.box): _*)
+      case 9 => col("v").isin(Seq.fill(25)(rnd.between(-2, 25)).map(Int.box): _*)
     }
     if (depth == 0) leaf()
     else rnd.nextInt(4) match {
