@@ -626,6 +626,52 @@ object Relational {
       |FROM documents d JOIN fp f USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** All entries + oracles, consumed by SparkEntry. */
+  /** q27: RECURSIVE CTE (Spark 4's WITH RECURSIVE, executed by Spark's own
+    * recursion operator — no driver loop): session roots via
+    * predecessor-chain reachability. Each event links to its user's
+    * previous event when the gap is ≤ 12 h; the session root is the
+    * chain's head, found by walking predecessor edges to a fixpoint —
+    * the textbook transitive-closure shape, 17 iterations deep on this
+    * corpus, far past what a UNION of fixed self-joins could fake. The
+    * oracle is the IDENTICAL recursive SQL in DuckDB. */
+  def q27RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_q27")
+    s.sql("""
+      WITH RECURSIVE ev AS (
+        SELECT event_id, user_id, unix_seconds(ts) AS tu FROM events_q27),
+      e AS (SELECT event_id AS a,
+              lag(event_id) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS b,
+              tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap
+            FROM ev),
+      edges AS (SELECT a, b FROM e WHERE b IS NOT NULL AND gap <= 43200),
+      reach(a, root) AS (
+        SELECT a, b FROM edges
+        UNION ALL
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.root = e2.a),
+      comp AS (SELECT a, min(root) AS root FROM reach GROUP BY a)
+      SELECT ev.event_id, coalesce(c.root, ev.event_id) AS session_root
+      FROM ev LEFT JOIN comp c ON ev.event_id = c.a
+      ORDER BY ev.event_id""")
+  }
+
+  def q27Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tu
+      |  FROM events),
+      |e AS (SELECT event_id AS a,
+      |        lag(event_id) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS b,
+      |        tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap
+      |      FROM ev),
+      |edges AS (SELECT a, b FROM e WHERE b IS NOT NULL AND gap <= 43200),
+      |reach(a, root) AS (
+      |  SELECT a, b FROM edges
+      |  UNION ALL
+      |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.root = e2.a),
+      |comp AS (SELECT a, min(root) AS root FROM reach GROUP BY a)
+      |SELECT ev.event_id, coalesce(c.root, ev.event_id) AS session_root
+      |FROM ev LEFT JOIN comp c ON ev.event_id = c.a
+      |ORDER BY ev.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -653,6 +699,7 @@ object Relational {
     "q24_percentiles"   -> (q24Percentiles _),
     "q25_native_sql_fn" -> (q25NativeSqlFn _),
     "q26_unpivot" -> (q26Unpivot _),
+    "q27_recursive_cte" -> (q27RecursiveCte _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -682,5 +729,6 @@ object Relational {
     "q24_percentiles"   -> q24Sql,
     "q25_native_sql_fn" -> q25Sql,
     "q26_unpivot" -> q26Sql,
+    "q27_recursive_cte" -> q27Sql,
   )
 }
