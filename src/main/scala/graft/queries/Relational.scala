@@ -633,7 +633,13 @@ object Relational {
     * chain's head, found by walking predecessor edges to a fixpoint —
     * the textbook transitive-closure shape, 17 iterations deep on this
     * corpus, far past what a UNION of fixed self-joins could fake. The
-    * oracle is the IDENTICAL recursive SQL in DuckDB. */
+    * oracle is the IDENTICAL recursive SQL in DuckDB.
+    *
+    * Scale note: this is the RECURSION-OPERATOR capability surface — at
+    * 100 TB you sessionize with ev2's single window pass (one shuffle),
+    * not a fixpoint of shuffle joins; recursion earns its keep on
+    * genuinely iterative closures (org charts, BOM explosions, graph
+    * reachability) where depth is data-dependent. */
   def q27RecursiveCte(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("events_q27")
     s.sql("""
