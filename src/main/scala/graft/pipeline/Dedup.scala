@@ -714,19 +714,11 @@ object Dedup {
       .filter(col("df") >= 2).select(col("gram"))
     val dupPos = occ.join(dupGrams, Seq("gram"))
       .select(col("doc_id"), col("pos"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupPos
-      .withColumn("prev_end", max(col("pos") + (n - 1))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("brk",
-        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
-          .otherwise(0))
-      .withColumn("island", sum(col("brk")).over(w))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + (n - 1)).cast("long").as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+    mergeIslands(dupPos, "doc_id", n)
+      .select(col("doc_id"),
+        col("island_start").cast("long").as("span_start"),
+        col("island_end").cast("long").as("span_end"),
+        (col("island_end") - col("island_start") + 1L).as("span_tokens"))
   }
 
   /** Benchmark decontamination: for every training document, the eval-set
@@ -924,6 +916,29 @@ object Dedup {
             concat_ws(" ", slice(col("toks"), i, lit(n))).as("gram")))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
 
+  /** Gaps-and-islands merge — the ONE implementation of the running-max
+    * window all position-merging passes share ([[dupSpans]]'s detector,
+    * [[exactSubstrDedup]]'s remover, and
+    * [[Multimodal.audioSegments]]'s segmenter): rows are `(partCol,
+    * pos)` where each pos covers `width` slots; touching/overlapping
+    * covers collapse to one island per `(partCol, island)` with
+    * `island_start`/`island_end` (inclusive). Partitioned by `partCol`,
+    * so per-task state is one partition member's positions. */
+  private[pipeline] def mergeIslands(pos: DataFrame, partCol: String,
+      width: Int): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col("pos"))
+    pos
+      .withColumn("prev_end", max(col("pos") + (width - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col(partCol), col("island"))
+      .agg(min(col("pos")).as("island_start"),
+        (max(col("pos")) + (width - 1)).as("island_end"))
+  }
+
   /** Exact-substring deduplication with REMOVAL (the ExactSubstr pass of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", at word-token grain): every corpus-wide duplicated token
@@ -965,18 +980,10 @@ object Dedup {
     val dupPos = occ.join(stats, Seq("gram"))
       .filter(key =!= col("canon"))
       .select(col("doc_id"), col("pos"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = dupPos
-      .withColumn("prev_end", max(col("pos") + (n - 1))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("brk",
-        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
-          .otherwise(0))
-      .withColumn("island", sum(col("brk")).over(w))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+    val spans = mergeIslands(dupPos, "doc_id", n)
       .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+      .agg(collect_list(struct(col("island_start").as("s"),
+        col("island_end").as("e"))).as("spans"))
     docs.select(col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(coalesce(col(textCol), lit(""))).as("toks"))
       .join(spans, Seq("doc_id"), "left")
@@ -1026,7 +1033,11 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      // gramless docs get the documented NULL, never a ÷0 — under ANSI
+      // mode (this repo's pinned default) a bare `div n_grams` would
+      // abort the whole query on the first short document
       .withColumn("novelty_micro",
-        expr("novel_grams * 1000000 div n_grams"))
+        when(col("n_grams") === 0, lit(null).cast("long"))
+          .otherwise(expr("novel_grams * 1000000 div greatest(n_grams, 1)")))
   }
 }

@@ -160,7 +160,6 @@ object Multimodal {
     * audio corpus segments as one map + one media-keyed window. */
   def audioSegments(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 32, threshold: Int = 512): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(window > 0, s"window must be positive, got $window")
     val framed = docs
       .select(col(idCol).cast("long").as("media_id"),
@@ -176,18 +175,11 @@ object Multimodal {
           .bitwiseAND(lit(1023L)))
     val voiced = framed.filter(col("energy") >= threshold)
       .select(col("media_id"), col("win_idx").cast("long").as("pos"))
-    val w = Window.partitionBy(col("media_id")).orderBy(col("pos"))
-    voiced
-      .withColumn("prev", max(col("pos")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("brk",
-        when(col("prev").isNull || col("pos") > col("prev") + 1, 1).otherwise(0))
-      .withColumn("island", sum(col("brk")).over(w))
-      .groupBy(col("media_id"), col("island"))
-      .agg(min(col("pos")).as("seg_start"), max(col("pos")).as("seg_end"))
-      .select(col("media_id"), col("seg_start"), col("seg_end"),
-        (col("seg_end") - col("seg_start") + 1L).as("n_frames"),
-        (col("seg_start") * 10L).as("start_ms"))
+    Dedup.mergeIslands(voiced, "media_id", width = 1)
+      .select(col("media_id"),
+        col("island_start").as("seg_start"), col("island_end").as("seg_end"),
+        (col("island_end") - col("island_start") + 1L).as("n_frames"),
+        (col("island_start") * 10L).as("start_ms"))
   }
 
   /** Frame sampling stub: every `stride`-th chunk of the payload as a

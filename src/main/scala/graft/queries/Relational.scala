@@ -630,7 +630,10 @@ object Relational {
     * recursion operator — no driver loop): session roots via
     * predecessor-chain reachability. Each event links to its user's
     * previous event when the gap is ≤ 12 h; the session root is the
-    * chain's head, found by walking predecessor edges to a fixpoint —
+    * chain's HEAD — the reachable ancestor with no predecessor edge of
+    * its own (an anti-join on the closure, NOT min(event_id), which
+    * assumes ids are time-ordered) — found by walking the edges to a
+    * fixpoint —
     * the textbook transitive-closure shape, 17 iterations deep on this
     * corpus, far past what a UNION of fixed self-joins could fake. The
     * oracle is the IDENTICAL recursive SQL in DuckDB.
@@ -654,7 +657,12 @@ object Relational {
         SELECT a, b FROM edges
         UNION ALL
         SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.root = e2.a),
-      comp AS (SELECT a, min(root) AS root FROM reach GROUP BY a)
+      comp AS (
+        -- the session root is the reachable ancestor with NO predecessor
+        -- edge of its own (the chain HEAD) — not min(event_id), which
+        -- would be wrong wherever ids are not time-ordered within a user
+        SELECT r.a, r.root FROM reach r
+        LEFT JOIN edges h ON r.root = h.a WHERE h.a IS NULL)
       SELECT ev.event_id, coalesce(c.root, ev.event_id) AS session_root
       FROM ev LEFT JOIN comp c ON ev.event_id = c.a
       ORDER BY ev.event_id""")
@@ -673,7 +681,9 @@ object Relational {
       |  SELECT a, b FROM edges
       |  UNION ALL
       |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.root = e2.a),
-      |comp AS (SELECT a, min(root) AS root FROM reach GROUP BY a)
+      |comp AS (
+      |  SELECT r.a, r.root FROM reach r
+      |  LEFT JOIN edges h ON r.root = h.a WHERE h.a IS NULL)
       |SELECT ev.event_id, coalesce(c.root, ev.event_id) AS session_root
       |FROM ev LEFT JOIN comp c ON ev.event_id = c.a
       |ORDER BY ev.event_id""".stripMargin

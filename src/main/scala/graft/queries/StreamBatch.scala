@@ -2711,8 +2711,6 @@ object StreamBatch {
   private def runJoinViewPhases(s: SparkSession, dir: String,
       ordCat: String, custCat: String, ordMir: String, custMir: String,
       viewCat: String, aggCat: Option[String]): Unit = {
-    import graft.datasource.FilterCompiler
-    import graft.store.KvStore
     // the drains' shuffles are WAVE-sized (changed-order joins, per-batch
     // seg rollups) — 32 near-empty shuffle partitions per stage cost more
     // task-scheduling wall than they buy across 5 drains × ~30 jobs; 8 is

@@ -166,9 +166,11 @@ object KvPredicate {
     * a large IN. A naive `Or(ValueCmp(Eq)...)` walks every branch per row:
     * at a 15k-key IN over a 150k-row table that is ~2×10⁹ comparisons in
     * ONE scan (measured 80+ s in sv24's decrement read before this
-    * existed). Equality is the decoded value's own `equals`, which agrees
-    * with [[compareTyped]] == 0 for every coder-decoded type; byte arrays
-    * are canonicalized so contains() is by content. */
+    * existed). Membership goes through [[canonical]], which makes set
+    * equality agree with [[compareTyped]] == 0 for every coder-decoded
+    * type — including the float/double edge (NaN = NaN true, -0.0 = 0.0
+    * false under compareTo, the opposite of Scala set equality) and
+    * content-wise byte arrays. */
   final case class ValueIn(cf: String, qual: String, values: Set[Any],
       dt: DataType, coder: FieldCoder) extends KvPredicate {
     override def eval(key: Array[Byte], row: RowCells, time: Option[TimeRange]): Boolean =
@@ -190,11 +192,22 @@ object KvPredicate {
     }
   }
 
-  /** Canonical form for set membership: byte arrays compare by reference
-    * under `equals`, so wrap them content-wise; everything else decoded by
-    * a [[FieldCoder]] already has value equality. */
+  /** Canonical form for set membership, chosen so `Set.contains` agrees
+    * with [[compareTyped]]` == 0` — the semantics the Or(Eq…) path this
+    * replaces had:
+    *  - byte arrays compare by reference under `equals` → wrap content-wise;
+    *  - Float/Double: `compareTo` treats NaN = NaN as TRUE and -0.0 = 0.0
+    *    as FALSE, while Scala set equality does the opposite on both —
+    *    keying by the IEEE bit pattern (`doubleToLongBits` canonicalizes
+    *    NaN, distinguishes signed zeros) reproduces compareTo exactly
+    *    (a set only ever holds ONE dt, so bit keys cannot collide with
+    *    genuine integral values of another column);
+    *  - everything else a [[FieldCoder]] decodes already has value
+    *    equality. */
   def canonical(v: Any): Any = v match {
     case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case d: java.lang.Double => java.lang.Long.valueOf(java.lang.Double.doubleToLongBits(d))
+    case f: java.lang.Float => java.lang.Integer.valueOf(java.lang.Float.floatToIntBits(f))
     case x => x
   }
 
@@ -211,7 +224,7 @@ object KvPredicate {
             case _ => false
           } =>
         Some(ValueIn(cf, qual,
-          children.map { case ValueCmp(_, _, _, v, _, _) => canonical(v) }.toSet,
+          children.collect { case ValueCmp(_, _, _, v, _, _) => canonical(v) }.toSet,
           dt, coder))
       case KeyCmp(off, w, Eq, _, dt, coder)
           if children.forall {
@@ -220,7 +233,7 @@ object KvPredicate {
             case _ => false
           } =>
         Some(KeyIn(off, w,
-          children.map { case KeyCmp(_, _, _, v, _, _) => canonical(v) }.toSet,
+          children.collect { case KeyCmp(_, _, _, v, _, _) => canonical(v) }.toSet,
           dt, coder))
       case _ => None
     }

@@ -238,6 +238,34 @@ class PushdownEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mixed.handled)
   }
 
+  test("floating IN keeps compareTo semantics: NaN matches, -0.0 stays distinct from 0.0") {
+    // the Or(ValueCmp(Eq)) path this collapse replaced compared via
+    // Double.compareTo (NaN = NaN TRUE, -0.0 = 0.0 FALSE); Scala set
+    // equality does the opposite on both — canonical() must restore it
+    import graft.store.KvPredicate
+    import org.apache.spark.sql.types.DoubleType
+    val leaves = Seq(Double.NaN, -0.0d, 2.5d).map(x =>
+      KvPredicate.ValueCmp("f", "d", KvPredicate.Eq, Double.box(x),
+        DoubleType, PrimitiveCoder))
+    val in = KvPredicate.inOf(leaves).get
+    assert(in.isInstanceOf[KvPredicate.ValueIn], s"expected ValueIn, got $in")
+    def cells(x: Double) = {
+      val m = new ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
+      val versions = new ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
+        java.util.Collections.reverseOrder[java.lang.Long]())
+      versions.put(1L, PrimitiveCoder.encode(DoubleType, x))
+      m.put(("f", "d"), versions)
+      m
+    }
+    val key = PrimitiveCoder.encode(IntegerType, 1)
+    assert(in.eval(key, cells(Double.NaN), None), "NaN IN (NaN, ...) must match")
+    assert(in.eval(key, cells(-0.0d), None))
+    assert(!in.eval(key, cells(0.0d), None),
+      "0.0 must NOT match an IN containing only -0.0 (compareTo semantics)")
+    assert(in.eval(key, cells(2.5d), None))
+    assert(!in.eval(key, cells(2.6d), None))
+  }
+
   // ---- StartsWith over fixed-width key parts ------------------------------
 
   test("StartsWith prefix longer than a fixed-width key part matches nothing") {
