@@ -850,15 +850,17 @@ object TextOps {
   def sourceContainment(docs: org.apache.spark.sql.DataFrame,
       stratumCol: String, textCol: String, n: Int = 5):
       org.apache.spark.sql.DataFrame = {
-    // the gram explode is the expensive map — spread the (tiny) doc rows
-    // first so it parallelizes even when the input arrives as one split
-    // (a 100 TB corpus has thousands of splits; a test parquet has one),
-    // and compute the whole matrix from ONE subtree: the denominators ARE
-    // the diagonal (|A ∩ A| = |A|), so no second gram pass exists to
-    // re-run or re-shuffle
+    // the gram explode is the expensive map — when the input arrives in
+    // FEWER splits than the cluster has slots (a single test parquet; a
+    // 100 TB corpus has thousands of splits and must NOT be reshuffled
+    // just to explode), spread the doc rows first. Compute the whole
+    // matrix from ONE subtree: the denominators ARE the diagonal
+    // (|A ∩ A| = |A|), so no second gram pass exists to re-run
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val pd = docs
-      .repartition(parallelism)
+    val spread =
+      if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
+      else docs
+    val pd = spread
       .select(col(stratumCol).as("src"),
         explode(Dedup.tokenNgramsOf(tokens(coalesce(col(textCol), lit(""))), n))
           .as("gram"))
