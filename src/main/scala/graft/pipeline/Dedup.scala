@@ -172,14 +172,6 @@ object Dedup {
     * after the action would then block forever. The caller must have
     * already run the observed action; 10 s is orders beyond listener-bus
     * latency, so the fallback only fires on a genuinely dropped event. */
-  private[graft] def observedLongOr(obs: org.apache.spark.sql.Observation,
-      key: String)(fallback: => Long): Long =
-    try {
-      import scala.concurrent.duration._
-      val row = scala.concurrent.Await.result(obs.future, 10.seconds)
-      row.getAs[Long](row.fieldIndex(key))
-    } catch { case _: java.util.concurrent.TimeoutException => fallback }
-
   private[pipeline] def exactGroupReps(rows: DataFrame, contentKey: Column,
       collapseThreshold: Int = DefaultCollapseThreshold): (DataFrame, Option[DataFrame]) = {
     val keyed = rows.withColumn("__ck", contentKey)
@@ -559,7 +551,7 @@ object Dedup {
         val fresh = cp(updated.observe(obs,
           coalesce(sum(when(col("next") < col("label"), lit(1L))
             .otherwise(lit(0L))), lit(0L)).as("changed")))
-        changed = observedLongOr(obs, "changed") {
+        changed = GraftMetrics.observedLongOr(obs, "changed") {
           fresh.filter(col("next") < col("label")).count()
         }
         release(lastCkpt)

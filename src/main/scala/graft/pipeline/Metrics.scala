@@ -12,6 +12,23 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * without paying a separate statistics job per operator invocation. */
 object GraftMetrics {
 
+  /** Bounded wait on an [[org.apache.spark.sql.Observation]]'s value —
+    * the shared guard against Spark's async listener bus DROPPING events
+    * under saturation (logged, non-fatal), where a bare `obs.get` after
+    * the action would block forever. The caller must have already run
+    * the observed action; 10 s is orders beyond listener-bus latency, so
+    * the fallback only fires on a genuinely dropped event. Lives here
+    * (the observability module) because it has nothing to do with any
+    * one consumer — dedup's collapse census and the compaction fence
+    * both ride it. */
+  private[graft] def observedLongOr(obs: org.apache.spark.sql.Observation,
+      key: String)(fallback: => Long): Long =
+    try {
+      import scala.concurrent.duration._
+      val row = scala.concurrent.Await.result(obs.future, 10.seconds)
+      row.getAs[Long](row.fieldIndex(key))
+    } catch { case _: java.util.concurrent.TimeoutException => fallback }
+
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val registered =

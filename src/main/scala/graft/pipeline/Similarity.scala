@@ -416,7 +416,13 @@ object Similarity {
     * cell-keyed code table and a per-query top-k window; the corpus never
     * shuffles and full float vectors are never read. Queries/corpus share
     * PRE-TRAINED artifacts so an external oracle can embed bit-identical
-    * centroid + codebook literals ([[ivfTopKWithCentroids]]'s contract). */
+    * centroid + codebook literals ([[ivfTopKWithCentroids]]'s contract).
+    *
+    * REGIME: the above-join reconstruction runs once per (row × matching
+    * query), so it wins while queries × nprobe ≲ nlist — the online-serving
+    * shape this implements. A BULK query batch where queries × nprobe ≫
+    * nlist matches most rows many times over; reconstruct once per row
+    * (below the join, [[pqTopK]]'s shape) or chunk the batch there. */
   def ivfPqTopK(cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
       queries: DataFrame, codeTable: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {

@@ -92,6 +92,24 @@ object Pipeline {
        |        END AS sh
        |      FROM t0 WHERE len(toks) > 0)""".stripMargin
 
+  /** The pairwise-Jaccard clustering CTEs every keeper-family oracle
+    * shares (px14/px21/px54/px58/px67/px68): candidate pairs at θ = 0.8
+    * over [[shingleCtesSql]]'s shingle sets, symmetric edges, and the
+    * recursive min-label closure `reach(src, node)`. ONE copy — a change
+    * to the threshold or tie-break must not be edited six times. Callers
+    * append their own consumer CTEs / SELECT. */
+  private def keeperCtesSql: String =
+    """p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+      |)""".stripMargin
+
   /** The 16-bit sampling threshold CASE generated from the SAME rates map
     * the Spark query passes to [[Sampling.stratifiedSample]] — one source
     * of truth, including the keep-everything (65536) default for strata
@@ -440,16 +458,7 @@ object Pipeline {
 
   val px14Sql: String =
     s"""WITH RECURSIVE ${shingleCtesSql("documents")},
-      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-      |reach(src, node) AS (
-      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
-      |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-      |)
+      |${keeperCtesSql}
       |SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src
       |ORDER BY doc_id""".stripMargin
 
@@ -489,16 +498,7 @@ object Pipeline {
     * from the shared constant, so the two oracles cannot drift apart. */
   val px58Sql: String =
     s"""WITH RECURSIVE ${shingleCtesSql("documents")},
-      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-      |reach(src, node) AS (
-      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
-      |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-      |),
+      |${keeperCtesSql},
       |q AS (SELECT doc_id, ${qualityExprSql.replace("\n", " ")} AS q FROM documents),
       |ranked AS (
       |  SELECT r.src, r.node,
@@ -802,16 +802,7 @@ object Pipeline {
       |  SELECT doc_id, lang, text FROM documents
       |  WHERE $qualityExprSql >= 0.5),
       |${shingleCtesSql("q")},
-      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-      |reach(src, node) AS (
-      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
-      |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-      |),
+      |${keeperCtesSql},
       |comp AS (SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src),
       |kept AS (SELECT q.* FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id
       |         WHERE comp.doc_id IS NULL OR comp.keep_id = q.doc_id),
@@ -1937,16 +1928,7 @@ object Pipeline {
 
   val px54Sql: String =
     s"""WITH RECURSIVE ${shingleCtesSql("documents")},
-      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-      |reach(src, node) AS (
-      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
-      |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-      |),
+      |${keeperCtesSql},
       |comp AS (SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src),
       |lab AS (SELECT d.doc_id, coalesce(comp.keep_id, d.doc_id) AS cluster_id
       |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id)
@@ -2346,20 +2328,11 @@ object Pipeline {
 
   val px67Sql: String =
     s"""WITH RECURSIVE ${shingleCtesSql("documents")},
-      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-      |reach(src, node) AS (
-      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
-      |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-      |),
+      |${keeperCtesSql},
       |k AS (SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src),
       |sz AS (SELECT keep_id, CAST(count(*) AS BIGINT) AS sz FROM k GROUP BY keep_id)
       |SELECT CAST(length(bin(sz)) AS INTEGER) AS bucket,
-      |  CAST(1 << (CAST(length(bin(sz)) AS INTEGER) - 1) AS BIGINT) AS lo,
+      |  CAST(CAST(1 AS BIGINT) << (CAST(length(bin(sz)) AS INTEGER) - 1) AS BIGINT) AS lo,
       |  CAST(count(*) AS BIGINT) AS n_clusters,
       |  CAST(sum(sz) AS BIGINT) AS n_docs
       |FROM sz GROUP BY 1, 2 ORDER BY bucket""".stripMargin
@@ -2392,16 +2365,7 @@ object Pipeline {
 
   val px68Sql: String =
     s"""WITH RECURSIVE ${shingleCtesSql("documents")},
-      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-      |reach(src, node) AS (
-      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
-      |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-      |),
+      |${keeperCtesSql},
       |k AS (SELECT src AS doc_id, min(node) AS keep_id FROM reach GROUP BY src)
       |SELECT d.source,
       |  CAST(count(*) AS BIGINT) AS n_docs,

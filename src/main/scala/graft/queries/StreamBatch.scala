@@ -2008,7 +2008,7 @@ object StreamBatch {
       .persist()
     try {
       val n = dead.count() // the one scan: the high-water metric rides it
-      val highWater = graft.pipeline.Dedup.observedLongOr(obs, "hw") {
+      val highWater = graft.pipeline.GraftMetrics.observedLongOr(obs, "hw") {
         Option(state.agg(max(col("_cell_ts"))).head().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
       }
