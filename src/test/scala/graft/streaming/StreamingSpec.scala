@@ -1336,6 +1336,143 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     tables.foreach(KvStore.drop)
   }
 
+  test("join-view differential: 12 random interleaved waves converge view AND rollup to the model") {
+    // the fixed sv23/sv24 phases exercise each IVM move once; this drives
+    // RANDOM interleavings (moves onto dead customers, delete+resurrect of
+    // an order inside one wave pair, customers flapping segments) and
+    // checks the maintained view and rollup against an in-memory model
+    // after EVERY drain, not just at the end
+    import graft.queries.StreamBatch
+    val suf = "jvd"
+    val ordCat = StreamBatch.sv23OrdSrcCatalog
+      .replace("\"kv_jv_ord_src\"", s""""kv_jv_ord_src_$suf"""")
+    val custCat = StreamBatch.sv23CustSrcCatalog
+      .replace("\"kv_jv_cust_src\"", s""""kv_jv_cust_src_$suf"""")
+    val ordMir = StreamBatch.sv23OrdMirrorCatalog
+      .replace("\"kv_jv_ord_mirror\"", s""""kv_jv_ord_mirror_$suf"""")
+    val custMir = StreamBatch.sv23CustMirrorCatalog
+      .replace("\"kv_jv_cust_mirror\"", s""""kv_jv_cust_mirror_$suf"""")
+    val viewCat = StreamBatch.sv23ViewCatalog
+      .replace("\"kv_jv_view\"", s""""kv_jv_view_$suf"""")
+    val aggCat = StreamBatch.sv24AggCatalog
+      .replace("\"kv_jv_agg\"", s""""kv_jv_agg_$suf"""")
+    val tables = Seq(s"default:kv_jv_ord_src_$suf", s"default:kv_jv_cust_src_$suf",
+      s"default:kv_jv_ord_mirror_$suf", s"default:kv_jv_cust_mirror_$suf",
+      s"default:kv_jv_view_$suf", s"default:kv_jv_agg_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    // bootstrap
+    Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> ordMir, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0", "maxSplitNum" -> "400"))
+      .mode("append").save()
+    Seq.empty[(Long, String)].toDF("c_custkey", "seg")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> custMir, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0", "maxSplitNum" -> "30"))
+      .mode("append").save()
+    spark.range(0).select(lit(0L).as("c_custkey"), lit(0L).as("o_orderkey"),
+        lit(0L).as("price_c"), lit("").as("seg"), lit(1).as("alive"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> viewCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1")).mode("append").save()
+    spark.range(0).select(lit("").as("segment"), lit(0L).as("n_orders"),
+        lit(0L).as("revenue_c"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> aggCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
+    val ckptO = Files.createTempDirectory("graft-jvdiff-ord").toString
+    val ckptC = Files.createTempDirectory("graft-jvdiff-cust").toString
+    // the in-memory MODEL: ground truth the maintained state must equal
+    val orders = scala.collection.mutable.Map[Long, (Long, Long)]() // ok -> (ck, price)
+    val custs = scala.collection.mutable.Map[Long, String]()        // ck -> seg
+    val rnd = new scala.util.Random(20260816)
+    val segNames = Vector("A", "B", "C", "D")
+    var ts = 1000L
+    def putOrd(rows0: Seq[(Long, Long, Long)]): Unit = if (rows0.nonEmpty) {
+      // two cells for one key at ONE kv timestamp merge ambiguously —
+      // dedupe the batch (last wins, like the model)
+      val rows = rows0.groupBy(_._1).map(_._2.last).toSeq
+      rows.foreach { case (ok, ck, p) => orders(ok) = (ck, p) }
+      rows.toDF("o_orderkey", "o_custkey", "price_c").write.format("graft-kv")
+        .options(Map("catalog" -> ordCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "400"))
+        .mode("append").save(); ts += 10
+    }
+    def delOrd(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      ids.foreach(orders.remove)
+      ids.toDF("o_orderkey").write.format("graft-kv")
+        .options(Map("catalog" -> ordCat, "delete" -> "true",
+          "timestamp" -> ts.toString)).mode("append").save(); ts += 10
+    }
+    def putCust(rows0: Seq[(Long, String)]): Unit = if (rows0.nonEmpty) {
+      val rows = rows0.groupBy(_._1).map(_._2.last).toSeq
+      rows.foreach { case (ck, sg) => custs(ck) = sg }
+      rows.toDF("c_custkey", "seg").write.format("graft-kv")
+        .options(Map("catalog" -> custCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "30"))
+        .mode("append").save(); ts += 10
+    }
+    def delCust(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      ids.foreach(custs.remove)
+      ids.toDF("c_custkey").write.format("graft-kv")
+        .options(Map("catalog" -> custCat, "delete" -> "true",
+          "timestamp" -> ts.toString)).mode("append").save(); ts += 10
+    }
+    def expectedView(): Map[(Long, Long), (Long, String)] =
+      orders.map { case (ok, (ck, p)) =>
+        (ck, ok) -> ((p, custs.getOrElse(ck, ""))) }.toMap
+    def expectedAgg(): Map[String, (Long, Long)] =
+      orders.toSeq.groupBy { case (_, (ck, _)) =>
+        custs.get(ck).filter(_.nonEmpty).getOrElse("(none)") }
+        .map { case (sg, rows) =>
+          sg -> ((rows.size.toLong, rows.map(_._2._2).sum)) }
+    def actualView(): Map[(Long, Long), (Long, String)] =
+      spark.read.format("graft-kv").option("catalog", viewCat).load()
+        .filter(col("alive") === 1)
+        .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("o_orderkey")) ->
+          ((r.getAs[Long]("price_c"), r.getAs[String]("seg")))).toMap
+    def actualAgg(): Map[String, (Long, Long)] =
+      spark.read.format("graft-kv").option("catalog", aggCat).load()
+        .filter(col("n_orders") > 0)
+        .collect().map(r => r.getAs[String]("segment") ->
+          ((r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_c")))).toMap
+    var base = 0L
+    def drainO(): Unit = { base += 100000L
+      StreamBatch.maintainJoinViewOrders(spark, base, ckptO,
+        ordCat, ordMir, custMir, viewCat, Some(aggCat)); () }
+    def drainC(): Unit = { base += 100000L
+      StreamBatch.maintainJoinViewCustomer(spark, base, ckptC,
+        custCat, custMir, viewCat, Some(aggCat)); () }
+    // seed world: 8 customers, 40 orders
+    putCust((0L until 8L).map(ck => ck -> segNames(rnd.nextInt(4))))
+    drainC()
+    putOrd((0L until 40L).map(ok => (ok, rnd.nextLong(10), rnd.nextLong(500))))
+    drainO() // custkeys 8/9 have orders but NO customer: born orphaned
+    (1 to 12).foreach { wave =>
+      if (rnd.nextBoolean()) {
+        // orders wave: mixed upserts (some MOVES, some onto dead/absent
+        // customers) and deletes, possibly of just-upserted keys
+        putOrd(Seq.fill(6)((rnd.nextLong(60),
+          rnd.nextLong(12), rnd.nextLong(500))))
+        delOrd(Seq.fill(3)(rnd.nextLong(60)).distinct)
+        drainO()
+      } else {
+        // customer wave: re-segment, create, and kill — including flapping
+        putCust(Seq.fill(3)((rnd.nextLong(12), segNames(rnd.nextInt(4)))))
+        delCust(Seq.fill(2)(rnd.nextLong(12)).distinct)
+        drainC()
+      }
+      assert(actualView() == expectedView(),
+        s"view diverged from the model after wave $wave")
+      assert(actualAgg() == expectedAgg(),
+        s"rollup diverged from the model after wave $wave")
+    }
+    tables.foreach(KvStore.drop)
+  }
+
   test("CDC protocols (sv12/sv14/sv18-sv24) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
