@@ -1004,6 +1004,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
   }
 
+  test("sv21 differential: random upsert/rewrite/delete waves keep counts equal to a model recount") {
+    // the fixed phases exercise each maintenance move once; this drives
+    // seeded-random CDC waves over a SHARED small vocabulary (so grams
+    // constantly cancel, decrement, and zero-cross between unrelated
+    // docs) and recounts from an in-memory model after EVERY drain
+    import graft.queries.StreamBatch
+    val suf = "dif"
+    val srcCat = StreamBatch.sv21SrcCatalog.replace("\"kv_lm_src\"", s""""kv_lm_src_$suf"""")
+    val mirCat = StreamBatch.sv21MirrorCatalog.replace("\"kv_lm_mirror\"", s""""kv_lm_mirror_$suf"""")
+    val cntCat = StreamBatch.sv21CountsCatalog.replace("\"kv_lm_counts\"", s""""kv_lm_counts_$suf"""")
+    val tables = Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
+      s"default:kv_lm_counts_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text").write.format("graft-kv")
+      .options(Map("catalog" -> mirCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+      .mode("append").save()
+    spark.range(0).select(lit("").as("gram"), lit("").as("w1"),
+        lit("").as("w2"), lit(0L).as("cnt"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cntCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplit" -> "0", "maxSplit" -> "z"))
+      .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-lmdiff-ckpt").toString
+    val docs = scala.collection.mutable.Map[Long, String]()
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    var ts = 1000L
+    def randText(): String =
+      Seq.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def putDocs(rows0: Seq[(Long, String)]): Unit = if (rows0.nonEmpty) {
+      val rows = rows0.groupBy(_._1).map(_._2.last).toSeq
+      rows.foreach { case (id, t) => docs(id) = t }
+      rows.toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save(); ts += 10
+    }
+    def delDocs(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      ids.foreach(docs.remove)
+      ids.toDF("doc_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "delete" -> "true",
+          "timestamp" -> ts.toString)).mode("append").save(); ts += 10
+    }
+    def expected(): Map[String, Long] =
+      docs.values.toSeq
+        .flatMap(t => t.split("\\s+").filter(_.nonEmpty).sliding(2)
+          .filter(_.length == 2).map(p => s"${p(0)} ${p(1)}"))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def live(): Map[String, Long] =
+      spark.read.format("graft-kv").option("catalog", cntCat).load()
+        .filter(col("cnt") > 0)
+        .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
+    def drain(): Unit = {
+      StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+        maxId = 100L, ckpt); ()
+    }
+    putDocs((0L until 20L).map(id => id -> randText()))
+    drain()
+    assert(live() == expected(), "counts diverged after the seed wave")
+    (1 to 10).foreach { wave =>
+      putDocs(Seq.fill(5)((rnd.nextLong(30), randText())))
+      delDocs(Seq.fill(2)(rnd.nextLong(30)).distinct)
+      drain()
+      assert(live() == expected(), s"counts diverged from the model recount after wave $wave")
+    }
+    tables.foreach(KvStore.drop)
+  }
+
   test("sv21: a decrement driving a count negative fails the batch loudly before anything commits") {
     // the guard rides inside the write's cnt expression (raise_error), so
     // corruption must surface as a failed STREAM, not a silent bad write
