@@ -1406,6 +1406,89 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     tables.foreach(KvStore.drop)
   }
 
+  test("sv22 invariant fuzz: random waves keep the manifest unique, stable, and append-above") {
+    // position VALUES depend on batch rank (deterministic but tedious to
+    // model); the loader-facing CONTRACT is what matters and is fuzzed
+    // here across random upsert/delete waves: every live doc appears
+    // exactly once, positions stay unique per shard, survivors NEVER
+    // move, and re-appends land above their shard's prior high-water
+    import graft.queries.StreamBatch
+    val suf = "fzz"
+    val srcCat = StreamBatch.sv22SrcCatalog.replace("\"kv_sh_src\"", s""""kv_sh_src_$suf"""")
+    val manCat = StreamBatch.sv22ManifestCatalog.replace("\"kv_sh_manifest\"", s""""kv_sh_manifest_$suf"""")
+    val ctrCat = StreamBatch.sv22CountersCatalog.replace("\"kv_sh_counters\"", s""""kv_sh_counters_$suf"""")
+    val tables = Seq(s"default:kv_sh_src_$suf", s"default:kv_sh_manifest_$suf",
+      s"default:kv_sh_counters_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("skey"),
+        lit(0).as("shard"), col("id").as("pos"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> manCat, "newtable" -> "4", "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> "100")).mode("append").save()
+    spark.range(0).select(col("id").cast("int").as("shard"), col("id").as("n"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> ctrCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1", "minSplitNum" -> "0", "maxSplitNum" -> "3"))
+      .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-shfzz-ckpt").toString
+    val live = scala.collection.mutable.Set[Long]()
+    val rnd = new scala.util.Random(7)
+    var ts = 1000L
+    def putDocs(ids0: Seq[Long]): Unit = if (ids0.nonEmpty) {
+      val ids = ids0.distinct
+      ids.foreach(live.add)
+      ids.map(i => (i, s"doc $i")).toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save(); ts += 10
+    }
+    def delDocs(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      ids.foreach(live.remove)
+      ids.toDF("doc_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "delete" -> "true",
+          "timestamp" -> ts.toString)).mode("append").save(); ts += 10
+    }
+    def manifest(): Map[Long, (Int, Long)] =
+      spark.read.format("graft-kv").option("catalog", manCat).load()
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("shard"), r.getAs[Long]("pos")))).toMap
+    def drain(): Unit = {
+      StreamBatch.maintainShardManifest(spark, srcCat, manCat, ctrCat,
+        shards = 4, maxId = 100L, ckpt); ()
+    }
+    putDocs(0L until 25L)
+    drain()
+    var prev = manifest()
+    (1 to 8).foreach { wave =>
+      val ups = Seq.fill(4)(rnd.nextLong(40))
+      val dels = Seq.fill(2)(rnd.nextLong(40)).distinct.filterNot(ups.contains)
+      putDocs(ups)
+      delDocs(dels)
+      val touched = (ups ++ dels).toSet
+      val hwBefore = prev.values.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      drain()
+      val m = manifest()
+      assert(m.keySet == live.toSet,
+        s"wave $wave: manifest keys != live docs (${m.keySet.size} vs ${live.size})")
+      m.groupBy(_._2._1).foreach { case (sh, rows) =>
+        val ps = rows.values.map(_._2).toSeq
+        assert(ps.distinct.size == ps.size, s"wave $wave: duplicate positions in shard $sh")
+      }
+      prev.foreach { case (id, at) =>
+        if (!touched(id) && live(id))
+          assert(m(id) == at, s"wave $wave: untouched doc $id moved from $at to ${m(id)}")
+      }
+      ups.distinct.filter(live).foreach { id =>
+        val (sh, p) = m(id)
+        assert(p > hwBefore.getOrElse(sh, Long.MinValue),
+          s"wave $wave: re-append of $id (pos $p) not above shard $sh's prior high-water")
+      }
+      prev = m
+    }
+    tables.foreach(KvStore.drop)
+  }
+
   test("join-view differential: 12 random interleaved waves converge view AND rollup to the model") {
     // the fixed sv23/sv24 phases exercise each IVM move once; this drives
     // RANDOM interleavings (moves onto dead customers, delete+resurrect of
