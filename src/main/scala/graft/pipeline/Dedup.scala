@@ -166,12 +166,12 @@ object Dedup {
     * direct path is allowed to enumerate. */
   val DefaultCollapseThreshold: Int = 1024
 
-  /** An observe() metric with a BOUNDED wait and a loud-job fallback.
-    * Observation values arrive over the async listener bus, whose events
-    * Spark drops (logged, non-fatal) under saturation — a bare `obs.get`
-    * after the action would then block forever. The caller must have
-    * already run the observed action; 10 s is orders beyond listener-bus
-    * latency, so the fallback only fires on a genuinely dropped event. */
+  /** Detect oversized exact-duplicate groups and, when one exceeds
+    * `collapseThreshold`, return a collapsed frame (one representative per
+    * content key) plus the rep→member mapping needed to fan results back
+    * out; below the threshold the input passes through untouched (None).
+    * The max-group probe is memoized per canonicalized plan via
+    * [[dupStatCache]] so repeated calls over the same input pay one job. */
   private[pipeline] def exactGroupReps(rows: DataFrame, contentKey: Column,
       collapseThreshold: Int = DefaultCollapseThreshold): (DataFrame, Option[DataFrame]) = {
     val keyed = rows.withColumn("__ck", contentKey)
@@ -964,7 +964,15 @@ object Dedup {
   def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
     val occ = gramOccurrences(docs, idCol, textCol, n)
-    val key = col("doc_id") * lit(1000000000L) + col("pos")
+    // Loud guard on the packing domain (scaladoc step 2): an out-of-domain
+    // corpus must FAIL, not dedup against a mis-ordered canonical occurrence.
+    val key = when(col("doc_id") < 0L || col("doc_id") >= 9223372036L ||
+        col("pos") >= 1000000000L,
+      raise_error(format_string(
+        "exactSubstrDedup: (doc_id,pos)=(%d,%d) exceeds the long-packing " +
+          "domain [0,9.2e9)x[0,1e9); switch the canon agg to " +
+          "min_by(struct(doc_id,pos))", col("doc_id"), col("pos"))).cast("long"))
+      .otherwise(col("doc_id") * lit(1000000000L) + col("pos"))
     val stats = occ.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"), min(key).as("canon"))
       .filter(col("cnt") >= 2)

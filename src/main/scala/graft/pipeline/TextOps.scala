@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Per-invocation disambiguator for [[sourceContainment]]'s observe()
+    * name (Spark requires observation names unique within one query). */
+  private val containObsSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Whitespace tokens (empty text yields one empty token, like SQL split). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -843,29 +847,52 @@ object TextOps {
     * Scale shape: per-source distinct grams (map-side `array_distinct`
     * then one (source, gram) distinct — the only corpus-sized shuffle);
     * each gram then carries its source SET (`collect_set`, bounded by
-    * #sources — a dataset card has tens of sources, not millions) and
-    * the pair fan-out is |set|² per gram, aggregated with partial
-    * combine. NO gram-keyed self-join: the matrix falls out of one
-    * aggregation, and the per-source denominators broadcast. */
+    * #sources) and the pair fan-out is |set|² per gram, aggregated with
+    * partial combine. NO gram-keyed self-join: the matrix falls out of
+    * one aggregation, and the per-source denominators broadcast.
+    *
+    * '''Stratum-cardinality domain''': `stratumCol` is a dataset-card
+    * stratum (tens to a few hundred sources), NOT an open-ended column
+    * like crawl domain — the fan-out is |sources-sharing-gram|² per gram,
+    * and a boilerplate gram present in thousands of strata would emit
+    * millions of pair rows (per-domain dedup rates are [[Dedup]]'s px68
+    * composition instead). Grams whose source set exceeds `maxSources`
+    * are DROPPED from the matrix — numerator and denominator
+    * consistently, since the diagonal is computed from the same retained
+    * gram population — with the drop count reported through the same
+    * `observe` channel [[Dedup.capBuckets]] uses (never silent). */
   def sourceContainment(docs: org.apache.spark.sql.DataFrame,
-      stratumCol: String, textCol: String, n: Int = 5):
-      org.apache.spark.sql.DataFrame = {
+      stratumCol: String, textCol: String, n: Int = 5,
+      maxSources: Int = 512): org.apache.spark.sql.DataFrame = {
+    require(maxSources > 1, s"sourceContainment: maxSources must be > 1, got $maxSources")
+    GraftMetrics.ensureListener(docs.sparkSession)
     // the gram explode is the expensive map — when the input arrives in
     // FEWER splits than the cluster has slots (a single test parquet; a
     // 100 TB corpus has thousands of splits and must NOT be reshuffled
-    // just to explode), spread the doc rows first. Compute the whole
-    // matrix from ONE subtree: the denominators ARE the diagonal
-    // (|A ∩ A| = |A|), so no second gram pass exists to re-run
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
-      else docs
+    // just to explode), spread the doc rows first. The smallness probe is
+    // logical-plan STATS (catalog/file sizes, no job, no RDD lineage
+    // materialization on the driver): an input smaller than what fills
+    // every slot at the configured split size cannot scan into
+    // >= parallelism splits. Compute the whole matrix from ONE subtree:
+    // the denominators ARE the diagonal (|A ∩ A| = |A|), so no second
+    // gram pass exists to re-run
+    val sess = docs.sparkSession
+    val parallelism = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(parallelism.toLong) * maxSplit
+    val spread = if (small) docs.repartition(parallelism) else docs
     val pd = spread
       .select(col(stratumCol).as("src"),
         explode(Dedup.tokenNgramsOf(tokens(coalesce(col(textCol), lit(""))), n))
           .as("gram"))
       .distinct()
+    val hot = size(col("ss")) > maxSources
     val inter = pd.groupBy(col("gram")).agg(collect_set(col("src")).as("ss"))
+      .observe(s"graft.sourceContainment.${containObsSeq.incrementAndGet()}",
+        coalesce(sum(when(hot, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("dropped_grams"))
+      .filter(!hot)
       .select(explode(col("ss")).as("source_a"), col("ss"))
       .select(col("source_a"), explode(col("ss")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))

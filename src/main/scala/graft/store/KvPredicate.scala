@@ -211,9 +211,52 @@ object KvPredicate {
     case x => x
   }
 
+  /** Coerce a pushed literal into the box type `coder.decode(dt, …)`
+    * produces, so [[canonical]]-keyed set membership agrees with the
+    * `Or(ValueCmp(Eq)…)` path it replaces: compareTyped's (Number, Number)
+    * fallback compared mismatched numeric boxes BY VALUE (an Integer
+    * literal still matched a LongType column), while a raw Set would
+    * silently miss on the box class. Returns None when the literal cannot
+    * round-trip into dt — such a value can never equal any decoded value,
+    * so it is dropped from the set (e.g. a 1.5 double literal against an
+    * IntegerType column). NaN survives into float/double targets (the
+    * fallback's Double.compare(NaN, NaN) == 0 semantics, which
+    * [[canonical]]'s bit-pattern key preserves). */
+  private def normalize(v: Any, dt: DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    def num(n: Number): Option[Any] = {
+      val d = n.doubleValue()
+      dt match {
+        case FloatType =>
+          if (d.isNaN) Some(java.lang.Float.valueOf(Float.NaN))
+          else { val f = n.floatValue(); if (f.toDouble == d) Some(java.lang.Float.valueOf(f)) else None }
+        case DoubleType => Some(java.lang.Double.valueOf(d))
+        case ByteType => val b = n.byteValue(); if (b.toDouble == d) Some(java.lang.Byte.valueOf(b)) else None
+        case ShortType => val s = n.shortValue(); if (s.toDouble == d) Some(java.lang.Short.valueOf(s)) else None
+        case IntegerType => val i = n.intValue(); if (i.toDouble == d) Some(java.lang.Integer.valueOf(i)) else None
+        case LongType =>
+          // above 2^53 a double round-trip is lossy; compare through Long
+          // when the literal is already integral-boxed, else through double
+          n match {
+            case l: java.lang.Long => Some(l)
+            case _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte =>
+              Some(java.lang.Long.valueOf(n.longValue()))
+            case _ => val l = n.longValue(); if (l.toDouble == d) Some(java.lang.Long.valueOf(l)) else None
+          }
+        case _ => Some(v) // non-numeric dt with a Number literal: keep as-is
+      }
+    }
+    v match {
+      case n: Number => num(n)
+      case _ => Some(v)
+    }
+  }
+
   /** Collapse N same-shaped equality leaves into one set predicate —
     * [[ValueIn]] / [[KeyIn]] — or None when the leaves are heterogeneous
-    * (the caller keeps the generic Or). */
+    * (the caller keeps the generic Or). Literals are [[normalize]]d through
+    * the column's DataType first so mismatched numeric boxes (Integer
+    * literals against a LongType column) still match numerically. */
   def inOf(children: Seq[KvPredicate]): Option[KvPredicate] = {
     if (children.isEmpty) return None
     children.head match {
@@ -224,7 +267,8 @@ object KvPredicate {
             case _ => false
           } =>
         Some(ValueIn(cf, qual,
-          children.collect { case ValueCmp(_, _, _, v, _, _) => canonical(v) }.toSet,
+          children.collect { case ValueCmp(_, _, _, v, _, _) => v }
+            .flatMap(normalize(_, dt)).map(canonical).toSet,
           dt, coder))
       case KeyCmp(off, w, Eq, _, dt, coder)
           if children.forall {
@@ -233,7 +277,8 @@ object KvPredicate {
             case _ => false
           } =>
         Some(KeyIn(off, w,
-          children.collect { case KeyCmp(_, _, _, v, _, _) => canonical(v) }.toSet,
+          children.collect { case KeyCmp(_, _, _, v, _, _) => v }
+            .flatMap(normalize(_, dt)).map(canonical).toSet,
           dt, coder))
       case _ => None
     }

@@ -266,6 +266,62 @@ class PushdownEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!in.eval(key, cells(2.6d), None))
   }
 
+  test("IN with mismatched numeric literal boxes still matches numerically") {
+    // the Or(ValueCmp(Eq)) path fell back to compareTyped's (Number, Number)
+    // double-value comparison for mismatched boxes, so an Integer literal
+    // matched a LongType column; the set collapse must normalize through the
+    // column's DataType, not silently match nothing on box class
+    import graft.store.KvPredicate
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def valueLeaves(vs: Seq[Any], dt: org.apache.spark.sql.types.DataType) =
+      vs.map(v => KvPredicate.ValueCmp("f", "d", KvPredicate.Eq, v, dt, PrimitiveCoder))
+    def cellsL(x: Long) = {
+      val m = new ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
+      val versions = new ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
+        java.util.Collections.reverseOrder[java.lang.Long]())
+      versions.put(1L, PrimitiveCoder.encode(LongType, x))
+      m.put(("f", "d"), versions)
+      m
+    }
+    def cellsI(x: Int) = {
+      val m = new ConcurrentHashMap[(String, String), ConcurrentSkipListMap[java.lang.Long, Array[Byte]]]()
+      val versions = new ConcurrentSkipListMap[java.lang.Long, Array[Byte]](
+        java.util.Collections.reverseOrder[java.lang.Long]())
+      versions.put(1L, PrimitiveCoder.encode(IntegerType, x))
+      m.put(("f", "d"), versions)
+      m
+    }
+    val key = PrimitiveCoder.encode(IntegerType, 1)
+    // Integer literals against a LongType column: must match the decoded Longs
+    val intVsLong = KvPredicate.inOf(
+      valueLeaves(Seq(Int.box(3), Int.box(7)), LongType)).get
+    assert(intVsLong.isInstanceOf[KvPredicate.ValueIn])
+    assert(intVsLong.eval(key, cellsL(3L), None),
+      "Integer literal 3 must match LongType value 3")
+    assert(intVsLong.eval(key, cellsL(7L), None))
+    assert(!intVsLong.eval(key, cellsL(4L), None))
+    // Double literal 2.0 against IntegerType: matches decoded 2 (numeric eq);
+    // 2.5 can never equal an int — dropped from the set, no error, no match
+    val dblVsInt = KvPredicate.inOf(
+      valueLeaves(Seq(Double.box(2.0), Double.box(2.5)), IntegerType)).get
+    assert(dblVsInt.eval(key, cellsI(2), None),
+      "Double literal 2.0 must match IntegerType value 2")
+    assert(!dblVsInt.eval(key, cellsI(3), None))
+    // Long literal above Int range against IntegerType: dropped, never matches
+    val bigVsInt = KvPredicate.inOf(
+      valueLeaves(Seq(Long.box(1L + Int.MaxValue), Long.box(5L)), IntegerType)).get
+    assert(bigVsInt.eval(key, cellsI(5), None))
+    assert(!bigVsInt.eval(key, cellsI(Int.MinValue), None),
+      "an out-of-range Long literal must not wrap into Int range")
+    // Long literals above 2^53 against LongType: exact, no double round-trip loss
+    val big = (1L << 60) + 1L
+    val hugeLong = KvPredicate.inOf(
+      valueLeaves(Seq(Long.box(big)), LongType)).get
+    assert(hugeLong.eval(key, cellsL(big), None))
+    assert(!hugeLong.eval(key, cellsL(1L << 60), None),
+      "2^60 must not match 2^60+1 through a lossy double round-trip")
+  }
+
   // ---- StartsWith over fixed-width key parts ------------------------------
 
   test("StartsWith prefix longer than a fixed-width key part matches nothing") {

@@ -297,4 +297,28 @@ class DifferentialDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(expected.nonEmpty, s"seed=$seed n=$n produced no spans — fixture too weak")
     }
   }
+
+  test("exactSubstrDedup refuses an out-of-domain (doc_id,pos) packing loudly") {
+    // the canonical-occurrence agg packs doc_id*1e9+pos into a long; past
+    // ~9.2e9 doc_ids or 1e9-token docs the packing mis-orders — the guard
+    // must fail the job, not dedup against a wrong canonical occurrence
+    val dupText = "a b c d e f g h i j"
+    val bad = Seq((10000000000L, dupText), (1L, dupText))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.exactSubstrDedup(bad, "doc_id", "text", n = 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("packing domain")),
+      s"expected the loud packing-domain refusal, got: $ex")
+    // in-domain corpus still works, and the dup gram is actually removed
+    val ok = Dedup.exactSubstrDedup(
+      Seq((1L, dupText), (2L, dupText)).toDF("doc_id", "text"),
+      "doc_id", "text", n = 5).orderBy($"doc_id").collect()
+    assert(ok.length == 2)
+    assert(ok(1).getAs[Long]("removed_tokens") == 10L,
+      s"doc 2 duplicates doc 1 entirely — all tokens must be removed: ${ok.toSeq}")
+  }
 }

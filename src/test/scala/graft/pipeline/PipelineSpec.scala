@@ -444,6 +444,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(twice.collect().length <= 20)
   }
 
+  test("sourceContainment caps hot grams (|sources|² fan-out) with a logged drop") {
+    // "h1 h2 h3 h4 h5" is boilerplate present in ALL four sources; each
+    // source also has a private gram. At maxSources=3 the boilerplate gram
+    // must be dropped from BOTH the numerators and the diagonal (consistent
+    // population), and the drop must surface through observe, never silently
+    val docs = (0 until 4).map { s =>
+      (s"src$s", s"h1 h2 h3 h4 h5 p${s}a p${s}b p${s}c p${s}d p${s}e")
+    }.toDF("source", "text")
+    val capped = TextOps.sourceContainment(docs, "source", "text", n = 5, maxSources = 3)
+    val rows = capped.collect()
+    val obs = capped.queryExecution.observedMetrics.collectFirst {
+      case (n, r) if n.startsWith("graft.sourceContainment.") => r
+    }.getOrElse(fail("no graft.sourceContainment.* metric observed"))
+    assert(obs.getAs[Long]("dropped_grams") == 1L, s"one hot gram must drop: $obs")
+    // with the boilerplate gram gone no cross pair survives: each source
+    // keeps only its private grams, so the matrix is the diagonal
+    assert(rows.forall(r => r.getAs[String]("source_a") == r.getAs[String]("source_b")),
+      s"cross pairs must vanish with the hot gram: ${rows.toSeq}")
+    // uncapped (default 512): the boilerplate gram contributes every
+    // cross pair, all at containment 1/#grams-per-source consistency
+    val full = TextOps.sourceContainment(docs, "source", "text", n = 5)
+    val fullRows = full.collect()
+    assert(fullRows.count(r => r.getAs[String]("source_a") != r.getAs[String]("source_b")) == 12,
+      s"4 sources sharing one gram => 12 directed cross pairs: ${fullRows.length}")
+    val fullObs = full.queryExecution.observedMetrics.collectFirst {
+      case (n, r) if n.startsWith("graft.sourceContainment.") => r
+    }.get
+    assert(fullObs.getAs[Long]("dropped_grams") == 0L)
+  }
+
   test("capBuckets salting bounds the rows any one window task sorts") {
     // the r3 watch item: a 10⁷-entry boilerplate bucket used to become a
     // SINGLE-task spillable sort. With salted cells, the window partitions
