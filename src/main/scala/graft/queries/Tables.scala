@@ -6,8 +6,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * All query entry points take an `sfDir` like `/root/testdata/sf0.01`.
   */
 object Tables {
+  /** Resolved-relation cache: `spark.read.parquet` re-runs file listing and
+    * a driver-side schema-inference job (a visible 35-50 ms single-task
+    * stage) on EVERY call, which the round-13 phase profile measured as
+    * 100-200 ms of fixed per-query cost — the dominant driver-side share
+    * of a cheap query's wall. The corpus parquet is immutable within a
+    * run, so the resolved DataFrame (an immutable logical plan) is reused
+    * per (session, dir, table). Keyed on the session so test suites with
+    * their own sessions never share plans; entries for stopped sessions
+    * are a few KB of plan and are dropped with the map on JVM exit. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    resolved.computeIfAbsent((s, dir, name),
+      _ => s.read.parquet(s"$dir/$name.parquet"))
 
   /** events.ts has shifted representation across corpus generations:
     * TIMESTAMP(NANOS) (Spark 4 refuses natively — read as nanos-long under

@@ -30,13 +30,29 @@ object TimeOne {
           stages.put(i.stageId, (i.name.takeWhile(_ != '\n').take(90), ms, i.numTasks))
         }
       })
+    // GRAFT_PHASE_PROF: split one invocation's wall into driver-side phases
+    // (registry+construction / analysis / physical planning / execution) to
+    // attribute fixed per-query overhead that stage times can't see
+    val phaseProf = sys.env.contains("GRAFT_PHASE_PROF")
     args.tail.foreach { name =>
       stages.clear()
       if (sys.env.contains("GRAFT_EXPLAIN"))
         println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.ExtendedMode))
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val n = if (phaseProf) {
+        def ms(since: Long) = (System.nanoTime() - since) / 1e6
+        val b0 = System.nanoTime(); val df = SparkEntry.queries(name)(spark, sfDir)
+        val build = ms(b0)
+        val a0 = System.nanoTime(); df.queryExecution.assertAnalyzed()
+        val analyze = ms(a0)
+        val p0 = System.nanoTime(); df.queryExecution.executedPlan
+        val plan = ms(p0)
+        val e0 = System.nanoTime(); val rows = df.count()
+        val exec = ms(e0)
+        println(f"PHASES $name build=$build%.0fms analyze=$analyze%.0fms plan=$plan%.0fms exec=$exec%.0fms")
+        rows
+      } else SparkEntry.queries(name)(spark, sfDir).count()
       println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       if (stageProf) {
         import scala.jdk.CollectionConverters._
