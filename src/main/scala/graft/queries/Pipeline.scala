@@ -417,6 +417,7 @@ object Pipeline {
   def dynamicOracles(s: SparkSession, dir: String): Map[String, String] = {
     val ivfSql = px13Sql(s, dir)
     val pqSql = px56Sql(s, dir)
+    val ivfPqSql = px61Sql(s, dir)
     Map("px13_ann_ivf" -> ivfSql,
       // px66 audits px13's index (same memoized centroids) at nprobe=1
       // against the exact ranking — its oracle embeds the same literals
@@ -426,7 +427,12 @@ object Pipeline {
       // px61 composes px13's coarse quantizer with px56's codebooks; its
       // oracle embeds BOTH memoized artifacts so all three queries train
       // exactly once per dataset dir
-      "px61_ivfpq_ann" -> px61Sql(s, dir),
+      "px61_ivfpq_ann" -> ivfPqSql,
+      // kv32 serves the SAME search from the cell-keyed kv code table —
+      // same artifacts, same arithmetic, scan-pruned instead of row-pruned;
+      // its contract is that the storage layout does not change the answer,
+      // so its oracle IS px61's rendered SQL (shared string, px57 precedent)
+      "kv32_ivfpq_scan" -> ivfPqSql,
       // px57 searches the code-table compression of the SAME corpus with
       // the same codebooks and reconstruction arithmetic — its contract is
       // that compression does not change the answer, so its oracle IS
@@ -2126,6 +2132,64 @@ object Pipeline {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** kv32's catalog: the IVF-PQ code table STORE-RESIDENT and CELL-KEYED —
+    * row key leads with the coarse cell, so a probe list prunes the SCAN
+    * (region + range pruning), not just per-row work. vec_id is the key
+    * tail (unique within a cell); the m PQ codes ride as an Avro int array. */
+  private val kv32Catalog =
+    """{"table":{"namespace":"default", "name":"kv_ivfpq_codes"},
+      |"rowkey":"key1:key2",
+      |"columns":{
+      |"cell":{"cf":"rowkey", "col":"key1", "type":"int", "coder":"Phoenix"},
+      |"vec_id":{"cf":"rowkey", "col":"key2", "type":"bigint", "coder":"Phoenix"},
+      |"codes":{"cf":"f", "col":"c", "avro":"pqCodes"}}}""".stripMargin
+  private val kv32Avro = """{"type":"array","items":"int"}"""
+
+  /** kv32: IVF-PQ ANN served from the CELL-KEYED kv code table — the
+    * end-to-end scale-true completion of px61's story. px61's DataFrame
+    * code table prunes per-row WORK (only probed cells' rows pay the O(m)
+    * reconstruction) but still READS every row; here the table lives in
+    * the store with `cell` as the LEADING row-key part, so pushing the
+    * probe list as an `In` turns the read itself into nprobe/nlist of the
+    * corpus: the filter compiler plans one point-range sliver per probed
+    * cell and drops every region no probe touches (the same leading-key-In
+    * machinery sv23's prefix repairs ride; plan-audited in PlanAuditSpec).
+    * The probe list is computed driver-side from the query batch —
+    * ≤ queries × nprobe cell ids (≤ 40 ints here, ≤ nlist always): a
+    * CONTROL-sized collect, the documented bounded pattern. Search
+    * semantics, trained artifacts, and arithmetic are px61's exactly
+    * ([[Similarity.ivfPqTopK]] over the loaded slivers), so the oracle is
+    * px61's rendered SQL — one shared string, the px57/sv20 precedent. */
+  def kv32IvfPqScan(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroidsFor(s, dir)
+    val books = pqCodebooksFor(s, dir)
+    if (!graft.store.KvStore.exists("default:kv_ivfpq_codes")) {
+      // one-time corpus snapshot: (cell, vec_id) -> codes, presplit on the
+      // cell range so probed cells map to disjoint region slivers
+      Similarity.ivfPqCodeTable(cents, books,
+          Tables.embeddings(s, dir)
+            .filter(col("vec_id").isNotNull && col("embedding").isNotNull),
+          "vec_id", "embedding")
+        .select(col("cell"), col("vec_id").cast("long").as("vec_id"), col("codes"))
+        .write.format("graft-kv")
+        .options(Map("catalog" -> kv32Catalog, "pqCodes" -> kv32Avro,
+          "newtable" -> "8", "minSplitNum" -> "0",
+          "maxSplitNum" -> (cents.length - 1).toString))
+        .mode("append").save()
+    }
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+    val probed = queries
+      .select(explode(graft.functions.VectorExprs.nearestCentroids(
+        col("embedding"), cents, 4)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted // <= queries x nprobe cells
+    val kv = s.read.format("graft-kv")
+      .options(Map("catalog" -> kv32Catalog, "pqCodes" -> kv32Avro)).load()
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    Similarity.ivfPqTopK(cents, books, queries, kv,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** px62: PMI-ranked collocations ([[TextOps.pmiCollocations]]) — the
     * top-20 adjacent-pair associations by exact-integer lift (the PMI
     * argument), min pair count 5. */
@@ -2596,6 +2660,7 @@ object Pipeline {
     "px59_semantic_decontam"  -> (px59SemanticDecontam _),
     "px60_frame_sample"       -> (px60FrameSample _),
     "px61_ivfpq_ann"          -> (px61IvfPqAnn _),
+    "kv32_ivfpq_scan"         -> (kv32IvfPqScan _),
     "px62_collocations"       -> (px62Collocations _),
     "px63_shard_shuffle"      -> (px63ShardShuffle _),
     "px64_mixture_plan"       -> (px64MixturePlan _),
