@@ -608,15 +608,15 @@ object StreamBatch {
   /** Same final state as sv11 — identical source protocol, lakehouse sink. */
   val sv15Sql: String = sv11Sql
 
-  private val sv12SrcCatalog =
+  private[graft] val sv12SrcCatalog =
     """{"table":{"namespace":"default", "name":"kv_idx_src"},
       |"rowkey":"key",
       |"columns":{
       |"doc_id":{"cf":"rowkey", "col":"key", "type":"bigint"},
       |"text":{"cf":"f", "col":"t", "type":"string"}}}""".stripMargin
-  private val sv12FwdCatalog = sv12SrcCatalog
+  private[graft] val sv12FwdCatalog = sv12SrcCatalog
     .replace("\"kv_idx_src\"", "\"kv_idx_fwd\"")
-  private val sv12IdxCatalog =
+  private[graft] val sv12IdxCatalog =
     """{"table":{"namespace":"default", "name":"kv_idx_inv"},
       |"rowkey":"key",
       |"columns":{
@@ -638,11 +638,84 @@ object StreamBatch {
     * inside the deleted range). The final answer aggregates the index table
     * into px26's capped-postings form, so the oracle is px26's SQL over the
     * corpus's FINAL state. */
+  /** One CDC drain of inverted-index maintenance — the per-batch protocol
+    * of [[sv12StreamCdcIndex]], factored out so the randomized differential
+    * can drive arbitrary put/delete/resurrect schedules through the exact
+    * production path with its own catalogs. */
+  private[graft] def maintainCdcIndex(s: SparkSession, srcCatalog: String,
+      fwdCatalog: String, idxCatalog: String, maxId: Long, ckpt: String,
+      phaseStamp: Long): Unit = {
+    import graft.store.KvStore
+    val sep = "\u0000" // tokens are whitespace-split, so NUL can't collide
+    val fwdName = graft.catalog.GraftCatalog.parse(fwdCatalog, Map.empty).qualifiedName
+    /** (doc_id, term, ik) pairs of a (doc_id, text) frame — MUST tokenize
+      * exactly like px26 ([[graft.pipeline.TextOps.tokens]]). */
+    def pairsOf(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        explode(array_distinct(graft.pipeline.TextOps.tokens(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("ik", concat(col("term"), lit(sep),
+        format_string("%012d", col("doc_id"))))
+    val stream = s.readStream.format("graft-kv")
+      .option("catalog", srcCatalog).option("tombstones", "true").load()
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val changed = df.select(col("doc_id"), col("text"), col("_deleted")).cache()
+        // before the first batch no mirror exists — nothing old to retire
+        val haveMirror = KvStore.exists(fwdName)
+        if (!changed.isEmpty) {
+          // 1. retire the OLD index entries of every touched doc,
+          //    DISTRIBUTED end to end: the changed-id set (bounded by
+          //    maxRowsPerBatch) broadcasts into a leftsemi probe of the
+          //    forward mirror, whose tokenization re-derives the exact
+          //    old posting keys — and those keys die through the
+          //    delete-mode writer, each task against its own region
+          //    slice. Nothing per-term ever visits the driver: a batch
+          //    of long documents fans out to millions of postings, and
+          //    the old collect-then-In path materialized every one of
+          //    them driver-side.
+          if (haveMirror) {
+            val oldDocs = s.read.format("graft-kv")
+              .option("catalog", fwdCatalog).load()
+              .join(broadcast(changed.select("doc_id").distinct()),
+                Seq("doc_id"), "leftsemi")
+            pairsOf(oldDocs).select(col("ik"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> idxCatalog, "delete" -> "true",
+                "timestamp" -> phaseStamp.toString))
+              .mode("append").save()
+            // 2. forward mirror: deleted docs die the same way
+            changed.filter(col("_deleted")).select(col("doc_id"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> fwdCatalog, "delete" -> "true",
+                "timestamp" -> phaseStamp.toString))
+              .mode("append").save()
+          }
+          val ups = changed.filter(!col("_deleted")).select(col("doc_id"), col("text"))
+          ups.write.format("graft-kv")
+            .options(Map("catalog" -> fwdCatalog, "newtable" -> "4",
+              "timestamp" -> phaseStamp.toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+            .mode("append").save()
+          // 3. insert the new index pairs
+          pairsOf(ups).select(col("ik"), col("term"), col("doc_id"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> idxCatalog, "newtable" -> "4",
+              "timestamp" -> phaseStamp.toString))
+            .mode("append").save()
+        }
+        changed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   def sv12StreamCdcIndex(s: SparkSession, dir: String): DataFrame = {
     import graft.datasource.FilterCompiler
     import graft.store.KvStore
     import org.apache.spark.sql.expressions.Window
-    val sep = "\u0000" // tokens are whitespace-split, so NUL can't collide
     val base = Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
@@ -654,71 +727,10 @@ object StreamBatch {
           "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    /** (doc_id, term, ik) pairs of a (doc_id, text) frame — MUST tokenize
-      * exactly like px26 ([[graft.pipeline.TextOps.tokens]]). */
-    def pairsOf(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"),
-        explode(array_distinct(graft.pipeline.TextOps.tokens(col("text")))).as("term"))
-      .filter(length(col("term")) > 0)
-      .withColumn("ik", concat(col("term"), lit(sep),
-        format_string("%012d", col("doc_id"))))
     val ckpt = Files.createTempDirectory("graft-sv12-ckpt").toString
-    def applyBatch(phaseStamp: Long): Unit = {
-      val stream = s.readStream.format("graft-kv")
-        .option("catalog", sv12SrcCatalog).option("tombstones", "true").load()
-      val q = stream.writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          val changed = df.select(col("doc_id"), col("text"), col("_deleted")).cache()
-          // before the first batch no mirror exists — nothing old to retire
-          val haveMirror = KvStore.exists(fwdParsed.qualifiedName)
-          if (!changed.isEmpty) {
-            // 1. retire the OLD index entries of every touched doc,
-            //    DISTRIBUTED end to end: the changed-id set (bounded by
-            //    maxRowsPerBatch) broadcasts into a leftsemi probe of the
-            //    forward mirror, whose tokenization re-derives the exact
-            //    old posting keys — and those keys die through the
-            //    delete-mode writer, each task against its own region
-            //    slice. Nothing per-term ever visits the driver: a batch
-            //    of long documents fans out to millions of postings, and
-            //    the old collect-then-In path materialized every one of
-            //    them driver-side.
-            if (haveMirror) {
-              val oldDocs = s.read.format("graft-kv")
-                .option("catalog", sv12FwdCatalog).load()
-                .join(broadcast(changed.select("doc_id").distinct()),
-                  Seq("doc_id"), "leftsemi")
-              pairsOf(oldDocs).select(col("ik"))
-                .write.format("graft-kv")
-                .options(Map("catalog" -> sv12IdxCatalog, "delete" -> "true",
-                  "timestamp" -> phaseStamp.toString))
-                .mode("append").save()
-              // 2. forward mirror: deleted docs die the same way
-              changed.filter(col("_deleted")).select(col("doc_id"))
-                .write.format("graft-kv")
-                .options(Map("catalog" -> sv12FwdCatalog, "delete" -> "true",
-                  "timestamp" -> phaseStamp.toString))
-                .mode("append").save()
-            }
-            val ups = changed.filter(!col("_deleted")).select(col("doc_id"), col("text"))
-            ups.write.format("graft-kv")
-              .options(Map("catalog" -> sv12FwdCatalog, "newtable" -> "4",
-                "timestamp" -> phaseStamp.toString,
-                "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
-              .mode("append").save()
-            // 3. insert the new index pairs
-            pairsOf(ups).select(col("ik"), col("term"), col("doc_id"))
-              .write.format("graft-kv")
-              .options(Map("catalog" -> sv12IdxCatalog, "newtable" -> "4",
-                "timestamp" -> phaseStamp.toString))
-              .mode("append").save()
-          }
-          changed.unpersist()
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    def applyBatch(phaseStamp: Long): Unit =
+      maintainCdcIndex(s, sv12SrcCatalog, sv12FwdCatalog, sv12IdxCatalog,
+        maxId, ckpt, phaseStamp)
     // fresh run every invocation
     KvStore.drop(fwdParsed.qualifiedName)
     KvStore.drop(idxParsed.qualifiedName)

@@ -1074,6 +1074,310 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     tables.foreach(KvStore.drop)
   }
 
+  test("sv12 differential: random upsert/delete/resurrect waves keep index AND mirror equal to the model") {
+    // the fixed sv12 phases exercise each move once; this drives seeded
+    // random CDC waves over a shared vocabulary (terms constantly retire
+    // and re-insert across unrelated docs) and compares the maintained
+    // inverted index and forward mirror against an in-memory model after
+    // EVERY drain
+    import graft.queries.StreamBatch
+    val suf = "dif"
+    val srcCat = StreamBatch.sv12SrcCatalog.replace("\"kv_idx_src\"", s""""kv_idx_src_$suf"""")
+    val fwdCat = StreamBatch.sv12FwdCatalog.replace("\"kv_idx_fwd\"", s""""kv_idx_fwd_$suf"""")
+    val idxCat = StreamBatch.sv12IdxCatalog.replace("\"kv_idx_inv\"", s""""kv_idx_inv_$suf"""")
+    val tables = Seq(s"default:kv_idx_src_$suf", s"default:kv_idx_fwd_$suf",
+      s"default:kv_idx_inv_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-idxdiff-ckpt").toString
+    val docs = scala.collection.mutable.Map[Long, String]()
+    val rnd = new scala.util.Random(1303)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    var ts = 1000L
+    var stamp = 10L
+    def randText(): String =
+      Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def putDocs(rows0: Seq[(Long, String)]): Unit = if (rows0.nonEmpty) {
+      val rows = rows0.groupBy(_._1).map(_._2.last).toSeq
+      rows.foreach { case (id, t) => docs(id) = t }
+      rows.toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save(); ts += 10
+    }
+    def delDocs(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      ids.foreach(docs.remove)
+      ids.toDF("doc_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "delete" -> "true",
+          "timestamp" -> ts.toString)).mode("append").save(); ts += 10
+    }
+    def drain(): Unit = {
+      StreamBatch.maintainCdcIndex(spark, srcCat, fwdCat, idxCat,
+        maxId = 100L, ckpt, phaseStamp = stamp)
+      stamp += 10
+    }
+    def expectedIdx(): Set[(String, Long)] =
+      docs.toSeq.flatMap { case (id, t) =>
+        t.split("\\s+").filter(_.nonEmpty).distinct.map(_ -> id) }.toSet
+    def actualIdx(): Set[(String, Long)] =
+      spark.read.format("graft-kv").option("catalog", idxCat).load()
+        .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"))).toSet
+    def actualFwd(): Map[Long, String] =
+      spark.read.format("graft-kv").option("catalog", fwdCat).load()
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    putDocs((0L until 20L).map(id => id -> randText()))
+    drain()
+    assert(actualIdx() == expectedIdx(), "index diverged after the seed wave")
+    (1 to 10).foreach { wave =>
+      // updates of live docs, fresh ids, deletes (possibly of just-updated
+      // docs), and resurrections of previously deleted ids — all in one wave
+      putDocs(Seq.fill(5)((rnd.nextLong(30), randText())))
+      delDocs(Seq.fill(2)(rnd.nextLong(30)).distinct)
+      drain()
+      assert(actualIdx() == expectedIdx(),
+        s"index diverged from the model after wave $wave")
+      assert(actualFwd() == docs.toMap,
+        s"forward mirror diverged from the model after wave $wave")
+    }
+    tables.foreach(KvStore.drop)
+  }
+
+  test("sv14 differential: random append-only waves find exactly the brute-force J>=0.8 pairs") {
+    // random corpora with injected exact and near duplicates, ingested in
+    // waves; after every drain the accumulated pairs table must equal the
+    // brute-force bigram-shingle Jaccard >= 0.8 pairs over EVERYTHING
+    // ingested so far. At 32 hashes x 16 bands (r=2) the per-pair miss
+    // probability at J >= 0.8 is (1-J^2)^16 <= 1e-7 — a miss on a seeded
+    // corpus means a structural bug, not banding luck (false positives are
+    // impossible: the exact rerank gates every accepted pair).
+    import graft.queries.StreamBatch
+    val suf = "dif"
+    val srcCat = StreamBatch.sv14SrcCatalog.replace("\"kv_nd_src\"", s""""kv_nd_src_$suf"""")
+    val fwdCat = StreamBatch.sv14FwdCatalog.replace("\"kv_nd_fwd\"", s""""kv_nd_fwd_$suf"""")
+    val idxCat = StreamBatch.sv14IdxCatalog.replace("\"kv_nd_idx\"", s""""kv_nd_idx_$suf"""")
+    val pairsCat = StreamBatch.sv14PairsCatalog.replace("\"kv_nd_pairs\"", s""""kv_nd_pairs_$suf"""")
+    val tables = Seq(s"default:kv_nd_src_$suf", s"default:kv_nd_fwd_$suf",
+      s"default:kv_nd_idx_$suf", s"default:kv_nd_pairs_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    val maxId = 400L
+    def kvInit(df: org.apache.spark.sql.DataFrame, cat: String, numeric: Boolean): Unit = {
+      val splits =
+        if (numeric) Map("minSplitNum" -> "0", "maxSplitNum" -> maxId.toString)
+        else Map("minSplit" -> "0", "maxSplit" -> "z")
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> cat, "newtable" -> "4", "timestamp" -> "1") ++ splits)
+        .mode("append").save()
+    }
+    kvInit(spark.range(0).select(col("id").as("doc_id"), lit("").as("text")),
+      fwdCat, numeric = true)
+    kvInit(spark.range(0).select(lit("").as("ik"), lit(0).as("band"),
+      lit(0L).as("bh"), lit(0L).as("doc_id")), idxCat, numeric = false)
+    kvInit(spark.range(0).select(lit("").as("pk"), lit(0L).as("id_a"),
+      lit(0L).as("id_b"), lit(0.0d).as("jaccard")), pairsCat, numeric = false)
+    val ckpt = Files.createTempDirectory("graft-nddiff-ckpt").toString
+    val rnd = new scala.util.Random(1304)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val ingested = scala.collection.mutable.Map[Long, String]()
+    var ts = 1000L
+    var nextId = 0L
+    def randDoc(): String =
+      Seq.fill(8 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def ingest(texts: Seq[String]): Unit = if (texts.nonEmpty) {
+      val rows = texts.map { t => val id = nextId; nextId += 1; ingested(id) = t; (id, t) }
+      rows.toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode("append").save(); ts += 10
+    }
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.isEmpty) Set.empty
+      else if (toks.size == 1) toks.toSet
+      else toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    def expectedPairs(): Set[(Long, Long)] = {
+      val ids = ingested.keys.toSeq.sorted
+      (for {
+        i <- ids.indices.iterator; j <- (i + 1 until ids.size).iterator
+        a = shingles(ingested(ids(i))); b = shingles(ingested(ids(j)))
+        if a.nonEmpty && b.nonEmpty &&
+          (a & b).size.toDouble / (a | b).size >= 0.8
+      } yield (ids(i), ids(j))).toSet
+    }
+    def actualPairs(): Set[(Long, Long)] =
+      spark.read.format("graft-kv").option("catalog", pairsCat).load()
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    def drain(): Unit =
+      StreamBatch.maintainNearDupIndex(spark, srcCat, fwdCat, idxCat,
+        pairsCat, maxId, ckpt)
+    // seed wave: base docs plus exact dups within the SAME wave (the
+    // new x new self-join path)
+    val base = Seq.fill(25)(randDoc())
+    ingest(base ++ Seq(base(0), base(5)))
+    drain()
+    assert(actualPairs() == expectedPairs(), "pairs diverged after the seed wave")
+    (1 to 6).foreach { wave =>
+      // each wave: fresh docs, exact copies of PRIOR docs (the index-sliver
+      // + mirror-point-get path), and near-copies (one token changed)
+      val prior = ingested.values.toVector
+      val copies = Seq.fill(2)(prior(rnd.nextInt(prior.size)))
+      val nears = Seq.fill(2) {
+        val toks = prior(rnd.nextInt(prior.size)).split(" ")
+        toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size))
+        toks.mkString(" ")
+      }
+      ingest(Seq.fill(4)(randDoc()) ++ copies ++ nears)
+      drain()
+      assert(actualPairs() == expectedPairs(),
+        s"pairs diverged from the brute-force model after wave $wave")
+    }
+    assert(expectedPairs().nonEmpty, "fixture too weak - no dup pairs at all")
+    tables.foreach(KvStore.drop)
+  }
+
+  test("sv19 differential: random train upsert/delete waves keep the contamination mirror equal to the model") {
+    import graft.queries.StreamBatch
+    val suf = "dif"
+    val srcCat = StreamBatch.sv19SrcCatalog.replace("\"kv_ctm_src\"", s""""kv_ctm_src_$suf"""")
+    val mirCat = StreamBatch.sv19MirCatalog.replace("\"kv_ctm_mirror\"", s""""kv_ctm_mirror_$suf"""")
+    val tables = Seq(s"default:kv_ctm_src_$suf", s"default:kv_ctm_mirror_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    val rnd = new scala.util.Random(1305)
+    // binary vocab: only 32 possible 5-grams, so train/eval gram collisions
+    // are guaranteed and the mirror constantly gains AND loses pairs
+    val vocab = Vector("a", "b")
+    def randText(): String =
+      Seq.fill(8 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // fixed eval set, disjoint id space
+    val evalDocs = (1000L until 1010L).map(id => id -> randText())
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.size < 5) Set.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val evalG = StreamBatch.contamEvalGrams(
+      evalDocs.toDF("doc_id", "text"), n = 5)
+    val train = scala.collection.mutable.Map[Long, String]()
+    var ts = 1000L
+    var stamp = 10L
+    def putTrain(rows0: Seq[(Long, String)]): Unit = if (rows0.nonEmpty) {
+      val rows = rows0.groupBy(_._1).map(_._2.last).toSeq
+      rows.foreach { case (id, t) => train(id) = t }
+      rows.toDF("doc_id", "text").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save(); ts += 10
+    }
+    def delTrain(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      ids.foreach(train.remove)
+      ids.toDF("doc_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "delete" -> "true",
+          "timestamp" -> ts.toString)).mode("append").save(); ts += 10
+    }
+    // one shared checkpoint dir (the stream must resume, not re-read)
+    val ckpt = Files.createTempDirectory("graft-ctmdiff-ckpt").toString
+    def drainCk(): Unit = {
+      StreamBatch.maintainContamMirror(spark, srcCat, mirCat, evalG,
+        maxId = 100L, ckpt, phaseStamp = stamp)
+      stamp += 10
+    }
+    def expected(): Map[(Long, Long), Long] =
+      (for {
+        (tid, tt) <- train.toSeq; (eid, et) <- evalDocs
+        shared = (grams(tt) & grams(et)).size
+        if shared >= 1
+      } yield (tid, eid) -> shared.toLong).toMap
+    def actual(): Map[(Long, Long), Long] =
+      spark.read.format("graft-kv").option("catalog", mirCat).load()
+        .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id")) ->
+          r.getAs[Long]("n_shared")).toMap
+    putTrain((0L until 15L).map(id => id -> randText()))
+    drainCk()
+    assert(expected().nonEmpty, "fixture too weak - no contamination pairs at seed")
+    assert(actual() == expected(), "mirror diverged after the seed wave")
+    (1 to 8).foreach { wave =>
+      putTrain(Seq.fill(4)((rnd.nextLong(25), randText())))
+      delTrain(Seq.fill(2)(rnd.nextLong(25)).distinct)
+      drainCk()
+      assert(actual() == expected(),
+        s"mirror diverged from the model after wave $wave")
+    }
+    tables.foreach(KvStore.drop)
+  }
+
+  test("sv20 differential: random vector upsert/delete waves keep the code table equal to the model") {
+    import graft.queries.StreamBatch
+    val suf = "dif"
+    val srcCat = StreamBatch.sv20SrcCatalog.replace("\"kv_pq_src\"", s""""kv_pq_src_$suf"""")
+    val codesCat = StreamBatch.sv20CodesCatalog.replace("\"kv_pq_codes\"", s""""kv_pq_codes_$suf"""")
+    val tables = Seq(s"default:kv_pq_src_$suf", s"default:kv_pq_codes_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    val rnd = new scala.util.Random(1306)
+    // fixed tiny codebooks: 2 subspaces x 3 centroids over dim 4 (sub 2)
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.1), Array(-0.3, 0.9), Array(0.7, -0.6)),
+      Array(Array(0.2, 1.0), Array(0.9, -0.2), Array(-0.8, -0.5)))
+    def randVec(): Array[Float] = Array.fill(4)(rnd.nextFloat() * 2f - 1f)
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    def expectedCodes(v: Array[Float]): Seq[Int] =
+      books.indices.map { j =>
+        val x = v.slice(j * 2, j * 2 + 2).map(_.toDouble)
+        books(j).indices.maxBy(i => (cosine(x, books(j)(i)), -i))
+      }
+    val vecs = scala.collection.mutable.Map[Long, Array[Float]]()
+    var ts = 1000L
+    var stamp = 10L
+    def putVecs(rows0: Seq[(Long, Array[Float])]): Unit = if (rows0.nonEmpty) {
+      val rows = rows0.groupBy(_._1).map(_._2.last).toSeq
+      rows.foreach { case (id, v) => vecs(id) = v }
+      rows.toDF("vec_id", "embedding").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "annVec" -> StreamBatch.sv18AvroVec,
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+        .mode("append").save(); ts += 10
+    }
+    def delVecs(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      ids.foreach(vecs.remove)
+      ids.toDF("vec_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "annVec" -> StreamBatch.sv18AvroVec,
+          "delete" -> "true", "timestamp" -> ts.toString))
+        .mode("append").save(); ts += 10
+    }
+    val ckpt = Files.createTempDirectory("graft-pqdiff-ckpt").toString
+    def drain(): Unit = {
+      StreamBatch.maintainPqCodes(spark, srcCat, codesCat, books,
+        maxId = 100L, ckpt, phaseStamp = stamp)
+      stamp += 10
+    }
+    def expected(): Map[Long, Seq[Int]] =
+      vecs.map { case (id, v) => id -> expectedCodes(v) }.toMap
+    def actual(): Map[Long, Seq[Int]] =
+      spark.read.format("graft-kv")
+        .options(Map("catalog" -> codesCat, "pqCodes" -> StreamBatch.sv20AvroCodes))
+        .load()
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Int](r.fieldIndex("codes"))).toMap
+    putVecs((0L until 15L).map(id => id -> randVec()))
+    drain()
+    assert(actual() == expected(), "codes diverged after the seed wave")
+    (1 to 8).foreach { wave =>
+      putVecs(Seq.fill(4)((rnd.nextLong(25), randVec())))
+      delVecs(Seq.fill(2)(rnd.nextLong(25)).distinct)
+      drain()
+      assert(actual() == expected(),
+        s"codes diverged from the model after wave $wave")
+    }
+    tables.foreach(KvStore.drop)
+  }
+
   test("sv21: a decrement driving a count negative fails the batch loudly before anything commits") {
     // the guard rides inside the write's cnt expression (raise_error), so
     // corruption must surface as a failed STREAM, not a silent bad write
