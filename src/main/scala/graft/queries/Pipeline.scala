@@ -433,6 +433,10 @@ object Pipeline {
       // its contract is that the storage layout does not change the answer,
       // so its oracle IS px61's rendered SQL (shared string, px57 precedent)
       "kv32_ivfpq_scan" -> ivfPqSql,
+      // sv25 maintains kv32's cell-keyed code table under CDC; convergence
+      // to the one-shot snapshot is its contract, so the oracle is the
+      // same rendered string again (the sv18/sv20 precedent)
+      "sv25_stream_ivfpq" -> ivfPqSql,
       // px57 searches the code-table compression of the SAME corpus with
       // the same codebooks and reconstruction arithmetic — its contract is
       // that compression does not change the answer, so its oracle IS

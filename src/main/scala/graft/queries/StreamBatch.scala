@@ -2950,6 +2950,160 @@ object StreamBatch {
       |FROM fo LEFT JOIN fc USING (c_custkey)
       |ORDER BY fo.c_custkey, fo.o_orderkey""".stripMargin
 
+  private[graft] val sv25SrcCatalog =
+    sv18SrcCatalog.replace("\"kv_ann_src\"", "\"kv_ivfpq_src\"")
+  private[graft] val sv25FwdCatalog =
+    sv18SrcCatalog.replace("\"kv_ann_src\"", "\"kv_ivfpq_fwd\"")
+
+  /** The LIVE IVF-PQ inverted file: kv32's layout under maintenance —
+    * keyed `cell ‖ vec_id` so a probe list prunes the SCAN, covered by the
+    * m PQ codes so a probe never touches another table and reads m ints
+    * per candidate instead of the full vector (the IVFADC storage shape). */
+  private[graft] val sv25CodesCatalog =
+    """{"table":{"namespace":"default", "name":"kv_ivfpq_live"},
+      |"rowkey":"cell:vid",
+      |"columns":{
+      |"cell":{"cf":"rowkey", "col":"cell", "type":"int"},
+      |"vec_id":{"cf":"rowkey", "col":"vid", "type":"bigint"},
+      |"codes":{"cf":"f", "col":"c", "avro":"pqCodes"}}}""".stripMargin
+
+  /** One CDC drain of IVF-PQ inverted-file maintenance — [[maintainAnnIndex]]'s
+    * protocol (retire-old-cell-first via the forward mirror, deletes-at-T /
+    * puts-at-T+1) with the covered column PQ-ENCODED instead of raw: an
+    * updated vector may move cell (re-key) AND re-code, a tombstone retires
+    * its `cell ‖ vec_id` row by re-deriving the old cell from the mirror.
+    * Same replay-safety argument as sv18 (retirement runs first against the
+    * pre-batch mirror; re-running a torn batch no-ops the retire and lands
+    * identical writes). Factored so the randomized differential drives
+    * arbitrary schedules with its own catalogs. */
+  private[graft] def maintainIvfPqIndex(s: SparkSession, srcCatalog: String,
+      fwdCatalog: String, codesCatalog: String, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], maxId: Long, ckpt: String,
+      phaseStamp: Long): Unit = {
+    import graft.store.KvStore
+    val fwdName = graft.catalog.GraftCatalog.parse(fwdCatalog, Map.empty).qualifiedName
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      element_at(graft.functions.VectorExprs.nearestCentroids(vec, cents, 1), 1)
+    val q = s.readStream.format("graft-kv")
+      .options(Map("catalog" -> srcCatalog, "annVec" -> sv18AvroVec,
+        "tombstones" -> "true"))
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val changed = df.select(col("vec_id"), col("embedding"),
+          col("_deleted")).persist()
+        val haveMirror = KvStore.exists(fwdName)
+        if (!changed.isEmpty) {
+          if (haveMirror) {
+            // retire the touched vectors' OLD (cell, vec_id) rows — old
+            // cells re-derived from the mirror's point-read sliver, never
+            // a code-table or mirror scan
+            val old = mirrorLookup(s, fwdCatalog, sv18AvroVec, changed)
+            old.select(cellOf(col("embedding")).as("cell"), col("vec_id"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> codesCatalog, "pqCodes" -> sv20AvroCodes,
+                "delete" -> "true", "timestamp" -> phaseStamp.toString))
+              .mode("append").save()
+            changed.filter(col("_deleted")).select(col("vec_id"))
+              .write.format("graft-kv")
+              .options(Map("catalog" -> fwdCatalog, "annVec" -> sv18AvroVec,
+                "delete" -> "true", "timestamp" -> phaseStamp.toString))
+              .mode("append").save()
+          }
+          val ups = changed.filter(!col("_deleted"))
+            .select(col("vec_id"), col("embedding"))
+          ups.write.format("graft-kv")
+            .options(Map("catalog" -> fwdCatalog, "annVec" -> sv18AvroVec,
+              "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+            .mode("append").save()
+          // the fresh inverted-file rows: cell assignment + m PQ codes in
+          // one map-only pass against broadcast centroid/codebook literals
+          ups.select(cellOf(col("embedding")).as("cell"), col("vec_id"),
+            graft.pipeline.Similarity.pqCodes(col("embedding"), books).as("codes"))
+            .write.format("graft-kv")
+            .options(Map("catalog" -> codesCatalog, "pqCodes" -> sv20AvroCodes,
+              "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
+              "minSplitNum" -> "0", "maxSplitNum" -> cents.length.toString))
+            .mode("append").save()
+        }
+        changed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** sv25: INCREMENTAL IVF-PQ MAINTENANCE over CDC — the streaming twin of
+    * kv32 and the composition closing the ANN-maintenance family: sv18
+    * maintains the coarse inverted file (full vectors), sv20 maintains the
+    * flat PQ code table (no cells); sv25 maintains the COMPOSED layout a
+    * production billion-vector service actually serves from — `cell ‖
+    * vec_id → m codes` — under inserts, corrections that MOVE cells, ranged
+    * deletes, and resurrections (sv18's four phases verbatim). The final
+    * search is kv32's read path over the MAINTAINED table: probe cells
+    * pushed as leading-key In slivers, reconstruction from the covered
+    * codes, px61's arithmetic — so maintenance must equal the one-shot
+    * snapshot bit-for-bit and the oracle IS px61's rendered SQL (the
+    * kv32/px57 shared-string precedent). */
+  def sv25StreamIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.datasource.FilterCompiler
+    import graft.store.KvStore
+    val cents = Pipeline.ivfCentroidsFor(s, dir)
+    val books = Pipeline.pqCodebooksFor(s, dir)
+    val base = Tables.embeddings(s, dir)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    val srcParsed = graft.catalog.GraftCatalog.parse(sv25SrcCatalog, Map.empty)
+    val fwdParsed = graft.catalog.GraftCatalog.parse(sv25FwdCatalog, Map.empty)
+    val codesParsed = graft.catalog.GraftCatalog.parse(sv25CodesCatalog, Map.empty)
+    def writeSrc(df: DataFrame, ts: Long, overwrite: Boolean): Unit =
+      df.write.format("graft-kv")
+        .options(Map("catalog" -> sv25SrcCatalog, "annVec" -> sv18AvroVec,
+          "newtable" -> "4", "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
+        .mode(if (overwrite) "overwrite" else "append").save()
+    val ckpt = Files.createTempDirectory("graft-sv25-ckpt").toString
+    def applyBatch(phaseStamp: Long): Unit =
+      maintainIvfPqIndex(s, sv25SrcCatalog, sv25FwdCatalog, sv25CodesCatalog,
+        cents, books, maxId, ckpt, phaseStamp)
+    // fresh run every invocation
+    Seq(fwdParsed, codesParsed).foreach(p => KvStore.drop(p.qualifiedName))
+    // g0: corrupted first generation — reversed vectors land in wrong
+    // cells WITH wrong codes, so the correction must re-key and re-code
+    writeSrc(base.filter(col("vec_id") % 3 === 0)
+      .withColumn("embedding", reverse(col("embedding"))), ts = 1000, overwrite = true)
+    applyBatch(phaseStamp = 10)
+    // g1: second generation + the corrected first generation (re-keying)
+    writeSrc(base.filter(col("vec_id") % 3 <= 1), ts = 2000, overwrite = false)
+    applyBatch(phaseStamp = 20)
+    // ranged DELETE — tombstones retire inverted-file rows
+    val hrf = FilterCompiler.compileAll(srcParsed, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", 30L),
+      org.apache.spark.sql.sources.LessThanOrEqual("vec_id", 90L)))
+    KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
+    applyBatch(phaseStamp = 30)
+    // g2: last generation + resurrection of the deleted range
+    writeSrc(base.filter(col("vec_id") % 3 === 2 ||
+      (col("vec_id") >= 30 && col("vec_id") <= 90)), ts = 4000, overwrite = false)
+    applyBatch(phaseStamp = 40)
+    // kv32's serving read over the MAINTAINED table: probe cells pushed as
+    // leading-key In slivers (<= queries x nprobe ids, control-sized)
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+    val probed = queries
+      .select(explode(graft.functions.VectorExprs.nearestCentroids(
+        col("embedding"), cents, 4)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val kv = s.read.format("graft-kv")
+      .options(Map("catalog" -> sv25CodesCatalog, "pqCodes" -> sv20AvroCodes)).load()
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    graft.pipeline.Similarity.ivfPqTopK(cents, books, queries, kv,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map[
       String, (SparkSession, String) => DataFrame](
     "sv1_stream_dedup"      -> (sv1StreamDedup _),
@@ -2976,6 +3130,7 @@ object StreamBatch {
     "sv22_stream_shard_manifest" -> (sv22StreamShardManifest _),
     "sv23_stream_join_view"      -> (sv23StreamJoinView _),
     "sv24_stream_join_agg"       -> (sv24StreamJoinAgg _),
+    "sv25_stream_ivfpq"          -> (sv25StreamIvfPq _),
   ).view.mapValues(withoutAqe).toMap
 
   val oracles: Map[String, String] = Map(
