@@ -197,7 +197,30 @@ object FilterCompiler {
   private def valueField(catalog: GraftCatalog, attr: String): Option[Field] =
     catalog.fields.find(f => f.name == attr && !f.isRowKey)
 
-  private def leafCmp(catalog: GraftCatalog, attr: String, op: Op, v: Any): Hrf =
+  private def leafCmp(catalog: GraftCatalog, attr: String, op: Op, v0: Any): Hrf = {
+    // Equality literals coerce through the column's DataType up front
+    // (KvPredicate.normalize): Spark casts pushed literals itself, but
+    // DIRECT compile() callers (DELETE conditions, index planning) may
+    // hand a mismatched numeric box, and a LEADING key part would
+    // otherwise crash inside coder.encode (Integer literal, LongType
+    // key). A literal that cannot round-trip into the type equals no
+    // decoded value — the leaf compiles to the empty row set. Inequality
+    // literals pass through unchanged: value/suffix comparisons already
+    // compare mismatched boxes numerically via compareTyped's Number
+    // fallback, and integral bound adjustment for fractional literals
+    // belongs to the caller.
+    val v = if (op == Eq) {
+      val dt = keyPart(catalog, attr).map(_.field.dataType)
+        .orElse(valueField(catalog, attr).map(_.dataType))
+      dt match {
+        case Some(t) =>
+          KvPredicate.normalize(v0, t) match {
+            case Some(c) => c
+            case None => return Hrf(Seq.empty, None, handled = true) // matches nothing
+          }
+        case None => v0
+      }
+    } else v0
     keyPart(catalog, attr) match {
       case Some(part) =>
         val f = part.field
@@ -231,6 +254,7 @@ object FilterCompiler {
           case _ => unhandled
         }
     }
+  }
 
   private def leafIsNull(catalog: GraftCatalog, attr: String): Hrf =
     keyPart(catalog, attr) match {

@@ -2140,14 +2140,21 @@ object Pipeline {
     * row key leads with the coarse cell, so a probe list prunes the SCAN
     * (region + range pruning), not just per-row work. vec_id is the key
     * tail (unique within a cell); the m PQ codes ride as an Avro int array. */
-  private val kv32Catalog =
+  private[graft] val kv32Catalog =
     """{"table":{"namespace":"default", "name":"kv_ivfpq_codes"},
       |"rowkey":"key1:key2",
       |"columns":{
       |"cell":{"cf":"rowkey", "col":"key1", "type":"int", "coder":"Phoenix"},
       |"vec_id":{"cf":"rowkey", "col":"key2", "type":"bigint", "coder":"Phoenix"},
       |"codes":{"cf":"f", "col":"c", "avro":"pqCodes"}}}""".stripMargin
-  private val kv32Avro = """{"type":"array","items":"int"}"""
+  private[graft] val kv32Avro = """{"type":"array","items":"int"}"""
+
+  /** Which dataset dir the kv32 snapshot was built from — a bare
+    * exists-check would silently serve stale codes if one JVM switched
+    * dirs (the artifacts and oracle would disagree), and would trust a
+    * partially-written table after a mid-build crash. Set only AFTER the
+    * write completes; a dir mismatch drops and rebuilds. */
+  private val kv32BuiltFor = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** kv32: IVF-PQ ANN served from the CELL-KEYED kv code table — the
     * end-to-end scale-true completion of px61's story. px61's DataFrame
@@ -2167,7 +2174,8 @@ object Pipeline {
   def kv32IvfPqScan(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfCentroidsFor(s, dir)
     val books = pqCodebooksFor(s, dir)
-    if (!graft.store.KvStore.exists("default:kv_ivfpq_codes")) {
+    if (kv32BuiltFor.get() != dir || !graft.store.KvStore.exists("default:kv_ivfpq_codes")) {
+      graft.store.KvStore.drop("default:kv_ivfpq_codes")
       // one-time corpus snapshot: (cell, vec_id) -> codes, presplit on the
       // cell range so probed cells map to disjoint region slivers
       Similarity.ivfPqCodeTable(cents, books,
@@ -2180,6 +2188,7 @@ object Pipeline {
           "newtable" -> "8", "minSplitNum" -> "0",
           "maxSplitNum" -> (cents.length - 1).toString))
         .mode("append").save()
+      kv32BuiltFor.set(dir) // only a COMPLETED build marks the snapshot valid
     }
     val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
     val probed = queries

@@ -1271,6 +1271,25 @@ object StreamBatch {
   private[graft] def maintainAnnIndex(s: SparkSession, srcCatalog: String,
       fwdCatalog: String, idxCatalog: String, cents: Array[Array[Double]],
       maxId: Long, ckpt: String, phaseStamp: Long,
+      crashPoint: () => Unit = () => ()): Unit =
+    maintainCellKeyedIndex(s, srcCatalog, fwdCatalog, idxCatalog, cents,
+      maxId, ckpt, phaseStamp,
+      covered = vec => Seq(vec.as("v")),
+      idxOpts = Map("annVec" -> sv18AvroVec), crashPoint)
+
+  /** The SHARED cell-keyed inverted-file maintenance core behind sv18
+    * (covered column = the raw vector) and sv25 (covered column = the m PQ
+    * codes): retire-old-cell-first via the forward mirror's point-read
+    * sliver, deletes-at-T / puts-at-T+1, batch-proportional throughout.
+    * One body means a protocol fix (stamp scheme, retire ordering) cannot
+    * silently diverge between the two maintainers, and sv18's torn-batch
+    * crash spec exercises the hazard window for BOTH (the `crashPoint`
+    * seam sits between the mirror overwrite and the index insert). */
+  private def maintainCellKeyedIndex(s: SparkSession, srcCatalog: String,
+      fwdCatalog: String, idxCatalog: String, cents: Array[Array[Double]],
+      maxId: Long, ckpt: String, phaseStamp: Long,
+      covered: org.apache.spark.sql.Column => Seq[org.apache.spark.sql.Column],
+      idxOpts: Map[String, String],
       crashPoint: () => Unit = () => ()): Unit = {
     import graft.store.KvStore
     val fwdName = graft.catalog.GraftCatalog.parse(fwdCatalog, Map.empty).qualifiedName
@@ -1298,8 +1317,8 @@ object StreamBatch {
             val old = mirrorLookup(s, fwdCatalog, sv18AvroVec, changed)
             old.select(cellOf(col("embedding")).as("cell"), col("vec_id"))
               .write.format("graft-kv")
-              .options(Map("catalog" -> idxCatalog, "annVec" -> sv18AvroVec,
-                "delete" -> "true", "timestamp" -> phaseStamp.toString))
+              .options(Map("catalog" -> idxCatalog,
+                "delete" -> "true", "timestamp" -> phaseStamp.toString) ++ idxOpts)
               .mode("append").save()
             changed.filter(col("_deleted")).select(col("vec_id"))
               .write.format("graft-kv")
@@ -1317,12 +1336,12 @@ object StreamBatch {
           crashPoint() // worst torn window: mirror overwritten, index insert missing
           // the new inverted-file entries: presplit across CELL space, so
           // cells (and their probe slivers) spread over regions
-          ups.select(cellOf(col("embedding")).as("cell"), col("vec_id"),
-            col("embedding").as("v"))
+          ups.select(cellOf(col("embedding")).as("cell") +: col("vec_id") +:
+              covered(col("embedding")): _*)
             .write.format("graft-kv")
-            .options(Map("catalog" -> idxCatalog, "annVec" -> sv18AvroVec,
+            .options(Map("catalog" -> idxCatalog,
               "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
-              "minSplitNum" -> "0", "maxSplitNum" -> cents.length.toString))
+              "minSplitNum" -> "0", "maxSplitNum" -> cents.length.toString) ++ idxOpts)
             .mode("append").save()
         }
         changed.unpersist()
@@ -2979,61 +2998,14 @@ object StreamBatch {
   private[graft] def maintainIvfPqIndex(s: SparkSession, srcCatalog: String,
       fwdCatalog: String, codesCatalog: String, cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]], maxId: Long, ckpt: String,
-      phaseStamp: Long): Unit = {
-    import graft.store.KvStore
-    val fwdName = graft.catalog.GraftCatalog.parse(fwdCatalog, Map.empty).qualifiedName
-    def cellOf(vec: org.apache.spark.sql.Column) =
-      element_at(graft.functions.VectorExprs.nearestCentroids(vec, cents, 1), 1)
-    val q = s.readStream.format("graft-kv")
-      .options(Map("catalog" -> srcCatalog, "annVec" -> sv18AvroVec,
-        "tombstones" -> "true"))
-      .load()
-      .writeStream
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        val changed = df.select(col("vec_id"), col("embedding"),
-          col("_deleted")).persist()
-        val haveMirror = KvStore.exists(fwdName)
-        if (!changed.isEmpty) {
-          if (haveMirror) {
-            // retire the touched vectors' OLD (cell, vec_id) rows — old
-            // cells re-derived from the mirror's point-read sliver, never
-            // a code-table or mirror scan
-            val old = mirrorLookup(s, fwdCatalog, sv18AvroVec, changed)
-            old.select(cellOf(col("embedding")).as("cell"), col("vec_id"))
-              .write.format("graft-kv")
-              .options(Map("catalog" -> codesCatalog, "pqCodes" -> sv20AvroCodes,
-                "delete" -> "true", "timestamp" -> phaseStamp.toString))
-              .mode("append").save()
-            changed.filter(col("_deleted")).select(col("vec_id"))
-              .write.format("graft-kv")
-              .options(Map("catalog" -> fwdCatalog, "annVec" -> sv18AvroVec,
-                "delete" -> "true", "timestamp" -> phaseStamp.toString))
-              .mode("append").save()
-          }
-          val ups = changed.filter(!col("_deleted"))
-            .select(col("vec_id"), col("embedding"))
-          ups.write.format("graft-kv")
-            .options(Map("catalog" -> fwdCatalog, "annVec" -> sv18AvroVec,
-              "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
-              "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
-            .mode("append").save()
-          // the fresh inverted-file rows: cell assignment + m PQ codes in
-          // one map-only pass against broadcast centroid/codebook literals
-          ups.select(cellOf(col("embedding")).as("cell"), col("vec_id"),
-            graft.pipeline.Similarity.pqCodes(col("embedding"), books).as("codes"))
-            .write.format("graft-kv")
-            .options(Map("catalog" -> codesCatalog, "pqCodes" -> sv20AvroCodes,
-              "newtable" -> "4", "timestamp" -> (phaseStamp + 1).toString,
-              "minSplitNum" -> "0", "maxSplitNum" -> cents.length.toString))
-            .mode("append").save()
-        }
-        changed.unpersist()
-        ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-  }
+      phaseStamp: Long, crashPoint: () => Unit = () => ()): Unit =
+    maintainCellKeyedIndex(s, srcCatalog, fwdCatalog, codesCatalog, cents,
+      maxId, ckpt, phaseStamp,
+      // the fresh inverted-file rows carry cell assignment + m PQ codes,
+      // one map-only pass against broadcast centroid/codebook literals
+      covered = vec => Seq(
+        graft.pipeline.Similarity.pqCodes(vec, books).as("codes")),
+      idxOpts = Map("pqCodes" -> sv20AvroCodes), crashPoint)
 
   /** sv25: INCREMENTAL IVF-PQ MAINTENANCE over CDC — the streaming twin of
     * kv32 and the composition closing the ANN-maintenance family: sv18

@@ -13,10 +13,20 @@ object Tables {
     * of a cheap query's wall. The corpus parquet is immutable within a
     * run, so the resolved DataFrame (an immutable logical plan) is reused
     * per (session, dir, table). Keyed on the session so test suites with
-    * their own sessions never share plans; entries for stopped sessions
-    * are a few KB of plan and are dropped with the map on JVM exit. */
-  private val resolved =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    * their own sessions never share plans. LRU-BOUNDED: each entry pins
+    * its session's whole state graph (SessionState, catalog, file index)
+    * through the cached plan, so an unbounded map would leak every
+    * stopped test session — the cap holds the ~10 corpus tables for a
+    * handful of live sessions and quietly evicts dead ones (the same
+    * discipline as Dedup's plan-keyed stat cache). */
+  private val CacheMax = 64
+  private val resolved = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        size() > CacheMax
+    })
 
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     resolved.computeIfAbsent((s, dir, name),

@@ -222,7 +222,7 @@ object KvPredicate {
     * IntegerType column). NaN survives into float/double targets (the
     * fallback's Double.compare(NaN, NaN) == 0 semantics, which
     * [[canonical]]'s bit-pattern key preserves). */
-  private def normalize(v: Any, dt: DataType): Option[Any] = {
+  private[graft] def normalize(v: Any, dt: DataType): Option[Any] = {
     import org.apache.spark.sql.types._
     def num(n: Number): Option[Any] = {
       val d = n.doubleValue()

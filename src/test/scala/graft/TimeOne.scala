@@ -44,11 +44,15 @@ object TimeOne {
         def ms(since: Long) = (System.nanoTime() - since) / 1e6
         val b0 = System.nanoTime(); val df = SparkEntry.queries(name)(spark, sfDir)
         val build = ms(b0)
-        val a0 = System.nanoTime(); df.queryExecution.assertAnalyzed()
+        // plan/exec split on the COUNT's own QueryExecution (df.count()
+        // would build a fresh one, re-planning inside the exec bucket and
+        // discarding the plan we timed)
+        val agg = df.groupBy().count()
+        val a0 = System.nanoTime(); agg.queryExecution.assertAnalyzed()
         val analyze = ms(a0)
-        val p0 = System.nanoTime(); df.queryExecution.executedPlan
+        val p0 = System.nanoTime(); agg.queryExecution.executedPlan
         val plan = ms(p0)
-        val e0 = System.nanoTime(); val rows = df.count()
+        val e0 = System.nanoTime(); val rows = agg.collect()(0).getLong(0)
         val exec = ms(e0)
         println(f"PHASES $name build=$build%.0fms analyze=$analyze%.0fms plan=$plan%.0fms exec=$exec%.0fms")
         rows

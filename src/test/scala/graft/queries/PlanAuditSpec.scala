@@ -1016,14 +1016,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val totalRegions = table.regions.size
     assert(totalRegions == 8, s"kv_ivfpq_codes presplits to 8 regions, got $totalRegions")
     def scan(cells: Seq[Int]) = spark.read.format("graft-kv")
-      .options(Map("catalog" ->
-        """{"table":{"namespace":"default", "name":"kv_ivfpq_codes"},
-          |"rowkey":"key1:key2",
-          |"columns":{
-          |"cell":{"cf":"rowkey", "col":"key1", "type":"int", "coder":"Phoenix"},
-          |"vec_id":{"cf":"rowkey", "col":"key2", "type":"bigint", "coder":"Phoenix"},
-          |"codes":{"cf":"f", "col":"c", "avro":"pqCodes"}}}""".stripMargin,
-        "pqCodes" -> """{"type":"array","items":"int"}"""))
+      .options(Map("catalog" -> Pipeline.kv32Catalog, "pqCodes" -> Pipeline.kv32Avro))
       .load()
       .filter(org.apache.spark.sql.functions.col("cell")
         .isin(cells.map(Int.box): _*))
@@ -1081,20 +1074,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables(spark, dir, "lineitem").count() // prime the cache through a real query
     assert(Tables(spark, dir, "lineitem") eq Tables(spark, dir, "lineitem"),
       "repeated Tables() resolution must return the cached DataFrame instance")
-    // statusTracker is the public job census (no private listener-bus drain
-    // needed): construction+analysis runs on THIS thread, so any job it
-    // schedules is submitted synchronously and visible by the time a
-    // follow-up action completes
-    def jobCount(): Int = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val before = jobCount()
+    // statusTracker is the public job census; the MAX job id is monotone
+    // (job ids only grow), so the comparison survives AppStatusStore's
+    // retained-jobs eviction, which could shrink a raw COUNT between
+    // samples in a long shared-session suite. Construction+analysis runs
+    // on THIS thread, so any job it schedules registers synchronously.
+    def maxJobId(): Int = {
+      val ids = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      if (ids.isEmpty) -1 else ids.max
+    }
+    val before = maxJobId()
     val df = graft.SparkEntry.queries("q9_count")(spark, dir)
     df.queryExecution.assertAnalyzed()
-    df.count() // a real action AFTER, proving the +1 below is observable
-    val afterAction = jobCount()
+    df.count() // a real action AFTER, proving the growth below is observable
+    val afterAction = maxJobId()
     assert(afterAction > before, "sanity: the count() action must register as a job")
     val built = graft.SparkEntry.queries("q9_count")(spark, dir)
     built.queryExecution.assertAnalyzed()
-    assert(jobCount() == afterAction,
+    assert(maxJobId() == afterAction,
       s"warm construction+analysis of q9_count must schedule no job")
   }
 }

@@ -1413,11 +1413,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         books(j).indices.maxBy(i => (cosine(x, books(j)(i)), -i))
       }
     val vecs = scala.collection.mutable.Map[Long, Array[Float]]()
+    var cellMoves = 0 // live-id updates that LAND IN A DIFFERENT CELL
     var ts = 1000L
     var stamp = 10L
     def putVecs(rows0: Seq[(Long, Array[Float])]): Unit = if (rows0.nonEmpty) {
       val rows = rows0.groupBy(_._1).map(_._2.last).toSeq
-      rows.foreach { case (id, v) => vecs(id) = v }
+      rows.foreach { case (id, v) =>
+        vecs.get(id).foreach(old => if (cellOf(old) != cellOf(v)) cellMoves += 1)
+        vecs(id) = v
+      }
       rows.toDF("vec_id", "embedding").write.format("graft-kv")
         .options(Map("catalog" -> srcCat, "newtable" -> "4",
           "annVec" -> StreamBatch.sv18AvroVec,
@@ -1455,11 +1459,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(actual() == expected(),
         s"code table diverged from the model after wave $wave")
     }
-    // the fixture must actually exercise the re-key move: with 3 cells and
-    // random re-draws, a same-cell-only history is (1/3)^k improbable —
-    // assert at least one live id landed in a different cell than SOME
-    // earlier generation did (tracked via the model's churn)
-    assert(vecs.nonEmpty)
+    // the fixture must actually exercise the RE-KEY move (the path that
+    // distinguishes this maintainer from sv20's flat code table: a missed
+    // mirror-derived retirement only leaves a stale row when an update
+    // CHANGES cell) — the model counts live-id updates landing in a
+    // different cell, and the seeded waves must produce some
+    assert(cellMoves > 0,
+      s"fixture too weak - no live update changed cell across $cellMoves moves")
     tables.foreach(KvStore.drop)
   }
 
