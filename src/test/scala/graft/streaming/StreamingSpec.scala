@@ -2460,6 +2460,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"default:kv_ann_idx_$suf").foreach(graft.store.KvStore.drop)
   }
 
+  test("sv25: the torn-batch window replays to convergence through the shared core") {
+    // the same worst window as sv18's crash spec, driven through
+    // maintainIvfPqIndex — pins that the PQ wrapper wires the shared
+    // core's crash seam and replay discipline correctly (covered column =
+    // codes, codes-table write options), not just the sv18 instantiation
+    import graft.queries.StreamBatch
+    val suf = "torn25"
+    val srcCat = StreamBatch.sv25SrcCatalog.replace("\"kv_ivfpq_src\"", s""""kv_ivfpq_src_$suf"""")
+    val fwdCat = StreamBatch.sv25FwdCatalog.replace("\"kv_ivfpq_fwd\"", s""""kv_ivfpq_fwd_$suf"""")
+    val codesCat = StreamBatch.sv25CodesCatalog.replace("\"kv_ivfpq_live\"", s""""kv_ivfpq_live_$suf"""")
+    Seq(s"default:kv_ivfpq_src_$suf", s"default:kv_ivfpq_fwd_$suf",
+      s"default:kv_ivfpq_live_$suf").foreach(KvStore.drop)
+    val rnd = new scala.util.Random(20260817L)
+    val dim = 4
+    val cents: Array[Array[Double]] =
+      Array.fill(4)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val books: Array[Array[Array[Double]]] =
+      Array.fill(2)(Array.fill(3)(Array.fill(2)(rnd.nextDouble() * 2 - 1)))
+    def vecFor(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    import spark.implicits._
+    def put(rows: Seq[(Long, Array[Float])], ts: Long): Unit =
+      rows.toDF("vec_id", "embedding").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "annVec" -> StreamBatch.sv18AvroVec,
+          "newtable" -> "4", "timestamp" -> ts.toString,
+          "minSplitNum" -> "0", "maxSplitNum" -> "50"))
+        .mode("append").save()
+    def del(ids: Seq[Long], ts: Long): Unit =
+      ids.toDF("vec_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "annVec" -> StreamBatch.sv18AvroVec,
+          "delete" -> "true", "timestamp" -> ts.toString))
+        .mode("append").save()
+    def codeSet(): Set[(Int, Long, Seq[Int])] = spark.read.format("graft-kv")
+      .options(Map("catalog" -> codesCat, "pqCodes" -> StreamBatch.sv20AvroCodes))
+      .load().collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"),
+        r.getSeq[Int](r.fieldIndex("codes")))).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-torn25-ckpt").toString
+    val v = (1L to 6L).map(i => i -> vecFor()).toMap
+    val v1b = vecFor()
+    put((1L to 5L).map(i => (i, v(i))), ts = 1000)
+    StreamBatch.maintainIvfPqIndex(spark, srcCat, fwdCat, codesCat, cents,
+      books, maxId = 50L, ckpt, phaseStamp = 10)
+    // torn batch: update 1, delete 2, insert 6 — crash at the worst window
+    put(Seq((1L, v1b), (6L, v(6L))), ts = 2000)
+    del(Seq(2L), ts = 2001)
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamBatch.maintainIvfPqIndex(spark, srcCat, fwdCat, codesCat, cents,
+        books, maxId = 50L, ckpt, phaseStamp = 20,
+        crashPoint = () => throw new RuntimeException("injected crash"))
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      Option(crashed.getCause).exists(_.getMessage.contains("injected crash")))
+    assert(!codeSet().exists(_._2 == 2L), "vec 2's old row must be retired")
+    // replay without the crash — must converge to the batch rebuild
+    StreamBatch.maintainIvfPqIndex(spark, srcCat, fwdCat, codesCat, cents,
+      books, maxId = 50L, ckpt, phaseStamp = 20)
+    val expected = Seq((1L, v1b), (3L, v(3L)), (4L, v(4L)), (5L, v(5L)), (6L, v(6L)))
+      .toDF("vec_id", "embedding")
+      .select(element_at(graft.functions.VectorExprs
+          .nearestCentroids(col("embedding"), cents, 1), 1).as("cell"),
+        col("vec_id"),
+        graft.pipeline.Similarity.pqCodes(col("embedding"), books).as("codes"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(codeSet() == expected,
+      "the replayed batch must converge the code table to the batch rebuild")
+    Seq(s"default:kv_ivfpq_src_$suf", s"default:kv_ivfpq_fwd_$suf",
+      s"default:kv_ivfpq_live_$suf").foreach(KvStore.drop)
+  }
+
   test("ANN maintenance survives a store crash-restart via WAL replay mid-sequence") {
     // INTEGRATION of the two recovery layers under the maintenance
     // protocol: the streaming checkpoint (file-backed) and the store's WAL
