@@ -266,6 +266,38 @@ class PushdownEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!in.eval(key, cells(2.6d), None))
   }
 
+  test("Eq/In literals with a mismatched box compile against a bigint LEADING key (no encode crash)") {
+    // a DIRECT FilterCompiler.compile caller (DELETE conditions, index
+    // planning) may push literals whose box type differs from the key's —
+    // the leading-key path used to crash inside coder.encode on the raw
+    // literal before the leaf ever reached inOf's normalization
+    val bigCat = graft.catalog.GraftCatalog.parse(
+      """{"table":{"namespace":"default", "name":"bigkeysem"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+        |"v":{"cf":"f", "col":"v", "type":"int"}}}""".stripMargin, Map.empty)
+    import org.apache.spark.sql.types.LongType
+    // Integer literal against the bigint rowkey: plans a point range at
+    // the COERCED long and evaluates numerically
+    val eq = FilterCompiler.compile(bigCat, EqualTo("k", Int.box(7)))
+    assert(eq.handled && eq.ranges.nonEmpty, s"coerced Eq must plan ranges: $eq")
+    assert(eq.pred.get.eval(
+      PrimitiveCoder.encode(LongType, 7L), rowCells(None, None), None))
+    assert(!eq.pred.get.eval(
+      PrimitiveCoder.encode(LongType, 8L), rowCells(None, None), None))
+    val in = FilterCompiler.compile(bigCat, In("k", Array[Any](Int.box(3), Int.box(9))))
+    assert(in.handled && in.ranges.nonEmpty)
+    assert(in.pred.get.eval(
+      PrimitiveCoder.encode(LongType, 9L), rowCells(None, None), None))
+    assert(!in.pred.get.eval(
+      PrimitiveCoder.encode(LongType, 4L), rowCells(None, None), None))
+    // a literal no bigint can equal compiles to the EMPTY row set
+    val never = FilterCompiler.compile(bigCat, EqualTo("k", Double.box(2.5)))
+    assert(never.handled && never.ranges.isEmpty && never.pred.isEmpty,
+      s"non-round-trip Eq literal must match nothing: $never")
+  }
+
   test("IN with mismatched numeric literal boxes still matches numerically") {
     // the Or(ValueCmp(Eq)) path fell back to compareTyped's (Number, Number)
     // double-value comparison for mismatched boxes, so an Integer literal
