@@ -1063,6 +1063,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Relational.q27RecursiveCte(spark, dir).count() > 0)
   }
 
+  test("sv25: the maintained code table serves probe slivers, not corpus scans") {
+    // kv32's audit twin on the CDC-MAINTAINED layout: after the full
+    // maintenance run, a probe list over kv_ivfpq_live must plan one
+    // region sliver per probed cell — the serving claim holds for the
+    // maintained table, not just the one-shot snapshot
+    StreamBatch.sv25StreamIvfPq(spark, dir).collect()
+    val table = KvStore.table("default:kv_ivfpq_live")
+    val totalRegions = table.regions.size
+    def scan(cells: Seq[Int]) = spark.read.format("graft-kv")
+      .options(Map("catalog" -> StreamBatch.sv25CodesCatalog,
+        "pqCodes" -> StreamBatch.sv20AvroCodes))
+      .load()
+      .filter(org.apache.spark.sql.functions.col("cell")
+        .isin(cells.map(Int.box): _*))
+    val scanned = scan(Seq(0, 1, 2, 3)).rdd.getNumPartitions
+    assert(scanned <= 4 && scanned < totalRegions,
+      s"4 probed cells must plan <= 4 slivers of $totalRegions regions, got $scanned")
+    assert(scan(Seq(0, 1, 2, 3)).count() > 0, "probed slivers must serve rows")
+    assert(scan(Seq(5)).rdd.getNumPartitions == 1)
+  }
+
   test("warm query construction is job-free: the Tables relation cache holds") {
     // Round-13 attribution of the 'fixed per-query overhead' VERDICT item:
     // every spark.read.parquet call re-ran file listing plus a driver-side
