@@ -1,6 +1,68 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** One timed invocation. A throw is captured in `err` — it must NEVER
+    * pass as a clean timing: r12's record carried q27 = 0.14s (its bench
+    * JVM threw and the wall of the throw was recorded), which poisoned the
+    * round-over-round trend into a phantom 77x "regression" that took a
+    * judging session to adjudicate. `rows` rides along so a rep that
+    * "succeeded" against an unexpectedly empty result is visible too. */
+  final case class Rep(wall: Double, util: Double, rows: Long, err: Option[String])
+
+  def jvmCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** Time one invocation of a query. Exceptions become `err` (class + first
+    * message line), wall/util still recorded as context. */
+  def timeOnce(spark: SparkSession, sfDir: String, cpus: Int,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+    val c0 = jvmCpuNanos()
+    val t0 = System.nanoTime()
+    val (rows, err) =
+      try (fn(spark, sfDir).count(), None)
+      catch {
+        case e: Throwable =>
+          val msg = String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("")
+          (-1L, Some((e.getClass.getName + ": " + msg).take(300)))
+      }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpu = if (c0 < 0) -1.0 else (jvmCpuNanos() - c0) / 1e9
+    val util = if (cpu < 0 || wall <= 0) -1.0 else cpu / (wall * cpus.toDouble)
+    Rep(wall, util, rows, err)
+  }
+
+  /** `reps` timed invocations, plus a tie-breaking third when the first
+    * two disagree >1.5x (at least one was load-inflated — a third rep
+    * makes the minimum trustworthy). */
+  def timeQuery(spark: SparkSession, sfDir: String, cpus: Int,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      reps: Int): Seq[Rep] = {
+    var times = (1 to reps).map(_ => timeOnce(spark, sfDir, cpus, fn))
+    if (reps >= 2 && times.forall(_.err.isEmpty) &&
+        times.map(_.wall).max > times.map(_.wall).min * 1.5 &&
+        times.map(_.wall).min > 0.2)
+      times = times :+ timeOnce(spark, sfDir, cpus, fn)
+    times
+  }
+
+  /** Split per-rep results into (clean minima, taints): ANY failed rep
+    * taints the whole query out of the timed map — a query that breaks
+    * must register as broken, never as fast. */
+  def splitClean(perRep: Seq[(String, Seq[Rep])]): (Map[String, Double], Map[String, String]) = {
+    val errs = perRep.flatMap { case (n, rs) =>
+      rs.flatMap(_.err).headOption.map(n -> _)
+    }.toMap
+    val clean = perRep.collect {
+      case (n, rs) if !errs.contains(n) => n -> rs.map(_.wall).min
+    }.toMap
+    (clean, errs)
+  }
+
   def main(args: Array[String]): Unit = {
     // Ambient load: prefer the launcher's own pre-launch sample
     // (SPARK_GRAFT_AMBIENT_LOAD — an sbt-forked JVM cannot observe the
@@ -85,34 +147,8 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAtEntry
-    // Per-rep CPU-utilization: the JVM's own cpu-seconds over wall x cores.
-    // loadavg DURING the run mostly measures our own work, but a rep whose
-    // utilization is far below its sibling's was starved by EXTERNAL load —
-    // the per-rep noise signal loadavg cannot give (round-9 judging had to
-    // hand-re-time px23/px43 spikes that this field now explains in-place).
-    def jvmCpuNanos(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
-        case _ => -1L
-      }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
-      val c0 = jvmCpuNanos()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val cpu = if (c0 < 0) -1.0 else (jvmCpuNanos() - c0) / 1e9
-      val util = if (cpu < 0 || wall <= 0) -1.0
-        else cpu / (wall * cpus.toDouble)
-      (wall, util)
-    }
     val perRep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var times = (1 to reps).map(_ => timeOnce(fn))
-      // reps disagreeing >1.5x means at least one was load-inflated — a
-      // third rep makes the minimum trustworthy
-      if (reps >= 2 && times.map(_._1).max > times.map(_._1).min * 1.5 &&
-          times.map(_._1).min > 0.2)
-        times = times :+ timeOnce(fn)
-      name -> times
+      name -> timeQuery(spark, sfDir, cpus.toInt, fn, reps)
     }
     val loadEnd = loadavg()
     // loadHigh: the record itself says "taken on a loaded host" — the trend
@@ -123,14 +159,24 @@ object Bench {
     // ambient sample is a clean external signal, so the flag keys on it
     // alone (loadEnd stays in the record as context)
     val loadHigh = loadStart > 1.5
-    val results = perRep.map { case (name, times) => name -> times.map(_._1).min }.toMap
+    // ANY failed rep taints its query out of `queries`/the total: a broken
+    // query must read as broken (query_err), never as a fast time — the
+    // r12 q27 lesson. rows per rep ride along for the same reason.
+    val (results, queryErrs) = splitClean(perRep)
     def obj(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
     // every rep per query rides along ("query_reps") so a judge can tell
     // machine-load noise (reps disagree wildly) from a real regression
     // (reps agree and both moved) without re-running the suite
     val repsObj = perRep.map { case (k, ts) =>
-      s"\"" + k + "\":[" + ts.map(_._1).mkString(",") + "]"
+      s"\"" + k + "\":[" + ts.map(_.wall).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // cpu-utilization per rep (fraction of the 32 cores the JVM actually
     // held): a slow rep at LOW util was starved, at comparable util it
@@ -139,12 +185,18 @@ object Bench {
       // Locale.ROOT: the default-locale f"" interpolator would emit comma
       // decimals (0,42) on some JVMs and corrupt the JSON record
       s"\"" + k + "\":[" + ts.map(t =>
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(t._2)))
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(t.util)))
         .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val rowsObj = perRep.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.map(_.rows).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val errObj = queryErrs.toSeq.sortBy(_._1).map { case (k, e) =>
+      s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val populateTotal = populate.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"loadHigh":$loadHigh,"calib_ms":$calibMs,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"query_rows":$rowsObj,"query_err":$errObj,"tainted":${queryErrs.size},"loadHigh":$loadHigh,"calib_ms":$calibMs,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     // Persist the FULL record to a file: the per-query/per-rep map for
     // 150+ queries is ~15 KB and the harness that collects stdout keeps
     // only the last 2000 characters. The CANONICAL round record
@@ -184,7 +236,10 @@ object Bench {
     val headObj = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + num(v))).mkString("{", ",", "}")
     val queriesFile = if (outWritten) s""""$out"""" else "null"
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headObj,"queries_total":${results.size},"queries_file":$queriesFile,"populate_total":${num(populateTotal)},"reps":$reps,"loadHigh":$loadHigh,"calib_ms":${num(calibMs)},"loadavg_start":$loadStart,"sf":"$sfDir"}"""
+    val taintedNames = // a tainted run must be loud in the 2000-char window
+      if (queryErrs.isEmpty) ""
+      else s""","tainted_queries":${queryErrs.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headObj,"queries_total":${results.size},"tainted":${queryErrs.size}$taintedNames,"queries_file":$queriesFile,"populate_total":${num(populateTotal)},"reps":$reps,"loadHigh":$loadHigh,"calib_ms":${num(calibMs)},"loadavg_start":$loadStart,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -29,7 +29,20 @@ object FilterCompiler {
   final case class Hrf(
       ranges: Seq[ScanRange[Array[Byte]]],
       pred: Option[KvPredicate],
-      handled: Boolean)
+      handled: Boolean) {
+    /** This Hrf, or a loud failure when compilation was inexact — for
+      * callers that act DESTRUCTIVELY on the result (DELETE conditions):
+      * an unhandled Hrf's ranges are the over-approximating full scan, so
+      * treating it as exact would delete rows the condition never
+      * matched. Scan callers never need this (Spark re-filters the
+      * residual); delete callers have no residual pass. */
+    def exactOrThrow(context: String): Hrf = {
+      if (!handled) throw new IllegalArgumentException(
+        s"$context: condition did not compile to an exact store predicate; " +
+          "refusing to act destructively on an over-approximation")
+      this
+    }
+  }
 
   private implicit val ord: Ordering[Array[Byte]] = BytesUtil.byteArrayOrdering
 
@@ -91,15 +104,24 @@ object FilterCompiler {
         // O(n²) for the reference's 2000-element IN regression
         // (DefaultSourceSuite.scala:156-194); this stays O(n log n).
         val leaves = nonNull.map(v => leafCmp(catalog, attr, Eq, v))
-        if (leaves.exists(l => !l.handled || l.pred.isEmpty)) unhandled
+        // a handled leaf with NO ranges and NO pred matches nothing (a
+        // non-round-trip literal, e.g. 2.5 against an int column) — it
+        // contributes nothing to the union and must be DROPPED, not make
+        // the whole In unhandled: direct DELETE/index callers never check
+        // `handled`, so an unhandled `k IN (3, 2.5)` would silently
+        // target ALL rows
+        val kept = leaves.filterNot(l => l.handled && l.ranges.isEmpty && l.pred.isEmpty)
+        if (kept.exists(l => !l.handled || l.pred.isEmpty)) unhandled
+        else if (kept.isEmpty) // every literal matches nothing ⇒ empty set
+          Hrf(Seq.empty, Some(KvPredicate.Or(Seq.empty)), handled = true)
         else {
           // same-shaped equality leaves collapse to ONE set predicate
           // (O(1) per row); a generic Or walks every branch per row —
           // quadratic in practice for the large-IN lookups the CDC
           // protocols push (measured 80+ s at 15k keys × 150k rows)
-          val preds = leaves.toSeq.flatMap(_.pred)
+          val preds = kept.toSeq.flatMap(_.pred)
           val pred = KvPredicate.inOf(preds).getOrElse(KvPredicate.Or(preds))
-          Hrf(ScanRange.normalize(leaves.toSeq.flatMap(_.ranges)),
+          Hrf(ScanRange.normalize(kept.toSeq.flatMap(_.ranges)),
             Some(pred), handled = true)
         }
       }
@@ -173,9 +195,23 @@ object FilterCompiler {
             Hrf(AllRanges, Some(KvPredicate.And(guards :+ KvPredicate.Not(p))), handled = true)
           case None => unhandled
         }
-      // a pred-less exact-EMPTY leaf (e.g. an over-width key prefix) matches
-      // nothing that references a nullable column — its negation is everything
-      case None if c.handled && c.ranges.isEmpty => Hrf(AllRanges, None, handled = true)
+      // a pred-less exact-EMPTY leaf (an over-width key prefix, a
+      // non-round-trip literal) matches nothing — but its negation is
+      // "everything" only for key-part references (never null); a VALUE
+      // column needs IsNotNull guards: NOT(intCol = 2.5) is not true for
+      // rows whose intCol is NULL (SQL three-valued semantics)
+      case None if c.handled && c.ranges.isEmpty =>
+        nullGuards(catalog, leaf) match {
+          case Some(guards) if guards.isEmpty => Hrf(AllRanges, None, handled = true)
+          case Some(guards) => Hrf(AllRanges, Some(KvPredicate.And(guards)), handled = true)
+          case None => unhandled
+        }
+      // a pred-less exact-EVERYTHING leaf (a bound outside the key type's
+      // domain, e.g. `k <= 2^63` on bigint) negates to nothing — key parts
+      // only (value columns never compile to pred-less AllRanges)
+      case None if c.handled && c.ranges == AllRanges &&
+          nullGuards(catalog, leaf).exists(_.isEmpty) =>
+        Hrf(Seq.empty, None, handled = true)
       case _ => unhandled
     }
   }
@@ -197,64 +233,70 @@ object FilterCompiler {
   private def valueField(catalog: GraftCatalog, attr: String): Option[Field] =
     catalog.fields.find(f => f.name == attr && !f.isRowKey)
 
-  private def leafCmp(catalog: GraftCatalog, attr: String, op: Op, v0: Any): Hrf = {
-    // Equality literals coerce through the column's DataType up front
-    // (KvPredicate.normalize): Spark casts pushed literals itself, but
-    // DIRECT compile() callers (DELETE conditions, index planning) may
-    // hand a mismatched numeric box, and a LEADING key part would
-    // otherwise crash inside coder.encode (Integer literal, LongType
-    // key). A literal that cannot round-trip into the type equals no
-    // decoded value — the leaf compiles to the empty row set. Inequality
-    // literals pass through unchanged: value/suffix comparisons already
-    // compare mismatched boxes numerically via compareTyped's Number
-    // fallback, and integral bound adjustment for fractional literals
-    // belongs to the caller.
-    val v = if (op == Eq) {
-      val dt = keyPart(catalog, attr).map(_.field.dataType)
-        .orElse(valueField(catalog, attr).map(_.dataType))
-      dt match {
-        case Some(t) =>
-          KvPredicate.normalize(v0, t) match {
-            case Some(c) => c
-            case None => return Hrf(Seq.empty, None, handled = true) // matches nothing
-          }
-        case None => v0
-      }
-    } else v0
+  private def leafCmp(catalog: GraftCatalog, attr: String, op: Op, v0: Any): Hrf =
     keyPart(catalog, attr) match {
       case Some(part) =>
-        val f = part.field
-        val pred = KvPredicate.KeyCmp(part.offset, part.width, op, v, f.dataType, f.coder)
-        val ranges =
-          // first LOGICAL part (offset 0, or right after the salt byte)
-          if (part.offset != catalog.saltLen) AllRanges // suffix parts: predicate only, no pruning
-          else {
-            val exactKey = catalog.rowKeyParts.size == 1 && part.width < 0
-            val fieldRanges: Seq[ScanRange[Array[Byte]]] = op match {
-              case Eq => Seq(ScanRange.point(f.coder.encode(f.dataType, v)))
-              case Lt => f.coder.lessRanges(f.dataType, v, inclusive = false)
-              case Le => f.coder.lessRanges(f.dataType, v, inclusive = true)
-              case Gt => f.coder.greaterRanges(f.dataType, v, inclusive = false)
-              case Ge => f.coder.greaterRanges(f.dataType, v, inclusive = true)
-            }
-            val logical =
-              if (exactKey || catalog.rowKeyParts.size == 1) fieldRanges.map(identity)
-              else if (part.width > 0) fieldRanges.map(prefixExpand) // fixed-width first part of composite key
-              else fieldRanges.map(varTerminatorExpand) // var-width first part (terminated index-entry layout)
-            // a single-part Eq pins the WHOLE logical key, so its salt is
-            // computable: one exact salted point instead of an n-way fan
-            saltFan(catalog, logical,
-              fullKey = op == Eq && catalog.rowKeyParts.size == 1)
+        // Literals coerce through the part's DataType up front: Spark casts
+        // pushed literals itself, but DIRECT compile() callers (DELETE
+        // conditions, index planning) may hand a mismatched numeric box,
+        // which would crash inside coder.encode during range planning
+        // (Integer literal, LongType key). Eq round-trips or matches
+        // nothing (KvPredicate.normalize); bounds round toward the op's
+        // direction or collapse to everything/nothing
+        // (KvPredicate.normalizeBound).
+        import KvPredicate.NormBound
+        val norm: NormBound =
+          if (op == Eq) KvPredicate.normalize(v0, part.field.dataType) match {
+            case Some(c) => NormBound.Cmp(Eq, c)
+            case None => NormBound.Nothing
           }
-        Hrf(ScanRange.normalize(ranges), Some(pred), handled = true)
+          else KvPredicate.normalizeBound(v0, part.field.dataType, op)
+        norm match {
+          case NormBound.Nothing    => Hrf(Seq.empty, None, handled = true)
+          case NormBound.Everything => Hrf(AllRanges, None, handled = true) // key parts are never null
+          case NormBound.Cmp(op2, v, planRanges) =>
+            val f = part.field
+            val pred = KvPredicate.KeyCmp(part.offset, part.width, op2, v, f.dataType, f.coder)
+            val ranges =
+              // first LOGICAL part (offset 0, or right after the salt byte)
+              if (part.offset != catalog.saltLen || !planRanges) AllRanges // suffix parts: predicate only, no pruning
+              else {
+                val exactKey = catalog.rowKeyParts.size == 1 && part.width < 0
+                val fieldRanges: Seq[ScanRange[Array[Byte]]] = op2 match {
+                  case Eq => Seq(ScanRange.point(f.coder.encode(f.dataType, v)))
+                  case Lt => f.coder.lessRanges(f.dataType, v, inclusive = false)
+                  case Le => f.coder.lessRanges(f.dataType, v, inclusive = true)
+                  case Gt => f.coder.greaterRanges(f.dataType, v, inclusive = false)
+                  case Ge => f.coder.greaterRanges(f.dataType, v, inclusive = true)
+                }
+                val logical =
+                  if (exactKey || catalog.rowKeyParts.size == 1) fieldRanges.map(identity)
+                  else if (part.width > 0) fieldRanges.map(prefixExpand) // fixed-width first part of composite key
+                  else fieldRanges.map(varTerminatorExpand) // var-width first part (terminated index-entry layout)
+                // a single-part Eq pins the WHOLE logical key, so its salt is
+                // computable: one exact salted point instead of an n-way fan
+                saltFan(catalog, logical,
+                  fullKey = op2 == Eq && catalog.rowKeyParts.size == 1)
+              }
+            Hrf(ScanRange.normalize(ranges), Some(pred), handled = true)
+        }
       case None =>
         valueField(catalog, attr) match {
           case Some(f) if !f.isDynamic =>
+            // Eq literals round-trip through the type or match nothing;
+            // bound literals pass through unchanged — ValueCmp compares
+            // mismatched boxes numerically via compareTyped's Number
+            // fallback, and null cells already evaluate to false (3VL)
+            val v = if (op == Eq) {
+              KvPredicate.normalize(v0, f.dataType) match {
+                case Some(c) => c
+                case None => return Hrf(Seq.empty, None, handled = true) // matches nothing
+              }
+            } else v0
             Hrf(AllRanges, Some(KvPredicate.ValueCmp(f.cf, f.qual, op, v, f.dataType, f.coder)), handled = true)
           case _ => unhandled
         }
     }
-  }
 
   private def leafIsNull(catalog: GraftCatalog, attr: String): Hrf =
     keyPart(catalog, attr) match {

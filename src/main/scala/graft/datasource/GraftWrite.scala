@@ -178,6 +178,7 @@ class GraftBatchWrite(catalog: GraftCatalog, opts: GraftOptions,
       if (truncate) GraftDdl.ensureTable(catalog, opts, dropExisting = true)
       else {
         val hrf = FilterCompiler.compileAll(catalog, deleteFirst.get.toSeq)
+          .exactOrThrow("deleteFirst")
         KvStore.table(opts.storeName(catalog)).deleteNow(hrf.ranges, hrf.pred)
       }
       val main = KvStore.table(opts.storeName(catalog))

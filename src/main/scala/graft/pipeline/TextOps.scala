@@ -879,8 +879,21 @@ object TextOps {
     val sess = docs.sparkSession
     val parallelism = sess.sparkContext.defaultParallelism
     val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
-    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <
+    val statsSmall = docs.queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(parallelism.toLong) * maxSplit
+    // The stats probe is trustworthy only for file-backed inputs (file
+    // sizes). A DERIVED frame (post-join/filter, no CBO stats) reports a
+    // coarse over-estimate — a product of its children — so a genuinely
+    // 1-2-split input could skip the spread and serialize the gram explode
+    // onto a couple of slots. For those, fall back to the physical
+    // partition count (costs one planning pass; file-scan inputs — the
+    // 100 TB path — never take it).
+    val fileBacked = docs.queryExecution.optimizedPlan.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    val small = statsSmall ||
+      (!fileBacked && docs.rdd.getNumPartitions < parallelism)
     val spread = if (small) docs.repartition(parallelism) else docs
     val pd = spread
       .select(col(stratumCol).as("src"),

@@ -2153,8 +2153,35 @@ object Pipeline {
     * exists-check would silently serve stale codes if one JVM switched
     * dirs (the artifacts and oracle would disagree), and would trust a
     * partially-written table after a mid-build crash. Set only AFTER the
-    * write completes; a dir mismatch drops and rebuilds. */
+    * write completes; a dir mismatch drops and rebuilds.
+    *
+    * The marker ALSO persists as a one-row meta table so it rides the
+    * store's WAL/snapshot machinery: under `-Dgraft.kv.wal` a restart
+    * between build and first probe replays the marker alongside the code
+    * table and serves WITHOUT a full corpus re-encode. The marker row is
+    * written only AFTER the code-table write completes and WAL replay is
+    * ordered, so a replayed marker proves a completely replayed build (a
+    * torn tail drops the marker first and forces a rebuild — safe either
+    * way). The AtomicReference stays as the in-process fast path. */
   private val kv32BuiltFor = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val kv32MetaName = "default:kv_ivfpq_meta"
+  private val kv32MetaKey = "builtFor".getBytes("UTF-8")
+  private def kv32PersistedFor(): Option[String] =
+    if (!graft.store.KvStore.exists(kv32MetaName)) None
+    else graft.store.KvStore.table(kv32MetaName)
+      .get(kv32MetaKey, graft.store.ColumnSet.All, None, 1)
+      .flatMap(_.cells.headOption)
+      .map(c => new String(c.value, "UTF-8"))
+  /** TEST HOOK: forget the in-process marker, simulating a JVM restart —
+    * the persisted meta row becomes the only validity signal. */
+  private[graft] def kv32ForgetInProcess(): Unit = kv32BuiltFor.set(null)
+  private def kv32MarkBuilt(dir: String): Unit = {
+    val t = graft.store.KvStore.createTable(kv32MetaName, Seq.empty)
+    t.withWriteStamp(kv32MetaKey) { s =>
+      t.put(kv32MetaKey, Seq(graft.store.KvCell("f", "dir", s, dir.getBytes("UTF-8"))))
+    }
+    kv32BuiltFor.set(dir)
+  }
 
   /** kv32: IVF-PQ ANN served from the CELL-KEYED kv code table — the
     * end-to-end scale-true completion of px61's story. px61's DataFrame
@@ -2174,7 +2201,9 @@ object Pipeline {
   def kv32IvfPqScan(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfCentroidsFor(s, dir)
     val books = pqCodebooksFor(s, dir)
-    if (kv32BuiltFor.get() != dir || !graft.store.KvStore.exists("default:kv_ivfpq_codes")) {
+    val snapshotValid = graft.store.KvStore.exists("default:kv_ivfpq_codes") &&
+      (kv32BuiltFor.get() == dir || kv32PersistedFor().contains(dir))
+    if (!snapshotValid) {
       graft.store.KvStore.drop("default:kv_ivfpq_codes")
       // one-time corpus snapshot: (cell, vec_id) -> codes, presplit on the
       // cell range so probed cells map to disjoint region slivers
@@ -2188,8 +2217,8 @@ object Pipeline {
           "newtable" -> "8", "minSplitNum" -> "0",
           "maxSplitNum" -> (cents.length - 1).toString))
         .mode("append").save()
-      kv32BuiltFor.set(dir) // only a COMPLETED build marks the snapshot valid
-    }
+      kv32MarkBuilt(dir) // only a COMPLETED build marks the snapshot valid
+    } else kv32BuiltFor.set(dir) // replayed marker: refresh the fast path
     val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
     val probed = queries
       .select(explode(graft.functions.VectorExprs.nearestCentroids(

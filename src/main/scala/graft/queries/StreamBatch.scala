@@ -413,7 +413,7 @@ object StreamBatch {
     // ranged DELETE on the source — streams as _deleted=true tombstones
     val hrf = FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", 100L),
-      org.apache.spark.sql.sources.LessThanOrEqual("event_id", 499L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("event_id", 499L))).exactOrThrow("CDC DELETE")
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 2000)
     mirrorApply(phaseStamp = 20)
     // update wave: re-puts %7 ids (resurrecting deleted ones) with new values
@@ -588,7 +588,7 @@ object StreamBatch {
     appendLog()
     val hrf = graft.datasource.FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", 100L),
-      org.apache.spark.sql.sources.LessThanOrEqual("event_id", 499L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("event_id", 499L))).exactOrThrow("CDC DELETE")
     graft.store.KvStore.table(srcParsed.qualifiedName)
       .delete(hrf.ranges, hrf.pred, stamp = 2000)
     appendLog()
@@ -739,7 +739,7 @@ object StreamBatch {
     val hrf = FilterCompiler.compileAll(
       graft.catalog.GraftCatalog.parse(sv12SrcCatalog, Map.empty), Seq(
         org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
-        org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 199L)))
+        org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 199L))).exactOrThrow("CDC DELETE")
     KvStore.table("default:kv_idx_src").delete(hrf.ranges, hrf.pred, stamp = 2000)
     applyBatch(phaseStamp = 20)
     writeSrc(base.filter(col("doc_id") % 9 === 0)
@@ -1392,7 +1392,7 @@ object StreamBatch {
     // ranged DELETE — tombstones retire index entries
     val hrf = FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", 30L),
-      org.apache.spark.sql.sources.LessThanOrEqual("vec_id", 90L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("vec_id", 90L))).exactOrThrow("CDC DELETE")
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
     applyBatch(phaseStamp = 30)
     // g2: last generation + resurrection of the deleted range
@@ -1584,7 +1584,7 @@ object StreamBatch {
     applyBatch(phaseStamp = 10)
     val hrf = FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
-      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 199L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 199L))).exactOrThrow("CDC DELETE")
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 2000)
     applyBatch(phaseStamp = 20)
     val inDel = col("doc_id").between(100, 199)
@@ -1749,7 +1749,7 @@ object StreamBatch {
     drain(phaseStamp = 20)
     val hrf = FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", 30L),
-      org.apache.spark.sql.sources.LessThanOrEqual("vec_id", 90L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("vec_id", 90L))).exactOrThrow("CDC DELETE")
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
     drain(phaseStamp = 30)
     writeSrc(base.filter(col("vec_id") % 3 === 2 ||
@@ -2123,7 +2123,7 @@ object StreamBatch {
     // phase 3: ranged DELETE — counts of [100,300]'s grams must decrement
     val hrf = FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
-      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L))).exactOrThrow("CDC DELETE")
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
     drain()
     // scheduled compaction mid-stream: reclaim logical tombstones behind
@@ -2336,7 +2336,7 @@ object StreamBatch {
     drain()
     val hrf = FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
-      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 300L))).exactOrThrow("CDC DELETE")
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
     drain()
     // scheduled compaction mid-stream (sv21's discipline, manifest flavor):
@@ -2852,7 +2852,7 @@ object StreamBatch {
         (col("price_c") + 1).as("price_c")), ts = 3000, overwrite = false)
     val hrfO = FilterCompiler.compileAll(ordParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", 100L),
-      org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 299L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 299L))).exactOrThrow("CDC DELETE")
     KvStore.table(ordParsed.qualifiedName).delete(hrfO.ranges, hrfO.pred, stamp = 4000)
     drainO()
     // phase 5: customer wave — %5 segments change; custkeys [10, 29] DIE
@@ -2861,7 +2861,7 @@ object StreamBatch {
       .withColumn("seg", lit("MOVED")), ts = 5000, overwrite = false)
     val hrfC = FilterCompiler.compileAll(custParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("c_custkey", 10L),
-      org.apache.spark.sql.sources.LessThanOrEqual("c_custkey", 29L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("c_custkey", 29L))).exactOrThrow("CDC DELETE")
     KvStore.table(custParsed.qualifiedName).delete(hrfC.ranges, hrfC.pred, stamp = 5100)
     drainC()
     // mid-schedule compaction behind the drain-derived fence: retired view
@@ -3054,7 +3054,7 @@ object StreamBatch {
     // ranged DELETE — tombstones retire inverted-file rows
     val hrf = FilterCompiler.compileAll(srcParsed, Seq(
       org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", 30L),
-      org.apache.spark.sql.sources.LessThanOrEqual("vec_id", 90L)))
+      org.apache.spark.sql.sources.LessThanOrEqual("vec_id", 90L))).exactOrThrow("CDC DELETE")
     KvStore.table(srcParsed.qualifiedName).delete(hrf.ranges, hrf.pred, stamp = 3000)
     applyBatch(phaseStamp = 30)
     // g2: last generation + resurrection of the deleted range

@@ -241,7 +241,15 @@ object KvPredicate {
             case l: java.lang.Long => Some(l)
             case _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte =>
               Some(java.lang.Long.valueOf(n.longValue()))
-            case _ => val l = n.longValue(); if (l.toDouble == d) Some(java.lang.Long.valueOf(l)) else None
+            case _ =>
+              // longValue() SATURATES: d == 2^63 exactly saturates to
+              // MaxValue whose double view is 2^63 again, faking a
+              // round-trip — but no long equals 2^63 (MinValue == -2^63
+              // is genuine and passes the same test honestly)
+              val l = n.longValue()
+              if (l.toDouble == d && d != 9.223372036854776e18)
+                Some(java.lang.Long.valueOf(l))
+              else None
           }
         case _ => Some(v) // non-numeric dt with a Number literal: keep as-is
       }
@@ -249,6 +257,119 @@ object KvPredicate {
     v match {
       case n: Number => num(n)
       case _ => Some(v)
+    }
+  }
+
+  /** Result of [[normalizeBound]] — a range bound coerced into the column's
+    * box type, or a closed-form answer when no in-type bound expresses it. */
+  sealed trait NormBound extends Serializable
+  object NormBound {
+    /** Every value of the type satisfies the bound (e.g. `x <= 2^63` on a
+      * bigint key). */
+    case object Everything extends NormBound
+    /** No value of the type satisfies the bound (e.g. `x < Int.MinValue`). */
+    case object Nothing extends NormBound
+    /** Compare with `op2` against the in-type literal `value`. `planRanges`
+      * is false for the one bound shape whose byte-range planning is not
+      * sound (`x < NaN` on a float/double key: matches every non-NaN value,
+      * which no contiguous IEEE-bit range covers) — the predicate stays
+      * exact, the scan falls back to all ranges. */
+    final case class Cmp(op2: Op, value: Any, planRanges: Boolean = true) extends NormBound
+  }
+
+  /** [[normalize]]'s directional twin for range bounds (`Lt/Le/Gt/Ge`):
+    * coerce a pushed bound literal into the column DataType's box, rounding
+    * toward the op's direction when the literal is not representable
+    * (`x < 2.5` on an int column ⇒ `x <= 2`; `x > 2.5` ⇒ `x >= 3`), and
+    * collapsing to Everything/Nothing when the bound falls outside the
+    * type's domain (`x < 1e20` on a bigint ⇒ everything).
+    *
+    * Comparison domain, per column type (NormalizePropsSpec fuzzes both):
+    *  - float/double columns view the literal through `double` — exactly
+    *    [[compareTyped]]'s `(Number, Number)` fallback, including its NaN-
+    *    compares-greatest and lossy `>2^53`-long edges;
+    *  - integral columns compare EXACTLY (the semantics of Spark's own
+    *    `UnwrapCastInBinaryComparison` rewrite, which performs this same
+    *    bound tightening above the source). This deliberately diverges
+    *    from the fallback precisely where the fallback's double view
+    *    equates distinct integers (bounds at/beyond 2^53, and `-0.0`
+    *    which is exactly 0).
+    *
+    * Spark pre-casts pushed literals; the exposure is DIRECT compile()
+    * callers (DELETE conditions, index planning), where a mismatched box
+    * previously crashed `coder.encode` during range planning
+    * (PrimitiveCoder.scala:54). Non-numeric literals and non-numeric
+    * column types pass through unchanged. */
+  private[graft] def normalizeBound(v: Any, dt: DataType, op: Op): NormBound = {
+    import org.apache.spark.sql.types._
+    import NormBound._
+    def ltle = op == Lt || op == Le
+    // clamp an exact long bound into [min, max], keeping op when in-domain
+    def clampIntegral(op2: Op, b: Long, min: Long, max: Long, box: Long => Any): NormBound = op2 match {
+      case Lt => if (b <= min) Nothing else if (b > max) Everything else Cmp(Lt, box(b))
+      case Le => if (b < min) Nothing else if (b >= max) Everything else Cmp(Le, box(b))
+      case Gt => if (b >= max) Nothing else if (b < min) Everything else Cmp(Gt, box(b))
+      case Ge => if (b > max) Nothing else if (b <= min) Everything else Cmp(Ge, box(b))
+      case Eq => Cmp(Eq, box(b)) // unreachable from the public entry
+    }
+    def integral(n: Number, min: Long, max: Long, box: Long => Any): NormBound = n match {
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte =>
+        clampIntegral(op, n.longValue(), min, max, box)
+      case _ =>
+        val d = n.doubleValue()
+        if (d.isNaN) { if (ltle) Everything else Nothing } // NaN compares greatest
+        else if (d.isInfinite) {
+          if ((d > 0) == ltle) Everything else Nothing
+        } else {
+          val fl = math.floor(d)
+          if (fl == d) {
+            // integral double: exact as long iff |d| < 2^63 (above that the
+            // double domain has no long peers — closed-form per direction)
+            if (d >= 9.223372036854776e18) { if (ltle) Everything else Nothing }
+            else if (d < -9.223372036854776e18) { if (ltle) Nothing else Everything }
+            else clampIntegral(op, d.toLong, min, max, box)
+          } else if (ltle) clampIntegral(Le, fl.toLong, min, max, box) // x < 2.5 ⇔ x <= 2
+          else clampIntegral(Ge, math.ceil(d).toLong, min, max, box)   // x > 2.5 ⇔ x >= 3
+        }
+    }
+    // the four NaN-bound shapes, shared by float/double targets: under
+    // Double.compare NaN is greatest and equal to itself
+    def fpNaN(nan: Any): NormBound = op match {
+      case Lt => Cmp(Lt, nan, planRanges = false) // all non-NaN values
+      case Le => Everything                        // incl. NaN <= NaN
+      case Gt => Nothing
+      case Ge => Cmp(Eq, nan)                      // only NaN >= NaN
+      case Eq => Cmp(Eq, nan)
+    }
+    v match {
+      case n: Number => dt match {
+        case ByteType    => integral(n, Byte.MinValue, Byte.MaxValue, l => java.lang.Byte.valueOf(l.toByte))
+        case ShortType   => integral(n, Short.MinValue, Short.MaxValue, l => java.lang.Short.valueOf(l.toShort))
+        case IntegerType => integral(n, Int.MinValue, Int.MaxValue, l => java.lang.Integer.valueOf(l.toInt))
+        case LongType    => integral(n, Long.MinValue, Long.MaxValue, java.lang.Long.valueOf)
+        case DoubleType =>
+          val d = n.doubleValue() // the fallback's own (lossy >2^53) view
+          if (d.isNaN) fpNaN(java.lang.Double.valueOf(Double.NaN))
+          else Cmp(op, java.lang.Double.valueOf(d))
+        case FloatType =>
+          val d = n.doubleValue()
+          if (d.isNaN) fpNaN(java.lang.Float.valueOf(Float.NaN))
+          else {
+            // nearest float f brackets d with no float strictly between
+            // them, so every non-representable bound tightens one step
+            val f = d.toFloat
+            if (f.toDouble == d) Cmp(op, java.lang.Float.valueOf(f))
+            else if (f.toDouble > d) {
+              if (ltle) Cmp(Lt, java.lang.Float.valueOf(f))  // x <= d ⇔ x < f
+              else Cmp(Ge, java.lang.Float.valueOf(f))       // x > d ⇔ x >= f
+            } else {
+              if (ltle) Cmp(Le, java.lang.Float.valueOf(f))  // x < d ⇔ x <= f
+              else Cmp(Gt, java.lang.Float.valueOf(f))       // x >= d ⇔ x > f
+            }
+          }
+        case _ => Cmp(op, v) // non-numeric column with a Number literal: keep as-is
+      }
+      case _ => Cmp(op, v)
     }
   }
 

@@ -384,4 +384,128 @@ class PushdownEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // negation of the over-width prefix is everything (c1 is never null)
     assert(kv.filter(!col("c1").startsWith("abc")).count() == 4)
   }
+
+  // ---- range-bound literal coercion (direct compile() callers) ------------
+
+  private def bigCat = graft.catalog.GraftCatalog.parse(
+    """{"table":{"namespace":"default", "name":"bigkeybound"},
+      |"rowkey":"key",
+      |"columns":{
+      |"k":{"cf":"rowkey", "col":"key", "type":"bigint"},
+      |"v":{"cf":"f", "col":"v", "type":"int"}}}""".stripMargin, Map.empty)
+
+  test("range-bound literals with a mismatched box compile against a bigint LEADING key") {
+    import org.apache.spark.sql.types.LongType
+    def k(x: Long) = PrimitiveCoder.encode(LongType, x)
+    val none = rowCells(None, None)
+    // Integer bound used to reach coder.lessRanges raw and crash encode
+    val lt = FilterCompiler.compile(bigCat, LessThan("k", Int.box(5)))
+    assert(lt.handled && lt.ranges.nonEmpty, s"coerced bound must plan ranges: $lt")
+    assert(lt.pred.get.eval(k(4), none, None) && !lt.pred.get.eval(k(5), none, None))
+    // fractional bounds round toward the op's direction: k < 2.5 ⇔ k <= 2
+    val ltf = FilterCompiler.compile(bigCat, LessThan("k", Double.box(2.5)))
+    assert(ltf.handled && ltf.ranges.nonEmpty)
+    assert(ltf.pred.get.eval(k(2), none, None) && !ltf.pred.get.eval(k(3), none, None))
+    val gtf = FilterCompiler.compile(bigCat, GreaterThan("k", Double.box(2.5)))
+    assert(gtf.pred.get.eval(k(3), none, None) && !gtf.pred.get.eval(k(2), none, None))
+    // bounds outside the type's domain collapse closed-form
+    val all = FilterCompiler.compile(bigCat, LessThan("k", Double.box(1e20)))
+    assert(all.handled && all.ranges.nonEmpty && all.pred.isEmpty, s"everything: $all")
+    val nothing = FilterCompiler.compile(bigCat, GreaterThan("k", Double.box(1e20)))
+    assert(nothing.handled && nothing.ranges.isEmpty && nothing.pred.isEmpty, s"nothing: $nothing")
+    // above 2^53 the bound math must stay in the long domain: double(2^60 - 1)
+    // rounds back to 2^60, so a float-side `- 1` would wrongly admit 2^60
+    val p60 = FilterCompiler.compile(bigCat, LessThan("k", Double.box(1.152921504606846976e18)))
+    assert(!p60.pred.get.eval(k(1L << 60), none, None))
+    assert(p60.pred.get.eval(k((1L << 60) - 1), none, None))
+    // negation of a domain-wide bound is the empty set (key parts never null)
+    val negAll = FilterCompiler.compile(bigCat, Not(LessThan("k", Double.box(1e20))))
+    assert(negAll.handled && negAll.ranges.isEmpty, s"not(everything) = nothing: $negAll")
+  }
+
+  test("NaN bounds on a floating key keep Double.compare semantics (NaN greatest)") {
+    import org.apache.spark.sql.types.DoubleType
+    val dblCat = graft.catalog.GraftCatalog.parse(
+      """{"table":{"namespace":"default", "name":"dblkeybound"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"double"},
+        |"v":{"cf":"f", "col":"v", "type":"int"}}}""".stripMargin, Map.empty)
+    def k(x: Double) = PrimitiveCoder.encode(DoubleType, x)
+    val none = rowCells(None, None)
+    // x < NaN: every non-NaN matches — no contiguous IEEE-bit range covers
+    // that, so the scan must NOT prune (AllRanges) while the pred stays exact
+    val lt = FilterCompiler.compile(dblCat, LessThan("k", Double.box(Double.NaN)))
+    assert(lt.handled && lt.pred.nonEmpty)
+    assert(lt.ranges == Seq(graft.ranges.ScanRange.all[Array[Byte]]), s"NaN bound must not prune: $lt")
+    assert(lt.pred.get.eval(k(1.5), none, None))
+    assert(lt.pred.get.eval(k(Double.PositiveInfinity), none, None))
+    assert(!lt.pred.get.eval(k(Double.NaN), none, None))
+    val le = FilterCompiler.compile(dblCat, LessThanOrEqual("k", Double.box(Double.NaN)))
+    assert(le.handled && le.pred.isEmpty && le.ranges.nonEmpty, s"x <= NaN is everything: $le")
+    val gt = FilterCompiler.compile(dblCat, GreaterThan("k", Double.box(Double.NaN)))
+    assert(gt.handled && gt.ranges.isEmpty, s"x > NaN is nothing: $gt")
+    val ge = FilterCompiler.compile(dblCat, GreaterThanOrEqual("k", Double.box(Double.NaN)))
+    assert(ge.handled && ge.ranges.nonEmpty)
+    assert(ge.pred.get.eval(k(Double.NaN), none, None), "only NaN >= NaN")
+    assert(!ge.pred.get.eval(k(3.0), none, None))
+  }
+
+  test("float key bounds from double literals round to the nearest sound float bound") {
+    import org.apache.spark.sql.types.FloatType
+    val fltCat = graft.catalog.GraftCatalog.parse(
+      """{"table":{"namespace":"default", "name":"fltkeybound"},
+        |"rowkey":"key",
+        |"columns":{
+        |"k":{"cf":"rowkey", "col":"key", "type":"float"},
+        |"v":{"cf":"f", "col":"v", "type":"int"}}}""".stripMargin, Map.empty)
+    def k(x: Float) = PrimitiveCoder.encode(FloatType, x)
+    val none = rowCells(None, None)
+    // (float)1.1 > 1.1d: x <= 1.1d excludes 1.1f, x > 1.1d includes it
+    val le = FilterCompiler.compile(fltCat, LessThanOrEqual("k", Double.box(1.1)))
+    assert(!le.pred.get.eval(k(1.1f), none, None))
+    assert(le.pred.get.eval(k(Math.nextDown(1.1f)), none, None))
+    val gt = FilterCompiler.compile(fltCat, GreaterThan("k", Double.box(1.1)))
+    assert(gt.pred.get.eval(k(1.1f), none, None))
+    assert(!gt.pred.get.eval(k(Math.nextDown(1.1f)), none, None))
+    // (float)1.3 < 1.3d: x < 1.3d includes 1.3f, x >= 1.3d excludes it
+    val lt = FilterCompiler.compile(fltCat, LessThan("k", Double.box(1.3)))
+    assert(lt.pred.get.eval(k(1.3f), none, None))
+    assert(!lt.pred.get.eval(k(Math.nextUp(1.3f)), none, None))
+    val ge = FilterCompiler.compile(fltCat, GreaterThanOrEqual("k", Double.box(1.3)))
+    assert(!ge.pred.get.eval(k(1.3f), none, None))
+    assert(ge.pred.get.eval(k(Math.nextUp(1.3f)), none, None))
+  }
+
+  test("IN drops non-round-trip literals instead of going unhandled (DELETE-all hazard)") {
+    import org.apache.spark.sql.types.LongType
+    def k(x: Long) = PrimitiveCoder.encode(LongType, x)
+    val none = rowCells(None, None)
+    // direct DELETE/index callers never check `handled`: an unhandled
+    // `k IN (3, 2.5)` would hand AllRanges + no pred to deleteNow and
+    // silently target EVERY row — the 2.5 leaf matches nothing and must
+    // simply drop from the union
+    val in = FilterCompiler.compile(bigCat, In("k", Array[Any](Int.box(3), Double.box(2.5))))
+    assert(in.handled && in.ranges.nonEmpty && in.pred.nonEmpty, s"must stay exact: $in")
+    assert(in.pred.get.eval(k(3), none, None))
+    assert(!in.pred.get.eval(k(2), none, None))
+    // every literal non-round-trip ⇒ the exact empty set
+    val empty = FilterCompiler.compile(bigCat, In("k", Array[Any](Double.box(2.5), Double.box(0.5))))
+    assert(empty.handled && empty.ranges.isEmpty, s"all-dropped IN is empty: $empty")
+    // and destructive callers refuse an over-approximation loudly
+    intercept[IllegalArgumentException](FilterCompiler.unhandled.exactOrThrow("DELETE"))
+    in.exactOrThrow("DELETE") // exact passes through
+  }
+
+  test("Not of a non-round-trip Eq on a VALUE column keeps the IsNotNull guard") {
+    import org.apache.spark.sql.types.LongType
+    def k(x: Long) = PrimitiveCoder.encode(LongType, x)
+    // intCol = 2.5 matches nothing, but NOT(intCol = 2.5) is only true for
+    // NON-NULL intCol (3VL: NOT(NULL = 2.5) is not true) — the negation
+    // must carry an IsNotNull guard, not compile to bare everything
+    val not = FilterCompiler.compile(bigCat, Not(EqualTo("v", Double.box(2.5))))
+    assert(not.handled && not.pred.nonEmpty, s"value-col negation needs a guard: $not")
+    assert(not.pred.get.eval(k(1), rowCells(Some(7), None), None))
+    assert(!not.pred.get.eval(k(1), rowCells(None, None), None))
+  }
 }

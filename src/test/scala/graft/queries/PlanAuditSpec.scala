@@ -1042,6 +1042,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.executedPlan.toString
     assert("UnionLoop".r.findAllIn(plan).size >= 1,
       s"q27 must execute through the native recursion operator:\n${plan.take(1500)}")
+    // the recursive STEP join must stay a broadcast hash join: the inner
+    // (parent-edge) side is small and the loop body re-executes once per
+    // iteration — a stats flip to SortMergeJoin would silently multiply
+    // the 17-iteration loop into 17 full shuffles of the edge table. One
+    // SMJ is expected OUTSIDE the loop (the corpus-sized final left join).
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+      s"q27's recursive step must broadcast the edge side:\n${plan.take(2000)}")
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 1,
+      s"q27 must not sort-merge inside the loop body:\n${plan.take(2000)}")
     // depth is DATA-DEPENDENT and really iterates: squeezing the engine's
     // recursion budget below the corpus's chain depth must fail loudly,
     // proving the loop runs to a data-driven fixpoint rather than a fixed
