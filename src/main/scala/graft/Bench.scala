@@ -9,7 +9,8 @@ object Bench {
     * round-over-round trend into a phantom 77x "regression" that took a
     * judging session to adjudicate. `rows` rides along so a rep that
     * "succeeded" against an unexpectedly empty result is visible too. */
-  final case class Rep(wall: Double, util: Double, rows: Long, err: Option[String])
+  final case class Rep(wall: Double, util: Double, rows: Long, err: Option[String],
+      jobs: Long = -1L)
 
   def jvmCpuNanos(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -18,9 +19,15 @@ object Bench {
     }
 
   /** Time one invocation of a query. Exceptions become `err` (class + first
-    * message line), wall/util still recorded as context. */
+    * message line), wall/util still recorded as context. `jobCounter`
+    * supplies a monotone Spark-job count (listener-fed, so slightly
+    * async): the per-rep delta quantifies SCHEDULING-bound queries —
+    * a CDC drain suite at cpu_util 0.1 and 150+ jobs is paying per-job
+    * floors, not doing slow data work. */
   def timeOnce(spark: SparkSession, sfDir: String, cpus: Int,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      jobCounter: () => Long = () => -1L): Rep = {
+    val j0 = jobCounter()
     val c0 = jvmCpuNanos()
     val t0 = System.nanoTime()
     val (rows, err) =
@@ -33,7 +40,7 @@ object Bench {
     val wall = (System.nanoTime() - t0) / 1e9
     val cpu = if (c0 < 0) -1.0 else (jvmCpuNanos() - c0) / 1e9
     val util = if (cpu < 0 || wall <= 0) -1.0 else cpu / (wall * cpus.toDouble)
-    Rep(wall, util, rows, err)
+    Rep(wall, util, rows, err, if (j0 < 0) -1L else jobCounter() - j0)
   }
 
   /** `reps` timed invocations, plus a tie-breaking third when the first
@@ -41,12 +48,12 @@ object Bench {
     * makes the minimum trustworthy). */
   def timeQuery(spark: SparkSession, sfDir: String, cpus: Int,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-      reps: Int): Seq[Rep] = {
-    var times = (1 to reps).map(_ => timeOnce(spark, sfDir, cpus, fn))
+      reps: Int, jobCounter: () => Long = () => -1L): Seq[Rep] = {
+    var times = (1 to reps).map(_ => timeOnce(spark, sfDir, cpus, fn, jobCounter))
     if (reps >= 2 && times.forall(_.err.isEmpty) &&
         times.map(_.wall).max > times.map(_.wall).min * 1.5 &&
         times.map(_.wall).min > 0.2)
-      times = times :+ timeOnce(spark, sfDir, cpus, fn)
+      times = times :+ timeOnce(spark, sfDir, cpus, fn, jobCounter)
     times
   }
 
@@ -147,8 +154,17 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAtEntry
+    // per-rep job counts (listener-fed, async by a few events at most):
+    // the instrument that separates scheduling-bound queries (many jobs,
+    // low util) from data-bound ones without a profiling session
+    val jobsSeen = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobsSeen.incrementAndGet(); ()
+      }
+    })
     val perRep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeQuery(spark, sfDir, cpus.toInt, fn, reps)
+      name -> timeQuery(spark, sfDir, cpus.toInt, fn, reps, () => jobsSeen.get())
     }
     val loadEnd = loadavg()
     // loadHigh: the record itself says "taken on a loaded host" — the trend
@@ -191,12 +207,15 @@ object Bench {
     val rowsObj = perRep.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.map(_.rows).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val jobsObj = perRep.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.map(_.jobs).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errObj = queryErrs.toSeq.sortBy(_._1).map { case (k, e) =>
       s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val populateTotal = populate.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"query_rows":$rowsObj,"query_err":$errObj,"tainted":${queryErrs.size},"loadHigh":$loadHigh,"calib_ms":$calibMs,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"query_rows":$rowsObj,"query_jobs":$jobsObj,"query_err":$errObj,"tainted":${queryErrs.size},"loadHigh":$loadHigh,"calib_ms":$calibMs,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     // Persist the FULL record to a file: the per-query/per-rep map for
     // 150+ queries is ~15 KB and the harness that collects stdout keeps
     // only the last 2000 characters. The CANONICAL round record
