@@ -1469,6 +1469,88 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     tables.foreach(KvStore.drop)
   }
 
+  test("sv26 differential: random put/move/delete/resurrect waves keep session roots equal to the model") {
+    // the maintained transitive closure: every wave restructures chains —
+    // time moves split/heal sessions, USER MOVES re-key an event into
+    // another user's chain (both the old and new chain must recompute),
+    // deletes of chain middles heal-or-split depending on the bridged gap.
+    // Model = exact per-user chain walk over the in-memory event map.
+    import graft.queries.StreamBatch
+    val suf = "dif"
+    val srcCat = StreamBatch.sv26SrcCatalog.replace("\"kv_sess_src\"", s""""kv_sess_src_$suf"""")
+    val fwdCat = StreamBatch.sv26FwdCatalog.replace("\"kv_sess_fwd\"", s""""kv_sess_fwd_$suf"""")
+    val viewCat = StreamBatch.sv26ViewCatalog.replace("\"kv_sess_view\"", s""""kv_sess_view_$suf"""")
+    val tables = Seq(s"default:kv_sess_src_$suf", s"default:kv_sess_fwd_$suf",
+      s"default:kv_sess_view_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-sessdiff-ckpt").toString
+    val model = scala.collection.mutable.Map[Long, (Long, Long)]() // event -> (user, tu)
+    val rnd = new scala.util.Random(2601)
+    var ts = 1000L
+    var stamp = 10L
+    var userMoves = 0
+    def putEvents(rows0: Seq[(Long, Long, Long)]): Unit = if (rows0.nonEmpty) {
+      val rows = rows0.groupBy(_._1).map(_._2.last).toSeq
+      rows.foreach { case (id, u, tu) =>
+        if (model.get(id).exists(_._1 != u)) userMoves += 1
+        model(id) = (u, tu)
+      }
+      rows.toDF("event_id", "user_id", "tu").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "200"))
+        .mode("append").save(); ts += 10
+    }
+    def delEvents(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      ids.foreach(model.remove)
+      ids.toDF("event_id").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "delete" -> "true",
+          "timestamp" -> ts.toString)).mode("append").save(); ts += 10
+    }
+    def drain(): Unit = {
+      StreamBatch.maintainSessionRoots(spark, srcCat, fwdCat, viewCat, ckpt, stamp)
+      stamp += 10
+    }
+    def expected(): Set[(Long, Long)] =
+      model.toSeq.groupBy(_._2._1).flatMap { case (_, evs) =>
+        val sorted = evs.map { case (id, (_, tu)) => (tu, id) }.sorted
+        var root = 0L; var prev = Long.MinValue
+        sorted.map { case (tu, id) =>
+          if (prev == Long.MinValue || tu - prev > 43200L) root = id
+          prev = tu
+          (id, root)
+        }
+      }.toSet
+    def actual(): Set[(Long, Long)] =
+      spark.read.format("graft-kv").option("catalog", viewCat).load()
+        .collect().map(r =>
+          (r.getAs[Long]("event_id"), r.getAs[Long]("session_root"))).toSet
+    def actualFwd(): Map[Long, Long] =
+      spark.read.format("graft-kv").option("catalog", fwdCat).load()
+        .collect().map(r =>
+          (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"))).toMap
+    // tu range straddles the 43200 s session fence so chains form and break
+    def randTu(): Long = rnd.nextLong(400000L)
+    putEvents((0L until 40L).map(id => (id, rnd.nextLong(6), randTu())))
+    drain()
+    assert(actual() == expected(), "view diverged after the seed wave")
+    (1 to 10).foreach { wave =>
+      // fresh ids, time moves, user moves, deletes (possibly of just-updated
+      // events), resurrections of previously deleted ids — one mixed wave
+      putEvents(Seq.fill(6)((rnd.nextLong(60), rnd.nextLong(6), randTu())))
+      delEvents(Seq.fill(3)(rnd.nextLong(60)).distinct)
+      drain()
+      assert(actual() == expected(), s"view diverged from the model after wave $wave")
+      assert(actualFwd() == model.map { case (id, (u, _)) => id -> u }.toMap,
+        s"forward mirror diverged from the model after wave $wave")
+    }
+    // the fixture must actually exercise the RE-KEY move: a user change
+    // retires the event from the OLD chain via the mirror-derived owner —
+    // a missed retirement only shows when moves occur
+    assert(userMoves > 0, s"fixture too weak - no event changed user")
+    tables.foreach(KvStore.drop)
+  }
+
   test("sv21: a decrement driving a count negative fails the batch loudly before anything commits") {
     // the guard rides inside the write's cnt expression (raise_error), so
     // corruption must surface as a failed STREAM, not a silent bad write
