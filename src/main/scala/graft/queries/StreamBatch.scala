@@ -3100,6 +3100,11 @@ object StreamBatch {
       |"tu":{"cf":"f", "col":"t", "type":"bigint"},
       |"session_root":{"cf":"f", "col":"r", "type":"bigint"}}}""".stripMargin
 
+  /** Cap on the control-plane key collect that upgrades the maintainer's
+    * mirror/view lookups from distributed semi-joins to pushed-In sliver
+    * reads — the same bounded-list discipline as kv32's probe collect. */
+  private[graft] val MaxPushedLookupKeys = 1024
+
   /** One CDC drain of session-root maintenance — the per-batch protocol of
     * [[sv26StreamSessionRoots]], factored out so the randomized
     * differential drives arbitrary put/move/delete/resurrect schedules
@@ -3109,11 +3114,12 @@ object StreamBatch {
     * root), kept current from the batch delta and the view itself — the
     * maintainer never re-reads the source corpus:
     *  1. touched users = every batch event's OLD owner (forward-mirror
-    *     leftsemi lookup — a user MOVE retires the old chain too) plus
-    *     every put's new owner;
+    *     lookup — a user MOVE retires the old chain too) plus every put's
+    *     new owner; wave-sized key sets push as In (point gets /
+    *     [[MaxPushedLookupKeys]]), oversized ones semi-join;
     *  2. the touched users' current chains load from the VIEW (user-led
-    *     composite key: prefix slivers), batch keys are dropped, puts
-    *     merged in;
+    *     composite key: the pushed user-In plans one prefix sliver per
+    *     touched user), batch keys are dropped, puts merged in;
     *  3. per-user chains are LINEAR, so each touched user's closure is ONE
     *     window pass: a session head is an event with no ≤12h predecessor
     *     and every event's root is the latest head at or before it — the
@@ -3142,15 +3148,34 @@ object StreamBatch {
           val haveView = KvStore.exists(viewName)
           val batchKeys = changed.select("event_id").distinct()
           val puts = changed.filter(!col("_deleted"))
+          // Bounded-In pushdown (the kv32 probe-list pattern): a wave-sized
+          // key set collects (control-plane, capped at MaxPushedLookupKeys)
+          // and pushes as a key In, so the mirror lookup plans point gets
+          // and the view read plans user-PREFIX slivers — reads proportional
+          // to the wave, not the table. An oversized set (the initial full
+          // load) falls back to the distributed semi-join: correct, just
+          // unpruned, and by then the scan IS the work anyway.
+          def boundedIds(keys: DataFrame): Option[Seq[Any]] = {
+            val ids = keys.limit(MaxPushedLookupKeys + 1).collect().map(_.get(0)).toSeq
+            if (ids.length > MaxPushedLookupKeys) None else Some(ids)
+          }
+          def pruned(table: DataFrame, keyCol: String, keys: DataFrame,
+              ids: Option[Seq[Any]]): DataFrame = ids match {
+            case Some(Seq()) => table.limit(0)
+            case Some(list) => table.filter(col(keyCol).isin(list: _*))
+            case None => table.join(broadcast(keys), Seq(keyCol), "leftsemi")
+          }
+          val batchIds = boundedIds(batchKeys)
+          def fwdTable = s.read.format("graft-kv").option("catalog", fwdCat).load()
           val owners =
-            if (haveFwd) s.read.format("graft-kv").option("catalog", fwdCat).load()
-              .join(broadcast(batchKeys), Seq("event_id"), "leftsemi")
+            if (haveFwd) pruned(fwdTable, "event_id", batchKeys, batchIds)
               .select("user_id")
             else puts.select("user_id").limit(0)
           val touched = puts.select("user_id").union(owners).distinct()
           val oldView =
-            if (haveView) s.read.format("graft-kv").option("catalog", viewCat).load()
-              .join(broadcast(touched), Seq("user_id"), "leftsemi").cache()
+            if (haveView) pruned(
+              s.read.format("graft-kv").option("catalog", viewCat).load(),
+              "user_id", touched, boundedIds(touched)).cache()
             else null
           val kept =
             if (oldView == null) puts.select("user_id", "event_id", "tu").limit(0)
@@ -3181,8 +3206,7 @@ object StreamBatch {
               "maxVersions" -> "2", "timestamp" -> (phaseStamp + 1).toString))
             .mode("append").save()
           if (haveFwd) {
-            s.read.format("graft-kv").option("catalog", fwdCat).load()
-              .join(broadcast(batchKeys), Seq("event_id"), "leftsemi")
+            pruned(fwdTable, "event_id", batchKeys, batchIds)
               .select("event_id")
               .write.format("graft-kv")
               .options(Map("catalog" -> fwdCat, "delete" -> "true",

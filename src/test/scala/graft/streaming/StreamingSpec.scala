@@ -1551,6 +1551,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     tables.foreach(KvStore.drop)
   }
 
+  test("sv26 maintenance reads rows proportional to the touched users, not view size") {
+    // the bounded-In upgrade's gate: a wave touching 2 of 40 users must
+    // read the mirror as point gets and the view as 2 user-prefix slivers —
+    // measured through the store's served-row counter across the drain
+    import graft.queries.StreamBatch
+    val suf = "prp"
+    val srcCat = StreamBatch.sv26SrcCatalog.replace("\"kv_sess_src\"", s""""kv_sess_src_$suf"""")
+    val fwdCat = StreamBatch.sv26FwdCatalog.replace("\"kv_sess_fwd\"", s""""kv_sess_fwd_$suf"""")
+    val viewCat = StreamBatch.sv26ViewCatalog.replace("\"kv_sess_view\"", s""""kv_sess_view_$suf"""")
+    val tables = Seq(s"default:kv_sess_src_$suf", s"default:kv_sess_fwd_$suf",
+      s"default:kv_sess_view_$suf")
+    tables.foreach(KvStore.drop)
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-sessprop-ckpt").toString
+    def drain(stamp: Long): Unit = StreamBatch.maintainSessionRoots(spark,
+      srcCat, fwdCat, viewCat, ckpt, stamp)
+    def put(rows: Seq[(Long, Long, Long)], ts: Long): Unit =
+      rows.toDF("event_id", "user_id", "tu").write.format("graft-kv")
+        .options(Map("catalog" -> srcCat, "newtable" -> "4",
+          "timestamp" -> ts.toString, "minSplitNum" -> "0", "maxSplitNum" -> "4000"))
+        .mode("append").save()
+    // seed: 40 users x 10 events = a 400-row view
+    put(for { u <- 0L until 40L; i <- 0L until 10L }
+      yield (u * 100 + i, u, i * 100000L), ts = 1000)
+    drain(10)
+    val viewRows = KvStore
+      .table(s"default:kv_sess_view_$suf").regions.map(_.rowCount.get()).sum
+    assert(viewRows == 400L, s"seed view expected 400 rows, got $viewRows")
+    // wave: 2 users, 1 event each
+    put(Seq((3L, 0L, 999999L), (705L, 7L, 123L)), ts = 2000)
+    val served0 = KvStore.rowsServed
+    drain(20)
+    val served = KvStore.rowsServed - served0
+    // budget: the CDC window (2 rows), 2 mirror point gets x2 reads, the 2
+    // touched users' view slivers (<= 20 rows), and small per-job overheads
+    assert(served <= 80,
+      s"drain served $served rows against a $viewRows-row view - " +
+        "maintenance reads are not wave-proportional")
+    tables.foreach(KvStore.drop)
+  }
+
   test("sv21: a decrement driving a count negative fails the batch loudly before anything commits") {
     // the guard rides inside the write's cnt expression (raise_error), so
     // corruption must surface as a failed STREAM, not a silent bad write
@@ -2103,7 +2144,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     tables.foreach(KvStore.drop)
   }
 
-  test("CDC protocols (sv12/sv14/sv18-sv24) never round-trip data through the driver") {
+  test("CDC protocols (sv12/sv14/sv18-sv26) never round-trip data through the driver") {
     // MECHANICAL guard: a driver-side collect of corpus-scale data shows up
     // as an oversized serialized task result. Every task of the whole
     // sv12/sv14/sv18/sv19 pipelines (stream + foreachBatch jobs included)
@@ -2137,6 +2178,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queries("sv23_stream_join_view")(spark, sfDir).count() > 0)
       assert(graft.queries.StreamBatch
         .queries("sv24_stream_join_agg")(spark, sfDir).count() > 0)
+      assert(graft.queries.StreamBatch
+        .queries("sv26_stream_session_roots")(spark, sfDir).count() > 0)
       // listener events are async; wait for the counter to go quiet
       var last = -1L; var spins = 0
       while (maxResult.get() != last && spins < 20) {
