@@ -148,7 +148,12 @@ class GraftTable(catalog: GraftCatalog, opts: GraftOptions,
     FilterCompiler.partition(catalog, filters)._2.isEmpty
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    // canDeleteWhere already proved exactness on Spark's planner path, but
+    // that invariant lives two layers away — a direct caller (or a planner
+    // change skipping the guard) must hit the same refusal, not a
+    // table-wide delete from an over-approximate Hrf
     val hrf = FilterCompiler.compileAll(catalog, filters.toSeq)
+      .exactOrThrow("deleteWhere")
     KvStore.table(opts.storeName(catalog)).deleteNow(hrf.ranges, hrf.pred)
   }
 

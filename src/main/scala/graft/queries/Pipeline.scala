@@ -2204,6 +2204,13 @@ object Pipeline {
     val snapshotValid = graft.store.KvStore.exists("default:kv_ivfpq_codes") &&
       (kv32BuiltFor.get() == dir || kv32PersistedFor().contains(dir))
     if (!snapshotValid) {
+      // invalidate the PERSISTED marker before touching the code table: a
+      // crash mid-rebuild must not leave a marker that validates a
+      // partial or foreign snapshot after WAL replay (the marker-drop,
+      // table-drop, and rewrite are ordered WAL records, so replay of a
+      // torn rebuild restores a marker-less state that forces a rebuild)
+      kv32BuiltFor.set(null)
+      graft.store.KvStore.drop(kv32MetaName)
       graft.store.KvStore.drop("default:kv_ivfpq_codes")
       // one-time corpus snapshot: (cell, vec_id) -> codes, presplit on the
       // cell range so probed cells map to disjoint region slivers

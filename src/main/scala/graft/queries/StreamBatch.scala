@@ -3100,11 +3100,6 @@ object StreamBatch {
       |"tu":{"cf":"f", "col":"t", "type":"bigint"},
       |"session_root":{"cf":"f", "col":"r", "type":"bigint"}}}""".stripMargin
 
-  /** Cap on the control-plane key collect that upgrades the maintainer's
-    * mirror/view lookups from distributed semi-joins to pushed-In sliver
-    * reads — the same bounded-list discipline as kv32's probe collect. */
-  private[graft] val MaxPushedLookupKeys = 1024
-
   /** One CDC drain of session-root maintenance — the per-batch protocol of
     * [[sv26StreamSessionRoots]], factored out so the randomized
     * differential drives arbitrary put/move/delete/resurrect schedules
@@ -3115,11 +3110,17 @@ object StreamBatch {
     * maintainer never re-reads the source corpus:
     *  1. touched users = every batch event's OLD owner (forward-mirror
     *     lookup — a user MOVE retires the old chain too) plus every put's
-    *     new owner; wave-sized key sets push as In (point gets /
-    *     [[MaxPushedLookupKeys]]), oversized ones semi-join;
+    *     new owner; both lookups go through [[mirrorLookup]], so
+    *     wave-sized key sets push as In (point gets / prefix slivers)
+    *     under its shared small-state and cost-model gates, and
+    *     oversized ones semi-join;
     *  2. the touched users' current chains load from the VIEW (user-led
     *     composite key: the pushed user-In plans one prefix sliver per
-    *     touched user), batch keys are dropped, puts merged in;
+    *     touched user), batch keys are dropped, puts merged in; the
+    *     sliver is LOCAL-CHECKPOINTED eagerly — the retire below deletes
+    *     the very rows it came from, and a lazily-cached block that fell
+    *     out under memory pressure would silently recompute `kept` from
+    *     the post-retire (emptied) table;
     *  3. per-user chains are LINEAR, so each touched user's closure is ONE
     *     window pass: a session head is an event with no ≤12h predecessor
     *     and every event's root is the latest head at or before it — the
@@ -3132,7 +3133,8 @@ object StreamBatch {
     * wave touches a sliver of users and the view read prunes to their key
     * prefixes; nothing corpus-sized moves and nothing rides the driver. */
   private[graft] def maintainSessionRoots(s: SparkSession, srcCat: String,
-      fwdCat: String, viewCat: String, ckpt: String, phaseStamp: Long): Unit = {
+      fwdCat: String, viewCat: String, ckpt: String, phaseStamp: Long,
+      smallStateRows: Long = SmallStateRows): Unit = {
     import graft.store.KvStore
     import org.apache.spark.sql.expressions.Window
     val fwdName = graft.catalog.GraftCatalog.parse(fwdCat, Map.empty).qualifiedName
@@ -3148,34 +3150,23 @@ object StreamBatch {
           val haveView = KvStore.exists(viewName)
           val batchKeys = changed.select("event_id").distinct()
           val puts = changed.filter(!col("_deleted"))
-          // Bounded-In pushdown (the kv32 probe-list pattern): a wave-sized
-          // key set collects (control-plane, capped at MaxPushedLookupKeys)
-          // and pushes as a key In, so the mirror lookup plans point gets
-          // and the view read plans user-PREFIX slivers — reads proportional
-          // to the wave, not the table. An oversized set (the initial full
-          // load) falls back to the distributed semi-join: correct, just
-          // unpruned, and by then the scan IS the work anyway.
-          def boundedIds(keys: DataFrame): Option[Seq[Any]] = {
-            val ids = keys.limit(MaxPushedLookupKeys + 1).collect().map(_.get(0)).toSeq
-            if (ids.length > MaxPushedLookupKeys) None else Some(ids)
-          }
-          def pruned(table: DataFrame, keyCol: String, keys: DataFrame,
-              ids: Option[Seq[Any]]): DataFrame = ids match {
-            case Some(Seq()) => table.limit(0)
-            case Some(list) => table.filter(col(keyCol).isin(list: _*))
-            case None => table.join(broadcast(keys), Seq(keyCol), "leftsemi")
-          }
-          val batchIds = boundedIds(batchKeys)
-          def fwdTable = s.read.format("graft-kv").option("catalog", fwdCat).load()
+          // the wave's mirror rows, read ONCE through the shared bounded-In
+          // lookup (point gets for wave-sized batches, semi-join fallback)
+          // and local-checkpointed: both the owner derivation AND the
+          // retire below read these rows, and the retire destroys them —
+          // eager materialization makes read-before-delete actual instead
+          // of cache-dependent
+          val fwdHits =
+            if (haveFwd) mirrorLookup(s, fwdCat, "", batchKeys, "event_id",
+              smallStateRows).localCheckpoint()
+            else null
           val owners =
-            if (haveFwd) pruned(fwdTable, "event_id", batchKeys, batchIds)
-              .select("user_id")
+            if (fwdHits != null) fwdHits.select("user_id")
             else puts.select("user_id").limit(0)
           val touched = puts.select("user_id").union(owners).distinct()
           val oldView =
-            if (haveView) pruned(
-              s.read.format("graft-kv").option("catalog", viewCat).load(),
-              "user_id", touched, boundedIds(touched)).cache()
+            if (haveView) mirrorLookup(s, viewCat, "", touched, "user_id",
+              smallStateRows).localCheckpoint()
             else null
           val kept =
             if (oldView == null) puts.select("user_id", "event_id", "tu").limit(0)
@@ -3205,9 +3196,8 @@ object StreamBatch {
             .options(Map("catalog" -> viewCat, "newtable" -> "4",
               "maxVersions" -> "2", "timestamp" -> (phaseStamp + 1).toString))
             .mode("append").save()
-          if (haveFwd) {
-            pruned(fwdTable, "event_id", batchKeys, batchIds)
-              .select("event_id")
+          if (fwdHits != null) {
+            fwdHits.select("event_id")
               .write.format("graft-kv")
               .options(Map("catalog" -> fwdCat, "delete" -> "true",
                 "timestamp" -> phaseStamp.toString))
@@ -3218,7 +3208,8 @@ object StreamBatch {
             .options(Map("catalog" -> fwdCat, "newtable" -> "4",
               "maxVersions" -> "2", "timestamp" -> (phaseStamp + 1).toString))
             .mode("append").save()
-          if (oldView != null) oldView.unpersist()
+          // fwdHits/oldView are local checkpoints — their blocks release
+          // with the dataset (ContextCleaner), no unpersist to call
           ()
         }
         changed.unpersist()

@@ -63,4 +63,43 @@ class Kv32WalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pipeline.kv32ForgetInProcess()
     }
   }
+
+  test("a torn rebuild cannot leave a stale marker validating a partial snapshot") {
+    // the rebuild's WAL ordering contract: marker-drop precedes table-drop
+    // precedes rewrite, and the marker is re-written only after a COMPLETE
+    // build — so a crash anywhere mid-rebuild replays to a marker-less
+    // state that forces a rebuild, never a marker endorsing partial codes
+    val walDir = Files.createTempDirectory("graft-wal-kv32torn")
+    KvStore.enableWal(walDir)
+    try {
+      KvStore.drop("default:kv_ivfpq_codes")
+      KvStore.drop("default:kv_ivfpq_meta")
+      Pipeline.kv32ForgetInProcess()
+      val good = Pipeline.kv32IvfPqScan(spark, dir).collect()
+      // emulate the rebuild interrupted mid-write: marker gone, codes
+      // table replaced by a partial/foreign table, CRASH before the
+      // marker write
+      KvStore.drop("default:kv_ivfpq_meta")
+      KvStore.drop("default:kv_ivfpq_codes")
+      val junk = KvStore.createTable("default:kv_ivfpq_codes", Seq.empty)
+      junk.put("zz".getBytes("UTF-8"),
+        Seq(graft.store.KvCell("f", "c", 1L, Array[Byte](1, 2))))
+      // "restart": wipe + replay
+      KvStore.disableWal()
+      Pipeline.kv32ForgetInProcess()
+      KvStore.replayWal(walDir)
+      assert(KvStore.exists("default:kv_ivfpq_codes"), "partial table replays")
+      assert(!KvStore.exists("default:kv_ivfpq_meta"),
+        "no marker may survive a torn rebuild")
+      // serving must REBUILD from the corpus, not trust the partial table
+      val served = Pipeline.kv32IvfPqScan(spark, dir).collect()
+      assert(served.map(_.toString).sorted.toSeq == good.map(_.toString).sorted.toSeq,
+        "post-crash serve must rebuild and match the clean snapshot")
+    } finally {
+      KvStore.disableWal()
+      KvStore.drop("default:kv_ivfpq_codes")
+      KvStore.drop("default:kv_ivfpq_meta")
+      Pipeline.kv32ForgetInProcess()
+    }
+  }
 }

@@ -1508,7 +1508,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
           "timestamp" -> ts.toString)).mode("append").save(); ts += 10
     }
     def drain(): Unit = {
-      StreamBatch.maintainSessionRoots(spark, srcCat, fwdCat, viewCat, ckpt, stamp)
+      // alternate the lookup path: forced pushed-In slivers on even
+      // drains, forced broadcast-leftsemi on odd — BOTH read shapes fuzz
+      // against the same model
+      StreamBatch.maintainSessionRoots(spark, srcCat, fwdCat, viewCat, ckpt, stamp,
+        smallStateRows = if ((stamp / 10) % 2 == 0) 0L else Long.MaxValue)
       stamp += 10
     }
     def expected(): Set[(Long, Long)] =
@@ -1565,8 +1569,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     tables.foreach(KvStore.drop)
     import spark.implicits._
     val ckpt = Files.createTempDirectory("graft-sessprop-ckpt").toString
+    // smallStateRows = 0 pins the pushed-In sliver path at this
+    // deliberately tiny view (the production default short-circuits small
+    // tables to the scan, same as mirrorLookup's other callers)
     def drain(stamp: Long): Unit = StreamBatch.maintainSessionRoots(spark,
-      srcCat, fwdCat, viewCat, ckpt, stamp)
+      srcCat, fwdCat, viewCat, ckpt, stamp, smallStateRows = 0L)
     def put(rows: Seq[(Long, Long, Long)], ts: Long): Unit =
       rows.toDF("event_id", "user_id", "tu").write.format("graft-kv")
         .options(Map("catalog" -> srcCat, "newtable" -> "4",
