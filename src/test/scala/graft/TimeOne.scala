@@ -36,9 +36,13 @@ object TimeOne {
     val phaseProf = sys.env.contains("GRAFT_PHASE_PROF")
     args.tail.foreach { name =>
       stages.clear()
-      if (sys.env.contains("GRAFT_EXPLAIN"))
-        println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.ExtendedMode))
+      if (sys.env.contains("GRAFT_EXPLAIN")) {
+        val mode = // GRAFT_EXPLAIN=formatted -> the plans/ deliverable format
+          if (sys.env.get("GRAFT_EXPLAIN").contains("formatted"))
+            org.apache.spark.sql.execution.FormattedMode
+          else org.apache.spark.sql.execution.ExtendedMode
+        println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(mode))
+      }
       val t0 = System.nanoTime()
       val n = if (phaseProf) {
         def ms(since: Long) = (System.nanoTime() - since) / 1e6

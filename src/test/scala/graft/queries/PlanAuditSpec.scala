@@ -1037,7 +1037,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // native UnionLoop (one operator iterating INSIDE one execution), not a
     // driver loop re-planning per iteration — a regression into per-iteration
     // re-planning would show up as the loop operator vanishing from the plan
-    val df = Relational.q27RecursiveCte(spark, dir)
+    // audit the LAZY recursion frame: the public q27RecursiveCte executes
+    // it eagerly (AQE off for the loop) and returns a checkpointed result
+    // whose own plan is a bare RDD scan
+    val df = Relational.q27Recursion(spark, dir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert("UnionLoop".r.findAllIn(plan).size >= 1,
