@@ -2745,16 +2745,32 @@ object StreamBatch {
     // the drains' shuffles are WAVE-sized (changed-order joins, per-batch
     // seg rollups) — 32 near-empty shuffle partitions per stage cost more
     // task-scheduling wall than they buy across 5 drains × ~30 jobs; 8 is
-    // the same pin the memory-sink streams use. A production deployment
-    // sizes this to its wave volume, not its corpus.
+    // the same pin the memory-sink streams use. NEW in round 14: AQE off
+    // for the same span — every one of the suite's ~100 batch jobs is
+    // wave-sized (hinted broadcasts, bounded sliver reads, ≤ corpus/50
+    // rows), so AdaptiveSparkPlan's per-job stage materialization and
+    // re-planning buys nothing; measured on sv24 (the heaviest drain
+    // suite): 27.8 → 18.5 s warm at sf0.1. This pin is deliberately NOT
+    // applied to the other maintainers (sv12/14/18-22/25/26): their FIRST
+    // batch is a corpus-sized load with real compute (shingling, PQ
+    // encoding, bigram counting) where the 32-partition + AQE default is
+    // the right plan — a blanket pin measured 2-6x slower there. A
+    // production deployment sizes these to its wave volume via the
+    // graft.stream.* confs, not its corpus.
     val shufK = "spark.sql.shuffle.partitions"
+    val aqeK = "spark.sql.adaptive.enabled"
     val shufPrev = s.conf.getOption(shufK)
-    s.conf.set(shufK, "8")
+    val aqePrev = s.conf.get(aqeK)
+    s.conf.set(shufK, s.conf.get("graft.stream.shufflePartitions", "8"))
+    s.conf.set(aqeK, s.conf.get("graft.stream.aqe", "false"))
     try runJoinViewPhasesInner(s, dir, ordCat, custCat, ordMir, custMir,
       viewCat, aggCat)
-    finally shufPrev match {
-      case Some(v) => s.conf.set(shufK, v)
-      case None => s.conf.unset(shufK)
+    finally {
+      s.conf.set(aqeK, aqePrev)
+      shufPrev match {
+        case Some(v) => s.conf.set(shufK, v)
+        case None => s.conf.unset(shufK)
+      }
     }
   }
 
