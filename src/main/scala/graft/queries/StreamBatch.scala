@@ -51,6 +51,25 @@ object StreamBatch {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** AQE OFF for one drain run (restoring after): every foreachBatch job a
+    * CDC maintainer issues is either a hinted broadcast, a bounded sliver
+    * read, or a batch-proportional write — AdaptiveSparkPlan's per-job
+    * stage-materialization and re-planning has nothing to re-optimize and
+    * costs measurably (paired A/B at sf0.1, wall and JVM-cpu: sv21
+    * 17.5→11.3 s / 70→52 cpu-s, sv12 6.2→4.5 / 27→17, sv25 24.4→20.5,
+    * sv14 ≥15→14.5, sv22 8.1→7.4, sv26 10.0→8.9). Unlike the join-view
+    * pin this deliberately does NOT touch shuffle partitions: a
+    * maintainer's first batch is a corpus-sized load with real compute
+    * that needs the session's full parallelism (an 8-partition pin
+    * measured 2-6× slower there). `graft.stream.aqe=true` restores AQE
+    * for deployments whose catch-up batches rival the corpus. */
+  private def withDrainAqe[A](s: SparkSession)(f: => A): A = {
+    val aqeK = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(aqeK)
+    s.conf.set(aqeK, s.conf.get("graft.stream.aqe", "false"))
+    try f finally s.conf.set(aqeK, prev)
+  }
+
   private def runToMemory(df: DataFrame, name: String, mode: String): Unit =
     withStreamShuffle(df.sparkSession) {
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
@@ -377,6 +396,7 @@ object StreamBatch {
     def mirrorApply(phaseStamp: Long): Unit = {
       val stream = s.readStream.format("graft-kv")
         .option("catalog", sv11SourceCatalog).option("tombstones", "true").load()
+      withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
       val q = stream.writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
           // the batch frame feeds three actions (tombstone write, isEmpty
@@ -405,6 +425,7 @@ object StreamBatch {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      } // withDrainAqe
     }
     // fresh run every invocation (same protocol as sv10)
     KvStore.drop(mirParsed.qualifiedName)
@@ -574,6 +595,7 @@ object StreamBatch {
     val logDir = Files.createTempDirectory("graft-sv15-log").toString
     val ckpt = Files.createTempDirectory("graft-sv15-ckpt").toString
     def appendLog(): Unit = {
+      withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
       val q = s.readStream.format("graft-kv")
         .option("catalog", sv15SourceCatalog).option("tombstones", "true").load()
         .writeStream
@@ -583,6 +605,7 @@ object StreamBatch {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      } // withDrainAqe
     }
     writeGen(base, ts = 1000, overwrite = true)
     appendLog()
@@ -658,6 +681,7 @@ object StreamBatch {
         format_string("%012d", col("doc_id"))))
     val stream = s.readStream.format("graft-kv")
       .option("catalog", srcCatalog).option("tombstones", "true").load()
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = stream.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         val changed = df.select(col("doc_id"), col("text"), col("_deleted")).cache()
@@ -710,6 +734,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
   }
 
   def sv12StreamCdcIndex(s: SparkSession, dir: String): DataFrame = {
@@ -820,6 +845,7 @@ object StreamBatch {
     writeGen(base.filter(col("event_id") % 11 === 0)
       .withColumn("value", col("value") + 2000000.0d), ts = 3000, overwrite = false)
     val ckpt = Files.createTempDirectory("graft-sv13-ckpt").toString
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv")
       .option("catalog", sv13SrcCatalog)
       .option("maxRowsPerBatch", "1") // one stamp generation per micro-batch
@@ -836,6 +862,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
     s.read.format("graft-kv").option("catalog", sv13MirCatalog).load()
       .orderBy(col("event_id"))
   }
@@ -1004,6 +1031,7 @@ object StreamBatch {
           "timestamp" -> ts.toString) ++ splits)
         .mode("append").save()
     }
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv")
       .option("catalog", srcCatalog)
       .option("maxRowsPerBatch", "1") // one stamp generation per micro-batch
@@ -1093,6 +1121,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
   }
 
   def sv14StreamIncrNeardup(s: SparkSession, dir: String): DataFrame = {
@@ -1295,6 +1324,7 @@ object StreamBatch {
     val fwdName = graft.catalog.GraftCatalog.parse(fwdCatalog, Map.empty).qualifiedName
     def cellOf(vec: org.apache.spark.sql.Column) =
       element_at(graft.functions.VectorExprs.nearestCentroids(vec, cents, 1), 1)
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv")
       .options(Map("catalog" -> srcCatalog, "annVec" -> sv18AvroVec,
         "tombstones" -> "true"))
@@ -1350,6 +1380,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
   }
 
   def sv18StreamAnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -1500,6 +1531,7 @@ object StreamBatch {
       phaseStamp: Long, n: Int = 5, crashPoint: () => Unit = () => ()): Unit = {
     import graft.store.KvStore
     val mirName = graft.catalog.GraftCatalog.parse(mirCatalog, Map.empty).qualifiedName
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv")
       .option("catalog", srcCatalog).option("tombstones", "true").load()
       .writeStream
@@ -1553,6 +1585,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
   }
 
   def sv19StreamDecontam(s: SparkSession, dir: String): DataFrame = {
@@ -1665,6 +1698,7 @@ object StreamBatch {
       ckpt: String, phaseStamp: Long): Unit = {
     import graft.store.KvStore
     val codesName = graft.catalog.GraftCatalog.parse(codesCatalog, Map.empty).qualifiedName
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv")
       .options(Map("catalog" -> srcCatalog, "annVec" -> sv18AvroVec,
         "tombstones" -> "true")).load()
@@ -1700,6 +1734,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
   }
 
   /** sv20: INCREMENTAL PQ CODE-TABLE MAINTENANCE over CDC — the streaming
@@ -1895,6 +1930,7 @@ object StreamBatch {
     val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val srcOpts = Map("catalog" -> srcCatalog, "tombstones" -> "true") ++
       maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv").options(srcOpts).load()
       .writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -1978,6 +2014,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
     highWrite.get()
   }
 
@@ -2217,6 +2254,7 @@ object StreamBatch {
     val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val srcOpts = Map("catalog" -> srcCatalog, "tombstones" -> "true") ++
       maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv").options(srcOpts).load()
       .writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -2278,6 +2316,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
     highWrite.get()
   }
 
@@ -2554,6 +2593,7 @@ object StreamBatch {
     val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val srcOpts = Map("catalog" -> srcCatalog, "tombstones" -> "true") ++
       maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv").options(srcOpts).load()
       .writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -2628,6 +2668,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
     highWrite.get()
   }
 
@@ -2653,6 +2694,7 @@ object StreamBatch {
     val highWrite = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val srcOpts = Map("catalog" -> srcCatalog, "tombstones" -> "true") ++
       maxRowsPerBatch.map(n => "maxRowsPerBatch" -> n.toString)
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv").options(srcOpts).load()
       .writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -2704,6 +2746,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
     highWrite.get()
   }
 
@@ -3157,6 +3200,7 @@ object StreamBatch {
     val viewName = graft.catalog.GraftCatalog.parse(viewCat, Map.empty).qualifiedName
     val stream = s.readStream.format("graft-kv")
       .option("catalog", srcCat).option("tombstones", "true").load()
+    withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = stream.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         val changed = df.select(col("event_id"), col("user_id"), col("tu"),
@@ -3234,6 +3278,7 @@ object StreamBatch {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } // withDrainAqe
   }
 
   /** sv26: the MAINTAINED transitive closure — q27's session-root view

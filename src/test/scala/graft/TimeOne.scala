@@ -44,6 +44,7 @@ object TimeOne {
         println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(mode))
       }
       val t0 = System.nanoTime()
+      val c0 = Bench.jvmCpuNanos() // cpu-seconds are load-insensitive: the A/B signal this host's noisy wall can't fake
       val n = if (phaseProf) {
         def ms(since: Long) = (System.nanoTime() - since) / 1e6
         val b0 = System.nanoTime(); val df = SparkEntry.queries(name)(spark, sfDir)
@@ -61,7 +62,8 @@ object TimeOne {
         println(f"PHASES $name build=$build%.0fms analyze=$analyze%.0fms plan=$plan%.0fms exec=$exec%.0fms")
         rows
       } else SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val cpuS = (Bench.jvmCpuNanos() - c0) / 1e9
+      println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f cpu=$cpuS%.2f")
       if (stageProf) {
         import scala.jdk.CollectionConverters._
         val top = stages.asScala.toSeq.sortBy(-_._2._2).take(20)
