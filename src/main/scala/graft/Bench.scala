@@ -71,6 +71,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val mainT0 = System.nanoTime() // the self-deadline's clock (see loop)
     // Ambient load: prefer the launcher's own pre-launch sample
     // (SPARK_GRAFT_AMBIENT_LOAD — an sbt-forked JVM cannot observe the
     // machine before sbt itself spiked the 1-minute average), else sample
@@ -154,6 +155,14 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAtEntry
+    // loadHigh: the record itself says "taken on a loaded host" — the trend
+    // script annotates these rounds instead of judges re-timing by hand.
+    // Start load is external by construction (our executors are idle); an
+    // end load far above start means something ran alongside the suite.
+    // loadEnd includes our own final queries' load — only the pre-run
+    // ambient sample is a clean external signal, so the flag keys on it
+    // alone (loadEnd stays in the record as context)
+    val loadHigh = loadStart > 1.5
     // per-rep job counts (listener-fed, async by a few events at most):
     // the instrument that separates scheduling-bound queries (many jobs,
     // low util) from data-bound ones without a profiling session
@@ -163,18 +172,104 @@ object Bench {
         jobsSeen.incrementAndGet(); ()
       }
     })
-    val perRep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeQuery(spark, sfDir, cpus.toInt, fn, reps, () => jobsSeen.get())
+    // INCREMENTAL record + shutdown hook (r14 lesson: two driver runs timed
+    // out and — because the record was emitted only after ALL 169 queries ×
+    // reps finished — yielded ZERO data even though ~160 queries had already
+    // run; PERF marked all 22 headline queries dropped_from_bench). Every
+    // completed query is snapshotted as it finishes; a kill at any point
+    // still produces (a) a parseable full record on disk and (b) the compact
+    // stdout line, printed from the hook, marked "partial":true. Fields are
+    // additions-only; a run that completes normally emits byte-identical
+    // structure to r14 plus the new "partial" flag.
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[Rep])]()
+    val finalPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def snapshot(): Seq[(String, Seq[Rep])] = {
+      val it = done.iterator(); val b = Seq.newBuilder[(String, Seq[Rep])]
+      while (it.hasNext) b += it.next()
+      b.result()
     }
-    val loadEnd = loadavg()
-    // loadHigh: the record itself says "taken on a loaded host" — the trend
-    // script annotates these rounds instead of judges re-timing by hand.
-    // Start load is external by construction (our executors are idle); an
-    // end load far above start means something ran alongside the suite.
-    // loadEnd includes our own final queries' load — only the pre-run
-    // ambient sample is a clean external signal, so the flag keys on it
-    // alone (loadEnd stays in the record as context)
-    val loadHigh = loadStart > 1.5
+    def emit(loadEnd: Double, partial: Boolean, printStdout: Boolean,
+        printStderr: Boolean): Unit =
+      emitRecord(snapshot(), loadEnd, partial, printStdout, printStderr,
+        reps, cpus.toInt, sfDir, calibMs, populate, loadStart, loadHigh,
+        SparkEntry.queries.size)
+    val hook = new Thread(() => {
+      if (finalPrinted.compareAndSet(false, true))
+        // abnormal exit (SIGTERM from a harness timeout): print the partial
+        // compact line to stdout AND stderr — whichever stream the collector
+        // still drains wins
+        try emit(loadavg(), partial = true, printStdout = true, printStderr = true)
+        catch { case _: Throwable => }
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+    // PARENT-DEATH WATCHDOG. The r14 post-mortem's real mechanism: the
+    // driver's `timeout` SIGTERMs the sbt JVM, but sbt does NOT kill its
+    // forked run child (verified by killing sbt mid-bench: the fork
+    // survives, orphaned) — so (a) no signal ever reaches this JVM and the
+    // shutdown hook is useless against a harness timeout, and (b) the
+    // orphan grinds on at full width, polluting every subsequent harness
+    // step (plausibly r14's "3x load bursts"). The fork inherits sbt's
+    // stdout fd (run/outputStrategy := StdoutOutput), so printing here
+    // still lands in the harness's captured log after sbt is gone: watch
+    // the parent, and on its death emit the partial record and halt.
+    val parent = ProcessHandle.current().parent()
+    if (parent.isPresent) {
+      val watchdog = new Thread(() => {
+        while (parent.get().isAlive) Thread.sleep(500)
+        if (finalPrinted.compareAndSet(false, true)) {
+          try emit(loadavg(), partial = true, printStdout = true, printStderr = true)
+          catch { case _: Throwable => }
+        }
+        Runtime.getRuntime.halt(143) // no orphaned 32-core grind left behind
+      })
+      watchdog.setDaemon(true)
+      watchdog.setName("graft-bench-parent-watchdog")
+      watchdog.start()
+    }
+    // SELF-DEADLINE: the complement of the watchdog. A harness timeout
+    // closes our stdout pipe with sbt, so nothing printed after the kill
+    // can reach the captured log — the only way to get a record out of a
+    // too-slow run is to finish BEFORE the window does. r14's tail shows
+    // the driver run was still grinding ≥26 min in when killed; a healthy
+    // full run is ~8-12 min on this host. So: past 70% of the deadline each
+    // remaining query runs 1 rep instead of `reps` (its query_reps array
+    // says so — a cold single rep can only OVERstate a query, never fake a
+    // speedup); past the deadline the loop stops and the record goes out
+    // partial with whatever finished. Both events are loud in the record
+    // ("reps_shed", "deadline_stop", "partial").
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1500").toDouble
+    def elapsedSec: Double = (System.nanoTime() - mainT0) / 1e9
+    var stoppedEarly = false
+    val queryIt = SparkEntry.queries.toSeq.sortBy(_._1).iterator
+    while (queryIt.hasNext && !stoppedEarly) {
+      val (name, fn) = queryIt.next()
+      if (elapsedSec > deadlineSec) stoppedEarly = true
+      else {
+        val repsHere = if (elapsedSec > 0.7 * deadlineSec) { repsShed += 1; 1 } else reps
+        done.add(name -> timeQuery(spark, sfDir, cpus.toInt, fn, repsHere, () => jobsSeen.get()))
+        // flush the full record to disk after every query: a SIGKILL (no
+        // hooks run) still leaves everything up to the previous query on disk
+        try emit(loadavg(), partial = true, printStdout = false, printStderr = false)
+        catch { case _: Throwable => }
+      }
+    }
+    deadlineStop = stoppedEarly
+    if (finalPrinted.compareAndSet(false, true)) {
+      emit(loadavg(), partial = stoppedEarly, printStdout = true, printStderr = false)
+      try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => }
+    }
+    spark.stop()
+  }
+
+  /** Build + persist the full record and (optionally) print the compact
+    * stdout line from whatever queries have completed so far. Called after
+    * every query (file flush only), at normal completion (stdout), and from
+    * the shutdown hook (stdout + stderr, partial=true). */
+  private def emitRecord(perRep: Seq[(String, Seq[Rep])], loadEnd: Double,
+      partial: Boolean, printStdout: Boolean, printStderr: Boolean,
+      reps: Int, cpus: Int, sfDir: String, calibMs: Double,
+      populate: Map[String, Double], loadStart: Double, loadHigh: Boolean,
+      nDeclared: Int): Unit = {
     // ANY failed rep taints its query out of `queries`/the total: a broken
     // query must read as broken (query_err), never as a fast time — the
     // r12 q27 lesson. rows per rep ride along for the same reason.
@@ -215,7 +310,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val populateTotal = populate.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"query_rows":$rowsObj,"query_jobs":$jobsObj,"query_err":$errObj,"tainted":${queryErrs.size},"loadHigh":$loadHigh,"calib_ms":$calibMs,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"query_reps":$repsObj,"query_cpu_util":$utilObj,"query_rows":$rowsObj,"query_jobs":$jobsObj,"query_err":$errObj,"tainted":${queryErrs.size},"partial":$partial,"queries_declared":$nDeclared,"reps_shed":$repsShed,"deadline_stop":$deadlineStop,"loadHigh":$loadHigh,"calib_ms":$calibMs,"populate":${obj(populate)},"populate_total":$populateTotal,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     // Persist the FULL record to a file: the per-query/per-rep map for
     // 150+ queries is ~15 KB and the harness that collects stdout keeps
     // only the last 2000 characters. The CANONICAL round record
@@ -228,7 +323,9 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
       val stamp = String.format(java.util.Locale.ROOT,
         "calib%.0f_load%s", Double.box(calibMs), if (loadHigh) "high" else "ok")
-      s"/tmp/graft_bench_${stamp}_${System.currentTimeMillis() / 1000}.json"
+      // runStamp (fixed per JVM), not currentTimeMillis: incremental flushes
+      // must overwrite ONE file per run, not scatter 169 of them
+      s"/tmp/graft_bench_${stamp}_$runStamp.json"
     })
     // track write success: the compact stdout line must not point readers
     // at a stale or missing record when this write throws
@@ -258,8 +355,13 @@ object Bench {
     val taintedNames = // a tainted run must be loud in the 2000-char window
       if (queryErrs.isEmpty) ""
       else s""","tainted_queries":${queryErrs.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headObj,"queries_total":${results.size},"tainted":${queryErrs.size}$taintedNames,"queries_file":$queriesFile,"populate_total":${num(populateTotal)},"reps":$reps,"loadHigh":$loadHigh,"calib_ms":${num(calibMs)},"loadavg_start":$loadStart,"sf":"$sfDir"}"""
-    println(compact)
-    spark.stop()
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headObj,"queries_total":${results.size},"tainted":${queryErrs.size}$taintedNames,"partial":$partial,"queries_declared":$nDeclared,"reps_shed":$repsShed,"deadline_stop":$deadlineStop,"queries_file":$queriesFile,"populate_total":${num(populateTotal)},"reps":$reps,"loadHigh":$loadHigh,"calib_ms":${num(calibMs)},"loadavg_start":$loadStart,"sf":"$sfDir"}"""
+    if (printStdout) { println(compact); System.out.flush() }
+    if (printStderr) { System.err.println(compact); System.err.flush() }
   }
+
+  private lazy val runStamp: Long = System.currentTimeMillis() / 1000
+  // self-deadline state, surfaced in every record (additions-only fields)
+  @volatile private var repsShed: Int = 0
+  @volatile private var deadlineStop: Boolean = false
 }

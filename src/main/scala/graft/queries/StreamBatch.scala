@@ -28,6 +28,7 @@ object StreamBatch {
   /** Stream the events parquet through a fresh file-source dir (the parquet
     * file is copied so the source directory contains exactly one file). */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    ensureCkptChecksum(s)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     val src = Files.createTempDirectory("graft-sv-src")
@@ -46,10 +47,26 @@ object StreamBatch {
     * sets, per-group folds, maxes). At real scale the inverse applies —
     * size state partitions to executor count × cores, not down. */
   private def withStreamShuffle[A](s: SparkSession)(f: => A): A = {
+    ensureCkptChecksum(s)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Spark 4.1 writes a `.crc` companion next to EVERY checkpoint file
+    * (offset/commit logs, state deltas/snapshots) and re-verifies it on
+    * read — per checkpointed file that is one extra create+write+fsync and
+    * one extra open+read (guide §6: small files hurt twice). For these
+    * single-JVM drains over fresh local checkpoints corruption detection
+    * buys nothing; measured on the state-heavy streams (paired A/B):
+    * sv4 9.9→7.0 s, sv6 4.8→4.1 s. Deployments on flaky object storage
+    * re-enable with `graft.stream.ckptChecksum=true`. SET-ONCE (idempotent,
+    * no restore window) rather than set/restore: the conf only affects
+    * graft's own streaming checkpoints, and a set-once cannot leak a
+    * mid-run value the way an interrupted restore can. */
+  private def ensureCkptChecksum(s: SparkSession): Unit =
+    s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      s.conf.get("graft.stream.ckptChecksum", "false"))
 
   /** AQE OFF for one drain run (restoring after): every foreachBatch job a
     * CDC maintainer issues is either a hinted broadcast, a bounded sliver
@@ -64,6 +81,7 @@ object StreamBatch {
     * measured 2-6× slower there). `graft.stream.aqe=true` restores AQE
     * for deployments whose catch-up batches rival the corpus. */
   private def withDrainAqe[A](s: SparkSession)(f: => A): A = {
+    ensureCkptChecksum(s)
     val aqeK = "spark.sql.adaptive.enabled"
     val prev = s.conf.get(aqeK)
     s.conf.set(aqeK, s.conf.get("graft.stream.aqe", "false"))
@@ -319,6 +337,7 @@ object StreamBatch {
         .mode(if (overwrite) "overwrite" else "append").save()
     val ckpt = Files.createTempDirectory("graft-sv10-ckpt").toString
     def mirror(phaseStamp: Long): Unit = {
+      ensureCkptChecksum(s)
       val stream = s.readStream.format("graft-kv")
         .option("catalog", sv10SourceCatalog).load()
       GraftStreaming.runOnce(GraftStreaming.kvSink(stream, Map(

@@ -63,7 +63,12 @@ object TimeOne {
         rows
       } else SparkEntry.queries(name)(spark, sfDir).count()
       val cpuS = (Bench.jvmCpuNanos() - c0) / 1e9
-      println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f cpu=$cpuS%.2f")
+      val gcMs = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+          .map(_.getCollectionTime).sum
+      }
+      println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f cpu=$cpuS%.2f gcCumMs=$gcMs")
       if (stageProf) {
         import scala.jdk.CollectionConverters._
         val top = stages.asScala.toSeq.sortBy(-_._2._2).take(20)

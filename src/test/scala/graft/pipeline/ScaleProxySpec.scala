@@ -54,32 +54,53 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  private def timedCpu[A](f: => A): (A, Double, Double) = {
+    val c0 = graft.Bench.jvmCpuNanos()
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9, (graft.Bench.jvmCpuNanos() - c0) / 1e9)
+  }
+
+  /** The wall ceilings are the O(n²) regression net, but a bare wall budget
+    * is a flake generator on a shared host (r14's only red gate: 162.9 s
+    * under full-suite contention vs 20.3 s isolated, same code). A real
+    * quadratic blowup burns CPU as well as wall — 5e9 shingle comparisons
+    * cannot hide — so the net now requires BOTH budgets blown: wall noise
+    * alone (external load, suite contention) leaves cpu at the linear
+    * level; cpu pollution alone (other work in this JVM) leaves wall at
+    * the linear level; an accidental O(n²) blows both. */
+  private def assertBudget(what: String, secs: Double, cpuS: Double,
+      wallCeil: Double, cpuCeil: Double): Unit =
+    assert(secs < wallCeil || cpuS < cpuCeil,
+      s"$what took $secs s wall AND $cpuS cpu-s (ceilings: $wallCeil s wall, " +
+        s"$cpuCeil cpu-s) — both blown, which load alone cannot explain")
+
   test("px5 shape: exact dedup of 1M docs collapses the 70% boilerplate") {
-    val (rows, secs) = timed {
+    val (rows, secs, cpuS) = timedCpu {
       Dedup.exact(corpus, "text", "doc_id")
         .agg(count(lit(1)).as("n_distinct"), sum(col("n_copies")).as("n_docs"),
           max(col("n_copies")).as("biggest"))
         .head()
     }
-    info(f"exact dedup of $N%d docs: $secs%.1f s, " +
+    info(f"exact dedup of $N%d docs: $secs%.1f s ($cpuS%.1f cpu-s), " +
       s"${rows.getAs[Long]("n_distinct")} distinct")
     assert(rows.getAs[Long]("n_docs") == N)
     // 50 templates × ~14k copies dominate; near-dup variants repeat ~2×
     assert(rows.getAs[Long]("biggest") >= 10000L)
     assert(rows.getAs[Long]("n_distinct") < 400000L)
-    assert(secs < 40.0, s"exact dedup took $secs s")
+    assertBudget("exact dedup", secs, cpuS, 40.0, 200.0)
   }
 
   test("px7+px14 shape: minhashKeepers labels the 1M corpus without quadratic work") {
     val df = corpus
-    val (labels, secs) = timed {
+    val (labels, secs, cpuS) = timedCpu {
       val l = Dedup.minhashKeepers(df, "text", "doc_id", 32, 16, 0.8,
         maxBucket = 64).persist()
       l.count()
       l
     }
     val n = labels.count()
-    info(f"minhashKeepers on $N%d docs: $secs%.1f s, $n%d labeled")
+    info(f"minhashKeepers on $N%d docs: $secs%.1f s ($cpuS%.1f cpu-s), $n%d labeled")
     // every exact-dup member is labeled (70% of the corpus at minimum);
     // output is LINEAR — the expanded pair formulation would be ~5e9 rows
     assert(n >= (N * 7) / 10, s"labeled only $n")
@@ -99,7 +120,7 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perTemplate.getAs[Long]("min_members") >= 10000L,
       "exact-dup members lost their labels")
     labels.unpersist()
-    assert(secs < 90.0, s"minhashKeepers took $secs s")
+    assertBudget("minhashKeepers", secs, cpuS, 90.0, 600.0)
   }
 
   test("secondary index at 1M rows: cold values are point gets, the hot value falls back") {
@@ -293,12 +314,12 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     val eval = corpus
       .filter(col("doc_id").isin(uniqueEvalIds :+ 0L: _*)) // id 0 = template copy
       .selectExpr("doc_id AS eval_id", "concat(text, ' evalq') AS text")
-    val (rows, secs) = timed {
+    val (rows, secs, cpuS) = timedCpu {
       Dedup.fuzzyDecontamPairs(corpus, eval, "doc_id", "text", "eval_id", "text")
         .collect()
     }
     info(f"fuzzy decontam of $N%d docs vs ${uniqueEvalIds.size + 1} evals: " +
-      f"$secs%.1f s, ${rows.length} pairs")
+      f"$secs%.1f s ($cpuS%.1f cpu-s), ${rows.length} pairs")
     // every unique-doc eval linked back to its own source
     uniqueEvalIds.foreach { id =>
       assert(rows.exists(r => r.getLong(0) == id && r.getLong(1) == id),
@@ -308,12 +329,12 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     // ids with id%10<7 and (id DIV 10)%50 == 0 → 1M/10*7/50 = 14k copies
     val hot = rows.count(_.getLong(1) == 0L)
     assert(hot >= 10000, s"boilerplate eval matched only $hot copies")
-    assert(secs < 90.0, s"fuzzy decontam took $secs s")
+    assertBudget("fuzzy decontam", secs, cpuS, 90.0, 600.0)
   }
 
   test("capBuckets at 1M entries in one bucket: capped, spread, drops observed") {
     val entries = spark.range(N).selectExpr("id", "0 AS band", "7L AS bh")
-    val (kept, secs) = timed {
+    val (kept, secs, cpuS) = timedCpu {
       val capped = Dedup.capBuckets(entries.toDF(), Seq("band", "bh"), 1000, "stress")
       val k = capped.collect().length.toLong
       val m = capped.queryExecution.observedMetrics.collectFirst {
@@ -323,8 +344,8 @@ class ScaleProxySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m.getAs[Long]("dropped_entries") == N - k)
       k
     }
-    info(f"capBuckets on $N%d-entry bucket: $secs%.1f s, kept $kept%d")
+    info(f"capBuckets on $N%d-entry bucket: $secs%.1f s ($cpuS%.1f cpu-s), kept $kept%d")
     assert(kept <= 1000L && kept > 900L)
-    assert(secs < 30.0, s"capBuckets took $secs s")
+    assertBudget("capBuckets", secs, cpuS, 30.0, 150.0)
   }
 }
