@@ -657,11 +657,41 @@ object Relational {
     // across calls). At cluster scale the same reasoning holds: the
     // per-iteration driver fixed cost dominates regardless of data volume,
     // and the one corpus-sized join (events ⋈ comp) is uniform-keyed.
+    // SINGLE-THREADED SESSION CONTRACT (same as StreamBatch.withDrainAqe):
+    // this set/restore mutates session-global conf; bench/verify run
+    // queries sequentially on one session. Restore via getOption/unset so
+    // a previously-unset conf stays unset.
+    //
+    // Shuffle width for the WHOLE recursion execution is derived from the
+    // input (guide §2, scale-adaptive partitioning), capped at the session
+    // value: Spark's UnionLoopExec round-robin-repartitions EVERY
+    // iteration's result to spark.sql.shuffle.partitions (keyless
+    // repartition — it also pays sortBeforeRepartition), so a 32-wide
+    // session constant made each of the 17 iterations a 32-task shuffle
+    // of a wave-sized frontier. At cluster scale the cap keeps today's
+    // width; locally the derived width is 2-3.
     val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = s.conf.get(aqeKey)
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevAqe = s.conf.getOption(aqeKey)
+    val prevShuf = s.conf.getOption(shufKey)
+    val nEvents = Tables.events(s, dir).count() // parquet metadata-only
+    val perPart = s.conf.get("graft.q27.rowsPerPartition", "50000").toLong
+    val sessParts = s.conf.get(shufKey).toInt
+    val nParts = math.max(1L, math.min(sessParts.toLong,
+      (nEvents + perPart - 1) / perPart)).toInt
     s.conf.set(aqeKey, "false")
+    s.conf.set(shufKey, nParts.toString)
     try q27Recursion(s, dir).localCheckpoint(true)
-    finally s.conf.set(aqeKey, prevAqe)
+    finally {
+      prevAqe match {
+        case Some(v) => s.conf.set(aqeKey, v)
+        case None => s.conf.unset(aqeKey)
+      }
+      prevShuf match {
+        case Some(v) => s.conf.set(shufKey, v)
+        case None => s.conf.unset(shufKey)
+      }
+    }
   }
 
   /** The lazy recursive-CTE frame (plan-audited: native UnionLoop, broadcast
@@ -679,7 +709,24 @@ object Relational {
     // from parquet on every invocation — nothing survives the call. At
     // cluster scale the same one-pass materialization holds (checkpoint to
     // reliable storage instead of executor blocks).
-    val edges = s.sql("""
+    // SIZE the edge materialization's partitioning from the INPUT, not the
+    // session constant (guide §2: scale-adaptive partitioning): every one
+    // of the loop's 17 iterations inherits the checkpointed frame's
+    // partition count, so a 32-partition edge table costs 17 × 32 task
+    // launches for wave-sized frontiers (measured: ~250-490 ms/iteration
+    // stage at sf0.1, all scheduling). Events count is a parquet
+    // metadata-only job; edges ≤ events by construction (≤ one lag edge
+    // per event). The width caps at the session's shuffle partitions, so
+    // at cluster scale this is exactly today's behavior.
+    val nEvents = Tables.events(s, dir).count()
+    val perPart = s.conf.get("graft.q27.rowsPerPartition", "50000").toLong
+    val sessParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val nParts = math.max(1L, math.min(sessParts.toLong,
+      (nEvents + perPart - 1) / perPart)).toInt
+    val shufK = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufK)
+    s.conf.set(shufK, nParts.toString)
+    val edges = try s.sql("""
       WITH ev AS (
         SELECT event_id, user_id, unix_seconds(ts) AS tu FROM events_q27),
       e AS (SELECT event_id AS a,
@@ -688,24 +735,34 @@ object Relational {
             FROM ev)
       SELECT a, b FROM e WHERE b IS NOT NULL AND gap <= 43200""")
       .localCheckpoint(true)
+    finally s.conf.set(shufK, prevShuf)
     edges.createOrReplaceTempView("q27_edges")
     // The checkpointed frame is a LogicalRDD with NO size stats (leaf
     // default = defaultSizeInBytes), so auto-broadcast can never pick it:
-    // hint BOTH edge-side joins explicitly. Session chains are bounded
-    // (an edge per same-session event pair), so the edge side stays the
-    // broadcastable one — the PlanAuditSpec q27 case pins this shape
-    // (a stats flip to SortMergeJoin would re-shuffle per iteration).
-    s.sql("""
+    // hint BOTH edge-side joins explicitly — but GATE the hint on the
+    // MEASURED edge count (cheap: counting the materialized checkpoint),
+    // because the edge table scales with the events corpus, not with chain
+    // depth: at 100 TB an unconditional hint would force a corpus-sized
+    // broadcast (driver/executor OOM); above the ceiling the joins fall
+    // back to unhinted planning (SMJ), trading the per-iteration shuffle
+    // for not OOMing. The PlanAuditSpec q27 case pins the broadcast shape
+    // at test scale (far below the ceiling).
+    val nEdges = edges.count()
+    val bcastMax = s.conf.get("graft.q27.broadcastMaxRows", "20000000").toLong
+    val (h1, h2) =
+      if (nEdges <= bcastMax) ("/*+ BROADCAST(e2) */", "/*+ BROADCAST(h) */")
+      else ("", "")
+    s.sql(s"""
       WITH RECURSIVE reach(a, root) AS (
         SELECT a, b FROM q27_edges
         UNION ALL
-        SELECT /*+ BROADCAST(e2) */ r.a, e2.b
+        SELECT $h1 r.a, e2.b
         FROM reach r JOIN q27_edges e2 ON r.root = e2.a),
       comp AS (
         -- the session root is the reachable ancestor with NO predecessor
         -- edge of its own (the chain HEAD) — not min(event_id), which
         -- would be wrong wherever ids are not time-ordered within a user
-        SELECT /*+ BROADCAST(h) */ r.a, r.root FROM reach r
+        SELECT $h2 r.a, r.root FROM reach r
         LEFT JOIN q27_edges h ON r.root = h.a WHERE h.a IS NULL)
       SELECT ev.event_id, coalesce(c.root, ev.event_id) AS session_root
       FROM (SELECT event_id FROM events_q27) ev

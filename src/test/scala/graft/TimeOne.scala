@@ -30,6 +30,26 @@ object TimeOne {
           stages.put(i.stageId, (i.name.takeWhile(_ != '\n').take(90), ms, i.numTasks))
         }
       })
+    // GRAFT_JOB_PROF: per-job wall + the driver "think gap" before each job
+    // (time since the previous job ended) — attributes the between-stages
+    // wall that stage times can't see to the call site that launched the
+    // NEXT job (planning/codegen/checkpoint IO all land in the gap).
+    val jobProf = sys.env.contains("GRAFT_JOB_PROF")
+    case class JobRec(id: Int, site: String, start: Long, var end: Long)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    if (jobProf) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          jobs.put(e.jobId, JobRec(e.jobId, site, e.time, e.time))
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobs.get(e.jobId)).foreach(_.end = e.time)
+        }
+      })
     // GRAFT_PHASE_PROF: split one invocation's wall into driver-side phases
     // (registry+construction / analysis / physical planning / execution) to
     // attribute fixed per-query overhead that stage times can't see
@@ -74,6 +94,23 @@ object TimeOne {
         val top = stages.asScala.toSeq.sortBy(-_._2._2).take(20)
         top.foreach { case (id, (nm, ms, nt)) => println(f"STAGE $ms%6dms tasks=$nt%-3d #$id $nm") }
         println(f"STAGECOUNT ${stages.size()} totalMs=${stages.asScala.values.map(_._2).sum}")
+      }
+      if (jobProf) {
+        import scala.jdk.CollectionConverters._
+        val recs = jobs.asScala.values.toSeq.sortBy(_.start)
+        val gaps = recs.sliding(2).collect {
+          case Seq(a, b) => (b.start - a.end, b.site)
+        }.toSeq
+        val jobMs = recs.map(r => r.end - r.start)
+        println(f"JOBPROF n=${recs.size} jobMs=${jobMs.sum} gapMs=${gaps.map(_._1).sum}")
+        // top gaps individually, and gap totals grouped by next-job site
+        gaps.sortBy(-_._1).take(12).foreach { case (g, s) => println(f"GAP   $g%6dms -> $s") }
+        gaps.groupBy(_._2).map { case (s, g) => (g.map(_._1).sum, g.size, s) }
+          .toSeq.sortBy(-_._1).take(15)
+          .foreach { case (tot, n, s) => println(f"GAPSITE $tot%6dms n=$n%-3d $s") }
+        recs.sortBy(r => r.start - r.end).take(8).foreach { r =>
+          println(f"JOB   ${r.end - r.start}%6dms #${r.id} ${r.site}") }
+        jobs.clear()
       }
     }
     spark.stop()
