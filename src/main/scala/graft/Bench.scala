@@ -95,6 +95,15 @@ object Bench {
       // coalescing is required to respect, so the fix is local to the
       // queries that need it.
       .config("spark.ui.enabled", "false")
+      // The suite runs 169 queries x 2-3 reps through ONE session; the
+      // default 100-entry whole-stage-codegen cache thrashes (each query
+      // has ~10-60 codegen stages), so rep 2 re-pays Janino compilation
+      // for every stage. 4000 entries covers the whole suite (generated
+      // classes are a few KB each — tens of MB of driver memory, scale-
+      // independent). useIdInClassName=false keeps identical plan
+      // subtrees' sources byte-identical so they share one entry.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .withExtensions(new GraftExtensions) // the spark.sql.extensions path
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

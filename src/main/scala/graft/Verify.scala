@@ -18,6 +18,10 @@ object Verify {
       // repartition in Dedup.minhashRepPairs instead.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codegen-cache sizing: same rationale as Bench.scala (169 queries
+      // through one session vs the 100-entry default cache)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .withExtensions(new GraftExtensions) // the spark.sql.extensions path
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

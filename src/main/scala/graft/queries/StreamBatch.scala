@@ -25,13 +25,38 @@ import graft.streaming.GraftStreaming
   */
 object StreamBatch {
 
+  /** Ephemeral per-invocation working dirs (streaming checkpoints, file
+    * sources, CDC log dirs): every sv query creates a FRESH one per call
+    * and abandons it at the end — the durability a persistent checkpoint
+    * buys is out of scope by construction (a re-run re-creates the world,
+    * and the crash/replay specs exercise torn state through the kv store's
+    * own stamps, not the checkpoint). On this host they landed on ext4
+    * /tmp, so every offset/commit-log and state-store delta write paid
+    * create+fsync+rename against a real disk (guide §6: small files hurt
+    * twice; a drain suite writes dozens of them). Default to RAM-backed
+    * /dev/shm when present; `graft.stream.tmpBase` overrides for
+    * deployments that want durable checkpoints (i.e. streams that OUTLIVE
+    * the process — at cluster scale point this at reliable storage). */
+  private def tempWorkDir(s: SparkSession, prefix: String): java.nio.file.Path = {
+    val base = s.conf.getOption("graft.stream.tmpBase").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) Some("/dev/shm")
+      else None
+    }
+    base match {
+      case Some(b) => Files.createTempDirectory(
+        java.nio.file.Paths.get(b), prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
+  }
+
   /** Stream the events parquet through a fresh file-source dir (the parquet
     * file is copied so the source directory contains exactly one file). */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     ensureCkptChecksum(s)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    val src = Files.createTempDirectory("graft-sv-src")
+    val src = tempWorkDir(s, "graft-sv-src")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       src.resolve("events.parquet"))
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -90,7 +115,12 @@ object StreamBatch {
 
   private def runToMemory(df: DataFrame, name: String, mode: String): Unit =
     withStreamShuffle(df.sparkSession) {
+      // explicit RAM-backed checkpoint (see tempWorkDir) — without it the
+      // engine creates an implicit one under java.io.tmpdir (ext4 here),
+      // paying disk fsyncs for offset/commit/state files per micro-batch
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .option("checkpointLocation",
+          tempWorkDir(df.sparkSession, s"graft-$name-ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
@@ -335,7 +365,7 @@ object StreamBatch {
           "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    val ckpt = Files.createTempDirectory("graft-sv10-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv10-ckpt").toString
     def mirror(phaseStamp: Long): Unit = {
       ensureCkptChecksum(s)
       val stream = s.readStream.format("graft-kv")
@@ -411,7 +441,7 @@ object StreamBatch {
           "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    val ckpt = Files.createTempDirectory("graft-sv11-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv11-ckpt").toString
     def mirrorApply(phaseStamp: Long): Unit = {
       val stream = s.readStream.format("graft-kv")
         .option("catalog", sv11SourceCatalog).option("tombstones", "true").load()
@@ -548,8 +578,8 @@ object StreamBatch {
           "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    val sink = Files.createTempDirectory("graft-sv17-sink").toString
-    val ckpt = Files.createTempDirectory("graft-sv17-ckpt").toString
+    val sink = tempWorkDir(s, "graft-sv17-sink").toString
+    val ckpt = tempWorkDir(s, "graft-sv17-ckpt").toString
     def drain(): Unit = withStreamShuffle(s) {
       // tombstones=true surfaces `_cell_ts` as a real column — the CDC
       // stamp mixtureDeltaStream uses to apply versions newest-wins,
@@ -611,8 +641,8 @@ object StreamBatch {
           "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    val logDir = Files.createTempDirectory("graft-sv15-log").toString
-    val ckpt = Files.createTempDirectory("graft-sv15-ckpt").toString
+    val logDir = tempWorkDir(s, "graft-sv15-log").toString
+    val ckpt = tempWorkDir(s, "graft-sv15-ckpt").toString
     def appendLog(): Unit = {
       withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
       val q = s.readStream.format("graft-kv")
@@ -771,7 +801,7 @@ object StreamBatch {
           "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    val ckpt = Files.createTempDirectory("graft-sv12-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv12-ckpt").toString
     def applyBatch(phaseStamp: Long): Unit =
       maintainCdcIndex(s, sv12SrcCatalog, sv12FwdCatalog, sv12IdxCatalog,
         maxId, ckpt, phaseStamp)
@@ -863,7 +893,7 @@ object StreamBatch {
       .withColumn("value", col("value") + 1000000.0d), ts = 2000, overwrite = false)
     writeGen(base.filter(col("event_id") % 11 === 0)
       .withColumn("value", col("value") + 2000000.0d), ts = 3000, overwrite = false)
-    val ckpt = Files.createTempDirectory("graft-sv13-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv13-ckpt").toString
     withDrainAqe(s) { // per-batch jobs are broadcasts/slivers: AQE only re-plans (see helper)
     val q = s.readStream.format("graft-kv")
       .option("catalog", sv13SrcCatalog)
@@ -1176,7 +1206,7 @@ object StreamBatch {
       lit(0L).as("bh"), lit(0L).as("doc_id")), sv14IdxCatalog)
     kvInit(s.range(0).select(lit("").as("pk"), lit(0L).as("id_a"),
       lit(0L).as("id_b"), lit(0.0d).as("jaccard")), sv14PairsCatalog)
-    val ckpt = Files.createTempDirectory("graft-sv14-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv14-ckpt").toString
     maintainNearDupIndex(s, sv14SrcCatalog, sv14FwdCatalog, sv14IdxCatalog,
       sv14PairsCatalog, maxId, ckpt)
     s.read.format("graft-kv").option("catalog", sv14PairsCatalog).load()
@@ -1425,7 +1455,7 @@ object StreamBatch {
           "newtable" -> "4", "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    val ckpt = Files.createTempDirectory("graft-sv18-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv18-ckpt").toString
     def applyBatch(phaseStamp: Long): Unit =
       maintainAnnIndex(s, sv18SrcCatalog, sv18FwdCatalog, sv18IdxCatalog,
         cents, maxId, ckpt, phaseStamp)
@@ -1626,7 +1656,7 @@ object StreamBatch {
           "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    val ckpt = Files.createTempDirectory("graft-sv19-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv19-ckpt").toString
     def applyBatch(phaseStamp: Long): Unit =
       maintainContamMirror(s, sv19SrcCatalog, sv19MirCatalog, evalG,
         maxId, ckpt, phaseStamp)
@@ -1790,7 +1820,7 @@ object StreamBatch {
           "newtable" -> "4", "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    val ckpt = Files.createTempDirectory("graft-sv20-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv20-ckpt").toString
     def drain(phaseStamp: Long): Unit =
       maintainPqCodes(s, sv20SrcCatalog, sv20CodesCatalog, books, maxId,
         ckpt, phaseStamp)
@@ -2157,7 +2187,7 @@ object StreamBatch {
         "maxVersions" -> "2", "timestamp" -> "1",
         "minSplit" -> "0", "maxSplit" -> "z"))
       .mode("append").save()
-    val ckpt = Files.createTempDirectory("graft-sv21-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv21-ckpt").toString
     // the compaction fence derives from the drain schedule: each drain
     // returns the highest stamp it wrote (per-batch stamps, see
     // maintainBigramCounts), and everything at or below the last returned
@@ -2381,7 +2411,7 @@ object StreamBatch {
         "maxVersions" -> "2", "timestamp" -> "1", "minSplitNum" -> "0",
         "maxSplitNum" -> (shards - 1).toString))
       .mode("append").save()
-    val ckpt = Files.createTempDirectory("graft-sv22-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv22-ckpt").toString
     var committedWrite = 0L
     def drain(): Unit = {
       val w = maintainShardManifest(s, sv22SrcCatalog, sv22ManifestCatalog,
@@ -2895,8 +2925,8 @@ object StreamBatch {
           "minSplit" -> "0", "maxSplit" -> "z"))
         .mode("append").save()
     }
-    val ckptO = Files.createTempDirectory("graft-jv-ord-ckpt").toString
-    val ckptC = Files.createTempDirectory("graft-jv-cust-ckpt").toString
+    val ckptO = tempWorkDir(s, "graft-jv-ord-ckpt").toString
+    val ckptC = tempWorkDir(s, "graft-jv-cust-ckpt").toString
     // the coordinator's epoch contract: each drain (either stream) gets a
     // monotone base; a replayed drain re-runs with ITS base
     var nextBase = 0L
@@ -3115,7 +3145,7 @@ object StreamBatch {
           "newtable" -> "4", "timestamp" -> ts.toString,
           "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
         .mode(if (overwrite) "overwrite" else "append").save()
-    val ckpt = Files.createTempDirectory("graft-sv25-ckpt").toString
+    val ckpt = tempWorkDir(s, "graft-sv25-ckpt").toString
     def applyBatch(phaseStamp: Long): Unit =
       maintainIvfPqIndex(s, sv25SrcCatalog, sv25FwdCatalog, sv25CodesCatalog,
         cents, books, maxId, ckpt, phaseStamp)
@@ -3329,7 +3359,7 @@ object StreamBatch {
             "timestamp" -> ts.toString,
             "minSplitNum" -> "0", "maxSplitNum" -> maxId.toString))
           .mode(if (overwrite) "overwrite" else "append").save()
-      val ckpt = Files.createTempDirectory("graft-sv26-ckpt").toString
+      val ckpt = tempWorkDir(s, "graft-sv26-ckpt").toString
       def drain(stamp: Long): Unit = maintainSessionRoots(s, sv26SrcCatalog,
         sv26FwdCatalog, sv26ViewCatalog, ckpt, stamp)
       // fresh run every invocation

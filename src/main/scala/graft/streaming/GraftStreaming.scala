@@ -31,8 +31,18 @@ object GraftStreaming {
     // caller passing "checkpointlocation" would have their durable
     // checkpoint silently shadowed by the throwaway temp dir
     if (options.keys.exists(_.equalsIgnoreCase("checkpointLocation"))) w
-    else w.option("checkpointLocation",
-      java.nio.file.Files.createTempDirectory("graft-kv-sink-ckpt").toString)
+    else {
+      // throwaway checkpoint: RAM-backed when /dev/shm exists (ext4 /tmp
+      // pays create+fsync+rename per offset/commit file) — callers that
+      // need durable restart/recovery pass their own checkpointLocation
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val base =
+        if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft-kv-sink-ckpt")
+        else java.nio.file.Files.createTempDirectory("graft-kv-sink-ckpt")
+      w.option("checkpointLocation", base.toString)
+    }
   }
 
   /** Watermarked 5-minute tumbling-window count/sum per event type —

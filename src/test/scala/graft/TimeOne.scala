@@ -11,6 +11,8 @@ object TimeOne {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4000") // parity with Bench
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .withExtensions(new GraftExtensions) // parity with Verify/Bench
     // ad-hoc conf overrides for profiling experiments: GRAFT_CONF="k=v;k=v"
     sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
