@@ -1670,6 +1670,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
   }
 
+  test("a THROWING drain restores the session's AQE conf (withDrainAqe finally)") {
+    // The maintainers mutate session-global conf (AQE off) around each
+    // drain under a single-threaded-session contract; the restore lives in
+    // a finally. Pin it: a drain that dies mid-batch (the negative-count
+    // refusal) must leave spark.sql.adaptive.enabled exactly as it found
+    // it, not leaked off for whatever runs next on the session.
+    import graft.queries.StreamBatch
+    val suf = "cres"
+    val srcCat = StreamBatch.sv21SrcCatalog.replace("\"kv_lm_src\"", s""""kv_lm_src_$suf"""")
+    val mirCat = StreamBatch.sv21MirrorCatalog.replace("\"kv_lm_mirror\"", s""""kv_lm_mirror_$suf"""")
+    val cntCat = StreamBatch.sv21CountsCatalog.replace("\"kv_lm_counts\"", s""""kv_lm_counts_$suf"""")
+    Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
+      s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
+    import spark.implicits._
+    Seq((1L, "a b")).toDF("doc_id", "text").write.format("graft-kv")
+      .options(Map("catalog" -> srcCat, "newtable" -> "4",
+        "timestamp" -> "1000", "minSplitNum" -> "0", "maxSplitNum" -> "100"))
+      .mode("append").save()
+    Seq.empty[(Long, String)].toDF("doc_id", "text").write.format("graft-kv")
+      .options(Map("catalog" -> mirCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
+        "minSplitNum" -> "0", "maxSplitNum" -> "100")).mode("append").save()
+    // PRE-corrupted counts: the very first batch's "a b" increment merges
+    // against an out-of-band -5 and the raise_error guard kills the drain
+    spark.range(0).select(lit("").as("gram"), lit("").as("w1"),
+        lit("").as("w2"), lit(0L).as("cnt"))
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cntCat, "newtable" -> "4", "maxVersions" -> "2",
+        "timestamp" -> "1",
+        "minSplit" -> "0", "maxSplit" -> "z")).mode("append").save()
+    Seq(("a b", "a", "b", -5L)).toDF("gram", "w1", "w2", "cnt")
+      .write.format("graft-kv")
+      .options(Map("catalog" -> cntCat, "maxVersions" -> "2", "timestamp" -> "5"))
+      .mode("append").save()
+    val ckpt = Files.createTempDirectory("graft-cres-ckpt").toString
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    intercept[Throwable] {
+      StreamBatch.maintainBigramCounts(spark, srcCat, mirCat, cntCat,
+        maxId = 100L, ckpt)
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore,
+      "a throwing drain must restore spark.sql.adaptive.enabled")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == shufBefore,
+      "a throwing drain must not disturb spark.sql.shuffle.partitions")
+    Seq(s"default:kv_lm_src_$suf", s"default:kv_lm_mirror_$suf",
+      s"default:kv_lm_counts_$suf").foreach(KvStore.drop)
+  }
+
   test("sv22: a batch torn between the manifest append and the counter advance replays idempotently") {
     import graft.queries.StreamBatch
     val suf = "crz"
