@@ -1039,10 +1039,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-planning would show up as the loop operator vanishing from the plan
     // audit the LAZY recursion frame: the public q27RecursiveCte executes
     // it eagerly (AQE off for the loop) and returns a checkpointed result
-    // whose own plan is a bare RDD scan
-    val df = Relational.q27Recursion(spark, dir)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
+    // whose own plan is a bare RDD scan. Run the audit body under the
+    // SAME AQE-off window the production path uses — auditing the
+    // AQE-on plan would pass even if an AQE-specific regression broke
+    // the eager path (r14 ADVICE item 4).
+    val aqeK = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeK)
+    spark.conf.set(aqeK, "false")
+    val plan = try {
+      val df = Relational.q27Recursion(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeK, v)
+      case None => spark.conf.unset(aqeK)
+    }
     assert("UnionLoop".r.findAllIn(plan).size >= 1,
       s"q27 must execute through the native recursion operator:\n${plan.take(1500)}")
     // the recursive STEP join must stay a broadcast hash join: the inner
